@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One tuned SparkSession builder shared by Verify / Bench / tests.
+  *
+  * Local-mode settings that mirror what a real cluster deploy would set:
+  * shuffle partitions sized to cores (not the 200 default), AQE on for
+  * runtime coalescing/skew handling, UTC for oracle parity, and the
+  * legacy nanos-as-long switch because the driver testdata's events.ts
+  * is TIMESTAMP(NANOS) parquet (normalized in [[Tables.events]]).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def build(appName: String = "graft"): SparkSession = {
+    val n = cpus
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$n]")
+      .config("spark.sql.shuffle.partitions", n)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

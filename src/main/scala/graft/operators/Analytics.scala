@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Headline analytical queries over the testdata star schema — the bench
+  * workload. These exercise the aggregate/join/window machinery the
+  * reference delegates to Redshift (SURVEY.md §2.4, §2.7 absences filled
+  * as [EXT]).
+  *
+  * Determinism for the DuckDB oracle: money/quantity doubles are summed as
+  * exact DECIMAL then cast to double — both engines produce bit-identical
+  * results regardless of partial-aggregation order. Plain double sums would
+  * be order-dependent and hash-unstable.
+  *
+  * Scale notes:
+  *  - groupBy aggregates are partial (map-side combine) + final: only one
+  *    row per (partition, group) crosses the shuffle.
+  *  - dimension joins are broadcast; fact-fact joins shuffle on the join
+  *    key and benefit from AQE skew handling.
+  *  - window ranks partition by a high-cardinality key (custkey) so state
+  *    per partition stays small.
+  */
+object Analytics {
+
+  /** Exact decimal sum of a 2-dp money/qty double, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** TPC-H Q1-style pricing summary over lineitem: multi-aggregate groupBy
+    * with derived expressions, all shuffle-safe exact arithmetic. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val disc  = col("l_discount").cast(DecimalType(4, 2))
+    val tax   = col("l_tax").cast(DecimalType(4, 2))
+    val one   = lit(1).cast(DecimalType(4, 2))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Orders x customer join + groupBy market segment: broadcast dim join,
+    * partial agg, exact revenue. */
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** 3-hop dim chain customer→nation→region + aggregate: the TPC-H Q5
+    * shape. All three dims broadcast — a single shuffle for the agg. */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Fact-fact join lineitem⋈orders + group by order status. At scale both
+    * sides shuffle on the key; AQE coalesces/splits post-shuffle partitions. */
+  def lineitemOrderJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Window function: top order per customer by totalprice (row_number with
+    * full tie-break for determinism), then keep rank-1 rows. */
+  def topOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** X6 — hourly time-window aggregate over events (batch use of the
+    * streaming window shape). date_trunc == tumbling-window start. */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Exact distinct count (oracle-checkable companion of X5). */
+  def exactDistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** X5 — approx_count_distinct (HLL++): the 100 TB-scale heir of R5/D1.
+    * No DuckDB oracle (sketch internals differ across engines). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Reference-parity relational operators (SURVEY.md §2.4/§2.5), expressed
+  * over the driver testdata analogs per FIXTURES.md §B:
+  * the dimension-query shape `korean ⟕ korean_japanese ⟕ korean_hanjya`
+  * (reference `dag-knlp.py:65-80`) runs as `orders ⟕ customer ⟕ nation`.
+  *
+  * Scale notes (100 TB posture):
+  *  - The two left joins key on a fact-table FK against small dimensions —
+  *    Catalyst broadcasts them (AQE re-checks at runtime), so the only
+  *    shuffle in the dimension query is the DISTINCT's hash aggregate.
+  *  - Top-1-by-length (R7) uses orderBy+limit which Spark plans as
+  *    `TakeOrderedAndProject` (per-partition top-k, no global sort).
+  *  - Scalar checks (R5/D1/D2) are full or partial aggregates — map-side
+  *    partial agg means one scalar per partition crosses the shuffle.
+  */
+object Relational {
+
+  /** R1+R2+R3+R4 — SELECT DISTINCT over two chained LEFT equi-joins
+    * (`dag-knlp.py:65-80`). Dimensions are broadcast; one shuffle (distinct).
+    */
+  def dimensionTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderstatus")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_orderstatus"))
+      .distinct()
+      .orderBy("o_orderkey", "c_name", "n_name", "o_orderstatus")
+  }
+
+  /** R5 / D1 — COUNT(*) (`dag-knlp.py:252`, check at `:243-258`). */
+  def rowCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("cnt"))
+
+  /** D1 as a result set: count + the >= 1 assertion verdict
+    * (`dag-knlp.py:253-257`). */
+  def countCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ok", col("cnt") >= 1)
+
+  /** R6+R7 — max string length via ORDER BY length DESC LIMIT 1
+    * (`dag-knlp.py:273`); planned as TakeOrderedAndProject (top-k).
+    * Ties broken on the value itself for determinism. */
+  def top1ByLength(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), length(col("c_mktsegment")).as("len"))
+      .orderBy(desc("len"), asc("c_mktsegment"))
+      .limit(1)
+
+  /** D2 — bounded-length data-quality check (`dag-knlp.py:260-279`):
+    * max(length(field)) compared against a threshold (ref: word_id <= 13). */
+  def lengthCheck(spark: SparkSession, dir: String, threshold: Int = 15): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(max(length(col("o_orderpriority"))).as("max_len"))
+      .withColumn("ok", col("max_len") <= threshold)
+
+  /** R4 standalone — DISTINCT projection (`dag-knlp.py:72`). */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P4 — deterministic row-limit (`dag-knlp.py:97,107`): ordered LIMIT so
+    * the result is well-defined under any partitioning. */
+  def limitRows(spark: SparkSession, dir: String, n: Int = 100): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(n)
+
+  /** P1+P3 — delimiter split with overflow-tail rejoin (SURVEY Q1;
+    * `dag-knlp.py:102,104-105`): first field + remainder-after-first-delim,
+    * exactly the arity-coercion semantics rationalized to StringType. */
+  def splitParse(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    p.select(
+        col("p_partkey"),
+        element_at(split(col("p_type"), " "), 1).as("head_field"),
+        // overflow tail rejoined with the original delimiter (Q1 decision)
+        array_join(slice(split(col("p_type"), " "), 2, 1000), " ").as("tail_field"),
+        size(split(col("p_type"), " ")).as("arity"))
+      .orderBy("p_partkey")
+  }
+}
