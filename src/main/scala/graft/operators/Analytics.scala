@@ -18,8 +18,10 @@ import graft.Tables
   * Scale notes:
   *  - groupBy aggregates are partial (map-side combine) + final: only one
   *    row per (partition, group) crosses the shuffle.
-  *  - dimension joins are broadcast; fact-fact joins shuffle on the join
-  *    key and benefit from AQE skew handling.
+  *  - tiny bounded dims (nation/region) carry broadcast hints; customer
+  *    is left to Catalyst+AQE (fact-sized at 100x, a forced hint would
+  *    OOM executors at scale). Fact-fact joins shuffle on the join key
+  *    and benefit from AQE skew handling.
   *  - window ranks partition by a high-cardinality key (custkey) so state
   *    per partition stays small.
   */
@@ -45,33 +47,31 @@ object Analytics {
         sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** Orders x customer join + groupBy market segment: broadcast dim join,
-    * partial agg, exact revenue. */
+  /** Orders x customer join + groupBy market segment: AQE-chosen join
+    * strategy (broadcast at this sf, shuffled at scale), partial agg,
+    * exact revenue. */
   def revenueBySegment(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-      .orderBy("c_mktsegment")
   }
 
   /** 3-hop dim chain customer→nation→region + aggregate: the TPC-H Q5
-    * shape. All three dims broadcast — a single shuffle for the agg. */
+    * shape. nation/region broadcast (bounded); customer join AQE-chosen. */
   def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
     val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-      .orderBy("r_name", "n_name")
   }
 
   /** Fact-fact join lineitem⋈orders + group by order status. At scale both
@@ -82,7 +82,6 @@ object Analytics {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_price"))
-      .orderBy("o_orderstatus")
   }
 
   /** Window function: top order per customer by totalprice (row_number with
@@ -96,7 +95,6 @@ object Analytics {
     o.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .orderBy("o_custkey")
   }
 
   /** X6 — hourly time-window aggregate over events (batch use of the
@@ -106,7 +104,6 @@ object Analytics {
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-      .orderBy("hour_start", "event_type")
 
   /** Exact distinct count (oracle-checkable companion of X5). */
   def exactDistinctCount(spark: SparkSession, dir: String): DataFrame =
@@ -114,9 +111,20 @@ object Analytics {
       .agg(countDistinct(col("l_partkey")).as("n_parts"))
 
   /** X5 — approx_count_distinct (HLL++): the 100 TB-scale heir of R5/D1.
-    * No DuckDB oracle (sketch internals differ across engines). */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * Sketch values differ across engines, so the sketch itself can't be
+    * hash-compared; instead the query is self-verifying (VERDICT r1 item
+    * 9): it emits the exact distinct counts plus booleans asserting the
+    * HLL++ estimate landed within 5% relative error — the oracle checks
+    * the exact counts and `TRUE` verdicts. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.abs
     Tables.lineitem(spark, dir)
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
+           countDistinct(col("l_orderkey")).as("n_orders_exact"),
+           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("n_parts_exact"), col("n_orders_exact"),
+        (abs(col("ap") - col("n_parts_exact")).cast("double") / col("n_parts_exact") <= 0.05).as("parts_ok"),
+        (abs(col("ao") - col("n_orders_exact")).cast("double") / col("n_orders_exact") <= 0.05).as("orders_ok"))
+  }
 }

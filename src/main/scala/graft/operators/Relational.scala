@@ -21,17 +21,40 @@ import graft.Tables
 object Relational {
 
   /** R1+R2+R3+R4 — SELECT DISTINCT over two chained LEFT equi-joins
-    * (`dag-knlp.py:65-80`). Dimensions are broadcast; one shuffle (distinct).
+    * (`dag-knlp.py:65-80`). One shuffle (the distinct's hash aggregate).
+    *
+    * Join strategy is left to Catalyst+AQE: `customer` is dimension-sized
+    * here but fact-sized at 100× — a forced broadcast hint would OOM
+    * executors at scale, while AQE picks broadcast when the runtime size
+    * fits `autoBroadcastJoinThreshold` and sort-merge/shuffled-hash when it
+    * doesn't. `nation` (25 rows, bounded by geography) keeps the hint.
+    * No ORDER BY: determinism sorting lives in the Verify dump, not the
+    * operator (a global sort of an unbounded result is a scale-killer).
     */
   def dimensionTable(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderstatus")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
     val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_orderstatus"))
       .distinct()
-      .orderBy("o_orderkey", "c_name", "n_name", "o_orderstatus")
+  }
+
+  /** O4/K3 — the same dimension query through the SQL surface: temp views
+    * + `spark.sql`, mirroring the reference's PostgresOperator SQL task
+    * (`dag-knlp.py:65-80,378-383`). Semantically byte-identical to
+    * [[dimensionTable]]; Catalyst produces the same plan from either API. */
+  def dimensionTableSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT DISTINCT o_orderkey, c_name, n_name, o_orderstatus
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |""".stripMargin)
   }
 
   /** R5 / D1 — COUNT(*) (`dag-knlp.py:252`, check at `:243-258`). */
@@ -65,7 +88,6 @@ object Relational {
   def distinctPairs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select("l_returnflag", "l_linestatus").distinct()
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** P4 — deterministic row-limit (`dag-knlp.py:97,107`): ordered LIMIT so
     * the result is well-defined under any partitioning. */
@@ -86,6 +108,5 @@ object Relational {
         // overflow tail rejoined with the original delimiter (Q1 decision)
         array_join(slice(split(col("p_type"), " "), 2, 1000), " ").as("tail_field"),
         size(split(col("p_type"), " ")).as("arity"))
-      .orderBy("p_partkey")
   }
 }

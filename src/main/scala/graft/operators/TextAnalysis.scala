@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** X4 — text analysis over the `documents` table: tokenization, corpus
+  * statistics, quality scoring, language-ID heuristics, fingerprinting —
+  * the NLP heart of both the reference (Korean text parsing,
+  * `dag-knlp.py:85-188`) and an LLM training-data pipeline.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / explode / higher-order array lambdas / md5) — no UDFs — so the
+  * whole stage stays inside WholeStageCodegen and scales embarrassingly
+  * (per-row/narrow except the explicitly-noted groupBys).
+  *
+  * Scale notes:
+  *  - per-doc stats are narrow (no shuffle at all — WholeStageCodegen over
+  *    the parquet scan with only `doc_id`+`text` read);
+  *  - token frequency explodes tokens then partially aggregates map-side —
+  *    only (token, partial-count) pairs cross the shuffle, bounded by
+  *    vocabulary size per partition, not corpus size;
+  *  - top-k token selection is orderBy+limit ⇒ `TakeOrderedAndProject`
+  *    (per-partition top-k, no global sort).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; -1 limit keeps trailing empties so the count
+    * matches DuckDB's `string_split` exactly. */
+  private def tokens: Column = split(col("text"), " ", -1)
+
+  /** Per-document surface statistics — token count (whitespace), char
+    * count, type-token ratio, mean token length. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_calc"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_types"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(tokens), 6).as("mean_token_len"))
+
+  /** Corpus token frequency, top 20 (TakeOrderedAndProject). */
+  def tokenFreq(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+
+  /** Per-language corpus profile (the groupBy-over-metadata shape every
+    * training-data pipeline needs for mixture accounting). */
+  def langProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(tokens).cast("long")).as("total_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+
+  /** Quality scoring: stopword ratio, type-token ratio, length band —
+    * the heuristics used to filter web-scale pretraining corpora. The
+    * `keep` verdict is the filter a 100 TB pipeline would apply. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens)
+    val stopHits = size(expr("filter(split(text, ' ', -1), t -> t IN ('the', 'a', 'of', 'and', 'is'))"))
+    val ttr = size(array_distinct(tokens)).cast("double") / nTok
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopHits.cast("double") / nTok, 6).as("stopword_ratio"),
+        round(ttr, 6).as("type_token_ratio"),
+        (col("n_chars") >= 50 && col("n_chars") <= 2000).as("len_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("stopword_ratio") <= 0.5 && col("type_token_ratio") >= 0.05)
+  }
+
+  /** Language-ID heuristic: marker-token hits per candidate language,
+    * argmax with deterministic tie-break. (The testdata vocabulary is
+    * synthetic English-ish, so most rows classify `en` — the operator
+    * shape, a per-row scored classification over token sets, is what a
+    * real lang-ID via char n-gram profiles would use.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: String*): Column = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      size(expr(s"filter(split(text, ' ', -1), t -> t IN ($set))"))
+    }
+    val en = hits("the", "a", "of", "and", "is")
+    val es = hits("el", "la", "de", "que")
+    val fr = hits("le", "la", "et", "les")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_declared"),
+        en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+  }
+
+  /** Document fingerprinting: full-content MD5 (the exact-dedup key) plus
+    * a 64-bit prefix — the compact form a 100 TB dedup would shuffle on. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 16).as("fp64"))
+}

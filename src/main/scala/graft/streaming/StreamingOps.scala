@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event for typed streaming ops (mirrors the `events` table schema). */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+/** One closed user session emitted by [[StreamingOps.sessionize]]. */
+case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+/** Structured Streaming surface (the brief's stream path; the reference is
+  * batch-only, SURVEY.md §1.6, so this is [EXT]): file-source readStream →
+  * watermarked tumbling-window aggregates → custom session state via
+  * `flatMapGroupsWithState`.
+  *
+  * The same aggregate shapes run in batch (`Analytics.hourlyEvents`) —
+  * Structured Streaming's contract is exactly that reuse: the logical plan
+  * is identical, the engine adds incremental state + watermark GC.
+  *
+  * Scale notes: state is keyed by (window, event_type) / user_id, both
+  * high-cardinality-partitionable; the 2h watermark bounds state size —
+  * without it a 100 TB/day stream would accumulate state forever.
+  */
+object StreamingOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** S-stream source: directory of parquet event files consumed
+    * incrementally (`readStream` needs an explicit schema). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked hourly tumbling-window counts — the streaming twin of
+    * `Analytics.hourlyEvents`. Late data beyond 2h is dropped and its
+    * window state garbage-collected. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state: events for a user more
+    * than `gap` apart start a new session; closed sessions are emitted.
+    * `flatMapGroupsWithState` is the Spark primitive for custom streaming
+    * state (KeyValueGroupedDataset, per-key state, event-time timeout). */
+  def sessionize(events: Dataset[StreamEvent], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[StreamEvent], UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, newEvents, state: GroupState[List[StreamEvent]]) =>
+          val buffered = state.getOption.getOrElse(Nil) ++ newEvents
+          val sorted = buffered.sortBy(_.ts.getTime)
+          // split into gap-separated runs; emit all but the last (still-open)
+          val runs = sorted.foldLeft(List.empty[List[StreamEvent]]) {
+            case (Nil, e) => List(List(e))
+            case (cur :: done, e) =>
+              if (e.ts.getTime - cur.head.ts.getTime > gapMs) List(e) :: cur :: done
+              else (e :: cur) :: done
+          }.map(_.reverse).reverse
+          val (open, closed) =
+            if (state.hasTimedOut) (Nil, runs) else (runs.takeRight(1), runs.dropRight(1))
+          if (open.nonEmpty) {
+            state.update(open.head)
+            state.setTimeoutTimestamp(open.head.last.ts.getTime + gapMs)
+          } else state.remove()
+          closed.iterator.map { run =>
+            UserSession(userId, run.head.ts, run.last.ts, run.size.toLong,
+              run.map(_.value).sum)
+          }
+      }
+  }
+}

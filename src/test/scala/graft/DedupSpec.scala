@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** X1/X2 dedup semantics: exact keeper selection, LSH candidate soundness
+  * (banded join finds exactly the high-Jaccard pairs it claims), simhash
+  * stability. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("exact dedup: one row per distinct text, keeper is min doc_id, copies sum to corpus") {
+    val docs = Tables.documents(spark, sf)
+    val dedup = Dedup.exactDedup(spark, sf)
+    assert(dedup.count() == docs.select("text").distinct().count())
+    assert(dedup.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("minhash signatures: 8 bands per doc, deterministic across runs") {
+    val a = Dedup.minhashSignatures(spark, sf)
+    assert(a.groupBy("doc_id").count().filter(col("count") =!= 8).isEmpty)
+    val b = Dedup.minhashSignatures(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("near-dup pairs: every reported pair really has jaccard >= threshold") {
+    val pairs = Dedup.nearDupPairs(spark, sf, 0.95)
+    assert(pairs.filter(col("jaccard") < 0.95).isEmpty)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty) // canonical a<b
+  }
+
+  test("near-dup pairs: identical token sets are always found (J=1 collides in every band)") {
+    // brute-force the J=1 pairs (identical distinct-token sets) and assert
+    // the banded LSH reports every one of them — P(collision)=1 at J=1.
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " ", -1))).as("s"))
+    val exact = sets.as("a").join(sets.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val found = Dedup.nearDupPairs(spark, sf, 0.95).select("doc_a", "doc_b")
+    assert(exact.exceptAll(found).isEmpty)
+  }
+
+  test("simhash: 32-bit range, deterministic, equal token sets hash equal") {
+    val sh = Dedup.simhash(spark, sf)
+    assert(sh.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)
+    val joined = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " ", -1))).as("s"))
+      .join(sh, "doc_id")
+    // same distinct-token set => same simhash
+    assert(joined.groupBy("s").agg(countDistinct("simhash").as("n"))
+      .filter(col("n") =!= 1).isEmpty)
+  }
+}

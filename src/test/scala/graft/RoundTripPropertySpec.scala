@@ -1,0 +1,42 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pipeline
+
+/** Property tests (SURVEY §5.2): the parse layer is lossless for the
+  * arity-coercion rationalization — first k-1 fields + tail-rejoin always
+  * reconstructs the original line. Driven by ScalaCheck generators with a
+  * fixed seed (scalatestplus bridge isn't on the offline classpath, so
+  * samples are drawn directly). */
+class RoundTripPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val field: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('가', '語', ' ', ',', '.')))
+      .map(_.mkString)
+  private val lineGen: Gen[List[String]] = Gen.choose(3, 7).flatMap(Gen.listOfN(_, field))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("split + overflow-rejoin reconstructs the original line (Q1 losslessness)") {
+    import spark.implicits._
+    val cases = samples(Gen.listOfN(8, lineGen), 25)
+    assert(cases.nonEmpty)
+    cases.foreach { fieldLists =>
+      val lines = fieldLists.map(_.mkString(":"))
+      val parsed = Pipeline.parseDelimited(lines.toDF("value"), Seq("a", "b", "c"))
+      val rebuilt = parsed.collect()
+        .map(r => s"${r.getString(0)}:${r.getString(1)}:${r.getString(2)}").toSeq
+      // every input line has >= 3 fields, so none are filtered
+      assert(rebuilt.sorted == lines.sorted)
+    }
+  }
+
+  test("dedup idempotence: distinct twice equals distinct once") {
+    val d = graft.operators.Relational.distinctPairs(spark, TestSpark.sf)
+    assert(d.distinct().count() == d.count())
+  }
+}
