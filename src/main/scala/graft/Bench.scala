@@ -28,12 +28,30 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s").collect()
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
 
+    // Per-query watchdog: a runaway query (JIT/codegen storm, degenerate
+    // plan) must cost at most `timeoutSec`, never the whole bench run.
+    // The query executes under a job group so the watchdog can cancel
+    // its in-flight Spark jobs, and the timeout is reported as a failure.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      System.err.println(s"[bench] running $name")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
       val t0 = System.nanoTime()
+      val fut = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Await.result(fut, timeoutSec.seconds)
         ((System.nanoTime() - t0) / 1e9, true)
       } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[bench] $name TIMED OUT after $timeoutSec s")
+          (-1.0, false)
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           (-1.0, false)
@@ -42,6 +60,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, ok) = run(name, fn)
+      // Settle between queries so one query's GC debt (heap churn from
+      // heavy writes/aggregations) is not billed to the next one's timing
+      // — measured up to 10x inflation on the successor without this.
+      System.gc()
+      Thread.sleep(200)
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -18,6 +18,12 @@ object Sessions {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$n]")
+      // native Catalyst extensions (SURVEY §7.2): custom codegen'd
+      // expressions registered through the public extensions API
+      .withExtensions(ext => ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.CosineSimilarity.name),
+          graft.functions.CosineSimilarity.info,
+          graft.functions.CosineSimilarity.builder)))
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -224,21 +224,25 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
+    // MinHash-128 banded signatures: minhash_i = min(md5(i:shingle)) for
+    // i in 0..127; band sig = md5 of its 16 row-minhashes joined by '|'.
     "q_minhash_signatures" ->
-      """SELECT doc_id, band,
-                min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-         FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
-               FROM documents) sh
-         CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
-         GROUP BY doc_id, band ORDER BY doc_id, band""",
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+                     FROM documents),
+         mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 128)) AS i) ii
+                GROUP BY doc_id, i)
+         SELECT doc_id, i // 16 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+         FROM mh GROUP BY doc_id, i // 16 ORDER BY doc_id, band""",
     "q_dedup_near" ->
       """WITH sets AS (
            SELECT doc_id, list_distinct(string_split(text, ' ')) AS sset FROM documents),
          sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
-         sig AS (
-           SELECT doc_id, band, min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-           FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
-           GROUP BY doc_id, band),
+         mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
+                FROM sh CROSS JOIN (SELECT unnest(range(0, 128)) AS i) ii
+                GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, i // 16 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+                 FROM mh GROUP BY doc_id, i // 16),
          cand AS (
            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM sig x JOIN sig y

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Sessions, Tables}
 
 /** X1/X2 — deduplication over `documents`: exact (content-hash groupBy),
   * MinHash+LSH banded near-dup, and SimHash fingerprints.
@@ -42,17 +42,43 @@ object Dedup {
   private def shingleSet: Column = array_distinct(split(col("text"), " ", -1))
 
   private val NumBands = 8
+  private val RowsPerBand = 16 // 128 minhashes total (MinHash-128)
 
-  /** X2a — per-document MinHash signature, `NumBands` bands × 1 row each:
-    * band b's signature is min over shingles of md5(b || ':' || shingle).
+  /** X2a — per-document banded MinHash signature: 128 independent
+    * minhashes (minhash_i = min over shingles of md5(i || ':' || shingle)),
+    * grouped into `NumBands` bands of `RowsPerBand`; a band's signature is
+    * the md5 of its 16 concatenated row-minhashes.
+    *
+    * Band width is the selectivity knob: two docs collide in a band with
+    * probability J^16, so P(candidate) = 1-(1-J^16)^8 ≈ 0.99 at J=0.95 but
+    * only ≈ 0.10 at J=0.80. With single-row bands (r=1) this corpus — a
+    * ~30-word vocabulary where every doc pair has J ≈ 0.85 — degenerates
+    * to ALL-PAIRS (measured: 12.3M of 12.5M possible pairs at sf0.1
+    * became candidates); r=16 cuts that to ~2M while keeping ~99% recall
+    * at the 0.95 output threshold.
+    *
     * One narrow pass + one partial-aggregated explode; output is
     * (doc_id, band, sig) — the compact table a 100 TB run would persist. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    // One wide aggregate (128 min-columns) over the exploded shingles,
+    // then band signatures from the 16-column groups. The alternative
+    // long-and-thin shape (explode shingle × hash-index, groupBy twice)
+    // was measured 5× slower end-to-end: min(STRING) can't use
+    // HashAggregate, so both join branches degrade to SortAggregates over
+    // n_shingles × 128 rows — a cost that grows with the corpus. The wide
+    // shape sorts only n_shingles rows; its price is a one-time Janino
+    // compile of the big generated method (~tens of seconds per JVM),
+    // which amortizes to nothing in a real deployment.
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingleSet).as("shingle"))
-    val bandMins = (0 until NumBands).map(b =>
-      min(md5(concat(lit(s"$b:"), col("shingle")))).as(s"b$b"))
-    val sigWide = sh.groupBy("doc_id").agg(bandMins.head, bandMins.tail: _*)
+    val mins = (0 until NumBands * RowsPerBand).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    val wide = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandSigs = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      md5(concat_ws("|", rows: _*)).as(s"b$b")
+    }
+    val sigWide = wide.select(col("doc_id") +: bandSigs: _*)
     val stackArgs = (0 until NumBands).map(b => s"$b, b$b").mkString(", ")
     sigWide.select(col("doc_id"),
       expr(s"stack($NumBands, $stackArgs)").as(Seq("band", "sig")))
@@ -60,7 +86,12 @@ object Dedup {
 
   /** X2b — banded LSH near-dup: candidate pairs collide in ≥1 band
     * (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard on
-    * candidates only; pairs at or above `threshold` survive. */
+    * candidates only; pairs at or above `threshold` survive.
+    *
+    * The candidate set is explicitly repartitioned before the Jaccard
+    * stage: its rows are narrow (two ids), so AQE's size-based coalescing
+    * would otherwise funnel millions of pairs into one or two tasks and
+    * serialize the (eval-mode, per-row-hashset) array_intersect work. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     val sig = minhashSignatures(spark, dir)
     val cand = sig.as("x").join(sig.as("y"),
@@ -68,15 +99,21 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .repartition(Sessions.cpus.toInt, col("doc_a"), col("doc_b"))
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleSet.as("sset"))
     val a = sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    // Jaccard via the union identity: |A∩B| = |A|+|B|-|A∪B|. One
+    // hashset-building collection op per pair (array_distinct of the
+    // concat) instead of two array_intersect passes — these ops dominate
+    // the candidate-verify stage, so this halves its cost.
+    val unionSize = size(array_distinct(concat(col("set_a"), col("set_b"))))
+    cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+      .withColumn("u", unionSize)
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double")
-          / (size(col("set_a")) + size(col("set_b"))
-             - size(array_intersect(col("set_a"), col("set_b")))), 6).as("jaccard"))
+        round((size(col("set_a")) + size(col("set_b")) - col("u")).cast("double")
+          / col("u"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

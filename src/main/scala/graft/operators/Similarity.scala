@@ -30,19 +30,23 @@ object Similarity {
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("norm", expr("sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
 
-  private val dot: Column =
-    expr("aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+  /** Fused single-pass cosine via the custom codegen'd Catalyst
+    * expression [[graft.functions.CosineSimilarity]] — no intermediate
+    * zipped array, no per-element boxing. */
+  private def cosine(spark: SparkSession): Column = {
+    graft.functions.CosineSimilarity.register(spark)
+    expr("cosine_sim(emb, qemb)")
+  }
 
   /** Brute-force exact top-k cosine neighbors for queries vec_id < 10. */
   def topkCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = embDouble(spark, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("norm").as("qnorm"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot / (col("norm") * col("qnorm"))).as("sim_raw"))
+        cosine(spark).as("sim_raw"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,17 +85,17 @@ object Similarity {
     val e = embDouble(spark, dir).withColumn("bucket", bucketCol(dim))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-        col("norm").as("qnorm"), col("bucket").as("qbucket"))
+        col("bucket").as("qbucket"))
     // Multiprobe: each query probes its own bucket + all Hamming-1 buckets.
     val probeIds = array((0 until NumBits).map(j => lit(1 << j)) :+ lit(0): _*)
-    val probes = q.select(col("query_id"), col("qemb"), col("qnorm"),
+    val probes = q.select(col("query_id"), col("qemb"),
       explode(probeIds).as("flip"), col("qbucket"))
-      .select(col("query_id"), col("qemb"), col("qnorm"),
+      .select(col("query_id"), col("qemb"),
         (col("qbucket").bitwiseXOR(col("flip"))).as("bucket"))
     val annScored = e.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot / (col("norm") * col("qnorm"))).as("sim_raw"))
+        cosine(spark).as("sim_raw"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
     val annTop = annScored.withColumn("rank", row_number().over(w))
