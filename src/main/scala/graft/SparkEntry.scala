@@ -60,6 +60,7 @@ object SparkEntry {
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
+    "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -282,6 +283,7 @@ object SparkEntry {
                                               c.vec_id ASC) AS "rank"
            FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

@@ -75,6 +75,42 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-dup: candidate pairs share an LSH bucket
+    * (equi-join, never all-pairs), then exact cosine filters at
+    * `threshold`. The embedding-side twin of [[Dedup.nearDupPairs]]. */
+  def embedNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = embDouble(spark, dir).withColumn("bucket", bucketCol(64))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("cosine_sim(emb, qemb)"), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** DuckDB oracle for [[embedNearDup]], with the deterministic plane
+    * vectors inlined as literals so the bucket assignment reproduces
+    * bit-for-bit (both engines fold the dot product in index order). */
+  def embedNearDupOracleSql(threshold: Double = 0.3): String = {
+    val ps = planes(64)
+    val bucketExpr = (0 until NumBits).map { j =>
+      val lits = ps(j).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(emb, $lits) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e)
+       SELECT vec_a, vec_b, sim FROM (
+         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                round(list_dot_product(x.emb, y.emb)
+                      / (sqrt(list_dot_product(x.emb, x.emb))
+                         * sqrt(list_dot_product(y.emb, y.emb))), 6) AS sim
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+       WHERE sim >= $threshold
+       ORDER BY vec_a, vec_b"""
+  }
+
   /** ANN via hyperplane LSH, self-verifying: runs the bucketed search AND
     * the brute-force reference for queries vec_id < 10, and reports
     * recall@10. Output is (n_queries, recall_ok) — embeddings are fixed

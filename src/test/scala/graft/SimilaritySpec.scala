@@ -27,6 +27,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r1.join(mx, "query_id").filter(col("top") =!= col("mx")).isEmpty)
   }
 
+  test("embedding near-dup: canonical pair order, sim at or above threshold") {
+    val p = Similarity.embedNearDup(spark, sf, 0.3)
+    assert(p.filter(col("vec_a") >= col("vec_b")).isEmpty)
+    assert(p.filter(col("sim") < 0.3).isEmpty)
+  }
+
   test("ANN LSH multiprobe recall clears the registered floor") {
     val r = Similarity.annLshRecall(spark, sf).head()
     assert(r.getLong(0) == 10)
