@@ -53,6 +53,7 @@ object SparkEntry {
     "q_doc_quality"       -> ((s, d) => TextAnalysis.docQuality(s, d)),
     "q_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_token_counts"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -221,6 +222,13 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp64
+         FROM documents ORDER BY doc_id""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_ws_tokens,
+                len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+                    t -> length(t) > 0)) AS n_subword_tokens,
+                round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
          FROM documents ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies

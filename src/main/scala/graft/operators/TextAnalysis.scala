@@ -98,6 +98,19 @@ object TextAnalysis {
           .otherwise("und"))
   }
 
+  /** Token counting for budget accounting: whitespace tokens (what the
+    * corpus stats use) next to a regex subword segmentation (alpha runs /
+    * digit runs / single punctuation — the BPE-pretokenizer shape) and a
+    * chars-per-token ratio, per doc. All codegen'd string ops, narrow. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val subword = split(col("text"), "[^a-z0-9]+", -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens).as("n_ws_tokens"),
+        size(filter(subword, t => length(t) > 0)).as("n_subword_tokens"),
+        round(col("n_chars").cast("double") / size(tokens), 6).as("chars_per_token"))
+  }
+
   /** Document fingerprinting: full-content MD5 (the exact-dedup key) plus
     * a 64-bit prefix — the compact form a 100 TB dedup would shuffle on. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
