@@ -42,6 +42,8 @@ object SparkEntry {
     "q_lineitem_order_join" -> ((s, d) => Analytics.lineitemOrderJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
+    "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
+    "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     "q_exact_distinct_count" -> ((s, d) => Analytics.exactDistinctCount(s, d)),
     "q_approx_distinct"   -> ((s, d) => Analytics.approxDistinct(s, d)),
     // — X7 as-of join —
@@ -162,6 +164,20 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    // The salted two-phase aggregate must equal the naive GROUP BY.
+    "q_events_by_type_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_revenue_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
     // Self-verifying HLL++: oracle checks the exact counts and asserts the
     // Spark-side 1%-rsd estimate landed within 5% (always true for HLL++).
     "q_approx_distinct" ->

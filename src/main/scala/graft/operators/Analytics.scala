@@ -105,6 +105,50 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
+  /** Skew-safe two-phase aggregate: events counted per event_type via an
+    * explicit salt. event_type has a handful of values, so a naive
+    * groupBy sends each type's entire volume to ONE reducer — the classic
+    * skew hotspot at 100 TB. Phase 1 aggregates (type, salt) across 32
+    * salts (uniform fan-out), phase 2 merges the 32 partials per type.
+    * Same result as the naive plan; the oracle checks it against a plain
+    * GROUP BY. (AQE skew-join handles join skew; aggregate skew needs
+    * this shape.) */
+  def eventsByTypeSalted(spark: SparkSession, dir: String, salts: Int = 32): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (col("event_id") % salts).as("salt"))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pc"),
+        sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+      .groupBy("event_type")
+      .agg(sum(col("pc")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"))
+
+  /** Hierarchical totals via ROLLUP (region → nation → grand total) —
+    * partial-aggregated like any groupBy; grouping-set expansion happens
+    * map-side. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("rollup_base")
+    // SQL surface for the grouping-set expansion: the Dataset rollup API
+    // trips Spark 4's ambiguous-self-join detector on attributes carrying
+    // the joined datasets' lineage tags; GROUP BY ROLLUP over a view
+    // resolves by name and produces the identical plan.
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM rollup_base
+        |GROUP BY ROLLUP (r_name, n_name)
+        |""".stripMargin)
+  }
+
   /** Exact distinct count (oracle-checkable companion of X5). */
   def exactDistinctCount(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
