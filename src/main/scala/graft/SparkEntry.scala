@@ -40,6 +40,7 @@ object SparkEntry {
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
     "q_revenue_by_region" -> ((s, d) => Analytics.revenueByRegion(s, d)),
     "q_lineitem_order_join" -> ((s, d) => Analytics.lineitemOrderJoin(s, d)),
+    "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
@@ -146,6 +147,13 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_lineitem_order_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Bucketed co-located join must produce the same result as the
+    // plain shuffled join.
+    "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
