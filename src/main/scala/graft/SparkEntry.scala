@@ -213,9 +213,13 @@ object SparkEntry {
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    // NB: DuckDB bare integer sum() returns HUGEINT (INT128); the driver's
+    // hash compare is type-sensitive, so every integer sum must be cast to
+    // BIGINT to match Spark's LongType (VERDICT r3 #1/#2).
     "q_lang_profile" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-                sum(len(string_split(text, ' '))) AS total_tokens,
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                 round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "q_doc_quality" ->
@@ -291,7 +295,7 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "q_simhash" ->
       s"""SELECT doc_id,
-                 sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+                 CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
           FROM (
             SELECT doc_id, bit,
                    sum(CASE WHEN (hval >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
