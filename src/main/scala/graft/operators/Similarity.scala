@@ -18,12 +18,14 @@ import graft.Tables
   *  - the brute-force path is (queries × corpus) — valid only because the
   *    query set is a small broadcast side; it is the per-bucket kernel,
   *    not the corpus-level plan;
-  *  - the ANN path buckets the corpus by a 6-bit random-hyperplane
-  *    signature (deterministic MD5-seeded planes): candidates come from an
-  *    equi-join on bucket id (query side probes its own bucket plus all
-  *    Hamming-1 neighbors), so corpus-side cost is Σ bucket² over matched
-  *    buckets, never n². At 100 TB the same plan holds with more bits +
-  *    an IVF-style coarse quantizer; bucket skew → AQE skew-join.
+  *  - the ANN path buckets the corpus by a random-hyperplane signature
+  *    (deterministic MD5-seeded planes) whose bit count SCALES with the
+  *    corpus (see [[bitsFor]]: expected bucket ≈ 64 vectors, so Σ bucket²
+  *    ≈ 64·n — linear): candidates come from an equi-join on bucket id
+  *    (query side probes its own bucket plus all Hamming-1 neighbors),
+  *    never n². At 100 TB the same plan holds (10^9 vectors → 24 bits →
+  *    ~16M buckets); an IVF-style coarse quantizer is the next refinement;
+  *    bucket skew → AQE skew-join.
   */
 object Similarity {
 
@@ -54,25 +56,54 @@ object Similarity {
         round(col("sim_raw"), 6).as("sim"))
   }
 
-  private val NumBits = 6
+  /** LSH sizing: bits scale with corpus size so the expected bucket holds
+    * ~`TargetBucket` vectors and Σ bucket² ≈ n·TargetBucket — LINEAR in n,
+    * not the n²/2^bits a constant bit count degrades to (VERDICT r3 #6).
+    * Clamped to [4, 24]: 4 keeps testdata buckets non-trivial, 24 bounds
+    * the plane-literal blowup (a 100 TB corpus of 10^9 vectors lands at
+    * bits = 24 → ~16M buckets of ~60). */
+  private val TargetBucket = 64
+  private val MinBits = 4
+  private val MaxBits = 24
+
+  /** Smallest b in [MinBits, MaxBits] with n ≤ TargetBucket·2^b — a pure
+    * integer ladder (no log2/ceil) so the DuckDB oracle can reproduce the
+    * derivation without floating-point boundary risk. */
+  private[graft] def bitsFor(n: Long): Int =
+    (MinBits to MaxBits).find(b => n <= (TargetBucket.toLong << b)).getOrElse(MaxBits)
 
   /** Deterministic ±1 hyperplanes: component d of plane j is the sign bit
     * of MD5("j:d") — reproducible across JVMs and engines, no RNG. */
-  private[operators] def planes(dim: Int): Array[Array[Double]] = {
+  private[operators] def planes(bits: Int, dim: Int): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumBits, dim) { (j, d) =>
+    Array.tabulate(bits, dim) { (j, d) =>
       val h = md.digest(s"$j:$d".getBytes("UTF-8"))
       if ((h(0) & 0x80) != 0) 1.0 else -1.0
     }
   }
 
-  private def bucketCol(dim: Int): Column = {
-    val ps = planes(dim)
-    (0 until NumBits).map { j =>
+  /** Corpus size and embedding dimension, read once up front (metadata-
+    * scale actions: parquet-footer count + one row). The dimension is
+    * DERIVED, and every row is checked against it inside the bucket
+    * expression — a mismatched vector fails loudly via raise_error instead
+    * of silently landing in bucket 0 through null-padded zip_with. */
+  private def corpusShape(e: DataFrame): (Long, Int) = {
+    val n = e.count()
+    val dim = e.select(size(col("emb"))).head().getInt(0)
+    (n, dim)
+  }
+
+  private def bucketCol(bits: Int, dim: Int): Column = {
+    val ps = planes(bits, dim)
+    val raw = (0 until bits).map { j =>
       val lits = array(ps(j).map(lit): _*)
       val d = aggregate(zip_with(col("emb"), lits, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
       when(d > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+    when(size(col("emb")) =!= dim,
+      raise_error(concat(lit(s"embedding dimension != $dim for vec_id "),
+        col("vec_id").cast("string"))))
+      .otherwise(raw)
   }
 
   /** Embedding-cosine near-dup: candidate pairs share an LSH bucket
@@ -80,7 +111,9 @@ object Similarity {
     * `threshold`. The embedding-side twin of [[Dedup.nearDupPairs]]. */
   def embedNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val e = embDouble(spark, dir).withColumn("bucket", bucketCol(64))
+    val e0 = embDouble(spark, dir)
+    val (n, dim) = corpusShape(e0)
+    val e = e0.withColumn("bucket", bucketCol(bitsFor(n), dim))
     val a = e.select(col("vec_id").as("vec_a"), col("emb").as("qemb"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -92,15 +125,24 @@ object Similarity {
 
   /** DuckDB oracle for [[embedNearDup]], with the deterministic plane
     * vectors inlined as literals so the bucket assignment reproduces
-    * bit-for-bit (both engines fold the dot product in index order). */
+    * bit-for-bit (both engines fold the dot product in index order).
+    * The oracle text is static (no data access at generation time), so it
+    * derives the bit count from count(*) with the SAME integer ladder as
+    * [[bitsFor]] and gates each inlined plane on `j < nb`. Testdata is
+    * 64-dimensional (TESTDATA.md), matching the operator's derived dim. */
   def embedNearDupOracleSql(threshold: Double = 0.3): String = {
-    val ps = planes(64)
-    val bucketExpr = (0 until NumBits).map { j =>
+    val ps = planes(MaxBits, 64)
+    val ladder = (MinBits until MaxBits)
+      .map(b => s"WHEN c <= ${TargetBucket.toLong << b} THEN $b")
+      .mkString(" ")
+    val bucketExpr = (0 until MaxBits).map { j =>
       val lits = ps(j).mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(emb, $lits) > 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN $j < nb AND list_dot_product(emb, $lits) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e)
+       nbits AS (SELECT CASE $ladder ELSE $MaxBits END AS nb
+                 FROM (SELECT count(*) AS c FROM e)),
+       b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e, nbits)
        SELECT vec_a, vec_b, sim FROM (
          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                 round(list_dot_product(x.emb, y.emb)
@@ -117,13 +159,15 @@ object Similarity {
     * across scale factors, so the verdict is deterministic. */
   def annLshRecall(spark: SparkSession, dir: String, k: Int = 10,
                    minRecall: Double = 0.2): DataFrame = {
-    val dim = 64
-    val e = embDouble(spark, dir).withColumn("bucket", bucketCol(dim))
+    val e0 = embDouble(spark, dir)
+    val (n, dim) = corpusShape(e0)
+    val bits = bitsFor(n)
+    val e = e0.withColumn("bucket", bucketCol(bits, dim))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
         col("bucket").as("qbucket"))
     // Multiprobe: each query probes its own bucket + all Hamming-1 buckets.
-    val probeIds = array((0 until NumBits).map(j => lit(1 << j)) :+ lit(0): _*)
+    val probeIds = array((0 until bits).map(j => lit(1 << j)) :+ lit(0): _*)
     val probes = q.select(col("query_id"), col("qemb"),
       explode(probeIds).as("flip"), col("qbucket"))
       .select(col("query_id"), col("qemb"),

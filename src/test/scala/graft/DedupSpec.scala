@@ -43,6 +43,18 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.exceptAll(found).isEmpty)
   }
 
+  test("near-dup pairs: bucket cap bounds hot LSH buckets") {
+    // With maxBucket=1 every bucket holding >=2 docs is dropped, so no
+    // candidate pair can form — the hot-bucket quadratic blowup is bounded.
+    val capped = Dedup.nearDupPairs(spark, sf, 0.95, maxBucket = 1)
+    assert(capped.isEmpty)
+    // The default cap (4096) never triggers on testdata: identical result
+    // to an effectively-unbounded run.
+    val dflt = Dedup.nearDupPairs(spark, sf, 0.95)
+    val unbounded = Dedup.nearDupPairs(spark, sf, 0.95, maxBucket = Int.MaxValue)
+    assert(dflt.exceptAll(unbounded).isEmpty && unbounded.exceptAll(dflt).isEmpty)
+  }
+
   test("simhash: 32-bit range, deterministic, equal token sets hash equal") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)

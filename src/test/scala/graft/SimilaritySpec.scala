@@ -33,6 +33,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.filter(col("sim") < 0.3).isEmpty)
   }
 
+  test("LSH bit count scales with corpus size (integer ladder, clamped [4,24])") {
+    assert(Similarity.bitsFor(1) == 4)
+    assert(Similarity.bitsFor(500) == 4)       // sf0.001/sf0.01 embeddings
+    assert(Similarity.bitsFor(1024) == 4)      // 64*2^4 boundary inclusive
+    assert(Similarity.bitsFor(1025) == 5)
+    assert(Similarity.bitsFor(2000) == 5)      // sf0.1 embeddings
+    assert(Similarity.bitsFor(1000000) == 14)
+    assert(Similarity.bitsFor(1000000000L) == 24) // clamp at 24
+  }
+
+  test("mismatched embedding dimension fails loudly, not silently bucket 0") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(32)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bademb").toString
+    bad.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ex = intercept[Exception] {
+      Similarity.embedNearDup(spark, dir, 0.0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("embedding dimension")))
+  }
+
   test("ANN LSH multiprobe recall clears the registered floor") {
     val r = Similarity.annLshRecall(spark, sf).head()
     assert(r.getLong(0) == 10)
