@@ -20,10 +20,16 @@ object Sessions {
       .master(s"local[$n]")
       // native Catalyst extensions (SURVEY §7.2): custom codegen'd
       // expressions registered through the public extensions API
-      .withExtensions(ext => ext.injectFunction(
-        (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.CosineSimilarity.name),
-          graft.functions.CosineSimilarity.info,
-          graft.functions.CosineSimilarity.builder)))
+      .withExtensions { ext =>
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.CosineSimilarity.name),
+            graft.functions.CosineSimilarity.info,
+            graft.functions.CosineSimilarity.builder))
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.ScriptClass.name),
+            graft.functions.ScriptClass.info,
+            graft.functions.ScriptClass.builder))
+      }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

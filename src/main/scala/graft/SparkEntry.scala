@@ -56,6 +56,7 @@ object SparkEntry {
     "q_doc_quality"       -> ((s, d) => TextAnalysis.docQuality(s, d)),
     "q_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q_script_profile"    -> ((s, d) => TextAnalysis.scriptProfile(s, d)),
     "q_token_counts"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -68,6 +69,10 @@ object SparkEntry {
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    // — Structured Streaming, end-to-end (file stream → watermarked
+    //   window agg → foreachBatch sink), checked against the same oracle
+    //   as its batch twin q_hourly_events —
+    "q_stream_hourly_events" -> ((s, d) => graft.streaming.StreamingOps.hourlyCountsEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -170,6 +175,12 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    // The streaming path must equal its batch twin exactly.
+    "q_stream_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
     // The salted two-phase aggregate must equal the naive GROUP BY.
@@ -258,6 +269,39 @@ object SparkEntry {
                     t -> length(t) > 0)) AS n_subword_tokens,
                 round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
          FROM documents ORDER BY doc_id""",
+    // Mirrors ScriptClass exactly: same negated-class regexes (literal
+    // \x{..} syntax is valid in both Java regex and RE2), same dominance
+    // CASE ladder (hangul > hanja > latin > digit > other tie-break),
+    // 'und' when nothing countable. other = total - all classes - space.
+    "q_script_profile" -> {
+      import graft.operators.TextAnalysis.{DigitRe, HangulRe, HanjaRe, LatinRe, SpaceRe}
+      s"""WITH c AS (
+           SELECT lang,
+                  length(regexp_replace(text, '$HangulRe', '', 'g')) AS hc,
+                  length(regexp_replace(text, '$HanjaRe', '', 'g')) AS jc,
+                  length(regexp_replace(text, '$LatinRe', '', 'g')) AS lc,
+                  length(regexp_replace(text, '$DigitRe', '', 'g')) AS dc,
+                  length(text)
+                    - length(regexp_replace(text, '$HangulRe', '', 'g'))
+                    - length(regexp_replace(text, '$HanjaRe', '', 'g'))
+                    - length(regexp_replace(text, '$LatinRe', '', 'g'))
+                    - length(regexp_replace(text, '$DigitRe', '', 'g'))
+                    - length(regexp_replace(text, '$SpaceRe', '', 'g')) AS oc
+           FROM documents)
+         SELECT lang,
+                CASE WHEN hc=0 AND jc=0 AND lc=0 AND dc=0 AND oc=0 THEN 'und'
+                     WHEN hc>=jc AND hc>=lc AND hc>=dc AND hc>=oc THEN 'hangul'
+                     WHEN jc>=lc AND jc>=dc AND jc>=oc THEN 'hanja'
+                     WHEN lc>=dc AND lc>=oc THEN 'latin'
+                     WHEN dc>=oc THEN 'digit'
+                     ELSE 'other' END AS script,
+                count(*) AS n_docs,
+                CAST(sum(hc) AS BIGINT) AS hangul_chars,
+                CAST(sum(jc) AS BIGINT) AS hanja_chars,
+                CAST(sum(lc) AS BIGINT) AS latin_chars,
+                CAST(sum(dc) AS BIGINT) AS digit_chars
+         FROM c GROUP BY lang, script ORDER BY lang, script"""
+    },
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",

@@ -111,6 +111,37 @@ object TextAnalysis {
         round(col("n_chars").cast("double") / size(tokens), 6).as("chars_per_token"))
   }
 
+  /** Negated-class regexes for per-script codepoint counts — literal `\x{…}`
+    * syntax is shared verbatim by Java regex (Spark) and RE2 (DuckDB), so
+    * the operator and its oracle run the exact same patterns. Ranges match
+    * [[graft.functions.ScriptClass]]. */
+  val HangulRe = "[^\\x{AC00}-\\x{D7A3}\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}\\x{A960}-\\x{A97F}\\x{D7B0}-\\x{D7FF}]"
+  val HanjaRe = "[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}]"
+  val LatinRe = "[^A-Za-z]"
+  val DigitRe = "[^0-9]"
+  val SpaceRe = "[^\\t\\n\\x{0B}\\f\\r ]"
+
+  /** Script-mixture profile per (lang, dominant script): doc counts and
+    * per-script codepoint totals. The dominant-script label comes from the
+    * custom codegen'd [[graft.functions.ScriptClass]] expression (the
+    * Hangul/Hanja classifier SURVEY §2.8 X4 names — the reference's whole
+    * domain is Korean/Hanja text, `dag-knlp.py:85-111`); the char counts
+    * are codegen'd built-in regexp_replace/length. Narrow scan + one
+    * partial-aggregated groupBy over a tiny (lang, script) key space. */
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ScriptClass.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), expr("script_class(text)").as("script"),
+        length(regexp_replace(col("text"), HangulRe, "")).as("hc"),
+        length(regexp_replace(col("text"), HanjaRe, "")).as("jc"),
+        length(regexp_replace(col("text"), LatinRe, "")).as("lc"),
+        length(regexp_replace(col("text"), DigitRe, "")).as("dc"))
+      .groupBy("lang", "script")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("hc").as("hangul_chars"), sum("jc").as("hanja_chars"),
+        sum("lc").as("latin_chars"), sum("dc").as("digit_chars"))
+  }
+
   /** Document fingerprinting: full-content MD5 (the exact-dedup key) plus
     * a 64-bit prefix — the compact form a 100 TB dedup would shuffle on. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
