@@ -51,6 +51,14 @@ object Bench {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           System.err.println(s"[bench] $name TIMED OUT after $timeoutSec s")
+          // cancelJobGroup kills in-flight Spark jobs, but driver-side work
+          // (Janino codegen, analysis) on the abandoned thread keeps
+          // running and would contaminate the next query's timing — give
+          // it a short grace to actually finish, and say so if it didn't.
+          try Await.ready(fut, 15.seconds)
+          catch { case _: java.util.concurrent.TimeoutException =>
+            System.err.println(s"[bench] $name still running after cancel; next timings may be contaminated")
+          }
           (-1.0, false)
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -29,6 +29,10 @@ object Sessions {
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.ScriptClass.name),
             graft.functions.ScriptClass.info,
             graft.functions.ScriptClass.builder))
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.ArrayAgreeCount.name),
+            graft.functions.ArrayAgreeCount.info,
+            graft.functions.ArrayAgreeCount.builder))
       }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")

@@ -315,32 +315,9 @@ object SparkEntry {
                 GROUP BY doc_id, i)
          SELECT doc_id, i // 16 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
          FROM mh GROUP BY doc_id, i // 16 ORDER BY doc_id, band""",
-    "q_dedup_near" ->
-      """WITH sets AS (
-           SELECT doc_id, list_distinct(string_split(text, ' ')) AS sset FROM documents),
-         sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
-         mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 128)) AS i) ii
-                GROUP BY doc_id, i),
-         sig AS (SELECT doc_id, i // 16 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
-                 FROM mh GROUP BY doc_id, i // 16),
-         cand AS (
-           -- signature-agreement pre-filter mirrored from the operator:
-           -- candidates must collide in >= 2 of the 8 bands
-           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM sig x JOIN sig y
-             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
-           GROUP BY x.doc_id, y.doc_id
-           HAVING count(*) >= 2)
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT doc_a, doc_b,
-                  round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
-                        / (len(a.sset) + len(bb.sset) - len(list_intersect(a.sset, bb.sset))), 6) AS jaccard
-           FROM cand
-           JOIN sets a ON cand.doc_a = a.doc_id
-           JOIN sets bb ON cand.doc_b = bb.doc_id) t
-         WHERE jaccard >= 0.95
-         ORDER BY doc_a, doc_b""",
+    // Generated from the operator's own constants (band geometry, both
+    // signature-agreement pre-filter thresholds) — see Dedup.nearDupOracleSql.
+    "q_dedup_near" -> Dedup.nearDupOracleSql(),
     "q_simhash" ->
       s"""SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash

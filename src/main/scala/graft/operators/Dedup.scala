@@ -59,21 +59,26 @@ object Dedup {
     *
     * One narrow pass + one partial-aggregated explode; output is
     * (doc_id, band, sig) — the compact table a 100 TB run would persist. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    // One wide aggregate (128 min-columns) over the exploded shingles,
-    // then band signatures from the 16-column groups. The alternative
-    // long-and-thin shape (explode shingle × hash-index, groupBy twice)
-    // was measured 5× slower end-to-end: min(STRING) can't use
-    // HashAggregate, so both join branches degrade to SortAggregates over
-    // n_shingles × 128 rows — a cost that grows with the corpus. The wide
-    // shape sorts only n_shingles rows; its price is a one-time Janino
-    // compile of the big generated method (~tens of seconds per JVM),
-    // which amortizes to nothing in a real deployment.
+  /** The expensive kernel: one wide aggregate (128 min-columns) over the
+    * exploded shingles — (doc_id, m0..m127). The alternative long-and-thin
+    * shape (explode shingle × hash-index, groupBy twice) was measured 5×
+    * slower end-to-end: min(STRING) can't use HashAggregate, so both join
+    * branches degrade to SortAggregates over n_shingles × 128 rows — a
+    * cost that grows with the corpus. The wide shape sorts only n_shingles
+    * rows; its price is a one-time Janino compile of the big generated
+    * method (~tens of seconds per JVM), which amortizes to nothing in a
+    * real deployment. */
+  private def wideMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingleSet).as("shingle"))
     val mins = (0 until NumBands * RowsPerBand).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
-    val wide = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, sig) from the wide minhash columns: a band's signature
+    * is the md5 of its 16 concatenated row-minhashes, unpivoted via stack. */
+  private def bandSignatures(wide: DataFrame): DataFrame = {
     val bandSigs = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       md5(concat_ws("|", rows: _*)).as(s"b$b")
@@ -84,6 +89,9 @@ object Dedup {
       expr(s"stack($NumBands, $stackArgs)").as(Seq("band", "sig")))
   }
 
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    bandSignatures(wideMinhash(spark, dir))
+
   /** Default LSH bucket-size cap: a (band, sig) bucket of b members emits
     * b(b-1)/2 candidate pairs, so one boilerplate-heavy bucket (cookie
     * banners, license headers) is the classic quadratic blowup at 100 TB.
@@ -93,14 +101,33 @@ object Dedup {
     * (measured max bucket: 124 at sf0.01, 1219 at sf0.1). */
   val DefaultMaxBucket = 4096
 
-  /** Minimum agreeing bands for a candidate pair (the signature-agreement
-    * pre-filter): P(one band agrees) = J^16, so requiring ≥2 of 8 bands
-    * sharpens the S-curve — keep-probability is ~99.3% at J=0.97, ~94% at
-    * J=0.95, but only ~11% at this corpus's J≈0.85 background vs ~46% for
-    * the ≥1-band rule (measured: 2.08M → 0.98M candidates at sf0.1). The
-    * expensive exact-Jaccard verify then runs on half the volume. The
-    * DuckDB oracle mirrors the same HAVING count(*) >= minBands rule. */
+  /** Minimum agreeing bands for a candidate pair (the coarse signature-
+    * agreement pre-filter): P(one band agrees) = J^16, so requiring ≥2 of
+    * 8 bands sharpens the S-curve — keep-probability is ~99.3% at J=0.97,
+    * ~94% at J=0.95, but only ~11% at this corpus's J≈0.85 background vs
+    * ~46% for the ≥1-band rule (measured: 2.08M → 0.98M candidates at
+    * sf0.1). The DuckDB oracle mirrors the same HAVING count(*) >=
+    * minBands rule. */
   val DefaultMinBands = 2
+
+  /** Estimated-Jaccard floor for the fine signature-agreement pre-filter:
+    * the fraction of agreeing minhashes (of 128) is an unbiased Jaccard
+    * estimate with std ≈ √(J(1-J)/128) ≈ 0.02, so requiring
+    * agree ≥ ⌈128·0.90⌉ = 116 before the exact verify keeps a true
+    * J=0.95 pair with P ≈ 0.996 (Binomial(128,.95), P(k≤115) ≈ 0.004).
+    * Measured on the synthetic corpus at sf0.1: 976k band-candidates →
+    * 699k reach exact verify (28% cut — modest HERE because pairs that
+    * already collided in ≥2 bands are selection-biased to high agreement
+    * on a ~30-word vocabulary). The 100 TB payoff is shuffle volume, not
+    * this corpus: only agreement-passing pairs fetch raw token SETS
+    * (kilobytes/doc on real corpora) across the verify join; the filter
+    * itself reads the already-checkpointed 4 KB signatures. Integer
+    * threshold, exactly mirrored in the oracle — no floating point in the
+    * decision. */
+  val DefaultEstJaccard = 0.90
+
+  /** ⌈128·est⌉ as the integer agreement floor. */
+  def minAgreeFor(est: Double): Int = math.ceil(NumBands * RowsPerBand * est).toInt
 
   /** X2b — banded LSH near-dup: candidate pairs collide in ≥`minBands`
     * bands (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard
@@ -126,8 +153,14 @@ object Dedup {
     *    and serialize the per-pair hashset work. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
                    minBands: Int = DefaultMinBands,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSignatures(spark, dir).localCheckpoint()
+                   maxBucket: Int = DefaultMaxBucket,
+                   estJaccard: Double = DefaultEstJaccard): DataFrame = {
+    graft.functions.ArrayAgreeCount.register(spark)
+    // Materialize the expensive 128-min aggregate ONCE; every downstream
+    // consumer (band signatures on both self-join sides, both agreement
+    // probes) reads the checkpointed blocks instead of re-running it.
+    val wide = wideMinhash(spark, dir).localCheckpoint()
+    val sig = bandSignatures(wide)
     val bucketN = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
     val capped = sig.withColumn("bn", bucketN).filter(col("bn") <= maxBucket)
@@ -146,6 +179,19 @@ object Dedup {
       .filter(col("n_bands") >= minBands)
       .select("doc_a", "doc_b")
       .repartition(Sessions.cpus.toInt, col("doc_a"), col("doc_b"))
+    // Fine pre-filter: minhash-agreement estimate of Jaccard via the
+    // custom codegen'd array_agree_count kernel — the signatures already
+    // estimate Jaccard, so only pairs whose estimate clears `estJaccard`
+    // pay the token-set fetch + exact verify (976k → 699k at sf0.1; see
+    // DefaultEstJaccard for why the cut is modest on this corpus).
+    val mhArr = array((0 until NumBands * RowsPerBand).map(i => col(s"m$i")): _*)
+    val mh = wide.select(col("doc_id"), mhArr.as("mh"))
+    val mhA = mh.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+    val mhB = mh.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    val minAgree = minAgreeFor(estJaccard)
+    val agreed = cand.join(mhA, "doc_a").join(mhB, "doc_b")
+      .filter(expr("array_agree_count(mh_a, mh_b)") >= minAgree)
+      .select("doc_a", "doc_b")
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleSet.as("sset"))
     val a = sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"))
@@ -155,12 +201,56 @@ object Dedup {
     // concat) instead of two array_intersect passes — these ops dominate
     // the candidate-verify stage, so this halves its cost.
     val unionSize = size(array_distinct(concat(col("set_a"), col("set_b"))))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    agreed.join(a, "doc_a").join(b, "doc_b")
       .withColumn("u", unionSize)
       .select(col("doc_a"), col("doc_b"),
         round((size(col("set_a")) + size(col("set_b")) - col("u")).cast("double")
           / col("u"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** DuckDB oracle for [[nearDupPairs]], generated from the SAME constants
+    * (band geometry, minBands, the integer minhash-agreement floor) so the
+    * operator and its oracle cannot drift. No bucket-cap clause: the 4096
+    * default never triggers on testdata (measured max bucket 1219 at
+    * sf0.1). */
+  def nearDupOracleSql(threshold: Double = 0.95,
+                       minBands: Int = DefaultMinBands,
+                       estJaccard: Double = DefaultEstJaccard): String = {
+    val nHashes = NumBands * RowsPerBand
+    val minAgree = minAgreeFor(estJaccard)
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS sset FROM documents),
+       sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
+       mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
+              FROM sh CROSS JOIN (SELECT unnest(range(0, $nHashes)) AS i) ii
+              GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, i // $RowsPerBand AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+               FROM mh GROUP BY doc_id, i // $RowsPerBand),
+       cand AS (
+         -- coarse pre-filter: collide in >= $minBands of $NumBands bands
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM sig x JOIN sig y
+           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         GROUP BY x.doc_id, y.doc_id
+         HAVING count(*) >= $minBands),
+       agreed AS (
+         -- fine pre-filter: minhash agreement >= $minAgree of $nHashes
+         SELECT c.doc_a, c.doc_b
+         FROM cand c
+         JOIN mh ma ON ma.doc_id = c.doc_a
+         JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+         GROUP BY c.doc_a, c.doc_b
+         HAVING sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= $minAgree)
+       SELECT doc_a, doc_b, jaccard FROM (
+         SELECT doc_a, doc_b,
+                round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
+                      / (len(a.sset) + len(bb.sset) - len(list_intersect(a.sset, bb.sset))), 6) AS jaccard
+         FROM agreed
+         JOIN sets a ON agreed.doc_a = a.doc_id
+         JOIN sets bb ON agreed.doc_b = bb.doc_id) t
+       WHERE jaccard >= $threshold
+       ORDER BY doc_a, doc_b"""
   }
 
   /** X2c — 32-bit SimHash per document: each distinct token hashes to 32
