@@ -62,6 +62,13 @@ object SparkEntry {
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_dedup_near"        -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    // n-gram (bigram) Jaccard near-dup: same banded-LSH pipeline at the
+    // k-gram operating point — 32 bands × 4 rows for usable recall at the
+    // J≈0.9 threshold (bigram similarity is far more selective than
+    // unigram: the sf0.01 corpus is bimodal, 25 pairs at J≥0.91 vs a
+    // J≤0.13 background).
+    "q_dedup_ngram"       -> ((s, d) => Dedup.nearDupPairs(s, d, threshold = 0.9,
+                                estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4)),
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
@@ -318,6 +325,8 @@ object SparkEntry {
     // Generated from the operator's own constants (band geometry, both
     // signature-agreement pre-filter thresholds) — see Dedup.nearDupOracleSql.
     "q_dedup_near" -> Dedup.nearDupOracleSql(),
+    "q_dedup_ngram" -> Dedup.nearDupOracleSql(threshold = 0.9,
+      estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4),
     "q_simhash" ->
       s"""SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash

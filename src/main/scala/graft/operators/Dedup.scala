@@ -41,6 +41,22 @@ object Dedup {
     * For a real web corpus this constant is 3–5. */
   private def shingleSet: Column = array_distinct(split(col("text"), " ", -1))
 
+  /** k-gram shingle set: k consecutive whitespace tokens joined by one
+    * space, deduplicated; k=1 degenerates to [[shingleSet]]. Guarded so a
+    * doc with fewer than k tokens yields an EMPTY set (it then simply has
+    * no signature — explode drops it — matching the oracle's empty
+    * unnest), never a descending `sequence`. */
+  private[graft] def shingleSetK(k: Int): Column = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    if (k == 1) shingleSet
+    else expr(
+      s"""CASE WHEN size(split(text, ' ', -1)) >= $k THEN
+            array_distinct(transform(
+              sequence(0, size(split(text, ' ', -1)) - $k),
+              i -> array_join(slice(split(text, ' ', -1), i + 1, $k), ' ')))
+          ELSE array() END""")
+  }
+
   private val NumBands = 8
   private val RowsPerBand = 16 // 128 minhashes total (MinHash-128)
 
@@ -68,29 +84,32 @@ object Dedup {
     * rows; its price is a one-time Janino compile of the big generated
     * method (~tens of seconds per JVM), which amortizes to nothing in a
     * real deployment. */
-  private def wideMinhash(spark: SparkSession, dir: String): DataFrame = {
+  private def wideMinhash(spark: SparkSession, dir: String,
+                          shingle: Column, nHashes: Int): DataFrame = {
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingleSet).as("shingle"))
-    val mins = (0 until NumBands * RowsPerBand).map(i =>
+      .select(col("doc_id"), explode(shingle).as("shingle"))
+    val mins = (0 until nHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** (doc_id, band, sig) from the wide minhash columns: a band's signature
-    * is the md5 of its 16 concatenated row-minhashes, unpivoted via stack. */
-  private def bandSignatures(wide: DataFrame): DataFrame = {
-    val bandSigs = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+    * is the md5 of its `rowsPerBand` concatenated row-minhashes, unpivoted
+    * via stack. */
+  private def bandSignatures(wide: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       md5(concat_ws("|", rows: _*)).as(s"b$b")
     }
     val sigWide = wide.select(col("doc_id") +: bandSigs: _*)
-    val stackArgs = (0 until NumBands).map(b => s"$b, b$b").mkString(", ")
+    val stackArgs = (0 until bands).map(b => s"$b, b$b").mkString(", ")
     sigWide.select(col("doc_id"),
-      expr(s"stack($NumBands, $stackArgs)").as(Seq("band", "sig")))
+      expr(s"stack($bands, $stackArgs)").as(Seq("band", "sig")))
   }
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    bandSignatures(wideMinhash(spark, dir))
+    bandSignatures(wideMinhash(spark, dir, shingleSet, NumBands * RowsPerBand),
+      NumBands, RowsPerBand)
 
   /** Default LSH bucket-size cap: a (band, sig) bucket of b members emits
     * b(b-1)/2 candidate pairs, so one boilerplate-heavy bucket (cookie
@@ -126,8 +145,9 @@ object Dedup {
     * decision. */
   val DefaultEstJaccard = 0.90
 
-  /** ⌈128·est⌉ as the integer agreement floor. */
-  def minAgreeFor(est: Double): Int = math.ceil(NumBands * RowsPerBand * est).toInt
+  /** ⌈nHashes·est⌉ as the integer agreement floor. */
+  def minAgreeFor(est: Double, nHashes: Int = NumBands * RowsPerBand): Int =
+    math.ceil(nHashes * est).toInt
 
   /** X2b — banded LSH near-dup: candidate pairs collide in ≥`minBands`
     * bands (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard
@@ -154,13 +174,17 @@ object Dedup {
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
                    minBands: Int = DefaultMinBands,
                    maxBucket: Int = DefaultMaxBucket,
-                   estJaccard: Double = DefaultEstJaccard): DataFrame = {
+                   estJaccard: Double = DefaultEstJaccard,
+                   shingleK: Int = 1,
+                   bands: Int = NumBands,
+                   rowsPerBand: Int = RowsPerBand): DataFrame = {
     graft.functions.ArrayAgreeCount.register(spark)
-    // Materialize the expensive 128-min aggregate ONCE; every downstream
+    val nHashes = bands * rowsPerBand
+    // Materialize the expensive wide min aggregate ONCE; every downstream
     // consumer (band signatures on both self-join sides, both agreement
     // probes) reads the checkpointed blocks instead of re-running it.
-    val wide = wideMinhash(spark, dir).localCheckpoint()
-    val sig = bandSignatures(wide)
+    val wide = wideMinhash(spark, dir, shingleSetK(shingleK), nHashes).localCheckpoint()
+    val sig = bandSignatures(wide, bands, rowsPerBand)
     val bucketN = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
     val capped = sig.withColumn("bn", bucketN).filter(col("bn") <= maxBucket)
@@ -184,16 +208,16 @@ object Dedup {
     // estimate Jaccard, so only pairs whose estimate clears `estJaccard`
     // pay the token-set fetch + exact verify (976k → 699k at sf0.1; see
     // DefaultEstJaccard for why the cut is modest on this corpus).
-    val mhArr = array((0 until NumBands * RowsPerBand).map(i => col(s"m$i")): _*)
+    val mhArr = array((0 until nHashes).map(i => col(s"m$i")): _*)
     val mh = wide.select(col("doc_id"), mhArr.as("mh"))
     val mhA = mh.select(col("doc_id").as("doc_a"), col("mh").as("mh_a"))
     val mhB = mh.select(col("doc_id").as("doc_b"), col("mh").as("mh_b"))
-    val minAgree = minAgreeFor(estJaccard)
+    val minAgree = minAgreeFor(estJaccard, nHashes)
     val agreed = cand.join(mhA, "doc_a").join(mhB, "doc_b")
       .filter(expr("array_agree_count(mh_a, mh_b)") >= minAgree)
       .select("doc_a", "doc_b")
     val sets = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleSet.as("sset"))
+      .select(col("doc_id"), shingleSetK(shingleK).as("sset"))
     val a = sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b"))
     // Jaccard via the union identity: |A∩B| = |A|+|B|-|A∪B|. One
@@ -216,19 +240,30 @@ object Dedup {
     * sf0.1). */
   def nearDupOracleSql(threshold: Double = 0.95,
                        minBands: Int = DefaultMinBands,
-                       estJaccard: Double = DefaultEstJaccard): String = {
-    val nHashes = NumBands * RowsPerBand
-    val minAgree = minAgreeFor(estJaccard)
+                       estJaccard: Double = DefaultEstJaccard,
+                       shingleK: Int = 1,
+                       bands: Int = NumBands,
+                       rowsPerBand: Int = RowsPerBand): String = {
+    val nHashes = bands * rowsPerBand
+    val minAgree = minAgreeFor(estJaccard, nHashes)
+    // k-gram shingles via a DuckDB list comprehension (1-based inclusive
+    // slices, all in range by the len guard) — k=1 is the plain token set.
+    val setExpr =
+      if (shingleK == 1) "list_distinct(string_split(text, ' '))"
+      else s"""list_distinct(CASE WHEN len(string_split(text, ' ')) >= $shingleK
+                 THEN [array_to_string(string_split(text, ' ')[i : i + ${shingleK - 1}], ' ')
+                       for i in range(1, len(string_split(text, ' ')) - ${shingleK - 1} + 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)"""
     s"""WITH sets AS (
-         SELECT doc_id, list_distinct(string_split(text, ' ')) AS sset FROM documents),
+         SELECT doc_id, $setExpr AS sset FROM documents),
        sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
        mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
               FROM sh CROSS JOIN (SELECT unnest(range(0, $nHashes)) AS i) ii
               GROUP BY doc_id, i),
-       sig AS (SELECT doc_id, i // $RowsPerBand AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
-               FROM mh GROUP BY doc_id, i // $RowsPerBand),
+       sig AS (SELECT doc_id, i // $rowsPerBand AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
+               FROM mh GROUP BY doc_id, i // $rowsPerBand),
        cand AS (
-         -- coarse pre-filter: collide in >= $minBands of $NumBands bands
+         -- coarse pre-filter: collide in >= $minBands of $bands bands
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM sig x JOIN sig y
            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id

@@ -55,6 +55,25 @@ class DedupSpec extends AnyFunSuite {
     assert(dflt.exceptAll(unbounded).isEmpty && unbounded.exceptAll(dflt).isEmpty)
   }
 
+  test("k-gram shingles: consecutive-token joins, short docs yield empty sets") {
+    import spark.implicits._
+    val df = Seq("a b c a b", "solo", "x y").toDF("text")
+      .select(Dedup.shingleSetK(2).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b", "b c", "c a"))
+    assert(got(1) == Set.empty)
+    assert(got(2) == Set("x y"))
+  }
+
+  test("bigram near-dup at the k-gram operating point: only true high-J pairs") {
+    val p = Dedup.nearDupPairs(spark, sf, threshold = 0.9,
+      estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4)
+    assert(p.filter(col("jaccard") < 0.9).isEmpty)
+    // the synthetic corpus has a bimodal bigram-J distribution: the high
+    // mode (J >= 0.9) exists and the J<=0.13 background is fully excluded
+    assert(p.count() > 0)
+  }
+
   test("simhash: 32-bit range, deterministic, equal token sets hash equal") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)
