@@ -312,16 +312,10 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
-    // MinHash-128 banded signatures: minhash_i = min(md5(i:shingle)) for
-    // i in 0..127; band sig = md5 of its 16 row-minhashes joined by '|'.
-    "q_minhash_signatures" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
-                     FROM documents),
-         mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
-                FROM sh CROSS JOIN (SELECT unnest(range(0, 128)) AS i) ii
-                GROUP BY doc_id, i)
-         SELECT doc_id, i // 16 AS band, md5(string_agg(m, '|' ORDER BY i)) AS sig
-         FROM mh GROUP BY doc_id, i // 16 ORDER BY doc_id, band""",
+    // MinHash-128 banded signatures: minhash_i = 60-bit hex-prefix LONG of
+    // min(md5(i:shingle)); band sig = md5 of its 16 row-minhashes (decimal-
+    // rendered) joined by '|'. Generated from the operator's own constants.
+    "q_minhash_signatures" -> Dedup.minhashSignaturesOracleSql,
     // Generated from the operator's own constants (band geometry, both
     // signature-agreement pre-filter thresholds) — see Dedup.nearDupOracleSql.
     "q_dedup_near" -> Dedup.nearDupOracleSql(),

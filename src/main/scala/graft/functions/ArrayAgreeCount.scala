@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** Native Catalyst expression: positional agreement count of two string
-  * arrays — `|{ i : a[i] = b[i] }|` over the common prefix — in one fused
+/** Native Catalyst expression: positional agreement count of two arrays
+  * of the same atomic element type (string or integral) —
+  * `|{ i : a[i] = b[i] }|` over the common prefix — in one fused
   * codegen'd loop.
   *
   * This is the MinHash-agreement kernel of [[graft.operators.Dedup
@@ -29,12 +30,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 case class ArrayAgreeCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r && (l.isInstanceOf[StringType] ||
+            l == LongType || l == IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two array<string> inputs, got " +
+        s"$prettyName expects two arrays of the same string/long/int element type, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
   override def dataType: DataType = IntegerType
@@ -44,11 +50,17 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val et = elemType
     var agree = 0
     var i = 0
     while (i < n) {
       if (!x.isNullAt(i) && !y.isNullAt(i) &&
-          x.getUTF8String(i).equals(y.getUTF8String(i))) agree += 1
+          (et match {
+            case _: StringType => x.getUTF8String(i).equals(y.getUTF8String(i))
+            case LongType      => x.getLong(i) == y.getLong(i)
+            case IntegerType   => x.getInt(i) == y.getInt(i)
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          })) agree += 1
       i += 1
     }
     agree
@@ -59,12 +71,16 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val agree = ctx.freshName("agree")
+      val et = elemType
+      // CodeGenerator.getValue emits the type-correct primitive accessor;
+      // genEqual emits == for primitives / .equals for UTF8String.
+      val eq = ctx.genEqual(et,
+        CodeGenerator.getValue(a, et, i), CodeGenerator.getValue(b, et, i))
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $agree = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
-         |      $a.getUTF8String($i).equals($b.getUTF8String($i))) $agree++;
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && ($eq)) $agree++;
          |}
          |${ev.value} = $agree;
        """.stripMargin
