@@ -80,6 +80,9 @@ object SparkEntry {
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
     "q_stream_hourly_events" -> ((s, d) => graft.streaming.StreamingOps.hourlyCountsEndToEnd(s, d)),
+    // Gap-sessionization replayed as a real stream (flatMapGroupsWithState
+    // custom state), oracle-checked against a DuckDB window-gap query.
+    "q_sessionize"        -> ((s, d) => graft.streaming.StreamingOps.sessionizeEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -348,6 +351,8 @@ object SparkEntry {
            FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
+    // Generated from the operator's own gap constant.
+    "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

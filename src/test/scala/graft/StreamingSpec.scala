@@ -35,6 +35,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update mode GCs window state once the watermark passes (the at-scale posture)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-update-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    input.addData(StreamEvent(1L, ts(5), 1L, "click", 1.0))
+    val q = StreamingOps.hourlyCountsUpdate(input.toDF(), ckpt) { (batch, _) =>
+      seen.synchronized { seen ++= batch.collect() }
+    }
+    try {
+      q.processAllAvailable()
+      // jump event time 10 h ahead: the 2 h watermark passes the 10:00 window
+      input.addData(StreamEvent(2L, Timestamp.valueOf("2026-01-01 20:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the store applies the advanced watermark
+      input.addData(StreamEvent(3L, Timestamp.valueOf("2026-01-01 20:30:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark-expired window state was never removed")
+      // the expired 10:00 window must be gone from the live state rows
+      val lastTotal = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+      assert(lastTotal == 2, s"expected only the two live 20:00 windows in state, got $lastTotal")
+      // update mode emitted each changed window, including the pre-GC one
+      assert(seen.synchronized(seen.exists(_.getString(1) == "click")))
+    } finally q.stop()
+  }
+
   test("gap sessionization closes sessions across the gap and keeps state for open ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
