@@ -74,6 +74,7 @@ object SparkEntry {
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
+    "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
@@ -356,6 +357,9 @@ object SparkEntry {
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    // Self-verifying IVF ANN: same harness shape as q_ann_lsh.
+    "q_ann_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

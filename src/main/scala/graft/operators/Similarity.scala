@@ -153,6 +153,26 @@ object Similarity {
        ORDER BY vec_a, vec_b"""
   }
 
+  /** Shared self-check harness: top-k the ANN candidate scores, compare
+    * against the brute-force reference, emit (n_queries, recall_ok). The
+    * brute-force arm exists to VERIFY the approximate path, it is not the
+    * production plan. */
+  private def recallVsBrute(spark: SparkSession, dir: String,
+                            annScored: DataFrame, k: Int,
+                            minRecall: Double): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
+    val annTop = annScored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val trueTop = topkCosine(spark, dir, k).select("query_id", "neighbor_id")
+    val hits = trueTop.join(annTop, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val recall = trueTop.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") as "recall")
+    recall.agg(count(lit(1)).as("n_queries"),
+      (avg(col("recall")) >= minRecall).as("recall_ok"))
+  }
+
   /** ANN via hyperplane LSH, self-verifying: runs the bucketed search AND
     * the brute-force reference for queries vec_id < 10, and reports
     * recall@10. Output is (n_queries, recall_ok) — embeddings are fixed
@@ -177,16 +197,73 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(spark).as("sim_raw"))
       .distinct()
-    val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
-    val annTop = annScored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k).select("query_id", "neighbor_id")
-    val trueTop = topkCosine(spark, dir, k).select("query_id", "neighbor_id")
-    val hits = trueTop.join(annTop, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    val recall = trueTop.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("query_id"), "left")
-      .select(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") as "recall")
-    recall.agg(count(lit(1)).as("n_queries"),
-      (avg(col("recall")) >= minRecall).as("recall_ok"))
+    recallVsBrute(spark, dir, annScored, k, minRecall)
+  }
+
+  /** IVF sizing: number of coarse cells ≈ √(n/2), the classic IVF
+    * operating point balancing assignment cost (n·C dot products) against
+    * per-probe candidate volume (n/C per cell). Clamped to [4, 4096]:
+    * testdata lands at 15–31 cells; 10^9 vectors land at 4096 cells of
+    * ~250k — at that scale a deployment raises the clamp to ~√n (≈32k)
+    * and runs the assignment as a blocked matrix multiply. */
+  private[graft] def cellsFor(n: Long): Int =
+    math.min(4096, math.max(4, math.sqrt(n.toDouble / 2).toInt))
+
+  /** X3d — IVF(-flat) coarse-quantizer ANN (VERDICT r4 #6, the named
+    * refinement past hyperplane LSH): partition the corpus into
+    * [[cellsFor]] Voronoi cells around coarse centroids, probe each
+    * query's nProbe = C/4 nearest cells, exact-cosine only the candidates
+    * in probed cells. Self-verifying like [[annLshRecall]].
+    *
+    * Centroids here are the C lowest-vec_id corpus vectors — a real
+    * deployment k-means a corpus SAMPLE, but fixed picks keep the
+    * self-check deterministic and engine-reproducible (no RNG). On this
+    * synthetic near-isotropic corpus cells are near-random, so expected
+    * recall ≈ the probed fraction (~1/4) plus the query-cell correlation;
+    * on real clustered embeddings IVF recall at nProbe/C = 1/4 is far
+    * higher — the cell structure IS the data's cluster structure.
+    *
+    * 100 TB posture: assignment is one broadcast join (centroid table is
+    * C·dim doubles ≪ broadcast threshold) + a per-vector argmax — no
+    * shuffle of the corpus; the probe join is an equi-join on cell id, so
+    * per-query work is Σ_{probed cells} |cell| ≈ nProbe·n/C, never n²;
+    * cell skew (real corpora cluster unevenly) is the known failure mode
+    * — AQE skew-join splits hot cells, and the IVF answer at 10^9+ is
+    * re-training centroids so cells stay balanced. */
+  def annIvfRecall(spark: SparkSession, dir: String, k: Int = 10,
+                   minRecall: Double = 0.2): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = embDouble(spark, dir)
+    val (n, _) = corpusShape(e0)
+    val nCells = cellsFor(n)
+    val nProbe = math.max(1, nCells / 4)
+    val cent = e0.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
+    // nearest-centroid assignment: n×C scored rows from a broadcast
+    // cross join, windowed argmax per vector
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    val assigned = e0.join(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        expr("cosine_sim(emb, cemb)").as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "emb", "cell")
+    // each query probes its nProbe nearest cells
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+    val probes = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col("qemb"), col("cell"),
+        expr("cosine_sim(qemb, cemb)").as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qemb", "cell")
+    // candidate = corpus vector in a probed cell (each vector lives in
+    // exactly one cell, so no distinct needed)
+    val annScored = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(spark).as("sim_raw"))
+    recallVsBrute(spark, dir, annScored, k, minRecall)
   }
 }

@@ -62,4 +62,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(0) == 10)
     assert(r.getBoolean(1), "LSH recall@10 below floor")
   }
+
+  test("IVF cell count follows the sqrt(n/2) ladder, clamped [4,4096]") {
+    assert(Similarity.cellsFor(1) == 4)
+    assert(Similarity.cellsFor(500) == 15)      // sf0.001/sf0.01 embeddings
+    assert(Similarity.cellsFor(2000) == 31)     // sf0.1 embeddings
+    assert(Similarity.cellsFor(1000000000L) == 4096) // clamp
+  }
+
+  test("ANN IVF coarse-quantizer recall clears the registered floor") {
+    val r = Similarity.annIvfRecall(spark, sf).head()
+    assert(r.getLong(0) == 10)
+    assert(r.getBoolean(1), "IVF recall@10 below floor")
+  }
 }
