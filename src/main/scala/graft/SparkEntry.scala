@@ -316,9 +316,10 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
-    // MinHash-128 banded signatures: minhash_i = 60-bit hex-prefix LONG of
-    // min(md5(i:shingle)); band sig = md5 of its 16 row-minhashes (decimal-
-    // rendered) joined by '|'. Generated from the operator's own constants.
+    // MinHash-128 banded signatures: minhash_i = min over shingles of the
+    // affine rehash (a_i*h+b_i) mod 2^31-1 of the shingle's 32-bit md5
+    // prefix; band sig = md5 of its 16 row-minhashes (decimal-rendered)
+    // joined by '|'. Generated from the operator's own constants.
     "q_minhash_signatures" -> Dedup.minhashSignaturesOracleSql,
     // Generated from the operator's own constants (band geometry, both
     // signature-agreement pre-filter thresholds) — see Dedup.nearDupOracleSql.

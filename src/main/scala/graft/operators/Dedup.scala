@@ -75,13 +75,24 @@ object Dedup {
     *
     * One narrow pass + one partial-aggregated explode; output is
     * (doc_id, band, sig) — the compact table a 100 TB run would persist. */
-  /** Hex-prefix width for the LONG minhash representation: 15 lowercase
-    * hex chars = 60 bits, the widest fixed-width prefix guaranteed to fit
-    * a SIGNED 64-bit long (16 chars can exceed Long.MaxValue, which
-    * Spark's string→long cast nulls out). Fixed-width lowercase hex is
-    * ordered exactly like its numeric value, so `min` over the 15-char
-    * prefix selects the same minhash in both representations. */
-  private val HexPrefix = 15
+  /** Modulus of the affine MinHash family: 2^31 − 1 (prime). Keeping
+    * every operand ≤ 31 bits bounds a·h + b < 2^62 — exact in signed
+    * 64-bit arithmetic in BOTH engines, no overflow, no floating point. */
+  private val HashMod = 2147483647L
+
+  /** Deterministic coefficients of the affine rehash family
+    * hash_i(x) = (a_i·h(x) + b_i) mod [[HashMod]]: a_i is a 30-bit odd
+    * multiplier, b_i < HashMod, both derived from md5 of a fixed seed
+    * string — reproducible across JVMs and engines, no RNG. Inlined as
+    * literals in the Spark plan AND the generated DuckDB oracle. */
+  private[graft] def affineCoeffs(n: Int): IndexedSeq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    (0 until n).map(i => ((h32(s"a:$i") % (1L << 30)) | 1L, h32(s"b:$i") % HashMod))
+  }
 
   /** The expensive kernel: one wide aggregate (128 min-columns) over the
     * exploded shingles — (doc_id, m0..m127). The alternative long-and-thin
@@ -89,19 +100,26 @@ object Dedup {
     * slower end-to-end: both join branches degrade to per-row aggregates
     * over n_shingles × 128 rows — a cost that grows with the corpus.
     *
-    * Each minhash is the 60-bit hex-prefix of md5 as a LONG (VERDICT r4
-    * #2): `min(LONG)` runs in HashAggregate with primitive comparisons,
-    * where the previous `min(STRING)` forced a SortAggregate over 128
-    * UTF8String columns AND a ~4× larger generated method (the r4 bench's
-    * Janino compile storm). Collision risk of the prefix is irrelevant to
-    * correctness: both engines take min over the SAME 60-bit values. */
+    * Two layers of optimization vs the naive 128-md5-per-shingle form:
+    *  - ONE md5 per shingle: h(x) = the 32-bit hex-prefix of md5(x); the
+    *    128 independent hashes are affine rehashes (a_i·h + b_i) mod p of
+    *    that single digest — the standard universal-hashing MinHash
+    *    construction. At 100 TB this removes 127/128 of the corpus-sized
+    *    hashing work (md5 dominates the multiply-add by orders of
+    *    magnitude);
+    *  - LONG minhashes (VERDICT r4 #2): `min(LONG)` runs in HashAggregate
+    *    with primitive comparisons, where min(STRING) forced a
+    *    SortAggregate over 128 UTF8String columns AND a ~4× larger
+    *    generated method (the r4 bench's Janino compile storm). */
   private def wideMinhash(spark: SparkSession, dir: String,
                           shingle: Column, nHashes: Int): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingle).as("shingle"))
-    val mins = (0 until nHashes).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, HexPrefix), 16, 10)
-        .cast("long")).as(s"m$i"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+    val mins = affineCoeffs(nHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % HashMod).as(s"m$i")
+    }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -202,6 +220,11 @@ object Dedup {
     (1 to width)
       .map(i => s"(strpos('0123456789abcdef', substr($hexCol, $i, 1)) - 1) * ${1L << (4 * (width - i))}")
       .mkString(" + ")
+
+  /** The affine coefficients as a DuckDB VALUES list `(i, a_i, b_i), …`. */
+  private def affineValuesRows(n: Int): String =
+    affineCoeffs(n).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
   /** X2b — banded LSH near-dup: candidate pairs collide in ≥`minBands`
     * bands (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard
@@ -318,12 +341,13 @@ object Dedup {
     s"""WITH sets AS (
          SELECT doc_id, $setExpr AS sset FROM documents),
        sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
-       -- min over the fixed-width hex prefix = min over its numeric value
-       -- (the operator's 60-bit LONG minhash, converted AFTER the min)
-       mh0 AS (SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, $HexPrefix)) AS h
-               FROM sh CROSS JOIN (SELECT unnest(range(0, $nHashes)) AS i) ii
-               GROUP BY doc_id, i),
-       mh AS (SELECT doc_id, i, ${duckHexToBigint("h", HexPrefix)} AS m FROM mh0),
+       -- one md5 per shingle; 128 affine rehashes of its 32-bit prefix
+       -- (same family, coefficients, and modulus as the operator)
+       shh AS (SELECT doc_id, substr(md5(shingle), 1, 8) AS h8 FROM sh),
+       sh2 AS (SELECT doc_id, ${duckHexToBigint("h8", 8)} AS h FROM shh),
+       mh AS (SELECT doc_id, i, min((a * h + b) % $HashMod) AS m
+              FROM sh2 CROSS JOIN (VALUES ${affineValuesRows(nHashes)}) AS ab(i, a, b)
+              GROUP BY doc_id, i),
        sig AS (SELECT doc_id, i // $rowsPerBand AS band,
                       md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
                FROM mh GROUP BY doc_id, i // $rowsPerBand),
@@ -354,15 +378,16 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[minhashSignatures]], generated from the SAME
-    * constants (band geometry, hex-prefix width) as the operator. */
+    * constants (band geometry, affine coefficients, modulus). */
   def minhashSignaturesOracleSql: String = {
     val nHashes = NumBands * RowsPerBand
     s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
                     FROM documents),
-       mh0 AS (SELECT doc_id, i, min(substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, $HexPrefix)) AS h
-               FROM sh CROSS JOIN (SELECT unnest(range(0, $nHashes)) AS i) ii
-               GROUP BY doc_id, i),
-       mh AS (SELECT doc_id, i, ${duckHexToBigint("h", HexPrefix)} AS m FROM mh0)
+       shh AS (SELECT doc_id, substr(md5(shingle), 1, 8) AS h8 FROM sh),
+       sh2 AS (SELECT doc_id, ${duckHexToBigint("h8", 8)} AS h FROM shh),
+       mh AS (SELECT doc_id, i, min((a * h + b) % $HashMod) AS m
+              FROM sh2 CROSS JOIN (VALUES ${affineValuesRows(nHashes)}) AS ab(i, a, b)
+              GROUP BY doc_id, i)
        SELECT doc_id, i // $RowsPerBand AS band,
               md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
        FROM mh GROUP BY doc_id, i // $RowsPerBand ORDER BY doc_id, band"""
