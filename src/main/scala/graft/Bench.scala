@@ -97,13 +97,25 @@ object Bench {
         clearState()
         (name, sec, ok, Some(firstSec))
     }
+    // Trend guard (VERDICT r4 #7): re-time the slowest successful queries
+    // against the cleaned session and record both numbers — a contaminated
+    // or one-off-inflated suite timing shows up as a suite-vs-rerun delta
+    // in the artifact itself, instead of needing an out-of-band re-measure.
+    val slowest = retried.filter(_._3).sortBy(-_._2).take(3).map(_._1)
+    val reruns = slowest.map { name =>
+      System.err.println(s"[bench] re-timing $name (trend guard)")
+      val (sec, ok) = run(name, SparkEntry.queries(name))
+      clearState()
+      (name, if (ok) sec else -1.0)
+    }
     val qs = retried.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val failed = retried.filterNot(_._3).map(r => s""""${r._1}"""").mkString("[", ",", "]")
     val retries = retried.collect { case (k, v, _, Some(first)) =>
       s""""$k":{"first":$first,"retry":$v}""" }.mkString("{", ",", "}")
+    val rerun = reruns.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = retried.filter(_._3).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
