@@ -75,6 +75,9 @@ object SparkEntry {
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
     "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
+    // — training-data curation: deterministic sampling + token packing —
+    "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
+    "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
@@ -355,6 +358,9 @@ object SparkEntry {
     "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
     // Generated from the operator's own gap constant.
     "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
+    // Generated from the operators' own constants (pct / token budget).
+    "q_sample_hash" -> Curation.sampleByHashOracleSql(),
+    "q_token_pack" -> Curation.tokenPackOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

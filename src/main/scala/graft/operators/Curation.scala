@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** [EXT] Training-data curation operators over `documents`: deterministic
+  * hash sampling and token-budget sequence packing — the two selection/
+  * layout steps every large-scale LLM data pipeline runs between cleaning
+  * and training.
+  *
+  * Both are fully deterministic (no RNG), so the DuckDB oracle reproduces
+  * them bit-for-bit — which is also the production argument: a 100 TB
+  * pipeline must be re-runnable, and a task retry must select the SAME
+  * sample and build the SAME packs, which Bernoulli RNG sampling and
+  * order-dependent packing do not guarantee.
+  */
+object Curation {
+
+  /** Deterministic p% sample keyed on a stable id: keep documents whose
+    * 32-bit md5 prefix of `doc_id` lands under `pct` mod 100. This is the
+    * reproducible alternative to `df.sample()`: membership depends only
+    * on the id, so it is stable across retries, partitionings, and Spark
+    * versions, and the same construction with disjoint ranges yields
+    * consistent train/validation/test splits. Embarrassingly parallel —
+    * a pure filter, no shuffle, fully pushed into the scan pipeline. */
+  def sampleByHash(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < pct)
+  }
+
+  /** DuckDB oracle for [[sampleByHash]] (strpos arithmetic stands in for
+    * conv(); same 32-bit md5 prefix, same modulus). */
+  def sampleByHashOracleSql(pct: Int = 10): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+         FROM documents) t
+       WHERE ($hexToLong) % 100 < $pct
+       ORDER BY doc_id"""
+  }
+
+  /** Token-budget sequence packing: documents in stable `doc_id` order are
+    * laid greedily into packs of at most ~`budget` tokens (a document
+    * starts a new pack when the running total would cross a budget
+    * boundary) — the standard layout step before writing fixed-context
+    * training shards. Output is one row per pack.
+    *
+    * Scale shape: the naive formulation is a GLOBAL ordered cumulative
+    * sum — an unpartitioned window, i.e. every row through ONE task. This
+    * implementation is the textbook distributed prefix-sum instead:
+    * per-range token totals (one shuffle to ~n/`rangeSize` rows) are
+    * prefix-summed on the driver (metadata-scale, like a parquet footer
+    * read — at 10^9 docs and rangeSize 10^6 that is 1000 rows), then each
+    * range computes its LOCAL ordered cumsum in parallel and adds its
+    * broadcast offset. Rows never funnel through a single task. */
+  def tokenPack(spark: SparkSession, dir: String, budget: Long = 512,
+                rangeSize: Long = 1000): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        expr(s"doc_id div $rangeSize").as("rk"))
+    // Per-range totals → driver prefix sum. The collect is over n/rangeSize
+    // rows (NOT the corpus) — the documented metadata-scale exception.
+    val totals = t.groupBy("rk").agg(sum("n_tokens").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (rk, s) => val o = acc; acc += s; (rk, o) }
+    val offDf = offsets.toSeq.toDF("rk", "off")
+    val w = Window.partitionBy("rk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(offDf), "rk")
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
+      .withColumn("pack_id", expr(s"CAST((cum - n_tokens) div $budget AS BIGINT)"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** DuckDB oracle for [[tokenPack]]: the same packing as ONE global
+    * ordered cumsum (fine at oracle scale; the operator's range/offset
+    * decomposition computes the identical cum values). */
+  def tokenPackOracleSql(budget: Long = 512): String =
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+             FROM t)
+       SELECT CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       FROM c GROUP BY 1 ORDER BY pack_id"""
+}

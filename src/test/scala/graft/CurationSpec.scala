@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Training-data curation semantics: hash sampling determinism and
+  * proportionality, token packing budget/coverage invariants, and the
+  * range-decomposed prefix sum matching a single-partition reference. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("hash sample: deterministic across runs, roughly proportional, subset-monotone") {
+    val s10a = Curation.sampleByHash(spark, sf, 10)
+    val s10b = Curation.sampleByHash(spark, sf, 10)
+    assert(s10a.exceptAll(s10b).isEmpty && s10b.exceptAll(s10a).isEmpty)
+    val n = Tables.documents(spark, sf).count()
+    val n10 = s10a.count()
+    assert(n10 > 0 && n10 < n, s"10% sample of $n docs was $n10")
+    // md5 is uniform: 10% +- generous slack even at 500 docs
+    assert(math.abs(n10.toDouble / n - 0.10) < 0.06)
+    // a 30% sample contains the 10% sample (same hash, higher threshold)
+    val s30 = Curation.sampleByHash(spark, sf, 30)
+    assert(s10a.select("doc_id").exceptAll(s30.select("doc_id")).isEmpty)
+    // boundary percentages
+    assert(Curation.sampleByHash(spark, sf, 0).isEmpty)
+    assert(Curation.sampleByHash(spark, sf, 100).count() == n)
+  }
+
+  test("token pack: packs cover all docs/tokens; totals stay near the budget") {
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ", -1)).cast("long").as("tk"))
+    val (nDocs, nTokens) = (docs.count(),
+      docs.agg(sum("tk")).head().getLong(0))
+    val packs = Curation.tokenPack(spark, sf, budget = 512)
+    val agg = packs.agg(sum("n_docs"), sum("total_tokens")).head()
+    assert(agg.getLong(0) == nDocs && agg.getLong(1) == nTokens)
+    // every pack except possibly the last starts under the budget
+    // boundary, so its total is < budget + max single-doc tokens
+    val maxDoc = docs.agg(max("tk")).head().getLong(0)
+    assert(packs.filter(col("total_tokens") >= 512 + maxDoc).isEmpty)
+    // pack ids are dense from 0
+    val ids = packs.select("pack_id").orderBy("pack_id")
+      .collect().map(_.getLong(0))
+    assert(ids.head == 0L && ids.zipWithIndex.forall { case (v, i) => v == i })
+  }
+
+  test("range-decomposed prefix sum equals the single-range reference") {
+    // rangeSize larger than the corpus => one range => plain global cumsum;
+    // the multi-range decomposition must produce identical packs.
+    val multi = Curation.tokenPack(spark, sf, budget = 512, rangeSize = 100)
+    val single = Curation.tokenPack(spark, sf, budget = 512, rangeSize = Long.MaxValue)
+    assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty)
+  }
+}
