@@ -69,6 +69,8 @@ object SparkEntry {
     // J≤0.13 background).
     "q_dedup_ngram"       -> ((s, d) => Dedup.nearDupPairs(s, d, threshold = 0.9,
                                 estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4)),
+    // incremental flow: new batch (top id decile) vs historical corpus
+    "q_dedup_incremental" -> ((s, d) => Dedup.nearDupNewVsCorpus(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
@@ -329,6 +331,7 @@ object SparkEntry {
     "q_dedup_near" -> Dedup.nearDupOracleSql(),
     "q_dedup_ngram" -> Dedup.nearDupOracleSql(threshold = 0.9,
       estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4),
+    "q_dedup_incremental" -> Dedup.nearDupNewVsCorpusOracleSql(),
     "q_simhash" ->
       s"""SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash

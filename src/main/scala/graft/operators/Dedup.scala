@@ -226,6 +226,32 @@ object Dedup {
     affineCoeffs(n).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
+  /** The shared DuckDB CTE chain sets→…→mh→sig reproducing the operator's
+    * shingle sets, affine minhashes, and band signatures. k-gram shingles
+    * via a DuckDB list comprehension (1-based inclusive slices, all in
+    * range by the len guard) — k=1 is the plain token set. */
+  private def minhashCtes(shingleK: Int, nHashes: Int, rowsPerBand: Int): String = {
+    val setExpr =
+      if (shingleK == 1) "list_distinct(string_split(text, ' '))"
+      else s"""list_distinct(CASE WHEN len(string_split(text, ' ')) >= $shingleK
+                 THEN [array_to_string(string_split(text, ' ')[i : i + ${shingleK - 1}], ' ')
+                       for i in range(1, len(string_split(text, ' ')) - ${shingleK - 1} + 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)"""
+    s"""sets AS (
+         SELECT doc_id, $setExpr AS sset FROM documents),
+       sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
+       -- one md5 per shingle; affine rehashes of its 32-bit prefix
+       -- (same family, coefficients, and modulus as the operator)
+       shh AS (SELECT doc_id, substr(md5(shingle), 1, 8) AS h8 FROM sh),
+       sh2 AS (SELECT doc_id, ${duckHexToBigint("h8", 8)} AS h FROM shh),
+       mh AS (SELECT doc_id, i, min((a * h + b) % $HashMod) AS m
+              FROM sh2 CROSS JOIN (VALUES ${affineValuesRows(nHashes)}) AS ab(i, a, b)
+              GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, i // $rowsPerBand AS band,
+                      md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+               FROM mh GROUP BY doc_id, i // $rowsPerBand)"""
+  }
+
   /** X2b — banded LSH near-dup: candidate pairs collide in ≥`minBands`
     * bands (equi-join on (band, sig), NEVER all-pairs), then exact Jaccard
     * on candidates only; pairs at or above `threshold` survive.
@@ -300,21 +326,86 @@ object Dedup {
     val agreed = cand.join(mhA, "doc_a").join(mhB, "doc_b")
       .filter(expr("array_agree_count(mh_a, mh_b)") >= minAgree)
       .select("doc_a", "doc_b")
+    jaccardVerify(spark, dir, agreed, "doc_a", "doc_b", shingleK, threshold)
+  }
+
+  /** Exact-Jaccard verify stage shared by the self-join and incremental
+    * near-dup paths: fetch both token sets per candidate pair and keep
+    * pairs at or above `threshold`. Jaccard via the union identity:
+    * |A∩B| = |A|+|B|-|A∪B| — one hashset-building collection op per pair
+    * (array_distinct of the concat) instead of two array_intersect
+    * passes; these ops dominate the verify stage, so this halves its
+    * cost. */
+  private def jaccardVerify(spark: SparkSession, dir: String, pairs: DataFrame,
+                            aCol: String, bCol: String, shingleK: Int,
+                            threshold: Double): DataFrame = {
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleSetK(shingleK).as("sset"))
-    val a = sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b"))
-    // Jaccard via the union identity: |A∩B| = |A|+|B|-|A∪B|. One
-    // hashset-building collection op per pair (array_distinct of the
-    // concat) instead of two array_intersect passes — these ops dominate
-    // the candidate-verify stage, so this halves its cost.
+    val a = sets.select(col("doc_id").as(aCol), col("sset").as("set_a"))
+    val b = sets.select(col("doc_id").as(bCol), col("sset").as("set_b"))
     val unionSize = size(array_distinct(concat(col("set_a"), col("set_b"))))
-    agreed.join(a, "doc_a").join(b, "doc_b")
+    pairs.join(a, aCol).join(b, bCol)
       .withColumn("u", unionSize)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col(aCol), col(bCol),
         round((size(col("set_a")) + size(col("set_b")) - col("u")).cast("double")
           / col("u"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** X2d — INCREMENTAL near-dup: the production dedup flow at 100 TB is
+    * not a corpus self-join — it is "dedupe today's batch AGAINST the
+    * historical corpus", an ASYMMETRIC banded-LSH join whose cost is
+    * ∝ |new batch| × bucket hit rate, independent of |corpus|². Here the
+    * top decile of the doc_id range stands in for the new batch (split =
+    * ⌊9·max(doc_id)/10⌋, mirrored exactly in the oracle); in production
+    * the corpus side's (doc_id, band, sig) + minhash tables are READ from
+    * the persisted signature store rather than recomputed — the compact
+    * tables [[nearDupPairs]] already materializes. New-vs-new duplicates
+    * are intra-batch business ([[nearDupPairs]] on the batch), not this
+    * operator's. The bucket cap applies to the CORPUS side, where
+    * boilerplate accumulates over time. */
+  def nearDupNewVsCorpus(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                         minBands: Int = DefaultMinBands,
+                         maxBucket: Int = DefaultMaxBucket,
+                         estJaccard: Double = DefaultEstJaccard,
+                         shingleK: Int = 1,
+                         bands: Int = NumBands,
+                         rowsPerBand: Int = RowsPerBand): DataFrame = {
+    graft.functions.ArrayAgreeCount.register(spark)
+    val nHashes = bands * rowsPerBand
+    // One metadata-scale action to derive the split id (parquet max stat).
+    val splitFrom = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    val wide = wideMinhash(spark, dir, shingleSetK(shingleK), nHashes).localCheckpoint()
+    val sig = bandSignatures(wide, bands, rowsPerBand)
+    registerHotBucketListener(spark)
+    val bucketN = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
+    val corpusSig = sig.filter(col("doc_id") < splitFrom)
+      .withColumn("bn", bucketN)
+      .observe(s"${HotBucketMetric}_${hotBucketSeq.incrementAndGet()}",
+        sum(when(col("bn") > maxBucket, lit(1L)).otherwise(lit(0L))).as("rows_dropped"),
+        max(col("bn")).as("max_bucket"),
+        lit(maxBucket.toLong).as("cap"))
+      .filter(col("bn") <= maxBucket)
+      .select("doc_id", "band", "sig")
+    val newSig = sig.filter(col("doc_id") >= splitFrom)
+    val cand = newSig.as("x").join(corpusSig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .groupBy(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= minBands)
+      .select("new_doc", "corpus_doc")
+      .repartition(Sessions.cpus.toInt, col("new_doc"), col("corpus_doc"))
+    val mhArr = array((0 until nHashes).map(i => col(s"m$i")): _*)
+    val mh = wide.select(col("doc_id"), mhArr.as("mh"))
+    val minAgree = minAgreeFor(estJaccard, nHashes)
+    val agreed = cand
+      .join(mh.select(col("doc_id").as("new_doc"), col("mh").as("mh_a")), "new_doc")
+      .join(mh.select(col("doc_id").as("corpus_doc"), col("mh").as("mh_b")), "corpus_doc")
+      .filter(expr("array_agree_count(mh_a, mh_b)") >= minAgree)
+      .select("new_doc", "corpus_doc")
+    jaccardVerify(spark, dir, agreed, "new_doc", "corpus_doc", shingleK, threshold)
   }
 
   /** DuckDB oracle for [[nearDupPairs]], generated from the SAME constants
@@ -330,27 +421,7 @@ object Dedup {
                        rowsPerBand: Int = RowsPerBand): String = {
     val nHashes = bands * rowsPerBand
     val minAgree = minAgreeFor(estJaccard, nHashes)
-    // k-gram shingles via a DuckDB list comprehension (1-based inclusive
-    // slices, all in range by the len guard) — k=1 is the plain token set.
-    val setExpr =
-      if (shingleK == 1) "list_distinct(string_split(text, ' '))"
-      else s"""list_distinct(CASE WHEN len(string_split(text, ' ')) >= $shingleK
-                 THEN [array_to_string(string_split(text, ' ')[i : i + ${shingleK - 1}], ' ')
-                       for i in range(1, len(string_split(text, ' ')) - ${shingleK - 1} + 1)]
-                 ELSE CAST([] AS VARCHAR[]) END)"""
-    s"""WITH sets AS (
-         SELECT doc_id, $setExpr AS sset FROM documents),
-       sh AS (SELECT doc_id, unnest(sset) AS shingle FROM sets),
-       -- one md5 per shingle; 128 affine rehashes of its 32-bit prefix
-       -- (same family, coefficients, and modulus as the operator)
-       shh AS (SELECT doc_id, substr(md5(shingle), 1, 8) AS h8 FROM sh),
-       sh2 AS (SELECT doc_id, ${duckHexToBigint("h8", 8)} AS h FROM shh),
-       mh AS (SELECT doc_id, i, min((a * h + b) % $HashMod) AS m
-              FROM sh2 CROSS JOIN (VALUES ${affineValuesRows(nHashes)}) AS ab(i, a, b)
-              GROUP BY doc_id, i),
-       sig AS (SELECT doc_id, i // $rowsPerBand AS band,
-                      md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
-               FROM mh GROUP BY doc_id, i // $rowsPerBand),
+    s"""WITH ${minhashCtes(shingleK, nHashes, rowsPerBand)},
        cand AS (
          -- coarse pre-filter: collide in >= $minBands of $bands bands
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -375,6 +446,44 @@ object Dedup {
          JOIN sets bb ON agreed.doc_b = bb.doc_id) t
        WHERE jaccard >= $threshold
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** DuckDB oracle for [[nearDupNewVsCorpus]]: same CTE chain, asymmetric
+    * candidate join with the identical ⌊9·max/10⌋ split. No bucket-cap
+    * clause (never triggers on testdata). */
+  def nearDupNewVsCorpusOracleSql(threshold: Double = 0.95,
+                                  minBands: Int = DefaultMinBands,
+                                  estJaccard: Double = DefaultEstJaccard,
+                                  shingleK: Int = 1,
+                                  bands: Int = NumBands,
+                                  rowsPerBand: Int = RowsPerBand): String = {
+    val nHashes = bands * rowsPerBand
+    val minAgree = minAgreeFor(estJaccard, nHashes)
+    s"""WITH ${minhashCtes(shingleK, nHashes, rowsPerBand)},
+       split AS (SELECT (max(doc_id) * 9) // 10 AS sf FROM documents),
+       cand AS (
+         SELECT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+         CROSS JOIN split
+         WHERE x.doc_id >= split.sf AND y.doc_id < split.sf
+         GROUP BY x.doc_id, y.doc_id
+         HAVING count(*) >= $minBands),
+       agreed AS (
+         SELECT c.new_doc, c.corpus_doc
+         FROM cand c
+         JOIN mh ma ON ma.doc_id = c.new_doc
+         JOIN mh mb ON mb.doc_id = c.corpus_doc AND mb.i = ma.i
+         GROUP BY c.new_doc, c.corpus_doc
+         HAVING sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= $minAgree)
+       SELECT new_doc, corpus_doc, jaccard FROM (
+         SELECT new_doc, corpus_doc,
+                round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
+                      / (len(a.sset) + len(bb.sset) - len(list_intersect(a.sset, bb.sset))), 6) AS jaccard
+         FROM agreed
+         JOIN sets a ON agreed.new_doc = a.doc_id
+         JOIN sets bb ON agreed.corpus_doc = bb.doc_id) t
+       WHERE jaccard >= $threshold
+       ORDER BY new_doc, corpus_doc"""
   }
 
   /** DuckDB oracle for [[minhashSignatures]], generated from the SAME

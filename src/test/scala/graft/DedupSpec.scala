@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(p.count() > 0)
   }
 
+  test("incremental near-dup: asymmetric, sides disjoint, consistent with the self-join") {
+    val incr = Dedup.nearDupNewVsCorpus(spark, sf, 0.95)
+    val splitFrom = Tables.documents(spark, sf)
+      .agg(max("doc_id")).head().getLong(0) * 9 / 10
+    // every pair is (new-batch doc, corpus doc)
+    assert(incr.filter(col("new_doc") < splitFrom).isEmpty)
+    assert(incr.filter(col("corpus_doc") >= splitFrom).isEmpty)
+    // agrees with the symmetric self-join restricted to cross-split pairs
+    val full = Dedup.nearDupPairs(spark, sf, 0.95)
+      .filter(col("doc_b") >= splitFrom && col("doc_a") < splitFrom)
+      .select(col("doc_b").as("new_doc"), col("doc_a").as("corpus_doc"), col("jaccard"))
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
   test("simhash: 32-bit range, deterministic, equal token sets hash equal") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)
