@@ -61,9 +61,10 @@ object Dedup {
   private val RowsPerBand = 16 // 128 minhashes total (MinHash-128)
 
   /** X2a — per-document banded MinHash signature: 128 independent
-    * minhashes (minhash_i = min over shingles of md5(i || ':' || shingle)),
-    * grouped into `NumBands` bands of `RowsPerBand`; a band's signature is
-    * the md5 of its 16 concatenated row-minhashes.
+    * minhashes (minhash_i = min over shingles of the affine rehash
+    * (a_i·h + b_i) mod 2³¹−1 of the shingle's 32-bit md5 prefix — see
+    * [[affineCoeffs]]), grouped into `NumBands` bands of `RowsPerBand`;
+    * a band's signature is the md5 of its 16 concatenated row-minhashes.
     *
     * Band width is the selectivity knob: two docs collide in a band with
     * probability J^16, so P(candidate) = 1-(1-J^16)^8 ≈ 0.99 at J=0.95 but
