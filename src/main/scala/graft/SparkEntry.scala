@@ -89,6 +89,9 @@ object SparkEntry {
     // Gap-sessionization replayed as a real stream (flatMapGroupsWithState
     // custom state), oracle-checked against a DuckDB window-gap query.
     "q_sessionize"        -> ((s, d) => graft.streaming.StreamingOps.sessionizeEndToEnd(s, d)),
+    // Stateful streaming exact-dedup (X1's streaming twin): first-seen
+    // fingerprints survive; the distinct-fp set is the deterministic part.
+    "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingOps.streamDedupEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -361,6 +364,9 @@ object SparkEntry {
     "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
     // Generated from the operator's own gap constant.
     "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
+    // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
     // Generated from the operators' own constants (pct / token budget).
     "q_sample_hash" -> Curation.sampleByHashOracleSql(),
     "q_token_pack" -> Curation.tokenPackOracleSql(),

@@ -208,6 +208,47 @@ object StreamingOps {
         round(col("total_value"), 2).as("total_value"))
   }
 
+  private val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** X1's streaming twin — stateful exact dedup on a document STREAM:
+    * `dropDuplicates` on the content digest keeps the first-seen row per
+    * fingerprint in the state store, so re-crawled/re-ingested content is
+    * dropped as it arrives instead of in a nightly batch. Emitting ONLY
+    * the fingerprint keeps the replay deterministic (WHICH doc of a
+    * duplicate group arrives first within a batch is partition-order
+    * luck; the SET of distinct fingerprints is not) — the DuckDB oracle
+    * is a plain DISTINCT.
+    *
+    * State grows with distinct content here (fine for a bounded replay);
+    * an unbounded production stream uses `dropDuplicatesWithinWatermark`
+    * so the store only holds the re-ingest window (e.g. 24 h of crawl),
+    * trading global for windowed dedup. */
+  def streamDedupEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val distinctFps = spark.readStream.schema(docSchema)
+      .parquet(watchDir.toString)
+      .select(md5(col("text")).as("fp"))
+      .dropDuplicates("fp")
+    val q = distinctFps.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result")
+  }
+
   /** DuckDB oracle for [[sessionizeEndToEnd]], generated from the SAME gap
     * constant: classic window-gap sessionization (break where the gap to
     * the previous event exceeds the threshold, session id = running break

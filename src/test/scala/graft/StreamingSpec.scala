@@ -63,6 +63,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits each distinct fingerprint exactly once") {
+    val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
+    val want = Tables.documents(spark, TestSpark.sf)
+      .select(md5(col("text")).as("fp")).distinct()
+    assert(got.count() == got.select("fp").distinct().count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("gap sessionization closes sessions across the gap and keeps state for open ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
