@@ -79,6 +79,7 @@ object SparkEntry {
     "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
+    "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
@@ -369,6 +370,7 @@ object SparkEntry {
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
     // Generated from the operators' own constants (pct / token budget).
     "q_sample_hash" -> Curation.sampleByHashOracleSql(),
+    "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.

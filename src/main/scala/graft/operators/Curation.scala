@@ -47,6 +47,38 @@ object Curation {
        ORDER BY doc_id"""
   }
 
+  /** Stratified (per-group) deterministic sample — the domain-mixing
+    * quota step: the `perGroup` documents per language whose id-hash
+    * ranks lowest. Ordering by md5(doc_id) makes the within-group pick
+    * uniform-random-but-reproducible (same retry-stability argument as
+    * [[sampleByHash]]); the quota makes the mix across domains explicit
+    * instead of whatever the corpus happens to contain.
+    *
+    * Scale shape: rank-filter windows compile to `WindowGroupLimit`
+    * (plan-verified on the IVF argmax), so each input partition forwards
+    * at most `perGroup` rows per group to the final per-group task — the
+    * low group cardinality (languages/domains) never funnels the corpus
+    * through a handful of tasks. */
+  def stratifiedSample(spark: SparkSession, dir: String, perGroup: Int = 20): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perGroup)
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** DuckDB oracle for [[stratifiedSample]] (lowercase-hex md5 orders
+    * identically under ASCII collation in both engines). */
+  def stratifiedSampleOracleSql(perGroup: Int = 20): String =
+    s"""SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents) t
+       WHERE rk <= $perGroup ORDER BY doc_id"""
+
   /** Token-budget sequence packing: documents in stable `doc_id` order are
     * laid greedily into packs of at most ~`budget` tokens (a document
     * starts a new pack when the running total would cross a budget

@@ -28,6 +28,22 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.sampleByHash(spark, sf, 100).count() == n)
   }
 
+  test("stratified sample: exactly the quota per language, deterministic") {
+    val s = Curation.stratifiedSample(spark, sf, perGroup = 20)
+    val perLang = s.groupBy("lang").count()
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.collect().foreach { r =>
+      val expected = math.min(20L, langSizes(r.getString(0)))
+      assert(r.getLong(1) == expected, s"lang ${r.getString(0)}")
+    }
+    val again = Curation.stratifiedSample(spark, sf, perGroup = 20)
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+    // quota monotonicity: the 10-per-group sample is inside the 20-per-group
+    val s10 = Curation.stratifiedSample(spark, sf, perGroup = 10)
+    assert(s10.exceptAll(s).isEmpty)
+  }
+
   test("token pack: packs cover all docs/tokens; totals stay near the budget") {
     val docs = Tables.documents(spark, sf)
       .select(size(split(col("text"), " ", -1)).cast("long").as("tk"))
