@@ -77,6 +77,7 @@ object SparkEntry {
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
     "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
+    "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8Stats(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -379,6 +380,7 @@ object SparkEntry {
     // Self-verifying IVF ANN: same harness shape as q_ann_lsh.
     "q_ann_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q_quantize_int8" -> Similarity.quantizeInt8StatsOracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
                 octet_length(encode(text)) % 1024 AS width,

@@ -200,6 +200,54 @@ object Similarity {
     recallVsBrute(spark, dir, annScored, k, minRecall)
   }
 
+  /** Symmetric per-vector int8 quantization, reported as verifiable
+    * scalars: scale = max|x|/127, q_i = floor(x_i/scale + 0.5). The
+    * 4×-storage answer for a 100 TB embedding store (float32 → int8 with
+    * one float scale per vector); dequantization error is bounded by
+    * scale/2 per component, which the emitted max-error column makes
+    * auditable. Explicit floor(x+0.5) instead of round() so BOTH engines
+    * run the identical IEEE op sequence — round()'s tie-breaking mode
+    * differs across engines, floor does not. Output is (vec_id, scale,
+    * qsum, qerr) rather than the int8 array itself: scalar columns keep
+    * the oracle hash-comparable while qsum pins every component (any
+    * single-component change shifts it) and qerr bounds reconstruction
+    * quality. */
+  def quantizeInt8Stats(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val maxAbs = aggregate(col("emb"), lit(0d), (acc, x) => greatest(acc, abs(x)))
+    val qExpr =
+      """CASE WHEN max_abs = 0 THEN 0L ELSE
+           CAST(aggregate(transform(emb, x -> floor(x / (max_abs / 127) + 0.5)),
+                          0D, (acc, v) -> acc + v) AS BIGINT) END"""
+    val errExpr =
+      """CASE WHEN max_abs = 0 THEN 0D ELSE
+           aggregate(transform(emb,
+                       x -> abs(floor(x / (max_abs / 127) + 0.5) * (max_abs / 127) - x)),
+                     0D, (acc, v) -> greatest(acc, v)) END"""
+    e.withColumn("max_abs", maxAbs)
+      .select(col("vec_id"),
+        round(col("max_abs") / 127d, 6).as("scale"),
+        expr(qExpr).as("qsum"),
+        round(expr(errExpr), 6).as("qerr"))
+  }
+
+  /** DuckDB oracle for [[quantizeInt8Stats]] — same IEEE op sequence. */
+  def quantizeInt8StatsOracleSql: String =
+    """SELECT vec_id,
+              round(max_abs / 127, 6) AS scale,
+              CASE WHEN max_abs = 0 THEN 0 ELSE
+                CAST(list_sum(list_transform(emb, x -> floor(x / (max_abs / 127) + 0.5))) AS BIGINT)
+              END AS qsum,
+              CASE WHEN max_abs = 0 THEN CAST(0 AS DOUBLE) ELSE
+                round(list_max(list_transform(emb,
+                        x -> abs(floor(x / (max_abs / 127) + 0.5) * (max_abs / 127) - x))), 6)
+              END AS qerr
+       FROM (SELECT vec_id, emb,
+                    list_max(list_transform(emb, x -> abs(x))) AS max_abs
+             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings) e) t
+       ORDER BY vec_id"""
+
   /** IVF sizing: number of coarse cells ≈ √(n/2), the classic IVF
     * operating point balancing assignment cost (n·C dot products) against
     * per-probe candidate volume (n/C per cell). Clamped to [4, 4096]:

@@ -75,4 +75,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(0) == 10)
     assert(r.getBoolean(1), "IVF recall@10 below floor")
   }
+
+  test("int8 quantization: qsum bounded by 127·dim, error bounded by scale/2 + rounding") {
+    val q = Similarity.quantizeInt8Stats(spark, sf)
+    assert(q.count() == Tables.embeddings(spark, sf).count())
+    // |q_i| <= 127 (+1 slack for the floor(+0.5) at the extreme component)
+    assert(q.filter(abs(col("qsum")) > 128L * 64L).isEmpty)
+    // per-component reconstruction error <= scale/2 (+ 6dp rounding slack)
+    assert(q.filter(col("qerr") > col("scale") / 2 + 1e-6).isEmpty)
+    assert(q.filter(col("scale") <= 0).isEmpty, "degenerate zero vectors in testdata")
+  }
 }
