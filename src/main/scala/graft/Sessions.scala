@@ -33,6 +33,10 @@ object Sessions {
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.ArrayAgreeCount.name),
             graft.functions.ArrayAgreeCount.info,
             graft.functions.ArrayAgreeCount.builder))
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.ArrayIntersectCount.name),
+            graft.functions.ArrayIntersectCount.info,
+            graft.functions.ArrayIntersectCount.builder))
       }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")

@@ -332,24 +332,25 @@ object Dedup {
 
   /** Exact-Jaccard verify stage shared by the self-join and incremental
     * near-dup paths: fetch both token sets per candidate pair and keep
-    * pairs at or above `threshold`. Jaccard via the union identity:
-    * |A∩B| = |A|+|B|-|A∪B| — one hashset-building collection op per pair
-    * (array_distinct of the concat) instead of two array_intersect
-    * passes; these ops dominate the verify stage, so this halves its
-    * cost. */
+    * pairs at or above `threshold`. The intersection count comes from the
+    * custom codegen'd [[graft.functions.ArrayIntersectCount]] kernel —
+    * one fused hash pass per pair, J = c / (|A|+|B|−c) — instead of
+    * materializing the concatenated union array per pair
+    * (`size(array_distinct(concat(…)))`); same rational number, one less
+    * array allocation in the stage that dominates verify cost. */
   private def jaccardVerify(spark: SparkSession, dir: String, pairs: DataFrame,
                             aCol: String, bCol: String, shingleK: Int,
                             threshold: Double): DataFrame = {
+    graft.functions.ArrayIntersectCount.register(spark)
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleSetK(shingleK).as("sset"))
     val a = sets.select(col("doc_id").as(aCol), col("sset").as("set_a"))
     val b = sets.select(col("doc_id").as(bCol), col("sset").as("set_b"))
-    val unionSize = size(array_distinct(concat(col("set_a"), col("set_b"))))
     pairs.join(a, aCol).join(b, bCol)
-      .withColumn("u", unionSize)
+      .withColumn("c", expr("array_intersect_count(set_a, set_b)"))
       .select(col(aCol), col(bCol),
-        round((size(col("set_a")) + size(col("set_b")) - col("u")).cast("double")
-          / col("u"), 6).as("jaccard"))
+        round(col("c").cast("double")
+          / (size(col("set_a")) + size(col("set_b")) - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
