@@ -63,6 +63,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark-bounded streaming dedup drops re-ingests inside the window and GCs state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    // dedup key = event_id; watermark 1 h bounds the dedup state window
+    val deduped = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamEvent(1L, ts(0), 1L, "click", 1.0),
+        StreamEvent(1L, ts(5), 1L, "click", 1.0)) // same-batch re-ingest
+      q.processAllAvailable()
+      input.addData(StreamEvent(1L, ts(10), 1L, "click", 1.0)) // in-window re-ingest
+      q.processAllAvailable()
+      // jump event time far past the watermark window, then re-ingest id 1:
+      // its dedup state has been GC'd, so the duplicate is ACCEPTED again —
+      // the explicit trade of bounded state for windowed (not global) dedup
+      input.addData(StreamEvent(2L, Timestamp.valueOf("2026-01-02 10:00:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(1L, Timestamp.valueOf("2026-01-02 10:30:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_test").collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 2, s"expected id 1 once per window, got $ids")
+      assert(ids.count(_ == 2L) == 1)
+      val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0, "dedup state was never GC'd by the watermark")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits each distinct fingerprint exactly once") {
     val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
     val want = Tables.documents(spark, TestSpark.sf)
