@@ -77,6 +77,8 @@ object SparkEntry {
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
     "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
+    // IVF with 2 distributed Lloyd (k-means) refinement iterations
+    "q_ann_ivf_kmeans"    -> ((s, d) => Similarity.annIvfRecall(s, d, lloydIters = 2)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8Stats(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
@@ -379,6 +381,8 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
     // Self-verifying IVF ANN: same harness shape as q_ann_lsh.
     "q_ann_ivf" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q_ann_ivf_kmeans" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
     "q_quantize_int8" -> Similarity.quantizeInt8StatsOracleSql,
     "q_multimodal_meta" ->

@@ -278,24 +278,50 @@ object Similarity {
     * cell skew (real corpora cluster unevenly) is the known failure mode
     * — AQE skew-join splits hot cells, and the IVF answer at 10^9+ is
     * re-training centroids so cells stay balanced. */
+  /** Nearest-centroid assignment: n×C scored rows from a broadcast cross
+    * join, windowed argmax per vector (compiles to WindowGroupLimit). */
+  private def assignCells(spark: SparkSession, e0: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
+    e0.join(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        expr("cosine_sim(emb, cemb)").as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "emb", "cell")
+  }
+
+  /** One distributed Lloyd (k-means) iteration: assign every vector to
+    * its nearest centroid, then recompute each cell's centroid as the
+    * per-component mean — posexplode to (cell, pos, x), one partial-agg
+    * groupBy, re-assemble the array in pos order. Cells that lose all
+    * members disappear (standard Lloyd behavior). Cost per iteration is
+    * n·C dot products + one narrow shuffle of 64·n (cell, pos, x) rows —
+    * both linear in the corpus. */
+  private def lloydOnce(spark: SparkSession, e0: DataFrame, cent: DataFrame): DataFrame =
+    assignCells(spark, e0, cent)
+      .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cemb"))
+
   def annIvfRecall(spark: SparkSession, dir: String, k: Int = 10,
-                   minRecall: Double = 0.2): DataFrame = {
+                   minRecall: Double = 0.2, lloydIters: Int = 0): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val e0 = embDouble(spark, dir)
     val (n, _) = corpusShape(e0)
     val nCells = cellsFor(n)
     val nProbe = math.max(1, nCells / 4)
-    val cent = e0.filter(col("vec_id") < nCells)
+    // fixed deterministic init (lowest vec_ids); optional Lloyd refinement
+    // trains real k-means cells from that init — on clustered corpora this
+    // is what makes IVF cells match the data's cluster structure. The
+    // refined means are float-sum-order sensitive at the ulp level, so the
+    // refined arm stays a SELF-CHECK (recall floor), not a hash oracle.
+    var cent = e0.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"))
-    // nearest-centroid assignment: n×C scored rows from a broadcast
-    // cross join, windowed argmax per vector
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cell"))
-    val assigned = e0.join(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("cell"),
-        expr("cosine_sim(emb, cemb)").as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "emb", "cell")
+    for (_ <- 0 until lloydIters)
+      cent = lloydOnce(spark, e0, cent).localCheckpoint()
+    val assigned = assignCells(spark, e0, cent)
     // each query probes its nProbe nearest cells
     val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
     val probes = e0.filter(col("vec_id") < 10)

@@ -76,6 +76,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getBoolean(1), "IVF recall@10 below floor")
   }
 
+  test("k-means-refined IVF recall clears the floor; refinement keeps a full partition") {
+    val r = Similarity.annIvfRecall(spark, sf, lloydIters = 2).head()
+    assert(r.getLong(0) == 10)
+    assert(r.getBoolean(1), "k-means IVF recall@10 below floor")
+  }
+
   test("int8 quantization: qsum bounded by 127·dim, error bounded by scale/2 + rounding") {
     val q = Similarity.quantizeInt8Stats(spark, sf)
     assert(q.count() == Tables.embeddings(spark, sf).count())
