@@ -86,6 +86,7 @@ object SparkEntry {
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
@@ -391,5 +392,7 @@ object SparkEntry {
                 (octet_length(encode(text)) * 7) % 768 AS height,
                 1 + octet_length(encode(text)) % 5 AS n_frames
          FROM documents ORDER BY doc_id""",
+    // Generated from the operator's own stub-metadata arithmetic.
+    "q_frame_sample" -> Multimodal.sampleFramesOracleSql(),
   )
 }

@@ -55,4 +55,37 @@ object Multimodal {
       .mapPartitions(codec.decode)
       .toDF()
   }
+
+  /** Frame sampling over the decoded metadata — the explode-shaped
+    * plumbing a video pipeline runs before per-frame feature extraction:
+    * up to `k` evenly-spaced frames per media object, emitted as
+    * (doc_id, frame_idx, byte_offset). One row per sampled frame, fanned
+    * out with a Generator (no shuffle); a real pipeline would follow with
+    * the per-frame decode batch stage. Integer arithmetic only
+    * (frame_idx = ⌊i·n/kk⌋, kk = min(k, n)), so the oracle reproduces it
+    * exactly. */
+  def sampleFrames(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    mediaMeta(spark, dir)
+      .withColumn("kk", least(lit(k.toLong), col("n_frames")))
+      .select(col("doc_id"), col("byte_len"), col("n_frames"), col("kk"),
+        explode(sequence(lit(0L), col("kk") - 1)).as("i"))
+      .select(col("doc_id"),
+        expr("(i * n_frames) div kk").as("frame_idx"),
+        expr("((i * n_frames) div kk) * byte_len div n_frames").as("byte_offset"))
+
+  /** DuckDB oracle for [[sampleFrames]] — same integer arithmetic over
+    * the stub metadata. */
+  def sampleFramesOracleSql(k: Int = 3): String =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
+                          1 + octet_length(encode(text)) % 5 AS n_frames
+                   FROM documents),
+       f AS (SELECT doc_id, byte_len, n_frames,
+                    CASE WHEN n_frames < $k THEN n_frames ELSE $k END AS kk
+             FROM m),
+       g AS (SELECT doc_id, byte_len, n_frames, kk,
+                    unnest(range(0, kk)) AS i
+             FROM f)
+       SELECT doc_id, (i * n_frames) // kk AS frame_idx,
+              ((i * n_frames) // kk) * byte_len // n_frames AS byte_offset
+       FROM g ORDER BY doc_id, frame_idx"""
 }

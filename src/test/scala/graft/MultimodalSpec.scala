@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: batched decode boundary and frame sampling. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("frame sampling: min(k, n_frames) frames per doc, in-range, strictly increasing") {
+    val meta = Multimodal.mediaMeta(spark, sf).select("doc_id", "byte_len", "n_frames")
+    val frames = Multimodal.sampleFrames(spark, sf, k = 3)
+    val joined = frames.join(meta, "doc_id")
+    // counts: exactly min(3, n_frames) rows per doc
+    val counts = joined.groupBy("doc_id", "n_frames").count()
+    assert(counts.filter(col("count") =!= least(lit(3L), col("n_frames"))).isEmpty)
+    // every sampled frame exists and its offset is inside the payload
+    assert(joined.filter(col("frame_idx") >= col("n_frames") || col("frame_idx") < 0).isEmpty)
+    assert(joined.filter(col("byte_offset") >= col("byte_len") || col("byte_offset") < 0).isEmpty)
+    // evenly-spaced sampling never repeats a frame (kk <= n_frames)
+    assert(frames.groupBy("doc_id", "frame_idx").count().filter(col("count") > 1).isEmpty)
+  }
+}
