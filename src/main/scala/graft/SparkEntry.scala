@@ -71,6 +71,9 @@ object SparkEntry {
                                 estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4)),
     // incremental flow: new batch (top id decile) vs historical corpus
     "q_dedup_incremental" -> ((s, d) => Dedup.nearDupNewVsCorpus(s, d)),
+    // pairs -> transitive clusters -> keeper per cluster (the dedup
+    // story's last step; A~B, B~C dedup as one group without A~C)
+    "q_dedup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
@@ -340,6 +343,8 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.nearDupOracleSql(threshold = 0.9,
       estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4),
     "q_dedup_incremental" -> Dedup.nearDupNewVsCorpusOracleSql(),
+    // Same pair CTEs + recursive transitive closure (min reachable id).
+    "q_dedup_clusters" -> Dedup.nearDupClustersOracleSql(),
     "q_simhash" ->
       s"""SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash

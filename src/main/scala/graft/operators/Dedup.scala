@@ -410,20 +410,16 @@ object Dedup {
     jaccardVerify(spark, dir, agreed, "new_doc", "corpus_doc", shingleK, threshold)
   }
 
-  /** DuckDB oracle for [[nearDupPairs]], generated from the SAME constants
-    * (band geometry, minBands, the integer minhash-agreement floor) so the
-    * operator and its oracle cannot drift. No bucket-cap clause: the 4096
-    * default never triggers on testdata (measured max bucket 1219 at
-    * sf0.1). */
-  def nearDupOracleSql(threshold: Double = 0.95,
-                       minBands: Int = DefaultMinBands,
-                       estJaccard: Double = DefaultEstJaccard,
-                       shingleK: Int = 1,
-                       bands: Int = NumBands,
-                       rowsPerBand: Int = RowsPerBand): String = {
+  /** The CTE chain up to a `pairs` CTE reproducing [[nearDupPairs]] output
+    * (doc_a, doc_b, jaccard) — shared by the pair oracle and the cluster
+    * oracle so they cannot drift. No bucket-cap clause: the 4096 default
+    * never triggers on testdata (measured max bucket 1219 at sf0.1). */
+  private def nearDupPairsCtes(threshold: Double, minBands: Int,
+                               estJaccard: Double, shingleK: Int,
+                               bands: Int, rowsPerBand: Int): String = {
     val nHashes = bands * rowsPerBand
     val minAgree = minAgreeFor(estJaccard, nHashes)
-    s"""WITH ${minhashCtes(shingleK, nHashes, rowsPerBand)},
+    s"""${minhashCtes(shingleK, nHashes, rowsPerBand)},
        cand AS (
          -- coarse pre-filter: collide in >= $minBands of $bands bands
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -438,17 +434,124 @@ object Dedup {
          JOIN mh ma ON ma.doc_id = c.doc_a
          JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
          GROUP BY c.doc_a, c.doc_b
-         HAVING sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= $minAgree)
-       SELECT doc_a, doc_b, jaccard FROM (
-         SELECT doc_a, doc_b,
-                round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
-                      / (len(a.sset) + len(bb.sset) - len(list_intersect(a.sset, bb.sset))), 6) AS jaccard
-         FROM agreed
-         JOIN sets a ON agreed.doc_a = a.doc_id
-         JOIN sets bb ON agreed.doc_b = bb.doc_id) t
-       WHERE jaccard >= $threshold
-       ORDER BY doc_a, doc_b"""
+         HAVING sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= $minAgree),
+       pairs AS (
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+                  round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
+                        / (len(a.sset) + len(bb.sset) - len(list_intersect(a.sset, bb.sset))), 6) AS jaccard
+           FROM agreed
+           JOIN sets a ON agreed.doc_a = a.doc_id
+           JOIN sets bb ON agreed.doc_b = bb.doc_id) t
+         WHERE jaccard >= $threshold)"""
   }
+
+  /** DuckDB oracle for [[nearDupPairs]], generated from the SAME constants
+    * (band geometry, minBands, the integer minhash-agreement floor) so the
+    * operator and its oracle cannot drift. */
+  def nearDupOracleSql(threshold: Double = 0.95,
+                       minBands: Int = DefaultMinBands,
+                       estJaccard: Double = DefaultEstJaccard,
+                       shingleK: Int = 1,
+                       bands: Int = NumBands,
+                       rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)}
+       SELECT doc_a, doc_b, jaccard FROM pairs
+       ORDER BY doc_a, doc_b"""
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the minimum label among itself and its
+    * neighbors; at fixpoint a component's shared label is its minimum
+    * member id. Convergence needs O(component diameter) rounds — near-dup
+    * components are dense (duplicates of one source document collide with
+    * each other, not in long chains), so the diameter is small; `maxIters`
+    * is a loud upper bound, not a silent truncation (`require` fails if
+    * propagation has not reached fixpoint).
+    *
+    * Scale shape: the loop runs over the PAIR LIST (LSH output — orders of
+    * magnitude smaller than the corpus), one small self-equi-join + one
+    * partial-aggregated groupBy per round, `localCheckpoint` per round so
+    * the lineage stays one-round deep (the Lloyd-loop pattern,
+    * `Similarity.scala` k-means). For adversarial graphs (billions of
+    * edges in long chains) the known upgrade is the large-star/small-star
+    * algorithm (O(log n) rounds); the gap rule here never produces those.
+    *
+    * Input: two id columns named `doc_a`/`doc_b`. Output: one row per node
+    * — (cluster_id = min doc_id of the component, doc_id). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select("doc_id", "label").union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any row strictly smaller" is the
+      // exact fixpoint test
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") < col("o.label")).limit(1).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge within $maxIters label-propagation rounds")
+    labels.select(col("label").as("cluster_id"), col("doc_id"))
+  }
+
+  /** X2e — the END of the dedup story: near-dup PAIRS → transitive
+    * CLUSTERS → one keeper per cluster. A~B and B~C must dedup as ONE
+    * group even when A~C never collided (the at-scale heir of the
+    * reference's DISTINCT, `dag-knlp.py:72`, which only handles exact
+    * groups). Keeper = the cluster's minimum doc_id — deterministic, so a
+    * re-run prunes the identical corpus. Output is one row per clustered
+    * doc: (cluster_id, doc_id, is_keeper); the pruned corpus is the
+    * `is_keeper` projection plus all unclustered docs. */
+  def nearDupClusters(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                      minBands: Int = DefaultMinBands,
+                      maxBucket: Int = DefaultMaxBucket,
+                      estJaccard: Double = DefaultEstJaccard,
+                      shingleK: Int = 1,
+                      bands: Int = NumBands,
+                      rowsPerBand: Int = RowsPerBand): DataFrame = {
+    // Materialize the pair list ONCE — the propagation loop must iterate
+    // over the compact LSH output, never re-run the signature pipeline.
+    val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+      estJaccard, shingleK, bands, rowsPerBand)
+      .select("doc_a", "doc_b").localCheckpoint()
+    connectedComponents(pairs)
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
+  /** DuckDB oracle for [[nearDupClusters]]: the same pair CTE chain, then
+    * transitive closure by recursive reachability (UNION dedups across
+    * rounds, so the recursion terminates on cycles) — a component's
+    * cluster id is the least of the node and everything reachable from
+    * it. */
+  def nearDupClustersOracleSql(threshold: Double = 0.95,
+                               minBands: Int = DefaultMinBands,
+                               estJaccard: Double = DefaultEstJaccard,
+                               shingleK: Int = 1,
+                               bands: Int = NumBands,
+                               rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH RECURSIVE ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       reach AS (
+         SELECT src AS doc_id, dst AS r FROM edges
+         UNION
+         SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
+       lbl AS (SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+               FROM reach GROUP BY doc_id)
+       SELECT cluster_id, doc_id, doc_id = cluster_id AS is_keeper
+       FROM lbl ORDER BY cluster_id, doc_id"""
 
   /** DuckDB oracle for [[nearDupNewVsCorpus]]: same CTE chain, asymmetric
     * candidate join with the identical ⌊9·max/10⌋ split. No bucket-cap

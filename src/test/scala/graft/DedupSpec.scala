@@ -88,6 +88,45 @@ class DedupSpec extends AnyFunSuite {
     assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
   }
 
+  test("connected components: transitivity A~B, B~C (no A~C) clusters as one group") {
+    import spark.implicits._
+    // two components: {1,2,3} via chain 1-2, 2-3 and {10,11}; never a 1-3 pair
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: cycles converge, min label wins") {
+    import spark.implicits._
+    val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L), (7L, 2L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(got.values.toSet == Set(2L) && got.keySet == Set(2L, 5L, 6L, 7L))
+  }
+
+  test("near-dup clusters: consistent with the pair list, keeper is the min member") {
+    val pairs = Dedup.nearDupPairs(spark, sf, 0.95).select("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(spark, sf, 0.95)
+    // every paired doc is clustered, and both ends of a pair share a cluster
+    val lbl = clusters.select(col("doc_id"), col("cluster_id"))
+    val viol = pairs
+      .join(lbl.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(lbl.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(viol.isEmpty)
+    // cluster_id is the component's minimum member and exactly one keeper each
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(min("doc_id").as("mn"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_keep"))
+    assert(perCluster.filter(col("mn") =!= col("cluster_id") || col("n_keep") =!= 1L).isEmpty)
+    // node set = exactly the docs that appear in some pair
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    assert(clusters.select("doc_id").exceptAll(nodes).isEmpty)
+    assert(nodes.exceptAll(clusters.select("doc_id")).isEmpty)
+  }
+
   test("simhash: 32-bit range, deterministic, equal token sets hash equal") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)
