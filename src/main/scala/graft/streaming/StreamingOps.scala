@@ -13,6 +13,23 @@ case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
                        session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
+/** Compact (epoch-micros, value) event buffered in open-session state —
+  * ts/value are all sessionization reads, so the state never carries the
+  * full event row. */
+case class CompactEvent(us: Long, value: Double)
+
+/** Open-session state for [[StreamingOps.sessionize]] (VERDICT r5 #5):
+  * the session's watermark-OLD prefix lives as a closed-form aggregate
+  * (aggStartUs..aggLastUs, aggN, aggSum; aggN == 0 = nothing folded yet)
+  * and only watermark-RECENT events stay buffered in `recent`. No future
+  * event can sort into the folded prefix (anything older than the
+  * watermark is dropped before the operator), so folding is lossless —
+  * and state per user is O(watermark window), not O(open session length):
+  * a bot session spanning weeks holds a 4-field aggregate plus the last
+  * 2 h of events instead of the whole event list. */
+case class SessionState(aggStartUs: Long, aggLastUs: Long, aggN: Long,
+                        aggSum: Double, recent: List[CompactEvent])
+
 /** Structured Streaming surface (the brief's stream path; the reference is
   * batch-only, SURVEY.md §1.6, so this is [EXT]): file-source readStream →
   * watermarked tumbling-window aggregates → custom session state via
@@ -65,6 +82,28 @@ object StreamingOps {
       .foreachBatch(onBatch)
       .start()
 
+  /** Recursive delete of a streaming scratch root (children before
+    * parents). Swallows nothing: a failed delete surfaces — leaked
+    * checkpoints silently accumulating in /tmp were VERDICT r5 #4. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally s.close()
+  }
+
+  /** Materialize the sink result INTO the session (eager localCheckpoint —
+    * the returned frame no longer reads the scratch files), then delete
+    * the scratch root: bench/verify runs leave /tmp clean instead of
+    * accumulating checkpoints and result parquet per invocation. */
+  private def readBackCleaned(spark: SparkSession, out: String)
+                             (select: DataFrame => DataFrame): DataFrame = {
+    val materialized = select(spark.read.parquet(s"$out/result")).localCheckpoint(true)
+    deleteRecursively(java.nio.file.Paths.get(out))
+    materialized
+  }
+
   /** The driver testdata's events.parquet under
     * `spark.sql.legacy.parquet.nanosAsLong` (see [[graft.Tables.events]]):
     * the TIMESTAMP(NANOS) column arrives as a raw long. */
@@ -109,9 +148,9 @@ object StreamingOps {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/result")
-      .select(col("hour_start"), col("event_type"), col("n_events"),
-        col("total_value").cast("double").as("total_value"))
+    readBackCleaned(spark, out)(_.select(
+      col("hour_start"), col("event_type"), col("n_events"),
+      col("total_value").cast("double").as("total_value")))
   }
 
   /** Epoch MICROseconds of a Timestamp — `getTime` alone is millisecond-
@@ -121,15 +160,91 @@ object StreamingOps {
   private def microsOf(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Epoch micros → Timestamp (exact inverse of [[microsOf]]). */
+  private def usToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Last event time of an open session (the timeout anchor). */
+  private def lastUsOf(s: SessionState): Long =
+    if (s.recent.nonEmpty) s.recent.last.us else s.aggLastUs
+
+  /** One gap-split run: an optional folded-aggregate prefix plus the
+    * still-buffered events after it. Totals always accumulate LEFT TO
+    * RIGHT in event order (aggregate prefix first), so the emitted double
+    * is bit-identical whether or not any prefix was ever folded — output
+    * does not depend on micro-batch boundaries. */
+  private case class SessionRun(aggStartUs: Long, aggLastUs: Long, aggN: Long,
+                                aggSum: Double, evs: List[CompactEvent]) {
+    def startUs: Long = if (aggN > 0) aggStartUs else evs.head.us
+    def lastUs: Long = if (evs.nonEmpty) evs.last.us else aggLastUs
+    def n: Long = aggN + evs.size
+    def sum: Double = evs.foldLeft(aggSum)(_ + _.value)
+  }
+
+  /** The pure per-key sessionization step (unit-tested directly): merge
+    * `incoming` into the buffered state, split on the gap rule, close all
+    * runs but the last (all of them on timeout), then COMPACT the open
+    * run — events older than `watermarkUs` fold into the aggregate prefix
+    * (nothing can ever sort before them again), bounding state to the
+    * watermark window. Returns (next state, closed sessions as
+    * (startUs, endUs, n, sum)). */
+  private[graft] def advanceSession(prev: Option[SessionState],
+                                    incoming: List[CompactEvent],
+                                    watermarkUs: Long, hasTimedOut: Boolean,
+                                    gapUs: Long)
+      : (Option[SessionState], List[(Long, Long, Long, Double)]) = {
+    val st = prev.getOrElse(SessionState(0L, 0L, 0L, 0.0, Nil))
+    // stable sort: same-micro events keep buffer-then-arrival order
+    val sorted = (st.recent ++ incoming).sortBy(_.us)
+    val evRuns = sorted.foldLeft(List.empty[List[CompactEvent]]) {
+      case (Nil, e) => List(List(e))
+      case (cur :: done, e) =>
+        if (e.us - cur.head.us > gapUs) List(e) :: cur :: done
+        else (e :: cur) :: done
+    }.map(_.reverse).reverse
+    // attach the folded prefix: it extends the first run iff the gap from
+    // its last folded event to the first buffered event is within bounds
+    val allRuns: List[SessionRun] = {
+      val plain = evRuns.map(evs => SessionRun(0L, 0L, 0L, 0.0, evs))
+      if (st.aggN == 0) plain
+      else plain match {
+        case first :: rest if first.evs.head.us - st.aggLastUs <= gapUs =>
+          SessionRun(st.aggStartUs, st.aggLastUs, st.aggN, st.aggSum, first.evs) :: rest
+        case _ =>
+          SessionRun(st.aggStartUs, st.aggLastUs, st.aggN, st.aggSum, Nil) :: plain
+      }
+    }
+    val (open, closed) =
+      if (hasTimedOut) (Nil, allRuns) else (allRuns.takeRight(1), allRuns.dropRight(1))
+    val next = open.headOption.map { run =>
+      val (fold, keep) = run.evs.span(_.us < watermarkUs) // sorted => prefix
+      if (fold.isEmpty) SessionState(run.aggStartUs, run.aggLastUs, run.aggN, run.aggSum, keep)
+      else SessionState(
+        if (run.aggN > 0) run.aggStartUs else fold.head.us,
+        fold.last.us,
+        run.aggN + fold.size,
+        fold.foldLeft(run.aggSum)(_ + _.value),
+        keep)
+    }
+    (next, closed.map(r => (r.startUs, r.lastUs, r.n, r.sum)))
+  }
+
   /** Gap-based sessionization with explicit state: events for a user more
     * than `gap` apart start a new session; closed sessions are emitted.
     * `flatMapGroupsWithState` is the Spark primitive for custom streaming
     * state (KeyValueGroupedDataset, per-key state, event-time timeout).
     * All ordering/gap arithmetic runs in epoch micros — full event-time
-    * precision. `watermarkDelay` is the lateness bound; the batch-replay
+    * precision. State is the COMPACTED [[SessionState]] (watermark-old
+    * prefix folded to an aggregate — see [[advanceSession]]), so a
+    * long-lived session holds O(watermark window) events, not all of
+    * them. `watermarkDelay` is the lateness bound; the batch-replay
     * oracle harness passes an effectively-infinite delay so no event-time
     * timeout fires mid-replay and the output is exactly the gap-closed
-    * sessions. */
+    * sessions (watermark stays 0 there, so nothing folds either — the
+    * replay exercises the same code path production runs). */
   def sessionize(events: Dataset[StreamEvent], gapMinutes: Int = 30,
                  watermarkDelay: String = "2 hours"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -137,27 +252,21 @@ object StreamingOps {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[StreamEvent], UserSession](
+      .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (userId, newEvents, state: GroupState[List[StreamEvent]]) =>
-          val buffered = state.getOption.getOrElse(Nil) ++ newEvents
-          val sorted = buffered.sortBy(e => microsOf(e.ts))
-          // split into gap-separated runs; emit all but the last (still-open)
-          val runs = sorted.foldLeft(List.empty[List[StreamEvent]]) {
-            case (Nil, e) => List(List(e))
-            case (cur :: done, e) =>
-              if (microsOf(e.ts) - microsOf(cur.head.ts) > gapUs) List(e) :: cur :: done
-              else (e :: cur) :: done
-          }.map(_.reverse).reverse
-          val (open, closed) =
-            if (state.hasTimedOut) (Nil, runs) else (runs.takeRight(1), runs.dropRight(1))
-          if (open.nonEmpty) {
-            state.update(open.head)
-            state.setTimeoutTimestamp(microsOf(open.head.last.ts) / 1000L + gapUs / 1000L)
-          } else state.remove()
-          closed.iterator.map { run =>
-            UserSession(userId, run.head.ts, run.last.ts, run.size.toLong,
-              run.map(_.value).sum)
+        case (userId, newEvents, state: GroupState[SessionState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = newEvents.map(e => CompactEvent(microsOf(e.ts), e.value)).toList
+          val (next, closed) =
+            advanceSession(state.getOption, incoming, wmUs, state.hasTimedOut, gapUs)
+          next match {
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(lastUsOf(s) / 1000L + gapUs / 1000L)
+            case None => state.remove()
+          }
+          closed.iterator.map { case (startUs, endUs, n, sum) =>
+            UserSession(userId, usToTimestamp(startUs), usToTimestamp(endUs), n, sum)
           }
       }
   }
@@ -200,12 +309,12 @@ object StreamingOps {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/result")
-      .select(col("user_id"),
-        unix_micros(col("session_start")).as("session_start_us"),
-        unix_micros(col("session_end")).as("session_end_us"),
-        col("n_events"),
-        round(col("total_value"), 2).as("total_value"))
+    readBackCleaned(spark, out)(_.select(
+      col("user_id"),
+      unix_micros(col("session_start")).as("session_start_us"),
+      unix_micros(col("session_end")).as("session_end_us"),
+      col("n_events"),
+      round(col("total_value"), 2).as("total_value")))
   }
 
   private val docSchema: StructType = StructType(Seq(
@@ -246,7 +355,7 @@ object StreamingOps {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$out/result")
+    readBackCleaned(spark, out)(identity)
   }
 
   /** DuckDB oracle for [[sessionizeEndToEnd]], generated from the SAME gap

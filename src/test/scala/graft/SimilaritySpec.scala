@@ -47,14 +47,22 @@ class SimilaritySpec extends AnyFunSuite {
     import spark.implicits._
     val bad = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(32)(0.5f)))
       .toDF("vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-bademb").toString
-    bad.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val ex = intercept[Exception] {
-      Similarity.embedNearDup(spark, dir, 0.0).collect()
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-bademb")
+    try {
+      bad.write.mode("overwrite").parquet(s"$dirPath/embeddings.parquet")
+      val ex = intercept[Exception] {
+        Similarity.embedNearDup(spark, dirPath.toString, 0.0).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("embedding dimension")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dirPath)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally s.close()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("embedding dimension")))
   }
 
   test("ANN LSH multiprobe recall clears the registered floor") {

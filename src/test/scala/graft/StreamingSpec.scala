@@ -102,6 +102,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("advanceSession: batched replay matches one-shot exactly and compaction bounds the buffer") {
+    import graft.streaming.{CompactEvent, SessionState}
+    val min = 60L * 1000000
+    val gapUs = 30 * min
+    // one user: a 2 h session (25 events @5 min), 40 min silence, a 1 h
+    // session (13 events), 50 min silence, a 3-event tail
+    val evs = ((0 until 25).map(i => i * 5 * min)
+      ++ (0 until 13).map(i => 160 * min + i * 5 * min)
+      ++ (0 until 3).map(i => 270 * min + i * 5 * min))
+      .map(us => CompactEvent(us, 1.5)).toList
+    // replay in batches of `size`; watermark = (max event time seen in
+    // PRIOR batches) - 1 h, exactly Spark's per-batch watermark semantics
+    def replay(size: Int): (List[(Long, Long, Long, Double)], Int, Long) = {
+      var st: Option[SessionState] = None
+      var out = List.empty[(Long, Long, Long, Double)]
+      var maxSeen = 0L
+      var maxBuf = 0
+      var maxFolded = 0L
+      evs.grouped(size).foreach { batch =>
+        val wm = math.max(0L, maxSeen - 60 * min)
+        val (ns, closed) = graft.streaming.StreamingOps.advanceSession(st, batch, wm, hasTimedOut = false, gapUs)
+        st = ns; out ++= closed
+        maxBuf = math.max(maxBuf, ns.map(_.recent.size).getOrElse(0))
+        maxFolded = math.max(maxFolded, ns.map(_.aggN).getOrElse(0L))
+        maxSeen = math.max(maxSeen, batch.map(_.us).max)
+      }
+      // event-time timeout fires once the watermark passes the open gap
+      val (fin, closed) = graft.streaming.StreamingOps.advanceSession(st, Nil, maxSeen + gapUs, hasTimedOut = true, gapUs)
+      assert(fin.isEmpty)
+      (out ++ closed, maxBuf, maxFolded)
+    }
+    val (oneShot, _, oneFolded) = replay(evs.size)
+    val (batched, batchedBuf, batchedFolded) = replay(4)
+    assert(batched == oneShot) // exact doubles: fold order is identical
+    assert(oneShot.map(s => (s._3, s._4)) == List((25L, 37.5), (13L, 19.5), (3L, 4.5)))
+    // single batch sees watermark 0: nothing folds (the oracle-replay path)
+    assert(oneFolded == 0L)
+    // batched replay folds the watermark-old prefix of the open session:
+    // the buffer never holds the whole 25-event session, only the 1 h
+    // window (12 events @5 min) plus the arriving batch
+    assert(batchedFolded > 0L, "compaction never folded anything")
+    assert(batchedBuf <= 17, s"compacted state should stay within the 1 h window + batch, got $batchedBuf")
+    assert(batchedBuf < 25, s"buffer should never hold the longest session, got $batchedBuf")
+  }
+
   test("gap sessionization closes sessions across the gap and keeps state for open ones") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
