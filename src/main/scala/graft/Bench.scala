@@ -23,10 +23,39 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
 
+    // Previous run's per-query timings (read BEFORE this run overwrites
+    // the file, used ONLY when the sf matches): any query that regressed
+    // >2x round-over-round joins the rerun trend guard, so a suite-noise
+    // regression is disproven inside the artifact itself (VERDICT r5 #3).
+    val priorQueries: Map[String, Double] = try {
+      val txt = Files.readString(Paths.get("BENCH_LOCAL.json"))
+      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else {
+        val start = txt.indexOf("\"queries\":{")
+        val body = txt.substring(start + 11, txt.indexOf("}", start))
+        """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
     // Warmup: touch codegen, shuffle machinery, and the vectorized parquet
     // reader once before any timed query.
     spark.range(1000000).selectExpr("sum(id) s").collect()
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
+    // Streaming-path warmup (VERDICT r5 #2): the first streaming query in
+    // a JVM pays one-time file-source/state-store/streaming-codegen init,
+    // recorded in r5 as q_sessionize's 4x suite-vs-rerun gap. Drain each
+    // streaming harness once at the smallest sf before timing anything.
+    try {
+      val warmSf = "/root/testdata/sf0.001"
+      Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+        graft.streaming.StreamingOps.hourlyCountsEndToEnd,
+        graft.streaming.StreamingOps.sessionizeEndToEnd(_, _),
+        graft.streaming.StreamingOps.streamDedupEndToEnd,
+      ).foreach(f => f(spark, warmSf).write.format("noop").mode("overwrite").save())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming warmup failed (continuing): ${e.getMessage}")
+    }
 
     // Per-query watchdog: a runaway query (JIT/codegen storm, degenerate
     // plan) must cost at most `timeoutSec`, never the whole bench run.
@@ -74,9 +103,27 @@ object Bench {
     def clearState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // The streaming harnesses delete their own scratch; sweep anything a
+      // crashed or timed-out run left behind so checkpoint residue never
+      // accumulates across the suite (VERDICT r5 #2).
+      try {
+        import scala.jdk.CollectionConverters._
+        val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+        val roots = Files.list(tmp)
+        try roots.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft-stream-"))
+          .foreach { root =>
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+        finally roots.close()
+      } catch { case _: Throwable => () }
       System.gc()
       Thread.sleep(200)
     }
+    clearState()
 
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, ok) = run(name, fn)
@@ -97,12 +144,18 @@ object Bench {
         clearState()
         (name, sec, ok, Some(firstSec))
     }
-    // Trend guard (VERDICT r4 #7): re-time the slowest successful queries
-    // against the cleaned session and record both numbers — a contaminated
-    // or one-off-inflated suite timing shows up as a suite-vs-rerun delta
-    // in the artifact itself, instead of needing an out-of-band re-measure.
+    // Trend guard (VERDICT r4 #7, widened r5 #3): re-time the slowest
+    // successful queries PLUS any query that regressed >2x vs the previous
+    // same-sf run, against the cleaned session, and record both numbers —
+    // a contaminated or one-off-inflated suite timing shows up as a
+    // suite-vs-rerun delta in the artifact itself, instead of needing an
+    // out-of-band re-measure.
     val slowest = retried.filter(_._3).sortBy(-_._2).take(3).map(_._1)
-    val reruns = slowest.map { name =>
+    val regressed = retried.filter(_._3).collect {
+      case (name, sec, _, _)
+        if priorQueries.get(name).exists(p => p > 0 && sec > 2 * p && sec > 2.0) => name
+    }
+    val reruns = (slowest ++ regressed).distinct.take(8).map { name =>
       System.err.println(s"[bench] re-timing $name (trend guard)")
       val (sec, ok) = run(name, SparkEntry.queries(name))
       clearState()

@@ -88,20 +88,29 @@ object Curation {
     * Scale shape: the naive formulation is a GLOBAL ordered cumulative
     * sum — an unpartitioned window, i.e. every row through ONE task. This
     * implementation is the textbook distributed prefix-sum instead:
-    * per-range token totals (one shuffle to ~n/`rangeSize` rows) are
+    * per-range token totals (one shuffle to ~n/rangeSize rows) are
     * prefix-summed on the driver (metadata-scale, like a parquet footer
-    * read — at 10^9 docs and rangeSize 10^6 that is 1000 rows), then each
-    * range computes its LOCAL ordered cumsum in parallel and adds its
-    * broadcast offset. Rows never funnel through a single task. */
+    * read), then each range computes its LOCAL ordered cumsum in parallel
+    * and adds its broadcast offset. Rows never funnel through one task.
+    *
+    * `rangeSize` 0 (the default) self-scales as max(1000, idSpan/1000) —
+    * the driver collect is then bounded at ~1000 rows at ANY corpus size
+    * (10^9 docs → 1000 ranges of 10^6 docs), derived from the parquet
+    * max(doc_id) statistic, one metadata-scale action. The packing result
+    * is identical for every rangeSize; only the decomposition changes. */
   def tokenPack(spark: SparkSession, dir: String, budget: Long = 512,
-                rangeSize: Long = 1000): DataFrame = {
+                rangeSize: Long = 0): DataFrame = {
     import spark.implicits._
-    val t = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val rs =
+      if (rangeSize > 0) rangeSize
+      else math.max(1000L, (docs.agg(max("doc_id")).head().getLong(0) + 1) / 1000L)
+    val t = docs
       .select(col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
-        expr(s"doc_id div $rangeSize").as("rk"))
-    // Per-range totals → driver prefix sum. The collect is over n/rangeSize
-    // rows (NOT the corpus) — the documented metadata-scale exception.
+        expr(s"doc_id div $rs").as("rk"))
+    // Per-range totals → driver prefix sum. The collect is over ~1000 rows
+    // (NOT the corpus) — the documented metadata-scale exception.
     val totals = t.groupBy("rk").agg(sum("n_tokens").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

@@ -123,15 +123,23 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** The embedding dimension the STATIC oracle text inlines plane
+    * literals for (TESTDATA.md: all testdata embeddings are 64-d). The
+    * operator itself derives dim from data and raise_errors on mismatch;
+    * this constant only pins the oracle generation, and SimilaritySpec
+    * asserts it against the live testdata so a testdata regeneration
+    * fails LOUDLY in the suite instead of as a silent hash mismatch. */
+  private[graft] val OracleDim = 64
+
   /** DuckDB oracle for [[embedNearDup]], with the deterministic plane
     * vectors inlined as literals so the bucket assignment reproduces
     * bit-for-bit (both engines fold the dot product in index order).
     * The oracle text is static (no data access at generation time), so it
     * derives the bit count from count(*) with the SAME integer ladder as
-    * [[bitsFor]] and gates each inlined plane on `j < nb`. Testdata is
-    * 64-dimensional (TESTDATA.md), matching the operator's derived dim. */
+    * [[bitsFor]] and gates each inlined plane on `j < nb`; the plane
+    * literals are generated for [[OracleDim]]. */
   def embedNearDupOracleSql(threshold: Double = 0.3): String = {
-    val ps = planes(MaxBits, 64)
+    val ps = planes(MaxBits, OracleDim)
     val ladder = (MinBits until MaxBits)
       .map(b => s"WHEN c <= ${TargetBucket.toLong << b} THEN $b")
       .mkString(" ")

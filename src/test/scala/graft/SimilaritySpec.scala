@@ -43,6 +43,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.bitsFor(1000000000L) == 24) // clamp at 24
   }
 
+  test("oracle dim constant matches the live testdata embedding dimension") {
+    // embedNearDupOracleSql inlines plane literals for OracleDim; the
+    // operator derives dim from data — if testdata regenerates at another
+    // dim this fails here, in generation, not as a silent hash mismatch.
+    val dim = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0)
+    assert(dim == Similarity.OracleDim,
+      s"testdata embeddings are $dim-d but the oracle inlines ${Similarity.OracleDim}-d planes")
+  }
+
   test("mismatched embedding dimension fails loudly, not silently bucket 0") {
     import spark.implicits._
     val bad = Seq((1L, Array.fill(64)(0.5f)), (2L, Array.fill(32)(0.5f)))
