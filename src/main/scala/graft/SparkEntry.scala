@@ -58,6 +58,8 @@ object SparkEntry {
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_script_profile"    -> ((s, d) => TextAnalysis.scriptProfile(s, d)),
     "q_token_counts"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    // Gopher-style intra-doc repetition quality signal
+    "q_repetition"        -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -87,6 +89,9 @@ object SparkEntry {
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
+    // train/eval decontamination: benchmark 8-gram overlap, broadcast
+    // semi-join shape (benchmark side is tiny at any corpus scale)
+    "q_decontam"          -> ((s, d) => Curation.contamination(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -381,6 +386,8 @@ object SparkEntry {
     "q_sample_hash" -> Curation.sampleByHashOracleSql(),
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
     "q_token_pack" -> Curation.tokenPackOracleSql(),
+    "q_decontam" -> Curation.contaminationOracleSql(),
+    "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

@@ -125,6 +125,58 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Train/eval DECONTAMINATION — the overlap check every serious
+    * pretraining pipeline runs before training: flag corpus documents
+    * sharing any `k`-gram with a benchmark/eval set, so evaluation data
+    * leaking into the training corpus is caught instead of inflating
+    * scores. The benchmark here is the deterministic `pct`% id-hash slice
+    * (standing in for an external eval suite; the operator only needs its
+    * n-gram set). Output: (doc_id, n_shared) for every non-benchmark doc
+    * sharing ≥1 distinct k-gram.
+    *
+    * Scale shape: eval suites are megabytes while the corpus is 100 TB —
+    * so the benchmark's distinct k-gram set is BROADCAST and the corpus
+    * side is one narrow scan + broadcast-hash semi-join + partial-agg
+    * count. No corpus-sized shuffle; cost is linear in corpus tokens. */
+  def contamination(spark: SparkSession, dir: String, pct: Int = 10,
+                    k: Int = 8): DataFrame = {
+    val isBench =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < pct
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), isBench.as("is_bench"),
+        explode(Dedup.shingleSetK(k)).as("ng"))
+    val bench = grams.filter(col("is_bench")).select("ng").distinct()
+    grams.filter(!col("is_bench"))
+      .join(broadcast(bench), "ng")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** DuckDB oracle for [[contamination]] (same id-hash split as
+    * [[sampleByHashOracleSql]], same k-gram construction as the dedup
+    * oracles). count(*) per doc counts DISTINCT shared grams because the
+    * per-doc gram list is already deduplicated. */
+  def contaminationOracleSql(pct: Int = 10, k: Int = 8): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, text, ($hexToLong) % 100 < $pct AS is_bench
+                   FROM (SELECT doc_id, text,
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+                         FROM documents) t),
+       g AS (SELECT doc_id, is_bench, unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= $k
+                 THEN [array_to_string(string_split(text, ' ')[i : i + ${k - 1}], ' ')
+                       for i in range(1, len(string_split(text, ' ')) - ${k - 1} + 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)) AS ng
+             FROM h),
+       bench AS (SELECT DISTINCT ng FROM g WHERE is_bench)
+       SELECT g.doc_id, count(*) AS n_shared
+       FROM g JOIN bench USING (ng)
+       WHERE NOT g.is_bench
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
+  }
+
   /** DuckDB oracle for [[tokenPack]]: the same packing as ONE global
     * ordered cumsum (fine at oracle scale; the operator's range/offset
     * decomposition computes the identical cum values). */

@@ -149,4 +149,58 @@ object TextAnalysis {
       .select(col("doc_id"),
         md5(col("text")).as("fp"),
         substring(md5(col("text")), 1, 16).as("fp64"))
+
+  /** Ordered (non-distinct) k-gram list — repetition needs the duplicates
+    * [[graft.operators.Dedup.shingleSetK]] deliberately removes. */
+  private def gramList(k: Int): Column = expr(
+    s"""CASE WHEN size(split(text, ' ', -1)) >= $k THEN
+          transform(
+            sequence(0, size(split(text, ' ', -1)) - $k),
+            i -> array_join(slice(split(text, ' ', -1), i + 1, $k), ' '))
+        ELSE array() END""")
+
+  /** Intra-document repetition scoring — the Gopher-style "repetition"
+    * quality signal: the fraction of bigrams/trigrams that are repeats of
+    * an earlier n-gram in the SAME document (looping generation, boiler-
+    * plate stuffing, keyword spam all spike it). `repetitive` applies the
+    * trigram threshold — the filter verdict a pretraining pipeline acts
+    * on. Narrow per-row array arithmetic, all codegen'd, no shuffle; the
+    * ratio arithmetic is (n − n_distinct)/n in BOTH engines so the
+    * rounded doubles agree bit-for-bit. */
+  def repetitionScore(spark: SparkSession, dir: String,
+                      threshold: Double = 0.2): DataFrame = {
+    def dupRatio(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise(round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), gramList(2).as("bg"), gramList(3).as("tg"))
+      .select(col("doc_id"),
+        size(col("bg")).as("n_bigrams"),
+        dupRatio(col("bg")).as("dup_bigram_ratio"),
+        size(col("tg")).as("n_trigrams"),
+        dupRatio(col("tg")).as("dup_trigram_ratio"))
+      .withColumn("repetitive", col("dup_trigram_ratio") > threshold)
+  }
+
+  /** DuckDB oracle for [[repetitionScore]], generated from the same
+    * threshold; list comprehensions mirror the operator's k-gram lists
+    * (1-based inclusive slices, guarded short docs). */
+  def repetitionScoreOracleSql(threshold: Double = 0.2): String = {
+    def grams(k: Int): String =
+      s"""CASE WHEN len(string_split(text, ' ')) >= $k
+            THEN [array_to_string(string_split(text, ' ')[i : i + ${k - 1}], ' ')
+                  for i in range(1, len(string_split(text, ' ')) - ${k - 1} + 1)]
+            ELSE CAST([] AS VARCHAR[]) END"""
+    def dupRatio(c: String): String =
+      s"CASE WHEN len($c) = 0 THEN 0.0 ELSE round(CAST(len($c) - len(list_distinct($c)) AS DOUBLE) / len($c), 6) END"
+    s"""WITH g AS (SELECT doc_id, ${grams(2)} AS bg, ${grams(3)} AS tg
+                   FROM documents)
+       SELECT doc_id,
+              len(bg) AS n_bigrams,
+              ${dupRatio("bg")} AS dup_bigram_ratio,
+              len(tg) AS n_trigrams,
+              ${dupRatio("tg")} AS dup_trigram_ratio,
+              ${dupRatio("tg")} > $threshold AS repetitive
+       FROM g ORDER BY doc_id"""
+  }
 }

@@ -62,6 +62,31 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.head == 0L && ids.zipWithIndex.forall { case (v, i) => v == i })
   }
 
+  test("decontamination equals a brute-force recomputation; benchmark slice excluded") {
+    val out = Curation.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hashPct(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h % 100
+    }
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSet else Set.empty
+    }
+    val (bench, corpus) = docs.partition(d => hashPct(d._1) < 10)
+    val benchGrams = bench.iterator.flatMap(d => grams(d._2)).toSet
+    val expected = corpus
+      .map(d => d._1 -> grams(d._2).count(benchGrams.contains).toLong)
+      .filter(_._2 > 0).toMap
+    assert(out == expected)
+    // no benchmark doc may ever be flagged against itself
+    assert(out.keySet.intersect(bench.map(_._1).toSet).isEmpty)
+  }
+
   test("range-decomposed prefix sum equals the single-range reference") {
     // rangeSize larger than the corpus => one range => plain global cumsum;
     // the multi-range decomposition must produce identical packs.

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** X4 repetition scoring: the Spark result must equal a direct Scala
+  * recomputation per document (same n-gram windows, same rounding). */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("repetition score matches a direct recomputation and flags by threshold") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(text: String, k: Int): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty
+    }
+    def ratio(text: String, k: Int): Double = {
+      val g = grams(text, k)
+      if (g.isEmpty) 0.0
+      else BigDecimal((g.size - g.distinct.size).toDouble / g.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = TextAnalysis.repetitionScore(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getInt(1) == grams(text, 2).size)
+      assert(math.abs(r.getDouble(2) - ratio(text, 2)) < 1e-9)
+      assert(r.getInt(3) == grams(text, 3).size)
+      assert(math.abs(r.getDouble(4) - ratio(text, 3)) < 1e-9)
+      assert(r.getBoolean(5) == (r.getDouble(4) > 0.2))
+    }
+  }
+}
