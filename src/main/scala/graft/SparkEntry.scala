@@ -47,6 +47,8 @@ object SparkEntry {
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     "q_exact_distinct_count" -> ((s, d) => Analytics.exactDistinctCount(s, d)),
     "q_approx_distinct"   -> ((s, d) => Analytics.approxDistinct(s, d)),
+    // exact percentiles (oracle arm) + GK-sketch approx (scale arm)
+    "q_value_percentiles" -> ((s, d) => Analytics.valuePercentiles(s, d)),
     // — X7 as-of join —
     "q_events_asof"       -> ((s, d) => AsofJoin.eventOrderAsof(s, d)),
     // — X4 text analysis over documents —
@@ -215,6 +217,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
+    "q_value_percentiles" -> Analytics.valuePercentilesOracleSql,
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->
       """SELECT event_type, count(*) AS n_events,

@@ -181,4 +181,42 @@ object Analytics {
         (abs(col("ap") - col("n_parts_exact")).cast("double") / col("n_parts_exact") <= 0.05).as("parts_ok"),
         (abs(col("ao") - col("n_orders_exact")).cast("double") / col("n_orders_exact") <= 0.05).as("orders_ok"))
   }
+
+  /** X5's percentile twin — value-distribution profiling per event type:
+    * exact linearly-interpolated p50/p90/p99 (the oracle-checkable arm;
+    * DuckDB's quantile_cont uses the same rank = p·(n−1) interpolation)
+    * next to `percentile_approx` (GK sketch) with a relative-error
+    * verdict. The exact `percentile` aggregate buffers the whole group —
+    * fine for a per-key profile at testdata scale and as the oracle, but
+    * the SKETCH is the 100 TB arm: bounded memory per group, mergeable
+    * partials, one pass — same exact/approx split (and the same reason)
+    * as [[approxDistinct]]. Approx tolerance is on the VALUE scale: the
+    * sketch guarantees rank error ≤ 1/accuracy, so the p50 estimate is
+    * some true quantile in p50±1e-4 — bounded here by the p40..p60 value
+    * band, a loose deterministic envelope. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.abs
+    val e = Tables.events(spark, dir).select("event_type", "value")
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+        percentile(col("value"), lit(0.4)).as("p40"),
+        percentile(col("value"), lit(0.6)).as("p60"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("ap50"))
+      .select(col("event_type"), col("n"), col("p50"), col("p90"), col("p99"),
+        (col("ap50") >= col("p40") - abs(col("p40")) * 0.01 &&
+          col("ap50") <= col("p60") + abs(col("p60")) * 0.01).as("approx_ok"))
+  }
+
+  /** DuckDB oracle for [[valuePercentiles]]: quantile_cont + TRUE
+    * verdicts (the sketch value itself is engine-specific). */
+  val valuePercentilesOracleSql: String =
+    """SELECT event_type, count(*) AS n,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.9), 6) AS p90,
+              round(quantile_cont(value, 0.99), 6) AS p99,
+              TRUE AS approx_ok
+       FROM events GROUP BY event_type ORDER BY event_type"""
 }
