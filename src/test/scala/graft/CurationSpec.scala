@@ -87,6 +87,13 @@ class CurationSpec extends AnyFunSuite {
     assert(out.keySet.intersect(bench.map(_._1).toSet).isEmpty)
   }
 
+  test("decontamination plan broadcasts the benchmark side (no corpus-sized shuffle join)") {
+    val plan = Curation.contamination(spark, sf).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join against the benchmark n-gram set, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus-side sort-merge join would shuffle the corpus")
+  }
+
   test("range-decomposed prefix sum equals the single-range reference") {
     // rangeSize larger than the corpus => one range => plain global cumsum;
     // the multi-range decomposition must produce identical packs.
