@@ -49,6 +49,8 @@ object SparkEntry {
     "q_approx_distinct"   -> ((s, d) => Analytics.approxDistinct(s, d)),
     // exact percentiles (oracle arm) + GK-sketch approx (scale arm)
     "q_value_percentiles" -> ((s, d) => Analytics.valuePercentiles(s, d)),
+    // trailing-hour RANGE-frame rolling aggregate per user
+    "q_rolling_value"     -> ((s, d) => Analytics.rollingUserValue(s, d)),
     // — X7 as-of join —
     "q_events_asof"       -> ((s, d) => AsofJoin.eventOrderAsof(s, d)),
     // — X4 text analysis over documents —
@@ -78,6 +80,8 @@ object SparkEntry {
     // pairs -> transitive clusters -> keeper per cluster (the dedup
     // story's last step; A~B, B~C dedup as one group without A~C)
     "q_dedup_clusters"    -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    // ...and the final artifact: the pruned corpus (keepers + unclustered)
+    "q_dedup_pruned"      -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
@@ -218,6 +222,7 @@ object SparkEntry {
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
     "q_value_percentiles" -> Analytics.valuePercentilesOracleSql,
+    "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->
       """SELECT event_type, count(*) AS n_events,
@@ -353,6 +358,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.nearDupNewVsCorpusOracleSql(),
     // Same pair CTEs + recursive transitive closure (min reachable id).
     "q_dedup_clusters" -> Dedup.nearDupClustersOracleSql(),
+    "q_dedup_pruned" -> Dedup.dedupedCorpusOracleSql(),
     "q_simhash" ->
       s"""SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash

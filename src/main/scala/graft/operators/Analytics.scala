@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -219,4 +220,44 @@ object Analytics {
               round(quantile_cont(value, 0.99), 6) AS p99,
               TRUE AS approx_ok
        FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Trailing-hour per-user rolling aggregate — the RANGE-frame window
+    * class (event-TIME frame, not row-count): for each event, the count
+    * and exact DECIMAL sum of the same user's events in the preceding
+    * hour. The frame bound is epoch-micros arithmetic so both engines
+    * agree to the microsecond; ties at the same micro all join the frame
+    * (RANGE semantics, identical in both engines).
+    *
+    * Scale shape: partitioned by user_id — one hash shuffle, each user's
+    * timeline sorts and scans independently (WindowExec keeps a sliding
+    * frame, O(events/user)); no global sort, no driver involvement. The
+    * streaming twin of this shape is [[graft.streaming.StreamingOps
+    * .hourlyCounts]]'s watermarked window state. */
+  def rollingUserValue(spark: SparkSession, dir: String,
+                       windowHours: Int = 1): DataFrame = {
+    val frameUs = windowHours * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-frameUs, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_events_trailing"),
+        sum(col("v")).over(w).cast("double").as("sum_value_trailing"))
+  }
+
+  /** DuckDB oracle for [[rollingUserValue]], generated from the same
+    * frame width. */
+  def rollingUserValueOracleSql(windowHours: Int = 1): String = {
+    val frameUs = windowHours * 3600L * 1000000L
+    s"""SELECT event_id, user_id,
+              count(*) OVER w AS n_events_trailing,
+              CAST(sum(v) OVER w AS DOUBLE) AS sum_value_trailing
+       FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                    CAST(value AS DECIMAL(18,2)) AS v FROM events) e
+       WINDOW w AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN $frameUs PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+  }
 }

@@ -530,18 +530,34 @@ object Dedup {
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
-  /** DuckDB oracle for [[nearDupClusters]]: the same pair CTE chain, then
-    * transitive closure by recursive reachability (UNION dedups across
-    * rounds, so the recursion terminates on cycles) — a component's
-    * cluster id is the least of the node and everything reachable from
-    * it. */
-  def nearDupClustersOracleSql(threshold: Double = 0.95,
-                               minBands: Int = DefaultMinBands,
-                               estJaccard: Double = DefaultEstJaccard,
-                               shingleK: Int = 1,
-                               bands: Int = NumBands,
-                               rowsPerBand: Int = RowsPerBand): String =
-    s"""WITH RECURSIVE ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+  /** The pruned corpus — the dedup story's FINAL artifact: every document
+    * except non-keeper members of near-dup clusters (what actually ships
+    * to tokenization). The loser set is orders of magnitude smaller than
+    * the corpus, so the subtraction is a broadcast-able LEFT ANTI join —
+    * one narrow corpus scan, no corpus-sized shuffle. */
+  def dedupedCorpus(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                    minBands: Int = DefaultMinBands,
+                    maxBucket: Int = DefaultMaxBucket,
+                    estJaccard: Double = DefaultEstJaccard,
+                    shingleK: Int = 1,
+                    bands: Int = NumBands,
+                    rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val losers = nearDupClusters(spark, dir, threshold, minBands, maxBucket,
+      estJaccard, shingleK, bands, rowsPerBand)
+      .filter(!col("is_keeper")).select("doc_id")
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** The cluster CTE chain up to `lbl` (doc_id, cluster_id) — transitive
+    * closure by recursive reachability (UNION dedups across rounds, so
+    * the recursion terminates on cycles); a component's cluster id is the
+    * least of the node and everything reachable from it. Shared by the
+    * cluster and pruned-corpus oracles. */
+  private def clusterCtes(threshold: Double, minBands: Int, estJaccard: Double,
+                          shingleK: Int, bands: Int, rowsPerBand: Int): String =
+    s"""${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
        reach AS (
@@ -549,9 +565,31 @@ object Dedup {
          UNION
          SELECT w.doc_id, e.dst FROM reach w JOIN edges e ON w.r = e.src),
        lbl AS (SELECT doc_id, least(doc_id, min(r)) AS cluster_id
-               FROM reach GROUP BY doc_id)
+               FROM reach GROUP BY doc_id)"""
+
+  /** DuckDB oracle for [[nearDupClusters]]. */
+  def nearDupClustersOracleSql(threshold: Double = 0.95,
+                               minBands: Int = DefaultMinBands,
+                               estJaccard: Double = DefaultEstJaccard,
+                               shingleK: Int = 1,
+                               bands: Int = NumBands,
+                               rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)}
        SELECT cluster_id, doc_id, doc_id = cluster_id AS is_keeper
        FROM lbl ORDER BY cluster_id, doc_id"""
+
+  /** DuckDB oracle for [[dedupedCorpus]]: same cluster chain, anti-joined
+    * against the corpus. */
+  def dedupedCorpusOracleSql(threshold: Double = 0.95,
+                             minBands: Int = DefaultMinBands,
+                             estJaccard: Double = DefaultEstJaccard,
+                             shingleK: Int = 1,
+                             bands: Int = NumBands,
+                             rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)}
+       SELECT doc_id, lang, n_chars FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+       ORDER BY doc_id"""
 
   /** DuckDB oracle for [[nearDupNewVsCorpus]]: same CTE chain, asymmetric
     * candidate join with the identical ⌊9·max/10⌋ split. No bucket-cap

@@ -10,6 +10,29 @@ class AnalyticsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("rolling trailing-hour aggregate matches a brute-force self-join recomputation") {
+    val got = Analytics.rollingUserValue(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    val byUser = evs.groupBy(_._2)
+    val expected = evs.map { case (id, uid, us, _) =>
+      val frame = byUser(uid).filter(e => e._3 >= us - 3600000000L && e._3 <= us)
+      val sum = frame.map(_._4.asInstanceOf[java.math.BigDecimal])
+        .reduce(_.add(_)).doubleValue()
+      id -> (frame.length.toLong, sum)
+    }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, (n, s)) =>
+      assert(got(id)._1 == n, s"event $id frame count")
+      assert(math.abs(got(id)._2 - s) < 1e-6, s"event $id frame sum")
+    }
+  }
+
   test("value percentiles: one row per type, monotone p50<=p90<=p99, approx inside envelope") {
     val p = Analytics.valuePercentiles(spark, sf)
     val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()

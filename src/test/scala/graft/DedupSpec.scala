@@ -127,6 +127,19 @@ class DedupSpec extends AnyFunSuite {
     assert(nodes.exceptAll(clusters.select("doc_id")).isEmpty)
   }
 
+  test("pruned corpus = all docs minus non-keeper cluster members") {
+    val clusters = Dedup.nearDupClusters(spark, sf, 0.95)
+    val pruned = Dedup.dedupedCorpus(spark, sf, 0.95)
+    val docs = Tables.documents(spark, sf)
+    val nLosers = clusters.filter(!col("is_keeper")).count()
+    assert(pruned.count() == docs.count() - nLosers)
+    // every keeper survives, every loser is gone
+    val keepers = clusters.filter(col("is_keeper")).select("doc_id")
+    assert(keepers.exceptAll(pruned.select("doc_id")).isEmpty)
+    val losers = clusters.filter(!col("is_keeper")).select("doc_id")
+    assert(pruned.select("doc_id").intersect(losers).isEmpty)
+  }
+
   test("simhash: 32-bit range, deterministic, equal token sets hash equal") {
     val sh = Dedup.simhash(spark, sf)
     assert(sh.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).isEmpty)
