@@ -111,6 +111,9 @@ object SparkEntry {
     // Stateful streaming exact-dedup (X1's streaming twin): first-seen
     // fingerprints survive; the distinct-fp set is the deterministic part.
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingOps.streamDedupEndToEnd(s, d)),
+    // Stream-static enrichment: event stream joins the customer dim
+    // (broadcast, re-planned per micro-batch), revenue per segment.
+    "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -391,6 +394,12 @@ object SparkEntry {
     // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    // The stream-static join must equal the plain batch join.
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // Generated from the operators' own constants (pct / token budget).
     "q_sample_hash" -> Curation.sampleByHashOracleSql(),
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),

@@ -503,6 +503,7 @@ object Dedup {
     }
     require(changed == 0,
       s"connected components did not converge within $maxIters label-propagation rounds")
+    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     labels.select(col("label").as("cluster_id"), col("doc_id"))
   }
 

@@ -317,6 +317,44 @@ object StreamingOps {
       round(col("total_value"), 2).as("total_value")))
   }
 
+  /** Stream-STATIC enrichment — the third core Structured Streaming shape
+    * after windowed aggregation and custom state: the event stream joins
+    * the static customer dimension and aggregates revenue per segment.
+    * The static side is a plain batch DataFrame; Spark re-plans it per
+    * micro-batch (so a slowly-changing dimension refreshes between
+    * batches) and broadcasts it under the join threshold — no stream-side
+    * shuffle. `AvailableNow` + complete mode make the bounded replay
+    * deterministic; the oracle is the identical batch join/groupBy.
+    * DECIMAL(18,2) summation keeps the total independent of per-batch
+    * accumulation order. */
+  def streamEnrichEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-enrich").toString
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = spark.readStream.schema(rawEventSchema)
+      .parquet(watchDir.toString)
+      .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = stream.join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(_.select(col("c_mktsegment"), col("n_events"),
+      col("total_value").cast("double").as("total_value")))
+  }
+
   private val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),

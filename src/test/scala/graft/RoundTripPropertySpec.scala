@@ -39,4 +39,36 @@ class RoundTripPropertySpec extends AnyFunSuite {
     val d = graft.operators.Relational.distinctPairs(spark, TestSpark.sf)
     assert(d.distinct().count() == d.count())
   }
+
+  test("connected components equals reference union-find on random graphs") {
+    import spark.implicits._
+    // random sparse graphs over <= 30 nodes: chains, cliques-by-accident,
+    // isolated pairs, self-contradicting duplicates — all shapes the LSH
+    // pair list can produce
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.choose(1, 40).flatMap(Gen.listOfN(_, edgeGen))
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: every node maps to its component's MIN id
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.toSeq.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+    }
+    samples(graphGen, 12).foreach { edges =>
+      val got = graft.operators.Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+      assert(got == unionFind(edges), s"edges: $edges")
+    }
+  }
 }

@@ -94,6 +94,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals its batch twin") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum => sm}
+    val got = StreamingOps.streamEnrichEndToEnd(spark, TestSpark.sf)
+    val want = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      .join(Tables.customer(spark, TestSpark.sf)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(cnt(lit(1)).as("n_events"),
+        sm(col("v")).cast("double").as("total_value"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming exact dedup emits each distinct fingerprint exactly once") {
     val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
     val want = Tables.documents(spark, TestSpark.sf)
