@@ -460,51 +460,73 @@ object Dedup {
        ORDER BY doc_a, doc_b"""
 
   /** Connected components over an undirected pair list via iterative
-    * min-label propagation: every node starts labeled with its own id;
-    * each round every node takes the minimum label among itself and its
-    * neighbors; at fixpoint a component's shared label is its minimum
-    * member id. Convergence needs O(component diameter) rounds — near-dup
-    * components are dense (duplicates of one source document collide with
-    * each other, not in long chains), so the diameter is small; `maxIters`
-    * is a loud upper bound, not a silent truncation (`require` fails if
-    * propagation has not reached fixpoint).
+    * min-label propagation with POINTER JUMPING: every node starts
+    * labeled with its own id; each round every node takes the minimum
+    * label among itself and its neighbors, then replaces that label by
+    * the label's OWN label (path halving — a label is always a node id,
+    * so it has a row). Plain propagation moves a component's minimum one
+    * hop per round (O(diameter) rounds — measured 11 at sf0.1); the jump
+    * step halves remaining label-chains every round, giving
+    * O(log diameter) convergence, the same reason large-star/small-star
+    * is logarithmic. `maxIters` is a loud upper bound, not a silent
+    * truncation (`require` fails if propagation has not reached
+    * fixpoint).
     *
     * Scale shape: the loop runs over the PAIR LIST (LSH output — orders of
-    * magnitude smaller than the corpus), one small self-equi-join + one
+    * magnitude smaller than the corpus), two small equi-joins + one
     * partial-aggregated groupBy per round, `localCheckpoint` per round so
     * the lineage stays one-round deep (the Lloyd-loop pattern,
-    * `Similarity.scala` k-means). For adversarial graphs (billions of
-    * edges in long chains) the known upgrade is the large-star/small-star
-    * algorithm (O(log n) rounds); the gap rule here never produces those.
+    * `Similarity.scala` k-means).
     *
     * Input: two id columns named `doc_a`/`doc_b`. Output: one row per node
     * — (cluster_id = min doc_id of the component, doc_id). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.select("doc_id", "label").union(prop)
-        .groupBy("doc_id").agg(min("label").as("label"))
+    val spark = pairs.sparkSession
+    // Constraint propagation OFF for the loop: checkpointing the jump's
+    // self-join captures constraints whose attribute ids the NEXT round's
+    // union rewrite no longer finds (Catalyst's LogicalRDD constraint
+    // rewrite vs self-join attribute dedup), which throws from deep inside
+    // analysis. The loop's plans are tiny equi-joins where inferred
+    // constraints optimize nothing, so disabling costs nothing and also
+    // skips the per-round constraint recomputation. Restored in finally.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.get(cpKey, "true")
+    spark.conf.set(cpKey, "false")
+    try {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
-      // labels only ever decrease, so "any row strictly smaller" is the
-      // exact fixpoint test
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") < col("o.label")).limit(1).count()
-      labels = next
-      iter += 1
-    }
-    require(changed == 0,
-      s"connected components did not converge within $maxIters label-propagation rounds")
-    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
-    labels.select(col("label").as("cluster_id"), col("doc_id"))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .localCheckpoint()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIters) {
+        val prop = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(col("dst").as("doc_id"), col("label"))
+        // materialized BEFORE the self-join so the jump re-reads these
+        // blocks instead of recomputing the aggregate on both sides
+        val minNbr = labels.select("doc_id", "label").union(prop)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .localCheckpoint()
+        // pointer jump: a node's label is itself a node, and ITS label is
+        // never larger — following it halves remaining label-chain lengths
+        val next = minNbr.as("n").join(minNbr.as("p"),
+            col("n.label") === col("p.doc_id"))
+          .select(col("n.doc_id").as("doc_id"), col("p.label").as("label"))
+          .localCheckpoint()
+        // labels only ever decrease, so "any row strictly smaller" is the
+        // exact fixpoint test
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.label") < col("o.label")).limit(1).count()
+        labels = next
+        iter += 1
+      }
+      require(changed == 0,
+        s"connected components did not converge within $maxIters label-propagation rounds")
+      System.err.println(s"[graft] connectedComponents converged in $iter rounds")
+      labels.select(col("label").as("cluster_id"), col("doc_id"))
+    } finally spark.conf.set(cpKey, cpPrev)
   }
 
   /** X2e — the END of the dedup story: near-dup PAIRS → transitive

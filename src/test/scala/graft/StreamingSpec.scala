@@ -39,7 +39,8 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamEvent]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-update-ckpt").toString
+    // graft-stream- prefix so the bench/verify scratch sweep collects it
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-update-ckpt").toString
     val seen = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     input.addData(StreamEvent(1L, ts(5), 1L, "click", 1.0))
     val q = StreamingOps.hourlyCountsUpdate(input.toDF(), ckpt) { (batch, _) =>
@@ -60,7 +61,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(lastTotal == 2, s"expected only the two live 20:00 windows in state, got $lastTotal")
       // update mode emitted each changed window, including the pre-GC one
       assert(seen.synchronized(seen.exists(_.getString(1) == "click")))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 
   test("watermark-bounded streaming dedup drops re-ingests inside the window and GCs state") {
