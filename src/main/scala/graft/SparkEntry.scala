@@ -114,6 +114,11 @@ object SparkEntry {
     // Stream-static enrichment: event stream joins the customer dim
     // (broadcast, re-planned per micro-batch), revenue per segment.
     "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichEndToEnd(s, d)),
+    // STREAMING near-dup: arriving documents scored against the static
+    // corpus signature store — per-row narrow MinHash kernel, stream-
+    // static bucket join, codegen'd agreement/Jaccard filters. Same
+    // result set (and oracle) as the batch incremental flow.
+    "q_stream_dedup_near" -> ((s, d) => graft.streaming.StreamingOps.streamNearDupEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -359,6 +364,8 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.nearDupOracleSql(threshold = 0.9,
       estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4),
     "q_dedup_incremental" -> Dedup.nearDupNewVsCorpusOracleSql(),
+    // The streaming flow must reproduce the batch incremental result.
+    "q_stream_dedup_near" -> Dedup.nearDupNewVsCorpusOracleSql(),
     // Same pair CTEs + recursive transitive closure (min reachable id).
     "q_dedup_clusters" -> Dedup.nearDupClustersOracleSql(),
     "q_dedup_pruned" -> Dedup.dedupedCorpusOracleSql(),

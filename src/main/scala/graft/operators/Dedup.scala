@@ -143,6 +143,73 @@ object Dedup {
     bandSignatures(wideMinhash(spark, dir, shingleSet, NumBands * RowsPerBand),
       NumBands, RowsPerBand)
 
+  /** PER-ROW (narrow) minhash signatures — the STREAMING form of the
+    * kernel: one `transform` hashes every shingle once (`hs_arr`), each
+    * of the `nHashes` minhashes is an `array_min` over an affine rehash
+    * of that array (`mh` array), and band signatures are md5 over its
+    * slices (`sig_arr`) — all codegen'd scalar expressions, NO explode,
+    * NO aggregation, NO shuffle. A row in, (mh, sig_arr) out: exactly
+    * what a document STREAM needs (a streaming aggregation would force
+    * watermark semantics onto an operation that is logically
+    * per-document). Values are bit-identical to
+    * [[wideMinhash]]+[[bandSignatures]] — same md5 prefix, same affine
+    * family, same modulus, same band geometry. The intermediates stay
+    * SEPARATE projections on purpose: CollapseProject does not inline an
+    * expensive alias referenced many times, so `hs_arr` and `mh`
+    * evaluate once per row even though 128 / 8 expressions read them. */
+  private[graft] def withNarrowSignatures(df: DataFrame, shingleK: Int,
+                                          bands: Int, rowsPerBand: Int): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val hs = expr(
+      s"""transform(${shingleSetKSql(shingleK)},
+            s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))""")
+    val mins = affineCoeffs(nHashes).map { case (a, b) =>
+      expr(s"array_min(transform(hs_arr, h -> ($a * h + $b) % $HashMod))")
+    }
+    val sigOf = (bIdx: Int) => {
+      val rows = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
+        .map(i => col("mh").getItem(i).cast("string"))
+      md5(concat_ws("|", rows: _*))
+    }
+    df.withColumn("hs_arr", hs)
+      .withColumn("mh", array(mins: _*))
+      .withColumn("sig_arr", array((0 until bands).map(sigOf): _*))
+      .drop("hs_arr")
+  }
+
+  /** The persisted-signature-store shape a production dedup service keeps
+    * per corpus document: (doc_id, band, sig) bucket rows for the LSH
+    * equi-join plus a (doc_id, mh, sig_arr) profile for the per-pair
+    * filters. Computed here with the batch kernel and checkpointed — the
+    * single-app stand-in for reading the store from parquet. */
+  private[graft] def signatureStore(spark: SparkSession, dir: String,
+                                    shingleK: Int = 1, bands: Int = NumBands,
+                                    rowsPerBand: Int = RowsPerBand)
+      : (DataFrame, DataFrame) = {
+    val nHashes = bands * rowsPerBand
+    val wide = wideMinhash(spark, dir, shingleSetK(shingleK), nHashes).localCheckpoint()
+    val sig = bandSignatures(wide, bands, rowsPerBand)
+    val sigArr = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").cast("string"))
+      md5(concat_ws("|", rows: _*))
+    }
+    val profile = wide.select(col("doc_id"),
+      array((0 until nHashes).map(i => col(s"m$i")): _*).as("mh"),
+      array(sigArr: _*).as("sig_arr"))
+    (sig, profile)
+  }
+
+  /** [[shingleSetK]] as a SQL text fragment (for nesting inside
+    * higher-order transform lambdas). */
+  private def shingleSetKSql(k: Int): String =
+    if (k == 1) "array_distinct(split(text, ' ', -1))"
+    else
+      s"""CASE WHEN size(split(text, ' ', -1)) >= $k THEN
+            array_distinct(transform(
+              sequence(0, size(split(text, ' ', -1)) - $k),
+              i -> array_join(slice(split(text, ' ', -1), i + 1, $k), ' ')))
+          ELSE array() END"""
+
   /** Default LSH bucket-size cap: a (band, sig) bucket of b members emits
     * b(b-1)/2 candidate pairs, so one boilerplate-heavy bucket (cookie
     * banners, license headers) is the classic quadratic blowup at 100 TB.

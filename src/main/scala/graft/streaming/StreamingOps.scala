@@ -396,6 +396,84 @@ object StreamingOps {
     readBackCleaned(spark, out)(identity)
   }
 
+  /** STREAMING near-dup dedup — the production "dedupe arriving documents
+    * against the historical corpus" flow run as an actual stream: the new
+    * batch (top doc_id decile, [[graft.operators.Dedup.nearDupNewVsCorpus]]'s
+    * split) arrives as a document STREAM, computes its MinHash-128 band
+    * signatures PER ROW with the narrow kernel (no explode, no streaming
+    * aggregation — [[graft.operators.Dedup.withNarrowSignatures]]), then:
+    * stream-static equi-join against the corpus signature store on
+    * (band, sig); stateful pair dedup (`dropDuplicates` — a bounded
+    * replay; an unbounded stream uses dropDuplicatesWithinWatermark);
+    * stream-static join to the corpus profile; per-row band-agreement /
+    * minhash-agreement / exact-Jaccard filters via the codegen'd array
+    * kernels. Everything after the source is either per-row or
+    * stream-static — no watermark semantics imposed on a logically
+    * per-document operation. Emits the same (new_doc, corpus_doc,
+    * jaccard) rows as the batch incremental operator, so it shares its
+    * DuckDB oracle. */
+  def streamNearDupEndToEnd(spark: SparkSession, dir: String,
+                            threshold: Double = 0.95): DataFrame = {
+    import graft.operators.Dedup
+    graft.functions.ArrayAgreeCount.register(spark)
+    graft.functions.ArrayIntersectCount.register(spark)
+    val splitFrom = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    // static sides: the corpus signature store + shingle sets (read from
+    // the persisted store in production; computed + checkpointed here)
+    val (sigAll, profileAll) = Dedup.signatureStore(spark, dir)
+    val corpusSig = sigAll.filter(col("doc_id") < splitFrom)
+      .withColumnRenamed("doc_id", "corpus_doc").localCheckpoint()
+    val corpusProfile = profileAll.filter(col("doc_id") < splitFrom)
+      .select(col("doc_id").as("corpus_doc"), col("mh").as("mh_b"),
+        col("sig_arr").as("sig_arr_b")).localCheckpoint()
+    val corpusSets = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < splitFrom)
+      .select(col("doc_id").as("corpus_doc"),
+        Dedup.shingleSetK(1).as("set_b")).localCheckpoint()
+    val minAgree = Dedup.minAgreeFor(Dedup.DefaultEstJaccard)
+    // the stream: new-batch documents arriving as files
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-neardup").toString
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val newStream = Dedup.withNarrowSignatures(
+        spark.readStream.schema(docSchema).parquet(watchDir.toString)
+          .filter(col("doc_id") >= splitFrom),
+        shingleK = 1, bands = 8, rowsPerBand = 16)
+      .select(col("doc_id").as("new_doc"), col("mh").as("mh_a"),
+        col("sig_arr"), Dedup.shingleSetK(1).as("set_a"))
+      .filter(size(col("set_a")) > 0)
+    val candidates = newStream
+      .select(col("new_doc"), col("mh_a"), col("sig_arr"), col("set_a"),
+        posexplode(col("sig_arr")).as(Seq("band", "sig")))
+      .join(corpusSig, Seq("band", "sig"))
+      .dropDuplicates("new_doc", "corpus_doc")
+    val pairs = candidates
+      .join(corpusProfile, "corpus_doc")
+      .filter(expr("size(filter(zip_with(sig_arr, sig_arr_b, (x, y) -> x = y), v -> v))")
+        >= Dedup.DefaultMinBands)
+      .filter(expr("array_agree_count(mh_a, mh_b)") >= minAgree)
+      .join(corpusSets, "corpus_doc")
+      .withColumn("c", expr("array_intersect_count(set_a, set_b)"))
+      .select(col("new_doc"), col("corpus_doc"),
+        round(col("c").cast("double")
+          / (size(col("set_a")) + size(col("set_b")) - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val q = pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
   /** DuckDB oracle for [[sessionizeEndToEnd]], generated from the SAME gap
     * constant: classic window-gap sessionization (break where the gap to
     * the previous event exceeds the threshold, session id = running break

@@ -116,6 +116,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming near-dup equals the batch incremental flow exactly") {
+    val got = StreamingOps.streamNearDupEndToEnd(spark, TestSpark.sf)
+    val want = graft.operators.Dedup.nearDupNewVsCorpus(spark, TestSpark.sf)
+    assert(got.count() > 0, "expected near-dup pairs in the replay")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming exact dedup emits each distinct fingerprint exactly once") {
     val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
     val want = Tables.documents(spark, TestSpark.sf)
