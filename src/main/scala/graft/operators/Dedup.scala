@@ -144,37 +144,49 @@ object Dedup {
       NumBands, RowsPerBand)
 
   /** PER-ROW (narrow) minhash signatures — the STREAMING form of the
-    * kernel: one `transform` hashes every shingle once (`hs_arr`), each
-    * of the `nHashes` minhashes is an `array_min` over an affine rehash
-    * of that array (`mh` array), and band signatures are md5 over its
-    * slices (`sig_arr`) — all codegen'd scalar expressions, NO explode,
-    * NO aggregation, NO shuffle. A row in, (mh, sig_arr) out: exactly
-    * what a document STREAM needs (a streaming aggregation would force
+    * kernel: ONE `aggregate` folds over the row's hashed shingles with a
+    * `nHashes`-wide running-min state (per shingle: one md5, then 128
+    * multiply-add-mins via `zip_with` against the inlined coefficient
+    * array), and the finish lambda emits the minhash array plus its md5
+    * band signatures in the same pass. A row in, (mh, sig_arr) out: no
+    * explode, no aggregation operator, no shuffle — exactly what a
+    * document STREAM needs (a streaming aggregation would force
     * watermark semantics onto an operation that is logically
     * per-document). Values are bit-identical to
     * [[wideMinhash]]+[[bandSignatures]] — same md5 prefix, same affine
-    * family, same modulus, same band geometry. The intermediates stay
-    * SEPARATE projections on purpose: CollapseProject does not inline an
-    * expensive alias referenced many times, so `hs_arr` and `mh`
-    * evaluate once per row even though 128 / 8 expressions read them. */
+    * family, same modulus, same band geometry.
+    *
+    * Everything lives in ONE expression on purpose: Catalyst's
+    * CollapseProject inlines a multiply-referenced alias into each
+    * reference (measured: a separate `hs_arr` projection was inlined
+    * into all 128 minhash expressions, re-hashing every shingle 128×);
+    * inside the aggregate, `acc`/`h` are bound lambda variables, so each
+    * shingle is hashed exactly once. Docs with NO shingles keep the
+    * Long.MaxValue init state — callers must filter empty shingle sets
+    * (the batch kernel drops them via explode) before joining. */
   private[graft] def withNarrowSignatures(df: DataFrame, shingleK: Int,
                                           bands: Int, rowsPerBand: Int): DataFrame = {
     val nHashes = bands * rowsPerBand
-    val hs = expr(
-      s"""transform(${shingleSetKSql(shingleK)},
-            s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))""")
-    val mins = affineCoeffs(nHashes).map { case (a, b) =>
-      expr(s"array_min(transform(hs_arr, h -> ($a * h + $b) % $HashMod))")
-    }
-    val sigOf = (bIdx: Int) => {
-      val rows = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand)
-        .map(i => col("mh").getItem(i).cast("string"))
-      md5(concat_ws("|", rows: _*))
-    }
-    df.withColumn("hs_arr", hs)
-      .withColumn("mh", array(mins: _*))
-      .withColumn("sig_arr", array((0 until bands).map(sigOf): _*))
-      .drop("hs_arr")
+    val coeffs = affineCoeffs(nHashes)
+      .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
+      .mkString("array(", ", ", ")")
+    val kernel =
+      s"""aggregate(
+            transform(${shingleSetKSql(shingleK)},
+              s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)),
+            array_repeat(${Long.MaxValue}L, $nHashes),
+            (acc, h) -> zip_with(acc, $coeffs,
+              (m, c) -> least(m, (c.a * h + c.b) % $HashMod)),
+            acc -> named_struct(
+              'mh', acc,
+              'sig', transform(sequence(0, ${bands - 1}),
+                b -> md5(array_join(
+                  transform(slice(acc, b * $rowsPerBand + 1, $rowsPerBand),
+                    m -> cast(m as string)), '|')))))"""
+    df.withColumn("msig", expr(kernel))
+      .withColumn("mh", col("msig.mh"))
+      .withColumn("sig_arr", col("msig.sig"))
+      .drop("msig")
   }
 
   /** The persisted-signature-store shape a production dedup service keeps
