@@ -98,6 +98,9 @@ object SparkEntry {
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
     "q_decontam"          -> ((s, d) => Curation.contamination(s, d)),
+    // the whole curation flow fused into one plan: quality filter ->
+    // hash sample -> token packing (filters live inside the scan)
+    "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -412,6 +415,7 @@ object SparkEntry {
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
+    "q_curation_pipeline" -> Curation.curationPipelineOracleSql(),
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.

@@ -99,9 +99,14 @@ object Curation {
     * max(doc_id) statistic, one metadata-scale action. The packing result
     * is identical for every rangeSize; only the decomposition changes. */
   def tokenPack(spark: SparkSession, dir: String, budget: Long = 512,
-                rangeSize: Long = 0): DataFrame = {
+                rangeSize: Long = 0): DataFrame =
+    packTokens(spark, Tables.documents(spark, dir), budget, rangeSize)
+
+  /** [[tokenPack]] over an arbitrary (doc_id, text, …) frame — the reuse
+    * point for composed pipelines packing a FILTERED corpus. */
+  private[graft] def packTokens(spark: SparkSession, docs: DataFrame,
+                                budget: Long, rangeSize: Long): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
     val rs =
       if (rangeSize > 0) rangeSize
       else math.max(1000L, (docs.agg(max("doc_id")).head().getLong(0) + 1) / 1000L)
@@ -175,6 +180,54 @@ object Curation {
        FROM g JOIN bench USING (ng)
        WHERE NOT g.is_bench
        GROUP BY g.doc_id ORDER BY g.doc_id"""
+  }
+
+  /** The WHOLE curation flow as one declarative plan — quality filter →
+    * deterministic hash sample → token-budget packing, the
+    * clean-select-layout sequence a pretraining pipeline runs between
+    * raw corpus and training shards. Both filters are predicates INSIDE
+    * the scan (no quality-table join, no shuffle before packing), so
+    * Catalyst fuses scan+filters into one narrow pass and only the
+    * pack's range aggregation shuffles — at 100 TB the whole selection
+    * step is embarrassingly parallel. */
+  def curationPipeline(spark: SparkSession, dir: String, samplePct: Int = 50,
+                       budget: Long = 512): DataFrame = {
+    val kept = Tables.documents(spark, dir)
+      .filter(TextAnalysis.qualityKeepExpr)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < samplePct)
+      .select("doc_id", "text")
+    packTokens(spark, kept, budget, 0)
+  }
+
+  /** DuckDB oracle for [[curationPipeline]]: the same composed predicate
+    * chain, then the single-cumsum packing reference. */
+  def curationPipelineOracleSql(samplePct: Int = 50, budget: Long = 512): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH scored AS (
+         SELECT doc_id, text, n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                round(CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS sr,
+                round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS ttr,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+         FROM documents),
+       kept AS (
+         SELECT doc_id, n_tokens FROM scored
+         WHERE n_chars BETWEEN 50 AND 2000 AND sr <= 0.5 AND ttr >= 0.05
+           AND ($hexToLong) % 100 < $samplePct),
+       c AS (SELECT doc_id, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+             FROM kept)
+       SELECT CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_id,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       FROM c GROUP BY 1 ORDER BY pack_id"""
   }
 
   /** DuckDB oracle for [[tokenPack]]: the same packing as ONE global

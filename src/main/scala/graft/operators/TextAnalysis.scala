@@ -58,6 +58,19 @@ object TextAnalysis {
         sum(size(tokens).cast("long")).as("total_tokens"),
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
 
+  /** The [[docQuality]] `keep` verdict as ONE predicate Column over raw
+    * documents columns — reusable inside other scans (the curation
+    * pipeline) without a quality-table join: at corpus scale the filter
+    * belongs in the scan, not behind a self-join. Identical rounding to
+    * [[docQuality]] so both agree doc-for-doc. */
+  private[graft] def qualityKeepExpr: Column = {
+    val nTok = size(tokens)
+    val stopHits = size(expr("filter(split(text, ' ', -1), t -> t IN ('the', 'a', 'of', 'and', 'is'))"))
+    val sr = round(stopHits.cast("double") / nTok, 6)
+    val ttr = round(size(array_distinct(tokens)).cast("double") / nTok, 6)
+    col("n_chars") >= 50 && col("n_chars") <= 2000 && sr <= 0.5 && ttr >= 0.05
+  }
+
   /** Quality scoring: stopword ratio, type-token ratio, length band —
     * the heuristics used to filter web-scale pretraining corpora. The
     * `keep` verdict is the filter a 100 TB pipeline would apply. */

@@ -94,6 +94,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "corpus-side sort-merge join would shuffle the corpus")
   }
 
+  test("curation pipeline: packs exactly the kept+sampled docs, filters stay in the scan") {
+    import graft.operators.TextAnalysis
+    val packed = Curation.curationPipeline(spark, sf)
+    // token totals must cover exactly the quality-kept, hash-sampled docs
+    val kept = Tables.documents(spark, sf)
+      .filter(TextAnalysis.qualityKeepExpr)
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < 50)
+    val wantDocs = kept.count()
+    val wantTokens = kept
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long"))).head().getLong(0)
+    assert(packed.agg(sum("n_docs")).head().getLong(0) == wantDocs)
+    assert(packed.agg(sum("total_tokens")).head().getLong(0) == wantTokens)
+    // the selection is filters over one scan: the only join in the plan
+    // is the pack's broadcast range-offset join
+    val plan = Curation.curationPipeline(spark, sf).queryExecution.optimizedPlan.toString
+    assert("(?m)^\\s*:?[+-]+ Join".r.findAllIn(plan).length <= 1,
+      s"quality/sample selection must be scan-side filters, not joins:\n$plan")
+  }
+
   test("range-decomposed prefix sum equals the single-range reference") {
     // rangeSize larger than the corpus => one range => plain global cumsum;
     // the multi-range decomposition must produce identical packs.
