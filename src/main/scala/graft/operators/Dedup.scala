@@ -57,8 +57,8 @@ object Dedup {
           ELSE array() END""")
   }
 
-  private val NumBands = 8
-  private val RowsPerBand = 16 // 128 minhashes total (MinHash-128)
+  private[graft] val NumBands = 8
+  private[graft] val RowsPerBand = 16 // 128 minhashes total (MinHash-128)
 
   /** X2a — per-document banded MinHash signature: 128 independent
     * minhashes (minhash_i = min over shingles of the affine rehash

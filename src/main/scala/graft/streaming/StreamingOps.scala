@@ -442,7 +442,7 @@ object StreamingOps {
     val newStream = Dedup.withNarrowSignatures(
         spark.readStream.schema(docSchema).parquet(watchDir.toString)
           .filter(col("doc_id") >= splitFrom),
-        shingleK = 1, bands = 8, rowsPerBand = 16)
+        shingleK = 1, bands = Dedup.NumBands, rowsPerBand = Dedup.RowsPerBand)
       .select(col("doc_id").as("new_doc"), col("mh").as("mh_a"),
         col("sig_arr"), Dedup.shingleSetK(1).as("set_a"))
       .filter(size(col("set_a")) > 0)
