@@ -64,6 +64,8 @@ object SparkEntry {
     "q_token_counts"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     // Gopher-style intra-doc repetition quality signal
     "q_repetition"        -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
+    // unigram cross-entropy quality score (perplexity proxy)
+    "q_doc_logprob"       -> ((s, d) => TextAnalysis.docLogProb(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -417,6 +419,7 @@ object SparkEntry {
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_curation_pipeline" -> Curation.curationPipelineOracleSql(),
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
+    "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

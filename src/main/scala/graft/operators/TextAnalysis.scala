@@ -163,6 +163,49 @@ object TextAnalysis {
         md5(col("text")).as("fp"),
         substring(md5(col("text")), 1, 16).as("fp64"))
 
+  /** Unigram log-probability quality score — the KenLM-style perplexity
+    * proxy corpus filtering uses, reduced to its distributable core:
+    * corpus unigram probabilities (token count / total tokens), then each
+    * document's token-count and mean token log-probability. Gibberish and
+    * off-distribution text score far below the corpus mean; importance
+    * resampling thresholds on exactly this number.
+    *
+    * Scale shape: one explode + map-side-combined vocabulary count (the
+    * shuffle carries (token, partial n) — vocabulary-, not corpus-sized),
+    * the total via a 1-row cross join (no driver action), then a
+    * BROADCAST join back to the exploded tokens and a per-doc partial
+    * agg. Determinism: ln values are summed as DECIMAL(28,12) — exact,
+    * order-independent addition — so the result is identical regardless
+    * of partitioning; the double division happens once at the end. */
+  def docLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("total"))
+    val withP = freq.crossJoin(total)
+      .select(col("token"),
+        log(col("n").cast("double") / col("total")).cast("decimal(28,12)").as("lp"))
+    tok.join(broadcast(withP), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("mean_logprob"))
+  }
+
+  /** DuckDB oracle for [[docLogProb]] — same probability, same ln, same
+    * exact DECIMAL accumulation. */
+  val docLogProbOracleSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+       freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+       p AS (SELECT token,
+                    CAST(ln(CAST(n AS DOUBLE) / total) AS DECIMAL(28,12)) AS lp
+             FROM freq CROSS JOIN tot)
+       SELECT doc_id, count(*) AS n_tokens,
+              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+       FROM tok JOIN p USING (token)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** Ordered (non-distinct) k-gram list — repetition needs the duplicates
     * [[graft.operators.Dedup.shingleSetK]] deliberately removes. */
   private def gramList(k: Int): Column = expr(

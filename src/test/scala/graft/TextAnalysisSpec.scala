@@ -9,6 +9,27 @@ class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("doc log-prob: one row per doc, mean_logprob negative, matches direct recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allTokens = docs.values.toSeq.flatMap(_.split(" ", -1))
+    val freq = allTokens.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val total = allTokens.size.toLong
+    val rows = TextAnalysis.docLogProb(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ", -1).toSeq
+      assert(r.getLong(1) == toks.size)
+      val want = toks.map { t =>
+        BigDecimal(math.log(freq(t).toDouble / total))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / toks.size
+      val wantRounded = BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - wantRounded) < 1e-9, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(2) < 0.0)
+    }
+  }
+
   test("repetition score matches a direct recomputation and flags by threshold") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
