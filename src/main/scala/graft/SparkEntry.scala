@@ -45,6 +45,10 @@ object SparkEntry {
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // PIVOT crosstab with explicit pivot values (fixed schema, one pass)
+    "q_revenue_pivot"     -> ((s, d) => Analytics.revenuePivot(s, d)),
+    // LEFT SEMI join (the EXISTS shape; no left-side duplication)
+    "q_semi_join"         -> ((s, d) => Analytics.customersWithOpenOrders(s, d)),
     "q_exact_distinct_count" -> ((s, d) => Analytics.exactDistinctCount(s, d)),
     "q_approx_distinct"   -> ((s, d) => Analytics.approxDistinct(s, d)),
     // exact percentiles (oracle arm) + GK-sketch approx (scale arm)
@@ -235,6 +239,8 @@ object SparkEntry {
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
     "q_value_percentiles" -> Analytics.valuePercentilesOracleSql,
+    "q_revenue_pivot" -> Analytics.revenuePivotOracleSql,
+    "q_semi_join" -> Analytics.customersWithOpenOrdersOracleSql,
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->

@@ -221,6 +221,56 @@ object Analytics {
               TRUE AS approx_ok
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** PIVOT — revenue by region crosstabbed over order status: groupBy +
+    * `pivot` with EXPLICIT pivot values (with an inferred value list the
+    * operator needs an extra distinct pass AND the output schema depends
+    * on data — both wrong at 100 TB; the explicit list keeps it one
+    * partial-aggregated pass with a fixed schema). DECIMAL-exact sums
+    * surfaced as double. */
+  def revenuePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      .groupBy("r_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("price")).cast("double"))
+      .select(col("r_name"), col("F").as("rev_f"), col("O").as("rev_o"),
+        col("P").as("rev_p"))
+
+  /** DuckDB oracle for [[revenuePivot]] as conditional aggregation (the
+    * dialect-portable PIVOT form). */
+  val revenuePivotOracleSql: String =
+    """SELECT r_name,
+              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+              CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+              CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  /** LEFT SEMI join — "customers having at least one open order": the
+    * EXISTS shape. Semi joins never duplicate or widen the left side, so
+    * the probe side streams through with only the key set shuffled (or
+    * broadcast) — the right way to express existence filters at scale
+    * (an inner join + distinct recomputes and re-dedups the whole left
+    * projection). */
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  val customersWithOpenOrdersOracleSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+       ORDER BY c_custkey"""
+
   /** Trailing-hour per-user rolling aggregate — the RANGE-frame window
     * class (event-TIME frame, not row-count): for each event, the count
     * and exact DECIMAL sum of the same user's events in the preceding

@@ -33,6 +33,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("semi join: one row per qualifying customer, plan uses LeftSemi") {
+    val out = Analytics.customersWithOpenOrders(spark, sf)
+    assert(out.count() == out.select("c_custkey").distinct().count())
+    assert(out.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("pivot: one row per region, pivoted sums re-add to the region total") {
+    val p = Analytics.revenuePivot(spark, sf)
+    val regions = Tables.region(spark, sf).count()
+    assert(p.count() == regions)
+    // F+O+P re-aggregates to the plain region revenue
+    val total = p.select(
+      sum(coalesce(col("rev_f"), lit(0.0)) + coalesce(col("rev_o"), lit(0.0))
+        + coalesce(col("rev_p"), lit(0.0))).as("t")).head().getDouble(0)
+    val want = Analytics.revenueByRegion(spark, sf)
+      .agg(sum("revenue")).head().getDouble(0)
+    assert(math.abs(total - want) < 1e-4)
+  }
+
   test("value percentiles: one row per type, monotone p50<=p90<=p99, approx inside envelope") {
     val p = Analytics.valuePercentiles(spark, sf)
     val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
