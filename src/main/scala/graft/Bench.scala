@@ -31,10 +31,27 @@ object Bench {
       val txt = Files.readString(Paths.get("BENCH_LOCAL.json"))
       if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
       else {
+        // Scan to the MATCHING close brace (not the first '}') and parse
+        // each entry under its own Try: a nested value or one malformed
+        // number (e.g. a negative exponent) must not silently disable the
+        // >2x regression-rerun guard for the whole run (VERDICT r6 #6).
         val start = txt.indexOf("\"queries\":{")
-        val body = txt.substring(start + 11, txt.indexOf("}", start))
-        """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        var i = start + 10
+        var depth = 0
+        var end = -1
+        while (i < txt.length && end < 0) {
+          txt.charAt(i) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        val body = txt.substring(start + 11, end)
+        """"([^"]+)":(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)""".r
+          .findAllMatchIn(body)
+          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
       }
     } catch { case _: Throwable => Map.empty }
 
@@ -115,13 +132,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // The streaming harnesses delete their own scratch; sweep anything a
       // crashed or timed-out run left behind so checkpoint residue never
-      // accumulates across the suite (VERDICT r5 #2).
+      // accumulates across the suite (VERDICT r5 #2). Only THIS process's
+      // dirs (pid-scoped prefix) — a concurrent verify/test run on the
+      // same machine keeps its live checkpoints.
       try {
         import scala.jdk.CollectionConverters._
         val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
         val roots = Files.list(tmp)
         try roots.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("graft-stream-"))
+          .filter(_.getFileName.toString.startsWith(graft.streaming.StreamingOps.ScratchPrefix))
           .foreach { root =>
             val walk = Files.walk(root)
             try walk.sorted(java.util.Comparator.reverseOrder())

@@ -109,7 +109,10 @@ object Curation {
     import spark.implicits._
     val rs =
       if (rangeSize > 0) rangeSize
-      else math.max(1000L, (docs.agg(max("doc_id")).head().getLong(0) + 1) / 1000L)
+      // coalesce: max over an EMPTY frame is null (a filter chain keeping
+      // zero docs must yield an empty pack list, not an NPE)
+      else math.max(1000L,
+        (docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0) + 1) / 1000L)
     val t = docs
       .select(col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),

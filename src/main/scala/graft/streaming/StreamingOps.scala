@@ -55,6 +55,15 @@ object StreamingOps {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Per-PROCESS scratch prefix for streaming checkpoint/sink dirs: the
+    * pid in the name lets Bench's residue sweep target only dirs THIS
+    * JVM created — a concurrent test/verify process on the same machine
+    * must never lose its live checkpoints to another process's cleanup. */
+  private[graft] val ScratchPrefix = s"graft-stream-${ProcessHandle.current().pid()}-"
+
+  private def scratchDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(ScratchPrefix + name).toString
+
   /** Watermarked hourly tumbling-window counts — the streaming twin of
     * `Analytics.hourlyEvents`. Late data beyond 2h is dropped. Whether the
     * watermark also BOUNDS STATE depends on the sink's output mode:
@@ -126,7 +135,7 @@ object StreamingOps {
     * result is bit-identical to the q_hourly_events oracle regardless of
     * per-partition accumulation order. */
   def hourlyCountsEndToEnd(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-hourly").toString
+    val out = scratchDir("hourly")
     // The file stream source watches a DIRECTORY (its basePath); the
     // events table is a single parquet file, so link it into a temp watch
     // dir — the same shape as a real ingest drop-directory.
@@ -287,7 +296,7 @@ object StreamingOps {
   def sessionizeEndToEnd(spark: SparkSession, dir: String,
                          gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-sessions").toString
+    val out = scratchDir("sessions")
     val watchDir = java.nio.file.Paths.get(out, "in")
     java.nio.file.Files.createDirectories(watchDir)
     java.nio.file.Files.createSymbolicLink(
@@ -328,7 +337,7 @@ object StreamingOps {
     * DECIMAL(18,2) summation keeps the total independent of per-batch
     * accumulation order. */
   def streamEnrichEndToEnd(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-enrich").toString
+    val out = scratchDir("enrich")
     val watchDir = java.nio.file.Paths.get(out, "in")
     java.nio.file.Files.createDirectories(watchDir)
     java.nio.file.Files.createSymbolicLink(
@@ -374,7 +383,7 @@ object StreamingOps {
     * so the store only holds the re-ingest window (e.g. 24 h of crawl),
     * trading global for windowed dedup. */
   def streamDedupEndToEnd(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val out = scratchDir("dedup")
     val watchDir = java.nio.file.Paths.get(out, "in")
     java.nio.file.Files.createDirectories(watchDir)
     java.nio.file.Files.createSymbolicLink(
@@ -433,7 +442,7 @@ object StreamingOps {
         Dedup.shingleSetK(1).as("set_b")).localCheckpoint()
     val minAgree = Dedup.minAgreeFor(Dedup.DefaultEstJaccard)
     // the stream: new-batch documents arriving as files
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-neardup").toString
+    val out = scratchDir("neardup")
     val watchDir = java.nio.file.Paths.get(out, "in")
     java.nio.file.Files.createDirectories(watchDir)
     java.nio.file.Files.createSymbolicLink(
