@@ -25,6 +25,21 @@ class DedupSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("persisted signature store: store-read equals a fresh recompute") {
+    // the parquet store round-trip must be value-identical to computing
+    // signatures in-plan — store-reading flows then match by construction
+    val (sig, profile) = Dedup.signatureStore(spark, sf)
+    val fresh = Dedup.minhashSignatures(spark, sf)
+    assert(sig.exceptAll(fresh).isEmpty && fresh.exceptAll(sig).isEmpty)
+    // the profile's sig_arr is consistent with the sig table: element
+    // `band` of a doc's sig_arr IS its (band, sig) row
+    val fromProfile = profile.select(col("doc_id"),
+      posexplode(col("sig_arr")).as(Seq("band", "sig")))
+    assert(fromProfile.exceptAll(sig).isEmpty && sig.exceptAll(fromProfile).isEmpty)
+    // 128 minhashes per doc, never the empty-shingle sentinel
+    assert(profile.filter(size(col("mh")) =!= 128).isEmpty)
+  }
+
   test("near-dup pairs: every reported pair really has jaccard >= threshold") {
     val pairs = Dedup.nearDupPairs(spark, sf, 0.95)
     assert(pairs.filter(col("jaccard") < 0.95).isEmpty)
