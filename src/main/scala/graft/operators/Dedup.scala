@@ -635,52 +635,65 @@ object Dedup {
     * Input: two id columns named `doc_a`/`doc_b`. Output: one row per node
     * — (cluster_id = min doc_id of the component, doc_id). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    // Constraint propagation OFF for the loop: checkpointing the jump's
-    // self-join captures constraints whose attribute ids the NEXT round's
-    // union rewrite no longer finds (Catalyst's LogicalRDD constraint
-    // rewrite vs self-join attribute dedup), which throws from deep inside
-    // analysis. The loop's plans are tiny equi-joins where inferred
-    // constraints optimize nothing, so disabling costs nothing and also
-    // skips the per-round constraint recomputation. Restored in finally.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark.conf.get(cpKey, "true")
-    spark.conf.set(cpKey, "false")
-    try {
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val parent = pairs.sparkSession
+    // The loop runs in its OWN isolated session (shared SparkContext,
+    // session-scoped SQL conf): constraint propagation is disabled there
+    // because checkpointing the jump's self-join captures constraints
+    // whose attribute ids the NEXT round's union rewrite no longer finds
+    // (Catalyst's LogicalRDD constraint rewrite vs self-join attribute
+    // dedup), which throws from deep inside analysis. Session isolation
+    // means concurrent queries on the caller's session never observe the
+    // toggle — a shared-conf set/restore could race and leave the caller
+    // session permanently altered (ADVICE r6).
+    val loop = parent.newSession()
+    loop.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // materialize edges once in the caller's session, then lift the
+    // blocks into the loop session (same SparkContext, so the RDD moves
+    // for free)
+    val edgesSrc = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val edges = loop.createDataFrame(edgesSrc.rdd, edgesSrc.schema)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val minNbr = labels.select("doc_id", "label").union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jump: a node's label is itself a node, and ITS label is
+      // never larger — following it halves remaining label-chain lengths
+      val jump = minNbr.as("n").join(minNbr.as("p"),
+          col("n.label") === col("p.doc_id"))
+        .select(col("n.doc_id").as("doc_id"), col("p.label").as("label"))
+      // ONE driver action per round (VERDICT r6 #2): the fixpoint probe
+      // rides the jump materialization as an observe() metric — labels
+      // only ever decrease, so "any row strictly smaller than its old
+      // label" is the exact convergence test, counted in the same job
+      // that checkpoints the new labels. The old 3-actions-per-round
+      // shape (minNbr checkpoint + next checkpoint + a count probe) made
+      // the loop the suite's most driver-latency-exposed query.
+      val obs = new org.apache.spark.sql.Observation()
+      val next = jump
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+        .observe(obs, coalesce(
+          sum(when(col("label") < col("old_label"), 1L).otherwise(0L)),
+          lit(0L)).as("changed"))
+        .select("doc_id", "label")
         .localCheckpoint()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .localCheckpoint()
-      var iter = 0
-      var changed = 1L
-      while (changed > 0 && iter < maxIters) {
-        val prop = edges.join(labels, edges("src") === labels("doc_id"))
-          .select(col("dst").as("doc_id"), col("label"))
-        // materialized BEFORE the self-join so the jump re-reads these
-        // blocks instead of recomputing the aggregate on both sides
-        val minNbr = labels.select("doc_id", "label").union(prop)
-          .groupBy("doc_id").agg(min("label").as("label"))
-          .localCheckpoint()
-        // pointer jump: a node's label is itself a node, and ITS label is
-        // never larger — following it halves remaining label-chain lengths
-        val next = minNbr.as("n").join(minNbr.as("p"),
-            col("n.label") === col("p.doc_id"))
-          .select(col("n.doc_id").as("doc_id"), col("p.label").as("label"))
-          .localCheckpoint()
-        // labels only ever decrease, so "any row strictly smaller" is the
-        // exact fixpoint test
-        changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.label") < col("o.label")).limit(1).count()
-        labels = next
-        iter += 1
-      }
-      require(changed == 0,
-        s"connected components did not converge within $maxIters label-propagation rounds")
-      System.err.println(s"[graft] connectedComponents converged in $iter rounds")
-      labels.select(col("label").as("cluster_id"), col("doc_id"))
-    } finally spark.conf.set(cpKey, cpPrev)
+      changed = obs.get("changed").asInstanceOf[Long]
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge within $maxIters label-propagation rounds")
+    System.err.println(s"[graft] connectedComponents converged in $iter rounds")
+    val out = labels.select(col("label").as("cluster_id"), col("doc_id"))
+    // hand the materialized result back to the caller's session
+    parent.createDataFrame(out.rdd, out.schema)
   }
 
   /** X2e — the END of the dedup story: near-dup PAIRS → transitive
