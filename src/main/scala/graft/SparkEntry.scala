@@ -128,6 +128,10 @@ object SparkEntry {
     // static bucket join, codegen'd agreement/Jaccard filters. Same
     // result set (and oracle) as the batch incremental flow.
     "q_stream_dedup_near" -> ((s, d) => graft.streaming.StreamingOps.streamNearDupEndToEnd(s, d)),
+    // STREAM-STREAM watermarked interval self-join: each event matched to
+    // same-user events in the preceding 30 min; oracle = the identical
+    // batch interval join.
+    "q_stream_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoinEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -409,6 +413,8 @@ object SparkEntry {
     "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
     // Generated from the operator's own gap constant.
     "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
+    // Generated from the operator's own window constant.
+    "q_stream_stream_join" -> graft.streaming.StreamingOps.streamStreamJoinOracleSql(),
     // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",

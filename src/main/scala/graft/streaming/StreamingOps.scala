@@ -486,6 +486,69 @@ object StreamingOps {
     readBackCleaned(spark, out)(identity)
   }
 
+  /** STREAM-STREAM interval self-join — the last canonical Structured
+    * Streaming shape (after windowed aggregation, custom state,
+    * stream-static join, and streaming dedup): each event joins every
+    * SAME-USER event in the preceding `windowMinutes`, both sides being
+    * the live event stream. Spark buffers each side in the join state
+    * store and uses the watermark + the time-range predicate to GC rows
+    * no future match can reach — state per side is O(watermark + window),
+    * not O(stream), which is what makes the shape runnable on an
+    * unbounded 100 TB/day stream. Inner join in append mode: matches
+    * emit as soon as both rows have arrived.
+    *
+    * Output is (event_id, prior_event_id, gap_us) — pure id/interval
+    * arithmetic in epoch micros, deterministic under any micro-batch
+    * split, and exactly reproducible by a batch interval join (the
+    * DuckDB oracle and the StreamingSpec batch twin). */
+  def streamStreamJoinEndToEnd(spark: SparkSession, dir: String,
+                               windowMinutes: Int = 30): DataFrame = {
+    val out = scratchDir("ssjoin")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    // two independent source instances of the same drop-directory — the
+    // canonical two-stream shape (and it sidesteps streaming self-join
+    // attribute ambiguity)
+    def side(name: String): DataFrame =
+      spark.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id").as(s"${name}_event_id"),
+          col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
+        .withWatermark(s"${name}_ts", "1 hour")
+    val joined = side("l").join(side("r"),
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") < col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("l_event_id").as("event_id"),
+        col("r_event_id").as("prior_event_id"),
+        (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
+  /** DuckDB oracle for [[streamStreamJoinEndToEnd]]: the identical batch
+    * interval self-join, in the operator's own epoch-micros arithmetic
+    * (both engines truncate the parquet nanos to micros). */
+  def streamStreamJoinOracleSql(windowMinutes: Int = 30): String = {
+    val winUs = windowMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events)
+       SELECT l.event_id, r.event_id AS prior_event_id, l.us - r.us AS gap_us
+       FROM e l JOIN e r
+         ON l.user_id = r.user_id AND r.us < l.us AND r.us >= l.us - $winUs
+       ORDER BY 1, 2"""
+  }
+
   /** DuckDB oracle for [[sessionizeEndToEnd]], generated from the SAME gap
     * constant: classic window-gap sessionization (break where the gap to
     * the previous event exceeds the threshold, session id = running break

@@ -123,6 +123,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval self-join equals its batch twin") {
+    val got = StreamingOps.streamStreamJoinEndToEnd(spark, TestSpark.sf)
+    val e = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val want = e.as("l").join(e.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.us") < col("l.us") &&
+          col("r.us") >= col("l.us") - lit(30L * 60 * 1000000))
+      .select(col("l.event_id").as("event_id"),
+        col("r.event_id").as("prior_event_id"),
+        (col("l.us") - col("r.us")).as("gap_us"))
+    assert(got.count() > 0, "expected interval-join pairs in the replay")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming exact dedup emits each distinct fingerprint exactly once") {
     val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
     val want = Tables.documents(spark, TestSpark.sf)
