@@ -96,6 +96,9 @@ object SparkEntry {
     "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
     // IVF with 2 distributed Lloyd (k-means) refinement iterations
     "q_ann_ivf_kmeans"    -> ((s, d) => Similarity.annIvfRecall(s, d, lloydIters = 2)),
+    // IVF emitting actual neighbor rows, hash-checked exactly (the oracle
+    // rebuilds cells/probes/candidates from the same constants)
+    "q_ann_topk"          -> ((s, d) => Similarity.annIvfTopk(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8Stats(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
@@ -441,6 +444,9 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
     "q_ann_ivf_kmeans" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    // Exact-match oracle for the IVF neighbor rows (deterministic
+    // centroids make the whole approximate pipeline reproducible).
+    "q_ann_topk" -> Similarity.annIvfTopkOracleSql(),
     "q_quantize_int8" -> Similarity.quantizeInt8StatsOracleSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -313,6 +313,29 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s("m")).as("cemb"))
 
+  /** The IVF probe path shared by the recall self-check and the
+    * neighbor-emitting top-k: assign the corpus to cells, probe each
+    * query's `nProbe` nearest cells, exact-cosine only candidates in
+    * probed cells — (query_id, neighbor_id, sim_raw). Each vector lives
+    * in exactly one cell, so no distinct is needed. */
+  private def ivfScored(spark: SparkSession, e0: DataFrame, cent: DataFrame,
+                        nProbe: Int): DataFrame = {
+    val assigned = assignCells(spark, e0, cent)
+    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+    val probes = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col("qemb"), col("cell"),
+        expr("cosine_sim(qemb, cemb)").as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qemb", "cell")
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(spark).as("sim_raw"))
+  }
+
   def annIvfRecall(spark: SparkSession, dir: String, k: Int = 10,
                    minRecall: Double = 0.2, lloydIters: Int = 0): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
@@ -329,23 +352,70 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("emb").as("cemb"))
     for (_ <- 0 until lloydIters)
       cent = lloydOnce(spark, e0, cent).localCheckpoint()
-    val assigned = assignCells(spark, e0, cent)
-    // each query probes its nProbe nearest cells
-    val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
-    val probes = e0.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      .join(broadcast(cent))
-      .select(col("query_id"), col("qemb"), col("cell"),
-        expr("cosine_sim(qemb, cemb)").as("csim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select("query_id", "qemb", "cell")
-    // candidate = corpus vector in a probed cell (each vector lives in
-    // exactly one cell, so no distinct needed)
-    val annScored = assigned.join(probes, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(spark).as("sim_raw"))
-    recallVsBrute(spark, dir, annScored, k, minRecall)
+    recallVsBrute(spark, dir, ivfScored(spark, e0, cent, nProbe), k, minRecall)
+  }
+
+  /** X3e — IVF ANN emitting ACTUAL NEIGHBORS (VERDICT r6 #5): the same
+    * deterministic-init probe path as [[annIvfRecall]], top-k'd per query
+    * with a deterministic (sim DESC, neighbor_id ASC) tie-break —
+    * (query_id, neighbor_id, rank, sim). With fixed lowest-vec_id
+    * centroids every stage is engine-reproducible, so the DuckDB oracle
+    * rebuilds the identical cells/probes/candidates and the rows
+    * hash-match exactly — approximate search, exactly verified. */
+  def annIvfTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = embDouble(spark, dir)
+    val (n, _) = corpusShape(e0)
+    val nCells = cellsFor(n)
+    val nProbe = math.max(1, nCells / 4)
+    val cent = e0.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
+    ivfScored(spark, e0, cent, nProbe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** DuckDB oracle for [[annIvfTopk]] — the full IVF pipeline rebuilt in
+    * SQL from the operator's own constants: the √(n/2) cell ladder
+    * ([[cellsFor]] — floor(sqrt) is the identical IEEE op in both
+    * engines), lowest-vec_id centroids, argmax cell assignment, nProbe
+    * nearest cells per query, exact cosine on probed candidates. Cosine
+    * is spelled dot/(√dot·√dot) exactly like the custom expression. */
+  def annIvfTopkOracleSql(k: Int = 10): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       shape AS (SELECT LEAST(4096, GREATEST(4,
+                   CAST(floor(sqrt(count(*) / 2.0)) AS INTEGER))) AS nc FROM e),
+       np AS (SELECT GREATEST(1, nc // 4) AS np FROM shape),
+       cent AS (SELECT vec_id AS cell, emb AS cemb FROM e, shape WHERE vec_id < nc),
+       assigned AS (
+         SELECT vec_id, emb, cell FROM (
+           SELECT x.vec_id, x.emb, c.cell,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY ${cos("x.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM e x CROSS JOIN cent c) t
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, qemb, cell FROM (
+           SELECT q.vec_id AS query_id, q.emb AS qemb, c.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cos("q.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) t, np
+         WHERE rn <= np.np),
+       scored AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+                ${cos("a.emb", "p.qemb")} AS sim_raw
+         FROM assigned a JOIN probes p
+           ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       SELECT query_id, neighbor_id, "rank", round(sim_raw, 6) AS sim FROM (
+         SELECT query_id, neighbor_id, sim_raw,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim_raw DESC, neighbor_id ASC) AS "rank"
+         FROM scored) t
+       WHERE "rank" <= $k ORDER BY query_id, "rank""""
   }
 }

@@ -101,6 +101,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getBoolean(1), "k-means IVF recall@10 below floor")
   }
 
+  test("IVF top-k emits ranked neighbor rows consistent with the exact search") {
+    val t = Similarity.annIvfTopk(spark, sf)
+    // dense 1..n ranks per query, sims ordered and in range, no self-match
+    assert(t.select(countDistinct("query_id")).head().getLong(0) == 10)
+    assert(t.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    assert(t.filter(col("sim") > 1.000001 || col("sim") < -1.000001).isEmpty)
+    val ranks = t.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(ranks.filter(col("mx") =!= col("n") || col("mn") =!= 1).isEmpty)
+    // an approximate rank-1 can never BEAT the exact rank-1 similarity
+    val exact1 = Similarity.topkCosine(spark, sf, 1)
+      .select(col("query_id"), col("sim").as("best"))
+    val ann1 = t.filter(col("rank") === 1).select(col("query_id"), col("sim"))
+    assert(ann1.join(exact1, "query_id")
+      .filter(col("sim") > col("best") + 1e-6).isEmpty)
+  }
+
   test("int8 quantization: qsum bounded by 127·dim, error bounded by scale/2 + rounding") {
     val q = Similarity.quantizeInt8Stats(spark, sf)
     assert(q.count() == Tables.embeddings(spark, sf).count())
