@@ -70,6 +70,19 @@ class DedupSpec extends AnyFunSuite {
     assert(dflt.exceptAll(unbounded).isEmpty && unbounded.exceptAll(dflt).isEmpty)
   }
 
+  test("narrow per-row kernel matches the batch kernel bit-for-bit at the k=2 geometry") {
+    // shingleSetKSql hand-mirrors shingleSetK's SQL text (it must nest
+    // inside a higher-order lambda); the streaming-vs-batch equivalence
+    // elsewhere only exercises k=1, so this pins the k-gram branch too —
+    // an edit to either form now drifts loudly (ADVICE r6).
+    val docs = Tables.documents(spark, sf)
+    val narrow = Dedup.withNarrowSignatures(docs, shingleK = 2, bands = 32, rowsPerBand = 4)
+      .filter(size(Dedup.shingleSetK(2)) > 0) // batch kernel drops empty sets via explode
+      .select("doc_id", "mh", "sig_arr")
+    val (_, profile) = Dedup.signatureStore(spark, sf, shingleK = 2, bands = 32, rowsPerBand = 4)
+    assert(narrow.exceptAll(profile).isEmpty && profile.exceptAll(narrow).isEmpty)
+  }
+
   test("LSH bucket cap: over-cap boilerplate buckets are dropped AND accounted") {
     // The 100 TB failure mode the cap exists for: one boilerplate text
     // (cookie banner, license header) shared by many docs lands every
