@@ -69,6 +69,9 @@ object Bench {
         graft.streaming.StreamingOps.hourlyCountsEndToEnd,
         graft.streaming.StreamingOps.sessionizeEndToEnd(_, _),
         graft.streaming.StreamingOps.streamDedupEndToEnd,
+        // the symmetric-hash stream-stream join operator has its own
+        // one-time codegen/state init the other harnesses don't touch
+        graft.streaming.StreamingOps.streamStreamJoinEndToEnd(_, _),
       ).foreach(f => f(spark, warmSf).write.format("noop").mode("overwrite").save())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming warmup failed (continuing): ${e.getMessage}")

@@ -502,7 +502,19 @@ object StreamingOps {
     * split, and exactly reproducible by a batch interval join (the
     * DuckDB oracle and the StreamingSpec batch twin). */
   def streamStreamJoinEndToEnd(spark: SparkSession, dir: String,
-                               windowMinutes: Int = 30): DataFrame = {
+                               windowMinutes: Int = 30,
+                               statePartitions: Int = 8): DataFrame = {
+    // STATE-PARTITION SIZING: a streaming query's shuffle-partition count
+    // is captured at first run, pinned into the checkpoint, and becomes
+    // the state store's partition count for the query's lifetime — it
+    // should be sized to the stream's key cardinality and throughput,
+    // not inherited from the batch shuffle default (every state
+    // partition costs per-batch store open/commit/delta-file overhead ×
+    // four stores per join side; measured 7.6 s → 5.2 s at sf0.1 going
+    // 32 → 8). Run the query on an isolated session so the setting is
+    // scoped to this stream, not the caller's batch work.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val out = scratchDir("ssjoin")
     val watchDir = java.nio.file.Paths.get(out, "in")
     java.nio.file.Files.createDirectories(watchDir)
@@ -513,7 +525,7 @@ object StreamingOps {
     // canonical two-stream shape (and it sidesteps streaming self-join
     // attribute ambiguity)
     def side(name: String): DataFrame =
-      spark.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+      ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
