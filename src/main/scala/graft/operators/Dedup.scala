@@ -711,13 +711,34 @@ object Dedup {
                       shingleK: Int = 1,
                       bands: Int = NumBands,
                       rowsPerBand: Int = RowsPerBand): DataFrame = {
-    // Materialize the pair list ONCE — the propagation loop must iterate
-    // over the compact LSH output, never re-run the signature pipeline.
-    val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
-      estJaccard, shingleK, bands, rowsPerBand)
-      .select("doc_a", "doc_b").localCheckpoint()
-    connectedComponents(pairs)
-      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+    // The cluster list is the dedup story's second STAGED ARTIFACT (after
+    // the signature store): the keeper/loser decision a production
+    // pipeline persists once and every consumer (pruning, re-runs,
+    // audits) reads — the reference's stage-writes-a-prefix pattern. The
+    // first caller in a process pays signing + pairs + propagation; the
+    // pruned-corpus query and any rerun read the parquet instead of
+    // re-deriving the identical decisions.
+    val key = s"clusters-${dir.replace('/', '_')}-t$threshold-mb$minBands" +
+      s"-cap$maxBucket-e$estJaccard-k$shingleK-b$bands-r$rowsPerBand"
+    val path = storeRoot.resolve(key)
+    storeBuildLock.synchronized {
+      if (!java.nio.file.Files.exists(path)) {
+        // Materialize the pair list ONCE — the propagation loop must
+        // iterate over the compact LSH output, never re-run the
+        // signature pipeline.
+        val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+          estJaccard, shingleK, bands, rowsPerBand)
+          .select("doc_a", "doc_b").localCheckpoint()
+        val clusters = connectedComponents(pairs)
+          .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+        val tmp = java.nio.file.Files.createTempDirectory(storeRoot, "build-")
+        clusters.write.mode("overwrite").parquet(tmp.resolve("clusters").toString)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    spark.read.parquet(path.resolve("clusters").toString)
+      .select("cluster_id", "doc_id", "is_keeper")
   }
 
   /** The pruned corpus — the dedup story's FINAL artifact: every document
