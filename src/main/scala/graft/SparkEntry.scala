@@ -100,6 +100,10 @@ object SparkEntry {
     // rebuilds cells/probes/candidates from the same constants)
     "q_ann_topk"          -> ((s, d) => Similarity.annIvfTopk(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8Stats(s, d)),
+    // SEMANTIC dedup: connected components over the embedding-cosine
+    // near-dup graph (translations/paraphrases never collide in MinHash
+    // space; their embeddings do)
+    "q_semantic_dedup"    -> ((s, d) => Similarity.semanticDedupClusters(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -414,6 +418,8 @@ object SparkEntry {
            FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
     "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
+    // Shared pair CTEs + recursive transitive closure (min reachable id).
+    "q_semantic_dedup" -> Similarity.semanticDedupOracleSql(),
     // Generated from the operator's own gap constant.
     "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
     // Generated from the operator's own window constant.

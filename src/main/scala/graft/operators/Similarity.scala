@@ -138,7 +138,10 @@ object Similarity {
     * derives the bit count from count(*) with the SAME integer ladder as
     * [[bitsFor]] and gates each inlined plane on `j < nb`; the plane
     * literals are generated for [[OracleDim]]. */
-  def embedNearDupOracleSql(threshold: Double = 0.3): String = {
+  /** The CTE chain up to `epairs` (vec_a, vec_b, sim) reproducing
+    * [[embedNearDup]] — shared by the pair oracle and the semantic-dedup
+    * cluster oracle so they cannot drift. */
+  private def embedPairsCtes(threshold: Double): String = {
     val ps = planes(MaxBits, OracleDim)
     val ladder = (MinBits until MaxBits)
       .map(b => s"WHEN c <= ${TargetBucket.toLong << b} THEN $b")
@@ -147,19 +150,58 @@ object Similarity {
       val lits = ps(j).mkString("[", ",", "]")
       s"(CASE WHEN $j < nb AND list_dot_product(emb, $lits) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        nbits AS (SELECT CASE $ladder ELSE $MaxBits END AS nb
                  FROM (SELECT count(*) AS c FROM e)),
-       b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e, nbits)
-       SELECT vec_a, vec_b, sim FROM (
-         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-                round(list_dot_product(x.emb, y.emb)
-                      / (sqrt(list_dot_product(x.emb, x.emb))
-                         * sqrt(list_dot_product(y.emb, y.emb))), 6) AS sim
-         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
-       WHERE sim >= $threshold
-       ORDER BY vec_a, vec_b"""
+       b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e, nbits),
+       epairs AS (
+         SELECT vec_a, vec_b, sim FROM (
+           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                  round(list_dot_product(x.emb, y.emb)
+                        / (sqrt(list_dot_product(x.emb, x.emb))
+                           * sqrt(list_dot_product(y.emb, y.emb))), 6) AS sim
+           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+         WHERE sim >= $threshold)"""
   }
+
+  def embedNearDupOracleSql(threshold: Double = 0.3): String =
+    s"""WITH ${embedPairsCtes(threshold)}
+       SELECT vec_a, vec_b, sim FROM epairs
+       ORDER BY vec_a, vec_b"""
+
+  /** X3f — SEMANTIC dedup (the embedding-side heir of the text cluster
+    * flow): connected components over the cosine near-dup graph, keeper
+    * = the component's minimum vec_id. "Semantically identical but
+    * textually different" documents — translations, paraphrases,
+    * templated rewrites — never collide in MinHash space; their
+    * embeddings do. The pair graph comes from the LSH-bucketed candidate
+    * join (never all-pairs) and the clustering is the same O(log
+    * diameter) pointer-jumping loop the text dedup uses, so the whole
+    * flow scales exactly like [[Dedup.nearDupClusters]]. */
+  def semanticDedupClusters(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3): DataFrame = {
+    val pairs = embedNearDup(spark, dir, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    Dedup.connectedComponents(pairs)
+      .select(col("cluster_id"), col("doc_id").as("vec_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
+
+  /** DuckDB oracle for [[semanticDedupClusters]]: the shared pair CTEs +
+    * the same recursive transitive closure the text-cluster oracle uses. */
+  def semanticDedupOracleSql(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE ${embedPairsCtes(threshold)},
+       edges AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+                 UNION ALL SELECT vec_b AS src, vec_a AS dst FROM epairs),
+       reach AS (
+         SELECT src AS vec_id, dst AS r FROM edges
+         UNION
+         SELECT w.vec_id, e2.dst FROM reach w JOIN edges e2 ON w.r = e2.src),
+       lbl AS (SELECT vec_id, least(vec_id, min(r)) AS cluster_id
+               FROM reach GROUP BY vec_id)
+       SELECT cluster_id, vec_id, vec_id = cluster_id AS is_keeper
+       FROM lbl ORDER BY cluster_id, vec_id"""
 
   /** Shared self-check harness: top-k the ANN candidate scores, compare
     * against the brute-force reference, emit (n_queries, recall_ok). The

@@ -118,6 +118,28 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("sim") > col("best") + 1e-6).isEmpty)
   }
 
+  test("semantic dedup: clusters are consistent with the cosine pair graph") {
+    val pairs = Similarity.embedNearDup(spark, sf, 0.3).select("vec_a", "vec_b")
+    val clusters = Similarity.semanticDedupClusters(spark, sf, 0.3)
+    // both ends of every pair share a cluster
+    val lbl = clusters.select("vec_id", "cluster_id")
+    val viol = pairs
+      .join(lbl.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("cluster_id", "ca"), "vec_a")
+      .join(lbl.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("cluster_id", "cb"), "vec_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(viol.isEmpty)
+    // exactly one keeper per cluster, and it is the minimum member
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(min("vec_id").as("mn"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_keep"))
+    assert(perCluster.filter(col("mn") =!= col("cluster_id") || col("n_keep") =!= 1L).isEmpty)
+    // node set = exactly the vectors appearing in some pair
+    val nodes = pairs.select(col("vec_a").as("vec_id"))
+      .union(pairs.select(col("vec_b").as("vec_id"))).distinct()
+    assert(clusters.select("vec_id").exceptAll(nodes).isEmpty)
+    assert(nodes.exceptAll(clusters.select("vec_id")).isEmpty)
+  }
+
   test("int8 quantization: qsum bounded by 127·dim, error bounded by scale/2 + rounding") {
     val q = Similarity.quantizeInt8Stats(spark, sf)
     assert(q.count() == Tables.embeddings(spark, sf).count())
