@@ -55,6 +55,8 @@ object SparkEntry {
     "q_value_percentiles" -> ((s, d) => Analytics.valuePercentiles(s, d)),
     // trailing-hour RANGE-frame rolling aggregate per user
     "q_rolling_value"     -> ((s, d) => Analytics.rollingUserValue(s, d)),
+    // first-active-day cohort x day-offset distinct-user retention
+    "q_user_retention"    -> ((s, d) => Analytics.userRetention(s, d)),
     // — X7 as-of join —
     "q_events_asof"       -> ((s, d) => AsofJoin.eventOrderAsof(s, d)),
     // — X4 text analysis over documents —
@@ -253,6 +255,7 @@ object SparkEntry {
     "q_revenue_pivot" -> Analytics.revenuePivotOracleSql,
     "q_semi_join" -> Analytics.customersWithOpenOrdersOracleSql,
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
+    "q_user_retention" -> Analytics.userRetentionOracleSql,
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->
       """SELECT event_type, count(*) AS n_events,

@@ -299,6 +299,34 @@ object Analytics {
 
   /** DuckDB oracle for [[rollingUserValue]], generated from the same
     * frame width. */
+  /** Cohort RETENTION over the event stream — the classic product-
+    * analytics crosstab: users are cohorted by their first-active day,
+    * and each (cohort, day_k) cell counts distinct users active k days
+    * after their cohort day. Two shuffles, both on high-cardinality
+    * partitionable keys: the per-user min-day aggregate (map-side
+    * combined to one row per user), then the two-phase distinct count
+    * keyed by (cohort, day_k, user) — no window over the whole stream,
+    * no driver-side state, so the shape holds at 100 TB of events. All
+    * date arithmetic is UTC day truncation, identical in both engines. */
+  def userRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy("user_id").agg(min("d").as("cohort"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** DuckDB oracle for [[userRetention]] (date subtraction yields days as
+    * BIGINT, matching the operator's cast). */
+  def userRetentionOracleSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+       f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+       SELECT cohort, CAST(e.d - f.cohort AS BIGINT) AS day_k,
+              count(DISTINCT e.user_id) AS n_users
+       FROM e JOIN f USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def rollingUserValueOracleSql(windowHours: Int = 1): String = {
     val frameUs = windowHours * 3600L * 1000000L
     s"""SELECT event_id, user_id,

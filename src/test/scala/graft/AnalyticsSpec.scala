@@ -59,4 +59,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p.filter(col("p50") > col("p90") || col("p90") > col("p99")).isEmpty)
     assert(p.filter(!col("approx_ok")).isEmpty)
   }
+
+  test("user retention: day-0 cells are the cohort sizes and no cell exceeds them") {
+    val r = Analytics.userRetention(spark, sf)
+    assert(r.filter(col("day_k") < 0).isEmpty)
+    // every user is active on their own cohort day, so day-0 cells
+    // partition the user base exactly
+    val day0 = r.filter(col("day_k") === 0)
+      .select(col("cohort"), col("n_users").as("size0"))
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0.agg(sum("size0")).head().getLong(0) == totalUsers)
+    // a later cell can never retain more users than its cohort holds
+    assert(day0.join(r, "cohort").filter(col("n_users") > col("size0")).isEmpty)
+  }
 }

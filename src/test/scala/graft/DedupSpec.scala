@@ -40,6 +40,18 @@ class DedupSpec extends AnyFunSuite {
     assert(profile.filter(size(col("mh")) =!= 128).isEmpty)
   }
 
+  test("incremental near-dup plans a store READ, not a corpus re-sign") {
+    // the staging contract: once the signature store exists, dedup plans
+    // scan its parquet instead of re-planning the 128-wide min aggregate
+    Dedup.ensureSignatureStore(spark, sf)
+    val plan = Dedup.nearDupNewVsCorpus(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("graft-sigstore"),
+      s"expected parquet scans of the persisted signature store in:\n$plan")
+    assert(!plan.contains("m127"),
+      "the 128-wide min aggregate must not be re-planned per query")
+  }
+
   test("near-dup pairs: every reported pair really has jaccard >= threshold") {
     val pairs = Dedup.nearDupPairs(spark, sf, 0.95)
     assert(pairs.filter(col("jaccard") < 0.95).isEmpty)
