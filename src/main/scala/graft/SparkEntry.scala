@@ -57,6 +57,20 @@ object SparkEntry {
     "q_rolling_value"     -> ((s, d) => Analytics.rollingUserValue(s, d)),
     // first-active-day cohort x day-offset distinct-user retention
     "q_user_retention"    -> ((s, d) => Analytics.userRetention(s, d)),
+    // from_json over the events.props JSON column (declared schema)
+    "q_json_props"        -> ((s, d) => Analytics.jsonProps(s, d)),
+    // FULL OUTER join of pre-aggregated order/event activity per customer
+    "q_full_outer"        -> ((s, d) => Analytics.fullOuterActivity(s, d)),
+    // INTERSECT / EXCEPT / UNION ALL over distinct user key sets
+    "q_set_ops"           -> ((s, d) => Analytics.setOpsUsers(s, d)),
+    // GROUPING SETS: by-region + by-segment + grand total in one pass
+    "q_grouping_sets"     -> ((s, d) => Analytics.revenueGroupingSets(s, d)),
+    // lag() inter-event gaps per user (epoch-micros arithmetic)
+    "q_event_gaps"        -> ((s, d) => Analytics.eventGaps(s, d)),
+    // corr/covar from exact decimal moment sums (bit-reproducible)
+    "q_stats_corr"        -> ((s, d) => Analytics.statsCorr(s, d)),
+    // decile segmentation via broadcast percentile cuts (no global window)
+    "q_revenue_deciles"   -> ((s, d) => Analytics.revenueDeciles(s, d)),
     // — X7 as-of join —
     "q_events_asof"       -> ((s, d) => AsofJoin.eventOrderAsof(s, d)),
     // — X4 text analysis over documents —
@@ -72,6 +86,8 @@ object SparkEntry {
     "q_repetition"        -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     // unigram cross-entropy quality score (perplexity proxy)
     "q_doc_logprob"       -> ((s, d) => TextAnalysis.docLogProb(s, d)),
+    // Okapi BM25 per-(doc, query-term) relevance scoring
+    "q_bm25"              -> ((s, d) => TextAnalysis.bm25(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -252,6 +268,14 @@ object SparkEntry {
     "q_exact_distinct_count" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem",
     "q_value_percentiles" -> Analytics.valuePercentilesOracleSql,
+    "q_json_props" -> Analytics.jsonPropsOracleSql,
+    "q_full_outer" -> Analytics.fullOuterActivityOracleSql,
+    "q_set_ops" -> Analytics.setOpsUsersOracleSql,
+    "q_grouping_sets" -> Analytics.revenueGroupingSetsOracleSql,
+    "q_event_gaps" -> Analytics.eventGapsOracleSql,
+    "q_stats_corr" -> Analytics.statsCorrOracleSql,
+    "q_revenue_deciles" -> Analytics.revenueDecilesOracleSql,
+    "q_bm25" -> TextAnalysis.bm25OracleSql,
     "q_revenue_pivot" -> Analytics.revenuePivotOracleSql,
     "q_semi_join" -> Analytics.customersWithOpenOrdersOracleSql,
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),

@@ -338,4 +338,258 @@ object Analytics {
                     RANGE BETWEEN $frameUs PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
   }
+
+  /** Semi-structured extraction — `events.props` is a JSON string column
+    * (the universal "everything else" column of real event pipelines).
+    * `from_json` with a DECLARED schema parses it once into a struct
+    * inside whole-stage codegen — no schema inference pass (inference
+    * reads the whole corpus twice and makes the output schema
+    * data-dependent; both wrong at 100 TB). Aggregate over the extracted
+    * field; exact integer sums, avg derived from them. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+  }
+
+  /** DuckDB oracle for [[jsonProps]]: the fixed `{"k": N}` shape makes a
+    * regexp pull dialect-portable (no JSON extension dependency); NULLIF
+    * guards a hypothetical non-matching row the same way from_json yields
+    * NULL on malformed input. */
+  val jsonPropsOracleSql: String =
+    """SELECT event_type, count(*) AS n_events,
+              count(k) AS n_with_k,
+              CAST(sum(k) AS BIGINT) AS sum_k,
+              round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+       FROM (SELECT event_type,
+                    CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
+             FROM events) t
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** FULL OUTER join — the one join shape the rest of the suite doesn't
+    * exercise: per-customer order revenue stitched to per-user event
+    * activity, keeping customers with no events AND event users with no
+    * orders (NULL-padded sides). Both inputs pre-aggregate to one row per
+    * key BEFORE the join, so the full-outer shuffle moves one row per
+    * entity, not per fact — the scale-correct order of operations. */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("order_rev"))
+    val e = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("cust_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("event_value"))
+    o.join(e, Seq("cust_id"), "full_outer")
+  }
+
+  val fullOuterActivityOracleSql: String =
+    """SELECT cust_id, n_orders, order_rev, n_events, event_value
+       FROM (SELECT o_custkey AS cust_id, count(*) AS n_orders,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_rev
+             FROM orders GROUP BY 1) o
+       FULL JOIN (SELECT user_id AS cust_id, count(*) AS n_events,
+                         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS event_value
+                  FROM events GROUP BY 1) e
+       USING (cust_id)
+       ORDER BY cust_id"""
+
+  /** Set operators in one tagged result: users who clicked INTERSECT users
+    * who errored ('both'), EXCEPT ('click_only'), stitched with UNION ALL.
+    * INTERSECT/EXCEPT plan as hash-aggregated semi/anti joins over the
+    * distinct key sets — each side reduces to its key set map-side before
+    * anything shuffles. */
+  def setOpsUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select("user_id").distinct()
+    val click = users("click")
+    val error = users("error")
+    click.intersect(error).select(lit("both").as("tag"), col("user_id"))
+      .unionByName(
+        click.except(error).select(lit("click_only").as("tag"), col("user_id")))
+  }
+
+  val setOpsUsersOracleSql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+            x AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+       SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM x) t
+       UNION ALL
+       SELECT 'click_only' AS tag, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM x) t
+       ORDER BY tag, user_id"""
+
+  /** GROUPING SETS — the general form ROLLUP/CUBE specialize: revenue by
+    * region, by market segment, and the grand total in ONE pass (three
+    * independent GROUP BYs would scan the fact table three times; the
+    * grouping-set expansion replicates rows map-side into each set's
+    * partial aggregate). The disjoint NULL patterns of the three sets
+    * disambiguate rows without a grouping_id column. */
+  def revenueGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("r_name", "c_mktsegment", "o_totalprice")
+      .createOrReplaceTempView("gsets_base")
+    // SQL surface for the same reason as revenueRollup: the Dataset API's
+    // grouping-set path trips Spark 4's self-join lineage check here.
+    spark.sql(
+      """SELECT r_name, c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM gsets_base
+        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+        |""".stripMargin)
+  }
+
+  val revenueGroupingSetsOracleSql: String =
+    """SELECT r_name, c_mktsegment, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+       ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** Inter-event gap analysis — lag() over each user's timeline: per-user
+    * event count, mean and max gap in MICROSECONDS (epoch-micros
+    * arithmetic so both engines agree exactly; ties broken by event_id).
+    * Partitioned by user_id like [[rollingUserValue]]: one hash shuffle,
+    * per-user sort, no global order. A user's first event has no gap
+    * (lag = NULL) — n_gaps counts the rest; single-event users yield NULL
+    * mean/max in both engines. */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        // floor of the double quotient, not round(x, 6): gaps are ~1e10 µs
+        // and decimal rounding there (×10⁶ > 2⁵³) diverges between engines
+        // in the last digit; floor of the identical correctly-rounded
+        // quotient is exact in both.
+        floor(sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  val eventGapsOracleSql: String =
+    """WITH g AS (
+         SELECT user_id, event_id, us,
+                us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+         FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events) e)
+       SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+              CAST(floor(CAST(sum(gap_us) AS DOUBLE) / count(gap_us)) AS BIGINT) AS avg_gap_us,
+              CAST(max(gap_us) AS BIGINT) AS max_gap_us
+       FROM g GROUP BY user_id ORDER BY user_id"""
+
+  /** Bivariate statistics per group — correlation and sample covariance of
+    * quantity vs price, computed FROM EXACT DECIMAL MOMENT SUMS (n, Σx,
+    * Σy, Σx², Σy², Σxy) rather than the engines' streaming corr/covar
+    * aggregates: Welford-style merge order differs run to run and engine
+    * to engine in the low bits, but decimal sums are exact, so the final
+    * double arithmetic — written with the identical operation order in
+    * both engines — is bit-reproducible. The moment sums are one
+    * map-side-combined pass; this is also the shape that scales (six
+    * numbers per group cross the shuffle). */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_extendedprice").cast(DecimalType(18, 2))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_qty_price"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - 1)), 6)
+          .as("covar_samp"))
+  }
+
+  val statsCorrOracleSql: String =
+    """WITH m AS (
+         SELECT l_returnflag, count(*) AS n,
+                sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         FROM (SELECT l_returnflag,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+               FROM lineitem) t
+         GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                AS corr_qty_price,
+              round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6)
+                AS covar_samp
+       FROM m ORDER BY l_returnflag"""
+
+  /** Revenue-decile segmentation WITHOUT a global window: ntile() needs a
+    * total order (one reducer sorts everything — the classic scale trap),
+    * so deciles are assigned by the two-phase shape that holds at 100 TB:
+    * (1) one tiny agg computes the 9 interpolated decile cuts of
+    * per-customer revenue (rounded to 4 dp: revenue is 2-dp exact, so the
+    * margin dwarfs any sub-ulp interpolation divergence between engines),
+    * (2) the cut ARRAY broadcasts and each customer's decile = 1 + #cuts
+    * strictly below its revenue — a narrow, shuffle-free assignment pass.
+    * Output is the per-decile profile; revenue re-summed as exact decimal. */
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(dsum(col("o_totalprice")).as("rev"))
+    val cuts = perCust.agg(
+      transform(percentile(col("rev"), lit((1 to 9).map(_ / 10.0).toArray)),
+        c => round(c, 4)).as("cuts"))
+    perCust.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("rev"),
+        (lit(1L) + aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + when(col("rev") > c, 1L).otherwise(0L))).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev").cast(DecimalType(18, 2))).cast("double").as("total_rev"))
+  }
+
+  val revenueDecilesOracleSql: String =
+    """WITH pc AS (SELECT o_custkey,
+                          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+                   FROM orders GROUP BY 1),
+         cuts AS (SELECT [round(quantile_cont(rev, 0.1), 4), round(quantile_cont(rev, 0.2), 4),
+                          round(quantile_cont(rev, 0.3), 4), round(quantile_cont(rev, 0.4), 4),
+                          round(quantile_cont(rev, 0.5), 4), round(quantile_cont(rev, 0.6), 4),
+                          round(quantile_cont(rev, 0.7), 4), round(quantile_cont(rev, 0.8), 4),
+                          round(quantile_cont(rev, 0.9), 4)] AS cs
+                  FROM pc)
+       SELECT decile, count(*) AS n_customers,
+              CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+       FROM (SELECT o_custkey, rev,
+                    1 + len(list_filter(cs, c -> rev > c)) AS decile
+             FROM pc CROSS JOIN cuts) t
+       GROUP BY decile ORDER BY decile"""
 }

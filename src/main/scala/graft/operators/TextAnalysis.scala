@@ -259,4 +259,78 @@ object TextAnalysis {
               ${dupRatio("tg")} > $threshold AS repetitive
        FROM g ORDER BY doc_id"""
   }
+
+  /** Query terms for [[bm25]] — mid-frequency corpus tokens (df ≈ 380-400
+    * of 500 docs at sf0.01), shared verbatim with the oracle. */
+  private[graft] val Bm25Terms = Seq("join", "stream", "vector")
+  // k1/b chosen inside the standard BM25 ranges AND exactly representable
+  // in binary (1.25 = 5/4, 0.75 = 3/4), so constant folding (k1+1, 1-b)
+  // yields bit-identical doubles in Spark (runtime double arithmetic) and
+  // DuckDB (DECIMAL literal arithmetic, converted to double once).
+  private[graft] val Bm25K1 = 1.25
+  private[graft] val Bm25B  = 0.75
+
+  /** BM25 relevance scoring — the search-ranking primitive over the
+    * corpus: for each (document, query-term) hit, the Okapi BM25
+    * contribution idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+    * the standard +1-smoothed idf (always positive).
+    *
+    * Scale shape: tokenize once; tf comes from an explode filtered to the
+    * query terms BEFORE the shuffle (the grouped key space is |terms|·
+    * matching docs, not the corpus vocabulary); df is a |terms|-row
+    * aggregate of tf and broadcasts back; N and avgdl are one scalar agg
+    * cross-joined (broadcast) — no corpus-wide shuffle anywhere. Scores
+    * are emitted per term (not summed across terms) so every double op
+    * has a fixed operand order — bit-identical in both engines; rounded
+    * to 6 dp. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val k1 = Bm25K1
+    val b  = Bm25B
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+              / (col("df").cast("double") + 0.5) + 1)
+            * (tfd * (k1 + 1))
+            / (tfd + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+          .as("bm25"))
+  }
+
+  /** DuckDB oracle for [[bm25]] — same terms, same constants, same
+    * operation order in the double formula. */
+  def bm25OracleSql: String = {
+    val k1 = Bm25K1
+    val b  = Bm25B
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         stats AS (SELECT count(*) AS n_docs,
+                          CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+                   FROM docs),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS term FROM docs) t
+                WHERE term IN ($termList) GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+       SELECT doc_id, term, tf, df,
+              round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5) + 1)
+                    * (CAST(tf AS DOUBLE) * (${k1} + 1))
+                    / (CAST(tf AS DOUBLE) + ${k1} * (1 - ${b} + ${b} * CAST(dl AS DOUBLE) / avgdl)), 6)
+                AS bm25
+       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+       ORDER BY doc_id, term"""
+  }
 }

@@ -72,4 +72,91 @@ class AnalyticsSpec extends AnyFunSuite {
     // a later cell can never retain more users than its cohort holds
     assert(day0.join(r, "cohort").filter(col("n_users") > col("size0")).isEmpty)
   }
+
+  test("json props: every row parses (n_with_k == n_events) and sums match a regexp pull") {
+    val j = Analytics.jsonProps(spark, sf)
+    assert(j.filter(col("n_with_k") =!= col("n_events")).isEmpty)
+    val want = Tables.events(spark, sf)
+      .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .agg(sum("k")).head().getLong(0)
+    assert(j.agg(sum("sum_k")).head().getLong(0) == want)
+  }
+
+  test("full outer activity: keys are the union of both sides, padded sides are NULL") {
+    val f = Analytics.fullOuterActivity(spark, sf)
+    val orderKeys = Tables.orders(spark, sf).select(col("o_custkey").as("k")).distinct()
+    val eventKeys = Tables.events(spark, sf).select(col("user_id").as("k")).distinct()
+    assert(f.count() == orderKeys.union(eventKeys).distinct().count())
+    // a customer with orders but no events carries NULL event columns (and
+    // vice versa); no row may be NULL on both sides
+    assert(f.filter(col("n_orders").isNull && col("n_events").isNull).isEmpty)
+    val orderOnly = orderKeys.exceptAll(eventKeys).count()
+    assert(f.filter(col("n_events").isNull).count() == orderOnly)
+    assert(f.queryExecution.optimizedPlan.toString.contains("FullOuter"))
+  }
+
+  test("set ops: both/click_only partition the click user set disjointly") {
+    val s = Analytics.setOpsUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val both = s.collect { case ("both", u) => u }.toSet
+    val only = s.collect { case ("click_only", u) => u }.toSet
+    assert((both & only).isEmpty)
+    val click = Tables.events(spark, sf).filter(col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(both.size + only.size == click)
+  }
+
+  test("grouping sets: one Expand pass; each set re-adds to the same grand total") {
+    val g = Analytics.revenueGroupingSets(spark, sf)
+    assert(g.queryExecution.optimizedPlan.toString.contains("Expand"))
+    val rows = g.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = grand.head.getDouble(3)
+    val byRegion = rows.filter(r => !r.isNullAt(0)).map(_.getDouble(3)).sum
+    val bySegment = rows.filter(r => !r.isNullAt(1)).map(_.getDouble(3)).sum
+    assert(math.abs(byRegion - total) < 1e-4 && math.abs(bySegment - total) < 1e-4)
+  }
+
+  test("event gaps: n_gaps is n_events-1 per user; single-user brute force agrees") {
+    val g = Analytics.eventGaps(spark, sf)
+    assert(g.filter(col("n_gaps") =!= col("n_events") - 1).isEmpty)
+    assert(g.filter(col("max_gap_us") < 0).isEmpty)
+    val uid = g.orderBy(desc("n_events")).head().getLong(0)
+    val times = Tables.events(spark, sf).filter(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.map(_._1)
+    val gaps = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    val row = g.filter(col("user_id") === uid).head()
+    assert(row.getLong(2) == gaps.length)
+    assert(row.getLong(3) == gaps.sum / gaps.length) // floor division
+    assert(row.getLong(4) == gaps.max)
+  }
+
+  test("stats corr: matches Spark's built-in corr/covar_samp to 1e-6, bounded by [-1,1]") {
+    val s = Analytics.statsCorr(spark, sf)
+    assert(s.filter(col("corr_qty_price") < -1 || col("corr_qty_price") > 1).isEmpty)
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    s.collect().foreach { r =>
+      val (c, cv) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c) < 1e-6, s"corr ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - cv) < math.abs(cv) * 1e-9 + 1e-6, s"covar ${r.getString(0)}")
+    }
+  }
+
+  test("revenue deciles: partition all ordering customers, no window in the plan") {
+    val d = Analytics.revenueDeciles(spark, sf)
+    // the decile assignment is the broadcast-cuts shape, not a global sort
+    assert(!d.queryExecution.optimizedPlan.toString.contains("Window"))
+    val rows = d.collect()
+    assert(rows.map(_.getLong(0)).forall(x => x >= 1 && x <= 10))
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    // interpolated cuts keep buckets near-balanced: no decile exceeds 2x
+    // its fair share
+    assert(rows.map(_.getLong(1)).max <= math.ceil(nCust / 10.0).toLong * 2)
+  }
 }

@@ -54,4 +54,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(r.getBoolean(5) == (r.getDouble(4) > 0.2))
     }
   }
+
+  test("bm25 matches a direct recomputation over the corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / n
+    val k1 = 1.25; val b = 0.75
+    val rows = TextAnalysis.bm25(spark, sf).collect()
+    // every (doc, term) hit appears exactly once
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length == rows.length)
+    val hits = (for {
+      (id, toks) <- docs.toSeq
+      t <- TextAnalysis.Bm25Terms if toks.contains(t)
+    } yield (id, t)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet == hits)
+    val dfMap = hits.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    rows.foreach { r =>
+      val (id, term, tf) = (r.getLong(0), r.getString(1), r.getLong(2).toDouble)
+      val toks = docs(id)
+      assert(tf == toks.count(_ == term))
+      assert(r.getLong(3) == dfMap(term).toLong)
+      val df = dfMap(term)
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+      val want = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * toks.size / avgdl))
+      assert(math.abs(r.getDouble(4) - want) < 1e-6, s"doc $id term $term")
+      assert(r.getDouble(4) > 0)
+    }
+  }
 }
