@@ -35,6 +35,8 @@ object SparkEntry {
     "q_split_parse"       -> ((s, d) => Relational.splitParse(s, d)),
     // — the reference's whole pipeline (S1-S3, K1-K4, P1-P3, O4/O5) —
     "q_pipeline_dimension" -> ((s, d) => Pipeline.dimensionPipeline(s, d)),
+    // CSV sink + declared-schema CSV source round-trip
+    "q_csv_roundtrip"     -> ((s, d) => Pipeline.csvRoundTrip(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
@@ -132,6 +134,8 @@ object SparkEntry {
     // the whole curation flow fused into one plan: quality filter ->
     // hash sample -> token packing (filters live inside the scan)
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
+    // boilerplate mining: k-grams shared by the most documents
+    "q_common_ngrams"     -> ((s, d) => Curation.commonNgrams(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -466,6 +470,8 @@ object SparkEntry {
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_curation_pipeline" -> Curation.curationPipelineOracleSql(),
+    "q_common_ngrams" -> Curation.commonNgramsOracleSql(),
+    "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH

@@ -247,4 +247,38 @@ object Curation {
               count(*) AS n_docs,
               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        FROM c GROUP BY 1 ORDER BY pack_id"""
+
+  /** Boilerplate mining — the k-grams shared by the most documents
+    * (headers, footers, templated spans): per-doc DISTINCT k-grams
+    * ([[Dedup.shingleSetK]], shared with decontamination and the dedup
+    * oracles) → count docs per gram → keep grams in ≥ `minDocs` docs →
+    * top `top` by support. The mined list feeds a boilerplate-strip pass
+    * (broadcast anti-join, same shape as [[contamination]] reversed).
+    *
+    * Scale shape: per-doc dedup happens inside the gram expression (no
+    * pre-shuffle explode of repeats), the gram count partial-aggregates
+    * map-side, and the top-k is TakeOrderedAndProject — per-partition
+    * heaps, only `top` rows to the driver, no global sort. Full
+    * (n_docs DESC, ng ASC) tie-break keeps the cut deterministic. */
+  def commonNgrams(spark: SparkSession, dir: String, k: Int = 8,
+                   minDocs: Int = 2, top: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Dedup.shingleSetK(k)).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), asc("ng"))
+      .limit(top)
+
+  /** DuckDB oracle for [[commonNgrams]] — same list-comprehension k-gram
+    * construction as [[contaminationOracleSql]]. */
+  def commonNgramsOracleSql(k: Int = 8, minDocs: Int = 2, top: Int = 20): String =
+    s"""WITH g AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(string_split(text, ' ')) >= $k
+             THEN [array_to_string(string_split(text, ' ')[i : i + ${k - 1}], ' ')
+                   for i in range(1, len(string_split(text, ' ')) - ${k - 1} + 1)]
+             ELSE CAST([] AS VARCHAR[]) END)) AS ng
+         FROM documents)
+       SELECT ng, count(*) AS n_docs
+       FROM g GROUP BY ng HAVING count(*) >= $minDocs
+       ORDER BY n_docs DESC, ng ASC LIMIT $top"""
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 import graft.Tables
 
 /** The reference's whole pipeline as ONE Spark application (SURVEY.md §3.1,
@@ -132,4 +132,31 @@ object Pipeline {
 
     dim
   }
+
+  /** CSV sink + source — the third interchange format next to the JSONL
+    * staging above and the parquet tables: a projection of `orders` is
+    * written as headered multi-part CSV and read back with a DECLARED
+    * schema (no inference pass — inference both scans twice and yields a
+    * data-dependent schema), then aggregated. A correct write+parse
+    * round-trips exactly (longs and shortest-repr doubles are lossless in
+    * CSV), so the oracle computes the aggregate straight from the parquet
+    * source. Narrow write, narrow schema'd scan, one partial-agg shuffle. */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir) + "/orders_csv"
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").option("header", "true").csv(base)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+  }
+
+  val csvRoundTripOracleSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 }

@@ -154,4 +154,19 @@ class CurationSpec extends AnyFunSuite {
     val single = Curation.tokenPack(spark, sf, budget = 512, rangeSize = Long.MaxValue)
     assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty)
   }
+
+  test("common ngrams: support counts are real distinct-doc counts, top-k plan has no global sort") {
+    val top = Curation.commonNgrams(spark, sf, k = 8, minDocs = 2, top = 20)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = top.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 2))
+    // spot-verify the highest-support gram by brute force
+    val best = rows.head
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val want = docs.count { t =>
+      val toks = t.split(" ", -1)
+      toks.length >= 8 && toks.sliding(8).map(_.mkString(" ")).contains(best.getString(0))
+    }
+    assert(best.getLong(1) == want, s"support of '${best.getString(0)}'")
+  }
 }

@@ -42,4 +42,16 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("check_data_length"))
   }
+
+  test("csv round-trip aggregate equals the same aggregate from parquet") {
+    val viaCsv = Pipeline.csvRoundTrip(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("o_totalprice")
+            .cast("decimal(18,2)")).cast("double").as("revenue"))
+    assert(viaCsv.exceptAll(direct).isEmpty && direct.exceptAll(viaCsv).isEmpty)
+  }
 }
