@@ -45,6 +45,10 @@ object SparkEntry {
     "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
+    // native session_window gap sessions (batch twin of q_sessionize)
+    "q_session_window"    -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
+    // hive-partitioned parquet layout + partition-pruned scan
+    "q_partition_pruned"  -> ((s, d) => Bucketing.partitionPrunedEvents(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // PIVOT crosstab with explicit pivot values (fixed schema, one pass)
@@ -283,6 +287,8 @@ object SparkEntry {
     "q_revenue_pivot" -> Analytics.revenuePivotOracleSql,
     "q_semi_join" -> Analytics.customersWithOpenOrdersOracleSql,
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
+    "q_session_window" -> Analytics.sessionWindowAggOracleSql(),
+    "q_partition_pruned" -> Bucketing.partitionPrunedEventsOracleSql(),
     "q_user_retention" -> Analytics.userRetentionOracleSql,
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->

@@ -106,6 +106,52 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
+  /** X6's gap-session sibling via the NATIVE `session_window` aggregate —
+    * the built-in batch twin of [[graft.streaming.StreamingOps
+    * .sessionizeEndToEnd]]'s custom flatMapGroupsWithState state machine:
+    * Spark merges overlapping [ts, ts+gap) intervals per group into
+    * sessions inside a single aggregation (no self-join, no window-
+    * function global sort; state is per (user, open session) exactly like
+    * the streaming version). Batch semantics differ from the streaming
+    * operator on two points the oracle encodes: ALL sessions emit (no
+    * watermark holds back each user's last open session), and a new
+    * session starts at gap ≥ the threshold (interval ends are exclusive)
+    * where the custom operator breaks strictly after it. */
+  def sessionWindowAgg(spark: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
+  /** DuckDB oracle for [[sessionWindowAgg]], generated from the same gap:
+    * classic lag/cumsum sessionization with the ≥ break and end = last
+    * event + gap (exclusive interval end), all sessions kept. */
+  def sessionWindowAggOracleSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+                        CAST(value AS DECIMAL(18,2)) AS value FROM events),
+       g AS (SELECT user_id, us, value,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= $gapUs
+                    THEN 1 ELSE 0 END AS brk
+             FROM e),
+       s AS (SELECT user_id, us, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+             FROM g)
+       SELECT user_id, min(us) AS session_start_us,
+              max(us) + $gapUs AS session_end_us,
+              count(*) AS n_events,
+              CAST(sum(value) AS DOUBLE) AS total_value
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, session_start_us"""
+  }
+
   /** Skew-safe two-phase aggregate: events counted per event_type via an
     * explicit salt. event_type has a handful of values, so a naive
     * groupBy sends each type's entire volume to ONE reducer — the classic

@@ -55,4 +55,35 @@ object Bucketing {
       .agg(count(lit(1)).as("n_lines"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
   }
+
+  /** Hive-style PARTITIONED parquet layout + partition-pruned scan — the
+    * other half of the lay-out-the-data story (SURVEY §4.2 partition-
+    * pruning row): events written `partitionBy(event_type)` into one
+    * directory per value, then read back with an event_type predicate.
+    * The predicate resolves against directory NAMES at planning time
+    * (PartitionFilters, asserted in BucketingSpec) — non-matching
+    * partitions are never listed, opened, or decoded. At 100 TB with a
+    * date/tenant layout this is the difference between scanning the
+    * whole corpus and scanning one slice; the same mechanism serves
+    * dynamic partition pruning when the predicate arrives via a dim
+    * join. The aggregate re-checks against the unpartitioned source. */
+  def partitionPrunedEvents(spark: SparkSession, dir: String,
+                            keep: String = "click"): DataFrame = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      "/root/repo/target/pipeline-scratch") + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_by_type"
+    Tables.events(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    spark.read.parquet(base)
+      .filter(col("event_type") === keep)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  def partitionPrunedEventsOracleSql(keep: String = "click"): String =
+    s"""SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events WHERE event_type = '$keep'
+        GROUP BY event_type ORDER BY event_type"""
 }

@@ -275,14 +275,15 @@ object TextAnalysis {
     * contribution idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
     * the standard +1-smoothed idf (always positive).
     *
-    * Scale shape: tokenize once; tf comes from an explode filtered to the
-    * query terms BEFORE the shuffle (the grouped key space is |terms|·
-    * matching docs, not the corpus vocabulary); df is a |terms|-row
-    * aggregate of tf and broadcasts back; N and avgdl are one scalar agg
-    * cross-joined (broadcast) — no corpus-wide shuffle anywhere. Scores
-    * are emitted per term (not summed across terms) so every double op
-    * has a fixed operand order — bit-identical in both engines; rounded
-    * to 6 dp. */
+    * Scale shape: tokenize once; the doc length rides THROUGH the explode
+    * (first(dl) per group) so there is no corpus-sized dl join anywhere;
+    * tf comes from an explode filtered to the query terms BEFORE the
+    * shuffle (the grouped key space is |terms|·matching docs, not the
+    * corpus vocabulary); df is a |terms|-row aggregate of tf and
+    * broadcasts back; N and avgdl are one scalar agg cross-joined
+    * (broadcast). Scores are emitted per term (not summed across terms)
+    * so every double op has a fixed operand order — bit-identical in both
+    * engines; rounded to 6 dp. */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val k1 = Bm25K1
     val b  = Bm25B
@@ -291,15 +292,14 @@ object TextAnalysis {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
-    val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
     val tf = docs
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val tfd = col("tf").cast("double")
-    tf.join(dl, "doc_id")
-      .join(broadcast(df), "term")
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)

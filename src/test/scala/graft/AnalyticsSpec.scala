@@ -73,6 +73,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(day0.join(r, "cohort").filter(col("n_users") > col("size0")).isEmpty)
   }
 
+  test("session windows partition the event stream and respect the gap") {
+    val s = Analytics.sessionWindowAgg(spark, sf)
+    val rows = s.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sessions partition the events exactly
+    assert(rows.map(_._4).sum == Tables.events(spark, sf).count())
+    val gapUs = 30L * 60 * 1000000
+    rows.groupBy(_._1).foreach { case (uid, sess) =>
+      val sorted = sess.sortBy(_._2)
+      // end = last event + gap, so end > start always
+      assert(sorted.forall(x => x._3 > x._2))
+      // consecutive sessions of one user never overlap: the break needed
+      // a >= gap silence, so next.start >= prev.end
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1)._2 >= p(0)._3, s"user $uid sessions overlap: $p")
+      }
+      // and each session spans less time than n_events * gap (no merge bug)
+      assert(sorted.forall(x => x._3 - x._2 <= x._4 * gapUs))
+    }
+  }
+
   test("json props: every row parses (n_with_k == n_events) and sums match a regexp pull") {
     val j = Analytics.jsonProps(spark, sf)
     assert(j.filter(col("n_with_k") =!= col("n_events")).isEmpty)

@@ -23,4 +23,40 @@ class BucketingSpec extends AnyFunSuite {
     val exchanges = "(?i)\\bExchange\\b".r.findAllIn(plan).length
     assert(exchanges <= 1, s"expected at most the aggregation Exchange, plan:\n$plan")
   }
+
+  test("partitioned layout: the scan prunes to ONE partition at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = Bucketing.partitionPrunedEvents(spark, sf, keep = "click")
+    // AQE hides the physical tree behind AdaptiveSparkPlanExec — unwrap it
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the partitioned layout")
+    val scan = scans.head
+    // the event_type predicate must be a PARTITION filter (directory-level
+    // pruning), not a per-row data filter
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"event_type must prune partitions, got: ${scan.partitionFilters}")
+    assert(scan.relation.partitionSchema.fieldNames.contains("event_type"))
+    assert(!scan.dataFilters.exists(_.toString.contains("event_type")),
+      s"event_type must not survive as a data filter: ${scan.dataFilters}")
+    // and the directory listing actually collapsed to the one matching value
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+    // result equality with the unpartitioned source
+    val direct = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
+          .cast("double").as("total_value"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+  }
 }
