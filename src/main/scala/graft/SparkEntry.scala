@@ -71,6 +71,8 @@ object SparkEntry {
     "q_set_ops"           -> ((s, d) => Analytics.setOpsUsers(s, d)),
     // GROUPING SETS: by-region + by-segment + grand total in one pass
     "q_grouping_sets"     -> ((s, d) => Analytics.revenueGroupingSets(s, d)),
+    // CUBE: all four (region x status) grouping combinations in one pass
+    "q_revenue_cube"      -> ((s, d) => Analytics.revenueCube(s, d)),
     // lag() inter-event gaps per user (epoch-micros arithmetic)
     "q_event_gaps"        -> ((s, d) => Analytics.eventGaps(s, d)),
     // corr/covar from exact decimal moment sums (bit-reproducible)
@@ -280,6 +282,7 @@ object SparkEntry {
     "q_full_outer" -> Analytics.fullOuterActivityOracleSql,
     "q_set_ops" -> Analytics.setOpsUsersOracleSql,
     "q_grouping_sets" -> Analytics.revenueGroupingSetsOracleSql,
+    "q_revenue_cube" -> Analytics.revenueCubeOracleSql,
     "q_event_gaps" -> Analytics.eventGapsOracleSql,
     "q_stats_corr" -> Analytics.statsCorrOracleSql,
     "q_revenue_deciles" -> Analytics.revenueDecilesOracleSql,

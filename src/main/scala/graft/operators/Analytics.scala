@@ -497,6 +497,38 @@ object Analytics {
         |""".stripMargin)
   }
 
+  /** CUBE — all four grouping combinations of (region, order status) in
+    * one Expand pass; completes the grouping-variant family next to
+    * [[revenueRollup]] and [[revenueGroupingSets]]. Status values are
+    * never NULL in the data, so the NULL patterns disambiguate levels. */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderstatus", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("r_name", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("cube_base")
+    spark.sql(
+      """SELECT r_name, o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM cube_base
+        |GROUP BY CUBE (r_name, o_orderstatus)
+        |""".stripMargin)
+  }
+
+  val revenueCubeOracleSql: String =
+    """SELECT r_name, o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY CUBE (r_name, o_orderstatus)
+       ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST"""
+
   val revenueGroupingSetsOracleSql: String =
     """SELECT r_name, c_mktsegment, count(*) AS n_orders,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("a row older than the watermark is dropped and counted, not aggregated") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    input.addData(StreamEvent(1L, ts(5), 1L, "click", 1.0))
+    val q = StreamingOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_drop_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past 10:00 (2h delay => watermark ~18:00)
+      input.addData(StreamEvent(2L, Timestamp.valueOf("2026-01-01 20:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // this event is hours behind the watermark: it must be DROPPED
+      input.addData(StreamEvent(3L, ts(10), 9L, "late", 99.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1, "late row was not dropped by the watermark")
+      // ...and must never surface in any emitted window
+      input.addData(StreamEvent(4L, Timestamp.valueOf("2026-01-02 09:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      assert(!spark.table("late_drop_test").collect().exists(_.getString(1) == "late"))
+    } finally q.stop()
+  }
+
   test("watermark-bounded streaming dedup drops re-ingests inside the window and GCs state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
