@@ -142,6 +142,10 @@ object SparkEntry {
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
     // boilerplate mining: k-grams shared by the most documents
     "q_common_ngrams"     -> ((s, d) => Curation.commonNgrams(s, d)),
+    // ...and the per-doc boilerplate fraction against the mined set
+    "q_boilerplate_score" -> ((s, d) => Curation.boilerplateScore(s, d)),
+    // fixed-width value histogram per event type
+    "q_value_histogram"   -> ((s, d) => Analytics.valueHistogram(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -480,6 +484,8 @@ object SparkEntry {
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_curation_pipeline" -> Curation.curationPipelineOracleSql(),
     "q_common_ngrams" -> Curation.commonNgramsOracleSql(),
+    "q_boilerplate_score" -> Curation.boilerplateScoreOracleSql(),
+    "q_value_histogram" -> Analytics.valueHistogramOracleSql(),
     "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,

@@ -385,6 +385,26 @@ object Analytics {
        ORDER BY event_id"""
   }
 
+  /** Fixed-width histogram of the event value distribution per type —
+    * bucket = floor(value / width): one narrow projection + one partial-
+    * aggregated groupBy, the constant-memory alternative to exact
+    * percentiles when the profile only needs shape. Bucket arithmetic is
+    * pure double floor on identical inputs — deterministic in both
+    * engines. */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     width: Int = 20): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") / width).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("bucket_value"))
+
+  def valueHistogramOracleSql(width: Int = 20): String =
+    s"""SELECT event_type, CAST(floor(value / $width) AS BIGINT) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""
+
   /** Semi-structured extraction — `events.props` is a JSON string column
     * (the universal "everything else" column of real event pipelines).
     * `from_json` with a DECLARED schema parses it once into a struct

@@ -269,6 +269,54 @@ object Curation {
       .orderBy(desc("n_docs"), asc("ng"))
       .limit(top)
 
+  /** The second half of the boilerplate loop: score every document by the
+    * fraction of its distinct k-grams that land in the mined top set
+    * ([[commonNgrams]]) — the per-doc signal a strip/filter pass keys on.
+    * The mined set is `top` rows, so it BROADCASTS at any corpus scale
+    * (same asymmetry argument as [[contamination]]); the corpus side is
+    * one narrow scan + broadcast semi-join + partial-agg count. Short
+    * docs (< k tokens) have zero grams and score 0 by definition. */
+  def boilerplateScore(spark: SparkSession, dir: String, k: Int = 8,
+                       minDocs: Int = 2, top: Int = 20): DataFrame = {
+    val mined = commonNgrams(spark, dir, k, minDocs, top).select("ng")
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.shingleSetK(k)).as("ng"))
+      .join(broadcast(mined), Seq("ng"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(Dedup.shingleSetK(k)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_boiler"), lit(0L)).cast("double")
+            / col("n_grams"), 6)).as("boiler_ratio"))
+  }
+
+  /** DuckDB oracle for [[boilerplateScore]] — rebuilds the mined set with
+    * the same support threshold, cut, and tie-break. */
+  def boilerplateScoreOracleSql(k: Int = 8, minDocs: Int = 2, top: Int = 20): String =
+    s"""WITH g AS (SELECT doc_id, list_distinct(
+           CASE WHEN len(string_split(text, ' ')) >= $k
+             THEN [array_to_string(string_split(text, ' ')[i : i + ${k - 1}], ' ')
+                   for i in range(1, len(string_split(text, ' ')) - ${k - 1} + 1)]
+             ELSE CAST([] AS VARCHAR[]) END) AS gl
+         FROM documents),
+       ex AS (SELECT doc_id, unnest(gl) AS ng FROM g),
+       mined AS (SELECT ng FROM (
+           SELECT ng, count(*) AS n_docs FROM ex GROUP BY ng
+           HAVING count(*) >= $minDocs
+           ORDER BY n_docs DESC, ng ASC LIMIT $top) t),
+       hit AS (SELECT doc_id, count(*) AS n_boiler
+               FROM ex JOIN mined USING (ng) GROUP BY doc_id)
+       SELECT g.doc_id, len(gl) AS n_grams,
+              coalesce(n_boiler, 0) AS n_boiler,
+              CASE WHEN len(gl) = 0 THEN 0.0
+                   ELSE round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / len(gl), 6)
+              END AS boiler_ratio
+       FROM g LEFT JOIN hit ON g.doc_id = hit.doc_id
+       ORDER BY g.doc_id"""
+
   /** DuckDB oracle for [[commonNgrams]] — same list-comprehension k-gram
     * construction as [[contaminationOracleSql]]. */
   def commonNgramsOracleSql(k: Int = 8, minDocs: Int = 2, top: Int = 20): String =

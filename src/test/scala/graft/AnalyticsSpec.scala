@@ -73,6 +73,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(day0.join(r, "cohort").filter(col("n_users") > col("size0")).isEmpty)
   }
 
+  test("value histogram: buckets partition the events and re-add to the total") {
+    val h = Analytics.valueHistogram(spark, sf)
+    val e = Tables.events(spark, sf)
+    assert(h.agg(sum("n")).head().getLong(0) == e.count())
+    val total = e.agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    assert(math.abs(h.agg(sum("bucket_value")).head().getDouble(0) - total) < 1e-6)
+    // every event's bucket really is floor(value/20)
+    assert(h.filter(col("bucket") < 0).count() ==
+      e.filter(col("value") < 0).select(col("event_type"),
+        floor(col("value") / 20)).distinct().count())
+  }
+
   test("session windows partition the event stream and respect the gap") {
     val s = Analytics.sessionWindowAgg(spark, sf)
     val rows = s.collect().map(r =>

@@ -155,6 +155,26 @@ class CurationSpec extends AnyFunSuite {
     assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty)
   }
 
+  test("boilerplate score: bounded ratios, hit counts consistent with the mined set") {
+    val s = Curation.boilerplateScore(spark, sf)
+    val rows = s.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (nGrams, nBoiler, ratio) = (r.getInt(1).toLong, r.getLong(2), r.getDouble(3))
+      assert(nBoiler >= 0 && nBoiler <= nGrams, s"doc ${r.getLong(0)}")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      if (nGrams == 0) assert(nBoiler == 0 && ratio == 0.0)
+    }
+    // every doc containing the top mined gram must have n_boiler >= 1
+    val topGram = Curation.commonNgrams(spark, sf).head().getString(0)
+    val scored = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { d =>
+      val toks = d.getString(1).split(" ", -1)
+      if (toks.length >= 8 && toks.sliding(8).map(_.mkString(" ")).contains(topGram))
+        assert(scored(d.getLong(0)) >= 1, s"doc ${d.getLong(0)} missed top gram")
+    }
+  }
+
   test("common ngrams: support counts are real distinct-doc counts, top-k plan has no global sort") {
     val top = Curation.commonNgrams(spark, sf, k = 8, minDocs = 2, top = 20)
     assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
