@@ -115,6 +115,9 @@ object SparkEntry {
     // ...and the final artifact: the pruned corpus (keepers + unclustered)
     "q_dedup_pruned"      -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
+    // blocked fuzzy matching (entity resolution): Levenshtein within
+    // nation-key blocks, never a corpus-wide cross join
+    "q_fuzzy_match"       -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
@@ -435,6 +438,7 @@ object SparkEntry {
     // Same pair CTEs + recursive transitive closure (min reachable id).
     "q_dedup_clusters" -> Dedup.nearDupClustersOracleSql(),
     "q_dedup_pruned" -> Dedup.dedupedCorpusOracleSql(),
+    "q_fuzzy_match" -> Dedup.fuzzyNameMatchOracleSql(),
     "q_simhash" ->
       s"""SELECT doc_id,
                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
