@@ -37,6 +37,10 @@ object Sessions {
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.ArrayIntersectCount.name),
             graft.functions.ArrayIntersectCount.info,
             graft.functions.ArrayIntersectCount.builder))
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.LevenshteinWithin.name),
+            graft.functions.LevenshteinWithin.info,
+            graft.functions.LevenshteinWithin.builder))
       }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")

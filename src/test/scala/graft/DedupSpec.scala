@@ -249,15 +249,19 @@ class DedupSpec extends AnyFunSuite {
     def asLong(r: org.apache.spark.sql.Row, i: Int): Long =
       r.get(i).asInstanceOf[Number].longValue
     val f = Dedup.fuzzyNameMatch(spark, sf).collect()
-      .map(r => asLong(r, 0) -> (asLong(r, 1), asLong(r, 2), asLong(r, 3))).toMap
+      .map(r => asLong(r, 0) ->
+        (asLong(r, 1), asLong(r, 2), if (r.isNullAt(3)) None else Some(asLong(r, 3)))).toMap
     val sizes = Tables.customer(spark, sf).groupBy("c_nationkey").count()
       .collect().map(r => asLong(r, 0) -> asLong(r, 1)).toMap
     // blocks with >= 2 members appear, each with exactly n*(n-1)/2 pairs
     sizes.filter(_._2 >= 2).foreach { case (block, n) =>
-      val (pairs, close, minDist) = f(block)
+      val (pairs, close, minClose) = f(block)
       assert(pairs == n * (n - 1) / 2, s"block $block")
       assert(close >= 0 && close <= pairs)
-      assert(minDist >= 1, "distinct customers cannot be at distance 0")
+      // a close pair exists iff a min close distance does, and distinct
+      // customers cannot sit at distance 0
+      assert(minClose.isDefined == (close > 0))
+      minClose.foreach(d => assert(d >= 1 && d <= 2))
     }
     assert(f.keySet == sizes.filter(_._2 >= 2).keySet)
   }
