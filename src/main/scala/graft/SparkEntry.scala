@@ -75,6 +75,8 @@ object SparkEntry {
     "q_revenue_cube"      -> ((s, d) => Analytics.revenueCube(s, d)),
     // lag() inter-event gaps per user (epoch-micros arithmetic)
     "q_event_gaps"        -> ((s, d) => Analytics.eventGaps(s, d)),
+    // per-user ordered event paths (sequence-model feature assembly)
+    "q_event_sequences"   -> ((s, d) => Analytics.eventSequences(s, d)),
     // corr/covar from exact decimal moment sums (bit-reproducible)
     "q_stats_corr"        -> ((s, d) => Analytics.statsCorr(s, d)),
     // decile segmentation via broadcast percentile cuts (no global window)
@@ -291,6 +293,7 @@ object SparkEntry {
     "q_grouping_sets" -> Analytics.revenueGroupingSetsOracleSql,
     "q_revenue_cube" -> Analytics.revenueCubeOracleSql,
     "q_event_gaps" -> Analytics.eventGapsOracleSql,
+    "q_event_sequences" -> Analytics.eventSequencesOracleSql(),
     "q_stats_corr" -> Analytics.statsCorrOracleSql,
     "q_revenue_deciles" -> Analytics.revenueDecilesOracleSql,
     "q_bm25" -> TextAnalysis.bm25OracleSql,

@@ -385,6 +385,40 @@ object Analytics {
        ORDER BY event_id"""
   }
 
+  /** Per-user event-SEQUENCE assembly — the feature-building shape for
+    * sequence models (next-event prediction, session embeddings): each
+    * user's events ordered by (time, event_id) collapse to one row with
+    * the first/last event type and the first `maxLen` steps joined into a
+    * path string. One shuffle on user_id; collect_list gathers inside the
+    * aggregate (bounded by the slice immediately after — at 100 TB add a
+    * pre-truncating window only if single users exceed memory, which a
+    * per-user cap upstream normally guarantees). Sort key includes
+    * event_id so ties at one timestamp order identically in both engines. */
+  def eventSequences(spark: SparkSession, dir: String,
+                     maxLen: Int = 10): DataFrame = {
+    val seq = array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type"))))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        transform(seq, s => s.getField("event_type")).as("path"))
+      .select(col("user_id"), col("n_events"),
+        element_at(col("path"), 1).as("first_event"),
+        element_at(col("path"), -1).as("last_event"),
+        concat_ws(">", slice(col("path"), 1, maxLen)).as(s"path$maxLen"))
+  }
+
+  def eventSequencesOracleSql(maxLen: Int = 10): String =
+    s"""SELECT user_id, count(*) AS n_events,
+               (list(event_type ORDER BY us, event_id))[1] AS first_event,
+               (list(event_type ORDER BY us, event_id))[-1] AS last_event,
+               array_to_string(list(event_type ORDER BY us, event_id)[1:$maxLen], '>')
+                 AS path$maxLen
+        FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+              FROM events) e
+        GROUP BY user_id ORDER BY user_id"""
+
   /** Fixed-width histogram of the event value distribution per type —
     * bucket = floor(value / width): one narrow projection + one partial-
     * aggregated groupBy, the constant-memory alternative to exact

@@ -73,6 +73,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(day0.join(r, "cohort").filter(col("n_users") > col("size0")).isEmpty)
   }
 
+  test("event sequences: first/last match the timeline ends, path is capped at 10") {
+    val s = Analytics.eventSequences(spark, sf)
+    val e = Tables.events(spark, sf)
+    assert(s.agg(sum("n_events")).head().getLong(0) == e.count())
+    val byUser = e.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2))).toMap
+    s.collect().foreach { r =>
+      val timeline = byUser(r.getLong(0))
+      assert(r.getString(2) == timeline.head._3, s"first of user ${r.getLong(0)}")
+      assert(r.getString(3) == timeline.last._3, s"last of user ${r.getLong(0)}")
+      val want = timeline.take(10).map(_._3).mkString(">")
+      assert(r.getString(4) == want, s"path of user ${r.getLong(0)}")
+    }
+  }
+
   test("value histogram: buckets partition the events and re-add to the total") {
     val h = Analytics.valueHistogram(spark, sf)
     val e = Tables.events(spark, sf)
