@@ -176,6 +176,9 @@ object SparkEntry {
     // same-user events in the preceding 30 min; oracle = the identical
     // batch interval join.
     "q_stream_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoinEndToEnd(s, d)),
+    // NATIVE streaming session windows (append mode): the batch session
+    // list minus sessions the final watermark left open.
+    "q_stream_session_window" -> ((s, d) => graft.streaming.StreamingOps.sessionWindowStreamEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -475,6 +478,7 @@ object SparkEntry {
     "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
     // Generated from the operator's own window constant.
     "q_stream_stream_join" -> graft.streaming.StreamingOps.streamStreamJoinOracleSql(),
+    "q_stream_session_window" -> graft.streaming.StreamingOps.sessionWindowStreamOracleSql(),
     // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",

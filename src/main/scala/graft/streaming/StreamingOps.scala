@@ -326,6 +326,77 @@ object StreamingOps {
       round(col("total_value"), 2).as("total_value")))
   }
 
+  /** NATIVE streaming session windows — the same `session_window`
+    * aggregate as the batch `Analytics.sessionWindowAgg`, run as a
+    * watermarked append-mode stream: Spark's session-window state merges
+    * overlapping [ts, ts+gap) intervals per (user, open session) and an
+    * append sink only receives sessions the WATERMARK has closed. With a
+    * zero-delay watermark and AvailableNow replay, the final watermark is
+    * the global max event time, so the emitted set is exactly the batch
+    * session list minus sessions still open at end-of-stream (ends
+    * beyond the last observed timestamp) — a deterministic, oracle-
+    * encodable cutoff (strict <: a session whose end equals the final
+    * watermark is still held). Completes the session story's third arm:
+    * batch native / streaming custom state / streaming native. */
+  def sessionWindowStreamEndToEnd(spark: SparkSession, dir: String,
+                                  gapMinutes: Int = 30): DataFrame = {
+    val out = scratchDir("native-sessions")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = spark.readStream.schema(rawEventSchema)
+      .parquet(watchDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(_.select(
+      col("user_id"),
+      unix_micros(col("w.start")).as("session_start_us"),
+      unix_micros(col("w.end")).as("session_end_us"),
+      col("n_events"), col("total_value")))
+  }
+
+  /** DuckDB oracle for [[sessionWindowStreamEndToEnd]]: the batch session
+    * list ([[graft.operators.Analytics.sessionWindowAggOracleSql]] CTE
+    * chain) restricted to sessions the final watermark (global max event
+    * time) closed. */
+  def sessionWindowStreamOracleSql(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+                        CAST(value AS DECIMAL(18,2)) AS value FROM events),
+       g AS (SELECT user_id, us, value,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= $gapUs
+                    THEN 1 ELSE 0 END AS brk
+             FROM e),
+       s AS (SELECT user_id, us, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+             FROM g),
+       wm AS (SELECT max(us) AS wm_us FROM e)
+       SELECT user_id, session_start_us, session_end_us, n_events, total_value
+       FROM (SELECT user_id, min(us) AS session_start_us,
+                    max(us) + $gapUs AS session_end_us,
+                    count(*) AS n_events,
+                    CAST(sum(value) AS DOUBLE) AS total_value
+             FROM s GROUP BY user_id, sid) t, wm
+       WHERE session_end_us < wm_us
+       ORDER BY user_id, session_start_us"""
+  }
+
   /** Stream-STATIC enrichment — the third core Structured Streaming shape
     * after windowed aggregation and custom state: the event stream joins
     * the static customer dimension and aggregates revenue per segment.

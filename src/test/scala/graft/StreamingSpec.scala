@@ -149,6 +149,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("native streaming session windows equal the batch sessions closed by the final watermark") {
+    val sf001 = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.sessionWindowStreamEndToEnd(spark, sf001)
+    val maxUs = Tables.events(spark, sf001)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")))).head().getLong(0)
+    val batchClosed = graft.operators.Analytics.sessionWindowAgg(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("session_end_us") < maxUs)
+    assert(streamed.exceptAll(batchClosed).isEmpty
+      && batchClosed.exceptAll(streamed).isEmpty)
+    // the holdback is real: at least one session stays open at end-of-stream
+    assert(graft.operators.Analytics.sessionWindowAgg(spark, sf001).count()
+      > streamed.count())
+  }
+
   test("stream-stream interval self-join equals its batch twin") {
     val got = StreamingOps.streamStreamJoinEndToEnd(spark, TestSpark.sf)
     val e = Tables.events(spark, TestSpark.sf)
