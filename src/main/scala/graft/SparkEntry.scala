@@ -142,6 +142,10 @@ object SparkEntry {
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
     "q_decontam"          -> ((s, d) => Curation.contamination(s, d)),
+    // ...and the decontaminated training corpus (broadcast anti prune)
+    "q_decontam_pruned"   -> ((s, d) => Curation.decontaminatedCorpus(s, d)),
+    // top-V vocabulary + out-of-vocabulary occurrence rate
+    "q_vocab_oov"         -> ((s, d) => Curation.vocabOov(s, d)),
     // the whole curation flow fused into one plan: quality filter ->
     // hash sample -> token packing (filters live inside the scan)
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
@@ -493,6 +497,8 @@ object SparkEntry {
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
+    "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),
+    "q_vocab_oov" -> Curation.vocabOovOracleSql(),
     "q_curation_pipeline" -> Curation.curationPipelineOracleSql(),
     "q_common_ngrams" -> Curation.commonNgramsOracleSql(),
     "q_boilerplate_score" -> Curation.boilerplateScoreOracleSql(),

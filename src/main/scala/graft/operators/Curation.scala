@@ -269,6 +269,83 @@ object Curation {
       .orderBy(desc("n_docs"), asc("ng"))
       .limit(top)
 
+  /** The decontamination story's final artifact (mirrors the dedup
+    * pipeline's pruned corpus): the TRAINING slice — every non-benchmark
+    * document minus those sharing any k-gram with the benchmark. The
+    * contaminated-doc list is tiny (ids only), so it broadcasts and the
+    * prune is one narrow corpus scan + broadcast LEFT ANTI — no corpus
+    * shuffle, same shape as [[graft.operators.Dedup.dedupedCorpus]]. */
+  def decontaminatedCorpus(spark: SparkSession, dir: String, pct: Int = 10,
+                           k: Int = 8): DataFrame = {
+    val isBench =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < pct
+    val contaminated = contamination(spark, dir, pct, k).select("doc_id")
+    Tables.documents(spark, dir)
+      .filter(!isBench)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** DuckDB oracle for [[decontaminatedCorpus]] — the contamination CTE
+    * chain, inverted: non-bench docs with zero shared grams. */
+  def decontaminatedCorpusOracleSql(pct: Int = 10, k: Int = 8): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, lang, n_chars, text,
+                          ($hexToLong) % 100 < $pct AS is_bench
+                   FROM (SELECT doc_id, lang, n_chars, text,
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+                         FROM documents) t),
+       g AS (SELECT doc_id, is_bench, unnest(list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= $k
+                 THEN [array_to_string(string_split(text, ' ')[i : i + ${k - 1}], ' ')
+                       for i in range(1, len(string_split(text, ' ')) - ${k - 1} + 1)]
+                 ELSE CAST([] AS VARCHAR[]) END)) AS ng
+             FROM h),
+       bench AS (SELECT DISTINCT ng FROM g WHERE is_bench),
+       bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
+               WHERE NOT g.is_bench)
+       SELECT doc_id, lang, n_chars FROM h
+       WHERE NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM bad)
+       ORDER BY doc_id"""
+  }
+
+  /** Vocabulary build + out-of-vocabulary rate — the tokenizer-prep
+    * profile: the top-`vocabSize` tokens by corpus frequency (full
+    * (freq DESC, token ASC) tie-break so the cut is deterministic)
+    * become the vocabulary; the OOV rate is the fraction of token
+    * OCCURRENCES falling outside it. Two passes, both scale-shaped:
+    * the vocab is a partial-aggregated token count + TakeOrdered top-k
+    * (tiny, broadcasts); the rate is one narrow re-scan + broadcast
+    * semi-join flag + single global sum — no corpus shuffle. */
+  def vocabOov(spark: SparkSession, dir: String,
+               vocabSize: Int = 25): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      .select(col("in_vocab").isNull.cast("long").as("oov"))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(col("oov")).as("oov_tokens"),
+        round(sum(col("oov")).cast("double") / count(lit(1)), 6).as("oov_rate"))
+  }
+
+  def vocabOovOracleSql(vocabSize: Int = 25): String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         vocab AS (SELECT token FROM (
+             SELECT token, count(*) AS freq FROM toks GROUP BY token
+             ORDER BY freq DESC, token ASC LIMIT $vocabSize) t)
+       SELECT count(*) AS total_tokens,
+              CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS oov_tokens,
+              round(CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS oov_rate
+       FROM toks LEFT JOIN vocab USING (token)"""
+
   /** The second half of the boilerplate loop: score every document by the
     * fraction of its distinct k-grams that land in the mined top set
     * ([[commonNgrams]]) — the per-doc signal a strip/filter pass keys on.

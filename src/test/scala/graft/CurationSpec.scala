@@ -155,6 +155,31 @@ class CurationSpec extends AnyFunSuite {
     assert(multi.exceptAll(single).isEmpty && single.exceptAll(multi).isEmpty)
   }
 
+  test("decontaminated corpus: excludes exactly bench + contaminated, anti-join plan") {
+    val pruned = Curation.decontaminatedCorpus(spark, sf)
+    assert(pruned.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+    val total = Tables.documents(spark, sf).count()
+    val bench = Curation.sampleByHash(spark, sf).count()
+    val contaminated = Curation.contamination(spark, sf).count()
+    assert(pruned.count() == total - bench - contaminated)
+    // nothing contaminated survives
+    assert(pruned.join(Curation.contamination(spark, sf).select("doc_id"), "doc_id").isEmpty)
+  }
+
+  test("vocab/OOV: token totals add up and a full vocabulary drives OOV to zero") {
+    val r = Curation.vocabOov(spark, sf).head()
+    val wantTotal = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ", -1)).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(r.getLong(0) == wantTotal)
+    assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    val full = Curation.vocabOov(spark, sf, vocabSize = 1000000).head()
+    assert(full.getLong(1) == 0 && full.getDouble(2) == 0.0)
+  }
+
   test("boilerplate score: bounded ratios, hit counts consistent with the mined set") {
     val s = Curation.boilerplateScore(spark, sf)
     val rows = s.collect()
