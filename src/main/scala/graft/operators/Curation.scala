@@ -260,14 +260,56 @@ object Curation {
     * map-side, and the top-k is TakeOrderedAndProject — per-partition
     * heaps, only `top` rows to the driver, no global sort. Full
     * (n_docs DESC, ng ASC) tie-break keeps the cut deterministic. */
-  def commonNgrams(spark: SparkSession, dir: String, k: Int = 8,
-                   minDocs: Int = 2, top: Int = 20): DataFrame =
+  private[graft] def mineCommonNgrams(spark: SparkSession, dir: String, k: Int = 8,
+                                      minDocs: Int = 2, top: Int = 20): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(Dedup.shingleSetK(k)).as("ng"))
       .groupBy("ng").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(desc("n_docs"), asc("ng"))
       .limit(top)
+
+  /** The mined set persisted once per (corpus, parameters) and read by
+    * every downstream use — the same staged-artifact flow as the dedup
+    * signature store (a nightly mining job writes the list; scoring and
+    * stripping jobs read it instead of re-scanning the corpus). Tiny
+    * (`top` rows), built on first use behind a lock, atomically moved
+    * into place, removed at process exit. */
+  private lazy val minedRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(
+      s"graft-minedngrams-${ProcessHandle.current().pid()}-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally s.close()
+      } catch { case _: Throwable => () }))
+    p
+  }
+  private val minedLock = new Object
+
+  private def ensureMinedNgrams(spark: SparkSession, dir: String, k: Int,
+                                minDocs: Int, top: Int): String =
+    minedLock.synchronized {
+      val key = s"${dir.replace('/', '_')}-k$k-m$minDocs-t$top"
+      val path = minedRoot.resolve(key)
+      if (!java.nio.file.Files.exists(path)) {
+        val tmp = java.nio.file.Files.createTempDirectory(minedRoot, "build-")
+        mineCommonNgrams(spark, dir, k, minDocs, top)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      path.toString
+    }
+
+  /** [[mineCommonNgrams]] served from the per-process store (built on
+    * first use); every caller in the same run reads the artifact. */
+  def commonNgrams(spark: SparkSession, dir: String, k: Int = 8,
+                   minDocs: Int = 2, top: Int = 20): DataFrame =
+    spark.read.parquet(ensureMinedNgrams(spark, dir, k, minDocs, top))
 
   /** The decontamination story's final artifact (mirrors the dedup
     * pipeline's pruned corpus): the TRAINING slice — every non-benchmark

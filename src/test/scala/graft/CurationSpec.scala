@@ -191,7 +191,8 @@ class CurationSpec extends AnyFunSuite {
       if (nGrams == 0) assert(nBoiler == 0 && ratio == 0.0)
     }
     // every doc containing the top mined gram must have n_boiler >= 1
-    val topGram = Curation.commonNgrams(spark, sf).head().getString(0)
+    val topGram = Curation.commonNgrams(spark, sf)
+      .orderBy(desc("n_docs"), asc("ng")).head().getString(0)
     val scored = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
     Tables.documents(spark, sf).select("doc_id", "text").collect().foreach { d =>
       val toks = d.getString(1).split(" ", -1)
@@ -201,8 +202,14 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("common ngrams: support counts are real distinct-doc counts, top-k plan has no global sort") {
+    // the mining plan itself is the TakeOrdered shape; the public entry
+    // serves the persisted artifact
+    val mine = Curation.mineCommonNgrams(spark, sf, k = 8, minDocs = 2, top = 20)
+    assert(mine.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
     val top = Curation.commonNgrams(spark, sf, k = 8, minDocs = 2, top = 20)
-    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+      .orderBy(desc("n_docs"), asc("ng"))
+    // store-read equals recompute
+    assert(top.exceptAll(mine).isEmpty && mine.exceptAll(top).isEmpty)
     val rows = top.collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(1) >= 2))
     // spot-verify the highest-support gram by brute force
