@@ -149,6 +149,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("restart from the same checkpoint reprocesses nothing (exactly-once source tracking)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-restart").toString
+    val watch = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watch)
+    java.nio.file.Files.createSymbolicLink(
+      watch.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001", "events.parquet"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val delivered = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(watch.toString)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          delivered.addAndGet(batch.count()): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      runOnce()
+      val afterFirst = delivered.get()
+      assert(afterFirst == Tables.events(spark, "/root/testdata/sf0.001").count())
+      // same checkpoint, same input: the source's committed offsets make
+      // the restart a no-op — nothing is re-delivered to the sink
+      runOnce()
+      assert(delivered.get() == afterFirst,
+        s"restart re-delivered ${delivered.get() - afterFirst} rows")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
   test("native streaming session windows equal the batch sessions closed by the final watermark") {
     val sf001 = "/root/testdata/sf0.001"
     val streamed = StreamingOps.sessionWindowStreamEndToEnd(spark, sf001)
