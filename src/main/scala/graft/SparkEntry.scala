@@ -33,6 +33,8 @@ object SparkEntry {
     "q_distinct"          -> ((s, d) => Relational.distinctPairs(s, d)),
     "q_limit"             -> ((s, d) => Relational.limitRows(s, d)),
     "q_split_parse"       -> ((s, d) => Relational.splitParse(s, d)),
+    // correlated scalar + EXISTS subqueries (Catalyst decorrelation)
+    "q_correlated_subq"   -> ((s, d) => Relational.correlatedSubqueries(s, d)),
     // — the reference's whole pipeline (S1-S3, K1-K4, P1-P3, O4/O5) —
     "q_pipeline_dimension" -> ((s, d) => Pipeline.dimensionPipeline(s, d)),
     // CSV sink + declared-schema CSV source round-trip
@@ -155,6 +157,8 @@ object SparkEntry {
     "q_boilerplate_score" -> ((s, d) => Curation.boilerplateScore(s, d)),
     // fixed-width value histogram per event type
     "q_value_histogram"   -> ((s, d) => Analytics.valueHistogram(s, d)),
+    // day-of-week x hour activity heatmap (epoch-arithmetic dow)
+    "q_dow_hour_profile"  -> ((s, d) => Analytics.dowHourProfile(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -503,6 +507,8 @@ object SparkEntry {
     "q_common_ngrams" -> Curation.commonNgramsOracleSql(),
     "q_boilerplate_score" -> Curation.boilerplateScoreOracleSql(),
     "q_value_histogram" -> Analytics.valueHistogramOracleSql(),
+    "q_dow_hour_profile" -> Analytics.dowHourProfileOracleSql,
+    "q_correlated_subq" -> Relational.correlatedSubqueriesOracleSql,
     "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,

@@ -419,6 +419,29 @@ object Analytics {
               FROM events) e
         GROUP BY user_id ORDER BY user_id"""
 
+  /** Day-of-week × hour activity heatmap over the event stream — the
+    * calendar-profile crosstab. Day-of-week comes from EPOCH ARITHMETIC
+    * ((epoch_days + 4) mod 7, 1970-01-01 being a Thursday=4) rather than
+    * the engines' dow() functions, whose weekday numbering conventions
+    * differ (Spark 1=Sunday, DuckDB 0=Sunday); hour extraction agrees
+    * under the session's pinned UTC. One partial-aggregated groupBy over
+    * a 7×24-key space. */
+  def dowHourProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(((floor(unix_micros(col("ts")) / 86400000000L) + 4) % 7).as("dow"),
+        hour(col("ts")).as("hr"),
+        col("value"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+
+  val dowHourProfileOracleSql: String =
+    """SELECT (CAST(floor((epoch_ns(ts) // 1000) / 86400000000) AS BIGINT) + 4) % 7 AS dow,
+              CAST(hour(ts) AS BIGINT) AS hr,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2 ORDER BY dow, hr"""
+
   /** Fixed-width histogram of the event value distribution per type —
     * bucket = floor(value / width): one narrow projection + one partial-
     * aggregated groupBy, the constant-memory alternative to exact

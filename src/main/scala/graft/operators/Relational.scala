@@ -61,6 +61,40 @@ object Relational {
   def rowCount(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).agg(count(lit(1)).as("cnt"))
 
+  /** Correlated subqueries through the SQL surface — the decorrelation
+    * machinery a query engine must own: a correlated SCALAR subquery
+    * (per-order lineitem count) and a correlated EXISTS, in one query.
+    * Catalyst rewrites both into joins (scalar → aggregate + left outer,
+    * EXISTS → left semi) — no per-row re-execution, which is the whole
+    * point at scale. Integer-only comparisons keep it float-free. */
+  def correlatedSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        |FROM orders o
+        |WHERE (SELECT count(*) FROM lineitem l
+        |       WHERE l.l_orderkey = o.o_orderkey) >= 5
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |""".stripMargin)
+  }
+
+  val correlatedSubqueriesOracleSql: String =
+    """SELECT o_orderkey, o_custkey,
+              (SELECT count(*) FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+       FROM orders o
+       WHERE (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey) >= 5
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_returnflag = 'R')
+       ORDER BY o_orderkey"""
+
   /** D1 as a result set: count + the >= 1 assertion verdict
     * (`dag-knlp.py:253-257`). */
   def countCheck(spark: SparkSession, dir: String): DataFrame =

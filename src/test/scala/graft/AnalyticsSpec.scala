@@ -73,6 +73,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(day0.join(r, "cohort").filter(col("n_users") > col("size0")).isEmpty)
   }
 
+  test("dow/hour profile: keys in range, cells partition the events") {
+    val p = Analytics.dowHourProfile(spark, sf)
+    assert(p.filter(col("dow") < 0 || col("dow") > 6
+      || col("hr") < 0 || col("hr") > 23).isEmpty)
+    assert(p.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    // spot-check the weekday arithmetic against java.time
+    val one = Tables.events(spark, sf)
+      .select(col("ts"), unix_micros(col("ts")).as("us")).head()
+    val wantDow = java.time.Instant.ofEpochMilli(one.getLong(1) / 1000)
+      .atZone(java.time.ZoneOffset.UTC).getDayOfWeek.getValue % 7 // Mon=1..Sun=7 -> Sun=0
+    val gotDow = ((one.getLong(1) / 86400000000L) + 4) % 7
+    assert(gotDow == wantDow)
+  }
+
   test("event sequences: first/last match the timeline ends, path is capped at 10") {
     val s = Analytics.eventSequences(spark, sf)
     val e = Tables.events(spark, sf)

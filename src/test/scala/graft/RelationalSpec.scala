@@ -50,4 +50,25 @@ class RelationalSpec extends AnyFunSuite {
     val r = Analytics.approxDistinct(spark, sf).head()
     assert(r.getBoolean(2) && r.getBoolean(3))
   }
+
+  test("correlated subqueries decorrelate to joins and match a manual join recomputation") {
+    val got = Relational.correlatedSubqueries(spark, sf)
+    // decorrelation happened: the optimized plan is joins, not per-row subplans
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected decorrelated joins, got:\n$plan")
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val hasR = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R").select("l_orderkey").distinct()
+    val want = Tables.orders(spark, sf)
+      .join(counts, col("o_orderkey") === counts("l_orderkey"))
+      .join(hasR, col("o_orderkey") === hasR("l_orderkey"), "left_semi")
+      .filter(col("n_lines") >= 5)
+      .select("o_orderkey", "o_custkey", "n_lines")
+    // set compare (exceptAll trips Spark's Union constraint rewrite on the
+    // shared lineitem lineage here)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(got) == rows(want))
+  }
 }
