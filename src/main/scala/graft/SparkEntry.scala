@@ -159,6 +159,14 @@ object SparkEntry {
     "q_value_histogram"   -> ((s, d) => Analytics.valueHistogram(s, d)),
     // day-of-week x hour activity heatmap (epoch-arithmetic dow)
     "q_dow_hour_profile"  -> ((s, d) => Analytics.dowHourProfile(s, d)),
+    // ordered conversion funnel (view -> click -> purchase, stage-gated)
+    "q_funnel"            -> ((s, d) => Analytics.funnelConversion(s, d)),
+    // SCD-2 dimension history: versioned status validity intervals
+    "q_scd2_history"      -> ((s, d) => Analytics.scd2History(s, d)),
+    // ntile/percent_rank/cume_dist/lag/lead/first in ONE window pass
+    "q_window_suite"      -> ((s, d) => Analytics.windowSuite(s, d)),
+    // interval join done scale-right: day-binned equi-join + residue filter
+    "q_attribution"       -> ((s, d) => Analytics.purchaseAttribution(s, d)),
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -508,6 +516,10 @@ object SparkEntry {
     "q_boilerplate_score" -> Curation.boilerplateScoreOracleSql(),
     "q_value_histogram" -> Analytics.valueHistogramOracleSql(),
     "q_dow_hour_profile" -> Analytics.dowHourProfileOracleSql,
+    "q_funnel" -> Analytics.funnelConversionOracleSql,
+    "q_scd2_history" -> Analytics.scd2HistoryOracleSql,
+    "q_window_suite" -> Analytics.windowSuiteOracleSql,
+    "q_attribution" -> Analytics.purchaseAttributionOracleSql(),
     "q_correlated_subq" -> Relational.correlatedSubqueriesOracleSql,
     "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),

@@ -747,4 +747,198 @@ object Analytics {
                     1 + len(list_filter(cs, c -> rev > c)) AS decile
              FROM pc CROSS JOIN cuts) t
        GROUP BY decile ORDER BY decile"""
+
+  /** Ordered conversion FUNNEL over the event stream (view → click →
+    * purchase): a user reaches a stage only via an event AT OR AFTER their
+    * first reach of the previous stage — the order-sensitive definition
+    * (a purchase before any view does not convert), which a plain
+    * per-type distinct-user count gets wrong. Shape: three stage
+    * aggregates chained by equi-joins on user_id; every one of the six
+    * operators hashes on the SAME key, so after the first shuffle the
+    * exchanges are reused (co-partitioned joins) — per-user state is one
+    * timestamp, never the event list. Output is one row per stage with
+    * the surviving-user count and the step conversion rate. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    def stageRow(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    val rows = stageRow(v, "1_view")
+      .unionAll(stageRow(c, "2_click_after_view"))
+      .unionAll(stageRow(p, "3_purchase_after_click"))
+    // step rate = n_users / previous stage's n_users (rate of the funnel
+    // entry stage is 1.0) — lag over the 3-row stage frame is driver-cheap.
+    val w = Window.orderBy("stage")
+    rows.withColumn("rate_vs_prev",
+      round(col("n_users").cast("double")
+        / coalesce(lag(col("n_users"), 1).over(w), col("n_users")).cast("double"), 6))
+  }
+
+  val funnelConversionOracleSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts >= v.t_view
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+               GROUP BY e.user_id),
+         s AS (SELECT '1_view' AS stage, count(*) AS n_users FROM v
+               UNION ALL SELECT '2_click_after_view', count(*) FROM c
+               UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+       SELECT stage, n_users,
+              round(CAST(n_users AS DOUBLE)
+                    / CAST(coalesce(lag(n_users) OVER (ORDER BY stage), n_users) AS DOUBLE), 6)
+                AS rate_vs_prev
+       FROM s ORDER BY stage"""
+
+  /** SCD-2 (slowly-changing-dimension) history build: collapse each
+    * customer's order-status timeline into versioned validity intervals —
+    * a new version opens whenever the status DIFFERS from the previous
+    * order's (lag), `valid_to` = the next version's `valid_from` (lead;
+    * NULL = current). The warehouse-standard dimension-history shape the
+    * reference's monthly snapshot rebuild cannot express. Both windows
+    * partition by o_custkey — ONE hash shuffle + per-user sort, no global
+    * order; ties at one date break by o_orderkey so both engines pick the
+    * same change rows. The open (current) interval carries the
+    * warehouse-standard 9999-12-31 high date rather than NULL — range
+    * predicates (`BETWEEN valid_from AND valid_to`) then need no NULL arm,
+    * and the dump stays free of nullable timestamps (pandas NaT compares
+    * unequal to itself, like NaN). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val changed = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+    val wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed
+      .withColumn("version", row_number().over(wv))
+      .withColumn("valid_to",
+        coalesce(lead(col("o_orderdate"), 1).over(wv),
+          lit("9999-12-31 00:00:00").cast("timestamp_ntz")))
+      .select(col("o_custkey"), col("version"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        (col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp_ntz"))
+          .as("is_current"))
+  }
+
+  val scd2HistoryOracleSql: String =
+    """WITH chg AS (
+         SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+         FROM (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                      lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS prev_status
+               FROM orders) t
+         WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+       SELECT o_custkey,
+              CAST(row_number() OVER w AS INTEGER) AS version,
+              o_orderstatus, o_orderdate AS valid_from,
+              coalesce(lead(o_orderdate) OVER w, TIMESTAMP '9999-12-31 00:00:00')
+                AS valid_to,
+              coalesce(lead(o_orderdate) OVER w, TIMESTAMP '9999-12-31 00:00:00')
+                = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+       FROM chg
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, version"""
+
+  /** The ranking/distribution window-function suite in one per-customer
+    * pass: ntile quartile, percent_rank, cume_dist, lag/lead neighbors,
+    * and the partition's first value. All six functions share ONE window
+    * spec (partition by o_custkey — high-cardinality, so state per
+    * partition is a handful of rows; never a global ORDER BY), which
+    * Catalyst evaluates in a single Window operator after a single hash
+    * shuffle + per-partition sort. The order key carries the o_orderkey
+    * tie-break so rank-derived values are identical in both engines;
+    * percent_rank/cume_dist are exact rationals of partition counts,
+    * rounded at 6 dp only to absorb engine-formatting of the division. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        lag(col("o_totalprice"), 1).over(w).as("pricier_neighbor"),
+        lead(col("o_totalprice"), 1).over(w).as("cheaper_neighbor"),
+        first(col("o_totalprice")).over(w).as("top_price"))
+  }
+
+  val windowSuiteOracleSql: String =
+    """SELECT o_custkey, o_orderkey,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume,
+              lag(o_totalprice) OVER w AS pricier_neighbor,
+              lead(o_totalprice) OVER w AS cheaper_neighbor,
+              first_value(o_totalprice) OVER w AS top_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+       ORDER BY o_custkey, o_orderkey"""
+
+  /** Purchase ATTRIBUTION via a day-BINNED interval join: for each
+    * purchase event, the count/value of the same user's `view` events in
+    * the preceding `windowHours`. The naive plan is a θ-join
+    * (`v.ts BETWEEN p.ts - 24h AND p.ts`) — Spark executes non-equi joins
+    * as BroadcastNestedLoopJoin or a per-key cartesian, O(views×purchases)
+    * per user; at 100 TB that is the join that never finishes. The
+    * scale shape BINS time: a view at time s can only attribute to
+    * purchases in [s, s+24h], i.e. purchases whose epoch-DAY is day(s) or
+    * day(s)+1 — so each view emits exactly 2 (user, day) bin rows, the
+    * join becomes a hash EQUI-join on (user_id, day), and the exact
+    * interval predicate filters the ≤2× residue after the join. Work is
+    * linear in events + true matches, shuffle keys are (user, day) —
+    * time-skew (hot days) spreads across users and AQE splits the rest.
+    * Epoch-microsecond arithmetic end-to-end (both engines agree
+    * exactly); purchases with no qualifying view are kept via the
+    * left join with zero counts. */
+  def purchaseAttribution(spark: SparkSession, dir: String,
+                          windowHours: Int = 24): DataFrame = {
+    val winUs = windowHours * 3600L * 1000000L
+    val dayUs = 86400000000L
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("day", floor(col("p_us") / dayUs))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
+        col("value").cast(DecimalType(18, 2)).as("v_value"))
+      .withColumn("day", explode(array(floor(col("v_us") / dayUs),
+        floor(col("v_us") / dayUs) + 1)))
+    p.join(v, Seq("user_id", "day"), "left")
+      .withColumn("hit", col("v_us").isNotNull &&
+        col("v_us") >= col("p_us") - winUs && col("v_us") <= col("p_us"))
+      .groupBy("event_id", "user_id")
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_views"),
+        coalesce(sum(when(col("hit"), col("v_value"))), lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("view_value"))
+  }
+
+  def purchaseAttributionOracleSql(windowHours: Int = 24): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    s"""WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS p_us
+                   FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_ns(ts) // 1000 AS v_us,
+                      CAST(value AS DECIMAL(18,2)) AS v_value
+               FROM events WHERE event_type = 'view')
+       SELECT p.event_id, p.user_id,
+              CAST(coalesce(sum(CASE WHEN v.v_us IS NOT NULL THEN 1 END), 0) AS BIGINT)
+                AS n_views,
+              CAST(coalesce(sum(v.v_value), 0) AS DOUBLE) AS view_value
+       FROM p LEFT JOIN v
+         ON p.user_id = v.user_id
+        AND v.v_us BETWEEN p.p_us - $winUs AND p.p_us
+       GROUP BY p.event_id, p.user_id
+       ORDER BY p.event_id"""
+  }
 }

@@ -225,4 +225,84 @@ class AnalyticsSpec extends AnyFunSuite {
     // its fair share
     assert(rows.map(_.getLong(1)).max <= math.ceil(nCust / 10.0).toLong * 2)
   }
+
+  test("funnel: stages shrink monotonically and are bounded by per-type user counts") {
+    val f = Analytics.funnelConversion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.size == 3)
+    assert(f("1_view") >= f("2_click_after_view"))
+    assert(f("2_click_after_view") >= f("3_purchase_after_click"))
+    // stage-gating can only REMOVE users vs the ungated per-type counts
+    def usersOf(t: String) = Tables.events(spark, sf)
+      .filter(col("event_type") === t).select("user_id").distinct().count()
+    assert(f("1_view") == usersOf("view"))
+    assert(f("2_click_after_view") <= usersOf("click"))
+    assert(f("3_purchase_after_click") <= usersOf("purchase"))
+  }
+
+  test("scd2 history: versions are per-customer sequential, intervals chain without gaps") {
+    // valid_from/valid_to surface as LocalDateTime (the tables' NTZ
+    // timestamps) — compare them as Any.
+    val h = Analytics.scd2History(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.get(3), r.get(4), r.getBoolean(5)))
+      .groupBy(_._1)
+    h.foreach { case (cust, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"customer $cust versions")
+      // each valid_to equals the NEXT version's valid_from; exactly the
+      // last version is current (high-date)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"customer $cust interval chain")
+        case _ =>
+      }
+      assert(sorted.count(_._5) == 1 && sorted.last._5, s"customer $cust current row")
+    }
+  }
+
+  test("window suite: one Window operator; quartiles/pct_rank/cume agree with definitions") {
+    val ws = Analytics.windowSuite(spark, sf)
+    // all six functions fold into a single Window node over one shuffle
+    val plan = ws.queryExecution.executedPlan.toString
+    assert("(?s)Window".r.findAllIn(plan).length >= 1 &&
+      "Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan.take(2000))
+    // rank-derived columns against their definitions on one partition,
+    // ordered by the source prices (the output carries no price column)
+    val prices = Tables.orders(spark, sf).filter(col("o_custkey") === 1)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = ws.filter(col("o_custkey") === 1).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(7)))
+    if (one.nonEmpty) {
+      val n = one.length
+      val byRank = one.sortBy { case (key, _, _, _) => (-prices(key), key) }
+      val maxPrice = prices.values.max
+      byRank.zipWithIndex.foreach { case ((_, pr, cd, top), i) =>
+        if (n > 1) assert(math.abs(pr - i.toDouble / (n - 1)) < 1e-6, "pct_rank")
+        assert(math.abs(cd - (i + 1).toDouble / n) < 1e-6, "cume_dist")
+        assert(top == maxPrice, "top_price is partition max")
+      }
+    }
+  }
+
+  test("attribution: binned equi-join equals the brute-force interval join, no NLJ in plan") {
+    val got = Analytics.purchaseAttribution(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // scale guard: the plan must be a hash equi-join on (user, day), not a
+    // nested-loop/cartesian theta join
+    val plan = Analytics.purchaseAttribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val viewsByUser = evs.filter(_._3 == "view").groupBy(_._2)
+    val expected = evs.filter(_._3 == "purchase").map { case (id, uid, _, us) =>
+      id -> viewsByUser.getOrElse(uid, Array.empty)
+        .count(v => v._4 >= us - 86400000000L && v._4 <= us).toLong
+    }.toMap
+    assert(got == expected)
+  }
 }

@@ -9,6 +9,7 @@ testdata parquet tables, and compares as sorted sets (columns sorted by
 name, rows sorted, exact values).
 """
 import json, sys, math
+import pandas as pd
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -62,8 +63,13 @@ for name, sql in sorted(oracle.items()):
         ok = True
         for c in g.columns:
             for i, (a, b) in enumerate(zip(g[c], w[c])):
-                if a != b and not (isinstance(a, float) and isinstance(b, float)
-                                   and (math.isnan(a) and math.isnan(b))):
+                # NaN/NaT/None compare unequal to themselves — treat
+                # both-missing as equal (pd.isna covers all three).
+                try:
+                    both_na = bool(pd.isna(a)) and bool(pd.isna(b))
+                except (TypeError, ValueError):
+                    both_na = False
+                if a != b and not both_na:
                     print(f"FAIL {name}: col {c} row {i}: {a!r} != {b!r} "
                           f"({type(a).__name__} vs {type(b).__name__})")
                     ok = False
