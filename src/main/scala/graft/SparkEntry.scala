@@ -39,6 +39,8 @@ object SparkEntry {
     "q_pipeline_dimension" -> ((s, d) => Pipeline.dimensionPipeline(s, d)),
     // CSV sink + declared-schema CSV source round-trip
     "q_csv_roundtrip"     -> ((s, d) => Pipeline.csvRoundTrip(s, d)),
+    // ORC sink + self-describing ORC source round-trip
+    "q_orc_roundtrip"     -> ((s, d) => Pipeline.orcRoundTrip(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
@@ -119,6 +121,8 @@ object SparkEntry {
     // ...and the final artifact: the pruned corpus (keepers + unclustered)
     "q_dedup_pruned"      -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
+    // degree distribution of the near-dup pair graph (graph health check)
+    "q_dedup_degree"      -> ((s, d) => Dedup.nearDupDegreeProfile(s, d)),
     // blocked fuzzy matching (entity resolution): Levenshtein within
     // nation-key blocks, never a corpus-wide cross join
     "q_fuzzy_match"       -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
@@ -133,6 +137,8 @@ object SparkEntry {
     // rebuilds cells/probes/candidates from the same constants)
     "q_ann_topk"          -> ((s, d) => Similarity.annIvfTopk(s, d)),
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8Stats(s, d)),
+    // product quantization: 32x-compressed codes + ADC top-k, exact oracle
+    "q_pq_adc"            -> ((s, d) => Similarity.pqAdcTopk(s, d)),
     // SEMANTIC dedup: connected components over the embedding-cosine
     // near-dup graph (translations/paraphrases never collide in MinHash
     // space; their embeddings do)
@@ -522,6 +528,9 @@ object SparkEntry {
     "q_attribution" -> Analytics.purchaseAttributionOracleSql(),
     "q_correlated_subq" -> Relational.correlatedSubqueriesOracleSql,
     "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
+    "q_orc_roundtrip" -> Pipeline.orcRoundTripOracleSql,
+    "q_dedup_degree" -> Dedup.nearDupDegreeProfileOracleSql(),
+    "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH

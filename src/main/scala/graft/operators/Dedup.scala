@@ -613,6 +613,45 @@ object Dedup {
        SELECT doc_a, doc_b, jaccard FROM pairs
        ORDER BY doc_a, doc_b"""
 
+  /** Degree distribution of the near-dup PAIR GRAPH — the graph-health
+    * profile a production dedup run inspects before clustering: a heavy
+    * tail (one doc near-dup to hundreds) signals boilerplate the bucket
+    * cap should have caught; a mass at degree 1 signals simple pair
+    * merges. One union (both edge directions) + two partial-aggregated
+    * groupBys over the LSH pair list — orders of magnitude smaller than
+    * the corpus, and the signatures come from the persisted store. */
+  def nearDupDegreeProfile(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                           minBands: Int = DefaultMinBands,
+                           maxBucket: Int = DefaultMaxBucket,
+                           estJaccard: Double = DefaultEstJaccard,
+                           shingleK: Int = 1,
+                           bands: Int = NumBands,
+                           rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+      estJaccard, shingleK, bands, rowsPerBand)
+    pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** DuckDB oracle for [[nearDupDegreeProfile]] — same pair CTEs, same
+    * two-level aggregation. */
+  def nearDupDegreeProfileOracleSql(threshold: Double = 0.95,
+                                    minBands: Int = DefaultMinBands,
+                                    estJaccard: Double = DefaultEstJaccard,
+                                    shingleK: Int = 1,
+                                    bands: Int = NumBands,
+                                    rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+       deg AS (
+         SELECT doc_id, count(*) AS degree FROM (
+           SELECT doc_a AS doc_id FROM pairs
+           UNION ALL SELECT doc_b AS doc_id FROM pairs) t
+         GROUP BY doc_id)
+       SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
+       FROM deg GROUP BY degree ORDER BY degree"""
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation with POINTER JUMPING: every node starts
     * labeled with its own id; each round every node takes the minimum

@@ -159,4 +159,29 @@ object Pipeline {
     """SELECT o_orderstatus, count(*) AS n_orders,
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** ORC sink + source — the columnar interchange format next to parquet:
+    * a projection of `lineitem` is written as ORC (self-describing footer
+    * schema, so the read-back needs NO declared schema — unlike CSV) and
+    * re-aggregated. ORC round-trips longs/doubles losslessly, so the
+    * oracle computes the aggregate straight from the parquet source. The
+    * scan keeps the columnar virtues parquet has here: column pruning and
+    * predicate pushdown both reach the ORC reader. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir) + "/lineitem_orc"
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(base)
+    spark.read.orc(base)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+  }
+
+  val orcRoundTripOracleSql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 }

@@ -460,4 +460,112 @@ object Similarity {
          FROM scored) t
        WHERE "rank" <= $k ORDER BY query_id, "rank""""
   }
+
+  /** PQ geometry: M subspaces × K codewords. 64-dim embeddings → 8
+    * subvectors of 8 dims, 16 codewords each = an 8-BYTE code per vector
+    * (codes fit in 4 bits; stored as one byte each here) — 32× smaller
+    * than the 64-float original. K=16 keeps the per-query distance table
+    * at M·K = 128 doubles. */
+  private[graft] val PqM = 8
+  private[graft] val PqK = 16
+
+  /** X3f — PRODUCT QUANTIZATION (PQ) with ADC (asymmetric distance
+    * computation) top-k: the memory-bound regime's ANN answer (IVF cuts
+    * WHICH vectors are scored; PQ cuts the BYTES per score). Split each
+    * vector into [[PqM]] subvectors; quantize every subvector to its
+    * nearest of [[PqK]] per-subspace codewords (deterministic codebook:
+    * the subvectors of the K lowest-vec_id corpus rows — the same
+    * no-RNG convention as the IVF centroids, which keeps the whole
+    * pipeline engine-reproducible); a vector is then just M small codes.
+    * At query time, ADC precomputes the M×K table of exact
+    * query-subvector→codeword L2² distances, and each corpus vector's
+    * approximate distance is M table lookups summed in FIXED subspace
+    * order (a left fold — bit-deterministic in both engines).
+    *
+    * 100 TB posture: the corpus-sized artifacts are the CODES (n×M
+    * bytes, 32× compression — the table a production deployment
+    * persists next to the signature store), built by one broadcast join
+    * (codebook is M·K subvectors ≪ broadcast threshold) + a windowed
+    * per-(vector, subspace) argmin; the query-time scan reads ONLY codes
+    * + the broadcast per-query table — no embedding bytes move. Encoding
+    * shuffles nothing corpus-sized (argmin partitions by vec_id·M).
+    * Exactly verified: deterministic codebooks make even the
+    * approximation reproducible, so the oracle rebuilds codes, tables,
+    * and lookups and the rows hash-match. */
+  def pqAdcTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e0 = embDouble(spark, dir)
+    val (_, dim) = corpusShape(e0)
+    val subDim = dim / PqM
+    require(subDim * PqM == dim, s"dim $dim not divisible into $PqM subspaces")
+    def subArr = array((0 until PqM).map(m => slice(col("emb"), m * subDim + 1, subDim)): _*)
+    val subs = e0.select(col("vec_id"), posexplode(subArr).as(Seq("m", "sub")))
+    val cent = e0.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("c"), posexplode(subArr).as(Seq("m", "csub")))
+    val l2 = expr(
+      "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    val l2q = expr(
+      "aggregate(zip_with(qsub, csub, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    // encode: per (vector, subspace) argmin over the K codewords
+    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d"), asc("c"))
+    val codes = subs.join(broadcast(cent), Seq("m"))
+      .select(col("vec_id"), col("m"), col("c"), l2.as("d"))
+      .withColumn("rn", row_number().over(wCode)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("c")))),
+        s => s("c")).as("codes"))
+    // per-query ADC table, flattened to an array in (m·K + c) order
+    val darr = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), posexplode(subArr).as(Seq("m", "qsub")))
+      .join(broadcast(cent), Seq("m"))
+      .select(col("query_id"), col("m"), col("c"), l2q.as("d"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("c"), col("d")))),
+        s => s("d")).as("darr"))
+    // ADC scan: M lookups per (query, vector), summed in subspace order
+    val adc = codes.join(broadcast(darr))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"""aggregate(sequence(0, ${PqM - 1}), 0D, (acc, m) ->
+                   acc + element_at(darr, m * $PqK + int(element_at(codes, m + 1)) + 1))""")
+          .as("adc_raw"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_raw"), asc("neighbor_id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc_raw"), 6).as("adc_dist"))
+  }
+
+  /** DuckDB oracle for [[pqAdcTopk]] — codebook, encoding, ADC table, and
+    * fixed-order lookup sum rebuilt from the operator's own constants. */
+  def pqAdcTopkOracleSql(k: Int = 5): String = {
+    val sd = 8 // subDim at the testdata's fixed dim=64
+    def l2(a: String, b: String): String =
+      s"list_sum([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, ${sd + 1})])"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       subs AS (SELECT vec_id, m, emb[m * $sd + 1 : m * $sd + $sd] AS sub FROM e, ms),
+       cent AS (SELECT vec_id AS c, m, emb[m * $sd + 1 : m * $sd + $sd] AS csub
+                FROM e, ms WHERE vec_id < $PqK),
+       codes AS (
+         SELECT vec_id, m, c FROM (
+           SELECT s.vec_id, s.m, c.c,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY ${l2("s.sub", "c.csub")} ASC, c.c ASC) AS rn
+           FROM subs s JOIN cent c ON s.m = c.m) t
+         WHERE rn = 1),
+       cw AS (SELECT vec_id, list(c ORDER BY m) AS codes FROM codes GROUP BY vec_id),
+       dtab AS (SELECT s.vec_id AS query_id, s.m, c.c,
+                       ${l2("s.sub", "c.csub")} AS d
+                FROM subs s JOIN cent c ON s.m = c.m WHERE s.vec_id < 10),
+       darr AS (SELECT query_id, list(d ORDER BY m, c) AS darr FROM dtab GROUP BY query_id),
+       adc AS (SELECT d.query_id, w.vec_id AS neighbor_id,
+                      list_sum([d.darr[m * $PqK + w.codes[m + 1] + 1]
+                                for m in range(0, $PqM)]) AS adc_raw
+               FROM cw w CROSS JOIN darr d WHERE w.vec_id <> d.query_id)
+       SELECT query_id, neighbor_id, "rank", round(adc_raw, 6) AS adc_dist FROM (
+         SELECT query_id, neighbor_id, adc_raw,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_raw ASC, neighbor_id ASC) AS "rank"
+         FROM adc) t
+       WHERE "rank" <= $k ORDER BY query_id, "rank""""
+  }
 }

@@ -265,4 +265,15 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(f.keySet == sizes.filter(_._2 >= 2).keySet)
   }
+
+  test("degree profile: doc counts re-add to the pair-graph node count, mass is even") {
+    val prof = Dedup.nearDupDegreeProfile(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.nearDupPairs(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.length.toLong
+    assert(prof.values.sum == nodes, "degree buckets partition the graph's nodes")
+    // handshake lemma: sum(degree * n_docs) = 2 * |pairs|
+    assert(prof.map { case (d, n) => d * n }.sum == 2L * pairs.length)
+  }
 }

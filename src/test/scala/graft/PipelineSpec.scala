@@ -54,4 +54,15 @@ class PipelineSpec extends AnyFunSuite {
             .cast("decimal(18,2)")).cast("double").as("revenue"))
     assert(viaCsv.exceptAll(direct).isEmpty && direct.exceptAll(viaCsv).isEmpty)
   }
+
+  test("orc round-trip aggregate equals the same aggregate from parquet") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val viaOrc = Pipeline.orcRoundTrip(spark, sf)
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    assert(viaOrc.exceptAll(direct).isEmpty && direct.exceptAll(viaOrc).isEmpty)
+  }
 }

@@ -149,4 +149,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q.filter(col("qerr") > col("scale") / 2 + 1e-6).isEmpty)
     assert(q.filter(col("scale") <= 0).isEmpty, "degenerate zero vectors in testdata")
   }
+
+  test("PQ ADC: 10 queries x 5 ranked neighbors, distances non-negative and rank-monotone") {
+    val t = Similarity.pqAdcTopk(spark, sf)
+    val rows = t.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 50)
+    assert(rows.map(_._1).distinct.length == 10)
+    assert(rows.forall { case (q, n, _, d) => q != n && d >= 0 })
+    // within a query, ADC distance is non-decreasing in rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to 5))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4, s"query ${a._1} rank order")
+        case _ =>
+      }
+    }
+  }
+
+  test("PQ ADC is deterministic across runs (no-RNG codebook contract)") {
+    // the whole pipeline (codebook pick, argmin encoding, table lookups)
+    // must be run-stable or the oracle hash check could never hold
+    val a = Similarity.pqAdcTopk(spark, sf)
+    val b = Similarity.pqAdcTopk(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
