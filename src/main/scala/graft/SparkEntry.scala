@@ -198,6 +198,9 @@ object SparkEntry {
     // same-user events in the preceding 30 min; oracle = the identical
     // batch interval join.
     "q_stream_stream_join" -> ((s, d) => graft.streaming.StreamingOps.streamStreamJoinEndToEnd(s, d)),
+    // ...and its LEFT OUTER arm: watermark-gated null emission for events
+    // with no prior same-user context
+    "q_stream_stream_outer" -> ((s, d) => graft.streaming.StreamingOps.streamStreamLeftOuterEndToEnd(s, d)),
     // NATIVE streaming session windows (append mode): the batch session
     // list minus sessions the final watermark left open.
     "q_stream_session_window" -> ((s, d) => graft.streaming.StreamingOps.sessionWindowStreamEndToEnd(s, d)),
@@ -500,6 +503,7 @@ object SparkEntry {
     "q_sessionize" -> graft.streaming.StreamingOps.sessionizeOracleSql(),
     // Generated from the operator's own window constant.
     "q_stream_stream_join" -> graft.streaming.StreamingOps.streamStreamJoinOracleSql(),
+    "q_stream_stream_outer" -> graft.streaming.StreamingOps.streamStreamLeftOuterOracleSql(),
     "q_stream_session_window" -> graft.streaming.StreamingOps.sessionWindowStreamOracleSql(),
     // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
     "q_stream_dedup" ->

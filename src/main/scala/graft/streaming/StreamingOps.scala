@@ -632,6 +632,75 @@ object StreamingOps {
        ORDER BY 1, 2"""
   }
 
+  /** The LEFT OUTER arm of the stream-stream interval join: matches emit
+    * like the inner join, and a left event with NO same-user event in its
+    * preceding window additionally emits one null-padded row — but only
+    * once the WATERMARK proves no future match can arrive (null emission
+    * is a state-eviction side effect, so it is watermark-gated by
+    * construction). Events still inside the watermark at stream end stay
+    * silent — exactly the semantics the oracle encodes: unmatched rows
+    * qualify only when their event time is strictly below the final
+    * watermark (max event time − the 1 h delay). This is the streaming
+    * answer to "which events had no prior context?" — the negation query
+    * an inner join cannot express. */
+  def streamStreamLeftOuterEndToEnd(spark: SparkSession, dir: String,
+                                    windowMinutes: Int = 30,
+                                    statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val out = scratchDir("ssouter")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    def side(name: String): DataFrame =
+      ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id").as(s"${name}_event_id"),
+          col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
+        .withWatermark(s"${name}_ts", "1 hour")
+    val joined = side("l").join(side("r"),
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") < col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "leftOuter")
+      .select(col("l_event_id").as("event_id"),
+        col("r_event_id").as("prior_event_id"),
+        (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("gap_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
+  /** DuckDB oracle for [[streamStreamLeftOuterEndToEnd]]: inner matches
+    * plus null rows for unmatched events strictly below the final
+    * watermark. */
+  def streamStreamLeftOuterOracleSql(windowMinutes: Int = 30): String = {
+    val winUs = windowMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+       wm AS (SELECT max(us) - 3600000000 AS wm_us FROM e),
+       m AS (SELECT l.event_id, r.event_id AS prior_event_id, l.us - r.us AS gap_us
+             FROM e l JOIN e r
+               ON l.user_id = r.user_id AND r.us < l.us AND r.us >= l.us - $winUs),
+       um AS (SELECT l.event_id, l.us FROM e l
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e r
+                WHERE l.user_id = r.user_id AND r.us < l.us AND r.us >= l.us - $winUs))
+       SELECT event_id, prior_event_id, gap_us FROM m
+       UNION ALL
+       SELECT um.event_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       FROM um, wm WHERE um.us < wm.wm_us
+       ORDER BY 1, 2"""
+  }
+
   /** DuckDB oracle for [[sessionizeEndToEnd]], generated from the SAME gap
     * constant: classic window-gap sessionization (break where the gap to
     * the previous event exceeds the threshold, session id = running break

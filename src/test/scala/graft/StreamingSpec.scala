@@ -224,6 +224,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER join equals its watermark-gated batch twin") {
+    val got = StreamingOps.streamStreamLeftOuterEndToEnd(spark, TestSpark.sf)
+    val e = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val matched = e.as("l").join(e.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.us") < col("l.us") &&
+          col("r.us") >= col("l.us") - lit(30L * 60 * 1000000))
+      .select(col("l.event_id").as("event_id"),
+        col("r.event_id").as("prior_event_id"),
+        (col("l.us") - col("r.us")).as("gap_us"))
+    val wmUs = e.agg(max("us")).head().getLong(0) - 3600000000L
+    val unmatched = e.as("l").join(e.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.us") < col("l.us") &&
+          col("r.us") >= col("l.us") - lit(30L * 60 * 1000000), "left_anti")
+      .filter(col("us") < wmUs)
+      .select(col("event_id"), lit(null).cast("long").as("prior_event_id"),
+        lit(null).cast("long").as("gap_us"))
+    val want = matched.unionAll(unmatched)
+    // sanity: the outer arm really added null rows beyond the inner join
+    assert(got.filter(col("prior_event_id").isNull).count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming exact dedup emits each distinct fingerprint exactly once") {
     val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
     val want = Tables.documents(spark, TestSpark.sf)
