@@ -100,6 +100,8 @@ object SparkEntry {
     "q_repetition"        -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     // unigram cross-entropy quality score (perplexity proxy)
     "q_doc_logprob"       -> ((s, d) => TextAnalysis.docLogProb(s, d)),
+    // interpolated bigram LM score (the next perplexity-proxy rung)
+    "q_bigram_logprob"    -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // Okapi BM25 per-(doc, query-term) relevance scoring
     "q_bm25"              -> ((s, d) => TextAnalysis.bm25(s, d)),
     // — X1/X2 dedup —
@@ -537,6 +539,7 @@ object SparkEntry {
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
+    "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

@@ -206,6 +206,77 @@ object TextAnalysis {
        FROM tok JOIN p USING (token)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Interpolated BIGRAM language-model scoring — the next rung of the
+    * perplexity-proxy ladder above [[docLogProb]]'s unigram model:
+    * P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N (Jelinek-Mercer
+    * interpolation with the unigram prior, so unseen-in-context words
+    * never hit log 0), per-doc mean log-probability over its bigram
+    * positions. Corpus counts come from two partial-aggregated groupBys;
+    * the probability table is keyed by bigram TYPE (vocabulary-sized, not
+    * corpus-sized — broadcast here; at web-corpus vocabulary it becomes a
+    * shuffle join on the gram key, same plan shape). The per-doc sum
+    * accumulates exact DECIMAL(28,12) log-probs — partial-aggregation
+    * order cannot move the result (the [[docLogProb]] determinism
+    * pattern). */
+  def bigramLogProb(spark: SparkSession, dir: String,
+                    lambda: Double = 0.75): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(gramList(2)).as("bg"))
+    val tok = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+    val cu = tok.groupBy("token").agg(count(lit(1)).as("cu"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val ch = bg.select(expr("split(bg, ' ')[0]").as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("ch"))
+    val ptab = cbg
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .join(ch, "w1")
+      .join(cu.withColumnRenamed("token", "w2"), "w2")
+      .crossJoin(total)
+      .select(col("bg"),
+        log(lit(lambda) * (col("cbg").cast("double") / col("ch"))
+          + lit(1 - lambda) * (col("cu").cast("double") / col("total")))
+          .cast("decimal(28,12)").as("lp"))
+    bg.join(broadcast(ptab), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("mean_logprob2"))
+  }
+
+  /** DuckDB oracle for [[bigramLogProb]] — same counts, same interpolation
+    * spelled with the identical operation order, same exact DECIMAL
+    * accumulation. */
+  def bigramLogProbOracleSql(lambda: Double = 0.75): String = {
+    val l1 = lambda
+    val l2 = 1 - lambda
+    s"""WITH bg AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(string_split(text, ' ')) >= 2
+             THEN [array_to_string(string_split(text, ' ')[i : i + 1], ' ')
+                   for i in range(1, len(string_split(text, ' ')))]
+             ELSE CAST([] AS VARCHAR[]) END) AS bg
+         FROM documents),
+       tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       cu AS (SELECT token, count(*) AS cu FROM tok GROUP BY token),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+       cbg AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+       ch AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS ch
+              FROM bg GROUP BY 1),
+       p AS (SELECT cbg.bg,
+                    CAST(ln($l1 * (CAST(cbg.cbg AS DOUBLE) / ch.ch)
+                            + $l2 * (CAST(cu.cu AS DOUBLE) / tot.total))
+                      AS DECIMAL(28,12)) AS lp
+             FROM cbg
+             JOIN ch ON string_split(cbg.bg, ' ')[1] = ch.w1
+             JOIN cu ON string_split(cbg.bg, ' ')[2] = cu.token
+             CROSS JOIN tot)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob2
+       FROM bg JOIN p USING (bg)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** Ordered (non-distinct) k-gram list — repetition needs the duplicates
     * [[graft.operators.Dedup.shingleSetK]] deliberately removes. */
   private def gramList(k: Int): Column = expr(

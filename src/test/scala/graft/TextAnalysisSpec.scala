@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, explode, split}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
 
@@ -81,5 +82,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - want) < 1e-6, s"doc $id term $term")
       assert(r.getDouble(4) > 0)
     }
+  }
+
+  test("bigram LM: log-probs respect the interpolation floor and track unigram closely") {
+    val bi = TextAnalysis.bigramLogProb(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val uni = TextAnalysis.docLogProb(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every doc with >= 2 tokens scores; log-probs are strictly negative
+    assert(bi.nonEmpty)
+    bi.values.foreach { case (n, lp) => assert(n >= 1 && lp < 0) }
+    // interpolation floor: P >= (1-lambda) * min unigram prob, so no doc
+    // mean can fall below ln of that floor — the no-log-0 guarantee the
+    // Jelinek-Mercer mixture exists to provide
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ", -1)).as("t")).collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).view.mapValues(_.length).toMap
+    val floor = math.log(0.25 * counts.values.min.toDouble / toks.length)
+    bi.values.foreach { case (_, lp) => assert(lp >= floor, s"$lp under floor $floor") }
+    // on this MEMORYLESS synthetic corpus (tokens ~ iid from a small
+    // vocabulary) bigram context carries no information, so the two
+    // models' corpus means must be close — the bigram estimate is just a
+    // noisier unigram (it is slightly WORSE by Jensen, not better)
+    val meanBi = bi.values.map(_._2).sum / bi.size
+    val meanUni = bi.keys.map(uni).sum / bi.size
+    assert(math.abs(meanBi - meanUni) < 0.2,
+      s"bigram mean $meanBi should track unigram mean $meanUni on iid text")
   }
 }
