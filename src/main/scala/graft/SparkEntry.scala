@@ -125,6 +125,10 @@ object SparkEntry {
     "q_simhash"           -> ((s, d) => Dedup.simhash(s, d)),
     // degree distribution of the near-dup pair graph (graph health check)
     "q_dedup_degree"      -> ((s, d) => Dedup.nearDupDegreeProfile(s, d)),
+    // PageRank centrality over the near-dup graph (template-hub keeper
+    // policy) in fixed-point BIGINT arithmetic (damping = 17/20, units of
+    // 1e-15) so 3 Jacobi iterations oracle bit-exactly
+    "q_pagerank"          -> ((s, d) => Dedup.nearDupPageRank(s, d)),
     // blocked fuzzy matching (entity resolution): Levenshtein within
     // nation-key blocks, never a corpus-wide cross join
     "q_fuzzy_match"       -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
@@ -536,6 +540,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
     "q_orc_roundtrip" -> Pipeline.orcRoundTripOracleSql,
     "q_dedup_degree" -> Dedup.nearDupDegreeProfileOracleSql(),
+    "q_pagerank" -> Dedup.nearDupPageRankOracleSql(),
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,

@@ -652,6 +652,100 @@ object Dedup {
        SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
        FROM deg GROUP BY degree ORDER BY degree"""
 
+  /** PAGERANK over the near-dup pair graph — the third graph operator
+    * next to the degree profile and connected components: centrality
+    * identifies the "template hubs" of a near-dup neighborhood (the doc
+    * most linked to its cluster is usually the canonical copy worth
+    * keeping — an alternative keeper policy to min-doc_id). Fixed
+    * `iters` Jacobi iterations of pr ← (1−d)/n + d·Σ_in pr(u)/deg(u)
+    * over the undirected edge list.
+    *
+    * Scale + determinism shape: each iteration is one small equi-join +
+    * one partial-aggregated groupBy over the PAIR LIST (as with
+    * [[connectedComponents]], orders of magnitude smaller than the
+    * corpus), `localCheckpoint`ed so lineage stays one iteration deep.
+    * Floating-point Jacobi sums are partial-aggregation-order dependent
+    * AND decimal↔double casts differ between engines by an ulp (enough
+    * to flip a rounding tie), so the whole computation runs in
+    * FIXED-POINT BIGINT arithmetic: rank in units of 10⁻¹⁵, damping as
+    * the exact rational 17/20, contribution = pr·17 ÷ (20·deg) in
+    * integer division. Every op is exact int64 in both engines — the
+    * result is deterministic by construction (quantization error is
+    * ≤ deg·10⁻¹⁵ per node per iteration, documented, and identical
+    * everywhere). No dangling-node arm: every node of an undirected
+    * pair graph has degree ≥ 1. Output is the fixed-point BIGINT. */
+  def nearDupPageRank(spark: SparkSession, dir: String, iters: Int = 3,
+                      dampNum: Int = 17, dampDen: Int = 20,
+                      threshold: Double = 0.95,
+                      minBands: Int = DefaultMinBands,
+                      maxBucket: Int = DefaultMaxBucket,
+                      estJaccard: Double = DefaultEstJaccard,
+                      shingleK: Int = 1,
+                      bands: Int = NumBands,
+                      rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val Scale = 1000000000000000L // 10^15: pr·dampNum stays < 2^63
+    val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+      estJaccard, shingleK, bands, rowsPerBand)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    val base = Scale * (dampDen - dampNum) / dampDen / n
+    var pr = deg.select(col("src").as("doc_id"), lit(Scale / n).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(pr, edges("src") === pr("doc_id"))
+        .join(deg, "src")
+        .select(col("dst"),
+          expr(s"(pr * $dampNum) div ($dampDen * deg)").as("c"))
+      pr = contrib.groupBy(col("dst").as("doc_id"))
+        .agg((lit(base) + sum(col("c"))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("doc_id"), col("pr").as("pagerank_fp"))
+  }
+
+  /** DuckDB oracle for [[nearDupPageRank]] — the identical unrolled
+    * fixed-point iterations (`//` is DuckDB's integer division; both
+    * engines floor-divide non-negative int64 identically). */
+  def nearDupPageRankOracleSql(iters: Int = 3, dampNum: Int = 17,
+                               dampDen: Int = 20,
+                               threshold: Double = 0.95,
+                               minBands: Int = DefaultMinBands,
+                               estJaccard: Double = DefaultEstJaccard,
+                               shingleK: Int = 1,
+                               bands: Int = NumBands,
+                               rowsPerBand: Int = RowsPerBand): String = {
+    val scale = 1000000000000000L
+    val sb = new StringBuilder(
+      s"""WITH ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT count(*) AS n FROM deg),
+         base AS (SELECT CAST($scale AS BIGINT) * ${dampDen - dampNum} // $dampDen
+                           // (SELECT n FROM nn) AS b),
+         pr0 AS (SELECT src AS doc_id,
+                        CAST($scale AS BIGINT) // (SELECT n FROM nn) AS pr
+                 FROM deg)""")
+    for (k <- 1 to iters) sb.append(
+      s""",
+         pr$k AS (
+           SELECT e.dst AS doc_id,
+                  (SELECT b FROM base)
+                    + CAST(sum((p.pr * $dampNum) // ($dampDen * dg.deg)) AS BIGINT) AS pr
+           FROM edges e
+           JOIN pr${k - 1} p ON e.src = p.doc_id
+           JOIN deg dg ON e.src = dg.src
+           GROUP BY e.dst)""")
+    sb.append(
+      s"""
+         SELECT doc_id, pr AS pagerank_fp
+         FROM pr$iters ORDER BY doc_id""")
+    sb.toString
+  }
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation with POINTER JUMPING: every node starts
     * labeled with its own id; each round every node takes the minimum

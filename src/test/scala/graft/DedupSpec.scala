@@ -276,4 +276,23 @@ class DedupSpec extends AnyFunSuite {
     // handshake lemma: sum(degree * n_docs) = 2 * |pairs|
     assert(prof.map { case (d, n) => d * n }.sum == 2L * pairs.length)
   }
+
+  test("pagerank: mass is conserved up to quantization, ranks positive, run-stable") {
+    val Scale = 1000000000000000L
+    val pr = Dedup.nearDupPageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.nonEmpty && pr.values.forall(_ > 0))
+    // total rank starts at ~Scale and each iteration only loses the
+    // integer-division remainders: sum stays within (iters * edges) units
+    // below Scale and never exceeds it
+    val total = pr.values.sum
+    val edges2 = 2L * Dedup.nearDupPairs(spark, sf).count()
+    assert(total <= Scale + pr.size, s"mass above 1.0: $total")
+    assert(total >= Scale - 3 * (edges2 + pr.size) - pr.size,
+      s"mass lost beyond quantization: $total vs $Scale")
+    // fixed-point arithmetic is run-stable by construction
+    val again = Dedup.nearDupPageRank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == again)
+  }
 }
