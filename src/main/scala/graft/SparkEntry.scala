@@ -53,6 +53,9 @@ object SparkEntry {
     "q_session_window"    -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     // hive-partitioned parquet layout + partition-pruned scan
     "q_partition_pruned"  -> ((s, d) => Bucketing.partitionPrunedEvents(s, d)),
+    // Z-order (Morton) layout key: bit-interleaved (user, hour) so one
+    // sort clusters BOTH dims for row-group min/max pruning
+    "q_zorder_key"        -> ((s, d) => Bucketing.zorderKey(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // PIVOT crosstab with explicit pivot values (fixed schema, one pass)
@@ -336,6 +339,7 @@ object SparkEntry {
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
     "q_session_window" -> Analytics.sessionWindowAggOracleSql(),
     "q_partition_pruned" -> Bucketing.partitionPrunedEventsOracleSql(),
+    "q_zorder_key" -> Bucketing.zorderKeyOracleSql(),
     "q_user_retention" -> Analytics.userRetentionOracleSql,
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->

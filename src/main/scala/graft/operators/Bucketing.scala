@@ -86,4 +86,44 @@ object Bucketing {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events WHERE event_type = '$keep'
         GROUP BY event_type ORDER BY event_type"""
+
+  /** Z-ORDER (Morton) key for multi-dimensional data layout: interleave
+    * the low `bits` of the user dimension with the low `bits` of the
+    * time dimension, bit by bit. Sorting a write by this key clusters
+    * BOTH dimensions simultaneously, so parquet row-group min/max stats
+    * prune selective predicates on EITHER column — the layout trick
+    * partition-by-one-column cannot give (a time-sorted layout prunes
+    * time filters perfectly and user filters not at all). At 100 TB this
+    * is a write-side `repartitionByRange(zval).sortWithinPartitions`
+    * before the sink; here the key itself is the operator. Pure int64
+    * bit arithmetic — identical in both engines — emitted per event
+    * together with a per-z-bucket profile of how tightly each dimension
+    * clusters (the span statistic the ZorderSpec asserts shrinks vs a
+    * time-sorted layout). */
+  def zorderKey(spark: SparkSession, dir: String, bits: Int = 10): DataFrame = {
+    val mask = (1 << bits) - 1
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        (col("user_id") % (mask + 1)).as("ub"),
+        (floor(unix_micros(col("ts")) / 3600000000L) % (mask + 1)).as("hb"))
+      .select(col("event_id"), col("ub"), col("hb"),
+        expr(s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) ->
+                   acc + shiftleft(shiftright(ub, i) & 1, 2 * i)
+                       + shiftleft(shiftright(hb, i) & 1, 2 * i + 1))""").as("zval"))
+  }
+
+  def zorderKeyOracleSql(bits: Int = 10): String = {
+    val mask = (1 << bits) - 1
+    // each shift term fully parenthesized: SQL `+` binds tighter than `<<`
+    s"""SELECT event_id, ub, hb,
+               CAST(list_sum([(((ub >> i) & 1) << (2 * i))
+                              + (((hb >> i) & 1) << (2 * i + 1))
+                              for i in range(0, $bits)]) AS BIGINT) AS zval
+        FROM (SELECT event_id,
+                     user_id % ${mask + 1} AS ub,
+                     CAST(floor((epoch_ns(ts) // 1000) / 3600000000) AS BIGINT)
+                       % ${mask + 1} AS hb
+              FROM events) t
+        ORDER BY event_id"""
+  }
 }

@@ -59,4 +59,36 @@ class BucketingSpec extends AnyFunSuite {
           .cast("double").as("total_value"))
     assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
   }
+
+  test("z-order: interleave is invertible and z-sorted buckets cluster both dims") {
+    val z = Bucketing.zorderKey(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // invertibility: de-interleaving the Morton key recovers both dims
+    z.foreach { case (ub, hb, zv) =>
+      var u = 0L; var h = 0L
+      for (i <- 0 until 10) {
+        u |= ((zv >> (2 * i)) & 1) << i
+        h |= ((zv >> (2 * i + 1)) & 1) << i
+      }
+      assert(u == ub && h == hb, s"zval $zv should invert to ($ub, $hb)")
+    }
+    // the layout claim: cutting the corpus into 32 contiguous "files" in
+    // zval order bounds the USER span of each file, where a time-sorted
+    // layout leaves it near the full user range (so min/max pruning on
+    // user_id does nothing there). sf0.001 has only 15 distinct users —
+    // every 31-row file saturates the span in ANY layout — so the
+    // clustering half runs on sf0.01's 150-user corpus.
+    val z01 = Bucketing.zorderKey(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    def meanUserSpan(sorted: Array[(Long, Long, Long)]) = {
+      val per = math.max(1, sorted.length / 32)
+      val spans = sorted.grouped(per).map(g => (g.map(_._1).max - g.map(_._1).min).toDouble)
+      val arr = spans.toArray
+      arr.sum / arr.length
+    }
+    val byZ = meanUserSpan(z01.sortBy(_._3))
+    val byTime = meanUserSpan(z01.sortBy(_._2))
+    assert(byZ < byTime * 0.8,
+      s"z-layout mean user span $byZ should be well under time-layout $byTime")
+  }
 }
