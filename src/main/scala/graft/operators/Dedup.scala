@@ -435,6 +435,32 @@ object Dedup {
                    shingleK: Int = 1,
                    bands: Int = NumBands,
                    rowsPerBand: Int = RowsPerBand): DataFrame = {
+    // The PAIR LIST is the dedup story's middle staged artifact (between
+    // the signature store and the cluster list): clusters, degree
+    // profile, and PageRank all iterate over it, so the first caller in
+    // a process persists it and every later dedup-graph query reads the
+    // parquet instead of re-running band-join + agreement + verify.
+    val key = s"pairs-${dir.replace('/', '_')}-t$threshold-mb$minBands" +
+      s"-cap$maxBucket-e$estJaccard-k$shingleK-b$bands-r$rowsPerBand"
+    val path = storeRoot.resolve(key)
+    storeBuildLock.synchronized {
+      if (!java.nio.file.Files.exists(path)) {
+        val tmp = java.nio.file.Files.createTempDirectory(storeRoot, "build-")
+        computeNearDupPairs(spark, dir, threshold, minBands, maxBucket,
+          estJaccard, shingleK, bands, rowsPerBand)
+          .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    spark.read.parquet(path.resolve("pairs").toString)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private def computeNearDupPairs(spark: SparkSession, dir: String, threshold: Double,
+                                  minBands: Int, maxBucket: Int, estJaccard: Double,
+                                  shingleK: Int, bands: Int,
+                                  rowsPerBand: Int): DataFrame = {
     graft.functions.ArrayAgreeCount.register(spark)
     val nHashes = bands * rowsPerBand
     // Signatures come from the persisted per-process store (built on the
