@@ -95,6 +95,8 @@ object SparkEntry {
     "q_token_freq"        -> ((s, d) => TextAnalysis.tokenFreq(s, d)),
     "q_lang_profile"      -> ((s, d) => TextAnalysis.langProfile(s, d)),
     "q_doc_quality"       -> ((s, d) => TextAnalysis.docQuality(s, d)),
+    // domain-level curation: per-source quality profile + block verdict
+    "q_source_quality"    -> ((s, d) => TextAnalysis.sourceQuality(s, d)),
     "q_lang_id"           -> ((s, d) => TextAnalysis.langId(s, d)),
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_script_profile"    -> ((s, d) => TextAnalysis.scriptProfile(s, d)),
@@ -549,6 +551,7 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),
+    "q_source_quality" -> TextAnalysis.sourceQualityOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

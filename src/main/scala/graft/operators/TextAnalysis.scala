@@ -88,6 +88,63 @@ object TextAnalysis {
         col("len_ok") && col("stopword_ratio") <= 0.5 && col("type_token_ratio") >= 0.05)
   }
 
+  /** SOURCE-level quality profile — domain curation, the level above
+    * per-doc filtering: real pipelines block or down-weight whole
+    * domains/crawl sources whose aggregate quality is poor, because
+    * source reputation is a stronger prior than any single doc's score.
+    * Per source: doc count, mean doc-quality signals (stopword ratio,
+    * type-token ratio, keep rate from [[docQuality]]'s exact rule), and
+    * the block verdict (keep rate below `minKeepRate`). One narrow pass
+    * + one partial-aggregated groupBy over a source-cardinality key.
+    * Ratio means are exact-rational (sums of 6-dp decimals / count)
+    * so both engines agree bit-for-bit. */
+  def sourceQuality(spark: SparkSession, dir: String,
+                    minKeepRate: Double = 0.5): DataFrame = {
+    val nTok = size(tokens)
+    val stopHits = size(expr("filter(split(text, ' ', -1), t -> t IN ('the', 'a', 'of', 'and', 'is'))"))
+    val ttr = size(array_distinct(tokens)).cast("double") / nTok
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"),
+        round(stopHits.cast("double") / nTok, 6).cast("decimal(10,6)").as("swr"),
+        round(ttr, 6).cast("decimal(10,6)").as("ttr"),
+        ((col("n_chars") >= 50 && col("n_chars") <= 2000)
+          && round(stopHits.cast("double") / nTok, 6) <= 0.5
+          && round(ttr, 6) >= 0.05).as("keep"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("swr")).cast("double") / count(lit(1))).as("mean_stopword_ratio"),
+        (sum(col("ttr")).cast("double") / count(lit(1))).as("mean_ttr"),
+        (sum(when(col("keep"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("keep_rate"))
+      .withColumn("blocked", col("keep_rate") < minKeepRate)
+  }
+
+  /** DuckDB oracle for [[sourceQuality]] — same per-doc rule, same exact
+    * decimal accumulation of the 6-dp ratios. */
+  def sourceQualityOracleSql(minKeepRate: Double = 0.5): String =
+    s"""WITH d AS (
+         SELECT source,
+                CAST(round(CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS DECIMAL(10,6)) AS swr,
+                CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS DECIMAL(10,6)) AS ttr,
+                (n_chars BETWEEN 50 AND 2000)
+                  AND round(CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) <= 0.5
+                  AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) >= 0.05 AS keep
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(swr) AS DOUBLE) / count(*) AS mean_stopword_ratio,
+              CAST(sum(ttr) AS DOUBLE) / count(*) AS mean_ttr,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                AS keep_rate,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                < $minKeepRate AS blocked
+       FROM d GROUP BY source ORDER BY source"""
+
   /** Language-ID heuristic: marker-token hits per candidate language,
     * argmax with deterministic tie-break. (The testdata vocabulary is
     * synthetic English-ish, so most rows classify `en` — the operator

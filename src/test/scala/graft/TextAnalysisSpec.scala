@@ -109,4 +109,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(meanBi - meanUni) < 0.2,
       s"bigram mean $meanBi should track unigram mean $meanUni on iid text")
   }
+
+  test("source quality: sources partition the corpus, keep rates agree with docQuality") {
+    val sq = TextAnalysis.sourceQuality(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getBoolean(5))).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(sq.values.map(_._1).sum == total, "per-source doc counts partition the corpus")
+    sq.values.foreach { case (_, kr, blocked) =>
+      assert(kr >= 0 && kr <= 1)
+      assert(blocked == (kr < 0.5))
+    }
+    // corpus-wide keep count re-derives from docQuality's verdicts
+    val keepTotal = TextAnalysis.docQuality(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    val fromSources = sq.values.map { case (n, kr, _) => math.round(kr * n) }.sum
+    assert(fromSources == keepTotal,
+      s"source keep rates re-add to $fromSources, docQuality says $keepTotal")
+  }
 }
