@@ -168,6 +168,9 @@ object SparkEntry {
     // the whole curation flow fused into one plan: quality filter ->
     // hash sample -> token packing (filters live inside the scan)
     "q_curation_pipeline" -> ((s, d) => Curation.curationPipeline(s, d)),
+    // CAPSTONE record assembly: quality AND dedup-keeper AND decontam,
+    // all stages fused into the corpus a training run actually reads
+    "q_training_records"  -> ((s, d) => Curation.trainingRecords(s, d)),
     // boilerplate mining: k-grams shared by the most documents
     "q_common_ngrams"     -> ((s, d) => Curation.commonNgrams(s, d)),
     // ...and the per-doc boilerplate fraction against the mined set
@@ -534,6 +537,7 @@ object SparkEntry {
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),
     "q_vocab_oov" -> Curation.vocabOovOracleSql(),
     "q_curation_pipeline" -> Curation.curationPipelineOracleSql(),
+    "q_training_records" -> Curation.trainingRecordsOracleSql(),
     "q_common_ngrams" -> Curation.commonNgramsOracleSql(),
     "q_boilerplate_score" -> Curation.boilerplateScoreOracleSql(),
     "q_value_histogram" -> Analytics.valueHistogramOracleSql(),

@@ -448,4 +448,69 @@ object Curation {
        SELECT ng, count(*) AS n_docs
        FROM g GROUP BY ng HAVING count(*) >= $minDocs
        ORDER BY n_docs DESC, ng ASC LIMIT $top"""
+
+  /** The CAPSTONE record assembly — the final corpus a training run
+    * actually reads, with every curation stage fused: a document survives
+    * iff it (1) passes the quality rule, (2) is a near-dup KEEPER (or
+    * unclustered — read from the persisted cluster artifact), and (3) is
+    * neither benchmark-slice nor decontaminated away. One narrow
+    * documents scan with the quality predicate pushed into it, then two
+    * id-keyed joins against the (tiny) loser and contaminated sets —
+    * broadcast-able at any corpus scale because both sets shrink with
+    * quality, not grow with the corpus. This is the query that proves
+    * the stages COMPOSE: its oracle chains the recursive cluster
+    * closure, the decontamination CTEs, and the quality predicate into
+    * one statement. */
+  def trainingRecords(spark: SparkSession, dir: String, pct: Int = 10,
+                      k: Int = 8): DataFrame = {
+    val dedupKept = Dedup.dedupedCorpus(spark, dir).select("doc_id")
+    val decontamKept = decontaminatedCorpus(spark, dir, pct, k).select("doc_id")
+    Tables.documents(spark, dir)
+      .filter(TextAnalysis.qualityKeepExpr)
+      .join(dedupKept, "doc_id")
+      .join(decontamKept, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ", -1)).as("n_tokens"))
+  }
+
+  /** DuckDB oracle for [[trainingRecords]] — the cluster closure, the
+    * decontamination chain, and the quality predicate in one recursive
+    * statement (CTE names are disjoint across the fragments). */
+  def trainingRecordsOracleSql(pct: Int = 10, k: Int = 8): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    val quality =
+      """d.n_chars BETWEEN 50 AND 2000
+         AND round(CAST(len(list_filter(string_split(d.text, ' '),
+               t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+             / len(string_split(d.text, ' ')), 6) <= 0.5
+         AND round(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+             / len(string_split(d.text, ' ')), 6) >= 0.05"""
+    s"""WITH RECURSIVE ${Dedup.clusterCtes(0.95, Dedup.DefaultMinBands,
+          Dedup.DefaultEstJaccard, 1, Dedup.NumBands, Dedup.RowsPerBand)},
+       losers AS (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id),
+       h AS (SELECT doc_id, lang, source, n_chars, text,
+                    ($hexToLong) % 100 < $pct AS is_bench
+             FROM (SELECT doc_id, lang, source, n_chars, text,
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+                   FROM documents) t),
+       cg AS (SELECT doc_id, is_bench, unnest(list_distinct(
+                CASE WHEN len(string_split(text, ' ')) >= $k
+                  THEN [array_to_string(string_split(text, ' ')[i : i + ${k - 1}], ' ')
+                        for i in range(1, len(string_split(text, ' ')) - ${k - 1} + 1)]
+                  ELSE CAST([] AS VARCHAR[]) END)) AS ng
+              FROM h),
+       cbench AS (SELECT DISTINCT ng FROM cg WHERE is_bench),
+       contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN cbench USING (ng)
+                        WHERE NOT cg.is_bench)
+       SELECT d.doc_id, d.lang, d.source, d.n_chars,
+              len(string_split(d.text, ' ')) AS n_tokens
+       FROM h d
+       WHERE NOT d.is_bench
+         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+         AND $quality
+       ORDER BY d.doc_id"""
+  }
 }

@@ -925,7 +925,7 @@ object Dedup {
     * the recursion terminates on cycles); a component's cluster id is the
     * least of the node and everything reachable from it. Shared by the
     * cluster and pruned-corpus oracles. */
-  private def clusterCtes(threshold: Double, minBands: Int, estJaccard: Double,
+  private[graft] def clusterCtes(threshold: Double, minBands: Int, estJaccard: Double,
                           shingleK: Int, bands: Int, rowsPerBand: Int): String =
     s"""${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

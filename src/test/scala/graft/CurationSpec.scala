@@ -221,4 +221,20 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(best.getLong(1) == want, s"support of '${best.getString(0)}'")
   }
+
+  test("training records = quality AND dedup-keeper AND decontam, exactly") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val got = Curation.trainingRecords(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val quality = TextAnalysis.docQuality(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dedupKept = Dedup.dedupedCorpus(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val decontamKept = Curation.decontaminatedCorpus(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (quality intersect dedupKept intersect decontamKept))
+    // the capstone must be a strict subset of every constituent
+    assert(got.subsetOf(quality) && got.subsetOf(dedupKept) && got.subsetOf(decontamKept))
+    assert(got.nonEmpty, "the assembled training corpus should not be empty")
+  }
 }
