@@ -109,6 +109,8 @@ object SparkEntry {
     "q_bigram_logprob"    -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
     // Okapi BM25 per-(doc, query-term) relevance scoring
     "q_bm25"              -> ((s, d) => TextAnalysis.bm25(s, d)),
+    // TF-IDF top-k keyword extraction per document
+    "q_keywords_tfidf"    -> ((s, d) => TextAnalysis.keywordsTfidf(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -215,6 +217,9 @@ object SparkEntry {
     // ...and its LEFT OUTER arm: watermark-gated null emission for events
     // with no prior same-user context
     "q_stream_stream_outer" -> ((s, d) => graft.streaming.StreamingOps.streamStreamLeftOuterEndToEnd(s, d)),
+    // MULTI-STATEFUL pipeline: stream-stream join chained into a
+    // windowed aggregation in ONE query (cross-operator watermark)
+    "q_stream_join_agg"   -> ((s, d) => graft.streaming.StreamingOps.streamJoinAggEndToEnd(s, d)),
     // NATIVE streaming session windows (append mode): the batch session
     // list minus sessions the final watermark left open.
     "q_stream_session_window" -> ((s, d) => graft.streaming.StreamingOps.sessionWindowStreamEndToEnd(s, d)),
@@ -519,6 +524,7 @@ object SparkEntry {
     // Generated from the operator's own window constant.
     "q_stream_stream_join" -> graft.streaming.StreamingOps.streamStreamJoinOracleSql(),
     "q_stream_stream_outer" -> graft.streaming.StreamingOps.streamStreamLeftOuterOracleSql(),
+    "q_stream_join_agg" -> graft.streaming.StreamingOps.streamJoinAggOracleSql(),
     "q_stream_session_window" -> graft.streaming.StreamingOps.sessionWindowStreamOracleSql(),
     // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
     "q_stream_dedup" ->
@@ -556,6 +562,7 @@ object SparkEntry {
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),
     "q_source_quality" -> TextAnalysis.sourceQualityOracleSql(),
+    "q_keywords_tfidf" -> TextAnalysis.keywordsTfidfOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

@@ -88,6 +88,55 @@ object TextAnalysis {
         col("len_ok") && col("stopword_ratio") <= 0.5 && col("type_token_ratio") >= 0.05)
   }
 
+  /** TF-IDF keyword extraction: the top-`topK` most characteristic terms
+    * per document (tf·idf with idf = ln(N/df), rank ties broken by term).
+    * The classic per-doc salience signal next to [[bm25]]'s query-side
+    * scoring. Per-doc term counts and corpus document frequencies are two
+    * partial-aggregated groupBys; the idf table is vocabulary-sized
+    * (broadcast here, a shuffle join at web vocabulary); the per-doc
+    * top-k is a window over the doc's own distinct terms — state per
+    * partition is one document's vocabulary, never the corpus. tf·idf is
+    * one long→double multiply of identically-derived factors, so the
+    * rounded scores agree bit-for-bit. */
+  def keywordsTfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).select(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("term"), log(col("n_docs").cast("double") / col("df")).as("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf_raw"), asc("term"))
+    tf.join(broadcast(idf), "term")
+      .withColumn("tfidf_raw", col("tf").cast("double") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("tfidf_raw"), 6).as("tfidf"))
+  }
+
+  /** DuckDB oracle for [[keywordsTfidf]] — same counts, same ln, same
+    * multiply, same tie-break. */
+  def keywordsTfidfOracleSql(topK: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       idf AS (SELECT term, ln(CAST(n_docs AS DOUBLE) / df) AS idf
+               FROM df CROSS JOIN nd),
+       scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                         CAST(tf.tf AS DOUBLE) * idf.idf AS tfidf_raw
+                  FROM tf JOIN idf USING (term))
+       SELECT doc_id, "rank", term, tf, round(tfidf_raw, 6) AS tfidf FROM (
+         SELECT doc_id, term, tf, tfidf_raw,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf_raw DESC, term ASC) AS "rank"
+         FROM scored) t
+       WHERE "rank" <= $topK ORDER BY doc_id, "rank""""
+
   /** SOURCE-level quality profile — domain curation, the level above
     * per-doc filtering: real pipelines block or down-weight whole
     * domains/crawl sources whose aggregate quality is poor, because

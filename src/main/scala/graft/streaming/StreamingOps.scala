@@ -680,6 +680,70 @@ object StreamingOps {
     readBackCleaned(spark, out)(identity)
   }
 
+  /** MULTI-STATEFUL streaming pipeline — TWO stateful operators chained
+    * in one query: the watermarked stream-stream interval join feeding a
+    * tumbling-window aggregation (pairs per hour), both in append mode.
+    * Chained stateful operators are the shape real streaming DAGs take
+    * (enrich → aggregate) and exercise Spark's cross-operator watermark
+    * propagation: the window emits only once the watermark — delayed by
+    * BOTH the join's buffering allowance and the window length — proves
+    * it complete. At stream end that means hour windows whose end is at
+    * or below the final watermark (max event time − 1 h delay) emit;
+    * the tail stays in state — exactly what the oracle encodes. */
+  def streamJoinAggEndToEnd(spark: SparkSession, dir: String,
+                            windowMinutes: Int = 30,
+                            statePartitions: Int = 8): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val out = scratchDir("ssjoinagg")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    def side(name: String): DataFrame =
+      ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id").as(s"${name}_event_id"),
+          col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
+        .withWatermark(s"${name}_ts", "1 hour")
+    val joined = side("l").join(side("r"),
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") < col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+    val agg = joined
+      .groupBy(window(col("l_ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(unix_micros(col("w.start")).as("hour_start_us"), col("n_pairs"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
+  /** DuckDB oracle for [[streamJoinAggEndToEnd]]: the batch interval join
+    * aggregated per hour, keeping windows the final watermark closed. */
+  def streamJoinAggOracleSql(windowMinutes: Int = 30): String = {
+    val winUs = windowMinutes * 60L * 1000000L
+    s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+       wm AS (SELECT max(us) - 3600000000 AS wm_us FROM e),
+       p AS (SELECT l.us AS l_us
+             FROM e l JOIN e r
+               ON l.user_id = r.user_id AND r.us < l.us AND r.us >= l.us - $winUs)
+       SELECT hour_start_us, n_pairs FROM (
+         SELECT (l_us // 3600000000) * 3600000000 AS hour_start_us,
+                count(*) AS n_pairs
+         FROM p GROUP BY 1) a, wm
+       WHERE a.hour_start_us + 3600000000 <= wm.wm_us
+       ORDER BY 1"""
+  }
+
   /** DuckDB oracle for [[streamStreamLeftOuterEndToEnd]]: inner matches
     * plus null rows for unmatched events strictly below the final
     * watermark. */

@@ -249,6 +249,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("multi-stateful pipeline (join -> window agg) equals its watermark-gated batch twin") {
+    val got = StreamingOps.streamJoinAggEndToEnd(spark, TestSpark.sf)
+    val e = Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val wmUs = e.agg(max("us")).head().getLong(0) - 3600000000L
+    val want = e.as("l").join(e.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.us") < col("l.us") &&
+          col("r.us") >= col("l.us") - lit(30L * 60 * 1000000))
+      .select((floor(col("l.us") / 3600000000L).cast("long") * 3600000000L)
+        .as("hour_start_us"))
+      .groupBy("hour_start_us").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("hour_start_us") + 3600000000L <= wmUs)
+    assert(got.count() > 0, "expected closed hour windows in the replay")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming exact dedup emits each distinct fingerprint exactly once") {
     val got = StreamingOps.streamDedupEndToEnd(spark, TestSpark.sf)
     val want = Tables.documents(spark, TestSpark.sf)
