@@ -46,6 +46,8 @@ object SparkEntry {
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
     "q_revenue_by_region" -> ((s, d) => Analytics.revenueByRegion(s, d)),
     "q_lineitem_order_join" -> ((s, d) => Analytics.lineitemOrderJoin(s, d)),
+    // full 5-table star join with fact-side pushdown (Catalyst ordering)
+    "q_star_join"         -> ((s, d) => Analytics.starJoinRevenue(s, d)),
     "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
@@ -152,6 +154,8 @@ object SparkEntry {
     "q_quantize_int8"     -> ((s, d) => Similarity.quantizeInt8Stats(s, d)),
     // product quantization: 32x-compressed codes + ADC top-k, exact oracle
     "q_pq_adc"            -> ((s, d) => Similarity.pqAdcTopk(s, d)),
+    // per-label centroid/compactness profile (class-conditional geometry)
+    "q_label_centroids"   -> ((s, d) => Similarity.labelCentroids(s, d)),
     // SEMANTIC dedup: connected components over the embedding-cosine
     // near-dup graph (translations/paraphrases never collide in MinHash
     // space; their embeddings do)
@@ -558,6 +562,8 @@ object SparkEntry {
     "q_dedup_degree" -> Dedup.nearDupDegreeProfileOracleSql(),
     "q_pagerank" -> Dedup.nearDupPageRankOracleSql(),
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
+    "q_label_centroids" -> Similarity.labelCentroidsOracleSql,
+    "q_star_join" -> Analytics.starJoinRevenueOracleSql(),
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),

@@ -748,6 +748,51 @@ object Analytics {
              FROM pc CROSS JOIN cuts) t
        GROUP BY decile ORDER BY decile"""
 
+  /** Five-table star join — the full dimension chain region→nation→
+    * customer→orders→lineitem with a selective fact-side predicate (the
+    * TPC-H Q5 family shape at full depth). What the plan must do at
+    * 100 TB: push the line-status filter into the lineitem scan, join
+    * fact-to-fact (lineitem⋈orders) as a shuffled hash join on the key,
+    * broadcast the bounded dims (nation/region hinted; customer left to
+    * AQE's measured-size decision), and let Catalyst ORDER the joins so
+    * the selective filter shrinks the pipeline before any wide join.
+    * Everything here is declarative — the reorder, pushdown, and
+    * strategy picks are the optimizer's job, which is exactly the
+    * point. */
+  def starJoinRevenue(spark: SparkSession, dir: String,
+                      lineStatus: String = "F"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_linestatus") === lineStatus)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    val one = lit(1).cast(DecimalType(4, 2))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(price * (one - disc)).cast("double").as("revenue"))
+  }
+
+  def starJoinRevenueOracleSql(lineStatus: String = "F"): String =
+    s"""SELECT r_name, n_name, count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE l_linestatus = '$lineStatus'
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
   /** Ordered conversion FUNNEL over the event stream (view → click →
     * purchase): a user reaches a stage only via an event AT OR AFTER their
     * first reach of the previous stage — the order-sensitive definition

@@ -461,6 +461,61 @@ object Similarity {
        WHERE "rank" <= $k ORDER BY query_id, "rank""""
   }
 
+  /** Per-LABEL centroid profile over the embedding corpus — the class-
+    * conditional geometry summary (cluster compactness, centroid
+    * magnitude) a labeled-embedding pipeline inspects before training a
+    * classifier or probing ANN recall per class; also the only consumer
+    * of the testdata's `label` column. Shape: one narrow per-row pass
+    * for vector norms + one posexplode/groupBy for per-component means
+    * (the distributed centroid pattern of [[lloydOnce]]) — both partial-
+    * aggregated, nothing corpus-sized on the driver. Determinism: norms
+    * are per-row left folds (order fixed); cross-row means accumulate
+    * exact DECIMAL(28,12); the centroid norm folds components in pos
+    * order. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val ed = graft.Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+    val vecNorm = expr("sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))")
+    val perVec = ed.select(col("label"), vecNorm.cast("decimal(28,12)").as("vn"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("vn")).cast("double") / count(lit(1))).as("mvn"))
+    val comp = ed.select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / count(lit(1))).as("m"))
+    val cent = comp.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cm"))
+      .select(col("label"),
+        expr("sqrt(aggregate(cm, 0D, (acc, x) -> acc + x * x))").as("cnorm"))
+    perVec.join(cent, "label")
+      .select(col("label"), col("n_vecs"),
+        round(col("mvn"), 6).as("mean_vec_norm"),
+        round(col("cnorm"), 6).as("centroid_norm"))
+  }
+
+  /** DuckDB oracle for [[labelCentroids]] — same folds, same decimal
+    * accumulation, positions via a range cross join. */
+  def labelCentroidsOracleSql: String =
+    """WITH ed AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       pv AS (SELECT label, count(*) AS n_vecs,
+                     CAST(sum(CAST(sqrt(list_sum(list_transform(emb, x -> x * x)))
+                              AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mvn
+              FROM ed GROUP BY label),
+       comp AS (SELECT label, pos,
+                       CAST(sum(CAST(emb[pos] AS DECIMAL(28,12))) AS DOUBLE)
+                         / count(*) AS m
+                FROM ed, range(1, 65) r(pos)
+                GROUP BY label, pos),
+       cent AS (SELECT label,
+                       sqrt(list_sum(list_transform(list(m ORDER BY pos),
+                         x -> x * x))) AS cnorm
+                FROM comp GROUP BY label)
+       SELECT label, n_vecs, round(mvn, 6) AS mean_vec_norm,
+              round(cnorm, 6) AS centroid_norm
+       FROM pv JOIN cent USING (label)
+       ORDER BY label"""
+
   /** PQ geometry: M subspaces × K codewords. 64-dim embeddings → 8
     * subvectors of 8 dims, 16 codewords each = an 8-BYTE code per vector
     * (codes fit in 4 bits; stored as one byte each here) — 32× smaller

@@ -226,6 +226,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).max <= math.ceil(nCust / 10.0).toLong * 2)
   }
 
+  test("star join: line-status filter reaches the scan, dims broadcast, totals re-add") {
+    val sj = Analytics.starJoinRevenue(spark, sf)
+    val plan = sj.queryExecution.executedPlan.toString
+    // pushdown: the selective predicate must reach the lineitem parquet scan
+    assert(plan.contains("EqualTo(l_linestatus,F)"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), "bounded dims should broadcast")
+    // regions x nations bound the output; revenue re-adds to the unjoined sum
+    val rows = sj.collect()
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_linestatus") === "F")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .cast("double")).head().getDouble(0)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - direct) < 1e-4)
+  }
+
   test("funnel: stages shrink monotonically and are bounded by per-type user counts") {
     val f = Analytics.funnelConversion(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

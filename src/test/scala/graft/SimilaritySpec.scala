@@ -168,6 +168,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("label centroids: labels partition the corpus, centroid norm under mean vector norm") {
+    val lc = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(lc.map(_._2).sum == total)
+    lc.foreach { case (_, n, mvn, cnorm) =>
+      assert(n > 0 && mvn > 0 && cnorm > 0)
+      // averaging near-isotropic vectors cancels components: the centroid
+      // is strictly shorter than the average member (triangle inequality,
+      // with slack because the corpus is not degenerate-collinear)
+      assert(cnorm < mvn, s"centroid norm $cnorm should be under mean norm $mvn")
+    }
+  }
+
   test("PQ ADC is deterministic across runs (no-RNG codebook contract)") {
     // the whole pipeline (codebook pick, argmin encoding, table lookups)
     // must be run-stable or the oracle hash check could never hold
