@@ -463,12 +463,22 @@ object Curation {
     * one statement. */
   def trainingRecords(spark: SparkSession, dir: String, pct: Int = 10,
                       k: Int = 8): DataFrame = {
-    val dedupKept = Dedup.dedupedCorpus(spark, dir).select("doc_id")
-    val decontamKept = decontaminatedCorpus(spark, dir, pct, k).select("doc_id")
+    // subtract the TINY exclusion sets from one corpus scan: near-dup
+    // LOSERS (from the persisted cluster artifact) and CONTAMINATED docs
+    // both shrink with duplication/overlap, not grow with the corpus, so
+    // each is a broadcast LEFT ANTI; bench-slice membership and quality
+    // are pure predicates inside the scan
+    val losers = Dedup.nearDupClusters(spark, dir)
+      .filter(!col("is_keeper")).select("doc_id")
+    val contaminated = contamination(spark, dir, pct, k).select("doc_id")
+    val isBench =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100 < pct
     Tables.documents(spark, dir)
       .filter(TextAnalysis.qualityKeepExpr)
-      .join(dedupKept, "doc_id")
-      .join(decontamKept, "doc_id")
+      .filter(!isBench)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         size(split(col("text"), " ", -1)).as("n_tokens"))
   }
