@@ -326,17 +326,25 @@ object TextAnalysis {
     * pattern). */
   def bigramLogProb(spark: SparkSession, dir: String,
                     lambda: Double = 0.75): DataFrame = {
+    // TWO corpus explode passes total: the bigram table is checkpointed
+    // (it feeds both the type counts and the final per-doc join — without
+    // the cut Catalyst re-explodes the corpus per consumer), history
+    // counts c(w1·) aggregate from the bigram TYPE counts (Σ_w2 c(w1w2)
+    // — vocabulary-sized input, not another corpus pass), and N is the
+    // sum of the unigram counts rather than a second token explode.
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(gramList(2)).as("bg"))
-    val tok = Tables.documents(spark, dir).select(explode(tokens).as("token"))
-    val cu = tok.groupBy("token").agg(count(lit(1)).as("cu"))
-    val total = tok.agg(count(lit(1)).as("total"))
+      .localCheckpoint()
+    val cu = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val total = cu.agg(sum(col("cu")).as("total"))
     val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
-    val ch = bg.select(expr("split(bg, ' ')[0]").as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("ch"))
-    val ptab = cbg
       .withColumn("w1", expr("split(bg, ' ')[0]"))
       .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .localCheckpoint()
+    val ch = cbg.groupBy("w1").agg(sum(col("cbg")).as("ch"))
+    val ptab = cbg
       .join(ch, "w1")
       .join(cu.withColumnRenamed("token", "w2"), "w2")
       .crossJoin(total)
