@@ -397,17 +397,25 @@ object Curation {
     * docs (< k tokens) have zero grams and score 0 by definition. */
   def boilerplateScore(spark: SparkSession, dir: String, k: Int = 8,
                        minDocs: Int = 2, top: Int = 20): DataFrame = {
+    // ONE k-gram construction pass: the exploded gram frame carries a hit
+    // flag from a broadcast left join against the (staged) mined set, so
+    // per-doc gram count and boilerplate count come out of the same
+    // aggregate — the old shape built the gram arrays a second time just
+    // to take their size. Docs with zero grams (shorter than k tokens)
+    // never reach the explode; a narrow doc_id-only scan restores them.
     val mined = commonNgrams(spark, dir, k, minDocs, top).select("ng")
-    val hits = Tables.documents(spark, dir)
+    val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.shingleSetK(k)).as("ng"))
-      .join(broadcast(mined), Seq("ng"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), size(Dedup.shingleSetK(k)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_grams"),
+      .join(broadcast(mined.withColumn("hit", lit(1L))), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("int").as("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        when(col("n_grams") === 0, lit(0.0))
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
           .otherwise(round(coalesce(col("n_boiler"), lit(0L)).cast("double")
             / col("n_grams"), 6)).as("boiler_ratio"))
   }
