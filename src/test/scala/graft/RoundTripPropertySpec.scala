@@ -71,4 +71,39 @@ class RoundTripPropertySpec extends AnyFunSuite {
       assert(got == unionFind(edges), s"edges: $edges")
     }
   }
+
+  test("z-order property: interleave is a bijection on random 10-bit pairs, order-preserving per dim") {
+    import spark.implicits._
+    val pairGen = for {
+      u <- Gen.choose(0L, 1023L)
+      h <- Gen.choose(0L, 1023L)
+    } yield (u, h)
+    val pairs = samples(Gen.listOfN(64, pairGen), 8).flatten.distinct
+    // evaluate the operator's exact kernel expression over the samples
+    val z = pairs.toDF("ub", "hb")
+      .selectExpr("ub", "hb",
+        """aggregate(sequence(0, 9), 0L, (acc, i) ->
+             acc + shiftleft(shiftright(ub, i) & 1, 2 * i)
+                 + shiftleft(shiftright(hb, i) & 1, 2 * i + 1)) AS zval""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection: distinct inputs map to distinct keys, and de-interleave inverts
+    assert(z.map(_._3).distinct.length == z.length)
+    z.foreach { case (ub, hb, zv) =>
+      var u = 0L; var h = 0L
+      for (i <- 0 until 10) {
+        u |= ((zv >> (2 * i)) & 1) << i
+        h |= ((zv >> (2 * i + 1)) & 1) << i
+      }
+      assert(u == ub && h == hb)
+    }
+    // monotone per dimension with the other fixed: more-significant
+    // interleaved bits preserve each dim's order within a fixed partner
+    z.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      val sorted = g.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._3, s"zval not monotone in ub at hb=${a._2}")
+        case _ =>
+      }
+    }
+  }
 }
