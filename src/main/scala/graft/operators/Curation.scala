@@ -148,6 +148,30 @@ object Curation {
     * count. No corpus-sized shuffle; cost is linear in corpus tokens. */
   def contamination(spark: SparkSession, dir: String, pct: Int = 10,
                     k: Int = 8): DataFrame = {
+    // The contamination VERDICT is a staged artifact like the dedup
+    // stores: q_decontam, the pruned corpus, and the training-record
+    // capstone all consume it, and each was re-running the corpus-wide
+    // k-gram explode. First caller persists (doc_id, n_shared); later
+    // dedup/curation queries in the process read the parquet — the
+    // production flow, where decontamination runs once per benchmark
+    // release, not once per consumer.
+    val key = s"contam-${dir.replace('/', '_')}-p$pct-k$k"
+    val path = Dedup.storeRoot.resolve(key)
+    Dedup.storeBuildLock.synchronized {
+      if (!java.nio.file.Files.exists(path)) {
+        val tmp = java.nio.file.Files.createTempDirectory(Dedup.storeRoot, "build-")
+        computeContamination(spark, dir, pct, k)
+          .write.mode("overwrite").parquet(tmp.resolve("contam").toString)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    spark.read.parquet(path.resolve("contam").toString)
+      .select("doc_id", "n_shared")
+  }
+
+  private[graft] def computeContamination(spark: SparkSession, dir: String, pct: Int,
+                                   k: Int): DataFrame = {
     val isBench =
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100 < pct

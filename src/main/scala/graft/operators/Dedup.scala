@@ -238,7 +238,7 @@ object Dedup {
     * shutdown hook removes the root so bench/verify/test runs leave
     * /tmp clean (the leaked-scratch lesson of VERDICT r5 #4); a real
     * deployment passes a durable path to [[writeSignatureStore]]. */
-  private lazy val storeRoot: java.nio.file.Path = {
+  private[graft] lazy val storeRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory(
       s"graft-sigstore-${ProcessHandle.current().pid()}-")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -251,7 +251,7 @@ object Dedup {
       } catch { case _: Throwable => () }))
     p
   }
-  private val storeBuildLock = new Object
+  private[graft] val storeBuildLock = new Object
 
   /** Build the signature store for (dir, geometry) once per process and
     * return its path; later calls — every other dedup query in the same

@@ -95,7 +95,10 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("decontamination plan broadcasts the benchmark side (no corpus-sized shuffle join)") {
-    val plan = Curation.contamination(spark, sf).queryExecution.sparkPlan.toString
+    // plan-assert the COMPUTE path (the public operator serves the staged
+    // parquet verdict, whose plan is just a scan)
+    val plan = Curation.computeContamination(spark, sf, 10, 8)
+      .queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast join against the benchmark n-gram set, got:\n$plan")
     assert(!plan.contains("SortMergeJoin"), "corpus-side sort-merge join would shuffle the corpus")
@@ -106,7 +109,7 @@ class CurationSpec extends AnyFunSuite {
     // makes the operator scale is the BENCHMARK set being the hash join's
     // build (broadcast) side while the corpus streams — pinned here at a
     // deliberately tiny 1% slice (VERDICT r6 #7).
-    val q = Curation.contamination(spark, sf, pct = 1)
+    val q = Curation.computeContamination(spark, sf, 1, 8)
     val plan = q.queryExecution.sparkPlan.toString
     val bj = "(?m)^.*BroadcastHashJoin.*$".r.findFirstIn(plan)
     assert(bj.isDefined, s"expected a broadcast join, got:\n$plan")
