@@ -48,6 +48,9 @@ object SparkEntry {
     "q_lineitem_order_join" -> ((s, d) => Analytics.lineitemOrderJoin(s, d)),
     // full 5-table star join with fact-side pushdown (Catalyst ordering)
     "q_star_join"         -> ((s, d) => Analytics.starJoinRevenue(s, d)),
+    // incremental view maintenance: base state + delta batch merge ==
+    // full recompute (the oracle IS the recompute)
+    "q_incremental_agg"   -> ((s, d) => Analytics.incrementalRevenue(s, d)),
     "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
@@ -564,6 +567,7 @@ object SparkEntry {
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
     "q_label_centroids" -> Similarity.labelCentroidsOracleSql,
     "q_star_join" -> Analytics.starJoinRevenueOracleSql(),
+    "q_incremental_agg" -> Analytics.incrementalRevenueOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),

@@ -748,6 +748,38 @@ object Analytics {
              FROM pc CROSS JOIN cuts) t
        GROUP BY decile ORDER BY decile"""
 
+  /** INCREMENTAL VIEW MAINTENANCE — the at-scale answer to "refresh the
+    * daily revenue rollup": merge yesterday's aggregate STATE with
+    * today's delta instead of recomputing over the whole fact history.
+    * Here the top decile of the o_orderkey range stands in for today's
+    * batch (the [[graft.operators.Dedup.nearDupNewVsCorpus]] split
+    * convention); both halves aggregate independently (in production the
+    * base state is a persisted table, not a recompute) and the MERGE is
+    * a re-aggregation of the partial states — valid because count and
+    * exact-decimal sum are associative monoids, the same algebra Spark's
+    * own partial aggregation relies on. The oracle is the full recompute:
+    * merge == recompute is the correctness contract of the pattern. */
+  def incrementalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val split = o.agg(max(col("o_orderkey"))).head().getLong(0) * 9 / 10
+    def slice(pred: Column) = o.filter(pred)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val base = slice(col("o_orderkey") < split)
+    val delta = slice(col("o_orderkey") >= split)
+    base.unionAll(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("revenue").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+  }
+
+  /** DuckDB oracle for [[incrementalRevenue]]: the FULL recompute — the
+    * merged partial states must equal it exactly. */
+  val incrementalRevenueOracleSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** Five-table star join — the full dimension chain region→nation→
     * customer→orders→lineitem with a selective fact-side predicate (the
     * TPC-H Q5 family shape at full depth). What the plan must do at

@@ -226,6 +226,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).max <= math.ceil(nCust / 10.0).toLong * 2)
   }
 
+  test("incremental agg: base+delta merge equals the full recompute, slices disjoint") {
+    val merged = Analytics.incrementalRevenue(spark, sf)
+    val full = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // the split covers every order exactly once
+    val n = Tables.orders(spark, sf).count()
+    assert(merged.agg(sum("n_orders")).head().getLong(0) == n)
+  }
+
   test("star join: line-status filter reaches the scan, dims broadcast, totals re-add") {
     val sj = Analytics.starJoinRevenue(spark, sf)
     val plan = sj.queryExecution.executedPlan.toString
