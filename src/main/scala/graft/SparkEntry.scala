@@ -65,6 +65,9 @@ object SparkEntry {
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // PIVOT crosstab with explicit pivot values (fixed schema, one pass)
     "q_revenue_pivot"     -> ((s, d) => Analytics.revenuePivot(s, d)),
+    // ...and its inverse: UNPIVOT (stack) back to long form — the round
+    // trip must land exactly on the plain GROUP BY
+    "q_revenue_unpivot"   -> ((s, d) => Analytics.revenueUnpivot(s, d)),
     // LEFT SEMI join (the EXISTS shape; no left-side duplication)
     "q_semi_join"         -> ((s, d) => Analytics.customersWithOpenOrders(s, d)),
     "q_exact_distinct_count" -> ((s, d) => Analytics.exactDistinctCount(s, d)),
@@ -116,6 +119,9 @@ object SparkEntry {
     "q_bm25"              -> ((s, d) => TextAnalysis.bm25(s, d)),
     // TF-IDF top-k keyword extraction per document
     "q_keywords_tfidf"    -> ((s, d) => TextAnalysis.keywordsTfidf(s, d)),
+    // count-min sketch heavy hitters (third sketch family next to
+    // HLL++/GK); exact counts oracle-checked, sketch bound self-verified
+    "q_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsTokenCounts(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -352,6 +358,7 @@ object SparkEntry {
     "q_revenue_deciles" -> Analytics.revenueDecilesOracleSql,
     "q_bm25" -> TextAnalysis.bm25OracleSql,
     "q_revenue_pivot" -> Analytics.revenuePivotOracleSql,
+    "q_revenue_unpivot" -> Analytics.revenueUnpivotOracleSql,
     "q_semi_join" -> Analytics.customersWithOpenOrdersOracleSql,
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
     "q_session_window" -> Analytics.sessionWindowAggOracleSql(),
@@ -573,6 +580,7 @@ object SparkEntry {
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),
     "q_source_quality" -> TextAnalysis.sourceQualityOracleSql(),
     "q_keywords_tfidf" -> TextAnalysis.keywordsTfidfOracleSql(),
+    "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

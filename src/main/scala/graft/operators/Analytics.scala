@@ -286,6 +286,33 @@ object Analytics {
       .select(col("r_name"), col("F").as("rev_f"), col("O").as("rev_o"),
         col("P").as("rev_p"))
 
+  /** UNPIVOT (melt) — the inverse relational reshape: the pivoted
+    * per-region crosstab back to long (r_name, status, revenue) rows via
+    * `stack`, dropping the NULL cells PIVOT manufactured for absent
+    * combinations. Round-tripping [[revenuePivot]] through unpivot must
+    * land exactly on the plain GROUP BY — which is what the oracle
+    * checks. stack() is a generator expression (one pass, no shuffle of
+    * its own; the only exchange is the pivot's). */
+  def revenueUnpivot(spark: SparkSession, dir: String): DataFrame =
+    revenuePivot(spark, dir)
+      .select(col("r_name"),
+        expr("stack(3, 'F', rev_f, 'O', rev_o, 'P', rev_p)")
+          .as(Seq("o_orderstatus", "revenue")))
+      .filter(col("revenue").isNotNull)
+
+  /** DuckDB oracle for [[revenueUnpivot]]: the plain long-form GROUP BY
+    * the pivot→unpivot round trip must reproduce. */
+  val revenueUnpivotOracleSql: String =
+    """SELECT r_name, o_orderstatus,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE o_orderstatus IN ('F', 'O', 'P')
+       GROUP BY r_name, o_orderstatus
+       ORDER BY r_name, o_orderstatus"""
+
   /** DuckDB oracle for [[revenuePivot]] as conditional aggregation (the
     * dialect-portable PIVOT form). */
   val revenuePivotOracleSql: String =

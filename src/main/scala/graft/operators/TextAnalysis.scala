@@ -88,6 +88,39 @@ object TextAnalysis {
         col("len_ok") && col("stopword_ratio") <= 0.5 && col("type_token_ratio") >= 0.05)
   }
 
+  /** COUNT-MIN SKETCH heavy-hitter check — the third sketch family next
+    * to HLL++ (distinct) and GK (quantiles): a fixed O(1/ε·ln 1/δ)
+    * counter grid answers point frequency queries over an unbounded
+    * stream with one-sided error (estimate ≥ truth, ≤ truth + εN w.p.
+    * 1−δ). Spark builds the sketch DISTRIBUTED (per-partition sketches
+    * merged counter-wise — addition commutes, so the estimate is
+    * partitioning-independent and seed-deterministic); the probe of the
+    * top-`topK` tokens is driver-side metadata-scale work. Output is
+    * self-verifying like the ANN recall checks: exact count per probed
+    * token (oracle-checkable) + the sketch verdicts, which must be TRUE
+    * by the CMS guarantee. */
+  def cmsTokenCounts(spark: SparkSession, dir: String, topK: Int = 5,
+                     eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+    val cms = tok.stat.countMinSketch(col("token"), eps, confidence, 42)
+    val top = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = cms.totalCount()
+    top.toSeq.map { case (t, exact) =>
+      val est = cms.estimateCount(t)
+      (t, exact, est >= exact && est <= exact + (eps * total).toLong)
+    }.toDF("token", "n", "cms_ok")
+  }
+
+  /** DuckDB oracle for [[cmsTokenCounts]] — the exact top-k counts; the
+    * sketch verdict must be TRUE by construction. */
+  def cmsTokenCountsOracleSql(topK: Int = 5): String =
+    s"""SELECT token, count(*) AS n, TRUE AS cms_ok
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT $topK"""
+
   /** TF-IDF keyword extraction: the top-`topK` most characteristic terms
     * per document (tf·idf with idf = ln(N/df), rank ties broken by term).
     * The classic per-doc salience signal next to [[bm25]]'s query-side

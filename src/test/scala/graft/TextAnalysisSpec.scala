@@ -110,6 +110,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"bigram mean $meanBi should track unigram mean $meanUni on iid text")
   }
 
+  test("cms heavy hitters: verdicts all true, probed set equals exact top-5") {
+    val rows = TextAnalysis.cmsTokenCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 5)
+    assert(rows.forall(_._3), "a CMS estimate fell outside its guarantee")
+    val want = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), asc("t")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == want)
+  }
+
   test("source quality: sources partition the corpus, keep rates agree with docQuality") {
     val sq = TextAnalysis.sourceQuality(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4), r.getBoolean(5))).toMap
