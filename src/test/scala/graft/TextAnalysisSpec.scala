@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, explode, split}
+import org.apache.spark.sql.functions.{asc, col, desc, explode, split}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
 
