@@ -127,7 +127,7 @@ object Pipeline {
     // ── Stage 5 (D1/D2 data-quality checks, ref `dag-knlp.py:243-279`) ──
     val n = dim.count()
     require(n >= 1, s"check_data_count failed: $n rows")
-    val maxLen = dim.agg(max(length(col("word_id")))).head.getInt(0)
+    val maxLen = dim.agg(max(length(col("word_id")))).head().getInt(0)
     require(maxLen <= 13, s"check_data_length failed: max len(word_id)=$maxLen > 13")
 
     dim

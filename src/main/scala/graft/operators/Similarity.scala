@@ -96,7 +96,7 @@ object Similarity {
   private def bucketCol(bits: Int, dim: Int): Column = {
     val ps = planes(bits, dim)
     val raw = (0 until bits).map { j =>
-      val lits = array(ps(j).map(lit): _*)
+      val lits = array(ps(j).toIndexedSeq.map(lit): _*)
       val d = aggregate(zip_with(col("emb"), lits, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
       when(d > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
