@@ -45,6 +45,8 @@ object SparkEntry {
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
     "q_revenue_by_region" -> ((s, d) => Analytics.revenueByRegion(s, d)),
+    // supply-side dim rollup (the supplier table's coverage row)
+    "q_supplier_profile"  -> ((s, d) => Analytics.supplierProfile(s, d)),
     "q_lineitem_order_join" -> ((s, d) => Analytics.lineitemOrderJoin(s, d)),
     // full 5-table star join with fact-side pushdown (Catalyst ordering)
     "q_star_join"         -> ((s, d) => Analytics.starJoinRevenue(s, d)),
@@ -575,6 +577,7 @@ object SparkEntry {
     "q_label_centroids" -> Similarity.labelCentroidsOracleSql,
     "q_star_join" -> Analytics.starJoinRevenueOracleSql(),
     "q_incremental_agg" -> Analytics.incrementalRevenueOracleSql,
+    "q_supplier_profile" -> Analytics.supplierProfileOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),

@@ -775,6 +775,33 @@ object Analytics {
              FROM pc CROSS JOIN cuts) t
        GROUP BY decile ORDER BY decile"""
 
+  /** Supply-side dimension profile — the last testdata table (supplier)
+    * through the same dim-chain shape as the customer-side rollups:
+    * suppliers per region/nation with exact-decimal balance statistics
+    * and the negative-balance (at-risk) count. Bounded dims broadcast;
+    * one partial-aggregated groupBy. */
+  def supplierProfile(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_balance"),
+        sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
+
+  val supplierProfileOracleSql: String =
+    """SELECT r_name, n_name, count(*) AS n_suppliers,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+              CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
   /** INCREMENTAL VIEW MAINTENANCE — the at-scale answer to "refresh the
     * daily revenue rollup": merge yesterday's aggregate STATE with
     * today's delta instead of recomputing over the whole fact history.
