@@ -86,41 +86,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] dedup warmup failed (continuing): ${e.getMessage}")
     }
-    // Stage the target-sf signature stores BEFORE the timed suite, timed
-    // separately and reported as their own JSON field: in production the
-    // store is a nightly staged artifact — dedup queries READ it, so the
-    // per-query timings measure the read flow while the one-time signing
-    // cost stays visible in the artifact instead of being charged to
-    // whichever dedup query happens to run first.
-    val storeBuilds: Seq[(String, Double)] = Seq(
-      "unigram_8x16" -> (() => operators.Dedup.ensureSignatureStore(spark, sfDir)),
-      "bigram_32x4" -> (() => operators.Dedup.ensureSignatureStore(
-        spark, sfDir, shingleK = 2, bands = 32, rowsPerBand = 4)),
-    ).map { case (name, build) =>
-      val t0 = System.nanoTime()
-      try build()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] store build $name failed (continuing): ${e.getMessage}")
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] signature store $name built in $sec%.1f s")
-      name -> sec
-    }
-
-    // Per-query watchdog: a runaway query (JIT/codegen storm, degenerate
-    // plan) must cost at most `timeoutSec`, never the whole bench run.
-    // The query executes under a job group so the watchdog can cancel
-    // its in-flight Spark jobs, and the timeout is reported as a failure.
+    // Watchdog shared by the timed queries AND the store pre-builds: any
+    // runaway unit of work (JIT/codegen storm, degenerate plan) must cost
+    // at most `timeoutSec`, never the whole bench run — a hang in an
+    // un-watchdogged store build would block the suite forever and no
+    // JSON line would ever be emitted. Work executes under a job group so
+    // the watchdog can cancel its in-flight Spark jobs.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
-      System.err.println(s"[bench] running $name")
+    def withTimeout(name: String)(work: => Unit): (Double, Boolean) = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val t0 = System.nanoTime()
       val fut = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try work
         finally spark.sparkContext.clearJobGroup()
       }
       try {
@@ -145,6 +125,31 @@ object Bench {
       }
     }
 
+    // Stage the target-sf signature stores BEFORE the timed suite, timed
+    // separately and reported as their own JSON field: in production the
+    // store is a nightly staged artifact — dedup queries READ it, so the
+    // per-query timings measure the read flow while the one-time signing
+    // cost stays visible in the artifact instead of being charged to
+    // whichever dedup query happens to run first.
+    val storeBuilds: Seq[(String, Double)] = Seq(
+      "unigram_8x16" -> (() => operators.Dedup.ensureSignatureStore(spark, sfDir)),
+      "bigram_32x4" -> (() => operators.Dedup.ensureSignatureStore(
+        spark, sfDir, shingleK = 2, bands = 32, rowsPerBand = 4)),
+    ).map { case (name, build) =>
+      val (sec, ok) = withTimeout(s"store_$name") { build(); () }
+      System.err.println(
+        if (ok) f"[bench] signature store $name built in $sec%.1f s"
+        else s"[bench] store build $name failed or timed out (continuing)")
+      name -> sec
+    }
+
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      System.err.println(s"[bench] running $name")
+      withTimeout(name) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // Inter-query isolation (VERDICT r4 #1): a query that leaves persisted
     // blocks behind (localCheckpoint in the dedup pipeline) or cached
     // relations poisons every successor's timing — measured 2-8x inflation
@@ -155,15 +160,28 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // The streaming harnesses delete their own scratch; sweep anything a
       // crashed or timed-out run left behind so checkpoint residue never
-      // accumulates across the suite (VERDICT r5 #2). Only THIS process's
-      // dirs (pid-scoped prefix) — a concurrent verify/test run on the
-      // same machine keeps its live checkpoints.
+      // accumulates across the suite (VERDICT r5 #2). THIS process's dirs
+      // are always fair game; OTHER pids' dirs are swept only when that
+      // pid is no longer alive — a concurrent verify/test run keeps its
+      // live checkpoints, while residue from SIGKILLed runs (whose
+      // shutdown hooks never fired) still gets cleaned instead of
+      // accumulating forever.
       try {
         import scala.jdk.CollectionConverters._
         val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+        val myPrefix = graft.streaming.StreamingOps.ScratchPrefix
+        def sweepable(name: String): Boolean =
+          if (name.startsWith(myPrefix)) true
+          else if (name.startsWith("graft-stream-")) {
+            // graft-stream-<pid>-...: stale iff the owning pid is gone
+            val pidPart = name.stripPrefix("graft-stream-").takeWhile(_.isDigit)
+            pidPart.nonEmpty &&
+              scala.util.Try(ProcessHandle.of(pidPart.toLong))
+                .map(h => !h.isPresent || !h.get().isAlive).getOrElse(false)
+          } else false
         val roots = Files.list(tmp)
         try roots.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(graft.streaming.StreamingOps.ScratchPrefix))
+          .filter(p => sweepable(p.getFileName.toString))
           .foreach { root =>
             val walk = Files.walk(root)
             try walk.sorted(java.util.Comparator.reverseOrder())

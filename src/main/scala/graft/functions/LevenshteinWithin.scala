@@ -76,13 +76,18 @@ object LevenshteinWithin {
   def dist(a: UTF8String, b: UTF8String, k: Int): Int = {
     val m = a.numBytes()
     val n = b.numBytes()
-    if (math.abs(m - n) > k) return -1
-    if (m == 0) return if (n <= k) n else -1
+    // The fallback test MUST run before any byte-length shortcut: byte
+    // counts only equal character counts on the ASCII fast path, and a
+    // byte-based |m-n| or empty-side exit on multi-byte input would
+    // return byte distances (e.g. '' vs 'éé' is char-distance 2, byte
+    // 4) — violating the equals-the-standard-metric contract.
     if (m > 64 || n > 64 || a.numChars() != m || b.numChars() != n) {
       // non-ASCII or over the single-word limit: standard banded DP
       val d = a.levenshteinDistance(b, k)
       return d
     }
+    if (math.abs(m - n) > k) return -1
+    if (m == 0) return if (n <= k) n else -1
     val s = scratch.get()
     s.calls += 1
     val stamp = s.calls

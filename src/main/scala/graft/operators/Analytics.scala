@@ -906,10 +906,14 @@ object Analytics {
       .unionAll(stageRow(p, "3_purchase_after_click"))
     // step rate = n_users / previous stage's n_users (rate of the funnel
     // entry stage is 1.0) — lag over the 3-row stage frame is driver-cheap.
+    // An empty previous stage yields NULL, not 0/0: Spark's non-ANSI
+    // divide returns NULL there while DuckDB's IEEE mode returns NaN, so
+    // the guard keeps both engines on the same value.
     val w = Window.orderBy("stage")
+    val denom = coalesce(lag(col("n_users"), 1).over(w), col("n_users"))
     rows.withColumn("rate_vs_prev",
-      round(col("n_users").cast("double")
-        / coalesce(lag(col("n_users"), 1).over(w), col("n_users")).cast("double"), 6))
+      when(denom === 0, lit(null).cast("double"))
+        .otherwise(round(col("n_users").cast("double") / denom.cast("double"), 6)))
   }
 
   val funnelConversionOracleSql: String =
@@ -927,9 +931,11 @@ object Analytics {
                UNION ALL SELECT '2_click_after_view', count(*) FROM c
                UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
        SELECT stage, n_users,
-              round(CAST(n_users AS DOUBLE)
-                    / CAST(coalesce(lag(n_users) OVER (ORDER BY stage), n_users) AS DOUBLE), 6)
-                AS rate_vs_prev
+              CASE WHEN coalesce(lag(n_users) OVER (ORDER BY stage), n_users) = 0
+                   THEN NULL
+                   ELSE round(CAST(n_users AS DOUBLE)
+                        / CAST(coalesce(lag(n_users) OVER (ORDER BY stage), n_users) AS DOUBLE), 6)
+              END AS rate_vs_prev
        FROM s ORDER BY stage"""
 
   /** SCD-2 (slowly-changing-dimension) history build: collapse each
@@ -1041,11 +1047,16 @@ object Analytics {
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
       .withColumn("day", floor(col("p_us") / dayUs))
+    // a view at time s attributes to purchases in [s, s+window], whose
+    // epoch-days span day(s) .. day(s) + ceil(window/day) — the bin
+    // fan-out must follow the window parameter (a hardcoded 2-bin explode
+    // silently drops matches for windows over 24 h)
+    val nBins = (winUs + dayUs - 1) / dayUs
     val v = e.filter(col("event_type") === "view")
       .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
         col("value").cast(DecimalType(18, 2)).as("v_value"))
-      .withColumn("day", explode(array(floor(col("v_us") / dayUs),
-        floor(col("v_us") / dayUs) + 1)))
+      .withColumn("day", explode(array((0L to nBins).map(o =>
+        floor(col("v_us") / dayUs) + o): _*)))
     p.join(v, Seq("user_id", "day"), "left")
       .withColumn("hit", col("v_us").isNotNull &&
         col("v_us") >= col("p_us") - winUs && col("v_us") <= col("p_us"))

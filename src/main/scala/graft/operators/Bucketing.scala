@@ -69,9 +69,9 @@ object Bucketing {
     * join. The aggregate re-checks against the unpartitioned source. */
   def partitionPrunedEvents(spark: SparkSession, dir: String,
                             keep: String = "click"): DataFrame = {
-    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
-      "/root/repo/target/pipeline-scratch") + "/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_by_type"
+    // the shared pid-scoped scratch convention (Pipeline.scratch) — the
+    // path derivation must not fork per call site
+    val base = Pipeline.scratch(dir) + "/events_by_type"
     Tables.events(spark, dir)
       .write.mode("overwrite").partitionBy("event_type").parquet(base)
     spark.read.parquet(base)

@@ -718,6 +718,10 @@ object Dedup {
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = deg.count()
+    // an empty pair graph (clean corpus / strict threshold) ranks nothing
+    // — return the empty frame instead of dividing by the node count
+    if (n == 0)
+      return deg.select(col("src").as("doc_id"), col("deg").as("pagerank_fp"))
     val base = Scale * (dampDen - dampNum) / dampDen / n
     var pr = deg.select(col("src").as("doc_id"), lit(Scale / n).as("pr"))
     for (_ <- 0 until iters) {

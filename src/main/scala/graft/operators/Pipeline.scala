@@ -41,10 +41,34 @@ import graft.Tables
   */
 object Pipeline {
 
-  /** Scratch root for raw-text + JSONL staging (the pipeline's "S3"). */
-  private def scratch(dir: String): String = {
+  /** Scratch root for raw-text + JSONL staging (the pipeline's "S3") —
+    * PID-scoped like the streaming scratch and the dedup stores, so a
+    * concurrent bench/verify pair on the same sf can never clobber each
+    * other's staged files mid-read (mode("overwrite") deletes the target
+    * first), and swept on JVM exit so runs leave the workspace clean.
+    * Shared by the CSV/ORC round-trips and the partition-pruned layout
+    * ([[graft.operators.Bucketing]]) — ONE path convention, not four. */
+  private[graft] def scratch(dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/root/repo/target/pipeline-scratch") + "/" + tag
+    s"$scratchRoot/$tag"
+  }
+
+  private lazy val scratchRoot: String = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      "/root/repo/target/pipeline-scratch") +
+      s"/p${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+          finally s.close()
+        }
+      } catch { case _: Throwable => () }))
+    root
   }
 
   /** P1+P3 — colon-split with schema-arity coercion to `names.length`

@@ -52,6 +52,17 @@ class LevenshteinWithinSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-byte inputs that cross the byte-vs-char gap stay character-exact") {
+    // regression: byte-length shortcuts running BEFORE the non-ASCII
+    // fallback returned byte distances ('' vs 'éé' = 4) or spurious -1
+    // ('日本' vs '' has byte gap 6 > k but char distance 2 <= k)
+    assert(within("", "éé", 4) == 2)
+    assert(within("日本", "", 2) == 2)
+    assert(within("日本語", "", 2) == -1) // char distance 3 > k
+    assert(within("ééé", "é", 2) == 2)   // byte gap 4 > k, char distance 2
+    assert(within("😀😀", "", 3) == ref("😀😀", "")) // surrogate-pair chars
+  }
+
   test("registered SQL form runs codegen'd and equals the builtin threshold form") {
     LevenshteinWithin.register(spark)
     import spark.implicits._

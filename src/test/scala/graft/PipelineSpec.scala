@@ -27,8 +27,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("JSONL staging is chunked (K2) and schema'd read-back sees all rows (S2/S3)") {
     Pipeline.dimensionPipeline(spark, sf) // ensure staging exists
-    val base = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/root/repo/target/pipeline-scratch")
-    val dir = new java.io.File(s"$base/_root_testdata_sf0.001/korean_jsonl")
+    val dir = new java.io.File(s"${Pipeline.scratch(sf)}/korean_jsonl")
     val parts = dir.listFiles().count(_.getName.startsWith("part-"))
     assert(parts == 4, s"expected 4 JSONL chunks, got $parts")
     val back = spark.read.json(dir.getAbsolutePath)
