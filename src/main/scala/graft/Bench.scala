@@ -169,19 +169,10 @@ object Bench {
       try {
         import scala.jdk.CollectionConverters._
         val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-        val myPrefix = graft.streaming.StreamingOps.ScratchPrefix
-        def sweepable(name: String): Boolean =
-          if (name.startsWith(myPrefix)) true
-          else if (name.startsWith("graft-stream-")) {
-            // graft-stream-<pid>-...: stale iff the owning pid is gone
-            val pidPart = name.stripPrefix("graft-stream-").takeWhile(_.isDigit)
-            pidPart.nonEmpty &&
-              scala.util.Try(ProcessHandle.of(pidPart.toLong))
-                .map(h => !h.isPresent || !h.get().isAlive).getOrElse(false)
-          } else false
         val roots = Files.list(tmp)
         try roots.iterator().asScala
-          .filter(p => sweepable(p.getFileName.toString))
+          .filter(p => graft.streaming.StreamingOps
+            .isSweepableScratch(p.getFileName.toString))
           .foreach { root =>
             val walk = Files.walk(root)
             try walk.sorted(java.util.Comparator.reverseOrder())

@@ -61,6 +61,21 @@ object StreamingOps {
     * must never lose its live checkpoints to another process's cleanup. */
   private[graft] val ScratchPrefix = s"graft-stream-${ProcessHandle.current().pid()}-"
 
+  /** Is a /tmp entry named `name` sweepable scratch? Our OWN dirs always
+    * are (the harnesses have finished with them between bench queries);
+    * another pid's `graft-stream-<pid>-…` dirs only once that pid is DEAD
+    * — live concurrent runs keep their checkpoints, while residue from
+    * SIGKILLed runs (whose shutdown hooks never fired) still gets
+    * reclaimed instead of accumulating forever. */
+  private[graft] def isSweepableScratch(name: String): Boolean =
+    if (name.startsWith(ScratchPrefix)) true
+    else if (name.startsWith("graft-stream-")) {
+      val pidPart = name.stripPrefix("graft-stream-").takeWhile(_.isDigit)
+      pidPart.nonEmpty &&
+        scala.util.Try(ProcessHandle.of(pidPart.toLong))
+          .map(h => !h.isPresent || !h.get().isAlive).getOrElse(false)
+    } else false
+
   private def scratchDir(name: String): String =
     java.nio.file.Files.createTempDirectory(ScratchPrefix + name).toString
 

@@ -249,6 +249,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("scratch sweep predicate: own dirs and dead-pid dirs sweep, live and foreign don't") {
+    import graft.streaming.StreamingOps.{isSweepableScratch, ScratchPrefix}
+    // this JVM's dirs are always sweepable
+    assert(isSweepableScratch(ScratchPrefix + "hourly"))
+    // another LIVE pid's dirs are protected (pid 1 is always alive)
+    assert(!isSweepableScratch("graft-stream-1-hourly"))
+    // a DEAD pid's residue is reclaimed (max pid is bounded well below this)
+    assert(isSweepableScratch("graft-stream-999999999-hourly"))
+    // non-graft entries and malformed names are never touched
+    assert(!isSweepableScratch("systemd-private-xyz"))
+    assert(!isSweepableScratch("graft-stream-notapid"))
+  }
+
   test("multi-stateful pipeline (join -> window agg) equals its watermark-gated batch twin") {
     val got = StreamingOps.streamJoinAggEndToEnd(spark, TestSpark.sf)
     val e = Tables.events(spark, TestSpark.sf)
