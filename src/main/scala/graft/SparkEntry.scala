@@ -207,6 +207,9 @@ object SparkEntry {
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    // feature extraction after decode: bytes -> stub embedding through
+    // the per-partition batch boundary, exactly oracle-checked
+    "q_media_embed"       -> ((s, d) => Multimodal.mediaEmbed(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
@@ -605,5 +608,6 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     // Generated from the operator's own stub-metadata arithmetic.
     "q_frame_sample" -> Multimodal.sampleFramesOracleSql(),
+    "q_media_embed" -> Multimodal.mediaEmbedOracleSql,
   )
 }

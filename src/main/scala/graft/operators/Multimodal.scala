@@ -10,6 +10,11 @@ case class MediaRow(doc_id: Long, content: Array[Byte])
 /** Typed metadata out of the decode stage. */
 case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, n_frames: Long)
 
+/** Summary of one extracted feature vector (first component, component
+  * sum, L2 norm — scalar columns keep the dump hash-comparable while
+  * pinning every component). */
+case class MediaEmbed(doc_id: Long, e0: Double, esum: Double, enorm: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded in partition-sized batches.
   *
@@ -54,6 +59,66 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(codec.decode)
       .toDF()
+  }
+
+  /** The FEATURE-EXTRACTION stage after decode — media bytes → embedding
+    * vector, the step a real pipeline runs with a vision/audio model.
+    * Same batch boundary as [[MediaCodec]]: one extractor per partition
+    * (the expensive model init amortizes per batch, never per row), and
+    * only the extracted VECTOR SUMMARY leaves the stage — payload bytes
+    * never cross a shuffle. */
+  trait MediaEmbedder extends Serializable {
+    def embed(batch: Iterator[MediaRow]): Iterator[MediaEmbed]
+  }
+
+  /** Deterministic stand-in for the absent model libraries: component j
+    * of the 8-dim embedding is the 32-bit md5 prefix of content‖":"‖j
+    * mapped affinely onto [-1, 1) — a pure function of the bytes, so the
+    * DuckDB oracle reproduces every component (md5 of the same UTF-8
+    * bytes). The per-partition MessageDigest is the stand-in for the
+    * per-partition model handle. */
+  object StubEmbedder extends MediaEmbedder {
+    private def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def embed(batch: Iterator[MediaRow]): Iterator[MediaEmbed] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { r =>
+        val comps = (0 until 8).map { j =>
+          val d = md.digest(r.content ++ s":$j".getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          h.toDouble / 4294967296.0 * 2 - 1
+        }
+        MediaEmbed(r.doc_id, round6(comps.head), round6(comps.sum),
+          round6(math.sqrt(comps.map(c => c * c).sum)))
+      }
+    }
+  }
+
+  /** binary content → batched feature extraction → embedding summary. */
+  def mediaEmbed(spark: SparkSession, dir: String,
+                 embedder: MediaEmbedder = StubEmbedder): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
+      .mapPartitions(embedder.embed)
+      .toDF()
+  }
+
+  /** DuckDB oracle for [[mediaEmbed]] — the same md5-derived components
+    * over the same UTF-8 bytes, same op order, same HALF_UP rounding. */
+  def mediaEmbedOracleSql: String = {
+    def hex32(expr: String): String = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+    val comp = s"${hex32("md5(text || ':' || CAST(j AS VARCHAR))")} / 4294967296.0 * 2 - 1"
+    s"""WITH c AS (SELECT doc_id, [$comp for j in range(0, 8)] AS comps
+                   FROM documents)
+       SELECT doc_id, round(comps[1], 6) AS e0,
+              round(list_sum(comps), 6) AS esum,
+              round(sqrt(list_sum([x * x for x in comps])), 6) AS enorm
+       FROM c ORDER BY doc_id"""
   }
 
   /** Frame sampling over the decoded metadata — the explode-shaped

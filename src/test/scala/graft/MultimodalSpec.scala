@@ -22,4 +22,19 @@ class MultimodalSpec extends AnyFunSuite {
     // evenly-spaced sampling never repeats a frame (kk <= n_frames)
     assert(frames.groupBy("doc_id", "frame_idx").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("media embed: one summary per doc, components bounded, run-deterministic") {
+    val e = Multimodal.mediaEmbed(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(e.count() == n)
+    // components live in [-1, 1): |e0| <= 1, |esum| <= 8, enorm <= sqrt(8)
+    assert(e.filter(org.apache.spark.sql.functions.abs(col("e0")) > 1.0).isEmpty)
+    assert(e.filter(org.apache.spark.sql.functions.abs(col("esum")) > 8.0).isEmpty)
+    assert(e.filter(col("enorm") < 0 || col("enorm") > math.sqrt(8) + 1e-9).isEmpty)
+    // the extraction is a pure function of the bytes — rerun-identical
+    val again = Multimodal.mediaEmbed(spark, sf)
+    assert(e.exceptAll(again).isEmpty && again.exceptAll(e).isEmpty)
+    // only the summary leaves the stage; payload bytes never in the schema
+    assert(!e.schema.fieldNames.contains("content"))
+  }
 }
