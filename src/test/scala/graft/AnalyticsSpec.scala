@@ -226,6 +226,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).max <= math.ceil(nCust / 10.0).toLong * 2)
   }
 
+  test("top-k per group compiles to WindowGroupLimit (partial top-k before the shuffle)") {
+    // rank<=k filters over a window must push a per-partition group limit
+    // below the exchange — without it every row of every group crosses
+    // the shuffle just to be discarded, the difference between shuffling
+    // k rows per group and the whole fact table at 100 TB
+    val plan = Analytics.topOrderPerCustomer(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("fact-sized join side degrades to a shuffle join when broadcasting is off") {
+    // the no-forced-broadcast contract: customer is broadcast at testdata
+    // scale because AQE MEASURES it small, not because the plan demands
+    // it — with the threshold off, the same operator must plan a shuffle
+    // join instead of OOMing on a forced broadcast (run on an isolated
+    // session so the setting never leaks)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val plan = Analytics.revenueBySegment(iso, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(2000))
+    // and the result is identical either way
+    val got = Analytics.revenueBySegment(iso, sf)
+    val want = Analytics.revenueBySegment(spark, sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("incremental agg: base+delta merge equals the full recompute, slices disjoint") {
     val merged = Analytics.incrementalRevenue(spark, sf)
     val full = Tables.orders(spark, sf)
