@@ -55,6 +55,9 @@ object SparkEntry {
     "q_incremental_agg"   -> ((s, d) => Analytics.incrementalRevenue(s, d)),
     "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
+    // per-group top-3 via the custom typed Aggregator (bounded map-side
+    // state; k values per partition-group cross the shuffle, no sort)
+    "q_topk_aggregator"   -> ((s, d) => Analytics.topPricesPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
     // native session_window gap sessions (batch twin of q_sessionize)
     "q_session_window"    -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
@@ -581,6 +584,7 @@ object SparkEntry {
     "q_star_join" -> Analytics.starJoinRevenueOracleSql(),
     "q_incremental_agg" -> Analytics.incrementalRevenueOracleSql,
     "q_supplier_profile" -> Analytics.supplierProfileOracleSql,
+    "q_topk_aggregator" -> Analytics.topPricesPerCustomerOracleSql,
     "q_repetition" -> TextAnalysis.repetitionScoreOracleSql(),
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),

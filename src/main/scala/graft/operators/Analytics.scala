@@ -775,6 +775,37 @@ object Analytics {
              FROM pc CROSS JOIN cuts) t
        GROUP BY decile ORDER BY decile"""
 
+  /** Per-customer top-3 order prices via the custom TYPED AGGREGATOR
+    * ([[graft.functions.TopKDoubles]]) — the bounded-state top-k that
+    * map-side combines (k values per partition-group cross the shuffle)
+    * instead of window-sorting each group. The oracle reproduces the
+    * same three descending values with a windowed conditional aggregate;
+    * output flattens the list to scalar columns (NULL when a customer
+    * has fewer orders), keeping the dump hash-comparable. */
+  def topPricesPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(spark, 3)
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_totalprice")
+      .groupBy("o_custkey")
+      .agg(expr("top_k_3(o_totalprice)").as("top"))
+      .select(col("o_custkey"),
+        element_at(col("top"), 1).as("p1"),
+        when(size(col("top")) >= 2, element_at(col("top"), 2)).as("p2"),
+        when(size(col("top")) >= 3, element_at(col("top"), 3)).as("p3"))
+  }
+
+  val topPricesPerCustomerOracleSql: String =
+    """SELECT o_custkey,
+              max(CASE WHEN rn = 1 THEN o_totalprice END) AS p1,
+              max(CASE WHEN rn = 2 THEN o_totalprice END) AS p2,
+              max(CASE WHEN rn = 3 THEN o_totalprice END) AS p3
+       FROM (SELECT o_custkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC) AS rn
+             FROM orders) t
+       WHERE rn <= 3
+       GROUP BY o_custkey ORDER BY o_custkey"""
+
   /** Supply-side dimension profile — the last testdata table (supplier)
     * through the same dim-chain shape as the customer-side rollups:
     * suppliers per region/nation with exact-decimal balance statistics

@@ -226,6 +226,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).max <= math.ceil(nCust / 10.0).toLong * 2)
   }
 
+  test("typed top-k aggregator: equals the window form, merges associatively, partial-aggregates") {
+    // result equivalence: the aggregator's p1 is exactly the window top-1
+    val agg = Analytics.topPricesPerCustomer(spark, sf)
+      .select(col("o_custkey"), col("p1").as("o_totalprice"))
+    val win = Analytics.topOrderPerCustomer(spark, sf)
+      .select("o_custkey", "o_totalprice")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+    // plan: runs as a partial + final aggregate (map-side combine), never
+    // a window sort
+    val plan = Analytics.topPricesPerCustomer(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_3") && !plan.contains("Window"), plan.take(2000))
+    // algebra: merge is order-insensitive and agrees with a full sort
+    val f = new graft.functions.TopKDoubles(3)
+    val rnd = new scala.util.Random(11)
+    (0 until 50).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(9))(rnd.nextDouble() * 100)
+      val (a, b) = xs.splitAt(rnd.nextInt(xs.length + 1))
+      val viaMerge = f.merge(a.foldLeft(f.zero)(f.reduce), b.foldLeft(f.zero)(f.reduce))
+      val viaMergeSwapped = f.merge(b.foldLeft(f.zero)(f.reduce), a.foldLeft(f.zero)(f.reduce))
+      assert(viaMerge == xs.sortBy(-_).take(3) && viaMerge == viaMergeSwapped, s"xs=$xs")
+    }
+  }
+
   test("top-k per group compiles to WindowGroupLimit (partial top-k before the shuffle)") {
     // rank<=k filters over a window must push a per-partition group limit
     // below the exchange — without it every row of every group crosses
