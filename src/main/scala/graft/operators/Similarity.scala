@@ -110,6 +110,28 @@ object Similarity {
     * (equi-join, never all-pairs), then exact cosine filters at
     * `threshold`. The embedding-side twin of [[Dedup.nearDupPairs]]. */
   def embedNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    // The semantic PAIR GRAPH is a staged artifact like its lexical twin
+    // ([[graft.operators.Dedup.nearDupPairs]]): both the pair query and
+    // the semantic-dedup clustering consume it, so the first caller in a
+    // process persists (vec_a, vec_b, sim) and the second reads parquet
+    // instead of re-bucketing and re-scoring the embedding corpus.
+    val key = s"epairs-${dir.replace('/', '_')}-t$threshold"
+    val path = Dedup.storeRoot.resolve(key)
+    Dedup.storeBuildLock.synchronized {
+      if (!java.nio.file.Files.exists(path)) {
+        val tmp = java.nio.file.Files.createTempDirectory(Dedup.storeRoot, "build-")
+        computeEmbedNearDup(spark, dir, threshold)
+          .write.mode("overwrite").parquet(tmp.resolve("epairs").toString)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    spark.read.parquet(path.resolve("epairs").toString)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  private def computeEmbedNearDup(spark: SparkSession, dir: String,
+                                  threshold: Double): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val e0 = embDouble(spark, dir)
     val (n, dim) = corpusShape(e0)
