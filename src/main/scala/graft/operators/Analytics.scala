@@ -846,7 +846,11 @@ object Analytics {
     * merge == recompute is the correctness contract of the pattern. */
   def incrementalRevenue(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val split = o.agg(max(col("o_orderkey"))).head().getLong(0) * 9 / 10
+    // max() is NULL on an empty fact table; split 0 then routes every
+    // (zero) row to the delta side and the merge is the empty aggregate —
+    // the same answer the full recompute gives.
+    val maxRow = o.agg(max(col("o_orderkey"))).head()
+    val split = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) * 9 / 10
     def slice(pred: Column) = o.filter(pred)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))

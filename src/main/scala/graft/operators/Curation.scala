@@ -155,16 +155,9 @@ object Curation {
     // dedup/curation queries in the process read the parquet — the
     // production flow, where decontamination runs once per benchmark
     // release, not once per consumer.
-    val key = s"contam-${dir.replace('/', '_')}-p$pct-k$k"
-    val path = Dedup.storeRoot.resolve(key)
-    Dedup.storeBuildLock.synchronized {
-      if (!java.nio.file.Files.exists(path)) {
-        val tmp = java.nio.file.Files.createTempDirectory(Dedup.storeRoot, "build-")
-        computeContamination(spark, dir, pct, k)
-          .write.mode("overwrite").parquet(tmp.resolve("contam").toString)
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+    val path = Dedup.ensureArtifact(s"contam-${dir.replace('/', '_')}-p$pct-k$k") {
+      tmp => computeContamination(spark, dir, pct, k)
+        .write.mode("overwrite").parquet(tmp.resolve("contam").toString)
     }
     spark.read.parquet(path.resolve("contam").toString)
       .select("doc_id", "n_shared")
@@ -297,37 +290,14 @@ object Curation {
     * every downstream use — the same staged-artifact flow as the dedup
     * signature store (a nightly mining job writes the list; scoring and
     * stripping jobs read it instead of re-scanning the corpus). Tiny
-    * (`top` rows), built on first use behind a lock, atomically moved
-    * into place, removed at process exit. */
-  private lazy val minedRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(
-      s"graft-minedngrams-${ProcessHandle.current().pid()}-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
-        finally s.close()
-      } catch { case _: Throwable => () }))
-    p
-  }
-  private val minedLock = new Object
-
+    * (`top` rows), built via the shared per-key [[Dedup.ensureArtifact]]
+    * latch, atomically moved into place, removed at process exit. */
   private def ensureMinedNgrams(spark: SparkSession, dir: String, k: Int,
                                 minDocs: Int, top: Int): String =
-    minedLock.synchronized {
-      val key = s"${dir.replace('/', '_')}-k$k-m$minDocs-t$top"
-      val path = minedRoot.resolve(key)
-      if (!java.nio.file.Files.exists(path)) {
-        val tmp = java.nio.file.Files.createTempDirectory(minedRoot, "build-")
-        mineCommonNgrams(spark, dir, k, minDocs, top)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      path.toString
-    }
+    Dedup.ensureArtifact(s"ngrams-${dir.replace('/', '_')}-k$k-m$minDocs-t$top") {
+      tmp => mineCommonNgrams(spark, dir, k, minDocs, top)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("ngrams").toString)
+    }.resolve("ngrams").toString
 
   /** [[mineCommonNgrams]] served from the per-process store (built on
     * first use); every caller in the same run reads the artifact. */

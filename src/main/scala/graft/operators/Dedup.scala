@@ -234,7 +234,7 @@ object Dedup {
 
   /** Per-process signature-store cache root (pid-scoped like the
     * streaming scratch dirs — concurrent processes never share partial
-    * writes) and the build lock serializing store construction. A
+    * writes); [[ensureArtifact]] serializes builds per key. A
     * shutdown hook removes the root so bench/verify/test runs leave
     * /tmp clean (the leaked-scratch lesson of VERDICT r5 #4); a real
     * deployment passes a durable path to [[writeSignatureStore]]. */
@@ -251,7 +251,38 @@ object Dedup {
       } catch { case _: Throwable => () }))
     p
   }
-  private[graft] val storeBuildLock = new Object
+  /** Per-KEY build latches for the staged artifacts. A single global lock
+    * here would mean a watchdog-cancelled build keeps every OTHER
+    * artifact's first consumer waiting while its Spark job winds down —
+    * contaminating exactly the timings the staged-artifact design
+    * protects. With one latch per key, concurrent builders of the SAME
+    * artifact still serialize (second caller finds the parquet and
+    * reads), while builds of different artifacts never block each other.
+    * No deadlock is possible: nested builds only ever go "downstream"
+    * (clusters → pairs → signature store), so the latch order is acyclic. */
+  private val artifactLatches =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Build-once staged-artifact helper shared by the signature stores,
+    * the lexical/semantic pair lists, the cluster list, and the
+    * contamination verdict: `build` writes into a fresh temp dir which is
+    * renamed into place atomically, so a partially written artifact is
+    * never visible and a failed build is simply retried by the next
+    * caller. The Spark write runs under only this key's latch. */
+  private[graft] def ensureArtifact(key: String)
+                                   (build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    val path = storeRoot.resolve(key)
+    val latch = artifactLatches.computeIfAbsent(key, _ => new Object)
+    latch.synchronized {
+      if (!java.nio.file.Files.exists(path)) {
+        val tmp = java.nio.file.Files.createTempDirectory(storeRoot, "build-")
+        build(tmp)
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    path
+  }
 
   /** Build the signature store for (dir, geometry) once per process and
     * return its path; later calls — every other dedup query in the same
@@ -263,17 +294,9 @@ object Dedup {
   def ensureSignatureStore(spark: SparkSession, dir: String, shingleK: Int = 1,
                            bands: Int = NumBands,
                            rowsPerBand: Int = RowsPerBand): String =
-    storeBuildLock.synchronized {
-      val key = s"${dir.replace('/', '_')}-k$shingleK-b$bands-r$rowsPerBand"
-      val path = storeRoot.resolve(key)
-      if (!java.nio.file.Files.exists(path)) {
-        val tmp = java.nio.file.Files.createTempDirectory(storeRoot, "build-")
-        writeSignatureStore(spark, dir, tmp.toString, shingleK, bands, rowsPerBand)
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-      path.toString
-    }
+    ensureArtifact(s"${dir.replace('/', '_')}-k$shingleK-b$bands-r$rowsPerBand") {
+      tmp => writeSignatureStore(spark, dir, tmp.toString, shingleK, bands, rowsPerBand)
+    }.toString
 
   /** (sig, profile) for the corpus at `dir`, served from the persisted
     * per-process store (built on first use — see [[ensureSignatureStore]]). */
@@ -442,32 +465,32 @@ object Dedup {
     // parquet instead of re-running band-join + agreement + verify.
     val key = s"pairs-${dir.replace('/', '_')}-t$threshold-mb$minBands" +
       s"-cap$maxBucket-e$estJaccard-k$shingleK-b$bands-r$rowsPerBand"
-    val path = storeRoot.resolve(key)
-    storeBuildLock.synchronized {
-      if (!java.nio.file.Files.exists(path)) {
-        val tmp = java.nio.file.Files.createTempDirectory(storeRoot, "build-")
-        computeNearDupPairs(spark, dir, threshold, minBands, maxBucket,
-          estJaccard, shingleK, bands, rowsPerBand)
-          .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+    val path = ensureArtifact(key) { tmp =>
+      computeNearDupPairs(spark, dir, threshold, minBands, maxBucket,
+        estJaccard, shingleK, bands, rowsPerBand)
+        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
     }
     spark.read.parquet(path.resolve("pairs").toString)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  private def computeNearDupPairs(spark: SparkSession, dir: String, threshold: Double,
-                                  minBands: Int, maxBucket: Int, estJaccard: Double,
-                                  shingleK: Int, bands: Int,
-                                  rowsPerBand: Int): DataFrame = {
-    graft.functions.ArrayAgreeCount.register(spark)
-    val nHashes = bands * rowsPerBand
+  /** The banded-LSH CANDIDATE stage of [[nearDupPairs]] — capped bucket
+    * self-join → per-pair band count → ≥`minBands` filter → explicit
+    * repartition on (doc_a, doc_b). Exposed so DedupSpec's skewed-corpus
+    * test can assert the distribution contract directly: after the
+    * repartition, no single task may hold more than a sliver of the
+    * candidate pairs, even when one hot bucket produced most of them. */
+  private[graft] def candidatePairs(spark: SparkSession, dir: String,
+                                    minBands: Int = DefaultMinBands,
+                                    maxBucket: Int = DefaultMaxBucket,
+                                    shingleK: Int = 1,
+                                    bands: Int = NumBands,
+                                    rowsPerBand: Int = RowsPerBand): DataFrame = {
     // Signatures come from the persisted per-process store (built on the
     // first dedup query of the run): every downstream consumer — both
     // self-join sides, both agreement probes — reads the parquet store
     // instead of re-running the expensive 128-min aggregate.
-    val (sig, profile) = signatureStore(spark, dir, shingleK, bands, rowsPerBand)
+    val (sig, _) = signatureStore(spark, dir, shingleK, bands, rowsPerBand)
     val bucketN = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("band", "sig"))
     // Cap accounting piggybacks on the SAME pass via observe() — zero
@@ -485,7 +508,7 @@ object Dedup {
         lit(maxBucket.toLong).as("cap"))
       .filter(col("bn") <= maxBucket)
       .select("doc_id", "band", "sig")
-    val cand = capped.as("x").join(capped.as("y"),
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -493,6 +516,16 @@ object Dedup {
       .filter(col("n_bands") >= minBands)
       .select("doc_a", "doc_b")
       .repartition(Sessions.cpus.toInt, col("doc_a"), col("doc_b"))
+  }
+
+  private def computeNearDupPairs(spark: SparkSession, dir: String, threshold: Double,
+                                  minBands: Int, maxBucket: Int, estJaccard: Double,
+                                  shingleK: Int, bands: Int,
+                                  rowsPerBand: Int): DataFrame = {
+    graft.functions.ArrayAgreeCount.register(spark)
+    val nHashes = bands * rowsPerBand
+    val (_, profile) = signatureStore(spark, dir, shingleK, bands, rowsPerBand)
+    val cand = candidatePairs(spark, dir, minBands, maxBucket, shingleK, bands, rowsPerBand)
     // Fine pre-filter: minhash-agreement estimate of Jaccard via the
     // custom codegen'd array_agree_count kernel — the signatures already
     // estimate Jaccard, so only pairs whose estimate clears `estJaccard`
@@ -797,7 +830,15 @@ object Dedup {
     *
     * Input: two id columns named `doc_a`/`doc_b`. Output: one row per node
     * — (cluster_id = min doc_id of the component, doc_id). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took — the observable DedupSpec's adversarial-graph tests pin the
+    * O(log diameter) claim on (a 10k-node path or star-of-stars must
+    * converge in ~log₂ rounds, not O(diameter)). */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame,
+                                                   maxIters: Int = 50): (DataFrame, Int) = {
     val parent = pairs.sparkSession
     // The loop runs in its OWN isolated session (shared SparkContext,
     // session-scoped SQL conf): constraint propagation is disabled there
@@ -856,7 +897,7 @@ object Dedup {
     System.err.println(s"[graft] connectedComponents converged in $iter rounds")
     val out = labels.select(col("label").as("cluster_id"), col("doc_id"))
     // hand the materialized result back to the caller's session
-    parent.createDataFrame(out.rdd, out.schema)
+    (parent.createDataFrame(out.rdd, out.schema), iter)
   }
 
   /** X2e — the END of the dedup story: near-dup PAIRS → transitive
@@ -883,22 +924,16 @@ object Dedup {
     // re-deriving the identical decisions.
     val key = s"clusters-${dir.replace('/', '_')}-t$threshold-mb$minBands" +
       s"-cap$maxBucket-e$estJaccard-k$shingleK-b$bands-r$rowsPerBand"
-    val path = storeRoot.resolve(key)
-    storeBuildLock.synchronized {
-      if (!java.nio.file.Files.exists(path)) {
-        // Materialize the pair list ONCE — the propagation loop must
-        // iterate over the compact LSH output, never re-run the
-        // signature pipeline.
-        val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
-          estJaccard, shingleK, bands, rowsPerBand)
-          .select("doc_a", "doc_b").localCheckpoint()
-        val clusters = connectedComponents(pairs)
-          .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-        val tmp = java.nio.file.Files.createTempDirectory(storeRoot, "build-")
-        clusters.write.mode("overwrite").parquet(tmp.resolve("clusters").toString)
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+    val path = ensureArtifact(key) { tmp =>
+      // Materialize the pair list ONCE — the propagation loop must
+      // iterate over the compact LSH output, never re-run the
+      // signature pipeline.
+      val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+        estJaccard, shingleK, bands, rowsPerBand)
+        .select("doc_a", "doc_b").localCheckpoint()
+      connectedComponents(pairs)
+        .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+        .write.mode("overwrite").parquet(tmp.resolve("clusters").toString)
     }
     spark.read.parquet(path.resolve("clusters").toString)
       .select("cluster_id", "doc_id", "is_keeper")

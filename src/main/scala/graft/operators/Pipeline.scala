@@ -113,6 +113,18 @@ object Pipeline {
       .select("value")
       .write.mode("overwrite").text(s"$base/langlink_raw")
 
+    dimensionFromRaw(spark, base)
+  }
+
+  /** Stages 2–5 over already-staged raw line-text at
+    * `base`/{titles_raw,hanja_raw,langlink_raw} — shared by
+    * [[dimensionPipeline]] (fixtures synthesized from parquet, oracle-
+    * checked as `q_pipeline_dimension`) and [[dimensionFromRawLines]]
+    * (caller-supplied golden lines, e.g. the Hangul/Hanja fixture).
+    * `viewSuffix` keeps the K3 temp views of concurrent flows in the same
+    * session from clobbering each other. */
+  private[graft] def dimensionFromRaw(spark: SparkSession, base: String,
+                                      viewSuffix: String = ""): DataFrame = {
     // ── Stage 2 (S1 text scan → P1/P2/P3 parse → K1/K2 chunked JSONL) ──
     val titles = parseDelimited(spark.read.text(s"$base/titles_raw"),
       Seq("edit_id", "word_id", "korean"))
@@ -129,22 +141,23 @@ object Pipeline {
 
     // ── Stage 3 (S2/S3: schema'd JSONL load + K3 temp views) ──
     def st(names: String*) = StructType(names.map(StructField(_, StringType, nullable = true)))
+    val v = viewSuffix
     spark.read.schema(st("edit_id", "word_id", "korean")).json(s"$base/korean_jsonl")
-      .createOrReplaceTempView("korean")
+      .createOrReplaceTempView(s"korean$v")
     spark.read.schema(st("article_id", "language", "text")).json(s"$base/korean_japanese_jsonl")
-      .createOrReplaceTempView("korean_japanese")
+      .createOrReplaceTempView(s"korean_japanese$v")
     spark.read.schema(st("korean", "hanjya", "examples")).json(s"$base/korean_hanjya_jsonl")
-      .createOrReplaceTempView("korean_hanjya")
+      .createOrReplaceTempView(s"korean_hanjya$v")
 
     // ── Stage 4 (O4 SQL task: the dimension query, ref `dag-knlp.py:65-80`;
     //    K4 INSERT-SELECT materialization as a stored table read back) ──
     spark.sql(
-      """SELECT DISTINCT korean.word_id, korean.korean,
-        |       korean_japanese.text AS japanese, korean_hanjya.hanjya
-        |FROM korean
-        |LEFT JOIN korean_japanese ON korean.word_id = korean_japanese.article_id
-        |LEFT JOIN korean_hanjya   ON korean.korean  = korean_hanjya.korean
-        |""".stripMargin)
+      s"""SELECT DISTINCT korean$v.word_id, korean$v.korean,
+         |       korean_japanese$v.text AS japanese, korean_hanjya$v.hanjya
+         |FROM korean$v
+         |LEFT JOIN korean_japanese$v ON korean$v.word_id = korean_japanese$v.article_id
+         |LEFT JOIN korean_hanjya$v   ON korean$v.korean  = korean_hanjya$v.korean
+         |""".stripMargin)
       .write.mode("overwrite").parquet(s"$base/korean_japanese_hanjya")
     val dim = spark.read.parquet(s"$base/korean_japanese_hanjya")
 
@@ -155,6 +168,24 @@ object Pipeline {
     require(maxLen <= 13, s"check_data_length failed: max len(word_id)=$maxLen > 13")
 
     dim
+  }
+
+  /** The reference's ACTUAL payload — Hangul word titles (A2), Hanja
+    * readings (A1 `korean:hanja:examples`), Japanese langlink tuples (A3)
+    * — through the full staged pipeline from caller-supplied raw lines.
+    * K1's write semantics are explicitly UTF-8 (`force_ascii=False`,
+    * ref `dag-knlp.py:109,184`): the staged JSONL must carry raw UTF-8
+    * bytes (never \\uXXXX ASCII escapes) and the dimension output must
+    * round-trip the non-ASCII text byte-exactly. PipelineSpec drives this
+    * with golden Hangul/Hanja/Katakana rows and asserts both. */
+  def dimensionFromRawLines(spark: SparkSession, base: String,
+                            titles: Seq[String], hanja: Seq[String],
+                            langlink: Seq[String]): DataFrame = {
+    import spark.implicits._
+    titles.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/titles_raw")
+    hanja.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/hanja_raw")
+    langlink.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/langlink_raw")
+    dimensionFromRaw(spark, base, viewSuffix = "_raw")
   }
 
   /** CSV sink + source — the third interchange format next to the JSONL

@@ -115,16 +115,9 @@ object Similarity {
     // the semantic-dedup clustering consume it, so the first caller in a
     // process persists (vec_a, vec_b, sim) and the second reads parquet
     // instead of re-bucketing and re-scoring the embedding corpus.
-    val key = s"epairs-${dir.replace('/', '_')}-t$threshold"
-    val path = Dedup.storeRoot.resolve(key)
-    Dedup.storeBuildLock.synchronized {
-      if (!java.nio.file.Files.exists(path)) {
-        val tmp = java.nio.file.Files.createTempDirectory(Dedup.storeRoot, "build-")
-        computeEmbedNearDup(spark, dir, threshold)
-          .write.mode("overwrite").parquet(tmp.resolve("epairs").toString)
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+    val path = Dedup.ensureArtifact(s"epairs-${dir.replace('/', '_')}-t$threshold") {
+      tmp => computeEmbedNearDup(spark, dir, threshold)
+        .write.mode("overwrite").parquet(tmp.resolve("epairs").toString)
     }
     spark.read.parquet(path.resolve("epairs").toString)
       .select("vec_a", "vec_b", "sim")
@@ -517,9 +510,12 @@ object Similarity {
   }
 
   /** DuckDB oracle for [[labelCentroids]] — same folds, same decimal
-    * accumulation, positions via a range cross join. */
+    * accumulation, positions via a range cross join bounded by the shared
+    * [[OracleDim]] constant (SimilaritySpec asserts it against the live
+    * testdata, so a testdata re-generation at another dimension fails
+    * loudly in the suite instead of as an unexplained hash mismatch). */
   def labelCentroidsOracleSql: String =
-    """WITH ed AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""WITH ed AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        pv AS (SELECT label, count(*) AS n_vecs,
                      CAST(sum(CAST(sqrt(list_sum(list_transform(emb, x -> x * x)))
                               AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mvn
@@ -527,7 +523,7 @@ object Similarity {
        comp AS (SELECT label, pos,
                        CAST(sum(CAST(emb[pos] AS DECIMAL(28,12))) AS DOUBLE)
                          / count(*) AS m
-                FROM ed, range(1, 65) r(pos)
+                FROM ed, range(1, ${OracleDim + 1}) r(pos)
                 GROUP BY label, pos),
        cent AS (SELECT label,
                        sqrt(list_sum(list_transform(list(m ORDER BY pos),

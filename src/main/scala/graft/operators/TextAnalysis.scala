@@ -125,8 +125,10 @@ object TextAnalysis {
     * per document (tf·idf with idf = ln(N/df), rank ties broken by term).
     * The classic per-doc salience signal next to [[bm25]]'s query-side
     * scoring. Per-doc term counts and corpus document frequencies are two
-    * partial-aggregated groupBys; the idf table is vocabulary-sized
-    * (broadcast here, a shuffle join at web vocabulary); the per-doc
+    * partial-aggregated groupBys; the idf table is vocabulary-sized, so
+    * its join is left UNHINTED — AQE picks broadcast from measured size
+    * here and degrades to a shuffle join at web vocabulary instead of
+    * collecting a vocabulary-sized frame to the driver; the per-doc
     * top-k is a window over the doc's own distinct terms — state per
     * partition is one document's vocabulary, never the corpus. tf·idf is
     * one long→double multiply of identically-derived factors, so the
@@ -142,7 +144,7 @@ object TextAnalysis {
       .select(col("term"), log(col("n_docs").cast("double") / col("df")).as("idf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf_raw"), asc("term"))
-    tf.join(broadcast(idf), "term")
+    tf.join(idf, "term")
       .withColumn("tfidf_raw", col("tf").cast("double") * col("idf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -311,8 +313,10 @@ object TextAnalysis {
     *
     * Scale shape: one explode + map-side-combined vocabulary count (the
     * shuffle carries (token, partial n) — vocabulary-, not corpus-sized),
-    * the total via a 1-row cross join (no driver action), then a
-    * BROADCAST join back to the exploded tokens and a per-doc partial
+    * the total via a 1-row cross join (no driver action), then an
+    * UNHINTED vocabulary-keyed join back to the exploded tokens (AQE:
+    * broadcast at this scale, shuffle join at web vocabulary) and a
+    * per-doc partial
     * agg. Determinism: ln values are summed as DECIMAL(28,12) — exact,
     * order-independent addition — so the result is identical regardless
     * of partitioning; the double division happens once at the end. */
@@ -324,7 +328,7 @@ object TextAnalysis {
     val withP = freq.crossJoin(total)
       .select(col("token"),
         log(col("n").cast("double") / col("total")).cast("decimal(28,12)").as("lp"))
-    tok.join(broadcast(withP), "token")
+    tok.join(withP, "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("mean_logprob"))
@@ -352,8 +356,10 @@ object TextAnalysis {
     * never hit log 0), per-doc mean log-probability over its bigram
     * positions. Corpus counts come from two partial-aggregated groupBys;
     * the probability table is keyed by bigram TYPE (vocabulary-sized, not
-    * corpus-sized — broadcast here; at web-corpus vocabulary it becomes a
-    * shuffle join on the gram key, same plan shape). The per-doc sum
+    * corpus-sized — its join is left UNHINTED so AQE broadcasts from
+    * measured size here and degrades to a shuffle join on the gram key at
+    * web-corpus vocabulary, rather than a forced driver-side collect of a
+    * vocabulary²-sized frame). The per-doc sum
     * accumulates exact DECIMAL(28,12) log-probs — partial-aggregation
     * order cannot move the result (the [[docLogProb]] determinism
     * pattern). */
@@ -385,7 +391,7 @@ object TextAnalysis {
         log(lit(lambda) * (col("cbg").cast("double") / col("ch"))
           + lit(1 - lambda) * (col("cu").cast("double") / col("total")))
           .cast("decimal(28,12)").as("lp"))
-    bg.join(broadcast(ptab), "bg")
+    bg.join(ptab, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("mean_logprob2"))

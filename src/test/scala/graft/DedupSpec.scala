@@ -199,6 +199,85 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(2L) && got.keySet == Set(2L, 5L, 6L, 7L))
   }
 
+  test("skewed hot bucket under the cap: join completes off-driver, verify work is spread") {
+    // Pins the claim at Dedup.scala:19-22: moderate bucket skew (one
+    // (band,sig) bucket holding ~10% of the corpus, UNDER the drop cap)
+    // must flow through the candidate join — not be dropped, not funnel
+    // the quadratic pair work into one task. 50 byte-identical docs in a
+    // 500-doc corpus share every band's signature, so each of the 8
+    // bands has one 50-member hot bucket → C(50,2) = 1225 candidate
+    // pairs from the hot template alone.
+    import spark.implicits._
+    val hot = "the quick brown fox jumps over the lazy dog again and again in the template"
+    val docs = (0L until 500L).map { i =>
+      val text = if (i % 10 == 0) hot
+        else s"unique document body number $i with entirely distinct words w${i}a w${i}b w${i}c w${i}d"
+      (i, text, "en", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-").toString
+    try {
+      docs.coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // candidate stage: all 1225 hot pairs survive (bucket 50 < cap 4096)
+      val cand = Dedup.candidatePairs(spark, dir).localCheckpoint()
+      val hotPairs = cand.filter(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0)
+      assert(hotPairs.count() == 1225L, "hot-bucket pairs must survive under the cap")
+      // distribution contract: after the explicit (doc_a, doc_b)
+      // repartition, no single task holds more than a sliver of the
+      // pair workload — the guard that keeps one boilerplate template
+      // from serializing the per-pair verify stage at 100 TB. The
+      // per-partition counts are 32 ints, not data, on the driver.
+      val counts = cand.rdd.mapPartitions(it => Iterator.single(it.length)).collect()
+      val total = counts.sum
+      assert(total >= 1225, s"expected at least the hot pairs, got $total")
+      assert(counts.max.toDouble / total <= 0.25,
+        s"one task holds ${counts.max}/$total candidate pairs — skew not spread")
+      // end-to-end: the full near-dup flow verifies the hot template at
+      // Jaccard 1.0 for every hot pair
+      val pairs = Dedup.nearDupPairs(spark, dir)
+      assert(pairs.filter(col("jaccard") === 1.0).count() >= 1225L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+
+  test("connected components: 10k-node path converges in O(log d) rounds, labels exact") {
+    // The adversarial long-chain shape 100 TB boilerplate graphs produce:
+    // a pure path 0-1-2-…-9999 (diameter 9999) with the minimum id at one
+    // end. Plain min-label propagation needs O(diameter) rounds; pointer
+    // jumping must close it in ~log₂(n) (reach doubles per round), so a
+    // generous 2×log₂ bound still fails loudly if the jump step ever
+    // regresses to linear behavior.
+    val n = 10000L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(rounds <= 28, s"diameter-${n - 1} path took $rounds rounds (O(log d) expected)")
+    assert(cc.count() == n)
+    assert(cc.filter(col("cluster_id") =!= 0L).isEmpty)
+  }
+
+  test("connected components: 10k-node star-of-stars, min at a leaf, labels exact") {
+    // Two-level hub topology (the boilerplate-template shape: one root
+    // template, hub variants, leaf near-copies). The minimum id (0) sits
+    // at a LEAF, so it must cross leaf→hub→root→hub→leaf; diameter 4 →
+    // convergence must be a handful of rounds, never O(n).
+    import spark.implicits._
+    val root = 9999L
+    val hubs = (9900L until 9999L)
+    val rootEdges = hubs.map(h => (root, h))
+    val leafEdges = (0L until 9900L).map(i => (9900L + i % 99, i))
+    val pairs = (rootEdges ++ leafEdges).toDF("doc_a", "doc_b")
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(rounds <= 8, s"diameter-4 star-of-stars took $rounds rounds")
+    assert(cc.count() == 10000L)
+    assert(cc.filter(col("cluster_id") =!= 0L).isEmpty)
+  }
+
   test("near-dup clusters: consistent with the pair list, keeper is the min member") {
     val pairs = Dedup.nearDupPairs(spark, sf, 0.95).select("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(spark, sf, 0.95)

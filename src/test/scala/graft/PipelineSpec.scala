@@ -34,6 +34,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == Tables.orders(spark, sf).count())
   }
 
+  test("Hangul/Hanja raw text round-trips the full pipeline byte-exactly (K1 UTF-8 semantics)") {
+    // The reference's actual data shape (dag-knlp.py:85-188): Hangul word
+    // titles, Hanja readings, Japanese langlinks. Exercises the overflow-
+    // arity tail-rejoin (P3) on non-ASCII ("4:103:시:조" → korean "시:조";
+    // "드라마:드라마:예:문" → examples "예:문"), the under-arity drop
+    // ("broken"), and the 1-line→N-rows tuple explode (P2) — end-to-end
+    // through parse → JSONL staging → schema'd load → dimension SQL →
+    // D1/D2 checks, not just at the expression level.
+    val base = Pipeline.scratch("hangul-e2e")
+    val dim = Pipeline.dimensionFromRawLines(spark, base,
+      titles = Seq("1:100:한국어", "2:101:드라마", "3:102:영화", "4:103:시:조", "broken"),
+      hanja = Seq("한국어:韓國語:보기", "드라마:드라마:예:문"),
+      langlink = Seq("100,ja,韓国語),(101,ja,ドラマ"))
+    val rows = dim.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows === Set(
+      ("100", "한국어", "韓国語", "韓國語"),
+      ("101", "드라마", "ドラマ", "드라마"),
+      ("102", "영화", null, null),
+      ("103", "시:조", null, null)))
+
+    // K1 force_ascii=False: the staged JSONL part files must hold the raw
+    // UTF-8 encoding of the Hangul/Hanja text, not \uXXXX ASCII escapes.
+    def staged(sub: String): String = {
+      val files = new java.io.File(s"$base/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      files.map(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).mkString
+    }
+    val titlesJson = staged("korean_jsonl")
+    val hanjaJson = staged("korean_hanjya_jsonl")
+    assert(titlesJson.contains("한국어") && titlesJson.contains("시:조"))
+    assert(hanjaJson.contains("韓國語") && hanjaJson.contains("예:문"))
+    assert(!titlesJson.contains("\\u") && !hanjaJson.contains("\\u"),
+      "staged JSONL must be raw UTF-8, not ASCII-escaped")
+  }
+
   test("pipeline quality gates raise on violation (D1/D2 as hard checks)") {
     // the real pipeline passes; simulate a violation via the same require shape
     val ex = intercept[IllegalArgumentException] {
