@@ -223,6 +223,11 @@ object SparkEntry {
     // Stateful streaming exact-dedup (X1's streaming twin): first-seen
     // fingerprints survive; the distinct-fp set is the deterministic part.
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingOps.streamDedupEndToEnd(s, d)),
+    // The state-BOUNDED production variant: dropDuplicatesWithinWatermark
+    // holds only the re-ingest window in the state store (bound asserted
+    // in StreamingSpec); same distinct-fp result on a bounded replay.
+    "q_stream_dedup_bounded" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamDedupBoundedEndToEnd(s, d)),
     // Stream-static enrichment: event stream joins the customer dim
     // (broadcast, re-planned per micro-batch), revenue per segment.
     "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichEndToEnd(s, d)),
@@ -550,6 +555,11 @@ object SparkEntry {
     "q_stream_session_window" -> graft.streaming.StreamingOps.sessionWindowStreamOracleSql(),
     // The streaming dedup's surviving-fingerprint set is exactly DISTINCT.
     "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    // Bounded-state variant: on a bounded replay every duplicate lands
+    // inside the watermark window, so the output is the same DISTINCT set
+    // (the state BOUND is the non-SQL-expressible part, spec-asserted).
+    "q_stream_dedup_bounded" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
     // The stream-static join must equal the plain batch join.
     "q_stream_enrich" ->

@@ -491,6 +491,59 @@ object StreamingOps {
     readBackCleaned(spark, out)(identity)
   }
 
+  /** X1's state-BOUNDED streaming variant — the production shape of
+    * [[streamDedupEndToEnd]] for an unbounded crawl:
+    * `dropDuplicatesWithinWatermark` holds a fingerprint only until the
+    * watermark passes its event time + the re-ingest window, so the state
+    * store carries the window (e.g. 24 h of crawl), never the full
+    * corpus-distinct set. Ingest time is synthesized deterministically
+    * from doc_id (1 doc/second — a crawl arriving in id order), so the
+    * replay is reproducible and the bounded-replay output is exactly the
+    * distinct fingerprint set (all duplicates here land inside one
+    * micro-batch, whose state is never mid-batch evicted) — the same
+    * DISTINCT oracle as the unbounded twin. What CHANGES is the state
+    * bound: after the final no-data batch advances the watermark to
+    * max(ts) − delay, only fingerprints first seen in the last
+    * 2×delay seconds remain in the store — asserted via
+    * `numRowsTotal` in StreamingSpec and surfaced by
+    * [[streamDedupBoundedWithMetrics]]. */
+  def streamDedupBoundedEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    streamDedupBoundedWithMetrics(spark, dir)._1
+
+  /** [[streamDedupBoundedEndToEnd]] plus the final state-store row count
+    * (−1 if no progress carried state metrics), so tests can pin "the
+    * watermark BOUNDS state" as a number instead of trusting the API. */
+  private[graft] def streamDedupBoundedWithMetrics(
+      spark: SparkSession, dir: String,
+      delay: String = "60 seconds"): (DataFrame, Long) = {
+    val out = scratchDir("dedupwm")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val distinctFps = spark.readStream.schema(docSchema)
+      .parquet(watchDir.toString)
+      .select(md5(col("text")).as("fp"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ingest_ts"))
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp")
+    val q = distinctFps.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    val lastState = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    (readBackCleaned(spark, out)(identity), lastState)
+  }
+
   /** STREAMING near-dup dedup — the production "dedupe arriving documents
     * against the historical corpus" flow run as an actual stream: the new
     * batch (top doc_id decile, [[graft.operators.Dedup.nearDupNewVsCorpus]]'s

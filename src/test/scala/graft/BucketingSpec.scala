@@ -60,6 +60,88 @@ class BucketingSpec extends AnyFunSuite {
     assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
   }
 
+  test("z-order layout: parquet row-group min/max stats prune probes on EITHER dim") {
+    // The physical proof of the z-order claim (VERDICT r7 #8): write the
+    // same rows as real parquet in three layouts — hour-sorted,
+    // user-sorted, z-ordered — with small row groups, then read the
+    // row-group min/max STATS from the footers and count how many groups
+    // a reader must touch per probe. A single-column sort prunes its own
+    // dimension perfectly and its orthogonal dimension not at all
+    // (min/max of the unsorted column spans every group); the z-order
+    // layout must prune BOTH. bits=7 matches the testdata cardinalities
+    // (150 users, 720 hours) so the interleave actually balances.
+    import scala.jdk.CollectionConverters._
+    val sf01 = "/root/testdata/sf0.01"
+    val z = Bucketing.zorderKey(spark, sf01, bits = 7)
+      .select("event_id", "ub", "hb", "zval")
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+    try {
+      def layout(sub: String, sortCol: String): Unit =
+        z.repartition(1).sortWithinPartitions(sortCol)
+          .write.option("parquet.block.size", 12 * 1024)
+          .option("parquet.enable.dictionary", "false")
+          .mode("overwrite").parquet(s"$base/$sub")
+      layout("hour_sorted", "hb")
+      layout("user_sorted", "ub")
+      layout("zorder", "zval")
+
+      // (ubMin, ubMax, hbMin, hbMax) per row group, from the footer stats
+      def rowGroups(sub: String): Seq[(Long, Long, Long, Long)] = {
+        val f = new java.io.File(s"$base/$sub").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val st = b.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+          def mm(n: String): (Long, Long) =
+            (st(n).genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              st(n).genericGetMax.asInstanceOf[java.lang.Long].longValue)
+          val (ul, uh) = mm("ub"); val (hl, hh) = mm("hb")
+          (ul, uh, hl, hh)
+        } finally r.close()
+      }
+      val byHour = rowGroups("hour_sorted")
+      val byUser = rowGroups("user_sorted")
+      val byZ = rowGroups("zorder")
+      assert(byHour.size >= 8 && byUser.size >= 8 && byZ.size >= 8,
+        s"need multiple row groups to compare pruning, got ${byZ.size}")
+
+      val rows = z.select("ub", "hb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val users = rows.map(_._1).distinct
+      val hours = rows.map(_._2).distinct
+      def touchedU(gs: Seq[(Long, Long, Long, Long)], u: Long) =
+        gs.count { case (lo, hi, _, _) => u >= lo && u <= hi }
+      def touchedH(gs: Seq[(Long, Long, Long, Long)], h: Long) =
+        gs.count { case (_, _, lo, hi) => h >= lo && h <= hi }
+      def avg(xs: Seq[Int]) = xs.sum.toDouble / xs.size
+
+      val userOnZ = avg(users.map(u => touchedU(byZ, u)).toSeq)
+      val userOnHour = avg(users.map(u => touchedU(byHour, u)).toSeq)
+      val hourOnZ = avg(hours.map(h => touchedH(byZ, h)).toSeq)
+      val hourOnUser = avg(hours.map(h => touchedH(byUser, h)).toSeq)
+
+      // each single-column sort cannot prune its orthogonal dimension …
+      assert(userOnHour >= 0.9 * byHour.size,
+        f"hour-sorted layout unexpectedly pruned user probes ($userOnHour%.1f of ${byHour.size})")
+      assert(hourOnUser >= 0.9 * byUser.size,
+        f"user-sorted layout unexpectedly pruned hour probes ($hourOnUser%.1f of ${byUser.size})")
+      // … while the z-order layout prunes BOTH well below the full scan
+      assert(userOnZ < 0.6 * userOnHour,
+        f"z-layout user probes touched $userOnZ%.1f of ${byZ.size} groups vs $userOnHour%.1f hour-sorted")
+      assert(hourOnZ < 0.6 * hourOnUser,
+        f"z-layout hour probes touched $hourOnZ%.1f of ${byZ.size} groups vs $hourOnUser%.1f user-sorted")
+    } finally {
+      val p = java.nio.file.Paths.get(base)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+
   test("z-order: interleave is invertible and z-sorted buckets cluster both dims") {
     val z = Bucketing.zorderKey(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))

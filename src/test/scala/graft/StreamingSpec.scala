@@ -128,6 +128,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded streaming dedup: same distinct set, state capped at the re-ingest window") {
+    // The production variant of q_stream_dedup: the watermark must BOUND
+    // the dedup state instead of accumulating every fingerprint forever.
+    // Ingest ts = 1 doc/second by doc_id, delay 60 s → after the final
+    // no-data batch advances the watermark to max(ts) − 60 s, only
+    // fingerprints first seen in the last ~2×60 s may remain. The
+    // unbounded twin would hold the FULL distinct set here.
+    val (out, stateRows) =
+      graft.streaming.StreamingOps.streamDedupBoundedWithMetrics(spark, TestSpark.sf)
+    val expected = Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("fp")).distinct()
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+    val nDistinct = expected.count()
+    assert(stateRows >= 0, "no state metrics reported")
+    assert(stateRows <= 130,
+      s"state held $stateRows rows — more than the 2x60s re-ingest window")
+    assert(stateRows < nDistinct,
+      s"state held the full distinct set ($stateRows of $nDistinct) — not bounded")
+  }
+
   test("stream-static enrichment equals its batch twin") {
     import org.apache.spark.sql.functions.{count => cnt, lit, sum => sm}
     val got = StreamingOps.streamEnrichEndToEnd(spark, TestSpark.sf)
