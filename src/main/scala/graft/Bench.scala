@@ -144,6 +144,7 @@ object Bench {
         threshold = 0.9, estJaccard = 0.8, shingleK = 2, bands = 32, rowsPerBand = 4)),
       "clusters_unigram" -> (() => operators.Dedup.nearDupClusters(spark, sfDir)),
       "epairs" -> (() => operators.Similarity.embedNearDup(spark, sfDir)),
+      "eclusters" -> (() => operators.Similarity.semanticDedupClusters(spark, sfDir)),
       "contam" -> (() => operators.Curation.contamination(spark, sfDir)),
       "ngrams_8" -> (() => operators.Curation.commonNgrams(spark, sfDir)),
     ).map { case (name, build) =>

@@ -66,6 +66,8 @@ object SparkEntry {
     // Z-order (Morton) layout key: bit-interleaved (user, hour) so one
     // sort clusters BOTH dims for row-group min/max pruning
     "q_zorder_key"        -> ((s, d) => Bucketing.zorderKey(s, d)),
+    // write-side z-order: range-partitioned z layout + pushed-down 2-D scan
+    "q_zorder_scan"       -> ((s, d) => Bucketing.zorderScan(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // PIVOT crosstab with explicit pivot values (fixed schema, one pass)
@@ -377,6 +379,7 @@ object SparkEntry {
     "q_session_window" -> Analytics.sessionWindowAggOracleSql(),
     "q_partition_pruned" -> Bucketing.partitionPrunedEventsOracleSql(),
     "q_zorder_key" -> Bucketing.zorderKeyOracleSql(),
+    "q_zorder_scan" -> Bucketing.zorderScanOracleSql(),
     "q_user_retention" -> Analytics.userRetentionOracleSql,
     // The salted two-phase aggregate must equal the naive GROUP BY.
     "q_events_by_type_salted" ->

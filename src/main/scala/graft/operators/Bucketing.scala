@@ -112,6 +112,47 @@ object Bucketing {
                        + shiftleft(shiftright(hb, i) & 1, 2 * i + 1))""").as("zval"))
   }
 
+  /** Z-ordered LAYOUT + 2-D windowed scan — the WRITE-side half of the
+    * z-order story ([[zorderKey]] is the key; this is the sink shape a
+    * 100 TB deployment runs): `repartitionByRange(zval)` hands each
+    * output file a contiguous z-range, `sortWithinPartitions(zval)`
+    * clusters row groups inside the file, so parquet min/max stats stay
+    * tight on BOTH the user and hour dimensions (the physical proof is
+    * BucketingSpec's row-group test). The read-back then scans with a
+    * 2-D (user-band, hour-band) predicate that Spark pushes into the
+    * parquet reader (PushedFilters — plan-asserted in BucketingSpec),
+    * where it prunes at row-group granularity. The oracle computes the
+    * same window straight from the source table, so the layout write +
+    * pruned scan must be lossless. */
+  def zorderScan(spark: SparkSession, dir: String, bits: Int = 10,
+                 uLo: Long = 2, uHi: Long = 12,
+                 hLo: Long = 64, hHi: Long = 959): DataFrame = {
+    val base = Pipeline.scratch(dir) + "/events_zorder"
+    zorderKey(spark, dir, bits)
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base)
+      .filter(col("ub").between(uLo, uHi) && col("hb").between(hLo, hHi))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(min(col("event_id")), lit(0L)).as("min_event"),
+        coalesce(max(col("event_id")), lit(0L)).as("max_event"))
+  }
+
+  def zorderScanOracleSql(bits: Int = 10, uLo: Long = 2, uHi: Long = 12,
+                          hLo: Long = 64, hHi: Long = 959): String = {
+    val mask = (1 << bits) - 1
+    s"""SELECT count(*) AS n_events,
+               coalesce(min(event_id), 0) AS min_event,
+               coalesce(max(event_id), 0) AS max_event
+        FROM (SELECT event_id,
+                     user_id % ${mask + 1} AS ub,
+                     CAST(floor((epoch_ns(ts) // 1000) / 3600000000) AS BIGINT)
+                       % ${mask + 1} AS hb
+              FROM events) t
+        WHERE ub BETWEEN $uLo AND $uHi AND hb BETWEEN $hLo AND $hHi"""
+  }
+
   def zorderKeyOracleSql(bits: Int = 10): String = {
     val mask = (1 << bits) - 1
     // each shift term fully parenthesized: SQL `+` binds tighter than `<<`

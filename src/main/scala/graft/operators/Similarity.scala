@@ -195,12 +195,23 @@ object Similarity {
     * flow scales exactly like [[Dedup.nearDupClusters]]. */
   def semanticDedupClusters(spark: SparkSession, dir: String,
                             threshold: Double = 0.3): DataFrame = {
-    val pairs = embedNearDup(spark, dir, threshold)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      .localCheckpoint()
-    Dedup.connectedComponents(pairs)
-      .select(col("cluster_id"), col("doc_id").as("vec_id"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+    // Staged like its lexical twin [[Dedup.nearDupClusters]]: the CC
+    // propagation loop runs once per (corpus, threshold) and every later
+    // caller reads the persisted keeper/loser verdict — the production
+    // flow where semantic dedup is a nightly decision, not a per-query
+    // recomputation.
+    val path = Dedup.ensureArtifact(
+      s"eclusters-${dir.replace('/', '_')}-t$threshold") { tmp =>
+      val pairs = embedNearDup(spark, dir, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()
+      Dedup.connectedComponents(pairs)
+        .select(col("cluster_id"), col("doc_id").as("vec_id"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
+        .write.mode("overwrite").parquet(tmp.resolve("eclusters").toString)
+    }
+    spark.read.parquet(path.resolve("eclusters").toString)
+      .select("cluster_id", "vec_id", "is_keeper")
   }
 
   /** DuckDB oracle for [[semanticDedupClusters]]: the shared pair CTEs +

@@ -142,6 +142,34 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order scan: 2-D predicate reaches the parquet reader as pushed filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = Bucketing.zorderScan(spark, sf)
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the z layout")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ub") && pushed.contains("LessThanOrEqual(hb"),
+      s"ub/hb window must push into the parquet reader, got: $pushed")
+    // and the windowed aggregate equals the direct computation
+    val direct = Bucketing.zorderKey(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("ub").between(2, 12) &&
+        org.apache.spark.sql.functions.col("hb").between(64, 959))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.min("event_id"),
+          org.apache.spark.sql.functions.lit(0L)).as("min_event"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max("event_id"),
+          org.apache.spark.sql.functions.lit(0L)).as("max_event"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+  }
+
   test("z-order: interleave is invertible and z-sorted buckets cluster both dims") {
     val z = Bucketing.zorderKey(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
