@@ -68,8 +68,13 @@ object SparkEntry {
     "q_zorder_key"        -> ((s, d) => Bucketing.zorderKey(s, d)),
     // write-side z-order: range-partitioned z layout + pushed-down 2-D scan
     "q_zorder_scan"       -> ((s, d) => Bucketing.zorderScan(s, d)),
+    // dynamic partition pruning: runtime dim predicate prunes fact
+    // partition directories (dynamicpruning subquery, plan-asserted)
+    "q_dpp_join"          -> ((s, d) => Bucketing.dppJoin(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // regex field extraction (parser-family pattern arm)
+    "q_regex_parse"       -> ((s, d) => Relational.regexParse(s, d)),
     // PIVOT crosstab with explicit pivot values (fixed schema, one pass)
     "q_revenue_pivot"     -> ((s, d) => Analytics.revenuePivot(s, d)),
     // ...and its inverse: UNPIVOT (stack) back to long form — the round
@@ -378,6 +383,8 @@ object SparkEntry {
     "q_rolling_value" -> Analytics.rollingUserValueOracleSql(),
     "q_session_window" -> Analytics.sessionWindowAggOracleSql(),
     "q_partition_pruned" -> Bucketing.partitionPrunedEventsOracleSql(),
+    "q_dpp_join" -> Bucketing.dppJoinOracleSql,
+    "q_regex_parse" -> Relational.regexParseOracleSql,
     "q_zorder_key" -> Bucketing.zorderKeyOracleSql(),
     "q_zorder_scan" -> Bucketing.zorderScanOracleSql(),
     "q_user_retention" -> Analytics.userRetentionOracleSql,

@@ -87,6 +87,40 @@ object Bucketing {
         FROM events WHERE event_type = '$keep'
         GROUP BY event_type ORDER BY event_type"""
 
+  /** DYNAMIC PARTITION PRUNING — the star-schema scan killer at 100 TB:
+    * the fact table is laid out partitioned by the join key; the dim side
+    * carries a selective predicate that is only known at runtime (here
+    * `length(event_type) = 5`, evaluated against the source table — a
+    * SEPARATE scan, so the filter cannot be statically copied to the
+    * fact side). Spark injects a DynamicPruningSubquery into the fact
+    * scan's partition filters: the dim side is evaluated first (reusing
+    * its broadcast) and only matching partition DIRECTORIES of the fact
+    * table are listed and read. BucketingSpec asserts the
+    * `dynamicpruning` expression is present in the scan. At 100 TB with
+    * a date/tenant-partitioned fact table this is the difference between
+    * scanning everything and scanning the few partitions the dim query
+    * selects. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Pipeline.scratch(dir) + "/events_by_type_dpp"
+    Tables.events(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    val facts = spark.read.parquet(base)
+    val dim = Tables.events(spark, dir)
+      .select("event_type").distinct()
+      .filter(length(col("event_type")) === 5)
+    facts.join(dim, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  val dppJoinOracleSql: String =
+    """SELECT event_type, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events
+       WHERE length(event_type) = 5
+       GROUP BY event_type ORDER BY event_type"""
+
   /** Z-ORDER (Morton) key for multi-dimensional data layout: interleave
     * the low `bits` of the user dimension with the low `bits` of the
     * time dimension, bit by bit. Sorting a write by this key clusters

@@ -131,6 +131,28 @@ object Relational {
       .orderBy("o_orderkey")
       .limit(n)
 
+  /** REGEX field extraction — the parser family's pattern arm next to the
+    * delimiter splits (P1/P3): pull the numeric rank and the first word
+    * out of the priority code ('1-URGENT' → 1, 'URGENT') with
+    * `regexp_extract`, then aggregate per extracted pair. Codegen'd
+    * per-row regex, no shuffle beyond the final partial-agg; patterns
+    * restricted to the \d+/\w+ subset that Java regex and RE2 evaluate
+    * identically, so the DuckDB oracle matches bit-for-bit. */
+  def regexParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "-(\\w+)", 1).as("prio_word"))
+      .groupBy("prio_num", "prio_word")
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** DuckDB oracle for [[regexParse]] — same patterns, same groups. */
+  val regexParseOracleSql: String =
+    """SELECT regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_num,
+              regexp_extract(o_orderpriority, '-(\w+)', 1) AS prio_word,
+              count(*) AS n_orders
+       FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** P1+P3 — delimiter split with overflow-tail rejoin (SURVEY Q1;
     * `dag-knlp.py:102,104-105`): first field + remainder-after-first-delim,
     * exactly the arity-coercion semantics rationalized to StringType. */
