@@ -182,6 +182,48 @@ class DedupSpec extends AnyFunSuite {
     assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
   }
 
+  test("staged artifacts: builds of DIFFERENT keys run concurrently, same key builds once") {
+    // Pins the per-key latch design (ADVICE r7): a slow build of one
+    // artifact must not serialize an unrelated artifact's first consumer
+    // (the old global lock did), while two racers for the SAME key must
+    // produce exactly one build.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.AtomicInteger
+    val nonce = System.nanoTime()
+    val builds = new AtomicInteger(0)
+    val bothRunning = new CountDownLatch(2)
+    def build(key: String): Thread = {
+      val t = new Thread(() => {
+        Dedup.ensureArtifact(s"latchtest-$nonce-$key") { tmp =>
+          builds.incrementAndGet()
+          bothRunning.countDown()
+          // hold the build open until BOTH keys are inside their builds —
+          // impossible under a global lock
+          assert(bothRunning.await(20, TimeUnit.SECONDS),
+            "second artifact build never started while the first held its latch")
+          java.nio.file.Files.writeString(tmp.resolve("x"), key)
+        }
+      })
+      t.start(); t
+    }
+    val ts = Seq(build("a"), build("b"))
+    ts.foreach(_.join(30000))
+    assert(builds.get() == 2)
+    // same-key race: only one more build may happen
+    val again = new AtomicInteger(0)
+    val racers = (1 to 4).map { _ =>
+      val t = new Thread(() => {
+        Dedup.ensureArtifact(s"latchtest-$nonce-c") { tmp =>
+          again.incrementAndGet()
+          java.nio.file.Files.writeString(tmp.resolve("x"), "c")
+        }
+      })
+      t.start(); t
+    }
+    racers.foreach(_.join(30000))
+    assert(again.get() == 1, s"same-key artifact built ${again.get()} times")
+  }
+
   test("connected components: transitivity A~B, B~C (no A~C) clusters as one group") {
     import spark.implicits._
     // two components: {1,2,3} via chain 1-2, 2-3 and {10,11}; never a 1-3 pair
