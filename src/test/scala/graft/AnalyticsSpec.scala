@@ -291,6 +291,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(merged.agg(sum("n_orders")).head().getLong(0) == n)
   }
 
+  test("runtime bloom filter: selective dim predicate injects a filter into the fact side of a shuffle join") {
+    // The fact-fact join optimization at 100 TB: when neither side
+    // broadcasts, Spark can build a bloom filter from the SELECTIVE side
+    // and apply it to the large side's scan, cutting shuffle volume
+    // before the sort-merge join. The thresholds are sized for clusters,
+    // so an isolated session lowers the application-side floor to make
+    // the testdata-size fact qualify; the mechanism is what's pinned.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables.lineitem(s2, sf).select("l_orderkey", "l_extendedprice")
+    val o = Tables.orders(s2, sf)
+      .filter(col("o_totalprice") > 100000.0).select("o_orderkey")
+    val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain") || opt.contains("bloom_filter_agg"),
+      s"expected an injected runtime bloom filter, got:\n${opt.take(3000)}")
+    // correctness unchanged by the filter
+    val expected = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 100000.0)
+        .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(j.count() == expected.count())
+  }
+
   test("star join: line-status filter reaches the scan, dims broadcast, totals re-add") {
     val sj = Analytics.starJoinRevenue(spark, sf)
     val plan = sj.queryExecution.executedPlan.toString
