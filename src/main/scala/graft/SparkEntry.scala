@@ -217,6 +217,8 @@ object SparkEntry {
     // — multimodal plumbing —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    // resize plan: fit decoded dims into a 224-box, aspect preserved
+    "q_media_resize"      -> ((s, d) => Multimodal.resizePlan(s, d)),
     // feature extraction after decode: bytes -> stub embedding through
     // the per-partition batch boundary, exactly oracle-checked
     "q_media_embed"       -> ((s, d) => Multimodal.mediaEmbed(s, d)),
@@ -632,6 +634,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     // Generated from the operator's own stub-metadata arithmetic.
     "q_frame_sample" -> Multimodal.sampleFramesOracleSql(),
+    "q_media_resize" -> Multimodal.resizePlanOracleSql(),
     "q_media_embed" -> Multimodal.mediaEmbedOracleSql,
   )
 }

@@ -121,6 +121,37 @@ object Multimodal {
        FROM c ORDER BY doc_id"""
   }
 
+  /** The RESIZE stage between decode and feature extraction — the
+    * standard vision-pipeline preprocessing step: fit each decoded
+    * (width, height) into a `box`×`box` bounding box preserving aspect
+    * ratio (longest side → `box`, never upscale-distort below 1 px).
+    * Like decode, the pixel work itself would run inside the per-
+    * partition codec batch; the RESIZE PLAN — the target geometry every
+    * batch worker applies — is pure integer arithmetic over the decoded
+    * metadata, so it is exactly oracle-checkable and shuffle-free (the
+    * binary payload never leaves its partition). Degenerate stub dims
+    * (width or height 0) clamp to 1 px, mirrored in the oracle. */
+  def resizePlan(spark: SparkSession, dir: String, box: Int = 224): DataFrame =
+    mediaMeta(spark, dir)
+      .withColumn("m", greatest(col("width"), col("height"), lit(1L)))
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(lit(1L), expr(s"width * $box div m")).as("target_w"),
+        greatest(lit(1L), expr(s"height * $box div m")).as("target_h"))
+
+  /** DuckDB oracle for [[resizePlan]] — same stub dims, same integer
+    * arithmetic, same clamps. */
+  def resizePlanOracleSql(box: Int = 224): String =
+    s"""WITH m AS (SELECT doc_id,
+                          octet_length(encode(text)) % 1024 AS width,
+                          (octet_length(encode(text)) * 7) % 768 AS height
+                   FROM documents),
+       g AS (SELECT doc_id, width, height,
+                    greatest(width, height, 1) AS mx FROM m)
+       SELECT doc_id, width, height,
+              greatest(1, width * $box // mx) AS target_w,
+              greatest(1, height * $box // mx) AS target_h
+       FROM g ORDER BY doc_id"""
+
   /** Frame sampling over the decoded metadata — the explode-shaped
     * plumbing a video pipeline runs before per-frame feature extraction:
     * up to `k` evenly-spaced frames per media object, emitted as

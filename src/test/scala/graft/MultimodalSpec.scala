@@ -23,6 +23,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id", "frame_idx").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("resize plan: fits the box, preserves aspect ratio, clamps degenerate dims") {
+    val rows = Multimodal.resizePlan(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, h, tw, th) =>
+      assert(tw >= 1 && th >= 1 && tw <= 224 && th <= 224, s"($w,$h)->($tw,$th)")
+      // the longest side lands exactly on the box unless clamped
+      if (w > 0 && h > 0) {
+        assert(math.max(tw, th) == 224, s"($w,$h)->($tw,$th)")
+        // aspect preserved within integer-floor error: tw/th ≈ w/h
+        assert(math.abs(tw.toDouble / th - w.toDouble / h) <=
+          (w.toDouble / h) / math.min(tw, th) + 1e-9, s"($w,$h)->($tw,$th)")
+      }
+    }
+  }
+
   test("media embed: one summary per doc, components bounded, run-deterministic") {
     val e = Multimodal.mediaEmbed(spark, sf)
     val n = Tables.documents(spark, sf).count()
