@@ -184,6 +184,9 @@ object SparkEntry {
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    // temperature (alpha=0.5) source mixing: integer isqrt weights,
+    // per-group targets, deterministic hash keep rule
+    "q_sample_temperature" -> ((s, d) => Curation.temperatureSample(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
@@ -582,6 +585,7 @@ object SparkEntry {
     // Generated from the operators' own constants (pct / token budget).
     "q_sample_hash" -> Curation.sampleByHashOracleSql(),
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
+    "q_sample_temperature" -> Curation.temperatureSampleOracleSql(),
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),

@@ -79,6 +79,71 @@ object Curation {
          FROM documents) t
        WHERE rk <= $perGroup ORDER BY doc_id"""
 
+  /** TEMPERATURE (α=0.5) source mixing — the multilingual/source
+    * re-weighting every pretraining mix runs: low-resource groups are
+    * UP-weighted relative to their share by sampling group g with
+    * probability ∝ n_g^α instead of n_g, here α = 1/2. The whole
+    * computation is INTEGER arithmetic (weights = ⌊√n_g⌋, targets by
+    * integer division, keep-test on a 32-bit id-hash residue) so the
+    * oracle is bit-exact — no float sum whose accumulation order could
+    * differ between engines. Per-group output: corpus count, weight,
+    * integer target, and how many docs the deterministic hash rule kept
+    * (CurationSpec asserts kept ≈ target and the up-weighting
+    * direction).
+    *
+    * Scale shape: one partial-aggregated groupBy for the counts (group
+    * cardinality = languages, tiny), a broadcast join of the per-group
+    * thresholds back onto the corpus scan, and a final partial-agg — the
+    * corpus is touched by exactly one narrow pass, no corpus-sized
+    * shuffle, same as [[sampleByHash]]. */
+  def temperatureSample(spark: SparkSession, dir: String,
+                        targetPct: Int = 30): DataFrame = {
+    require(targetPct >= 0 && targetPct <= 100, s"targetPct in [0,100], got $targetPct")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("w_l", floor(sqrt(col("n_l").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("n_l")).as("n_total"), sum(col("w_l")).as("w_total"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .withColumn("t_l", expr(s"n_total * $targetPct div 100 * w_l div w_total"))
+      .select("lang", "n_l", "w_l", "t_l")
+    docs
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .join(broadcast(targets), "lang")
+      .groupBy("lang")
+      .agg(first(col("n_l")).as("n_docs"),
+        first(col("w_l")).as("weight"),
+        first(col("t_l")).as("n_target"),
+        sum(when(col("h") * col("n_l") < col("t_l") * 1000000L, 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  /** DuckDB oracle for [[temperatureSample]] — identical integer
+    * arithmetic (// mirrors div, left-associative), same md5 residue. */
+  def temperatureSampleOracleSql(targetPct: Int = 30): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT lang, count(*) AS n_l,
+                          CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_l
+                   FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total,
+                      CAST(sum(w_l) AS BIGINT) AS w_total FROM c),
+       tl AS (SELECT lang, n_l, w_l,
+                     n_total * $targetPct // 100 * w_l // w_total AS t_l
+              FROM c CROSS JOIN tot),
+       h AS (SELECT lang, ($hexToLong) % 1000000 AS h
+             FROM (SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+                   FROM documents) t)
+       SELECT tl.lang, tl.n_l AS n_docs, tl.w_l AS weight, tl.t_l AS n_target,
+              CAST(sum(CASE WHEN h.h * tl.n_l < tl.t_l * 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM h JOIN tl ON h.lang = tl.lang
+       GROUP BY tl.lang, tl.n_l, tl.w_l, tl.t_l
+       ORDER BY tl.lang"""
+  }
+
   /** Token-budget sequence packing: documents in stable `doc_id` order are
     * laid greedily into packs of at most ~`budget` tokens (a document
     * starts a new pack when the running total would cross a budget

@@ -85,6 +85,31 @@ class CurationSpec extends AnyFunSuite {
     (bench.map(_._1).toSet, expected)
   }
 
+  test("temperature sampling: up-weights low-resource groups, kept tracks target, deterministic") {
+    val rows = Curation.temperatureSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // targets within the overall budget and achievable per group
+    rows.foreach { case (lang, n, w, t, kept) =>
+      assert(w == math.floor(math.sqrt(n.toDouble)).toLong, s"$lang weight")
+      assert(t <= n, s"$lang target $t exceeds group size $n")
+      // the hash rule is a p = t/n Bernoulli per doc: kept is within a
+      // generous binomial envelope of the target
+      assert(math.abs(kept - t) <= math.max(10L, n / 4), s"$lang kept $kept vs target $t")
+    }
+    // α=1/2 up-weights: the LARGEST group's target fraction must be
+    // strictly below the SMALLEST group's (that is the point of
+    // temperature mixing)
+    val largest = rows.maxBy(_._2)
+    val smallest = rows.minBy(_._2)
+    assert(largest._4.toDouble / largest._2 < smallest._4.toDouble / smallest._2,
+      s"largest ${largest} not down-weighted vs smallest ${smallest}")
+    // deterministic across runs
+    val again = Curation.temperatureSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("decontamination equals a brute-force recomputation; benchmark slice excluded") {
     val out = Curation.contamination(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
