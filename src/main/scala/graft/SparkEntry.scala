@@ -187,6 +187,10 @@ object SparkEntry {
     // temperature (alpha=0.5) source mixing: integer isqrt weights,
     // per-group targets, deterministic hash keep rule
     "q_sample_temperature" -> ((s, d) => Curation.temperatureSample(s, d)),
+    // fixed-size deterministic uniform sample (TakeOrderedAndProject)
+    "q_sample_fixed"      -> ((s, d) => Curation.sampleFixed(s, d)),
+    // order-independent corpus content digest (dataset versioning)
+    "q_corpus_fingerprint" -> ((s, d) => Curation.corpusFingerprint(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
@@ -586,6 +590,8 @@ object SparkEntry {
     "q_sample_hash" -> Curation.sampleByHashOracleSql(),
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
     "q_sample_temperature" -> Curation.temperatureSampleOracleSql(),
+    "q_sample_fixed" -> Curation.sampleFixedOracleSql(),
+    "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),

@@ -79,6 +79,67 @@ object Curation {
          FROM documents) t
        WHERE rk <= $perGroup ORDER BY doc_id"""
 
+  /** FIXED-SIZE deterministic uniform sample — the train/val carveout
+    * primitive: the `k` documents whose id-hash ranks lowest, i.e. a
+    * uniform-without-replacement draw that is reproducible across runs
+    * and engines (same id → same hash → same rank). Unlike a percentage
+    * sample the output size is exact.
+    *
+    * Scale shape: ORDER BY hash LIMIT k compiles to
+    * TakeOrderedAndProject — per-partition top-k heaps, only k rows to
+    * the driver side of the exchange, never a global sort of the
+    * corpus. */
+  def sampleFixed(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(k)
+      .select("doc_id", "lang", "n_chars")
+
+  /** DuckDB oracle for [[sampleFixed]] — lowercase-hex md5 ordering is
+    * identical under ASCII collation in both engines. */
+  def sampleFixedOracleSql(k: Int = 100): String =
+    s"""SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars
+         FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $k) t
+       ORDER BY doc_id"""
+
+  /** CORPUS FINGERPRINT — the dataset-versioning primitive: one row of
+    * order-independent content digests (row count, token total, and a
+    * SUM of per-document 32-bit md5 prefixes over id‖text) that changes
+    * if any document is added, dropped, or edited. Pipelines stamp this
+    * on every staged artifact so a re-run can prove it trained on the
+    * same corpus. Sum-based (commutative) rather than concatenation-
+    * based, so the digest is independent of partitioning and row order —
+    * the only aggregation shape that is stable under distributed
+    * execution.
+    *
+    * Scale shape: one narrow scan, one 1-row partial aggregate. */
+  def corpusFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ", -1))).as("n_tokens"),
+        sum(col("h")).as("content_digest"))
+
+  /** DuckDB oracle for [[corpusFingerprint]] — same md5 prefix, same
+    * commutative sum. */
+  val corpusFingerprintOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""SELECT count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+              CAST(sum($hexToLong) AS BIGINT) AS content_digest
+       FROM (SELECT text,
+                    substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+             FROM documents) t"""
+  }
+
   /** TEMPERATURE (α=0.5) source mixing — the multilingual/source
     * re-weighting every pretraining mix runs: low-resource groups are
     * UP-weighted relative to their share by sampling group g with
