@@ -85,6 +85,49 @@ class CurationSpec extends AnyFunSuite {
     (bench.map(_._1).toSet, expected)
   }
 
+  test("fixed-size sample: exact k, deterministic, and a subset of the corpus") {
+    val s1 = Curation.sampleFixed(spark, sf, k = 50)
+    val s2 = Curation.sampleFixed(spark, sf, k = 50)
+    assert(s1.count() == 50)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // monotone: the 50-sample is contained in the 100-sample (same hash order)
+    val s100 = Curation.sampleFixed(spark, sf, k = 100)
+    assert(s1.select("doc_id").exceptAll(s100.select("doc_id")).isEmpty)
+  }
+
+  test("corpus fingerprint: row-order independent, sensitive to any edit") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"document body $i with tokens", "en", 20L))
+    val dirA = java.nio.file.Files.createTempDirectory("graft-fp-").toString
+    try {
+      def fp(rows: Seq[(Long, String, String, Long)], shuffledSeed: Int): (Long, Long, Long) = {
+        val ordered = if (shuffledSeed == 0) rows
+          else new scala.util.Random(shuffledSeed).shuffle(rows)
+        ordered.toDF("doc_id", "text", "lang", "n_chars")
+          .repartition(7)
+          .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+        val r = Curation.corpusFingerprint(spark, dirA).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val base = fp(docs, 0)
+      // identical content in a different row order and partitioning →
+      // identical digest (the commutative-sum property versioning needs)
+      assert(fp(docs, 42) == base)
+      // one edited document → different digest, same row count
+      val edited = docs.updated(7, (7L, "document body 7 with tokens EDITED", "en", 27L))
+      val changed = fp(edited, 0)
+      assert(changed._1 == base._1 && changed._3 != base._3)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dirA)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+
   test("temperature sampling: up-weights low-resource groups, kept tracks target, deterministic") {
     val rows = Curation.temperatureSample(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
