@@ -148,12 +148,27 @@ object Bench {
       "contam" -> (() => operators.Curation.contamination(spark, sfDir)),
       "ngrams_8" -> (() => operators.Curation.commonNgrams(spark, sfDir)),
       "raw_fixtures" -> (() => operators.Pipeline.ensureRawFixtures(spark, sfDir)),
+      // bucketed-layout ingest: paid once here, so q_bucketed_join times
+      // the Exchange-free steady-state join, not the table rewrite
+      // (VERDICT r8 #2)
+      "bucketed_tables" -> (() => operators.Bucketing.ensureBucketedTables(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(
         if (ok) f"[bench] staged artifact $name built in $sec%.1f s"
         else s"[bench] artifact build $name failed or timed out (continuing)")
       name -> sec
+    } ++ {
+      // Per-phase breakdown of the two signature-store builds (flat
+      // "store:phase" keys so any store_build parser keeps working) —
+      // a build-time outlier now names its phase in the artifact itself
+      // (VERDICT r8 #3: the 52 s vs 4.9 s bigram_32x4 swing).
+      Seq("unigram_8x16" -> operators.Dedup.signatureStoreKey(sfDir, 1, 8, 16),
+          "bigram_32x4" -> operators.Dedup.signatureStoreKey(sfDir, 2, 32, 4))
+        .flatMap { case (store, key) =>
+          Option(operators.Dedup.storePhaseTimings.get(key)).toSeq.flatten
+            .map { case (phase, sec) => s"$store:$phase" -> sec }
+        }
     }
 
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
@@ -250,6 +265,12 @@ object Bench {
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
+    // Compact summary as the very LAST stdout line: the full line above is
+    // ~4 KB and the driver's tail capture slices it (BENCH r7/r8 both
+    // recorded "parsed": null) — this one always survives any tail window.
+    // Full per-query detail stays in the big line + BENCH_LOCAL.json.
+    val failedN = retried.count(!_._3)
+    println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n":${retried.size},"n_failed":$failedN,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

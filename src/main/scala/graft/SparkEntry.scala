@@ -41,6 +41,15 @@ object SparkEntry {
     "q_csv_roundtrip"     -> ((s, d) => Pipeline.csvRoundTrip(s, d)),
     // ORC sink + self-describing ORC source round-trip
     "q_orc_roundtrip"     -> ((s, d) => Pipeline.orcRoundTrip(s, d)),
+    // PERMISSIVE JSONL load with _corrupt_record quarantine counts
+    "q_corrupt_load"      -> ((s, d) => Pipeline.corruptLoad(s, d)),
+    // small-file compaction: fragmented dir -> size-targeted rewrite,
+    // file counts + lossless content digest
+    "q_compaction"        -> ((s, d) => Pipeline.compactRewrite(s, d)),
+    // mergeSchema read over evolving parquet batches (NULL-padded union)
+    "q_schema_evolution"  -> ((s, d) => Pipeline.schemaEvolutionRead(s, d)),
+    // keyed MERGE/upsert corpus maintenance (full-outer + coalesce)
+    "q_corpus_merge"      -> ((s, d) => Curation.corpusMerge(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
@@ -609,6 +618,10 @@ object SparkEntry {
     "q_correlated_subq" -> Relational.correlatedSubqueriesOracleSql,
     "q_csv_roundtrip" -> Pipeline.csvRoundTripOracleSql,
     "q_orc_roundtrip" -> Pipeline.orcRoundTripOracleSql,
+    "q_corrupt_load" -> Pipeline.corruptLoadOracleSql,
+    "q_compaction" -> Pipeline.compactRewriteOracleSql(),
+    "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
+    "q_corpus_merge" -> Curation.corpusMergeOracleSql,
     "q_dedup_degree" -> Dedup.nearDupDegreeProfileOracleSql(),
     "q_pagerank" -> Dedup.nearDupPageRankOracleSql(),
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),

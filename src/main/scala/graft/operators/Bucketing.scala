@@ -37,19 +37,46 @@ object Bucketing {
     }
   }
 
+  /** Once-per-(session, corpus) latch for the bucketed-table ingest. The
+    * whole point of bucketing is paying the layout shuffle ONCE at ingest
+    * so every subsequent join is Exchange-free — re-writing the tables
+    * inside the query would charge the ingest to every run (the r8 bench
+    * showed exactly that: 3.1 s of which the join was a fraction). Table
+    * names carry the corpus tag so concurrent flows over different sf
+    * dirs in one session never clobber each other's layout. */
+  private val stagedBuckets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Stage `lineitem`/`orders` as bucketed tables for `dir` (idempotent
+    * per session+corpus; Bench pre-builds this as the `bucketed_tables`
+    * store_build entry) and return the (lineitem, orders) table names. */
+  def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"lineitem_bucketed_$tag"
+    val oT = s"orders_bucketed_$tag"
+    val key = spark.sparkContext.applicationId + "|" + dir
+    if (!stagedBuckets.contains(key)) stagedBuckets.synchronized {
+      if (!stagedBuckets.contains(key)) {
+        reset(spark, liT)
+        reset(spark, oT)
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite")
+          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liT)
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite")
+          .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(oT)
+        stagedBuckets.add(key)
+      }
+    }
+    (liT, oT)
+  }
+
   def bucketedLineitemOrderJoin(spark: SparkSession, dir: String): DataFrame = {
-    reset(spark, "lineitem_bucketed")
-    reset(spark, "orders_bucketed")
-    Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("lineitem_bucketed")
-    Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
-      .write.mode("overwrite")
-      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("orders_bucketed")
-    val li = spark.table("lineitem_bucketed")
-    val o = spark.table("orders_bucketed")
+    val (liT, oT) = ensureBucketedTables(spark, dir)
+    val li = spark.table(liT)
+    val o = spark.table(oT)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),

@@ -651,4 +651,68 @@ object Curation {
          AND $quality
        ORDER BY d.doc_id"""
   }
+
+  /** KEYED MERGE/UPSERT — incremental corpus maintenance: a daily crawl
+    * re-ingests documents, updating the ones whose `doc_id` already
+    * exists and inserting the new ones, as ONE native plan. This is the
+    * production heir of the reference's re-run INSERT-SELECT
+    * (`dag-knlp.py:65-80`, re-executed monthly into an append-only
+    * table): append-only accumulates stale versions; upsert converges.
+    *
+    * The delta batch is synthesized deterministically from the corpus so
+    * the DuckDB oracle can rebuild it: revisions for every doc_id ≡ 0
+    * (mod 7) (text gains a ` [rev2]` suffix) and brand-new documents for
+    * every doc_id ≡ 3 (mod 13) (re-keyed past the id space). The merge is
+    * a FULL OUTER join on the key with delta-wins coalesce — exactly the
+    * plan a MERGE INTO compiles to when both matched and not-matched arms
+    * are present. Each output row carries its action tag and the md5 of
+    * the post-merge text, so the oracle pins every row of the merged
+    * corpus, not just an aggregate.
+    *
+    * Scale shape: ONE shuffle of each side on the key (a keyed upsert
+    * cannot broadcast — every corpus key must meet its delta key), then a
+    * narrow coalesce projection. At 100 TB the corpus side is the
+    * dominant cost and is exactly why production tables keep the corpus
+    * BUCKETED by doc_id ([[graft.operators.Bucketing]]): then only the
+    * (small) delta shuffles and the merge reads co-located buckets. */
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val updates = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+        col("lang"), col("source"))
+    val inserts = base.filter(col("doc_id") % 13 === 3)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("[new] "), col("text")).as("text"),
+        col("lang"), col("source"))
+    val delta = updates.unionByName(inserts)
+      .select(col("doc_id").as("d_id"), col("text").as("d_text"),
+        col("lang").as("d_lang"), col("source").as("d_source"))
+    base.join(delta, col("doc_id") === col("d_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+        when(col("doc_id").isNull, "insert")
+          .when(col("d_id").isNull, "keep")
+          .otherwise("update").as("action"),
+        coalesce(col("d_lang"), col("lang")).as("lang"),
+        md5(coalesce(col("d_text"), col("text"))).as("fp"))
+  }
+
+  /** DuckDB oracle for [[corpusMerge]] — the same delta CTE and the same
+    * full-outer merge. */
+  val corpusMergeOracleSql: String =
+    """WITH delta AS (
+         SELECT doc_id, text || ' [rev2]' AS text, lang, source
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 100000, '[new] ' || text, lang, source
+         FROM documents WHERE doc_id % 13 = 3)
+       SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+              CASE WHEN b.doc_id IS NULL THEN 'insert'
+                   WHEN d.doc_id IS NULL THEN 'keep'
+                   ELSE 'update' END AS action,
+              coalesce(d.lang, b.lang) AS lang,
+              md5(coalesce(d.text, b.text)) AS fp
+       FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+       ORDER BY doc_id"""
 }

