@@ -308,4 +308,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.subsetOf(quality) && got.subsetOf(dedupKept) && got.subsetOf(decontamKept))
     assert(got.nonEmpty, "the assembled training corpus should not be empty")
   }
+
+  test("corpus merge: delta wins on matched keys, inserts append, rest keep") {
+    val base = Tables.documents(spark, sf)
+    val nDocs = base.count()
+    val nUpd = base.filter(col("doc_id") % 7 === 0).count()
+    val nIns = base.filter(col("doc_id") % 13 === 3).count()
+
+    val merged = Curation.corpusMerge(spark, sf)
+    val byAction = merged.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction("update") == nUpd)
+    assert(byAction("insert") == nIns)
+    assert(byAction("keep") == nDocs - nUpd)
+    assert(merged.count() == nDocs + nIns, "upsert converges: no duplicate versions")
+    assert(merged.select("doc_id").distinct().count() == nDocs + nIns,
+      "doc_id stays a key after the merge")
+
+    // updated rows carry the REVISED text's digest, kept rows the original's
+    val updFps = merged.filter(col("action") === "update").select("doc_id", "fp")
+    val expUpd = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), md5(concat(col("text"), lit(" [rev2]"))).as("fp"))
+    assert(updFps.exceptAll(expUpd).isEmpty && expUpd.exceptAll(updFps).isEmpty)
+    val keptFps = merged.filter(col("action") === "keep").select("doc_id", "fp")
+    val expKept = base.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    assert(keptFps.exceptAll(expKept).isEmpty && expKept.exceptAll(keptFps).isEmpty)
+  }
 }

@@ -101,4 +101,79 @@ class PipelineSpec extends AnyFunSuite {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     assert(viaOrc.exceptAll(direct).isEmpty && direct.exceptAll(viaOrc).isEmpty)
   }
+
+  test("PERMISSIVE load captures malformed lines in _corrupt_record, not an exception") {
+    val nOrders = Tables.orders(spark, sf).count()
+    val nBad = Tables.orders(spark, sf).filter(col("o_orderkey") % 10 === 7).count()
+    val row = Pipeline.corruptLoad(spark, sf).head()
+    assert(row.getLong(0) == nOrders - nBad, "good_rows")
+    assert(row.getLong(1) == nBad, "corrupt_rows")
+
+    // Row-level contract on the staged dir the operator just wrote: every
+    // quarantined line carries the raw text in _corrupt_record with data
+    // fields null; every clean line parses with _corrupt_record null.
+    import org.apache.spark.sql.types._
+    val base = Pipeline.scratch(sf) + "/orders_jsonl_dirty"
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows scans whose referenced columns prune to ONLY the
+    // corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
+    // pattern is to cache the parsed batch, then split it.
+    val loaded = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").json(base)
+      .cache()
+    try {
+      val bad = loaded.filter(col("_corrupt_record").isNotNull)
+      assert(bad.count() == nBad)
+      assert(bad.filter(col("o_custkey").isNotNull || col("o_totalprice").isNotNull).count() == 0,
+        "corrupt rows must have no parsed data fields")
+      assert(bad.filter(!col("_corrupt_record").startsWith("{\"o_orderkey\":")).count() == 0,
+        "_corrupt_record must hold the raw malformed line")
+      assert(loaded.filter(col("_corrupt_record").isNull && col("o_custkey").isNull).count() == 0,
+        "clean rows must parse fully")
+    } finally loaded.unpersist()
+  }
+
+  test("compaction shrinks the fragmented dir to size-targeted files, losslessly") {
+    import org.apache.spark.sql.functions.{count => fcount, input_file_name, max => fmax}
+    val nDocs = Tables.documents(spark, sf).count()
+    val row = Pipeline.compactRewrite(spark, sf, fragRecords = 10, targetRecords = 100).head()
+    assert(row.getLong(0) == nDocs)
+    assert(row.getLong(1) == math.ceil(nDocs / 10.0).toLong, "fragmented file count")
+    assert(row.getLong(2) == math.ceil(nDocs / 100.0).toLong, "compacted file count")
+
+    // The cluster-scale variant: multiple writer tasks, same file-size
+    // governor. The per-file record cap is the contract (exact counts are
+    // per-task); the rewrite must still strictly shrink and be lossless.
+    val base = Pipeline.scratch(sf) + "/documents_compact"
+    val frag = spark.read.parquet(s"$base/frag")
+    frag.repartition(2).write.mode("overwrite")
+      .option("maxRecordsPerFile", 100).parquet(s"$base/compact_mt")
+    val mt = spark.read.parquet(s"$base/compact_mt")
+    assert(mt.count() == nDocs)
+    val perFile = mt.groupBy(input_file_name().as("f")).agg(fcount(lit(1)).as("n"))
+    assert(perFile.agg(fmax(col("n"))).head().getLong(0) <= 100,
+      "maxRecordsPerFile must cap every file")
+    assert(perFile.count() < row.getLong(1),
+      "multi-task compaction must still shrink the file count")
+  }
+
+  test("mergeSchema read NULL-pads pre-evolution batches") {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, count => fcount, sum => fsum}
+    val out = Pipeline.schemaEvolutionRead(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .withColumn("status", fcoalesce(
+        when(col("o_orderkey") % 2 === 1, col("o_orderstatus")), lit("<pre-schema>")))
+      .groupBy("status")
+      .agg(fcount(lit(1)).as("n_orders"),
+        fsum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    val pre = out.filter(col("status") === "<pre-schema>").head()
+    assert(pre.getLong(1) == Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 2 === 0).count(),
+      "every even-key (old-schema) row must land in the sentinel group")
+  }
 }
