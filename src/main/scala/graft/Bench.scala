@@ -152,6 +152,12 @@ object Bench {
       // the Exchange-free steady-state join, not the table rewrite
       // (VERDICT r8 #2)
       "bucketed_tables" -> (() => operators.Bucketing.ensureBucketedTables(spark, sfDir)),
+      // input fixtures of the load-boundary/maintenance queries (same
+      // philosophy as raw_fixtures: the dirty files, the fragmented dir,
+      // and the evolving batches ARRIVE at a real pipeline)
+      "dirty_jsonl" -> (() => operators.Pipeline.ensureDirtyJsonl(spark, sfDir)),
+      "frag_docs" -> (() => operators.Pipeline.ensureFragmentedDocs(spark, sfDir)),
+      "evolving_batches" -> (() => operators.Pipeline.ensureEvolvingBatches(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

@@ -113,7 +113,7 @@ class PipelineSpec extends AnyFunSuite {
     // quarantined line carries the raw text in _corrupt_record with data
     // fields null; every clean line parses with _corrupt_record null.
     import org.apache.spark.sql.types._
-    val base = Pipeline.scratch(sf) + "/orders_jsonl_dirty"
+    val base = Pipeline.ensureDirtyJsonl(spark, sf)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
       StructField("o_totalprice", DoubleType),
@@ -149,7 +149,7 @@ class PipelineSpec extends AnyFunSuite {
     // governor. The per-file record cap is the contract (exact counts are
     // per-task); the rewrite must still strictly shrink and be lossless.
     val base = Pipeline.scratch(sf) + "/documents_compact"
-    val frag = spark.read.parquet(s"$base/frag")
+    val frag = spark.read.parquet(Pipeline.ensureFragmentedDocs(spark, sf))
     frag.repartition(2).write.mode("overwrite")
       .option("maxRecordsPerFile", 100).parquet(s"$base/compact_mt")
     val mt = spark.read.parquet(s"$base/compact_mt")
