@@ -256,6 +256,10 @@ object SparkEntry {
     // Stream-static enrichment: event stream joins the customer dim
     // (broadcast, re-planned per micro-batch), revenue per segment.
     "q_stream_enrich"     -> ((s, d) => graft.streaming.StreamingOps.streamEnrichEndToEnd(s, d)),
+    // STREAMING upsert (q_corpus_merge's twin): the delta replayed as
+    // micro-batches, each applied to the keyed corpus store with the
+    // same full-outer delta-wins merge; oracle = the batch merge.
+    "q_stream_upsert"     -> ((s, d) => graft.streaming.StreamingOps.streamUpsertEndToEnd(s, d)),
     // STREAMING near-dup: arriving documents scored against the static
     // corpus signature store — per-row narrow MinHash kernel, stream-
     // static bucket join, codegen'd agreement/Jaccard filters. Same
@@ -622,6 +626,17 @@ object SparkEntry {
     "q_compaction" -> Pipeline.compactRewriteOracleSql(),
     "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
+    // The micro-batched streaming upsert must land on the batch merge.
+    "q_stream_upsert" ->
+      """WITH delta AS (
+           SELECT doc_id, text || ' [rev2]' AS text, lang FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 100000, '[new] ' || text, lang FROM documents WHERE doc_id % 13 = 3)
+         SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                coalesce(d.lang, b.lang) AS lang,
+                md5(coalesce(d.text, b.text)) AS fp
+         FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
+         ORDER BY doc_id""",
     "q_dedup_degree" -> Dedup.nearDupDegreeProfileOracleSql(),
     "q_pagerank" -> Dedup.nearDupPageRankOracleSql(),
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),

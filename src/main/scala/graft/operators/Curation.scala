@@ -675,7 +675,12 @@ object Curation {
     * dominant cost and is exactly why production tables keep the corpus
     * BUCKETED by doc_id ([[graft.operators.Bucketing]]): then only the
     * (small) delta shuffles and the merge reads co-located buckets. */
-  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic delta batch shared by the batch merge and its
+    * streaming twin ([[graft.streaming.StreamingOps]] `streamUpsert`):
+    * revisions for doc_id ≡ 0 (mod 7), fresh documents for
+    * doc_id ≡ 3 (mod 13) re-keyed past the id space. Columns
+    * (doc_id, text, lang, source) — each key appears at most once. */
+  private[graft] def corpusDelta(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select("doc_id", "text", "lang", "source")
     val updates = base.filter(col("doc_id") % 7 === 0)
@@ -685,7 +690,13 @@ object Curation {
       .select((col("doc_id") + 100000L).as("doc_id"),
         concat(lit("[new] "), col("text")).as("text"),
         col("lang"), col("source"))
-    val delta = updates.unionByName(inserts)
+    updates.unionByName(inserts)
+  }
+
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val delta = corpusDelta(spark, dir)
       .select(col("doc_id").as("d_id"), col("text").as("d_text"),
         col("lang").as("d_lang"), col("source").as("d_source"))
     base.join(delta, col("doc_id") === col("d_id"), "full_outer")

@@ -544,6 +544,68 @@ object StreamingOps {
     (readBackCleaned(spark, out)(identity), lastState)
   }
 
+  /** MERGE/upsert's STREAMING twin — micro-batched CDC apply: the same
+    * deterministic delta as [[graft.operators.Curation.corpusMerge]]
+    * arrives as a document STREAM (4 part files, `maxFilesPerTrigger=1`,
+    * so the upsert really replays as successive micro-batches), and each
+    * batch is applied to the keyed corpus store with the identical
+    * full-outer + delta-wins merge, ping-ponging between versioned state
+    * dirs (a parquet dir cannot be overwritten while it is being read —
+    * and versioned swaps are exactly how table formats commit). Delta
+    * keys are unique across the whole batch set, so the final store is
+    * independent of HOW the replay was micro-batched — which is what
+    * makes the oracle the batch merge itself.
+    *
+    * Scale shape per batch: one keyed shuffle of store+delta (the
+    * unavoidable upsert cost; a bucketed store would shuffle only the
+    * delta) and a narrow coalesce projection — state lives in the store,
+    * not the streaming state store, so an arbitrarily large corpus
+    * streams through micro-batches with O(batch) memory. */
+  def streamUpsertEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    streamUpsertWithMetrics(spark, dir)._1
+
+  /** [[streamUpsertEndToEnd]] plus the number of non-empty micro-batches,
+    * so the spec can pin that the replay was actually incremental. */
+  private[graft] def streamUpsertWithMetrics(spark: SparkSession,
+                                             dir: String): (DataFrame, Long) = {
+    val out = scratchDir("upsert")
+    graft.operators.Curation.corpusDelta(spark, dir)
+      .repartition(4).write.mode("overwrite").parquet(s"$out/delta")
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$out/state_init")
+    @volatile var cur = s"$out/state_init"
+    val deltaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    val q = spark.readStream.schema(deltaSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/delta")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val d = batch.select(col("doc_id").as("d_id"),
+          col("lang").as("d_lang"), md5(col("text")).as("d_fp"))
+        val next = s"$out/state_$id"
+        spark.read.parquet(cur)
+          .join(d, col("doc_id") === col("d_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+            coalesce(col("d_lang"), col("lang")).as("lang"),
+            coalesce(col("d_fp"), col("fp")).as("fp"))
+          .write.mode("overwrite").parquet(next)
+        cur = next
+      }
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val materialized = spark.read.parquet(cur).localCheckpoint(true)
+    deleteRecursively(java.nio.file.Paths.get(out))
+    (materialized, nBatches)
+  }
+
   /** STREAMING near-dup dedup — the production "dedupe arriving documents
     * against the historical corpus" flow run as an actual stream: the new
     * batch (top doc_id decile, [[graft.operators.Dedup.nearDupNewVsCorpus]]'s

@@ -378,4 +378,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.get.total_value == 3.0)
     } finally q.stop()
   }
+
+  test("micro-batched streaming upsert equals the batch merge, over multiple batches") {
+    val (streamed, nBatches) = StreamingOps.streamUpsertWithMetrics(spark, TestSpark.sf)
+    assert(nBatches >= 2,
+      s"maxFilesPerTrigger=1 over a 4-file delta should replay incrementally, got $nBatches batches")
+    val batch = graft.operators.Curation.corpusMerge(spark, TestSpark.sf)
+      .select("doc_id", "lang", "fp")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "the micro-batched upsert must converge to the batch merge")
+  }
 }
