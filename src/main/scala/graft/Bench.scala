@@ -158,6 +158,7 @@ object Bench {
       "dirty_jsonl" -> (() => operators.Pipeline.ensureDirtyJsonl(spark, sfDir)),
       "frag_docs" -> (() => operators.Pipeline.ensureFragmentedDocs(spark, sfDir)),
       "evolving_batches" -> (() => operators.Pipeline.ensureEvolvingBatches(spark, sfDir)),
+      "snapshots" -> (() => operators.Curation.ensureSnapshots(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

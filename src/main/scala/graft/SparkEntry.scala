@@ -50,6 +50,9 @@ object SparkEntry {
     "q_schema_evolution"  -> ((s, d) => Pipeline.schemaEvolutionRead(s, d)),
     // keyed MERGE/upsert corpus maintenance (full-outer + coalesce)
     "q_corpus_merge"      -> ((s, d) => Curation.corpusMerge(s, d)),
+    // immutable pre/post-merge snapshots (v= partition dirs) + per-version
+    // digest profile: time-travel + reproducibility proof in one scan
+    "q_snapshot_versions" -> ((s, d) => Curation.snapshotVersions(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
@@ -626,6 +629,7 @@ object SparkEntry {
     "q_compaction" -> Pipeline.compactRewriteOracleSql(),
     "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
+    "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
     // The micro-batched streaming upsert must land on the batch merge.
     "q_stream_upsert" ->
       """WITH delta AS (

@@ -709,6 +709,72 @@ object Curation {
         md5(coalesce(col("d_text"), col("text"))).as("fp"))
   }
 
+  /** SNAPSHOT VERSIONING — the reproducibility half of corpus
+    * maintenance: each merge produces a NEW immutable snapshot instead of
+    * mutating the old one, so yesterday's training run can re-read
+    * yesterday's bytes (time travel) while today's reads the merged
+    * corpus. v=0 is the pre-merge corpus, v=1 the post-merge result of
+    * [[corpusMerge]]'s delta, both staged as digest-projected parquet
+    * under one root with Hive-style `v=` partition dirs — so ONE
+    * partitioned scan serves any version (partition pruning gives
+    * time travel for free) and the emitted per-version
+    * (n_docs, content_digest) profile is the proof that the snapshots
+    * differ exactly by the delta. Digests use the same order-independent
+    * 32-bit-md5-prefix sum as [[corpusFingerprint]].
+    *
+    * Scale shape: snapshots store doc_id + digest (not the text — the
+    * corpus lives once; snapshots are manifests), the profile is one
+    * narrow scan + a 2-group aggregate. */
+  def ensureSnapshots(spark: SparkSession, dir: String): String =
+    Dedup.ensureArtifact(s"snapshots-${dir.replace('/', '_')}") { tmp =>
+      def h(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat_ws("|", id, text)), 1, 8), 16, 10).cast("long")
+      val base = Tables.documents(spark, dir).select("doc_id", "text")
+      base.select(col("doc_id"), h(col("doc_id"), col("text")).as("h"))
+        .write.mode("overwrite").parquet(tmp.resolve("v=0").toString)
+      val delta = corpusDelta(spark, dir)
+        .select(col("doc_id").as("d_id"), col("text").as("d_text"))
+      base.join(delta, col("doc_id") === col("d_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+          coalesce(col("d_text"), col("text")).as("text"))
+        .select(col("doc_id"), h(col("doc_id"), col("text")).as("h"))
+        .write.mode("overwrite").parquet(tmp.resolve("v=1").toString)
+    }.toString
+
+  /** Per-version (n_docs, content_digest) profile over the snapshot root
+    * — one partitioned scan, two groups. */
+  def snapshotVersions(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureSnapshots(spark, dir)
+    spark.read.option("basePath", root).parquet(s"$root/v=0", s"$root/v=1")
+      .groupBy("v")
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("content_digest"))
+  }
+
+  /** DuckDB oracle for [[snapshotVersions]] — v0 straight from the table,
+    * v1 from the same full-outer merge CTE, same commutative digest. */
+  val snapshotVersionsOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH delta AS (
+          SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 100000, '[new] ' || text FROM documents WHERE doc_id % 13 = 3),
+        merged AS (
+          SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                 coalesce(d.text, b.text) AS text
+          FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
+        SELECT v, n_docs, content_digest FROM (
+          SELECT 0 AS v, count(*) AS n_docs, CAST(sum($hexToLong) AS BIGINT) AS content_digest
+          FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+                FROM documents) t0
+          UNION ALL
+          SELECT 1 AS v, count(*) AS n_docs, CAST(sum($hexToLong) AS BIGINT) AS content_digest
+          FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+                FROM merged) t1) z
+        ORDER BY v"""
+  }
+
   /** DuckDB oracle for [[corpusMerge]] — the same delta CTE and the same
     * full-outer merge. */
   val corpusMergeOracleSql: String =

@@ -335,4 +335,31 @@ class CurationSpec extends AnyFunSuite {
       .select(col("doc_id"), md5(col("text")).as("fp"))
     assert(keptFps.exceptAll(expKept).isEmpty && expKept.exceptAll(keptFps).isEmpty)
   }
+
+  test("snapshots: v0 stays byte-identical after the merge (time travel), v1 differs by the delta") {
+    val base = Tables.documents(spark, sf)
+    val rows = Curation.snapshotVersions(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet === Set(0, 1))
+
+    // v0 is the PRE-merge corpus profile — recomputed from the source
+    // table, which is the time-travel guarantee: producing v1 must not
+    // have touched it.
+    val h = conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+      .cast("long")
+    val v0 = base.select(h.as("h"))
+      .agg(count(lit(1)), sum(col("h"))).head()
+    assert(rows(0) === ((v0.getLong(0), v0.getLong(1))))
+
+    // v1 row count = corpus + inserts; its digest differs from v0's
+    val nIns = base.filter(col("doc_id") % 13 === 3).count()
+    assert(rows(1)._1 == rows(0)._1 + nIns)
+    assert(rows(1)._2 != rows(0)._2, "the merged snapshot must have a new content digest")
+
+    // reading ONLY the v=0 partition dir yields the pre-merge snapshot
+    // (partition pruning = time travel)
+    val root = Curation.ensureSnapshots(spark, sf)
+    val v0only = spark.read.parquet(s"$root/v=0").agg(count(lit(1)), sum(col("h"))).head()
+    assert((v0only.getLong(0), v0only.getLong(1)) === rows(0))
+  }
 }
