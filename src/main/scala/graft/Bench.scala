@@ -159,6 +159,7 @@ object Bench {
       "frag_docs" -> (() => operators.Pipeline.ensureFragmentedDocs(spark, sfDir)),
       "evolving_batches" -> (() => operators.Pipeline.ensureEvolvingBatches(spark, sfDir)),
       "snapshots" -> (() => operators.Curation.ensureSnapshots(spark, sfDir)),
+      "bucketed_docs" -> (() => operators.Curation.ensureBucketedDocs(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

@@ -53,6 +53,9 @@ object SparkEntry {
     // immutable pre/post-merge snapshots (v= partition dirs) + per-version
     // digest profile: time-travel + reproducibility proof in one scan
     "q_snapshot_versions" -> ((s, d) => Curation.snapshotVersions(s, d)),
+    // the merge against a doc_id-bucketed corpus: only the delta shuffles
+    // (one Exchange, plan-asserted) — the 100 TB layout for upserts
+    "q_corpus_merge_bucketed" -> ((s, d) => Curation.corpusMergeBucketed(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
@@ -630,6 +633,8 @@ object SparkEntry {
     "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
+    // The bucketed-layout merge must equal the plain merge exactly.
+    "q_corpus_merge_bucketed" -> Curation.corpusMergeOracleSql,
     // The micro-batched streaming upsert must land on the batch merge.
     "q_stream_upsert" ->
       """WITH delta AS (

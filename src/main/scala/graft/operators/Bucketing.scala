@@ -26,7 +26,7 @@ object Bucketing {
   /** The in-memory catalog forgets tables between sessions but their
     * warehouse directories persist, and saveAsTable refuses to reuse an
     * orphaned location — drop both the catalog entry and the directory. */
-  private def reset(spark: SparkSession, table: String): Unit = {
+  private[graft] def reset(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val root = java.nio.file.Paths.get(wh, table)

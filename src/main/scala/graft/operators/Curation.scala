@@ -693,10 +693,17 @@ object Curation {
     updates.unionByName(inserts)
   }
 
-  def corpusMerge(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select("doc_id", "text", "lang", "source")
-    val delta = corpusDelta(spark, dir)
+  def corpusMerge(spark: SparkSession, dir: String): DataFrame =
+    mergeInto(
+      Tables.documents(spark, dir).select("doc_id", "text", "lang", "source"),
+      corpusDelta(spark, dir))
+
+  /** The merge kernel shared by [[corpusMerge]] (plain corpus scan — both
+    * sides shuffle) and [[corpusMergeBucketed]] (bucketed corpus — only
+    * the delta shuffles): full-outer join on the key, delta-wins
+    * coalesce, per-row action tag + post-merge digest. */
+  private def mergeInto(base: DataFrame, deltaRaw: DataFrame): DataFrame = {
+    val delta = deltaRaw
       .select(col("doc_id").as("d_id"), col("text").as("d_text"),
         col("lang").as("d_lang"), col("source").as("d_source"))
     base.join(delta, col("doc_id") === col("d_id"), "full_outer")
@@ -707,6 +714,43 @@ object Curation {
           .otherwise("update").as("action"),
         coalesce(col("d_lang"), col("lang")).as("lang"),
         md5(coalesce(col("d_text"), col("text"))).as("fp"))
+  }
+
+  /** [[corpusMerge]] against a corpus laid out BUCKETED by the merge key —
+    * the shape a production 100 TB table actually keeps (the merge
+    * Scaladoc's "bucketed store" claim, made concrete): the bucketed scan
+    * already satisfies the join's hash partitioning, so the physical plan
+    * shuffles ONLY the delta (one Exchange, delta-side — plan-asserted in
+    * CurationSpec). At scale that turns the dominant merge cost — the
+    * corpus-side shuffle — into a layout property paid once at ingest,
+    * identical to [[Bucketing.bucketedLineitemOrderJoin]]'s story. Same
+    * result, same oracle as the plain merge. */
+  def corpusMergeBucketed(spark: SparkSession, dir: String): DataFrame =
+    mergeInto(spark.table(ensureBucketedDocs(spark, dir)),
+      corpusDelta(spark, dir))
+
+  private val bucketedDocsStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Stage `documents` as a table bucketed+sorted by doc_id (idempotent
+    * per session+corpus; Bench pre-builds it as `bucketed_docs`) and
+    * return the table name. Same latch discipline as
+    * [[Bucketing.ensureBucketedTables]]. */
+  def ensureBucketedDocs(spark: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"documents_bucketed_$tag"
+    val key = spark.sparkContext.applicationId + "|" + dir
+    if (!bucketedDocsStaged.contains(key)) bucketedDocsStaged.synchronized {
+      if (!bucketedDocsStaged.contains(key)) {
+        Bucketing.reset(spark, name)
+        Tables.documents(spark, dir).select("doc_id", "text", "lang", "source")
+          .write.mode("overwrite")
+          .bucketBy(16, "doc_id").sortBy("doc_id")
+          .saveAsTable(name)
+        bucketedDocsStaged.add(key)
+      }
+    }
+    name
   }
 
   /** SNAPSHOT VERSIONING — the reproducibility half of corpus

@@ -336,6 +336,18 @@ class CurationSpec extends AnyFunSuite {
     assert(keptFps.exceptAll(expKept).isEmpty && expKept.exceptAll(keptFps).isEmpty)
   }
 
+  test("bucketed merge: equals the plain merge and shuffles ONLY the delta side") {
+    val plain = Curation.corpusMerge(spark, sf)
+    val bucketed = Curation.corpusMergeBucketed(spark, sf)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    // the corpus side reads co-located buckets: exactly one Exchange in
+    // the whole plan, feeding the DELTA side of the full-outer join
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    val exchanges = "(?i)\\bExchange\\b".r.findAllIn(planStr).length
+    assert(exchanges == 1,
+      s"expected only the delta-side Exchange, got $exchanges:\n$planStr")
+  }
+
   test("snapshots: v0 stays byte-identical after the merge (time travel), v1 differs by the delta") {
     val base = Tables.documents(spark, sf)
     val rows = Curation.snapshotVersions(spark, sf).collect()
