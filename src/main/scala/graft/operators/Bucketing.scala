@@ -37,38 +37,52 @@ object Bucketing {
     }
   }
 
-  /** Once-per-(session, corpus) latch for the bucketed-table ingest. The
-    * whole point of bucketing is paying the layout shuffle ONCE at ingest
-    * so every subsequent join is Exchange-free — re-writing the tables
-    * inside the query would charge the ingest to every run (the r8 bench
-    * showed exactly that: 3.1 s of which the join was a fraction). Table
-    * names carry the corpus tag so concurrent flows over different sf
-    * dirs in one session never clobber each other's layout. */
-  private val stagedBuckets =
+  /** Once-per-(session, corpus, table) latch for bucketed-table ingest —
+    * shared by the fact tables here and the bucketed documents corpus
+    * ([[Curation.ensureBucketedDocs]]). The whole point of bucketing is
+    * paying the layout shuffle ONCE at ingest so every subsequent join is
+    * Exchange-free — re-writing the tables inside the query would charge
+    * the ingest to every run (the r8 bench showed exactly that: 3.1 s of
+    * which the join was a fraction). Table names carry the corpus tag so
+    * concurrent flows over different sf dirs in one session never clobber
+    * each other's layout. */
+  private val stagedTables =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The corpus-tagged table name for `base` over `dir`. */
+  private[graft] def taggedName(base: String, dir: String): String =
+    s"${base}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Run `write` (a saveAsTable of `name`) once per (session, dir, name),
+    * resetting any orphaned catalog entry/warehouse dir first. */
+  private[graft] def ensureStagedTable(spark: SparkSession, dir: String,
+                                       name: String)(write: => Unit): String = {
+    val key = spark.sparkContext.applicationId + "|" + dir + "|" + name
+    if (!stagedTables.contains(key)) stagedTables.synchronized {
+      if (!stagedTables.contains(key)) {
+        reset(spark, name)
+        write
+        stagedTables.add(key)
+      }
+    }
+    name
+  }
 
   /** Stage `lineitem`/`orders` as bucketed tables for `dir` (idempotent
     * per session+corpus; Bench pre-builds this as the `bucketed_tables`
     * store_build entry) and return the (lineitem, orders) table names. */
   def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val liT = s"lineitem_bucketed_$tag"
-    val oT = s"orders_bucketed_$tag"
-    val key = spark.sparkContext.applicationId + "|" + dir
-    if (!stagedBuckets.contains(key)) stagedBuckets.synchronized {
-      if (!stagedBuckets.contains(key)) {
-        reset(spark, liT)
-        reset(spark, oT)
-        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-          .write.mode("overwrite")
-          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(liT)
-        Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
-          .write.mode("overwrite")
-          .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(oT)
-        stagedBuckets.add(key)
-      }
+    val liT = ensureStagedTable(spark, dir, taggedName("lineitem_bucketed", dir)) {
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(taggedName("lineitem_bucketed", dir))
+    }
+    val oT = ensureStagedTable(spark, dir, taggedName("orders_bucketed", dir)) {
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(taggedName("orders_bucketed", dir))
     }
     (liT, oT)
   }

@@ -729,28 +729,17 @@ object Curation {
     mergeInto(spark.table(ensureBucketedDocs(spark, dir)),
       corpusDelta(spark, dir))
 
-  private val bucketedDocsStaged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Stage `documents` as a table bucketed+sorted by doc_id (idempotent
-    * per session+corpus; Bench pre-builds it as `bucketed_docs`) and
-    * return the table name. Same latch discipline as
-    * [[Bucketing.ensureBucketedTables]]. */
+    * per session+corpus via [[Bucketing.ensureStagedTable]]'s latch;
+    * Bench pre-builds it as `bucketed_docs`) and return the table name. */
   def ensureBucketedDocs(spark: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val name = s"documents_bucketed_$tag"
-    val key = spark.sparkContext.applicationId + "|" + dir
-    if (!bucketedDocsStaged.contains(key)) bucketedDocsStaged.synchronized {
-      if (!bucketedDocsStaged.contains(key)) {
-        Bucketing.reset(spark, name)
-        Tables.documents(spark, dir).select("doc_id", "text", "lang", "source")
-          .write.mode("overwrite")
-          .bucketBy(16, "doc_id").sortBy("doc_id")
-          .saveAsTable(name)
-        bucketedDocsStaged.add(key)
-      }
+    val name = Bucketing.taggedName("documents_bucketed", dir)
+    Bucketing.ensureStagedTable(spark, dir, name) {
+      Tables.documents(spark, dir).select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite")
+        .bucketBy(16, "doc_id").sortBy("doc_id")
+        .saveAsTable(name)
     }
-    name
   }
 
   /** SNAPSHOT VERSIONING — the reproducibility half of corpus
