@@ -336,6 +336,31 @@ class CurationSpec extends AnyFunSuite {
     assert(keptFps.exceptAll(expKept).isEmpty && expKept.exceptAll(keptFps).isEmpty)
   }
 
+  test("digests and deterministic samples are invariant to scan splits and shuffle width") {
+    // The distributed-determinism claim behind dataset versioning and
+    // reproducible sampling, driven end-to-end: shrink scan splits ~1000x
+    // (every file shatters into many input partitions) and the shuffle to
+    // 2 partitions, and the corpus digest, the fixed carveout, and the
+    // per-group quota sample must not move. Order-dependent formulations
+    // (string concat digests, first-N-rows samples) fail exactly this.
+    val digest = Curation.corpusFingerprint(spark, sf).head()
+    val fixed = Curation.sampleFixed(spark, sf).collect().map(_.getLong(0)).toSet
+    val strat = Curation.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val conf = spark.conf
+    val oldSplit = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions", "32")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      conf.set("spark.sql.shuffle.partitions", "2")
+      assert(Curation.corpusFingerprint(spark, sf).head() === digest)
+      assert(Curation.sampleFixed(spark, sf).collect().map(_.getLong(0)).toSet === fixed)
+      assert(Curation.stratifiedSample(spark, sf).collect().map(_.getLong(0)).toSet === strat)
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldSplit)
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+    }
+  }
+
   test("bucketed merge: equals the plain merge and shuffles ONLY the delta side") {
     val plain = Curation.corpusMerge(spark, sf)
     val bucketed = Curation.corpusMergeBucketed(spark, sf)
