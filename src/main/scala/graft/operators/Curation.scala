@@ -698,6 +698,24 @@ object Curation {
       Tables.documents(spark, dir).select("doc_id", "text", "lang", "source"),
       corpusDelta(spark, dir))
 
+  /** Delta-wins keyed merge of full document rows — the TEXT-level merge
+    * kernel: full-outer join on doc_id, every column coalesced delta-first.
+    * Shared by the snapshot builder (which digests its output) and the
+    * merge property tests (idempotence: applying a delta twice equals
+    * once; split-application: applying a delta in key-disjoint halves
+    * equals applying it at once — the algebra that makes the streaming
+    * micro-batched upsert land on the batch merge). */
+  private[graft] def mergeTexts(base: DataFrame, delta: DataFrame): DataFrame = {
+    val d = delta.select(col("doc_id").as("d_id"), col("text").as("d_text"),
+      col("lang").as("d_lang"), col("source").as("d_source"))
+    base.join(d, col("doc_id") === col("d_id"), "full_outer")
+      .select(
+        coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+        coalesce(col("d_text"), col("text")).as("text"),
+        coalesce(col("d_lang"), col("lang")).as("lang"),
+        coalesce(col("d_source"), col("source")).as("source"))
+  }
+
   /** The merge kernel shared by [[corpusMerge]] (plain corpus scan — both
     * sides shuffle) and [[corpusMergeBucketed]] (bucketed corpus — only
     * the delta shuffles): full-outer join on the key, delta-wins
@@ -762,14 +780,10 @@ object Curation {
     Dedup.ensureArtifact(s"snapshots-${dir.replace('/', '_')}") { tmp =>
       def h(id: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column) =
         conv(substring(md5(concat_ws("|", id, text)), 1, 8), 16, 10).cast("long")
-      val base = Tables.documents(spark, dir).select("doc_id", "text")
+      val base = Tables.documents(spark, dir).select("doc_id", "text", "lang", "source")
       base.select(col("doc_id"), h(col("doc_id"), col("text")).as("h"))
         .write.mode("overwrite").parquet(tmp.resolve("v=0").toString)
-      val delta = corpusDelta(spark, dir)
-        .select(col("doc_id").as("d_id"), col("text").as("d_text"))
-      base.join(delta, col("doc_id") === col("d_id"), "full_outer")
-        .select(coalesce(col("doc_id"), col("d_id")).as("doc_id"),
-          coalesce(col("d_text"), col("text")).as("text"))
+      mergeTexts(base, corpusDelta(spark, dir))
         .select(col("doc_id"), h(col("doc_id"), col("text")).as("h"))
         .write.mode("overwrite").parquet(tmp.resolve("v=1").toString)
     }.toString

@@ -40,6 +40,42 @@ class RoundTripPropertySpec extends AnyFunSuite {
     assert(d.distinct().count() == d.count())
   }
 
+  test("merge algebra: idempotent, and key-disjoint split application equals one-shot") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // random keyed corpora: overlapping/disjoint key ranges, duplicate
+    // text values, empty-ish deltas — keys unique WITHIN each side, as
+    // the merge contract requires
+    val rowGen: Gen[(Long, String)] = for {
+      id <- Gen.choose(0L, 40L); t <- Gen.alphaNumStr
+    } yield (id, t)
+    val frameGen: Gen[Map[Long, String]] =
+      Gen.choose(0, 25).flatMap(Gen.listOfN(_, rowGen)).map(_.toMap)
+    def df(m: Map[Long, String]) =
+      m.toSeq.map { case (id, t) => (id, t, "en", "src") }
+        .toDF("doc_id", "text", "lang", "source")
+    val cases = samples(Gen.zip(frameGen, frameGen), 12)
+    assert(cases.nonEmpty)
+    cases.foreach { case (baseM, deltaM) =>
+      val once = Curation.mergeTexts(df(baseM), df(deltaM)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      // reference semantics: delta wins on key overlap
+      assert(once === baseM ++ deltaM)
+      // idempotence: re-applying the same delta changes nothing
+      val twice = Curation.mergeTexts(
+        Curation.mergeTexts(df(baseM), df(deltaM)), df(deltaM)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(twice === once)
+      // split application (the streaming micro-batch algebra): applying
+      // the delta in two key-disjoint halves equals applying it at once
+      val (d1, d2) = deltaM.partition(_._1 % 2 == 0)
+      val split = Curation.mergeTexts(
+        Curation.mergeTexts(df(baseM), df(d1)), df(d2)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(split === once)
+    }
+  }
+
   test("connected components equals reference union-find on random graphs") {
     import spark.implicits._
     // random sparse graphs over <= 30 nodes: chains, cliques-by-accident,
