@@ -160,6 +160,7 @@ object Bench {
       "evolving_batches" -> (() => operators.Pipeline.ensureEvolvingBatches(spark, sfDir)),
       "snapshots" -> (() => operators.Curation.ensureSnapshots(spark, sfDir)),
       "bucketed_docs" -> (() => operators.Curation.ensureBucketedDocs(spark, sfDir)),
+      "nested_orders" -> (() => operators.Bucketing.ensureNestedOrders(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

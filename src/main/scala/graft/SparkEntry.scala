@@ -86,6 +86,9 @@ object SparkEntry {
     // dynamic partition pruning: runtime dim predicate prunes fact
     // partition directories (dynamicpruning subquery, plan-asserted)
     "q_dpp_join"          -> ((s, d) => Bucketing.dppJoin(s, d)),
+    // nested-column pruning: only the touched struct SUBFIELDS reach the
+    // parquet reader (ReadSchema plan-asserted)
+    "q_nested_prune"      -> ((s, d) => Bucketing.nestedPrunedScan(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // regex field extraction (parser-family pattern arm)
@@ -412,6 +415,7 @@ object SparkEntry {
     "q_session_window" -> Analytics.sessionWindowAggOracleSql(),
     "q_partition_pruned" -> Bucketing.partitionPrunedEventsOracleSql(),
     "q_dpp_join" -> Bucketing.dppJoinOracleSql,
+    "q_nested_prune" -> Bucketing.nestedPrunedScanOracleSql,
     "q_regex_parse" -> Relational.regexParseOracleSql,
     "q_zorder_key" -> Bucketing.zorderKeyOracleSql(),
     "q_zorder_scan" -> Bucketing.zorderScanOracleSql(),

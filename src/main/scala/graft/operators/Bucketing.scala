@@ -228,6 +228,37 @@ object Bucketing {
         WHERE ub BETWEEN $uLo AND $uHi AND hb BETWEEN $hLo AND $hHi"""
   }
 
+  /** NESTED-COLUMN pruning — the scan story for TYPED METADATA columns
+    * (the multimodal tables carry struct metadata; LLM corpora carry
+    * struct provenance/license blocks): a struct column is staged once
+    * (`nested_orders` store_build input, like the other fixtures), then
+    * read touching only TWO of its three fields. Catalyst's nested-schema
+    * pruning pushes the SUBFIELD projection into the parquet reader
+    * (ReadSchema lists meta.status/meta.price but NOT meta.priority —
+    * plan-asserted in BucketingSpec), so at 100 TB a wide metadata struct
+    * costs only the fields a query touches, exactly like top-level column
+    * pruning. The oracle recomputes the aggregate from the flat source. */
+  def ensureNestedOrders(spark: SparkSession, dir: String): String =
+    Dedup.ensureArtifact(s"nested-${dir.replace('/', '_')}") { tmp =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"),
+            col("o_totalprice").as("price")).as("meta"))
+        .write.mode("overwrite").parquet(tmp.resolve("data").toString)
+    }.toString + "/data"
+
+  def nestedPrunedScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureNestedOrders(spark, dir))
+      .groupBy(col("meta.status").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("meta.price").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+
+  val nestedPrunedScanOracleSql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   def zorderKeyOracleSql(bits: Int = 10): String = {
     val mask = (1 << bits) - 1
     // each shift term fully parenthesized: SQL `+` binds tighter than `<<`

@@ -60,6 +60,30 @@ class BucketingSpec extends AnyFunSuite {
     assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
   }
 
+  test("nested pruning: only the touched struct subfields reach the parquet reader") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val out = Bucketing.nestedPrunedScan(spark, sf)
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the nested layout")
+    val read = scans.head.requiredSchema.catalogString
+    assert(read.contains("status") && read.contains("price"),
+      s"touched subfields must be read: $read")
+    assert(!read.contains("priority"),
+      s"untouched struct subfield must be pruned from the scan: $read")
+    // result equality with the flat source
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+  }
+
   test("dpp join: fact scan carries a dynamicpruning partition filter") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
