@@ -41,6 +41,10 @@ object Sessions {
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.LevenshteinWithin.name),
             graft.functions.LevenshteinWithin.info,
             graft.functions.LevenshteinWithin.builder))
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.UnicodeNormalize.name),
+            graft.functions.UnicodeNormalize.info,
+            graft.functions.UnicodeNormalize.builder))
       }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")

@@ -139,6 +139,9 @@ object SparkEntry {
     "q_doc_fingerprint"   -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "q_script_profile"    -> ((s, d) => TextAnalysis.scriptProfile(s, d)),
     "q_token_counts"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    // Unicode NFC canonicalization (codegen'd custom expression; DuckDB's
+    // own nfc_normalize as the independent-implementation oracle)
+    "q_unicode_nfc"       -> ((s, d) => TextAnalysis.unicodeNfc(s, d)),
     // Gopher-style intra-doc repetition quality signal
     "q_repetition"        -> ((s, d) => TextAnalysis.repetitionScore(s, d)),
     // unigram cross-entropy quality score (perplexity proxy)
@@ -662,6 +665,7 @@ object SparkEntry {
     "q_doc_logprob" -> TextAnalysis.docLogProbOracleSql,
     "q_bigram_logprob" -> TextAnalysis.bigramLogProbOracleSql(),
     "q_source_quality" -> TextAnalysis.sourceQualityOracleSql(),
+    "q_unicode_nfc" -> TextAnalysis.unicodeNfcOracleSql,
     "q_keywords_tfidf" -> TextAnalysis.keywordsTfidfOracleSql(),
     "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH

@@ -557,4 +557,35 @@ object TextAnalysis {
        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
        ORDER BY doc_id, term"""
   }
+
+  /** UNICODE NFC normalization over the corpus — the canonicalization
+    * stage upstream of tokenization/dedup (the reference's Korean text
+    * is exactly where precomposed syllables vs conjoining jamo collide,
+    * `dag-knlp.py:122-152`). Denormalized input is synthesized
+    * deterministically (every 'e' decomposed into e + U+0301 combining
+    * acute), then canonicalized by the codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression; the emitted
+    * before/after char counts and post-NFC digest are byte-pinned by
+    * DuckDB's own `nfc_normalize` — two independent implementations of
+    * the Unicode standard agreeing on every document. Narrow per-row
+    * pipeline, no shuffle (Verify adds the canonical dump sort). */
+  def unicodeNfc(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e" + "\u0301").as("decomposed"))
+      .select(col("doc_id"),
+        length(col("decomposed")).as("n_chars_raw"),
+        expr("length(nfc_normalize(decomposed))").as("n_chars_nfc"),
+        expr("md5(nfc_normalize(decomposed))").as("fp"))
+
+  /** DuckDB oracle for [[unicodeNfc]] — same decomposition, DuckDB's own
+    * nfc_normalize. */
+  val unicodeNfcOracleSql: String =
+    """SELECT doc_id,
+              length(decomposed) AS n_chars_raw,
+              length(nfc_normalize(decomposed)) AS n_chars_nfc,
+              md5(nfc_normalize(decomposed)) AS fp
+       FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS decomposed
+             FROM documents) t
+       ORDER BY doc_id"""
 }
