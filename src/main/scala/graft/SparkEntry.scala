@@ -155,6 +155,11 @@ object SparkEntry {
     // count-min sketch heavy hitters (third sketch family next to
     // HLL++/GK); exact counts oracle-checked, sketch bound self-verified
     "q_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsTokenCounts(s, d)),
+    // inverted-index head: df + bounded posting heads via a custom
+    // SmallestKLongs aggregator (map-side k-element state, no sort)
+    "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    // PMI collocation mining (tokenizer-vocabulary promotion signal)
+    "q_pmi_collocations"  -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -228,6 +233,13 @@ object SparkEntry {
     "q_training_records"  -> ((s, d) => Curation.trainingRecords(s, d)),
     // boilerplate mining: k-grams shared by the most documents
     "q_common_ngrams"     -> ((s, d) => Curation.commonNgrams(s, d)),
+    // PII scrub: plant deterministic email/phone/IP fixtures, redact
+    // with codegen'd regex passes, audit counts + corpus digest
+    "q_pii_redact"        -> ((s, d) => Curation.piiRedact(s, d)),
+    // C4-style line-level exact dedup (first-occurrence keeps, corpus audit)
+    "q_line_dedup"        -> ((s, d) => Curation.lineDedup(s, d)),
+    // retrieval-prep sliding-window chunker (50-token windows, stride 25)
+    "q_chunk_sliding"     -> ((s, d) => Curation.chunkSliding(s, d)),
     // ...and the per-doc boilerplate fraction against the mined set
     "q_boilerplate_score" -> ((s, d) => Curation.boilerplateScore(s, d)),
     // fixed-width value histogram per event type
@@ -668,6 +680,11 @@ object SparkEntry {
     "q_unicode_nfc" -> TextAnalysis.unicodeNfcOracleSql,
     "q_keywords_tfidf" -> TextAnalysis.keywordsTfidfOracleSql(),
     "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
+    "q_inverted_index" -> TextAnalysis.invertedIndexOracleSql(),
+    "q_pmi_collocations" -> TextAnalysis.pmiCollocationsOracleSql(),
+    "q_pii_redact" -> Curation.piiRedactOracleSql,
+    "q_line_dedup" -> Curation.lineDedupOracleSql(),
+    "q_chunk_sliding" -> Curation.chunkSlidingOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

@@ -39,8 +39,37 @@ class TopKDoubles(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Bounded smallest-k LONGS — the ascending twin of [[TopKDoubles]],
+  * built for posting-list heads (first k doc ids of an inverted-index
+  * entry). Same 100 TB argument: the alternative
+  * (`slice(sort_array(collect_set(id)), 1, k)`) materializes EVERY id of
+  * the group before slicing — document-frequency-sized state for common
+  * tokens — while this state never exceeds k longs per (partition,
+  * group). Inputs are assumed distinct per group (the caller feeds
+  * already-deduplicated pairs); the ascending-sorted ≤k Vector makes
+  * `merge` associative/commutative, so partial aggregation is safe. */
+class SmallestKLongs(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+  def zero: Seq[Long] = Vector.empty
+  def reduce(b: Seq[Long], a: Long): Seq[Long] =
+    if (b.size < k) (b :+ a).sorted
+    else if (a < b.last) (b.init :+ a).sorted
+    else b
+  def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).sorted.take(k)
+  def finish(r: Seq[Long]): Seq[Long] = r
+  def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object TopKAgg {
   /** Register `top_k_3(value)` for SQL use (idempotent per session). */
   def register(spark: SparkSession, k: Int = 3): Unit =
     spark.udf.register(s"top_k_$k", udaf(new TopKDoubles(k), Encoders.scalaDouble))
+
+  /** Register `smallest_k_5(id)` for SQL use (idempotent per session). */
+  def registerSmallest(spark: SparkSession, k: Int = 5): Unit =
+    spark.udf.register(s"smallest_k_$k", udaf(new SmallestKLongs(k), Encoders.scalaLong))
 }

@@ -839,4 +839,199 @@ object Curation {
               md5(coalesce(d.text, b.text)) AS fp
        FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------------
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII REDACTION — the compliance pass every web-scale corpus runs
+    * before training: emails, phone numbers, and IPv4 addresses are
+    * replaced by typed placeholders and the scrub is audited (per-type
+    * match counts + a content digest of the redacted corpus, so a
+    * re-run can prove the SAME scrub shipped). The synthetic corpus
+    * contains no PII, so the query first plants deterministic fixtures
+    * derived from `doc_id` (every 7th doc an email, 11th a phone, 13th
+    * an IP) — the oracle replants the identical strings, making the
+    * redaction itself the thing under test rather than the planting.
+    *
+    * Scale shape: one narrow scan — concat, three codegen'd
+    * `regexp_extract_all`/`regexp_replace` passes, and a 1-row partial
+    * aggregate. No shuffle, no UDF; the regexes are Java-compiled once
+    * per task. The digest is the [[corpusFingerprint]] commutative-sum
+    * construction, so it is independent of partitioning and row order. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" from 192.168."), (col("doc_id") % 256).cast("string"), lit("."),
+          expr("(doc_id div 7) % 256").cast("string"), lit(" host")))
+        .otherwise(lit(""))).as("text"))
+    val red = planted.select(
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("ne"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("np"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("ni"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>").as("redacted"))
+    red.agg(
+      sum(when(col("ne") + col("np") + col("ni") > 0, 1L).otherwise(0L)).as("n_docs_pii"),
+      sum(col("ne").cast("long")).as("n_emails"),
+      sum(col("np").cast("long")).as("n_phones"),
+      sum(col("ni").cast("long")).as("n_ips"),
+      sum(conv(substring(md5(col("redacted")), 1, 8), 16, 10).cast("long"))
+        .as("redacted_digest"))
+  }
+
+  /** DuckDB oracle for [[piiRedact]] — identical planting expressions,
+    * identical regexes (both engines compile these patterns to the same
+    * semantics), identical replace order, same commutative digest. */
+  val piiRedactOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH planted AS (
+         SELECT doc_id, text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id // 7) % 256 AS VARCHAR) || ' host' ELSE '' END
+           AS text
+         FROM documents),
+       red AS (
+         SELECT
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+           len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS np,
+           len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ni,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+         FROM planted)
+       SELECT CAST(count(*) FILTER (ne + np + ni > 0) AS BIGINT) AS n_docs_pii,
+              CAST(sum(ne) AS BIGINT) AS n_emails,
+              CAST(sum(np) AS BIGINT) AS n_phones,
+              CAST(sum(ni) AS BIGINT) AS n_ips,
+              CAST(sum($hexToLong) AS BIGINT) AS redacted_digest
+       FROM (SELECT ne, np, ni, substr(md5(redacted), 1, 8) AS h8 FROM red) t"""
+  }
+
+  // ---------------------------------------------------------------------
+  // Line-level (block) exact dedup
+  // ---------------------------------------------------------------------
+
+  /** LINE-LEVEL EXACT DEDUP (C4-style) — the sub-document twin of
+    * [[graft.operators.Dedup]]'s whole-document dedup: boilerplate
+    * (navigation bars, license headers, cookie banners) repeats ACROSS
+    * documents that are not themselves duplicates, so production corpora
+    * drop every repeated LINE, keeping only its first occurrence. The
+    * synthetic corpus has no newlines, so "line" here is each
+    * consecutive `block`-word window (non-overlapping), which exercises
+    * the identical plan shape. Emits the corpus-level audit a curation
+    * run reports: total blocks, distinct blocks, instances that would be
+    * removed (non-first by global (doc_id, position) order), documents
+    * touched, and words deleted.
+    *
+    * Scale shape: one narrow explode (no pre-shuffle), then ONE shuffle
+    * partitioned by block text for the first-occurrence window — the
+    * same content-keyed exchange exact dedup pays, with dup groups tiny
+    * by nature so the per-group sort is O(dups). The final 1-row
+    * aggregate is partial-combined. At 100 TB the only growth axis is
+    * the shuffle, which AQE coalesces like any groupBy on a
+    * high-cardinality key. */
+  def lineDedup(spark: SparkSession, dir: String, block: Int = 10): DataFrame = {
+    val rk = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(words) >= $block THEN
+              transform(sequence(0, CAST(size(words) / $block AS INT) - 1),
+                        j -> array_join(slice(words, j * $block + 1, $block), ' '))
+            ELSE array() END""")))
+      .toDF("doc_id", "block_idx", "block")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("block").orderBy("doc_id", "block_idx")))
+    rk.agg(
+      count(lit(1)).as("total_blocks"),
+      countDistinct(col("block")).as("distinct_blocks"),
+      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_blocks"),
+      countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"),
+      (sum(when(col("rn") > 1, 1L).otherwise(0L)) * block).as("words_removed"))
+  }
+
+  /** DuckDB oracle for [[lineDedup]] — same blocks, same first-occurrence
+    * rank, same aggregates. */
+  def lineDedupOracleSql(block: Int = 10): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       blk AS (
+         SELECT doc_id, j AS block_idx,
+                array_to_string(words[j * $block + 1 : j * $block + $block], ' ') AS block
+         FROM w, unnest(range(0, CAST(len(words) // $block AS BIGINT))) AS t(j)),
+       rk AS (
+         SELECT doc_id, block,
+                row_number() OVER (PARTITION BY block ORDER BY doc_id, block_idx) AS rn
+         FROM blk)
+       SELECT count(*) AS total_blocks,
+              count(DISTINCT block) AS distinct_blocks,
+              CAST(count(*) FILTER (rn > 1) AS BIGINT) AS removed_blocks,
+              CAST(count(DISTINCT doc_id) FILTER (rn > 1) AS BIGINT) AS docs_affected,
+              CAST(count(*) FILTER (rn > 1) * $block AS BIGINT) AS words_removed
+       FROM rk"""
+
+  // ---------------------------------------------------------------------
+  // Sliding-window chunking
+  // ---------------------------------------------------------------------
+
+  /** SLIDING-WINDOW CHUNKER — the retrieval/embedding prep step: split
+    * each document into `width`-token windows every `stride` tokens
+    * (50% overlap at the defaults) so no boundary-spanning passage is
+    * lost to a hard cut. Trailing windows shorter than `minTok` are
+    * dropped except chunk 0, so every document yields at least one
+    * chunk. Emits (doc_id, chunk_idx, n_tokens, chunk_md5) — the digest
+    * stands in for the chunk text a real pipeline would ship to the
+    * embedder.
+    *
+    * Scale shape: pure narrow map (split → bounded transform → explode →
+    * hash), zero shuffles before the presentation sort; the per-doc
+    * fan-out is ⌈len/stride⌉, bounded by document length. This is the
+    * shape that feeds [[graft.operators.Similarity]]'s ANN stages at
+    * 100 TB — chunking and embedding-prep must not cost an exchange. */
+  def chunkSliding(spark: SparkSession, dir: String, width: Int = 50,
+                   stride: Int = 25, minTok: Int = 10, k: Int = 200): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(words) + ${stride - 1}) / $stride AS INT) - 1),
+                      j -> slice(words, j * $stride + 1, $width))""")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .where(col("chunk_idx") === 0 || size(col("chunk")) >= minTok)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx").limit(k)
+
+  /** DuckDB oracle for [[chunkSliding]] — same windows, same keep rule,
+    * same digest; (doc_id, chunk_idx) is a key so the LIMIT is
+    * deterministic under the shared sort. */
+  def chunkSlidingOracleSql(width: Int = 50, stride: Int = 25,
+                            minTok: Int = 10, k: Int = 200): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       c AS (
+         SELECT doc_id, j AS chunk_idx,
+                len(words[j * $stride + 1 : j * $stride + $width]) AS n_tokens,
+                md5(array_to_string(words[j * $stride + 1 : j * $stride + $width], ' ')) AS chunk_md5
+         FROM w, unnest(range(0, (CAST(len(words) AS BIGINT) + ${stride - 1}) // $stride)) AS t(j)
+         WHERE j = 0 OR len(words[j * $stride + 1 : j * $stride + $width]) >= $minTok)
+       SELECT doc_id, chunk_idx, CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+       FROM c ORDER BY doc_id, chunk_idx LIMIT $k"""
 }

@@ -588,4 +588,109 @@ object TextAnalysis {
        FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS decomposed
              FROM documents) t
        ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // Inverted index
+  // ---------------------------------------------------------------------
+
+  /** INVERTED INDEX head — the retrieval-side artifact behind [[bm25]]:
+    * per token, its document frequency and the first `p` posting doc ids.
+    * Output is the `k` highest-df entries (ties broken by token), the
+    * "stopword report" a corpus audit prints.
+    *
+    * Scale shape: the posting heads come from a custom bounded
+    * [[graft.functions.SmallestKLongs]] aggregator, NOT
+    * `slice(sort_array(collect_set(id)), 1, p)` — collect_set holds the
+    * WHOLE posting list per token in aggregation state (df-sized for
+    * stopwords: tens of billions of ids at 100 TB), while the bounded
+    * aggregator's partial state never exceeds p longs per (task, token)
+    * and merges associatively, so the map side ships k-vectors, not
+    * posting lists. One explode + one partial-aggregated groupBy +
+    * TakeOrdered(k); per-doc `array_distinct` dedups before the shuffle
+    * so (doc, token) pairs cross it at most once. */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    k: Int = 25, p: Int = 5): DataFrame = {
+    val smallest = udaf(new graft.functions.SmallestKLongs(p),
+      org.apache.spark.sql.Encoders.scalaLong)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", smallest(col("doc_id"))).as("postings"))
+      .orderBy(col("df").desc, col("token")).limit(k)
+  }
+
+  /** DuckDB oracle for [[invertedIndex]] — full sorted posting list
+    * sliced to p (tractable at oracle scale; the Spark side bounds the
+    * state instead, which is the point under test). */
+  def invertedIndexOracleSql(k: Int = 25, p: Int = 5): String =
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+       df AS (SELECT token, count(*) AS df,
+                     array_to_string(list_sort(list(doc_id))[1:$p], ',') AS postings
+              FROM tok GROUP BY token)
+       SELECT token, df, postings FROM df ORDER BY df DESC, token LIMIT $k"""
+
+  // ---------------------------------------------------------------------
+  // PMI collocations
+  // ---------------------------------------------------------------------
+
+  /** PMI COLLOCATIONS — pointwise mutual information over adjacent word
+    * pairs, the classic collocation detector (phrases like "machine
+    * learning" that co-occur far above chance): PMI(x,y) =
+    * ln(c(xy)·N / (c(x)·c(y))), reported for pairs with count ≥
+    * `minCount`, top `k` by score. Tokenizer-vocabulary builders use
+    * exactly this to promote pairs to merged tokens.
+    *
+    * Scale shape: the bigram TYPE table is min-count-filtered BEFORE its
+    * two unigram joins, so the join input is the (tiny) surviving
+    * vocabulary, not vocabulary²; unigram counts and N come from one
+    * partial-aggregated token pass. Joins are left unhinted — AQE
+    * broadcasts the filtered type tables from measured size and falls
+    * back to key-shuffles at web-corpus vocabulary. The double
+    * arithmetic is spelled in the identical order in both engines
+    * ((c·N) / (c₁·c₂), then ln, then round 6) so the hash compare is
+    * bit-stable — the [[docLogProb]] determinism pattern. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Int = 5, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cu = docs.select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val total = cu.agg(sum(col("cu")).cast("long").as("n"))
+    val cbg = docs.select(explode(gramList(2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cbg"))
+      .where(col("cbg") >= minCount)
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      .withColumn("w2", expr("split(bigram, ' ')[1]"))
+    cbg
+      .join(cu.select(col("token").as("w1"), col("cu").as("cu1")), "w1")
+      .join(cu.select(col("token").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(total)
+      .select(col("bigram"), col("cbg").as("n_pair"),
+        round(log((col("cbg").cast("double") * col("n"))
+          / (col("cu1").cast("double") * col("cu2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+  }
+
+  /** DuckDB oracle for [[pmiCollocations]] — same counts, same operation
+    * order, same rounding. */
+  def pmiCollocationsOracleSql(minCount: Int = 5, k: Int = 20): String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+       bg AS (SELECT array_to_string(words[i : i + 1], ' ') AS bigram,
+                     words[i] AS w1, words[i + 1] AS w2
+              FROM w, unnest(range(1, CAST(len(words) AS BIGINT))) AS t(i)),
+       tok AS (SELECT unnest(words) AS token FROM w),
+       cu AS (SELECT token, count(*) AS cu FROM tok GROUP BY token),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+       cbg AS (SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2,
+                      count(*) AS cbg
+               FROM bg GROUP BY bigram HAVING count(*) >= $minCount)
+       SELECT bigram, cbg AS n_pair,
+              round(ln((CAST(cbg AS DOUBLE) * tot.n)
+                / (CAST(c1.cu AS DOUBLE) * c2.cu)), 6) AS pmi
+       FROM cbg JOIN cu c1 ON cbg.w1 = c1.token
+                JOIN cu c2 ON cbg.w2 = c2.token
+                CROSS JOIN tot
+       ORDER BY pmi DESC, bigram LIMIT $k"""
 }

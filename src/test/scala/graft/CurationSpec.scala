@@ -399,4 +399,76 @@ class CurationSpec extends AnyFunSuite {
     val v0only = spark.read.parquet(s"$root/v=0").agg(count(lit(1)), sum(col("h"))).head()
     assert((v0only.getLong(0), v0only.getLong(1)) === rows(0))
   }
+
+  test("pii redact: every planted fixture is found, none survives redaction") {
+    val row = Curation.piiRedact(spark, sf).head()
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // the word-soup corpus contains no organic PII, so per-type counts
+    // equal the planting cardinalities exactly
+    assert(row.getLong(1) == ids.count(_ % 7 == 0).toLong, "emails")
+    assert(row.getLong(2) == ids.count(_ % 11 == 0).toLong, "phones")
+    assert(row.getLong(3) == ids.count(_ % 13 == 0).toLong, "ips")
+    assert(row.getLong(0) == ids.count(i => i % 7 == 0 || i % 11 == 0 || i % 13 == 0).toLong)
+    // determinism: the digest is a pure function of the corpus
+    assert(Curation.piiRedact(spark, sf).head().getLong(4) == row.getLong(4))
+    // and the scrub is total: re-scanning the redacted text finds nothing
+    val leftovers = Tables.documents(spark, sf)
+      .select(regexp_replace(regexp_replace(regexp_replace(
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" x0@example.com")).otherwise(lit(""))),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{3}-\\d{4}\\b", "<PHONE>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("t"))
+      .filter(col("t").rlike("@example\\.com|\\b\\d{3}-\\d{4}\\b"))
+      .count()
+    assert(leftovers == 0, "redaction left a matchable PII literal behind")
+  }
+
+  test("line dedup: matches a brute-force recount, invariants hold") {
+    val row = Curation.lineDedup(spark, sf).head()
+    val (total, distinct, removed, affected, words) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(total == distinct + removed, "every block is either a keeper or removed")
+    assert(words == removed * 10)
+    assert(affected <= removed && (removed == 0 || affected > 0))
+    // brute force over the collected corpus (500 docs at spec sf)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .sortBy(_._1)
+    val blocks = docs.flatMap { case (id, ws) =>
+      (0 until ws.length / 10).map(j => (id, j, ws.slice(j * 10, j * 10 + 10).mkString(" ")))
+    }
+    val firstOf = blocks.groupBy(_._3).map { case (b, g) => b -> g.map(t => (t._1, t._2)).min }
+    val removedBrute = blocks.count(t => firstOf(t._3) != ((t._1, t._2)))
+    assert(total == blocks.length.toLong)
+    assert(distinct == firstOf.size.toLong)
+    assert(removed == removedBrute.toLong)
+    assert(affected ==
+      blocks.filter(t => firstOf(t._3) != ((t._1, t._2))).map(_._1).distinct.length.toLong)
+  }
+
+  test("sliding chunker: full coverage, overlap, and per-chunk width law") {
+    // k large enough to keep every chunk at spec sf
+    val rows = Curation.chunkSliding(spark, sf, k = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(byDoc.keySet == docs.keySet, "every document yields at least one chunk")
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id).length
+      val idxs = cs.map(_._2).sorted
+      assert(idxs.head == 0)
+      cs.foreach { case (_, j, nt, _) =>
+        val expect = math.min(50, n - j * 25)
+        assert(nt == expect.toLong, s"doc $id chunk $j width")
+        assert(j == 0 || nt >= 10)
+      }
+      // total coverage: a tail window short enough to be dropped (<10
+      // tokens) starts <25 tokens from the end, i.e. inside the previous
+      // width-50 window — so the kept chunks always reach token n
+      assert(cs.map(c => c._2 * 25 + c._3).max == n.toLong, s"doc $id coverage")
+    }
+  }
 }

@@ -138,4 +138,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fromSources == keepTotal,
       s"source keep rates re-add to $fromSources, docQuality says $keepTotal")
   }
+
+  test("inverted index: bounded aggregator equals the unbounded construction") {
+    import org.apache.spark.sql.functions._
+    // SmallestKLongs algebra first (pure Scala): bounded, sorted, and
+    // merge-order-independent
+    val agg = new graft.functions.SmallestKLongs(3)
+    val xs = Seq(9L, 2L, 7L, 1L, 8L, 3L)
+    val folded = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(folded == Seq(1L, 2L, 3L))
+    val (l, r) = xs.splitAt(2)
+    val m1 = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    val m2 = agg.merge(r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+    assert(m1 == folded && m2 == folded)
+
+    val got = TextAnalysis.invertedIndex(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // unbounded reference: full posting set, sorted, sliced — must agree
+    val ref = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ", -1))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", slice(sort_array(collect_set(col("doc_id"))), 1, 5)).as("postings"))
+      .orderBy(col("df").desc, col("token")).limit(25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == ref.toSeq)
+    // df is non-increasing and postings are ascending
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    got.foreach { case (_, _, ps) =>
+      val ids = ps.split(",").map(_.toLong)
+      assert(ids.length <= 5 && (ids.toSeq == ids.sorted.toSeq))
+    }
+  }
+
+  test("pmi collocations: scores match brute-force counts, ordered, floored") {
+    val got = TextAnalysis.pmiCollocations(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.forall(_._2 >= 5), "min-count floor")
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), "pmi desc")
+    // brute-force the corpus counts and recompute each reported score
+    val texts = Tables.documents(spark, sf).select("text")
+      .collect().map(_.getString(0).split(" ", -1))
+    val cu = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cbg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var n = 0L
+    texts.foreach { ws =>
+      ws.foreach { w => cu(w) += 1; n += 1 }
+      ws.sliding(2).foreach { p => if (p.length == 2) cbg(p.mkString(" ")) += 1 }
+    }
+    got.foreach { case (bg, np, pmi) =>
+      assert(np == cbg(bg), s"pair count for '$bg'")
+      val Array(w1, w2) = bg.split(" ")
+      val expect = BigDecimal(math.log((np.toDouble * n) / (cu(w1).toDouble * cu(w2))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(pmi - expect) < 1e-9, s"pmi for '$bg': got $pmi want $expect")
+    }
+  }
 }
