@@ -943,13 +943,16 @@ object Curation {
     * removed (non-first by global (doc_id, position) order), documents
     * touched, and words deleted.
     *
-    * Scale shape: one narrow explode (no pre-shuffle), then ONE shuffle
-    * partitioned by block text for the first-occurrence window — the
-    * same content-keyed exchange exact dedup pays, with dup groups tiny
-    * by nature so the per-group sort is O(dups). The final 1-row
-    * aggregate is partial-combined. At 100 TB the only growth axis is
-    * the shuffle, which AQE coalesces like any groupBy on a
-    * high-cardinality key. */
+    * Scale shape: one narrow explode (no pre-shuffle), then ONE
+    * corpus-sized shuffle partitioned by block text for the
+    * first-occurrence window — the same content-keyed exchange exact
+    * dedup pays, with dup groups tiny by nature so the per-group sort is
+    * O(dups). Every audit number then derives from keeper ARITHMETIC
+    * (each distinct block contributes exactly one rn=1 keeper, so
+    * distinct = total − removed) via a per-doc partial aggregate — no
+    * `countDistinct`, whose two-distinct Expand plan would triple the
+    * exploded corpus through the aggregate. The two downstream exchanges
+    * move doc-count-sized rows, not blocks. */
   def lineDedup(spark: SparkSession, dir: String, block: Int = 10): DataFrame = {
     val rk = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
@@ -961,12 +964,15 @@ object Curation {
       .toDF("doc_id", "block_idx", "block")
       .withColumn("rn", row_number().over(
         Window.partitionBy("block").orderBy("doc_id", "block_idx")))
-    rk.agg(
-      count(lit(1)).as("total_blocks"),
-      countDistinct(col("block")).as("distinct_blocks"),
-      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_blocks"),
-      countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"),
-      (sum(when(col("rn") > 1, 1L).otherwise(0L)) * block).as("words_removed"))
+    rk.groupBy("doc_id").agg(
+        count(lit(1)).as("nb"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("nr"))
+      .agg(
+        sum(col("nb")).as("total_blocks"),
+        (sum(col("nb")) - sum(col("nr"))).as("distinct_blocks"),
+        sum(col("nr")).as("removed_blocks"),
+        sum(when(col("nr") > 0, 1L).otherwise(0L)).as("docs_affected"),
+        (sum(col("nr")) * block).as("words_removed"))
   }
 
   /** DuckDB oracle for [[lineDedup]] — same blocks, same first-occurrence
