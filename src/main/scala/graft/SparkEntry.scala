@@ -160,6 +160,11 @@ object SparkEntry {
     "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     // PMI collocation mining (tokenizer-vocabulary promotion signal)
     "q_pmi_collocations"  -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    // model-based filter scoring: frozen hashed linear weights, sigmoid
+    // keep verdict; zero-shuffle integer fold per document
+    "q_quality_classifier"-> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
+    // crawl-overlap audit: exact cross-half shingle Jaccard/containment
+    "q_corpus_overlap"    -> ((s, d) => Dedup.corpusOverlap(s, d)),
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -682,6 +687,8 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
     "q_inverted_index" -> TextAnalysis.invertedIndexOracleSql(),
     "q_pmi_collocations" -> TextAnalysis.pmiCollocationsOracleSql(),
+    "q_quality_classifier" -> TextAnalysis.qualityClassifierOracleSql,
+    "q_corpus_overlap" -> Dedup.corpusOverlapOracleSql(),
     "q_pii_redact" -> Curation.piiRedactOracleSql,
     "q_line_dedup" -> Curation.lineDedupOracleSql(),
     "q_chunk_sliding" -> Curation.chunkSlidingOracleSql(),

@@ -1153,4 +1153,57 @@ object Dedup {
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         GROUP BY 1 ORDER BY block"""
+
+  // ---------------------------------------------------------------------
+  // Cross-corpus overlap audit
+  // ---------------------------------------------------------------------
+
+  /** CROSS-CORPUS OVERLAP — the crawl-overlap audit run before merging
+    * two corpora (a fresh dump vs the existing corpus, two vendors'
+    * crawls): exact shingle-set cardinalities per side, their
+    * intersection/union, Jaccard, and the containment of side A in B —
+    * the number that says "this new dump is X% already-owned content".
+    * Sides here are the deterministic doc_id parity halves, which the
+    * generator seeds with genuine cross-half duplicates.
+    *
+    * Scale shape: ONE shuffle — per-doc-distinct shingles explode with a
+    * side flag straight into a `groupBy(shingle)` whose max-flag
+    * aggregates partial-combine map-side (no (side, shingle) distinct
+    * pass; duplicate flags collapse in the combiner), then a 1-row final
+    * aggregate. This is the audit-level cousin of [[nearDupPairs]]: no
+    * pairs are enumerated, so cost is corpus-linear regardless of how
+    * much the sides overlap. */
+  def corpusOverlap(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val flags = graft.Tables.documents(spark, dir)
+      .select((col("doc_id") % 2).as("side"), explode(shingleSetK(k)).as("shingle"))
+      .groupBy("shingle")
+      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("a"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("b"))
+    flags.agg(
+      sum(col("a")).cast("long").as("n_a"),
+      sum(col("b")).cast("long").as("n_b"),
+      sum(col("a") * col("b")).cast("long").as("n_both"),
+      count(lit(1)).as("n_union"),
+      round(sum(col("a") * col("b")).cast("double") / count(lit(1)), 6).as("jaccard"),
+      round(sum(col("a") * col("b")).cast("double") / sum(col("a")), 6).as("containment_a"))
+  }
+
+  /** DuckDB oracle for [[corpusOverlap]] — same shingles, same flag
+    * algebra, same division order. */
+  def corpusOverlapOracleSql(k: Int = 5): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       sh AS (SELECT DISTINCT doc_id % 2 AS side,
+                array_to_string(words[i : i + ${k - 1}], ' ') AS shingle
+              FROM w, unnest(range(1, CAST(len(words) AS BIGINT) - ${k - 2})) AS t(i)),
+       fl AS (SELECT shingle,
+                     max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+              FROM sh GROUP BY shingle)
+       SELECT CAST(sum(a) AS BIGINT) AS n_a,
+              CAST(sum(b) AS BIGINT) AS n_b,
+              CAST(sum(a * b) AS BIGINT) AS n_both,
+              count(*) AS n_union,
+              round(CAST(sum(a * b) AS DOUBLE) / count(*), 6) AS jaccard,
+              round(CAST(sum(a * b) AS DOUBLE) / sum(a), 6) AS containment_a
+       FROM fl"""
 }

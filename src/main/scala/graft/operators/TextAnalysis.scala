@@ -673,6 +673,54 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("bigram")).limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // Learned-filter scoring (linear classifier with frozen hashed weights)
+  // ---------------------------------------------------------------------
+
+  /** QUALITY-CLASSIFIER SCORING — the model-based filter pass (fastText /
+    * DCLM-style) that replaced pure heuristics in modern curation: a
+    * frozen linear model over hashed bag-of-words, p = σ(mean token
+    * weight), keep at p ≥ 0.5. The "trained" weights are a deterministic
+    * hash of the token (md5 prefix → integer in [−1000, 1000], scaled by
+    * 1000) — the SERVING side under test is exactly what a real
+    * classifier ships: per-token weight lookup by hash, no parameter
+    * table to join or broadcast.
+    *
+    * Scale shape: ZERO shuffles — the per-doc weight sum is a codegen'd
+    * `aggregate` fold over the token array (no explode, no groupBy), and
+    * the accumulator is INTEGER (bounded by ±1000·doc_len), so the score
+    * is exact and independent of fold/partition order — the determinism
+    * the [[docLogProb]] DECIMAL pattern buys, got cheaper. The sigmoid
+    * runs once per document on the exact mean. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val mean = col("s").cast("double") / lit(1000) / col("n_tokens")
+    val p = lit(1.0) / (lit(1.0) + exp(-mean))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"),
+        expr("""aggregate(split(text, ' ', -1), 0L,
+          (acc, t) -> acc + CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000)""")
+          .as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(p, 6).as("p_keep"), (p >= 0.5).as("keep"))
+  }
+
+  /** DuckDB oracle for [[qualityClassifier]] — same hash weights (md5
+    * prefix expanded digit-by-digit), same integer sum, same operation
+    * order into the sigmoid. */
+  val qualityClassifierOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(md5(token), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+       wt AS (SELECT doc_id, CAST(($hexToLong) % 2001 - 1000 AS BIGINT) AS w
+              FROM tok)
+       SELECT doc_id, count(*) AS n_tokens,
+              round(1.0 / (1.0 + exp(-(CAST(sum(w) AS DOUBLE) / 1000 / count(*)))), 6) AS p_keep,
+              (1.0 / (1.0 + exp(-(CAST(sum(w) AS DOUBLE) / 1000 / count(*))))) >= 0.5 AS keep
+       FROM wt GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   /** DuckDB oracle for [[pmiCollocations]] — same counts, same operation
     * order, same rounding. */
   def pmiCollocationsOracleSql(minCount: Int = 5, k: Int = 20): String =

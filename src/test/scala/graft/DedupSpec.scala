@@ -416,4 +416,26 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pr == again)
   }
+
+  test("corpus overlap: set algebra holds and matches a brute-force recount") {
+    val row = Dedup.corpusOverlap(spark, sf).head()
+    val (na, nb, both, union) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(union == na + nb - both, "inclusion-exclusion")
+    assert(both <= math.min(na, nb) && union >= math.max(na, nb))
+    assert(math.abs(row.getDouble(4) - both.toDouble / union) < 1e-6)
+    assert(math.abs(row.getDouble(5) - both.toDouble / na) < 1e-6)
+    // brute force over the collected corpus
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def shingles(ws: Array[String]) =
+      if (ws.length < 5) Set.empty[String]
+      else (0 to ws.length - 5).map(i => ws.slice(i, i + 5).mkString(" ")).toSet
+    val sa = docs.filter(_._1 % 2 == 0).flatMap(d => shingles(d._2)).toSet
+    val sb = docs.filter(_._1 % 2 == 1).flatMap(d => shingles(d._2)).toSet
+    assert(na == sa.size.toLong && nb == sb.size.toLong)
+    assert(both == (sa & sb).size.toLong && union == (sa | sb).size.toLong)
+    // the generator seeds cross-half duplicates, so overlap is nonzero
+    assert(both > 0, "expected seeded cross-half duplicate shingles")
+  }
 }

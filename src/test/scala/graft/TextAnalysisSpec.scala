@@ -194,4 +194,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(pmi - expect) < 1e-9, s"pmi for '$bg': got $pmi want $expect")
     }
   }
+
+  test("quality classifier: zero-shuffle plan, verdicts split, score law holds") {
+    val df = TextAnalysis.qualityClassifier(spark, sf)
+    // the whole scoring pass must stay narrow — no Exchange anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier plan shuffled:\n$plan")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == n, "one verdict per document")
+    // hashed weights are ~uniform on [-1000,1000]: both verdicts occur
+    assert(rows.exists(_._4) && rows.exists(!_._4), "classifier never discriminates")
+    rows.foreach { case (id, nt, p, keep) =>
+      assert(nt > 0 && p > 0.0 && p < 1.0)
+      assert(keep == (p >= 0.5) || math.abs(p - 0.5) < 1e-6,
+        s"doc $id: keep=$keep but p=$p")
+    }
+    // determinism across runs
+    val again = TextAnalysis.qualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.toMap == rows.map(r => (r._1, r._3)).toMap)
+  }
 }
