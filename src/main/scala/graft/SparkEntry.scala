@@ -193,6 +193,8 @@ object SparkEntry {
     // blocked fuzzy matching (entity resolution): Levenshtein within
     // nation-key blocks, never a corpus-wide cross join
     "q_fuzzy_match"       -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
+    // quality-aware keeper per near-dup cluster (keep-the-longest argmax)
+    "q_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
@@ -220,6 +222,13 @@ object SparkEntry {
     "q_sample_temperature" -> ((s, d) => Curation.temperatureSample(s, d)),
     // fixed-size deterministic uniform sample (TakeOrderedAndProject)
     "q_sample_fixed"      -> ((s, d) => Curation.sampleFixed(s, d)),
+    // CCNet head/middle/tail LM-score tertiles (distributed rank, no
+    // global window)
+    "q_perplexity_buckets" -> ((s, d) => Curation.perplexityBuckets(s, d)),
+    // greedy quality-per-token budget fill (distributed prefix sum)
+    "q_token_budget"      -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
+    // deterministic 98/1/1 train/val/test manifest by source
+    "q_split_assign"      -> ((s, d) => Curation.splitAssign(s, d)),
     // order-independent corpus content digest (dataset versioning)
     "q_corpus_fingerprint" -> ((s, d) => Curation.corpusFingerprint(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
@@ -634,6 +643,10 @@ object SparkEntry {
     "q_sample_stratified" -> Curation.stratifiedSampleOracleSql(),
     "q_sample_temperature" -> Curation.temperatureSampleOracleSql(),
     "q_sample_fixed" -> Curation.sampleFixedOracleSql(),
+    "q_perplexity_buckets" -> Curation.perplexityBucketsOracleSql,
+    "q_token_budget" -> Curation.tokenBudgetSelectOracleSql,
+    "q_split_assign" -> Curation.splitAssignOracleSql(),
+    "q_cluster_canonical" -> Dedup.clusterCanonicalOracleSql(),
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),

@@ -1040,4 +1040,175 @@ object Curation {
          WHERE j = 0 OR len(words[j * $stride + 1 : j * $stride + $width]) >= $minTok)
        SELECT doc_id, chunk_idx, CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
        FROM c ORDER BY doc_id, chunk_idx LIMIT $k"""
+
+  // ---------------------------------------------------------------------
+  // Score-ranked selection (distributed total-order rank / prefix sum)
+  // ---------------------------------------------------------------------
+
+  /** The corpus LM-scored ([[TextAnalysis.docLogProb]]) and given a
+    * GLOBAL total-order rank and running token sum over
+    * (mean_logprob DESC, doc_id ASC) — the shared kernel under
+    * [[perplexityBuckets]] and [[tokenBudgetSelect]].
+    *
+    * Scale shape: the naive formulation is an unpartitioned window —
+    * every row through ONE task. This is the [[packTokens]] distributed
+    * prefix-sum instead, transposed to SCORE order: range-shuffle on the
+    * sort key, per-partition (count, token-sum) totals collected at
+    * partition cardinality (32 rows — metadata-scale, NOT the corpus),
+    * prefix-summed on the driver, broadcast back, and each partition
+    * ranks/cumsums locally in parallel. The checkpoint pins the range
+    * placement so the totals and the final pass see the SAME partitions
+    * (rank itself is boundary-invariant — the order is total since
+    * doc_id is unique — but the per-pid offsets must describe the frame
+    * they join). Returns (ranked frame, n docs, total tokens). */
+  private def rankedByScore(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    import spark.implicits._
+    val order = Seq(col("mean_logprob").desc, col("doc_id").asc)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = TextAnalysis.docLogProb(spark, dir)
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("pid")
+      .agg(count(lit(1)).as("c"), sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var nAcc = 0L; var tAcc = 0L
+    val offs = totals.map { case (p, c, t) =>
+      val row = (p, nAcc, tAcc); nAcc += c; tAcc += t; row
+    }
+    val offDf = offs.toSeq.toDF("pid", "rank_off", "tok_off")
+    val w = Window.partitionBy("pid").orderBy(order: _*)
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = ranged.join(broadcast(offDf), "pid")
+      .withColumn("rank", row_number().over(w).cast("long") + col("rank_off"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumW) + col("tok_off"))
+    (ranked, nAcc, tAcc)
+  }
+
+  /** PERPLEXITY BUCKETING — the CCNet partition: rank every document by
+    * LM score (best first) and split the corpus into head / middle /
+    * tail TERTILES; downstream mixes train mostly on head+middle and
+    * sample the tail. Buckets follow standard SQL `ntile` semantics
+    * (sizes differ by at most one, larger buckets first) computed
+    * ARITHMETICALLY from the distributed rank — no global window.
+    * Output: one row per bucket with doc/token mass and mean score
+    * (DECIMAL-summed, so the average is partitioning-independent). */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, n, _) = rankedByScore(spark, dir)
+    val q = n / 3
+    val r = n % 3
+    // ntile(3): bucket b has q+1 rows for b ≤ r, else q rows
+    val bucket =
+      if (q == 0) col("rank")
+      else expr(s"""CASE WHEN rank <= ${r * (q + 1)}
+                         THEN (rank - 1) DIV ${q + 1}
+                         ELSE $r + (rank - ${r * (q + 1)} - 1) DIV $q
+                    END + 1""")
+    ranked.withColumn("b", bucket)
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("mean_logprob").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_logprob"))
+      .select(
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("n_tokens"), col("avg_logprob"))
+  }
+
+  /** DuckDB oracle for [[perplexityBuckets]] — same scores, `ntile(3)`
+    * over the same total order, same DECIMAL mean. */
+  val perplexityBucketsOracleSql: String =
+    s"""WITH ${TextAnalysis.docLogProbCtes},
+       nt AS (SELECT n_tokens, mean_logprob,
+                     ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id ASC) AS b
+              FROM lp)
+       SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+              count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              round(CAST(sum(CAST(mean_logprob AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS avg_logprob
+       FROM nt GROUP BY b ORDER BY b"""
+
+  /** TOKEN-BUDGET SELECTION — "fill half the token budget with the best
+    * documents": the greedy quality-per-token selection a data-
+    * constrained training run makes when it cannot afford the whole
+    * corpus. Documents ranked by LM score (best first, doc_id
+    * tie-break); the selection is the longest prefix of that order whose
+    * running token total stays within the budget (⌊total/2⌋ here).
+    * Deterministic — a re-run selects the identical corpus slice.
+    *
+    * Scale shape: rank and running sum come from the [[rankedByScore]]
+    * distributed prefix pattern (no single-task window), the budget is
+    * derived from the SAME 32-row driver totals (no extra pass), and the
+    * final filter is embarrassingly parallel. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, _, totalTokens) = rankedByScore(spark, dir)
+    val budget = totalTokens / 2
+    ranked.filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("mean_logprob").as("score"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** DuckDB oracle for [[tokenBudgetSelect]] — same scores, one global
+    * ordered window sum, same ⌊total/2⌋ budget and prefix rule. */
+  val tokenBudgetSelectOracleSql: String =
+    s"""WITH ${TextAnalysis.docLogProbCtes},
+       s AS (SELECT doc_id, mean_logprob, n_tokens,
+                    sum(n_tokens) OVER (ORDER BY mean_logprob DESC, doc_id ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+             FROM lp),
+       b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM lp)
+       SELECT doc_id, mean_logprob AS score,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(cum AS BIGINT) AS cum_tokens
+       FROM s CROSS JOIN b WHERE cum <= budget ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // Deterministic train/validation/test split
+  // ---------------------------------------------------------------------
+
+  /** The split verdict for one document as a Column — the disjoint-range
+    * construction [[sampleByHash]]'s contract promises: one id-hash draw
+    * in [0,100), carved into train / val / test bands, so membership is
+    * stable across retries and every doc lands in EXACTLY one split. */
+  private[graft] def splitExpr(valPct: Int, testPct: Int) = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(h < 100 - valPct - testPct, "train")
+      .when(h < 100 - testPct, "val")
+      .otherwise("test")
+  }
+
+  /** TRAIN/VAL/TEST SPLIT REPORT — deterministic 98/1/1 id-hash split
+    * crossed with source, with doc and char mass per cell: the manifest
+    * a pipeline emits so the held-out sets are reproducible and their
+    * per-source composition is auditable (a val set that drifted to one
+    * source is a broken eval). Pure scan + partial-aggregated groupBy —
+    * no window, no join; the split column is a scan-stage expression. */
+  def splitAssign(spark: SparkSession, dir: String,
+                  valPct: Int = 1, testPct: Int = 1): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(splitExpr(valPct, testPct).as("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+
+  /** DuckDB oracle for [[splitAssign]] (strpos arithmetic stands in for
+    * conv(); same md5 prefix, same bands). */
+  def splitAssignOracleSql(valPct: Int = 1, testPct: Int = 1): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT source, n_chars,
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+                   FROM documents),
+       a AS (SELECT source, n_chars, ($hexToLong) % 100 AS h FROM t)
+       SELECT CASE WHEN h < ${100 - valPct - testPct} THEN 'train'
+                   WHEN h < ${100 - testPct} THEN 'val'
+                   ELSE 'test' END AS split,
+              source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }

@@ -1206,4 +1206,48 @@ object Dedup {
               round(CAST(sum(a * b) AS DOUBLE) / count(*), 6) AS jaccard,
               round(CAST(sum(a * b) AS DOUBLE) / sum(a), 6) AS containment_a
        FROM fl"""
+
+  // ---------------------------------------------------------------------
+  // Quality-aware canonical selection
+  // ---------------------------------------------------------------------
+
+  /** QUALITY-AWARE CANONICAL SELECTION — [[nearDupClusters]] keeps the
+    * minimum doc_id per cluster; production dedup keeps the BEST member
+    * (the fullest crawl of a page, not whichever arrived first). Here
+    * "best" is the longest document (`n_chars` DESC, doc_id ASC
+    * tie-break) — the standard keep-the-longest heuristic for near-dup
+    * groups where the shorter members are truncations. One row per
+    * clustered doc: (cluster_id, doc_id, n_chars, is_canonical).
+    *
+    * Scale shape: the cluster list is the persisted dedup artifact and is
+    * orders of magnitude smaller than the corpus, so it is BROADCAST
+    * against the `documents` scan (no corpus-sized shuffle); the argmax
+    * window partitions by cluster_id — thousands of small groups in
+    * parallel, rank-filter-free since every member row is emitted. */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(spark, dir).select("cluster_id", "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(broadcast(clusters), "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("n_chars"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+  }
+
+  /** DuckDB oracle for [[clusterCanonical]] — same cluster chain, same
+    * longest-then-smallest-id argmax. */
+  def clusterCanonicalOracleSql(threshold: Double = 0.95,
+                                minBands: Int = DefaultMinBands,
+                                estJaccard: Double = DefaultEstJaccard,
+                                shingleK: Int = 1,
+                                bands: Int = NumBands,
+                                rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)}
+       SELECT l.cluster_id, l.doc_id, d.n_chars,
+              row_number() OVER (PARTITION BY l.cluster_id
+                                 ORDER BY d.n_chars DESC, l.doc_id ASC) = 1
+                AS is_canonical
+       FROM lbl l JOIN documents d USING (doc_id)
+       ORDER BY l.cluster_id, l.doc_id"""
 }

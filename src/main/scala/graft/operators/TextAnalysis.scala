@@ -334,20 +334,28 @@ object TextAnalysis {
         round((sum(col("lp")).cast("double") / count(lit(1))), 6).as("mean_logprob"))
   }
 
-  /** DuckDB oracle for [[docLogProb]] — same probability, same ln, same
-    * exact DECIMAL accumulation. */
-  val docLogProbOracleSql: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                    FROM documents),
+  /** The [[docLogProb]] computation as a DuckDB CTE chain ending in
+    * `lp(doc_id, n_tokens, mean_logprob)` — shared by its own oracle and
+    * the score-ranked curation oracles (perplexity buckets, token-budget
+    * selection) so every consumer scores documents identically. */
+  private[graft] val docLogProbCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
        p AS (SELECT token,
                     CAST(ln(CAST(n AS DOUBLE) / total) AS DECIMAL(28,12)) AS lp
-             FROM freq CROSS JOIN tot)
-       SELECT doc_id, count(*) AS n_tokens,
-              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
-       FROM tok JOIN p USING (token)
-       GROUP BY doc_id ORDER BY doc_id"""
+             FROM freq CROSS JOIN tot),
+       lp AS (SELECT doc_id, count(*) AS n_tokens,
+                     round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+              FROM tok JOIN p USING (token)
+              GROUP BY doc_id)"""
+
+  /** DuckDB oracle for [[docLogProb]] — same probability, same ln, same
+    * exact DECIMAL accumulation. */
+  val docLogProbOracleSql: String =
+    s"""WITH $docLogProbCtes
+       SELECT doc_id, n_tokens, mean_logprob FROM lp ORDER BY doc_id"""
 
   /** Interpolated BIGRAM language-model scoring — the next rung of the
     * perplexity-proxy ladder above [[docLogProb]]'s unigram model:

@@ -471,4 +471,65 @@ class CurationSpec extends AnyFunSuite {
       assert(cs.map(c => c._2 * 25 + c._3).max == n.toLong, s"doc $id coverage")
     }
   }
+
+  test("perplexity buckets: ntile sizes, corpus conservation, head≥tail ordering") {
+    val rows = Curation.perplexityBuckets(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("head", "middle", "tail"))
+    val n = Tables.documents(spark, sf).count()
+    val sizes = List("head", "middle", "tail").map(rows(_)._1)
+    assert(sizes.sum == n, "every document lands in exactly one bucket")
+    // standard ntile: sizes differ by at most one, larger buckets first
+    assert(sizes.max - sizes.min <= 1 && sizes == sizes.sortBy(-_))
+    // buckets are score-ordered: best (head) mean >= middle >= tail
+    val means = List("head", "middle", "tail").map(rows(_)._3)
+    assert(means == means.sortBy(-_), s"bucket means out of order: $means")
+    // token mass conserves the corpus total
+    val totalTok = operators.TextAnalysis.docLogProb(spark, sf)
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(List("head", "middle", "tail").map(rows(_)._2).sum == totalTok)
+  }
+
+  test("token budget: maximal prefix of the score order within ⌊total/2⌋") {
+    val scored = operators.TextAnalysis.docLogProb(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = scored.map(_._2).sum
+    val budget = total / 2
+    // the reference selection: the longest PREFIX of (score desc, doc_id
+    // asc) whose running total stays within budget — the first crossing
+    // doc ends the selection (no skip-and-continue)
+    val order = scored.sortBy { case (id, _, s) => (-s, id) }
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var cum = 0L
+    for ((id, nt, _) <- order) { cum += nt; if (cum <= budget) expect += (id -> cum) }
+    val got = Curation.tokenBudgetSelect(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expect.toMap, "selected set or running totals diverge")
+    assert(got.values.max <= budget && got.nonEmpty)
+    // determinism across runs (rank offsets must not depend on sampling)
+    val again = Curation.tokenBudgetSelect(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == got)
+  }
+
+  test("split assign: disjoint, exhaustive, and the manifest sums to the corpus") {
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"), Curation.splitExpr(1, 1).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = Tables.documents(spark, sf).count()
+    assert(perDoc.length.toLong == n && perDoc.map(_._1).distinct.length.toLong == n,
+      "exactly one split per document")
+    assert(perDoc.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    val manifest = Curation.splitAssign(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(manifest.values.sum == n, "manifest cells partition the corpus")
+    val bySplit = perDoc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    List("train", "val", "test").foreach { s =>
+      val cells = manifest.collect { case ((sp, _), c) if sp == s => c }.sum
+      assert(cells == bySplit.getOrElse(s, 0L), s"split $s count")
+    }
+    // 98/1/1 bands: train dominates, held-out sets are small but present
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) * 10)
+  }
 }

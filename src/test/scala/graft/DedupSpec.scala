@@ -438,4 +438,20 @@ class DedupSpec extends AnyFunSuite {
     // the generator seeds cross-half duplicates, so overlap is nonzero
     assert(both > 0, "expected seeded cross-half duplicate shingles")
   }
+
+  test("cluster canonical: one keeper per cluster, argmax by length then id") {
+    val rows = Dedup.clusterCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // same membership as the cluster store itself
+    val members = Dedup.nearDupClusters(spark, sf).select("cluster_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == members)
+    rows.groupBy(_._1).foreach { case (cid, ms) =>
+      val canon = ms.filter(_._4)
+      assert(canon.length == 1, s"cluster $cid has ${canon.length} canonicals")
+      // the canonical is the longest member, smallest doc_id on ties
+      val best = ms.minBy(m => (-m._3, m._2))
+      assert(canon.head._2 == best._2, s"cluster $cid keeper ${canon.head._2} != ${best._2}")
+    }
+  }
 }
