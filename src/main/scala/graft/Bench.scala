@@ -159,6 +159,9 @@ object Bench {
       "frag_docs" -> (() => operators.Pipeline.ensureFragmentedDocs(spark, sfDir)),
       "evolving_batches" -> (() => operators.Pipeline.ensureEvolvingBatches(spark, sfDir)),
       "snapshots" -> (() => operators.Curation.ensureSnapshots(spark, sfDir)),
+      // the persisted LM score column (CCNet scores once; the ranked
+      // selection queries read it)
+      "lm_scores" -> (() => operators.Curation.ensureLmScores(spark, sfDir)),
       "bucketed_docs" -> (() => operators.Curation.ensureBucketedDocs(spark, sfDir)),
       "nested_orders" -> (() => operators.Bucketing.ensureNestedOrders(spark, sfDir)),
     ).map { case (name, build) =>

@@ -53,6 +53,10 @@ object SparkEntry {
     // immutable pre/post-merge snapshots (v= partition dirs) + per-version
     // digest profile: time-travel + reproducibility proof in one scan
     "q_snapshot_versions" -> ((s, d) => Curation.snapshotVersions(s, d)),
+    // manifest-only diff of two snapshot versions (added/changed/unchanged)
+    "q_snapshot_diff"     -> ((s, d) => Curation.snapshotDiff(s, d)),
+    // per-column row/null/exact-distinct audit in one melted scan
+    "q_column_profile"    -> ((s, d) => Analytics.columnProfile(s, d)),
     // the merge against a doc_id-bucketed corpus: only the delta shuffles
     // (one Exchange, plan-asserted) — the 100 TB layout for upserts
     "q_corpus_merge_bucketed" -> ((s, d) => Curation.corpusMergeBucketed(s, d)),
@@ -670,6 +674,8 @@ object SparkEntry {
     "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
+    "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,
+    "q_column_profile" -> Analytics.columnProfileOracleSql,
     // The bucketed-layout merge must equal the plain merge exactly.
     "q_corpus_merge_bucketed" -> Curation.corpusMergeOracleSql,
     // The micro-batched streaming upsert must land on the batch merge.

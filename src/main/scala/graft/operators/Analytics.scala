@@ -1118,4 +1118,45 @@ object Analytics {
        GROUP BY p.event_id, p.user_id
        ORDER BY p.event_id"""
   }
+
+  // ---------------------------------------------------------------------
+  // Column-level data profiling
+  // ---------------------------------------------------------------------
+
+  /** COLUMN PROFILE — the ingest-time data-quality audit (ANALYZE-style):
+    * per-column row/null/exact-distinct counts over `documents` in ONE
+    * scan. Drift in these numbers between ingest batches (a lang column
+    * suddenly 40% NULL, doc_id cardinality < row count) is the first
+    * alarm a 100 TB pipeline raises.
+    *
+    * Scale shape: one pass — each row melts into (col_name, value-digest)
+    * pairs (k× row-count narrow rows, never the row width), then a SINGLE
+    * distinct-on-digest aggregate per column: Catalyst plans the lone
+    * distinct as two partial-agged groupBys ((col, digest) then col) — no
+    * Expand, no per-column rescan. Digesting values to md5 means the
+    * shuffle carries 32-byte keys even for document-sized text, and the
+    * same digest makes exact-distinct reproducible in the oracle. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    Tables.documents(spark, dir)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), md5(col(c).cast("string")).as("h"))): _*)).as("kv"))
+      .select(col("kv.col_name"), col("kv.h"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("h").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("h")).as("n_distinct"))
+  }
+
+  /** DuckDB oracle for [[columnProfile]] — same melt, same digests. */
+  val columnProfileOracleSql: String = {
+    val arms = Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c => s"SELECT '$c' AS col_name, md5(CAST($c AS VARCHAR)) AS h FROM documents")
+      .mkString(" UNION ALL ")
+    s"""WITH m AS ($arms)
+       SELECT col_name, count(*) AS n_rows,
+              CAST(sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              count(DISTINCT h) AS n_distinct
+       FROM m GROUP BY col_name ORDER BY col_name"""
+  }
 }

@@ -412,4 +412,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }.toMap
     assert(got == expected)
   }
+
+  test("column profile: one-pass melt (no Expand), counts match direct recomputation") {
+    val df = Analytics.columnProfile(spark, sf)
+    // the lone distinct must plan as two-level agg, never an Expand
+    assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+      "column profile planned an Expand")
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    val n = docs.length.toLong
+    assert(got.keySet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    got.values.foreach { case (rows, nulls, _) => assert(rows == n && nulls == 0L) }
+    assert(got("doc_id")._3 == n, "doc_id must be unique")
+    assert(got("text")._3 == docs.map(_.getString(1)).distinct.length.toLong,
+      "text distinct must count seeded duplicates once")
+    assert(got("lang")._3 == docs.map(_.getString(2)).distinct.length.toLong)
+    assert(got("source")._3 == docs.map(_.getString(3)).distinct.length.toLong)
+  }
 }

@@ -532,4 +532,20 @@ class CurationSpec extends AnyFunSuite {
     // 98/1/1 bands: train dominates, held-out sets are small but present
     assert(bySplit("train") > bySplit.getOrElse("val", 0L) * 10)
   }
+
+  test("snapshot diff: manifest statuses equal the merge's own actions") {
+    val diff = Curation.snapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the merge emits per-doc actions; the manifest diff must agree
+    // (insert=added, update=changed, keep=unchanged) without reading text
+    val actions = Curation.corpusMerge(spark, sf)
+      .groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff.getOrElse("added", 0L) == actions.getOrElse("insert", 0L))
+    assert(diff.getOrElse("changed", 0L) == actions.getOrElse("update", 0L))
+    assert(diff.getOrElse("unchanged", 0L) == actions.getOrElse("keep", 0L))
+    assert(!diff.contains("removed"), "this delta never deletes")
+    assert(diff.values.sum ==
+      Tables.documents(spark, sf).count() + diff.getOrElse("added", 0L))
+  }
 }
