@@ -1098,6 +1098,17 @@ object Curation {
   // Score-ranked selection (distributed total-order rank / prefix sum)
   // ---------------------------------------------------------------------
 
+  /** The per-document LM score table ([[TextAnalysis.docLogProb]]) as a
+    * staged artifact — CCNet-style pipelines score the corpus ONCE and
+    * every selection pass reads the persisted column, so the ranked
+    * queries below time their selection, not a rescore (Bench pre-builds
+    * this as `lm_scores`). */
+  private[graft] def ensureLmScores(spark: SparkSession, dir: String): String =
+    Dedup.ensureArtifact(s"lmscores-${dir.replace('/', '_')}") { tmp =>
+      TextAnalysis.docLogProb(spark, dir)
+        .write.mode("overwrite").parquet(tmp.resolve("scores").toString)
+    }.resolve("scores").toString
+
   /** The corpus LM-scored ([[TextAnalysis.docLogProb]]) and given a
     * GLOBAL total-order rank and running token sum over
     * (mean_logprob DESC, doc_id ASC) — the shared kernel under
@@ -1113,23 +1124,18 @@ object Curation {
     * placement so the totals and the final pass see the SAME partitions
     * (rank itself is boundary-invariant — the order is total since
     * doc_id is unique — but the per-pid offsets must describe the frame
-    * they join). Returns (ranked frame, n docs, total tokens). */
-  /** The per-document LM score table ([[TextAnalysis.docLogProb]]) as a
-    * staged artifact — CCNet-style pipelines score the corpus ONCE and
-    * every selection pass reads the persisted column, so the ranked
-    * queries below time their selection, not a rescore (Bench pre-builds
-    * this as `lm_scores`). */
-  private[graft] def ensureLmScores(spark: SparkSession, dir: String): String =
-    Dedup.ensureArtifact(s"lmscores-${dir.replace('/', '_')}") { tmp =>
-      TextAnalysis.docLogProb(spark, dir)
-        .write.mode("overwrite").parquet(tmp.resolve("scores").toString)
-    }.resolve("scores").toString
-
+    * they join). The local rank/cumsum is a per-partition ITERATOR fold
+    * (`mapPartitions` — the sanctioned imperative case) rather than a
+    * pid-keyed window: the checkpointed scan reports no output
+    * partitioning, so a window would re-Exchange the frame it is
+    * already partitioned like; the fold keeps the whole pass to ONE
+    * range shuffle. Returns (ranked frame, n docs, total tokens). */
   private def rankedByScore(spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
     import spark.implicits._
     val order = Seq(col("mean_logprob").desc, col("doc_id").asc)
     val parts = spark.sessionState.conf.numShufflePartitions
     val ranged = spark.read.parquet(ensureLmScores(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("mean_logprob"))
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("pid", spark_partition_id())
@@ -1143,11 +1149,17 @@ object Curation {
       val row = (p, nAcc, tAcc); nAcc += c; tAcc += t; row
     }
     val offDf = offs.toSeq.toDF("pid", "rank_off", "tok_off")
-    val w = Window.partitionBy("pid").orderBy(order: _*)
-    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = ranged.join(broadcast(offDf), "pid")
-      .withColumn("rank", row_number().over(w).cast("long") + col("rank_off"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumW) + col("tok_off"))
+    val local = ranged.as[(Long, Long, Double, Int)]
+      .mapPartitions { it =>
+        var rk = 0L; var cum = 0L
+        it.map { case (id, nt, s, pid) =>
+          rk += 1; cum += nt; (id, nt, s, pid, rk, cum)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "mean_logprob", "pid", "lrank", "lcum")
+    val ranked = local.join(broadcast(offDf), "pid")
+      .withColumn("rank", col("lrank") + col("rank_off"))
+      .withColumn("cum_tokens", col("lcum") + col("tok_off"))
     (ranked, nAcc, tAcc)
   }
 
