@@ -48,6 +48,13 @@ object SparkEntry {
     "q_compaction"        -> ((s, d) => Pipeline.compactRewrite(s, d)),
     // mergeSchema read over evolving parquet batches (NULL-padded union)
     "q_schema_evolution"  -> ((s, d) => Pipeline.schemaEvolutionRead(s, d)),
+    // zstd + snappy parquet write/read losslessness (codec audit)
+    "q_codec_roundtrip"   -> ((s, d) => Pipeline.codecRoundTrip(s, d)),
+    // keyed delete list purges corpus AND cascades into the signature
+    // store (broadcast anti/semi-joins; one-row audit couples both)
+    "q_forget_purge"      -> ((s, d) => Curation.forgetPurge(s, d)),
+    // per-language exact-quantile length thresholds via integer histogram
+    "q_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
     // keyed MERGE/upsert corpus maintenance (full-outer + coalesce)
     "q_corpus_merge"      -> ((s, d) => Curation.corpusMerge(s, d)),
     // immutable pre/post-merge snapshots (v= partition dirs) + per-version
@@ -672,6 +679,9 @@ object SparkEntry {
     "q_corrupt_load" -> Pipeline.corruptLoadOracleSql,
     "q_compaction" -> Pipeline.compactRewriteOracleSql(),
     "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
+    "q_codec_roundtrip" -> Pipeline.codecRoundTripOracleSql,
+    "q_forget_purge" -> Curation.forgetPurgeOracleSql,
+    "q_length_outliers" -> Curation.lengthOutliersOracleSql(),
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
     "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,

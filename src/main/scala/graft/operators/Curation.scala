@@ -1287,4 +1287,114 @@ object Curation {
               source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  /** DELETE PROPAGATION (right-to-forget / takedown) — the compliance op
+    * every production corpus needs: a small keyed delete list must purge
+    * the document AND every derived artifact that embeds it (here the
+    * persisted MinHash signature store, [[Dedup.ensureSignatureStore]] —
+    * at 100 TB the stores are where forgotten text hides). The delete
+    * list is synthesized deterministically (doc_id ≡ 0 mod 97) so the
+    * oracle can rebuild it. Both purges are BROADCAST anti/semi-joins —
+    * the corpus and store scan once, nothing corpus-sized shuffles — and
+    * the one-row audit couples them: kept-corpus count, char mass, and
+    * content digest pin the corpus purge; `sig_rows_purged` pins the
+    * cascade via the store's bands-rows-per-doc layout invariant (the
+    * oracle recomputes it as bands × |delete list|, so a cascade that
+    * missed rows or a store with ragged per-doc rows both fail). */
+  def forgetPurge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val del = docs.select("doc_id").filter(col("doc_id") % 97 === 0)
+    val kept = docs.join(broadcast(del), Seq("doc_id"), "left_anti")
+      .select(col("n_chars"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars").cast("long")).as("chars_kept"),
+        sum(col("h")).as("content_digest"))
+    val nDel = del.agg(count(lit(1)).as("n_requested"))
+    val (sig, _) = Dedup.signatureStore(spark, dir)
+    val sigPurged = sig.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("sig_rows_purged"))
+    kept.crossJoin(broadcast(nDel)).crossJoin(broadcast(sigPurged))
+      .select("n_requested", "n_kept", "chars_kept", "content_digest",
+        "sig_rows_purged")
+  }
+
+  /** DuckDB oracle for [[forgetPurge]] — delete list from the same mod
+    * rule; the cascade count from the store's bands-per-doc invariant. */
+  val forgetPurgeOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+       kept AS (SELECT n_chars,
+                       substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+                FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM del))
+       SELECT (SELECT count(*) FROM del) AS n_requested,
+              count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+              CAST(sum($hexToLong) AS BIGINT) AS content_digest,
+              CAST(${Dedup.NumBands} * (SELECT count(*) FROM del) AS BIGINT)
+                AS sig_rows_purged
+       FROM kept"""
+  }
+
+  /** PER-LANGUAGE ADAPTIVE LENGTH FILTER (CCNet-style) — fixed length
+    * thresholds are wrong across languages (a 100-char Chinese document
+    * is not a 100-char English one), so production filters cut each
+    * language at its own quantiles. Thresholds are EXACT 5th/95th
+    * percentiles computed the scale-correct way for an integer-valued
+    * column: a (lang, n_chars) histogram (partial-aggregated, tiny — one
+    * row per distinct length per language), a cumulative-sum window over
+    * that HISTOGRAM (never over the corpus), and smallest-value-reaching-
+    * rank selection in pure integer arithmetic (`cum·100 ≥ n·pct` —
+    * quantile_disc semantics, no float interpolation to diverge between
+    * engines). The thresholds broadcast back onto the corpus scan for the
+    * keep/short/long tally — corpus touched by exactly one narrow pass,
+    * no corpus-sized shuffle or sort, unlike the textbook
+    * per-group-sort percentile. */
+  def lengthOutliers(spark: SparkSession, dir: String,
+                     loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    val thr = cum.groupBy("lang").agg(
+      min(when(col("cum") * 100 >= col("n") * loPct, col("n_chars"))).as("lo"),
+      min(when(col("cum") * 100 >= col("n") * hiPct, col("n_chars"))).as("hi"))
+    docs.join(broadcast(thr), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lo")).cast("long").as("len_lo"),
+        max(col("hi")).cast("long").as("len_hi"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_long"),
+        sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
+  /** DuckDB oracle for [[lengthOutliers]] — same histogram, same integer
+    * rank selection. */
+  def lengthOutliersOracleSql(loPct: Int = 5, hiPct: Int = 95): String =
+    s"""WITH hist AS (SELECT lang, n_chars, count(*) AS c
+                      FROM documents GROUP BY 1, 2),
+       cum AS (SELECT lang, n_chars,
+                      sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                      sum(c) OVER (PARTITION BY lang) AS n
+               FROM hist),
+       thr AS (SELECT lang,
+                      min(CASE WHEN cum * 100 >= n * $loPct THEN n_chars END) AS lo,
+                      min(CASE WHEN cum * 100 >= n * $hiPct THEN n_chars END) AS hi
+               FROM cum GROUP BY lang)
+       SELECT d.lang, count(*) AS n_docs,
+              CAST(max(lo) AS BIGINT) AS len_lo,
+              CAST(max(hi) AS BIGINT) AS len_hi,
+              CAST(sum(CASE WHEN d.n_chars < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+              CAST(sum(CASE WHEN d.n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+              CAST(sum(CASE WHEN d.n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents d JOIN thr USING (lang)
+       GROUP BY d.lang ORDER BY d.lang"""
 }

@@ -402,4 +402,39 @@ object Pipeline {
              SELECT o_orderkey, o_totalprice, o_orderstatus
              FROM orders WHERE o_orderkey % 2 = 1) t
        GROUP BY 1 ORDER BY 1"""
+
+  /** COMPRESSION-CODEC round-trip — the storage-cost knob at 100 TB: cold
+    * corpus partitions are written zstd (denser, slower to encode), hot
+    * ones snappy (the Spark default — cheaper CPU per scan), and both
+    * must be LOSSLESS. The corpus text is written once per codec and read
+    * back into the order-independent [[Curation.corpusFingerprint]]
+    * digest, so any byte lost or altered by an encode/decode pair changes
+    * the output row. Parquet names its part files with the codec
+    * (`….zstd.parquet`) — PipelineSpec asserts the layout really carries
+    * each codec, so this cannot silently test snappy twice. Per codec:
+    * one narrow write + one narrow scan + a 1-row aggregate. */
+  def codecRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    Seq("snappy", "zstd").map { codec =>
+      val base = scratch(dir) + s"/docs_codec_$codec"
+      Tables.documents(spark, dir).select("doc_id", "text")
+        .write.mode("overwrite").option("compression", codec).parquet(base)
+      spark.read.parquet(base)
+        .select(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("content_digest"))
+        .select(lit(codec).as("codec"), col("n_docs"), col("content_digest"))
+    }.reduce(_ unionByName _)
+
+  val codecRoundTripOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH fp AS (SELECT count(*) AS n_docs,
+                           CAST(sum($hexToLong) AS BIGINT) AS content_digest
+                    FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+                          FROM documents) t)
+        SELECT c.codec, fp.n_docs, fp.content_digest
+        FROM (VALUES ('snappy'), ('zstd')) c(codec), fp
+        ORDER BY c.codec"""
+  }
 }

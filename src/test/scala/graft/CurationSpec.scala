@@ -548,4 +548,61 @@ class CurationSpec extends AnyFunSuite {
     assert(diff.values.sum ==
       Tables.documents(spark, sf).count() + diff.getOrElse("added", 0L))
   }
+
+  test("forget purge: corpus and signature-store purges agree, joins broadcast") {
+    val q = Curation.forgetPurge(spark, sf)
+    val row = q.head()
+    val n = Tables.documents(spark, sf).count()
+    val nReq = row.getLong(0)
+    assert(nReq > 0, "delete list must be non-empty at this sf")
+    assert(row.getLong(1) == n - nReq, "kept + requested partitions the corpus")
+    // cascade really removed every trace: the store minus the delete list
+    // must hold exactly bands rows for each KEPT doc and none for deleted
+    assert(row.getLong(4) == nReq * operators.Dedup.NumBands,
+      "bands rows per deleted doc")
+    val (sig, _) = operators.Dedup.signatureStore(spark, sf)
+    val purgedStore = sig.join(
+      Tables.documents(spark, sf).select("doc_id").filter(col("doc_id") % 97 === 0),
+      Seq("doc_id"), "left_anti")
+    assert(purgedStore.count() == (n - nReq) * operators.Dedup.NumBands,
+      "post-purge store holds exactly the kept docs' rows")
+    // the audit digest equals the kept corpus recomputed independently
+    val keptDigest = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(sum("h")).head().getLong(0)
+    assert(row.getLong(3) == keptDigest)
+    // purge plan: the delete list is tiny — every join against it must
+    // broadcast; a corpus-sized shuffle here defeats the op at 100 TB
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"delete-list joins must broadcast, got:\n$plan")
+  }
+
+  test("length outliers: integer-exact quantile thresholds bound the tails") {
+    val rows = Curation.lengthOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lang, nDocs) = (r.getString(0), r.getLong(1))
+      val (lo, hi) = (r.getLong(2), r.getLong(3))
+      val (nShort, nLong, nKept) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nShort + nLong + nKept == nDocs, s"$lang partition")
+      assert(lo <= hi, s"$lang thresholds ordered")
+      // rank selection semantics: strictly under loPct% mass below lo,
+      // at most (100-hiPct)% at or above hi's successor
+      assert(nShort * 100 < nDocs * 5, s"$lang short tail")
+      assert(nLong * 100 <= nDocs * 5, s"$lang long tail")
+      // thresholds are ATTAINED lengths of that language, not interpolants
+      val attained = Tables.documents(spark, sf).filter(col("lang") === lang)
+        .filter(col("n_chars").isin(lo, hi)).select("n_chars")
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(attained.contains(lo) && attained.contains(hi),
+        s"$lang thresholds must be observed values")
+    }
+    // determinism across runs (no RNG, no order dependence)
+    val again = Curation.lengthOutliers(spark, sf)
+    val first = Curation.lengthOutliers(spark, sf)
+    assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
+  }
 }

@@ -176,4 +176,21 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("o_orderkey") % 2 === 0).count(),
       "every even-key (old-schema) row must land in the sentinel group")
   }
+
+  test("codec round-trip: zstd and snappy layouts are real and lossless") {
+    val rows = Pipeline.codecRoundTrip(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("snappy", "zstd"))
+    // losslessness: both codecs round-trip to the identical corpus digest
+    assert(rows("snappy") == rows("zstd"),
+      "codec must not change a single byte of the corpus")
+    // the layouts really carry their codec (parquet part files are named
+    // with it) — otherwise this test could silently compare snappy twice
+    Seq("snappy", "zstd").foreach { codec =>
+      val dir = new java.io.File(Pipeline.scratch(sf) + s"/docs_codec_$codec")
+      val parts = dir.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+      assert(parts.nonEmpty && parts.forall(_.contains(s".$codec.")),
+        s"$codec layout: ${parts.mkString(",")}")
+    }
+  }
 }
