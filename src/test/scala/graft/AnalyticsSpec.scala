@@ -431,4 +431,59 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("lang")._3 == docs.map(_.getString(2)).distinct.length.toLong)
     assert(got("source")._3 == docs.map(_.getString(3)).distinct.length.toLong)
   }
+
+  test("AQE skew join: a hot key's oversized partition is split at runtime") {
+    // The OTHER half of the skew story next to manual salting
+    // (eventsByTypeSalted) and the LSH bucket cap: when a shuffle join's
+    // key distribution is skewed, AQE's OptimizeSkewedJoin splits the
+    // oversized partition into advisory-sized chunks at runtime — no
+    // code change, no pre-known hot keys. Thresholds are sized for
+    // clusters, so the spec lowers them to testdata scale (the mechanism
+    // is what's pinned, same philosophy as the bloom-filter spec).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    // Two constraints shape the fixture. (1) Skew splits happen at
+    // MAP-OUTPUT granularity, and the tiny sf0.001 parquet reads as ONE
+    // map task — a hot partition fed by a single mapper has no seam to
+    // split at — so the fact is staged as a 16-file parquet (file-split
+    // parallelism; on a real cluster the fact side always has thousands
+    // of mappers). (2) OptimizeSkewedJoin matches ONLY the literal
+    // SortMergeJoin(Sort(stage), Sort(stage)) shape, so both join inputs
+    // must be plain scans: a distinct()/aggregate on the dim side (its
+    // final HashAggregate lands between the Sort and the shuffle stage)
+    // or a repartition() on the fact side silently disqualifies the
+    // join — which is itself worth pinning. ~90% of rows land on one
+    // key; incompressible md5 padding (aggregated below, so pruning
+    // cannot drop it) gives the hot partition real (compressed) shuffle
+    // bytes.
+    val base = java.nio.file.Files.createTempDirectory("graft-aqe-skew-").toString
+    Tables.events(spark, sf)
+      .select(when(col("event_id") % 10 < 9, 0L).otherwise(col("event_id") % 10).as("k"),
+        col("value"),
+        concat((0 until 8).map(i =>
+          md5(concat(col("event_id").cast("string"), lit(s"-$i")))): _*).as("pad"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$base/fact")
+    Tables.events(spark, sf)
+      .select((col("event_id") % 10).as("k")).distinct()
+      .write.mode("overwrite").parquet(s"$base/dim")
+    def joined(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$base/fact").join(s.read.parquet(s"$base/dim"), "k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"),
+          sum(length(col("pad")).cast("long")).as("pad_mass"))
+    val j = joined(s2)
+    val row = j.collect().head
+    val plan = j.queryExecution.executedPlan.toString
+    // reads print "AQEShuffleRead skewed" or "coalesced and skewed"
+    assert(plan.contains("skew=true") && plan.contains("skewed"),
+      s"expected a runtime skew-split SortMergeJoin, got:\n${plan.take(3000)}")
+    // the runtime split must not change the result
+    val expected = joined(spark).collect().head
+    assert(row == expected, s"skew-split result drifted: $row vs $expected")
+  }
 }
