@@ -440,12 +440,19 @@ object TextAnalysis {
 
   /** Ordered (non-distinct) k-gram list — repetition needs the duplicates
     * [[graft.operators.Dedup.shingleSetK]] deliberately removes. */
+  /** Word k-grams of `text` as an array column. The outer single-element
+    * `transform` is a LET BINDING: it evaluates `split` ONCE per row and
+    * hands the bound array `w` to the inner lambda — naming the split in
+    * the inner lambda directly would re-evaluate it per GRAM (higher-order
+    * functions get no subexpression elimination across lambda scopes),
+    * which profiled as the whole cost of q_repetition: O(tokens²) token
+    * copies per document instead of O(tokens·k). */
   private def gramList(k: Int): Column = expr(
-    s"""CASE WHEN size(split(text, ' ', -1)) >= $k THEN
-          transform(
-            sequence(0, size(split(text, ' ', -1)) - $k),
-            i -> array_join(slice(split(text, ' ', -1), i + 1, $k), ' '))
-        ELSE array() END""")
+    s"""transform(array(split(text, ' ', -1)), w ->
+          CASE WHEN size(w) >= $k THEN
+            transform(sequence(0, size(w) - $k),
+              i -> array_join(slice(w, i + 1, $k), ' '))
+          ELSE array() END)[0]""")
 
   /** Intra-document repetition scoring — the Gopher-style "repetition"
     * quality signal: the fraction of bigrams/trigrams that are repeats of
