@@ -164,6 +164,9 @@ object Bench {
       "lm_scores" -> (() => operators.Curation.ensureLmScores(spark, sfDir)),
       "bucketed_docs" -> (() => operators.Curation.ensureBucketedDocs(spark, sfDir)),
       "nested_orders" -> (() => operators.Bucketing.ensureNestedOrders(spark, sfDir)),
+      // date-range layout: the manifest-skipping query plans over its
+      // per-file min/max stats (ingest shape, paid once like bucketing)
+      "range_orders" -> (() => operators.Bucketing.ensureRangeOrders(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

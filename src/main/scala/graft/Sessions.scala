@@ -52,6 +52,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the regenerated driver testdata stamps timestamps with
+      // isAdjustedToUTC=false; read them as plain TIMESTAMP (UTC session)
+      // rather than TIMESTAMP_NTZ so unix_micros/windowing/oracle parity
+      // keep working unchanged
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // absolute warehouse path so saveAsTable (bucketed tables) works
       // regardless of the harness's working directory
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")

@@ -50,6 +50,9 @@ object SparkEntry {
     "q_schema_evolution"  -> ((s, d) => Pipeline.schemaEvolutionRead(s, d)),
     // zstd + snappy parquet write/read losslessness (codec audit)
     "q_codec_roundtrip"   -> ((s, d) => Pipeline.codecRoundTrip(s, d)),
+    // idempotent backfill: dynamic partition overwrite replaces ONE
+    // hive partition, every other slice's files untouched
+    "q_partition_overwrite" -> ((s, d) => Pipeline.partitionOverwrite(s, d)),
     // keyed delete list purges corpus AND cascades into the signature
     // store (broadcast anti/semi-joins; one-row audit couples both)
     "q_forget_purge"      -> ((s, d) => Curation.forgetPurge(s, d)),
@@ -100,6 +103,9 @@ object SparkEntry {
     // nested-column pruning: only the touched struct SUBFIELDS reach the
     // parquet reader (ReadSchema plan-asserted)
     "q_nested_prune"      -> ((s, d) => Bucketing.nestedPrunedScan(s, d)),
+    // file-manifest data skipping over a date-range layout: per-file
+    // min/max stats plan the file subset, window scan reads only those
+    "q_manifest_prune"    -> ((s, d) => Bucketing.manifestPrunedScan(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // regex field extraction (parser-family pattern arm)
@@ -111,6 +117,8 @@ object SparkEntry {
     "q_revenue_unpivot"   -> ((s, d) => Analytics.revenueUnpivot(s, d)),
     // LEFT SEMI join (the EXISTS shape; no left-side duplication)
     "q_semi_join"         -> ((s, d) => Analytics.customersWithOpenOrders(s, d)),
+    // LEFT ANTI join (the NOT-EXISTS shape; selective build side)
+    "q_anti_join"         -> ((s, d) => Relational.customersNoBigOrder(s, d)),
     "q_exact_distinct_count" -> ((s, d) => Analytics.exactDistinctCount(s, d)),
     "q_approx_distinct"   -> ((s, d) => Analytics.approxDistinct(s, d)),
     // exact percentiles (oracle arm) + GK-sketch approx (scale arm)
@@ -680,6 +688,9 @@ object SparkEntry {
     "q_compaction" -> Pipeline.compactRewriteOracleSql(),
     "q_schema_evolution" -> Pipeline.schemaEvolutionOracleSql,
     "q_codec_roundtrip" -> Pipeline.codecRoundTripOracleSql,
+    "q_partition_overwrite" -> Pipeline.partitionOverwriteOracleSql(),
+    "q_manifest_prune" -> Bucketing.manifestPrunedScanOracleSql(),
+    "q_anti_join" -> Relational.customersNoBigOrderOracleSql(),
     "q_forget_purge" -> Curation.forgetPurgeOracleSql,
     "q_length_outliers" -> Curation.lengthOutliersOracleSql(),
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,

@@ -361,6 +361,41 @@ object Pipeline {
               FROM documents) t"""
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the idempotent-backfill staple of a
+    * partitioned 100 TB table: a daily job that died mid-run, or a
+    * correction batch for one slice, is simply re-run and must replace
+    * ONLY the partitions it produces, leaving every other slice's files
+    * untouched (static overwrite mode would truncate the whole table —
+    * the classic production incident). Here the events table is staged
+    * hive-partitioned by `event_type`, then the `hot` partition is
+    * backfilled with corrected (doubled) values under
+    * `partitionOverwriteMode=dynamic`; the read-back aggregates per type,
+    * so the oracle — doubled values for `hot`, originals elsewhere —
+    * proves exactly one partition changed and none were lost. The
+    * untouched-files assertion lives in PipelineSpec. */
+  def partitionOverwrite(spark: SparkSession, dir: String,
+                         hot: String = "click"): DataFrame = {
+    val base = scratch(dir) + "/events_backfill"
+    val ev = Tables.events(spark, dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    ev.filter(col("event_type") === hot)
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(base)
+    spark.read.parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  def partitionOverwriteOracleSql(hot: String = "click"): String =
+    s"""SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = '$hot'
+                             THEN CAST(value * 2 AS DECIMAL(18,2))
+                             ELSE CAST(value AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** SCHEMA-EVOLUTION read — LLM corpora gain columns over time (a new
     * quality score, a license tag) and a 100 TB table is never rewritten
     * just to add one: old batches keep the old schema, new batches carry

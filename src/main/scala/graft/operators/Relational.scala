@@ -95,6 +95,35 @@ object Relational {
                        AND l.l_returnflag = 'R')
        ORDER BY o_orderkey"""
 
+  /** ANTI join — the NOT-EXISTS workhorse (the semi join's complement;
+    * decontamination and delete-propagation use the same physical shape):
+    * customers with NO order above `threshold`, grouped by segment. The
+    * filter is pushed below the join, so the anti side carries only the
+    * few high-value order KEYS — at 100 TB the build side is the
+    * selective slice, never the raw fact table, and Catalyst plans a
+    * broadcast/shuffled-hash LeftAnti against it. Integer keys + DECIMAL
+    * money keep the oracle exact. */
+  def customersNoBigOrder(spark: SparkSession, dir: String,
+                          threshold: Int = 400000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > threshold).select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_acctbal"))
+  }
+
+  def customersNoBigOrderOracleSql(threshold: Int = 400000): String =
+    s"""SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > $threshold)
+        GROUP BY 1 ORDER BY 1"""
+
   /** D1 as a result set: count + the >= 1 assertion verdict
     * (`dag-knlp.py:253-257`). */
   def countCheck(spark: SparkSession, dir: String): DataFrame =

@@ -128,11 +128,11 @@ object StreamingOps {
     materialized
   }
 
-  /** The driver testdata's events.parquet under
-    * `spark.sql.legacy.parquet.nanosAsLong` (see [[graft.Tables.events]]):
-    * the TIMESTAMP(NANOS) column arrives as a raw long. */
+  /** The driver testdata's events.parquet: `ts` is TIMESTAMP(MICROS)
+    * parquet (isAdjustedToUTC=false), read as plain TimestampType under
+    * the UTC session (see [[graft.Sessions]] / [[graft.Tables.events]]). */
   private val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -161,7 +161,7 @@ object StreamingOps {
       java.nio.file.Paths.get(dir, "events.parquet"))
     val stream = spark.readStream.schema(rawEventSchema)
       .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // ts arrives as native TimestampType from the declared schema
       .withColumn("value", col("value").cast("decimal(18,2)"))
     val q = hourlyCounts(stream).writeStream
       .outputMode("complete")
@@ -319,7 +319,7 @@ object StreamingOps {
       java.nio.file.Paths.get(dir, "events.parquet"))
     val stream = spark.readStream.schema(rawEventSchema)
       .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // ts arrives as native TimestampType from the declared schema
       .withColumn("value", col("value").cast("decimal(18,2)").cast("double"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamEvent]
@@ -363,7 +363,7 @@ object StreamingOps {
       java.nio.file.Paths.get(dir, "events.parquet"))
     val stream = spark.readStream.schema(rawEventSchema)
       .parquet(watchDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // ts arrives as native TimestampType from the declared schema
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("w"))
@@ -727,7 +727,7 @@ object StreamingOps {
     // attribute ambiguity)
     def side(name: String): DataFrame =
       ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // ts arrives as native TimestampType from the declared schema
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
         .withWatermark(s"${name}_ts", "1 hour")
@@ -786,7 +786,7 @@ object StreamingOps {
       java.nio.file.Paths.get(dir, "events.parquet"))
     def side(name: String): DataFrame =
       ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // ts arrives as native TimestampType from the declared schema
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
         .withWatermark(s"${name}_ts", "1 hour")
@@ -833,7 +833,7 @@ object StreamingOps {
       java.nio.file.Paths.get(dir, "events.parquet"))
     def side(name: String): DataFrame =
       ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // ts arrives as native TimestampType from the declared schema
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
         .withWatermark(s"${name}_ts", "1 hour")

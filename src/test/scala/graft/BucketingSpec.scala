@@ -255,4 +255,23 @@ class BucketingSpec extends AnyFunSuite {
     assert(byZ < byTime * 0.8,
       s"z-layout mean user span $byZ should be well under time-layout $byTime")
   }
+
+  test("manifest planning reads a strict file subset and stays lossless") {
+    import org.apache.spark.sql.functions._
+    val (sel, total) = Bucketing.manifestSelectedFiles(spark, sf,
+      "1998-06-01", "1998-06-30")
+    // 8 range files over 1995–2001: a one-month window touches ≤2
+    assert(total == 8, s"range layout should produce 8 files, got $total")
+    assert(sel >= 1 && sel <= 2, s"one-month window should plan 1-2 of 8 files, got $sel")
+    val out = Bucketing.manifestPrunedScan(spark, sf).collect()(0)
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").between(lit("1998-06-01 00:00:00"), lit("1998-06-30 00:00:00")))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect()(0)
+    assert(out.getLong(0) == direct.getLong(0) && out.getDouble(1) == direct.getDouble(1),
+      s"pruned scan ${(out.getLong(0), out.getDouble(1))} must equal " +
+        s"direct filter ${(direct.getLong(0), direct.getDouble(1))}")
+    assert(out.getLong(2) == 8 && out.getBoolean(3))
+  }
 }

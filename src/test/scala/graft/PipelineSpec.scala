@@ -177,6 +177,38 @@ class PipelineSpec extends AnyFunSuite {
       "every even-key (old-schema) row must land in the sentinel group")
   }
 
+  test("dynamic partition overwrite replaces ONE partition, all others byte-stable") {
+    def listing(base: java.io.File): Map[String, Set[(String, Long)]] =
+      base.listFiles().filter(_.getName.startsWith("event_type=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSet
+      }.toMap
+    val base = new java.io.File(Pipeline.scratch(sf) + "/events_backfill_spec")
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base.toString)
+    val before = listing(base)
+    ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(base.toString)
+    val after = listing(base)
+    assert(before.keySet == after.keySet, "no partition may be dropped")
+    before.keySet.filterNot(_ == "event_type=click").foreach { p =>
+      assert(before(p) == after(p), s"$p files must be untouched by the backfill")
+    }
+    assert(before("event_type=click") != after("event_type=click"),
+      "the hot partition must actually be rewritten")
+    // the operator's aggregate view of the same flow: hot doubled, rest as-is
+    val out = Pipeline.partitionOverwrite(spark, sf)
+    val direct = ev
+      .withColumn("value",
+        when(col("event_type") === "click", col("value") * 2).otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+  }
+
   test("codec round-trip: zstd and snappy layouts are real and lossless") {
     val rows = Pipeline.codecRoundTrip(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

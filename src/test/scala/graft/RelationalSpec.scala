@@ -71,4 +71,26 @@ class RelationalSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows(got) == rows(want))
   }
+
+  test("anti join complements the semi set and plans as LeftAnti") {
+    val got = Relational.customersNoBigOrder(spark, sf)
+    assert(got.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+      "the NOT-EXISTS shape must plan as a LeftAnti join")
+    // anti + semi on the same predicate partition the customer table
+    val big = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000).select("o_custkey")
+    val semiN = Tables.customer(spark, sf)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val antiN = got.agg(sum(col("n_customers"))).head().getLong(0)
+    assert(antiN > 0, "the threshold must leave some customers without a big order")
+    assert(antiN + semiN == Tables.customer(spark, sf).count(),
+      "anti and semi sets must partition the customers exactly")
+    // per-segment recomputation without a join operator at all
+    val keys = big.collect().map(_.getLong(0)).toSet
+    val want = Tables.customer(spark, sf).collect()
+      .filterNot(r => keys.contains(r.getLong(0)))
+      .groupBy(_.getString(4)).view.mapValues(_.length).toMap
+    val gotMap = got.collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(gotMap == want)
+  }
 }
