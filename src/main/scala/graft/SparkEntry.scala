@@ -60,6 +60,11 @@ object SparkEntry {
     "q_length_outliers"   -> ((s, d) => Curation.lengthOutliers(s, d)),
     // keyed MERGE/upsert corpus maintenance (full-outer + coalesce)
     "q_corpus_merge"      -> ((s, d) => Curation.corpusMerge(s, d)),
+    // ordered CDC op-log apply: latest-op-wins via one max_by hash agg,
+    // tombstones filtered after the aggregate
+    "q_cdc_apply"         -> ((s, d) => Curation.cdcApply(s, d)),
+    // shuffle-free per-doc character entropy (HOF fold, no explode)
+    "q_char_entropy"      -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     // immutable pre/post-merge snapshots (v= partition dirs) + per-version
     // digest profile: time-travel + reproducibility proof in one scan
     "q_snapshot_versions" -> ((s, d) => Curation.snapshotVersions(s, d)),
@@ -694,6 +699,8 @@ object SparkEntry {
     "q_forget_purge" -> Curation.forgetPurgeOracleSql,
     "q_length_outliers" -> Curation.lengthOutliersOracleSql(),
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
+    "q_cdc_apply" -> Curation.cdcApplyOracleSql,
+    "q_char_entropy" -> TextAnalysis.charEntropyOracleSql,
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
     "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,
     "q_column_profile" -> Analytics.columnProfileOracleSql,

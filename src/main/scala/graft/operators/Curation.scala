@@ -893,6 +893,67 @@ object Curation {
        FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id
        ORDER BY doc_id"""
 
+  /** CDC OP-LOG APPLY — the Debezium-shaped ingestion path of corpus
+    * maintenance: where [[corpusMerge]] takes one reconciled delta batch,
+    * a change-data-capture feed delivers an ORDERED log of
+    * insert/update/delete ops, several of which can hit the same key, and
+    * the engine must converge on latest-op-wins with deletes erasing the
+    * row. Applied as ONE hash aggregate: union base (version 0) with the
+    * op log and take `max_by(payload, version)` per key — two-phase
+    * partial aggregation, no global sort and no per-key window (a
+    * row_number formulation would sort every corpus partition; max_by
+    * ships one (payload, version) pair per key out of each map task,
+    * which at 100 TB is the difference between a shuffle of the corpus
+    * and a shuffle of its keys). Deletes survive to the aggregate as
+    * tombstone payloads and are filtered after it — the only correct
+    * order, since a late tombstone must beat earlier updates.
+    *
+    * The log is synthesized deterministically so the DuckDB oracle can
+    * replay it: v1 revises doc_id ≡ 0 (mod 7), v2 inserts fresh docs for
+    * doc_id ≡ 3 (mod 13), v3 re-revises doc_id ≡ 0 (mod 11) (beats v1 on
+    * keys divisible by 77), v4 deletes doc_id ≡ 5 (mod 17) (beats any
+    * earlier update). Each key appears at most once per version, so
+    * latest-op-wins is unambiguous. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select("doc_id", "text", "lang")
+    def op(df: DataFrame, v: Int, o: String): DataFrame =
+      df.select(col("doc_id"), lit(v).as("v"), lit(o).as("op"),
+        col("text"), col("lang"))
+    val ops = op(base, 0, "K")
+      .unionByName(op(base.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [u1]"))), 1, "U"))
+      .unionByName(op(base.filter(col("doc_id") % 13 === 3)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("[new] "), col("text")).as("text"), col("lang")), 2, "I"))
+      .unionByName(op(base.filter(col("doc_id") % 11 === 0)
+        .withColumn("text", concat(col("text"), lit(" [u3]"))), 3, "U"))
+      .unionByName(op(base.filter(col("doc_id") % 17 === 5)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang")), 4, "D"))
+    ops.groupBy("doc_id")
+      .agg(max_by(struct(col("op"), col("text"), col("lang")), col("v")).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("doc_id"), col("last.op").as("action"),
+        col("last.lang").as("lang"), md5(col("last.text")).as("fp"))
+  }
+
+  val cdcApplyOracleSql: String =
+    """WITH ops AS (
+         SELECT doc_id, 0 AS v, 'K' AS op, text, lang FROM documents
+         UNION ALL
+         SELECT doc_id, 1, 'U', text || ' [u1]', lang FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 200000, 2, 'I', '[new] ' || text, lang FROM documents WHERE doc_id % 13 = 3
+         UNION ALL
+         SELECT doc_id, 3, 'U', text || ' [u3]', lang FROM documents WHERE doc_id % 11 = 0
+         UNION ALL
+         SELECT doc_id, 4, 'D', NULL, NULL FROM documents WHERE doc_id % 17 = 5)
+       SELECT doc_id, op AS action, lang, md5(text) AS fp
+       FROM (SELECT ops.*, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn
+             FROM ops) t
+       WHERE rn = 1 AND op <> 'D'
+       ORDER BY doc_id"""
+
   // ---------------------------------------------------------------------
   // PII redaction
   // ---------------------------------------------------------------------

@@ -756,4 +756,42 @@ object TextAnalysis {
                 JOIN cu c2 ON cbg.w2 = c2.token
                 CROSS JOIN tot
        ORDER BY pmi DESC, bigram LIMIT $k"""
+
+  /** Per-document CHARACTER ENTROPY (bits/char) — the compression-style
+    * gibberish detector next to [[docQuality]]'s ratio heuristics and
+    * [[gopherRepetition]]'s n-gram screens: natural text sits ~4 bits,
+    * keyboard mash and base64 blobs run high, single-char spam runs to 0.
+    * Computed SHUFFLE-FREE as a pure per-row expression — split to a char
+    * array, `array_distinct` for the alphabet, one `transform` for the
+    * per-char counts, one `aggregate` fold for Σ c·log₂c, closed with
+    * H = log₂n − (Σ c·log₂c)/n. No explode, no (doc, char) shuffle: at
+    * 100 TB this runs as a narrow map over the corpus scan, where the
+    * explode+groupBy formulation would shuffle ~40× the corpus row count.
+    * The oracle recomputes the identical formula from a real char unnest,
+    * so the HOF pipeline is pinned against a relational ground truth. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("chars", expr("filter(split(text, ''), c -> c <> '')"))
+      .withColumn("uniq", array_distinct(col("chars")))
+      .withColumn("cnts",
+        expr("transform(uniq, d -> size(filter(chars, c -> c = d)))"))
+      .select(col("doc_id"),
+        size(col("uniq")).cast("long").as("n_distinct_chars"),
+        size(col("chars")).cast("long").as("n_chars_tok"),
+        expr("""round(log2(size(chars)) -
+                  aggregate(cnts, 0D, (acc, x) -> acc + x * log2(x))
+                    / size(chars), 6)""").as("entropy_bits"))
+
+  val charEntropyOracleSql: String =
+    """WITH chars AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+                      FROM documents),
+         f AS (SELECT doc_id, c, count(*) AS cnt
+               FROM chars WHERE c <> '' GROUP BY 1, 2)
+       SELECT doc_id,
+              count(*) AS n_distinct_chars,
+              CAST(sum(cnt) AS BIGINT) AS n_chars_tok,
+              round(log2(CAST(sum(cnt) AS DOUBLE))
+                    - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt),
+                    6) AS entropy_bits
+       FROM f GROUP BY doc_id ORDER BY doc_id"""
 }

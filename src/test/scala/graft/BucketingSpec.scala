@@ -262,6 +262,19 @@ class BucketingSpec extends AnyFunSuite {
       "1998-06-01", "1998-06-30")
     // 8 range files over 1995–2001: a one-month window touches ≤2
     assert(total == 8, s"range layout should produce 8 files, got $total")
+    // the property the whole scheme rests on: per-file date ranges are
+    // pairwise DISJOINT (repartitionByRange hands each file one slice),
+    // so any window's candidate set is minimal
+    val ranges = spark.read.parquet(Bucketing.ensureRangeOrders(spark, sf))
+      .groupBy(input_file_name()).agg(
+        min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2)))
+      .sortBy(_._1.getTime)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(!hi1.after(lo2), s"file ranges overlap: $hi1 vs $lo2")
+      case _ =>
+    }
     assert(sel >= 1 && sel <= 2, s"one-month window should plan 1-2 of 8 files, got $sel")
     val out = Bucketing.manifestPrunedScan(spark, sf).collect()(0)
     val direct = Tables.orders(spark, sf)

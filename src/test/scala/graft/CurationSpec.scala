@@ -605,4 +605,31 @@ class CurationSpec extends AnyFunSuite {
     val first = Curation.lengthOutliers(spark, sf)
     assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
   }
+
+  test("cdc apply: latest op wins per key, tombstones erase, no window sort") {
+    val out = Curation.cdcApply(spark, sf)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Window"),
+      "latest-op-wins must be a max_by hash aggregate, not a window sort")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val expected =
+        if (id % 17 == 5) None // v4 tombstone beats every earlier op
+        else if (id % 11 == 0) Some(("U", md5hex(text + " [u3]"))) // v3 beats v1
+        else if (id % 7 == 0) Some(("U", md5hex(text + " [u1]")))
+        else Some(("K", md5hex(text)))
+      assert(rows.get(id) == expected, s"doc $id resolved wrong")
+    }
+    val inserted = docs.keys.filter(_ % 13 == 3).toSeq
+    inserted.foreach { id =>
+      assert(rows.get(id + 200000L).map(_._1).contains("I"), s"insert $id missing")
+    }
+    assert(rows.size ==
+      docs.size - docs.keys.count(_ % 17 == 5) + inserted.size)
+  }
 }

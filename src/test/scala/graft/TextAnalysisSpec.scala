@@ -216,4 +216,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(2)))
     assert(again.toMap == rows.map(r => (r._1, r._3)).toMap)
   }
+
+  test("char entropy: shuffle-free plan, matches a brute-force recomputation") {
+    val out = TextAnalysis.charEntropy(spark, sf)
+    // the whole point: a narrow map over the scan — zero Exchanges
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "per-doc entropy must not shuffle")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val counts = text.toSeq.groupBy(identity).view.mapValues(_.length.toDouble)
+      val n = text.length.toDouble
+      val h = counts.values.map(c => -(c / n) * (math.log(c / n) / math.log(2))).sum
+      val (nd, nc, hb) = got(id)
+      assert(nd == counts.size && nc == text.length, s"doc $id counts")
+      assert(math.abs(hb - h) < 1e-5, s"doc $id entropy $hb vs $h")
+      assert(hb >= 0.0 && hb <= math.log(counts.size.toDouble) / math.log(2) + 1e-9)
+    }
+  }
 }
