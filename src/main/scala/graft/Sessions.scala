@@ -45,6 +45,10 @@ object Sessions {
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.UnicodeNormalize.name),
             graft.functions.UnicodeNormalize.info,
             graft.functions.UnicodeNormalize.builder))
+        ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.CharEntropy.name),
+            graft.functions.CharEntropy.info,
+            graft.functions.CharEntropy.builder))
       }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")

@@ -65,6 +65,13 @@ object SparkEntry {
     "q_cdc_apply"         -> ((s, d) => Curation.cdcApply(s, d)),
     // shuffle-free per-doc character entropy (HOF fold, no explode)
     "q_char_entropy"      -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    // lang-ID audit: (declared x predicted) confusion cells
+    "q_lang_confusion"    -> ((s, d) => TextAnalysis.langConfusion(s, d)),
+    // BPE tokenizer-training step: best pair + greedy merge contraction,
+    // vocabulary-bounded after the one word-count shuffle
+    "q_bpe_step"          -> ((s, d) => TextAnalysis.bpeStep(s, d)),
+    // asymmetric doc-inside-doc detection via df-capped inverted index
+    "q_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // immutable pre/post-merge snapshots (v= partition dirs) + per-version
     // digest profile: time-travel + reproducibility proof in one scan
     "q_snapshot_versions" -> ((s, d) => Curation.snapshotVersions(s, d)),
@@ -701,6 +708,9 @@ object SparkEntry {
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
     "q_cdc_apply" -> Curation.cdcApplyOracleSql,
     "q_char_entropy" -> TextAnalysis.charEntropyOracleSql,
+    "q_lang_confusion" -> TextAnalysis.langConfusionOracleSql,
+    "q_bpe_step" -> TextAnalysis.bpeStepOracleSql,
+    "q_containment_pairs" -> Dedup.containmentPairsOracleSql(),
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
     "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,
     "q_column_profile" -> Analytics.columnProfileOracleSql,

@@ -26,11 +26,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[Sessions.tune]]); here the long nanos normalize to a proper
-    * TimestampType column (microsecond precision) via integer division —
-    * `/` on longs would go through double and lose precision at 1e18 ns. */
+  /** events.ts arrives as TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet,
+    * read as plain TimestampType under the UTC session (Sessions disables
+    * TIMESTAMP_NTZ inference). Earlier testdata generations stamped
+    * TIMESTAMP(NANOS), which `spark.sql.legacy.parquet.nanosAsLong=true`
+    * surfaces as a raw long — that arm normalizes via integer division
+    * (`/` on longs would go through double and lose precision at 1e18 ns),
+    * so either generation loads identically. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)

@@ -1207,6 +1207,66 @@ object Dedup {
               round(CAST(sum(a * b) AS DOUBLE) / sum(a), 6) AS containment_a
        FROM fl"""
 
+  /** CONTAINMENT pairs — the doc-INSIDE-doc detector symmetric Jaccard
+    * misses: a short document quoted whole inside a long one shares only
+    * a sliver of the long side's shingles (low Jaccard, LSH bands miss
+    * it) but nearly ALL of its own (containment ≈ 1). Reported per pair
+    * as |A∩B| / min(|A|, |B|) over distinct `k`-shingle sets.
+    *
+    * Scale shape: a shingle-keyed inverted-index join, NOT all-pairs —
+    * per-doc distinct shingles explode once, document frequency is
+    * computed in the same pass's groupBy, and only shingles with
+    * 2 ≤ df ≤ `maxDf` enter the self-join (df=1 cannot form a pair, so
+    * that cut is lossless; df > maxDf is boilerplate whose exclusion
+    * makes the measure "content overlap net of stock phrases" AND bounds
+    * per-shingle join fan-out at maxDf² — the quadratic term that would
+    * otherwise blow up on a hot shingle at 100 TB). Pair counts then
+    * partial-aggregate map-side; set SIZES stay the true per-doc
+    * cardinalities so the denominator is exact. */
+  def containmentPairs(spark: SparkSession, dir: String, k: Int = 5,
+                       maxDf: Int = 50, threshold: Double = 0.8): DataFrame = {
+    // materialize the exploded shingles ONCE: three consumers (sizes, df,
+    // the join input) would otherwise re-run the explode+distinct scan
+    val sh = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingleSetK(k)).as("shingle"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfCount = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val kept = sh.join(dfCount.filter(col("df").between(2, maxDf)), "shingle")
+      .select("shingle", "doc_id")
+    val inter = kept.select(col("shingle"), col("doc_id").as("da"))
+      .join(kept.select(col("shingle"), col("doc_id").as("db")), Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("c_raw", col("n_common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("c_raw") >= threshold) // threshold on the RAW ratio (oracle-identical), round only for display
+      .select(col("da"), col("db"), col("n_common"),
+        round(col("c_raw"), 6).as("containment"))
+  }
+
+  def containmentPairsOracleSql(k: Int = 5, maxDf: Int = 50,
+                                threshold: Double = 0.8): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                array_to_string(words[i : i + ${k - 1}], ' ') AS shingle
+              FROM w, unnest(range(1, CAST(len(words) AS BIGINT) - ${k - 2})) AS t(i)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       keep AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle)
+                WHERE df BETWEEN 2 AND $maxDf),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_common
+                 FROM keep a JOIN keep b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT da, db, n_common,
+              round(CAST(n_common AS DOUBLE) / least(x.n, y.n), 6) AS containment
+       FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+       WHERE CAST(n_common AS DOUBLE) / least(x.n, y.n) >= $threshold
+       ORDER BY da, db"""
+
   // ---------------------------------------------------------------------
   // Quality-aware canonical selection
   // ---------------------------------------------------------------------

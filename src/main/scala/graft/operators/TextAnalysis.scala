@@ -757,6 +757,106 @@ object TextAnalysis {
                 CROSS JOIN tot
        ORDER BY pmi DESC, bigram LIMIT $k"""
 
+  /** BPE MERGE STEP — the kernel of byte-pair-encoding tokenizer
+    * training, the step that turns a raw corpus into a vocab: count
+    * adjacent symbol pairs over the word-frequency table, pick the most
+    * frequent pair (count desc, then lexicographic — deterministic), and
+    * apply the merge greedily left-to-right to every word, reporting the
+    * token-count contraction. A full trainer is a driver-side loop of
+    * exactly this step; one step pins the whole kernel.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count groupBy,
+    * partial-aggregated); everything downstream — pair explode, argmax
+    * (TakeOrderedAndProject), merge application — runs on the DISTINCT
+    * word table, i.e. is VOCABULARY-bounded, not corpus-bounded. That is
+    * precisely how production BPE trainers survive 100 TB: they train on
+    * the frequency table, never the text. The 1-row best pair broadcasts.
+    *
+    * Merge application is non-overlapping left-to-right `replace` on a
+    * '|'-delimited symbol string — the BPE apply semantics — and the
+    * occurrence count falls out of pure length arithmetic
+    * (each application deletes exactly one delimiter), which both engines
+    * compute identically. */
+  def bpeStep(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val ch = wf.withColumn("cs", expr("filter(split(word, ''), c -> c <> '')"))
+    val pc = ch
+      .select(col("freq"), explode(expr(
+        """IF(size(cs) >= 2,
+              transform(sequence(0, size(cs) - 2),
+                        i -> struct(cs[i] AS a, cs[i + 1] AS b)),
+              array())""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+    val best = pc.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+      .select(col("a").as("ma"), col("b").as("mb"), col("cnt").as("pair_count"))
+    ch.crossJoin(broadcast(best))
+      .withColumn("padded", concat(lit("|"), array_join(col("cs"), "|"), lit("|")))
+      .withColumn("occ", length(col("padded")) - length(expr(
+        "replace(padded, concat('|', ma, '|', mb, '|'), concat('|', ma, mb, '|'))")))
+      .groupBy(col("ma").as("merge_a"), col("mb").as("merge_b"), col("pair_count"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq") * size(col("cs"))).as("n_tokens_before"),
+        sum(col("freq") * (size(col("cs")) - col("occ"))).as("n_tokens_after"))
+  }
+
+  val bpeStepOracleSql: String =
+    """WITH wf AS (SELECT w AS word, count(*) AS freq
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                   WHERE w <> '' GROUP BY 1),
+       ch AS (SELECT word, freq, regexp_split_to_array(word, '') AS cs FROM wf),
+       pr AS (SELECT cs[i] AS a, cs[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM ch, unnest(range(1, CAST(len(cs) AS BIGINT))) AS t(i)
+              GROUP BY 1, 2),
+       best AS (SELECT a AS ma, b AS mb, cnt AS pair_count
+                FROM pr ORDER BY cnt DESC, a, b LIMIT 1),
+       app AS (SELECT freq, len(cs) AS nb,
+                      '|' || array_to_string(cs, '|') || '|' AS padded
+               FROM ch)
+       SELECT b.ma AS merge_a, b.mb AS merge_b, b.pair_count,
+              count(*) AS n_vocab,
+              CAST(sum(freq * nb) AS BIGINT) AS n_tokens_before,
+              CAST(sum(freq * (nb - (length(padded)
+                - length(replace(padded, '|' || b.ma || '|' || b.mb || '|',
+                                         '|' || b.ma || b.mb || '|')))))
+                   AS BIGINT) AS n_tokens_after
+       FROM app CROSS JOIN best b
+       GROUP BY 1, 2, 3"""
+
+  /** LANG-ID CONFUSION matrix — the audit every classifier in the
+    * curation loop needs: [[langId]]'s stopword-hit prediction crossed
+    * against the declared label, one cell per (declared, predicted) with
+    * doc counts and mean evidence strength. At 100 TB this is the daily
+    * drift dashboard for the language router (a cell growing off the
+    * diagonal = a crawl source shifted or the classifier broke); the
+    * matrix is bounded by languages², so the aggregate is a tiny
+    * partial-combined groupBy over the narrow per-doc scores. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("en_hits") + col("es_hits") + col("fr_hits")), 6)
+          .as("avg_evidence"))
+
+  val langConfusionOracleSql: String =
+    """SELECT lang AS lang_declared,
+              CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+                   WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+                   WHEN fr_hits > 0 THEN 'fr'
+                   ELSE 'und' END AS lang_pred,
+              count(*) AS n_docs,
+              round(avg(en_hits + es_hits + fr_hits), 6) AS avg_evidence
+       FROM (
+         SELECT lang,
+                len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_hits,
+                len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que'))) AS es_hits,
+                len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les'))) AS fr_hits
+         FROM documents) t
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Per-document CHARACTER ENTROPY (bits/char) — the compression-style
     * gibberish detector next to [[docQuality]]'s ratio heuristics and
     * [[gopherRepetition]]'s n-gram screens: natural text sits ~4 bits,
@@ -769,18 +869,42 @@ object TextAnalysis {
     * explode+groupBy formulation would shuffle ~40× the corpus row count.
     * The oracle recomputes the identical formula from a real char unnest,
     * so the HOF pipeline is pinned against a relational ground truth. */
-  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CharEntropy.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("char_entropy(text)").as("p"))
+      .select(col("doc_id"),
+        col("p.n_distinct_chars").as("n_distinct_chars"),
+        col("p.n_chars").as("n_chars_tok"),
+        expr("round(p.entropy_bits, 6)").as("entropy_bits"))
+  }
+
+  /** The declarative HOF formulation of [[charEntropy]], kept as the
+    * cross-check reference the spec pins the codegen expression against:
+    * single-pass run-length fold over the SORTED chars (one lambda step
+    * per character; the codegen expression replaces ~0.4 ms/doc of
+    * interpreted lambda evaluation with one tight JVM loop). */
+  private[graft] def charEntropyFold(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("chars", expr("filter(split(text, ''), c -> c <> '')"))
-      .withColumn("uniq", array_distinct(col("chars")))
-      .withColumn("cnts",
-        expr("transform(uniq, d -> size(filter(chars, c -> c = d)))"))
+      .withColumn("fold", expr(
+        """aggregate(
+             array_sort(chars),
+             named_struct('s', 0D, 'run', 0L, 'prev', '', 'k', 0L),
+             (acc, c) -> IF(c = acc.prev,
+               named_struct('s', acc.s, 'run', acc.run + 1L,
+                            'prev', c, 'k', acc.k),
+               named_struct(
+                 's', acc.s + IF(acc.run > 0L, acc.run * log2(acc.run), 0D),
+                 'run', 1L, 'prev', c, 'k', acc.k + 1L)),
+             acc -> named_struct(
+               's', acc.s + IF(acc.run > 0L, acc.run * log2(acc.run), 0D),
+               'run', 0L, 'prev', '', 'k', acc.k))"""))
       .select(col("doc_id"),
-        size(col("uniq")).cast("long").as("n_distinct_chars"),
+        col("fold.k").as("n_distinct_chars"),
         size(col("chars")).cast("long").as("n_chars_tok"),
-        expr("""round(log2(size(chars)) -
-                  aggregate(cnts, 0D, (acc, x) -> acc + x * log2(x))
-                    / size(chars), 6)""").as("entropy_bits"))
+        expr("round(log2(size(chars)) - fold.s / size(chars), 6)")
+          .as("entropy_bits"))
 
   val charEntropyOracleSql: String =
     """WITH chars AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c

@@ -454,4 +454,38 @@ class DedupSpec extends AnyFunSuite {
       assert(canon.head._2 == best._2, s"cluster $cid keeper ${canon.head._2} != ${best._2}")
     }
   }
+
+  test("containment pairs match a brute-force recomputation and bound jaccard") {
+    val k = 5; val maxDf = 50; val thr = 0.8
+    val got = Dedup.containmentPairs(spark, sf, k, maxDf, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty, "generator-seeded duplicates must surface containment pairs")
+    // brute force from the raw texts
+    val sets = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> w.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+      }.toMap
+    val dfc = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val keepSets = sets.view.mapValues(_.filter(s => dfc(s) >= 2 && dfc(s) <= maxDf)).toMap
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      common = keepSets(a).intersect(keepSets(b)).size
+      if common > 0
+      cont = common.toDouble / math.min(sets(a).size, sets(b).size)
+      if cont >= thr
+    } yield (a, b) -> (common.toLong, cont)).toMap
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    want.foreach { case (pair, (common, cont)) =>
+      val (gc, gcont) = got(pair)
+      assert(gc == common && math.abs(gcont - cont) < 1e-5, s"pair $pair")
+      // containment >= jaccard always (min-denominator vs union-denominator)
+      val (a, b) = pair
+      val jac = common.toDouble / (sets(a).size + sets(b).size - common)
+      assert(gcont >= jac - 1e-9, s"pair $pair containment below jaccard")
+    }
+  }
 }

@@ -217,11 +217,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(again.toMap == rows.map(r => (r._1, r._3)).toMap)
   }
 
+  test("bpe step: argmax pair and greedy merge contraction match brute force") {
+    val row = TextAnalysis.bpeStep(spark, sf).head()
+    val (ma, mb, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+    val (nVocab, before, after) = (row.getLong(3), row.getLong(4), row.getLong(5))
+    val wf = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // pair counts over the frequency table (overlapping, ordered)
+    val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      w.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
+        val key = (p(0).toString, p(1).toString)
+        pairs(key) = pairs.getOrElse(key, 0L) + f
+      }
+    }
+    val bestBrute = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+    assert((ma, mb) == bestBrute._1 && cnt == bestBrute._2,
+      s"argmax pair ($ma,$mb,$cnt) vs brute ${bestBrute}")
+    assert(nVocab == wf.size)
+    assert(before == wf.map { case (w, f) => w.length * f }.sum)
+    // greedy non-overlapping application, same replace semantics
+    val expectedAfter = wf.map { case (w, f) =>
+      val padded = "|" + w.mkString("|") + "|"
+      val merged = padded.replace(s"|$ma|$mb|", s"|$ma$mb|")
+      (w.length - (padded.length - merged.length)) * f
+    }.sum
+    assert(after == expectedAfter && after < before,
+      s"contraction $after vs $expectedAfter (before $before)")
+  }
+
+  test("lang confusion: cells partition the corpus and re-derive from langId rows") {
+    val cells = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val perDoc = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(5),
+        r.getInt(2).toLong + r.getInt(3) + r.getInt(4)))
+    assert(cells.values.map(_._1).sum == perDoc.length, "cells must partition the corpus")
+    perDoc.groupBy(d => (d._1, d._2)).foreach { case (key, docs) =>
+      val (n, avg) = cells(key)
+      assert(n == docs.length, s"cell $key count")
+      assert(math.abs(avg - docs.map(_._3).sum.toDouble / docs.length) < 1e-6,
+        s"cell $key evidence")
+    }
+  }
+
   test("char entropy: shuffle-free plan, matches a brute-force recomputation") {
     val out = TextAnalysis.charEntropy(spark, sf)
     // the whole point: a narrow map over the scan — zero Exchanges
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
       "per-doc entropy must not shuffle")
+    // the codegen expression and the declarative HOF fold agree to 6 dp
+    val fold = TextAnalysis.charEntropyFold(spark, sf)
+    assert(out.exceptAll(fold).isEmpty && fold.exceptAll(out).isEmpty,
+      "char_entropy expression must equal the HOF formulation")
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val got = out.collect()
