@@ -329,6 +329,9 @@ object SparkEntry {
     // micro-batches, each applied to the keyed corpus store with the
     // same full-outer delta-wins merge; oracle = the batch merge.
     "q_stream_upsert"     -> ((s, d) => graft.streaming.StreamingOps.streamUpsertEndToEnd(s, d)),
+    // the op-LOG twin: versioned I/U/D micro-batches in shuffled order,
+    // max-version state merge with retained tombstones -> batch fixpoint
+    "q_stream_cdc"        -> ((s, d) => graft.streaming.StreamingOps.streamCdcEndToEnd(s, d)),
     // STREAMING near-dup: arriving documents scored against the static
     // corpus signature store — per-row narrow MinHash kernel, stream-
     // static bucket join, codegen'd agreement/Jaccard filters. Same
@@ -707,6 +710,8 @@ object SparkEntry {
     "q_length_outliers" -> Curation.lengthOutliersOracleSql(),
     "q_corpus_merge" -> Curation.corpusMergeOracleSql,
     "q_cdc_apply" -> Curation.cdcApplyOracleSql,
+    // The out-of-order streaming replay must land on the batch apply.
+    "q_stream_cdc" -> Curation.cdcApplyOracleSql,
     "q_char_entropy" -> TextAnalysis.charEntropyOracleSql,
     "q_lang_confusion" -> TextAnalysis.langConfusionOracleSql,
     "q_bpe_step" -> TextAnalysis.bpeStepOracleSql,

@@ -898,13 +898,15 @@ object Curation {
     * a change-data-capture feed delivers an ORDERED log of
     * insert/update/delete ops, several of which can hit the same key, and
     * the engine must converge on latest-op-wins with deletes erasing the
-    * row. Applied as ONE hash aggregate: union base (version 0) with the
-    * op log and take `max_by(payload, version)` per key — two-phase
-    * partial aggregation, no global sort and no per-key window (a
-    * row_number formulation would sort every corpus partition; max_by
-    * ships one (payload, version) pair per key out of each map task,
-    * which at 100 TB is the difference between a shuffle of the corpus
-    * and a shuffle of its keys). Deletes survive to the aggregate as
+    * row. Applied as ONE aggregate: union base (version 0) with the op
+    * log and take `max_by(payload, version)` per key — two-phase partial
+    * aggregation (physically a partial SortAggregate per map task, the
+    * struct buffer keeps it off the hash path), so each map task ships
+    * ONE (payload, version) pair per key into the single shuffle. A
+    * row_number window would shuffle and retain EVERY op row per key
+    * before discarding all but one — at 100 TB the difference between
+    * shuffling the op log and shuffling its keys. Deletes survive to the
+    * aggregate as
     * tombstone payloads and are filtered after it — the only correct
     * order, since a late tombstone must beat earlier updates.
     *
@@ -914,22 +916,31 @@ object Curation {
     * keys divisible by 77), v4 deletes doc_id ≡ 5 (mod 17) (beats any
     * earlier update). Each key appears at most once per version, so
     * latest-op-wins is unambiguous. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+  /** The versioned op LOG applied by [[cdcApply]] and replayed by the
+    * streaming twin (`q_stream_cdc`): v1 U, v2 I, v3 U, v4 D — each key
+    * at most once per version, synthesized from the corpus so the DuckDB
+    * oracle can rebuild it. Excludes the version-0 base. */
+  private[graft] def cdcOpLog(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select("doc_id", "text", "lang")
-    def op(df: DataFrame, v: Int, o: String): DataFrame =
-      df.select(col("doc_id"), lit(v).as("v"), lit(o).as("op"),
-        col("text"), col("lang"))
-    val ops = op(base, 0, "K")
-      .unionByName(op(base.filter(col("doc_id") % 7 === 0)
-        .withColumn("text", concat(col("text"), lit(" [u1]"))), 1, "U"))
-      .unionByName(op(base.filter(col("doc_id") % 13 === 3)
+    cdcOp(base.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" [u1]"))), 1, "U")
+      .unionByName(cdcOp(base.filter(col("doc_id") % 13 === 3)
         .select((col("doc_id") + 200000L).as("doc_id"),
           concat(lit("[new] "), col("text")).as("text"), col("lang")), 2, "I"))
-      .unionByName(op(base.filter(col("doc_id") % 11 === 0)
+      .unionByName(cdcOp(base.filter(col("doc_id") % 11 === 0)
         .withColumn("text", concat(col("text"), lit(" [u3]"))), 3, "U"))
-      .unionByName(op(base.filter(col("doc_id") % 17 === 5)
+      .unionByName(cdcOp(base.filter(col("doc_id") % 17 === 5)
         .select(col("doc_id"), lit(null).cast("string").as("text"),
           lit(null).cast("string").as("lang")), 4, "D"))
+  }
+
+  private def cdcOp(df: DataFrame, v: Int, o: String): DataFrame =
+    df.select(col("doc_id"), lit(v).as("v"), lit(o).as("op"),
+      col("text"), col("lang"))
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select("doc_id", "text", "lang")
+    val ops = cdcOp(base, 0, "K").unionByName(cdcOpLog(spark, dir))
     ops.groupBy("doc_id")
       .agg(max_by(struct(col("op"), col("text"), col("lang")), col("v")).as("last"))
       .filter(col("last.op") =!= "D")

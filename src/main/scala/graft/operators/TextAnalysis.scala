@@ -778,10 +778,14 @@ object TextAnalysis {
     * (each application deletes exactly one delimiter), which both engines
     * compute identically. */
   def bpeStep(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the vocabulary ONCE (it is tiny — distinct words); both
+    // the pair-count arm and the merge-application arm read it, so the
+    // corpus scan + word-count shuffle really do happen a single time
     val wf = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ", -1)).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val ch = wf.withColumn("cs", expr("filter(split(word, ''), c -> c <> '')"))
     val pc = ch
       .select(col("freq"), explode(expr(

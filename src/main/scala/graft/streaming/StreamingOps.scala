@@ -606,6 +606,84 @@ object StreamingOps {
     (materialized, nBatches)
   }
 
+  /** STREAMING CDC APPLY — the op-log twin of [[streamUpsertEndToEnd]]
+    * (which replays a reconciled delta): the versioned insert/update/
+    * delete log of `q_cdc_apply` arrives as micro-batches in ARBITRARY
+    * order and the keyed state must still converge on the batch result.
+    * Order-tolerance is the design point, not an accident: every state
+    * row carries its op VERSION, each batch first collapses to its own
+    * per-key max-version payload, and the merge keeps whichever side has
+    * the higher version — so batch boundaries and replay order cannot
+    * change the fixpoint (the replay below shuffles the log across files
+    * to prove it, and the spec compares against the batch apply exactly).
+    * Delete tombstones STAY in the state with their version — dropping
+    * them eagerly would let a late lower-version update resurrect the row
+    * (the classic CDC bug; Delta/Hudi retain tombstones for the same
+    * reason) — and are filtered only at the final read. State is
+    * O(corpus keys), each batch costs one keyed merge of O(batch) against
+    * it — the same shape a foreachBatch MERGE INTO runs at 100 TB. */
+  def streamCdcEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("cdc")
+    // the log lands shuffled across 4 files — deliberately NOT in version
+    // order; repartition by a hash spreads versions across every file
+    graft.operators.Curation.cdcOpLog(spark, dir)
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$out/oplog")
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), lit(0L).as("v"), lit("K").as("op"),
+        col("lang"), md5(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$out/state_init")
+    @volatile var cur = s"$out/state_init"
+    val opSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("v", IntegerType),
+      StructField("op", StringType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val q = spark.readStream.schema(opSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/oplog")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // collapse the batch to its own per-key latest op first — a batch
+        // may carry several versions of one key
+        val d = batch
+          .select(col("doc_id").as("d_id"),
+            col("v").cast("long").as("d_v"), col("op").as("d_op"),
+            col("lang").as("d_lang"), md5(col("text")).as("d_fp"))
+          .groupBy("d_id")
+          .agg(max_by(struct(col("d_v"), col("d_op"), col("d_lang"),
+            col("d_fp")), col("d_v")).as("w"))
+          .select(col("d_id"), col("w.d_v").as("d_v"), col("w.d_op").as("d_op"),
+            col("w.d_lang").as("d_lang"), col("w.d_fp").as("d_fp"))
+        val next = s"$out/state_$id"
+        // higher version wins; ties impossible (versions unique per key)
+        spark.read.parquet(cur)
+          .join(d, col("doc_id") === col("d_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+            when(col("d_v").isNotNull && (col("v").isNull || col("d_v") > col("v")),
+              col("d_v")).otherwise(col("v")).as("v"),
+            when(col("d_v").isNotNull && (col("v").isNull || col("d_v") > col("v")),
+              col("d_op")).otherwise(col("op")).as("op"),
+            when(col("d_v").isNotNull && (col("v").isNull || col("d_v") > col("v")),
+              col("d_lang")).otherwise(col("lang")).as("lang"),
+            when(col("d_v").isNotNull && (col("v").isNull || col("d_v") > col("v")),
+              col("d_fp")).otherwise(col("fp")).as("fp"))
+          .write.mode("overwrite").parquet(next)
+        cur = next
+      }
+      .start()
+    q.awaitTermination()
+    val materialized = spark.read.parquet(cur)
+      .filter(col("op") =!= "D") // tombstones leave the view only at read time
+      .select(col("doc_id"), col("op").as("action"), col("lang"), col("fp"))
+      .localCheckpoint(true)
+    deleteRecursively(java.nio.file.Paths.get(out))
+    materialized
+  }
+
   /** STREAMING near-dup dedup — the production "dedupe arriving documents
     * against the historical corpus" flow run as an actual stream: the new
     * batch (top doc_id decile, [[graft.operators.Dedup.nearDupNewVsCorpus]]'s

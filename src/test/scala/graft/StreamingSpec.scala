@@ -388,4 +388,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "the micro-batched upsert must converge to the batch merge")
   }
+
+  test("streaming CDC apply converges to the batch op-log result despite shuffled replay") {
+    val streamed = StreamingOps.streamCdcEndToEnd(spark, TestSpark.sf)
+    val batch = graft.operators.Curation.cdcApply(spark, TestSpark.sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "out-of-order micro-batched CDC must land on the batch latest-op-wins fixpoint")
+    // tombstoned keys really are gone from the final view
+    import org.apache.spark.sql.functions.col
+    val deleted = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 17 === 5).select("doc_id")
+    assert(streamed.join(deleted, "doc_id").count() == 0,
+      "deleted keys must not surface in the final state")
+  }
 }

@@ -218,7 +218,13 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("bpe step: argmax pair and greedy merge contraction match brute force") {
-    val row = TextAnalysis.bpeStep(spark, sf).head()
+    val df = TextAnalysis.bpeStep(spark, sf)
+    // argmax is a partial top-1 (TakeOrderedAndProject), broadcast to the
+    // vocabulary-bounded apply arm — never a sort-merge of the best pair
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && plan.contains("BroadcastExchange"),
+      s"bpe argmax should broadcast a partial top-1, plan:\n${plan.take(2000)}")
+    val row = df.head()
     val (ma, mb, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
     val (nVocab, before, after) = (row.getLong(3), row.getLong(4), row.getLong(5))
     val wf = Tables.documents(spark, sf).select("text").collect()
