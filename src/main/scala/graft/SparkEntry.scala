@@ -199,6 +199,9 @@ object SparkEntry {
     // — X1/X2 dedup —
     "q_dedup_exact"       -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_minhash_signatures"-> ((s, d) => Dedup.minhashSignatures(s, d)),
+    // index maintenance under merge: incremental store refresh digested
+    // equal to the oracle's independent full re-sign of the merged corpus
+    "q_sigstore_refresh"  -> ((s, d) => Dedup.sigstoreRefresh(s, d)),
     "q_dedup_near"        -> ((s, d) => Dedup.nearDupPairs(s, d)),
     // n-gram (bigram) Jaccard near-dup: same banded-LSH pipeline at the
     // k-gram operating point — 32 bands × 4 rows for usable recall at the
@@ -610,6 +613,7 @@ object SparkEntry {
     // prefix; band sig = md5 of its 16 row-minhashes (decimal-rendered)
     // joined by '|'. Generated from the operator's own constants.
     "q_minhash_signatures" -> Dedup.minhashSignaturesOracleSql,
+    "q_sigstore_refresh" -> Dedup.sigstoreRefreshOracleSql,
     // Generated from the operator's own constants (band geometry, both
     // signature-agreement pre-filter thresholds) — see Dedup.nearDupOracleSql.
     "q_dedup_near" -> Dedup.nearDupOracleSql(),

@@ -1207,6 +1207,67 @@ object Dedup {
               round(CAST(sum(a * b) AS DOUBLE) / sum(a), 6) AS containment_a
        FROM fl"""
 
+  /** SIGNATURE-STORE REFRESH under corpus merge — the index-maintenance
+    * composition a production dedup service lives by: the nightly corpus
+    * MERGE (`q_corpus_merge`'s delta: updates + inserts) must be folded
+    * into the persisted signature store WITHOUT re-signing the corpus —
+    * at 100 TB the full re-sign is the single largest dedup cost, and the
+    * merge touches a sliver of the keys. Refresh = drop the touched keys
+    * from the stored profile (broadcast anti-join against the delta's key
+    * list), sign ONLY the delta rows with the narrow per-row kernel
+    * (bit-identical to the batch signer), and union. The emitted
+    * (n_docs, store_digest) profile is order-independent, and the DuckDB
+    * oracle recomputes it from the MERGED corpus with a full independent
+    * re-sign — so the equality is a proof that incremental maintenance
+    * lands on exactly the store a from-scratch rebuild would produce. */
+  def sigstoreRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val delta = graft.operators.Curation.corpusDelta(spark, dir)
+    val store = spark.read.parquet(ensureSignatureStore(spark, dir) + "/profile")
+    val kept = store.join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "sig_arr")
+    val fresh = withNarrowSignatures(delta, shingleK = 1,
+        bands = NumBands, rowsPerBand = RowsPerBand)
+      .filter(size(shingleSetK(1)) > 0)
+      .select("doc_id", "sig_arr")
+    kept.unionByName(fresh)
+      .select(conv(substring(md5(concat_ws("|",
+        col("doc_id"), array_join(col("sig_arr"), "|"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("store_digest"))
+  }
+
+  /** DuckDB oracle for [[sigstoreRefresh]]: full independent re-sign of
+    * the MERGED corpus (delta-wins full outer, then the exact minhash/band
+    * pipeline of [[minhashSignaturesOracleSql]]), digested the same way. */
+  def sigstoreRefreshOracleSql: String = {
+    val nHashes = NumBands * RowsPerBand
+    s"""WITH delta AS (
+         SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 100000, '[new] ' || text FROM documents WHERE doc_id % 13 = 3),
+       merged AS (
+         SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                coalesce(d.text, b.text) AS text
+         FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id),
+       sh AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+              FROM merged),
+       shh AS (SELECT doc_id, substr(md5(shingle), 1, 8) AS h8 FROM sh),
+       sh2 AS (SELECT doc_id, ${duckHexToBigint("h8", 8)} AS h FROM shh),
+       mh AS (SELECT doc_id, i, min((a * h + b) % $HashMod) AS m
+              FROM sh2 CROSS JOIN (VALUES ${affineValuesRows(nHashes)}) AS ab(i, a, b)
+              GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, i // $RowsPerBand AS band,
+                      md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS sig
+               FROM mh GROUP BY doc_id, i // $RowsPerBand),
+       per_doc AS (SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                       || string_agg(sig, '|' ORDER BY band)), 1, 8) AS h8
+                   FROM sig GROUP BY doc_id)
+       SELECT count(*) AS n_docs,
+              CAST(sum(${duckHexToBigint("h8", 8)}) AS BIGINT) AS store_digest
+       FROM per_doc"""
+  }
+
   /** CONTAINMENT pairs — the doc-INSIDE-doc detector symmetric Jaccard
     * misses: a short document quoted whole inside a long one shares only
     * a sliver of the long side's shingles (low Jaccard, LSH bands miss

@@ -455,6 +455,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sigstore refresh: incremental maintenance equals a full re-sign of the merged corpus") {
+    import graft.operators.Curation
+    val inc = Dedup.sigstoreRefresh(spark, sf).head()
+    // independent full rebuild in Spark (the oracle does the same in DuckDB)
+    val merged = Curation.mergeTexts(
+      Tables.documents(spark, sf).select("doc_id", "text", "lang", "source"),
+      Curation.corpusDelta(spark, sf))
+    val full = Dedup.withNarrowSignatures(merged, shingleK = 1,
+        bands = Dedup.NumBands, rowsPerBand = Dedup.RowsPerBand)
+      .filter(size(Dedup.shingleSetK(1)) > 0)
+      .select(conv(substring(md5(concat_ws("|",
+        col("doc_id"), array_join(col("sig_arr"), "|"))), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("digest")).head()
+    assert(inc.getLong(0) == full.getLong(0), "store row counts differ")
+    assert(inc.getLong(1) == full.getLong(1),
+      "incremental refresh must produce byte-identical signatures to a rebuild")
+  }
+
   test("containment pairs match a brute-force recomputation and bound jaccard") {
     val k = 5; val maxDf = 50; val thr = 0.8
     val got = Dedup.containmentPairs(spark, sf, k, maxDf, thr).collect()
