@@ -118,6 +118,9 @@ object SparkEntry {
     // file-manifest data skipping over a date-range layout: per-file
     // min/max stats plan the file subset, window scan reads only those
     "q_manifest_prune"    -> ((s, d) => Bucketing.manifestPrunedScan(s, d)),
+    // the layout property the manifest rests on, as a gate query: files
+    // tile the date line without overlap, layout lossless
+    "q_sorted_layout"     -> ((s, d) => Bucketing.sortedLayoutProof(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // regex field extraction (parser-family pattern arm)
@@ -709,6 +712,7 @@ object SparkEntry {
     "q_codec_roundtrip" -> Pipeline.codecRoundTripOracleSql,
     "q_partition_overwrite" -> Pipeline.partitionOverwriteOracleSql(),
     "q_manifest_prune" -> Bucketing.manifestPrunedScanOracleSql(),
+    "q_sorted_layout" -> Bucketing.sortedLayoutProofOracleSql,
     "q_anti_join" -> Relational.customersNoBigOrderOracleSql(),
     "q_forget_purge" -> Curation.forgetPurgeOracleSql,
     "q_length_outliers" -> Curation.lengthOutliersOracleSql(),

@@ -334,6 +334,40 @@ object Bucketing {
     (sel, manifest.length)
   }
 
+  /** GLOBAL-ORDER layout proof as a gate query: the range layout's files,
+    * ordered by their min date, must tile the timeline without overlap
+    * (file i's max ≤ file i+1's min — `repartitionByRange`'s contract,
+    * and the property every manifest/data-skipping scheme rests on).
+    * Checked with one lag() window over the METADATA-sized per-file
+    * stats (8 rows — never the data), emitted alongside full-table
+    * row count + revenue so the layout is also proved lossless. The
+    * oracle pins the expected file count, the sortedness verdict, and
+    * recomputes the totals from the raw table. */
+  def sortedLayoutProof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = ensureRangeOrders(spark, dir)
+    val perFile = spark.read.parquet(base)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderdate")).as("f_lo"), max(col("o_orderdate")).as("f_hi"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("f_lo"))
+    perFile
+      .withColumn("prev_hi", lag(col("f_hi"), 1).over(w))
+      .agg(count(lit(1)).as("n_files"),
+        min(when(col("prev_hi").isNull || col("prev_hi") <= col("f_lo"), true)
+          .otherwise(false)).as("globally_sorted"),
+        sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
+  val sortedLayoutProofOracleSql: String =
+    s"""SELECT CAST($RangeFiles AS BIGINT) AS n_files,
+               true AS globally_sorted,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders"""
+
   def manifestPrunedScanOracleSql(lo: String = "1998-06-01",
                                   hi: String = "1998-06-30"): String =
     s"""SELECT count(*) AS n_orders,
