@@ -63,6 +63,9 @@ object SparkEntry {
     // ordered CDC op-log apply: latest-op-wins via one max_by hash agg,
     // tombstones filtered after the aggregate
     "q_cdc_apply"         -> ((s, d) => Curation.cdcApply(s, d)),
+    // safety blocklist quarantine: per-source block rates via one
+    // codegen arrays_overlap predicate (no shuffle before the rollup)
+    "q_blocklist"         -> ((s, d) => Curation.blocklistFilter(s, d)),
     // shuffle-free per-doc character entropy (HOF fold, no explode)
     "q_char_entropy"      -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     // lang-ID audit: (declared x predicted) confusion cells
@@ -720,6 +723,7 @@ object SparkEntry {
     "q_cdc_apply" -> Curation.cdcApplyOracleSql,
     // The out-of-order streaming replay must land on the batch apply.
     "q_stream_cdc" -> Curation.cdcApplyOracleSql,
+    "q_blocklist" -> Curation.blocklistFilterOracleSql(),
     "q_char_entropy" -> TextAnalysis.charEntropyOracleSql,
     "q_lang_confusion" -> TextAnalysis.langConfusionOracleSql,
     "q_bpe_step" -> TextAnalysis.bpeStepOracleSql,

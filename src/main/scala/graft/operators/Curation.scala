@@ -965,6 +965,40 @@ object Curation {
        WHERE rn = 1 AND op <> 'D'
        ORDER BY doc_id"""
 
+  /** BLOCKLIST safety filter — the term-quarantine pass every training
+    * corpus runs (toxicity/safety lists, contractual exclusions): a
+    * document containing ANY blocked token is quarantined, reported per
+    * source so a contaminated feed is visible as a block-rate spike. The
+    * membership test is one codegen'd `arrays_overlap` against a literal
+    * array — at 100 TB the real list (thousands of terms) broadcasts or
+    * compiles into the same narrow per-row predicate; no shuffle until
+    * the tiny per-source rollup. The list here is deterministic corpus
+    * vocabulary so the oracle reproduces the decision exactly. */
+  def blocklistFilter(spark: SparkSession, dir: String,
+                      blocked: Seq[String] = DefaultBlocklist): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hit",
+        arrays_overlap(split(col("text"), " ", -1),
+          array(blocked.map(lit): _*)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_kept"))
+
+  // 'dup' marks ~5% of docs at every sf — a realistic quarantine rate
+  // (the other vocabulary tokens blanket ~75% of the corpus each)
+  private val DefaultBlocklist = Seq("dup")
+
+  def blocklistFilterOracleSql(blocked: Seq[String] = DefaultBlocklist): String = {
+    val list = blocked.map(t => s"'$t'").mkString(", ")
+    s"""SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN list_has_any(string_split(text, ' '), [$list])
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+               CAST(sum(CASE WHEN list_has_any(string_split(text, ' '), [$list])
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        FROM documents GROUP BY source ORDER BY source"""
+  }
+
   // ---------------------------------------------------------------------
   // PII redaction
   // ---------------------------------------------------------------------

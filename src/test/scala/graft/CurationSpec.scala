@@ -606,6 +606,22 @@ class CurationSpec extends AnyFunSuite {
     assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
   }
 
+  test("blocklist: per-source cells partition the corpus; flags match brute force") {
+    val got = Curation.blocklistFilter(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).contains("dup")))
+    assert(got.values.map(_._1).sum == docs.length)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val (n, blocked, kept) = got(src)
+      assert(n == ds.length && blocked == ds.count(_._2) && kept + blocked == n,
+        s"source $src")
+    }
+    assert(got.values.map(_._2).sum > 0, "the blocklist must actually fire")
+    assert(got.values.map(_._3).sum > got.values.map(_._2).sum,
+      "quarantine must stay the minority")
+  }
+
   test("cdc apply: latest op wins per key, tombstones erase, no window sort") {
     val out = Curation.cdcApply(spark, sf)
     assert(!out.queryExecution.optimizedPlan.toString.contains("Window"),
