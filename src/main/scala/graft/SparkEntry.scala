@@ -73,6 +73,9 @@ object SparkEntry {
     // BPE tokenizer-training step: best pair + greedy merge contraction,
     // vocabulary-bounded after the one word-count shuffle
     "q_bpe_step"          -> ((s, d) => TextAnalysis.bpeStep(s, d)),
+    // the training LOOP: k sequential merge steps emitting the learned
+    // merge table (each step one vocabulary-bounded job)
+    "q_bpe_merges"        -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     // asymmetric doc-inside-doc detection via df-capped inverted index
     "q_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // immutable pre/post-merge snapshots (v= partition dirs) + per-version
@@ -727,6 +730,7 @@ object SparkEntry {
     "q_char_entropy" -> TextAnalysis.charEntropyOracleSql,
     "q_lang_confusion" -> TextAnalysis.langConfusionOracleSql,
     "q_bpe_step" -> TextAnalysis.bpeStepOracleSql,
+    "q_bpe_merges" -> TextAnalysis.bpeMergesOracleSql(),
     "q_containment_pairs" -> Dedup.containmentPairsOracleSql(),
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
     "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,

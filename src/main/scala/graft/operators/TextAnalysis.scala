@@ -830,6 +830,85 @@ object TextAnalysis {
        FROM app CROSS JOIN best b
        GROUP BY 1, 2, 3"""
 
+  /** BPE TRAINING LOOP — `k` iterations of [[bpeStep]]'s kernel, emitting
+    * the learned MERGE TABLE (step, merge_a, merge_b, pair_count): the
+    * actual artifact tokenizer training produces. Each iteration is one
+    * vocabulary-bounded Spark job (pair counts → argmax → greedy apply);
+    * the single driver-side transfer per step is the 1-row best pair —
+    * the irreducible sequential dependency of BPE (merge i+1's counts
+    * depend on merge i's application), exactly how production trainers
+    * iterate. Symbols are '|'-delimited strings so multi-char tokens
+    * from earlier merges survive later splits, and the greedy
+    * left-to-right `replace` semantics match the oracle's — which
+    * replays the SAME k steps as k unrolled CTE blocks in DuckDB. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("|"), array_join(
+        expr("filter(split(word, ''), c -> c <> '')"), "|"), lit("|")).as("padded"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to k) {
+      val best = vocab
+        .select(col("freq"), expr(
+          """filter(split(padded, '\\|'), t -> t <> '')""").as("cs"))
+        .select(col("freq"), explode(expr(
+          """IF(size(cs) >= 2,
+                transform(sequence(0, size(cs) - 2),
+                          i -> struct(cs[i] AS a, cs[i + 1] AS b)),
+                array())""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .head() // 1 row to the driver per step: BPE's sequential dependency
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, a, b, cnt))
+      vocab = vocab
+        .withColumn("padded", expr(
+          s"replace(padded, '|' || '${sqlEscape(a)}' || '|' || '${sqlEscape(b)}' || '|', " +
+            s"'|' || '${sqlEscape(a)}${sqlEscape(b)}' || '|')"))
+        .localCheckpoint()
+    }
+    merges.result()
+      .toDF("step", "merge_a", "merge_b", "pair_count")
+      .select(col("step").cast("long").as("step"),
+        col("merge_a"), col("merge_b"), col("pair_count"))
+  }
+
+  private def sqlEscape(s: String): String = s.replace("'", "''")
+
+  /** The identical `k` steps unrolled as CTE blocks: step i recomputes
+    * pair counts over the step-(i−1) symbol strings, takes the same
+    * (count desc, lexicographic) argmax, and applies the same greedy
+    * replace — so the learned merge tables must agree row for row. */
+  def bpeMergesOracleSql(k: Int = 3): String = {
+    val base =
+      """w0 AS (SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '|') || '|' AS padded,
+                       freq
+                FROM (SELECT w AS word, count(*) AS freq
+                      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                      WHERE w <> '' GROUP BY 1))"""
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (SELECT cs[j] AS a, cs[j + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+                  FROM (SELECT freq, list_filter(string_split(padded, '|'), t -> t <> '') AS cs
+                        FROM w${i - 1}),
+                       unnest(range(1, CAST(len(cs) AS BIGINT))) AS t(j)
+                  GROUP BY 1, 2),
+          b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+          w$i AS (SELECT replace(padded, '|' || b$i.a || '|' || b$i.b || '|',
+                                         '|' || b$i.a || b$i.b || '|') AS padded, freq
+                  FROM w${i - 1} CROSS JOIN b$i)"""
+    }.mkString(",\n")
+    val rows = (1 to k)
+      .map(i => s"SELECT $i AS step, a AS merge_a, b AS merge_b, cnt AS pair_count FROM b$i")
+      .mkString("\n UNION ALL\n ")
+    s"WITH $base,\n$steps\n $rows\n ORDER BY step"
+  }
+
   /** LANG-ID CONFUSION matrix — the audit every classifier in the
     * curation loop needs: [[langId]]'s stopword-hit prediction crossed
     * against the declared label, one cell per (declared, predicted) with

@@ -253,6 +253,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"contraction $after vs $expectedAfter (before $before)")
   }
 
+  test("bpe merges: k-step loop learns a consistent, strictly applied merge table") {
+    val merges = TextAnalysis.bpeMerges(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == 3 && merges.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // step 1 must agree with the single-step kernel
+    val step1 = TextAnalysis.bpeStep(spark, sf).head()
+    assert(merges(0)._2 == step1.getString(0) && merges(0)._3 == step1.getString(1)
+      && merges(0)._4 == step1.getLong(2), "step 1 must equal the one-step kernel")
+    // each learned pair is distinct and counts never increase implausibly:
+    // a later merge can't out-count the pair chosen before it
+    assert(merges.map(m => (m._2, m._3)).distinct.length == 3)
+    assert(merges.sliding(2).forall { case Array(x, y) => y._4 <= x._4; case _ => true },
+      s"monotone merge counts violated: ${merges.mkString(",")}")
+  }
+
   test("lang confusion: cells partition the corpus and re-derive from langId rows") {
     val cells = TextAnalysis.langConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
