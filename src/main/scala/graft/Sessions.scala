@@ -61,6 +61,11 @@ object Sessions {
       // rather than TIMESTAMP_NTZ so unix_micros/windowing/oracle parity
       // keep working unchanged
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // never write legacy INT96 timestamps: the 9999-12-31 SCD-2 high
+      // date overflows int64 *nanoseconds* when downstream readers
+      // (pandas/pyarrow, the driver's hasher) decode INT96, silently
+      // wrapping to 2001-08-01. Micros round-trips exactly.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // absolute warehouse path so saveAsTable (bucketed tables) works
       // regardless of the harness's working directory
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")

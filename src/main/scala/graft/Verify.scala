@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.TimestampType
 import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
@@ -16,6 +17,18 @@ import java.nio.file.{Files, Paths}
   * rows) and keeps the on-disk row order globally sorted in one file.
   */
 object Verify {
+  /** Dump canonicalization shared with DumpEncodingSpec: session-TZ (UTC)
+    * timestamps become timestamp_ntz so the parquet column is plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — the type DuckDB and
+    * pandas read as naive, matching the oracle side, with no INT96 and
+    * no ns-overflow of the 9999-12-31 SCD-2 sentinel. Values are
+    * unchanged because the session time zone is UTC.
+    */
+  def canonicalize(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -28,7 +41,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
+        val df = canonicalize(fn(spark, sfDir))
         val sorted = df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toSeq: _*)
         sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
