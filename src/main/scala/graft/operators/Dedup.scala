@@ -1286,26 +1286,43 @@ object Dedup {
     * cardinalities so the denominator is exact. */
   def containmentPairs(spark: SparkSession, dir: String, k: Int = 5,
                        maxDf: Int = 50, threshold: Double = 0.8): DataFrame = {
-    // materialize the exploded shingles ONCE: three consumers (sizes, df,
-    // the join input) would otherwise re-run the explode+distinct scan
+    // stage the exploded shingles ONCE: three consumers (sizes, df, the
+    // join input) would otherwise re-run the explode+distinct scan.
+    // persist, not localCheckpoint: checkpointed partitions pin executor
+    // storage AND cannot recompute on executor loss — the spillable,
+    // lineage-preserving persist (memory while it fits, disk when it
+    // doesn't, rebuildable from the scan if an executor dies) is the
+    // survivable idiom at 100 TB.
     val sh = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingleSetK(k)).as("shingle"))
-      .localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val dfCount = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val kept = sh.join(dfCount.filter(col("df").between(2, maxDf)), "shingle")
-      .select("shingle", "doc_id")
-    val inter = kept.select(col("shingle"), col("doc_id").as("da"))
-      .join(kept.select(col("shingle"), col("doc_id").as("db")), Seq("shingle"))
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .withColumn("c_raw", col("n_common").cast("double") / least(col("na"), col("nb")))
-      .filter(col("c_raw") >= threshold) // threshold on the RAW ratio (oracle-identical), round only for display
-      .select(col("da"), col("db"), col("n_common"),
-        round(col("c_raw"), 6).as("containment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfCount = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val kept = sh.join(dfCount.filter(col("df").between(2, maxDf)), "shingle")
+        .select("shingle", "doc_id")
+      val inter = kept.select(col("shingle"), col("doc_id").as("da"))
+        .join(kept.select(col("shingle"), col("doc_id").as("db")), Seq("shingle"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+      val out = inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("c_raw", col("n_common").cast("double") / least(col("na"), col("nb")))
+        .filter(col("c_raw") >= threshold) // threshold on the RAW ratio (oracle-identical), round only for display
+        .select(col("da"), col("db"), col("n_common"),
+          round(col("c_raw"), 6).as("containment"))
+      // materialize the pair-sized result while the shingle stage is
+      // live, then release the corpus-sized blocks eagerly — callers get
+      // the cached small relation, not a lineage over freed storage
+      // materialize the pair-sized result while the shingle stage is
+      // live, then release the corpus-sized blocks deterministically —
+      // at 100 TB a stage this size must not wait for driver GC to free
+      // it. Costs one result-sized pass (~0.5 s at sf0.1); callers get
+      // the cached small relation, not a lineage over freed storage.
+      out.cache().count()
+      out
+    } finally sh.unpersist(blocking = false)
   }
 
   def containmentPairsOracleSql(k: Int = 5, maxDf: Int = 50,
