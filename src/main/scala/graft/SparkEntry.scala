@@ -311,8 +311,10 @@ object SparkEntry {
     "q_window_suite"      -> ((s, d) => Analytics.windowSuite(s, d)),
     // interval join done scale-right: day-binned equi-join + residue filter
     "q_attribution"       -> ((s, d) => Analytics.purchaseAttribution(s, d)),
-    // — multimodal plumbing —
+    // — multimodal plumbing (real BMP/WAV container parse + quarantine) —
     "q_multimodal_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "q_audio_meta"        -> ((s, d) => Multimodal.audioMeta(s, d)),
+    "q_media_quarantine"  -> ((s, d) => Multimodal.mediaQuarantine(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
     // resize plan: fit decoded dims into a 224-box, aspect preserved
     "q_media_resize"      -> ((s, d) => Multimodal.resizePlan(s, d)),
@@ -783,13 +785,11 @@ object SparkEntry {
     // centroids make the whole approximate pipeline reproducible).
     "q_ann_topk" -> Similarity.annIvfTopkOracleSql(),
     "q_quantize_int8" -> Similarity.quantizeInt8StatsOracleSql,
-    "q_multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-                octet_length(encode(text)) % 1024 AS width,
-                (octet_length(encode(text)) * 7) % 768 AS height,
-                1 + octet_length(encode(text)) % 5 AS n_frames
-         FROM documents ORDER BY doc_id""",
-    // Generated from the operator's own stub-metadata arithmetic.
+    // Generated from the media builders' closed-form container geometry;
+    // the Spark side parses the actual bytes.
+    "q_multimodal_meta" -> Multimodal.mediaMetaOracleSql,
+    "q_audio_meta" -> Multimodal.audioMetaOracleSql,
+    "q_media_quarantine" -> Multimodal.mediaQuarantineOracleSql,
     "q_frame_sample" -> Multimodal.sampleFramesOracleSql(),
     "q_media_resize" -> Multimodal.resizePlanOracleSql(),
     "q_media_embed" -> Multimodal.mediaEmbedOracleSql,

@@ -7,59 +7,269 @@ import graft.Tables
 /** One media object entering the decode stage: opaque bytes + id. */
 case class MediaRow(doc_id: Long, content: Array[Byte])
 
-/** Typed metadata out of the decode stage. */
-case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, n_frames: Long)
+/** Parsed image metadata out of the BMP decode stage. `status` is "ok" or
+  * the quarantine reason ("too_short" / "bad_magic" / "truncated" /
+  * "bad_header" / "bad_dims"); dims are 0 unless ok. */
+case class BmpMeta(doc_id: Long, byte_len: Long, status: String,
+                   width: Long, height: Long)
+
+/** Parsed audio metadata out of the WAV decode stage. `data_offset` /
+  * `block_align` are the real byte geometry a sampler needs. */
+case class WavMeta(doc_id: Long, byte_len: Long, status: String,
+                   sample_rate: Long, n_samples: Long,
+                   data_offset: Long, block_align: Long)
 
 /** Summary of one extracted feature vector (first component, component
   * sum, L2 norm — scalar columns keep the dump hash-comparable while
   * pinning every component). */
 case class MediaEmbed(doc_id: Long, e0: Double, esum: Double, enorm: Double)
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, decoded in partition-sized batches.
+/** Multimodal-column plumbing: image/audio as opaque `binary` columns
+  * with typed metadata, decoded in partition-sized batches.
   *
-  * The Spark-side shape is the real deliverable: a `binary` content
-  * column, a case-class schema on both sides of the decode boundary, and
-  * `Dataset.mapPartitions` as the batch execution vehicle (the Scala
-  * analog of Python's `mapInPandas` — one iterator per partition, so a
-  * real codec would amortize init per batch, not per row). Decode itself
-  * is STUBBED: the container has no image/audio libraries, so
-  * [[Multimodal.StubCodec]] derives deterministic fake dimensions from the
-  * byte length. Swapping in a real codec changes only that one function.
+  * The decode is REAL format parsing, not a stub: each document's text
+  * bytes are packed into a genuine BMP (24-bpp, BITMAPINFOHEADER) and a
+  * genuine WAV (RIFF, 16-bit mono PCM) by [[Multimodal.buildBmp]] /
+  * [[Multimodal.buildWav]], and the codecs parse the containers back —
+  * magic, declared sizes, header fields, payload extent — quarantining
+  * malformed records (wrong magic, truncated payload) the way
+  * `q_corrupt_load` does for JSONL. The container has no image/audio
+  * LIBRARIES, so the builders are the data source; the parsers trust
+  * nothing but the bytes. A deterministic subset of records is corrupted
+  * at build time (doc_id % 97 → magic overwritten, else doc_id % 89 →
+  * payload halved) so the malformed paths are exercised — and
+  * oracle-checked — on every run.
   *
-  * Scale notes: decode is narrow (no shuffle) and embarrassingly parallel;
-  * binary payloads never cross a shuffle here — only the small typed
-  * metadata does if aggregated downstream.
+  * Scale notes: ingest-build and decode are narrow `mapPartitions`
+  * stages (no shuffle), embarrassingly parallel; binary payloads never
+  * cross a shuffle — only the small typed metadata does if aggregated
+  * downstream. A real codec swap changes only the parse functions; the
+  * batch boundary (one iterator per partition, init amortized per batch,
+  * the Scala analog of `mapInPandas`) is the deliverable shape.
   */
 object Multimodal {
 
-  /** Batch decode boundary. A real implementation would wrap e.g. a JPEG
-    * or PCM decoder initialized once per partition. */
-  trait MediaCodec extends Serializable {
-    def decode(batch: Iterator[MediaRow]): Iterator[MediaMeta]
+  /** Batch decode boundary: opaque media bytes in, typed metadata out,
+    * one iterator per partition so codec init amortizes per batch. */
+  trait MediaCodec[M] extends Serializable {
+    def decode(batch: Iterator[MediaRow]): Iterator[M]
   }
 
-  /** Deterministic stand-in for the absent codec libraries: metadata is a
-    * pure function of the payload length, so the DuckDB oracle can
-    * reproduce it (`octet_length(encode(text))`). */
-  object StubCodec extends MediaCodec {
-    def decode(batch: Iterator[MediaRow]): Iterator[MediaMeta] =
-      batch.map { r =>
-        val n = r.content.length.toLong
-        MediaMeta(r.doc_id, n, n % 1024, (n * 7) % 768, 1 + n % 5)
+  // ---------------------------------------------------------------------
+  // Builders — documents.text → genuine container bytes
+  // ---------------------------------------------------------------------
+
+  /** Deterministic corruption at the INGEST boundary, before the codec
+    * ever sees the bytes: doc_id % 97 → first magic byte overwritten
+    * ('X'), else doc_id % 89 → payload truncated to its first half. The
+    * codecs must detect both from the bytes alone. */
+  private def corrupt(docId: Long, bytes: Array[Byte]): Array[Byte] =
+    if (docId % 97 == 0) { val c = bytes.clone(); c(0) = 'X'.toByte; c }
+    else if (docId % 89 == 0) java.util.Arrays.copyOf(bytes, bytes.length / 2)
+    else bytes
+
+  /** A real 24-bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + 4-byte
+    * aligned pixel rows, pixels cycled from the text bytes. Dims derive
+    * from the text byte length n (width 1+n%64, height 1+7n%48) so the
+    * DuckDB oracle can reproduce the parsed metadata in closed form. */
+  def buildBmp(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val w = 1 + n % 64
+    val h = 1 + (n * 7) % 48
+    val row = ((w * 3 + 3) / 4) * 4
+    val size = 54 + row * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(row * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < row * h) { b.put(text(i % n)); i += 1 }
+    corrupt(docId, b.array)
+  }
+
+  /** A real 16-bit mono PCM WAV: RIFF/WAVE header, "fmt " chunk, "data"
+    * chunk, samples cycled from the text bytes. sample_rate and
+    * n_samples derive from n (8000+(n%3)*4000, 1+n%1000) for the same
+    * closed-form oracle reason. */
+  def buildWav(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val rate = 8000 + (n % 3) * 4000
+    val nSamples = 1 + n % 1000
+    val dataSize = nSamples * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { b.put(text(i % n)); i += 1 }
+    corrupt(docId, b.array)
+  }
+
+  // ---------------------------------------------------------------------
+  // Codecs — genuine header parsing with quarantine statuses
+  // ---------------------------------------------------------------------
+
+  private def le32(c: Array[Byte], o: Int): Long =
+    (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
+      ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
+  private def le16(c: Array[Byte], o: Int): Long =
+    (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8)
+  private def ascii(c: Array[Byte], o: Int, s: String): Boolean =
+    s.indices.forall(i => c(o + i) == s.charAt(i).toByte)
+
+  /** Parse one BMP: magic, declared file size vs actual, header size,
+    * bpp, dims, payload extent. Every branch is a byte check — the
+    * builder's arithmetic never leaks in here. */
+  def parseBmp(docId: Long, c: Array[Byte]): BmpMeta = {
+    val len = c.length.toLong
+    def bad(st: String) = BmpMeta(docId, len, st, 0L, 0L)
+    if (len < 54) bad("too_short")
+    else if (!(c(0) == 'B'.toByte && c(1) == 'M'.toByte)) bad("bad_magic")
+    else if (le32(c, 2) != len) bad("truncated")
+    else if (le32(c, 14) != 40L || le16(c, 28) != 24L) bad("bad_header")
+    else {
+      val off = le32(c, 10); val w = le32(c, 18); val h = le32(c, 22)
+      if (w < 1 || h < 1) bad("bad_dims")
+      else {
+        val row = ((w * 3 + 3) / 4) * 4
+        if (off + row * h > len) bad("truncated")
+        else BmpMeta(docId, len, "ok", w, h)
       }
+    }
   }
 
-  /** documents.text encoded to a binary content column → batched decode →
-    * typed metadata. */
-  def mediaMeta(spark: SparkSession, dir: String, codec: MediaCodec = StubCodec): DataFrame = {
+  /** Parse one WAV: RIFF/WAVE magic, declared RIFF size vs actual, PCM
+    * fmt chunk, data chunk extent. */
+  def parseWav(docId: Long, c: Array[Byte]): WavMeta = {
+    val len = c.length.toLong
+    def bad(st: String) = WavMeta(docId, len, st, 0L, 0L, 0L, 0L)
+    if (len < 44) bad("too_short")
+    else if (!(ascii(c, 0, "RIFF") && ascii(c, 8, "WAVE"))) bad("bad_magic")
+    else if (le32(c, 4) != len - 8) bad("truncated")
+    else if (!ascii(c, 12, "fmt ") || le32(c, 16) != 16L ||
+      le16(c, 20) != 1L || !ascii(c, 36, "data")) bad("bad_header")
+    else {
+      val rate = le32(c, 24); val blockAlign = le16(c, 32)
+      val dataSize = le32(c, 40)
+      if (44L + dataSize > len) bad("truncated")
+      else if (blockAlign < 1) bad("bad_header")
+      else WavMeta(docId, len, "ok", rate, dataSize / blockAlign, 44L, blockAlign)
+    }
+  }
+
+  object BmpCodec extends MediaCodec[BmpMeta] {
+    def decode(batch: Iterator[MediaRow]): Iterator[BmpMeta] =
+      batch.map(r => parseBmp(r.doc_id, r.content))
+  }
+
+  object WavCodec extends MediaCodec[WavMeta] {
+    def decode(batch: Iterator[MediaRow]): Iterator[WavMeta] =
+      batch.map(r => parseWav(r.doc_id, r.content))
+  }
+
+  /** documents.text → binary media column (ingest build) — the stage a
+    * real pipeline replaces with its crawler/object-store read. */
+  private def mediaBytes(spark: SparkSession, dir: String,
+                         build: (Long, Array[Byte]) => Array[Byte]) = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .as[MediaRow]
-      .mapPartitions(codec.decode)
-      .toDF()
+      .mapPartitions(_.map(r => MediaRow(r.doc_id, build(r.doc_id, r.content))))
   }
+
+  /** binary BMP content → batched decode → typed metadata, quarantined
+    * records excluded (surfaced by [[mediaQuarantine]]). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildBmp)
+      .mapPartitions(BmpCodec.decode)
+      .filter(_.status == "ok")
+      .toDF()
+      .select("doc_id", "byte_len", "width", "height")
+  }
+
+  /** DuckDB oracle for [[mediaMeta]] — the builder's closed-form dims
+    * and file size for the uncorrupted subset. */
+  def mediaMetaOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       d AS (SELECT doc_id, 1 + n % 64 AS w, 1 + (n * 7) % 48 AS h FROM m)
+       SELECT doc_id,
+              CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS BIGINT) AS byte_len,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+       FROM d ORDER BY doc_id"""
+
+  /** binary WAV content → batched decode → typed audio metadata. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildWav)
+      .mapPartitions(WavCodec.decode)
+      .filter(_.status == "ok")
+      .toDF()
+      .select("doc_id", "byte_len", "sample_rate", "n_samples")
+  }
+
+  /** DuckDB oracle for [[audioMeta]]. */
+  def audioMetaOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0)
+       SELECT doc_id,
+              CAST(44 + (1 + n % 1000) * 2 AS BIGINT) AS byte_len,
+              CAST(8000 + (n % 3) * 4000 AS BIGINT) AS sample_rate,
+              CAST(1 + n % 1000 AS BIGINT) AS n_samples
+       FROM m ORDER BY doc_id"""
+
+  /** The QUARANTINE side of both decode stages — every record either
+    * format rejected, with the byte-level reason, mirroring the
+    * corrupt-JSONL load. One narrow pass per format, union'd. */
+  def mediaQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bmp = mediaBytes(spark, dir, buildBmp)
+      .mapPartitions(BmpCodec.decode)
+      .filter(_.status != "ok")
+      .map(m => (m.doc_id, "bmp", m.status, m.byte_len))
+    val wav = mediaBytes(spark, dir, buildWav)
+      .mapPartitions(WavCodec.decode)
+      .filter(_.status != "ok")
+      .map(m => (m.doc_id, "wav", m.status, m.byte_len))
+    bmp.union(wav).toDF("doc_id", "kind", "reason", "byte_len")
+  }
+
+  /** DuckDB oracle for [[mediaQuarantine]] — which records each codec
+    * must reject, and why, from the corruption rules + container
+    * arithmetic alone (halved file shorter than the fixed header →
+    * too_short, else the declared-size check fires → truncated). */
+  def mediaQuarantineOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 = 0 OR doc_id % 89 = 0),
+       d AS (SELECT doc_id, n, 1 + n % 64 AS w, 1 + (n * 7) % 48 AS h FROM m),
+       s AS (SELECT doc_id, n,
+                    54 + ((w * 3 + 3) // 4) * 4 * h AS bmp_size,
+                    44 + (1 + n % 1000) * 2 AS wav_size
+             FROM d),
+       q AS (
+         SELECT doc_id, 'bmp' AS kind,
+                CASE WHEN doc_id % 97 = 0 THEN 'bad_magic'
+                     WHEN bmp_size // 2 < 54 THEN 'too_short'
+                     ELSE 'truncated' END AS reason,
+                CASE WHEN doc_id % 97 = 0 THEN bmp_size
+                     ELSE bmp_size // 2 END AS byte_len
+         FROM s
+         UNION ALL
+         SELECT doc_id, 'wav' AS kind,
+                CASE WHEN doc_id % 97 = 0 THEN 'bad_magic'
+                     WHEN wav_size // 2 < 44 THEN 'too_short'
+                     ELSE 'truncated' END AS reason,
+                CASE WHEN doc_id % 97 = 0 THEN wav_size
+                     ELSE wav_size // 2 END AS byte_len
+         FROM s)
+       SELECT doc_id, kind, reason, CAST(byte_len AS BIGINT) AS byte_len
+       FROM q ORDER BY doc_id, kind"""
 
   /** The FEATURE-EXTRACTION stage after decode — media bytes → embedding
     * vector, the step a real pipeline runs with a vision/audio model.
@@ -124,13 +334,11 @@ object Multimodal {
   /** The RESIZE stage between decode and feature extraction — the
     * standard vision-pipeline preprocessing step: fit each decoded
     * (width, height) into a `box`×`box` bounding box preserving aspect
-    * ratio (longest side → `box`, never upscale-distort below 1 px).
-    * Like decode, the pixel work itself would run inside the per-
-    * partition codec batch; the RESIZE PLAN — the target geometry every
-    * batch worker applies — is pure integer arithmetic over the decoded
-    * metadata, so it is exactly oracle-checkable and shuffle-free (the
-    * binary payload never leaves its partition). Degenerate stub dims
-    * (width or height 0) clamp to 1 px, mirrored in the oracle. */
+    * ratio (longest side → `box`, floor clamped to 1 px). The pixel work
+    * itself would run inside the per-partition codec batch; the RESIZE
+    * PLAN — the target geometry every batch worker applies — is pure
+    * integer arithmetic over the PARSED metadata, shuffle-free (the
+    * binary payload never leaves its partition). */
   def resizePlan(spark: SparkSession, dir: String, box: Int = 224): DataFrame =
     mediaMeta(spark, dir)
       .withColumn("m", greatest(col("width"), col("height"), lit(1L)))
@@ -138,50 +346,53 @@ object Multimodal {
         greatest(lit(1L), expr(s"width * $box div m")).as("target_w"),
         greatest(lit(1L), expr(s"height * $box div m")).as("target_h"))
 
-  /** DuckDB oracle for [[resizePlan]] — same stub dims, same integer
+  /** DuckDB oracle for [[resizePlan]] — same parsed dims, same integer
     * arithmetic, same clamps. */
   def resizePlanOracleSql(box: Int = 224): String =
-    s"""WITH m AS (SELECT doc_id,
-                          octet_length(encode(text)) % 1024 AS width,
-                          (octet_length(encode(text)) * 7) % 768 AS height
-                   FROM documents),
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       d AS (SELECT doc_id, 1 + n % 64 AS width, 1 + (n * 7) % 48 AS height FROM m),
        g AS (SELECT doc_id, width, height,
-                    greatest(width, height, 1) AS mx FROM m)
-       SELECT doc_id, width, height,
-              greatest(1, width * $box // mx) AS target_w,
-              greatest(1, height * $box // mx) AS target_h
+                    greatest(width, height, 1) AS mx FROM d)
+       SELECT doc_id, CAST(width AS BIGINT) AS width,
+              CAST(height AS BIGINT) AS height,
+              CAST(greatest(1, width * $box // mx) AS BIGINT) AS target_w,
+              CAST(greatest(1, height * $box // mx) AS BIGINT) AS target_h
        FROM g ORDER BY doc_id"""
 
-  /** Frame sampling over the decoded metadata — the explode-shaped
-    * plumbing a video pipeline runs before per-frame feature extraction:
-    * up to `k` evenly-spaced frames per media object, emitted as
-    * (doc_id, frame_idx, byte_offset). One row per sampled frame, fanned
-    * out with a Generator (no shuffle); a real pipeline would follow with
-    * the per-frame decode batch stage. Integer arithmetic only
-    * (frame_idx = ⌊i·n/kk⌋, kk = min(k, n)), so the oracle reproduces it
-    * exactly. */
-  def sampleFrames(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
-    mediaMeta(spark, dir)
-      .withColumn("kk", least(lit(k.toLong), col("n_frames")))
-      .select(col("doc_id"), col("byte_len"), col("n_frames"), col("kk"),
+  /** Frame sampling over the PARSED audio metadata — the explode-shaped
+    * plumbing a media pipeline runs before per-frame feature extraction:
+    * up to `k` evenly-spaced sample frames per object, emitted as
+    * (doc_id, frame_idx, byte_offset) where byte_offset is the REAL
+    * offset into the container (data_offset + frame_idx · block_align,
+    * both parsed from the WAV header). One row per sampled frame, fanned
+    * out with a Generator (no shuffle). */
+  def sampleFrames(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildWav)
+      .mapPartitions(WavCodec.decode)
+      .filter(_.status == "ok")
+      .toDF()
+      .withColumn("kk", least(lit(k.toLong), col("n_samples")))
+      .select(col("doc_id"), col("data_offset"), col("block_align"),
+        col("n_samples"), col("kk"),
         explode(sequence(lit(0L), col("kk") - 1)).as("i"))
       .select(col("doc_id"),
-        expr("(i * n_frames) div kk").as("frame_idx"),
-        expr("((i * n_frames) div kk) * byte_len div n_frames").as("byte_offset"))
+        expr("(i * n_samples) div kk").as("frame_idx"),
+        expr("data_offset + ((i * n_samples) div kk) * block_align").as("byte_offset"))
+  }
 
   /** DuckDB oracle for [[sampleFrames]] — same integer arithmetic over
-    * the stub metadata. */
+    * the builder's closed-form audio geometry (data at offset 44,
+    * 16-bit mono → block_align 2). */
   def sampleFramesOracleSql(k: Int = 3): String =
-    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS byte_len,
-                          1 + octet_length(encode(text)) % 5 AS n_frames
-                   FROM documents),
-       f AS (SELECT doc_id, byte_len, n_frames,
-                    CASE WHEN n_frames < $k THEN n_frames ELSE $k END AS kk
-             FROM m),
-       g AS (SELECT doc_id, byte_len, n_frames, kk,
-                    unnest(range(0, kk)) AS i
-             FROM f)
-       SELECT doc_id, (i * n_frames) // kk AS frame_idx,
-              ((i * n_frames) // kk) * byte_len // n_frames AS byte_offset
-       FROM g ORDER BY doc_id, frame_idx"""
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       f AS (SELECT doc_id, 1 + n % 1000 AS ns FROM m),
+       g AS (SELECT doc_id, ns,
+                    CASE WHEN ns < $k THEN ns ELSE $k END AS kk FROM f),
+       e AS (SELECT doc_id, ns, kk, unnest(range(0, kk)) AS i FROM g)
+       SELECT doc_id, CAST((i * ns) // kk AS BIGINT) AS frame_idx,
+              CAST(44 + ((i * ns) // kk) * 2 AS BIGINT) AS byte_offset
+       FROM e ORDER BY doc_id, frame_idx"""
 }

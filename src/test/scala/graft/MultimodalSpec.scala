@@ -4,38 +4,108 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: batched decode boundary and frame sampling. */
+/** Multimodal plumbing: real container build/parse round-trip, malformed
+  * byte quarantine, batched decode boundary, frame sampling. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("frame sampling: min(k, n_frames) frames per doc, in-range, strictly increasing") {
-    val meta = Multimodal.mediaMeta(spark, sf).select("doc_id", "byte_len", "n_frames")
+  test("BMP round-trip: built bytes parse back to the built geometry") {
+    val text = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val n = text.length
+    val bytes = Multimodal.buildBmp(docId = 1L, text) // 1 is uncorrupted
+    val m = Multimodal.parseBmp(1L, bytes)
+    assert(m.status == "ok")
+    assert(m.width == 1 + n % 64 && m.height == 1 + (n * 7) % 48)
+    assert(m.byte_len == bytes.length.toLong)
+    // the parse is a pure byte read: editing the width header field
+    // changes the parsed width (decrement — same 4-byte-aligned row size,
+    // so the payload-extent check still passes)
+    val w2 = bytes.clone(); w2(18) = (w2(18) - 1).toByte
+    assert(Multimodal.parseBmp(1L, w2).width == m.width - 1)
+  }
+
+  test("WAV round-trip: sample rate, count, and data geometry parse back") {
+    val text = "pack my box with five dozen liquor jugs!!".getBytes("UTF-8")
+    val n = text.length
+    val m = Multimodal.parseWav(1L, Multimodal.buildWav(1L, text))
+    assert(m.status == "ok")
+    assert(m.sample_rate == 8000 + (n % 3) * 4000)
+    assert(m.n_samples == 1 + n % 1000)
+    assert(m.data_offset == 44L && m.block_align == 2L)
+  }
+
+  test("corrupt bytes quarantine with byte-level reasons, never throw") {
+    val text = ("x" * 100).getBytes("UTF-8")
+    val okBmp = Multimodal.buildBmp(1L, text)
+    val okWav = Multimodal.buildWav(1L, text)
+    // wrong magic
+    val xm = okBmp.clone(); xm(0) = 'X'.toByte
+    assert(Multimodal.parseBmp(1L, xm).status == "bad_magic")
+    val xw = okWav.clone(); xw(0) = 'X'.toByte
+    assert(Multimodal.parseWav(1L, xw).status == "bad_magic")
+    // truncated payload: declared size no longer matches the bytes
+    assert(Multimodal.parseBmp(1L,
+      java.util.Arrays.copyOf(okBmp, okBmp.length / 2)).status == "truncated")
+    assert(Multimodal.parseWav(1L,
+      java.util.Arrays.copyOf(okWav, okWav.length / 2)).status == "truncated")
+    // shorter than any header
+    assert(Multimodal.parseBmp(1L, Array[Byte](1, 2, 3)).status == "too_short")
+    assert(Multimodal.parseWav(1L, Array[Byte](1, 2, 3)).status == "too_short")
+    // header-field damage
+    val bh = okBmp.clone(); bh(14) = 39
+    assert(Multimodal.parseBmp(1L, bh).status == "bad_header")
+    val wd = okBmp.clone(); wd(18) = 0; wd(19) = 0; wd(20) = 0; wd(21) = 0
+    assert(Multimodal.parseBmp(1L, wd).status == "bad_dims")
+    val wh = okWav.clone(); wh(20) = 3 // not PCM
+    assert(Multimodal.parseWav(1L, wh).status == "bad_header")
+  }
+
+  test("quarantine query: exactly the corrupted doc_ids, both kinds, reasons match parse") {
+    val q = Multimodal.mediaQuarantine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val corrupted = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(id => id % 97 == 0 || id % 89 == 0).toSet
+    assert(q.map(_._1) == corrupted)
+    assert(q.groupBy(_._1).forall(_._2.map(_._2) == Set("bmp", "wav")))
+    assert(q.forall { case (id, _, reason) =>
+      if (id % 97 == 0) reason == "bad_magic"
+      else Set("truncated", "too_short")(reason)
+    })
+    // ok set and quarantine set partition the corpus, per format
+    val okIds = Multimodal.mediaMeta(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((okIds & corrupted).isEmpty)
+    assert(okIds.size + corrupted.size == Tables.documents(spark, sf).count())
+  }
+
+  test("frame sampling: min(k, n_samples) frames per doc, real offsets inside the data chunk") {
+    val meta = Multimodal.audioMeta(spark, sf).select("doc_id", "byte_len", "n_samples")
     val frames = Multimodal.sampleFrames(spark, sf, k = 3)
     val joined = frames.join(meta, "doc_id")
-    // counts: exactly min(3, n_frames) rows per doc
-    val counts = joined.groupBy("doc_id", "n_frames").count()
-    assert(counts.filter(col("count") =!= least(lit(3L), col("n_frames"))).isEmpty)
-    // every sampled frame exists and its offset is inside the payload
-    assert(joined.filter(col("frame_idx") >= col("n_frames") || col("frame_idx") < 0).isEmpty)
-    assert(joined.filter(col("byte_offset") >= col("byte_len") || col("byte_offset") < 0).isEmpty)
-    // evenly-spaced sampling never repeats a frame (kk <= n_frames)
+    // counts: exactly min(3, n_samples) rows per doc
+    val counts = joined.groupBy("doc_id", "n_samples").count()
+    assert(counts.filter(col("count") =!= least(lit(3L), col("n_samples"))).isEmpty)
+    // every sampled frame exists and its offset lands inside the payload
+    assert(joined.filter(col("frame_idx") >= col("n_samples") || col("frame_idx") < 0).isEmpty)
+    assert(joined.filter(col("byte_offset") < 44 ||
+      col("byte_offset") >= col("byte_len")).isEmpty)
+    // evenly-spaced sampling never repeats a frame (kk <= n_samples)
     assert(frames.groupBy("doc_id", "frame_idx").count().filter(col("count") > 1).isEmpty)
   }
 
-  test("resize plan: fits the box, preserves aspect ratio, clamps degenerate dims") {
+  test("resize plan: fits the box, preserves aspect ratio over parsed dims") {
     val rows = Multimodal.resizePlan(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.foreach { case (w, h, tw, th) =>
+      assert(w >= 1 && h >= 1, s"parsed dims must be positive: ($w,$h)")
       assert(tw >= 1 && th >= 1 && tw <= 224 && th <= 224, s"($w,$h)->($tw,$th)")
       // the longest side lands exactly on the box unless clamped
-      if (w > 0 && h > 0) {
-        assert(math.max(tw, th) == 224, s"($w,$h)->($tw,$th)")
-        // aspect preserved within integer-floor error: tw/th ≈ w/h
-        assert(math.abs(tw.toDouble / th - w.toDouble / h) <=
-          (w.toDouble / h) / math.min(tw, th) + 1e-9, s"($w,$h)->($tw,$th)")
-      }
+      assert(math.max(tw, th) == 224, s"($w,$h)->($tw,$th)")
+      // aspect preserved within integer-floor error: tw/th ≈ w/h
+      assert(math.abs(tw.toDouble / th - w.toDouble / h) <=
+        (w.toDouble / h) / math.min(tw, th) + 1e-9, s"($w,$h)->($tw,$th)")
     }
   }
 
