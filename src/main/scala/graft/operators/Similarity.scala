@@ -235,7 +235,8 @@ object Similarity {
     * production plan. */
   private def recallVsBrute(spark: SparkSession, dir: String,
                             annScored: DataFrame, k: Int,
-                            minRecall: Double): DataFrame = {
+                            minRecall: Double,
+                            emitRecall: Boolean = false): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
     val annTop = annScored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k).select("query_id", "neighbor_id")
@@ -245,8 +246,16 @@ object Similarity {
     val recall = trueTop.groupBy("query_id").agg(count(lit(1)).as("n_true"))
       .join(hits, Seq("query_id"), "left")
       .select(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true") as "recall")
-    recall.agg(count(lit(1)).as("n_queries"),
-      (avg(col("recall")) >= minRecall).as("recall_ok"))
+    // emitRecall surfaces the MEASURED recall@k, not just the verdict —
+    // only for arms whose pipeline is bit-deterministic (fixed centroids,
+    // no float-sum-order sensitivity) so the oracle can reproduce it.
+    if (emitRecall)
+      recall.agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 6).as("avg_recall"),
+        (avg(col("recall")) >= minRecall).as("recall_ok"))
+    else
+      recall.agg(count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= minRecall).as("recall_ok"))
   }
 
   /** ANN via hyperplane LSH, self-verifying: runs the bucketed search AND
@@ -405,7 +414,7 @@ object Similarity {
   }
 
   def annIvfRecall(spark: SparkSession, dir: String, k: Int = 10,
-                   minRecall: Double = 0.2, lloydIters: Int = 0): DataFrame = {
+                   minRecall: Double = 0.6, lloydIters: Int = 0): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val e0 = embDouble(spark, dir)
     val (n, _) = corpusShape(e0)
@@ -415,12 +424,71 @@ object Similarity {
     // trains real k-means cells from that init — on clustered corpora this
     // is what makes IVF cells match the data's cluster structure. The
     // refined means are float-sum-order sensitive at the ulp level, so the
-    // refined arm stays a SELF-CHECK (recall floor), not a hash oracle.
+    // refined arm stays a SELF-CHECK (recall floor), not a hash oracle;
+    // the deterministic arm additionally emits the MEASURED recall@k,
+    // reproduced exactly by the DuckDB oracle (measured ≈ 0.89–0.98
+    // across the sfs — the 0.6 floor has real margin).
     var cent = e0.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"))
     for (_ <- 0 until lloydIters)
       cent = lloydOnce(spark, e0, cent).localCheckpoint()
-    recallVsBrute(spark, dir, ivfScored(spark, e0, cent, nProbe), k, minRecall)
+    recallVsBrute(spark, dir, ivfScored(spark, e0, cent, nProbe), k, minRecall,
+      emitRecall = lloydIters == 0)
+  }
+
+  /** DuckDB oracle for [[annIvfRecall]]'s deterministic arm — the IVF
+    * top-k CTEs of [[annIvfTopkOracleSql]] joined against the brute-force
+    * exact top-k, per-query recall averaged. Every stage is fixed-init
+    * and tie-broken, so the measured recall value hash-matches. */
+  def annIvfRecallOracleSql(k: Int = 10, minRecall: Double = 0.6): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       shape AS (SELECT LEAST(4096, GREATEST(4,
+                   CAST(floor(sqrt(count(*) / 2.0)) AS INTEGER))) AS nc FROM e),
+       np AS (SELECT GREATEST(1, nc // 4) AS np FROM shape),
+       cent AS (SELECT vec_id AS cell, emb AS cemb FROM e, shape WHERE vec_id < nc),
+       assigned AS (
+         SELECT vec_id, emb, cell FROM (
+           SELECT x.vec_id, x.emb, c.cell,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY ${cos("x.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM e x CROSS JOIN cent c) t
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, qemb, cell FROM (
+           SELECT q.vec_id AS query_id, q.emb AS qemb, c.cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cos("q.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) t, np
+         WHERE rn <= np.np),
+       annk AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT p.query_id, a.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY ${cos("a.emb", "p.qemb")} DESC, a.vec_id ASC) AS rn
+           FROM assigned a JOIN probes p
+             ON a.cell = p.cell AND a.vec_id <> p.query_id) t
+         WHERE rn <= $k),
+       brute AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY ${cos("x.emb", "q.emb")} DESC, x.vec_id ASC) AS rn
+           FROM e q CROSS JOIN e x
+           WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id) t
+         WHERE rn <= $k),
+       per AS (
+         SELECT b.query_id,
+                count(*) AS n_true,
+                count(a.neighbor_id) AS n_hits
+         FROM brute b LEFT JOIN annk a
+           ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         GROUP BY b.query_id)
+       SELECT count(*) AS n_queries,
+              round(avg(CAST(n_hits AS DOUBLE) / n_true), 6) AS avg_recall,
+              avg(CAST(n_hits AS DOUBLE) / n_true) >= $minRecall AS recall_ok
+       FROM per"""
   }
 
   /** X3e — IVF ANN emitting ACTUAL NEIGHBORS (VERDICT r6 #5): the same

@@ -92,7 +92,8 @@ class SimilaritySpec extends AnyFunSuite {
   test("ANN IVF coarse-quantizer recall clears the registered floor") {
     val r = Similarity.annIvfRecall(spark, sf).head()
     assert(r.getLong(0) == 10)
-    assert(r.getBoolean(1), "IVF recall@10 below floor")
+    assert(r.getDouble(1) >= 0.6, s"measured IVF recall@10 ${r.getDouble(1)} below 0.6")
+    assert(r.getBoolean(2), "IVF recall@10 below floor")
   }
 
   test("k-means-refined IVF recall clears the floor; refinement keeps a full partition") {
