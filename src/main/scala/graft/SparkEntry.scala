@@ -83,6 +83,9 @@ object SparkEntry {
     "q_snapshot_versions" -> ((s, d) => Curation.snapshotVersions(s, d)),
     // manifest-only diff of two snapshot versions (added/changed/unchanged)
     "q_snapshot_diff"     -> ((s, d) => Curation.snapshotDiff(s, d)),
+    // two writers racing merges through the atomic-rename commit loop;
+    // rebase makes the final state the serial composition (oracle-checked)
+    "q_concurrent_commit" -> ((s, d) => Curation.concurrentCommit(s, d)),
     // per-column row/null/exact-distinct audit in one melted scan
     "q_column_profile"    -> ((s, d) => Analytics.columnProfile(s, d)),
     // the merge against a doc_id-bucketed corpus: only the delta shuffles
@@ -736,6 +739,7 @@ object SparkEntry {
     "q_containment_pairs" -> Dedup.containmentPairsOracleSql(),
     "q_snapshot_versions" -> Curation.snapshotVersionsOracleSql,
     "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,
+    "q_concurrent_commit" -> Curation.concurrentCommitOracleSql,
     "q_column_profile" -> Analytics.columnProfileOracleSql,
     // The bucketed-layout merge must equal the plain merge exactly.
     "q_corpus_merge_bucketed" -> Curation.corpusMergeOracleSql,

@@ -875,6 +875,136 @@ object Curation {
         GROUP BY status ORDER BY status"""
   }
 
+  // ---------------------------------------------------------------------
+  // Two-writer isolation: optimistic concurrent commit
+  // ---------------------------------------------------------------------
+
+  /** Latest committed version under a `v=<n>`-layout store root. Listing
+    * the directory is the version discovery every table format does from
+    * its log — metadata-scale, never data-scale. */
+  private def latestVersion(root: java.nio.file.Path): Int = {
+    val s = java.nio.file.Files.list(root)
+    try {
+      var latest = -1
+      s.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v=")) latest = math.max(latest, name.drop(2).toInt)
+      }
+      latest
+    } finally s.close()
+  }
+
+  /** Optimistic concurrent commit — the table-format commit protocol
+    * ([[ensureSnapshots]] gives immutable versions; THIS arbitrates who
+    * writes the next one). Each writer: (1) reads the latest committed
+    * manifest, (2) builds its successor with `build`, (3) stages it to a
+    * temp dir under the root, (4) ATOMIC-renames the stage to
+    * `v=<latest+1>`. The FILESYSTEM rename is the arbiter — exactly one
+    * concurrent writer can create a given version slot; the loser's
+    * rename fails, and it REBASES: re-reads the new latest (now
+    * containing the winner's rows) and recomputes before retrying. The
+    * result is serializable version history — no lost updates — which is
+    * what Redshift arbitrated invisibly for the reference's concurrently
+    * re-run monthly INSERT-SELECT (dag-knlp.py:378-383). On an object
+    * store the same loop runs against a conditional PUT / log append.
+    * Returns the version this writer committed. */
+  private[graft] def commitNext(spark: SparkSession, root: java.nio.file.Path,
+                                maxAttempts: Int = 20)
+                               (build: DataFrame => DataFrame): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val latest = latestVersion(root)
+      require(latest >= 0, s"store at $root has no committed version")
+      val cur = spark.read.parquet(root.resolve(s"v=$latest").toString)
+      val next = build(cur)
+      val stage = java.nio.file.Files.createTempDirectory(root, ".stage-")
+      val stagedData = stage.resolve("data")
+      next.write.mode("overwrite").parquet(stagedData.toString)
+      try {
+        java.nio.file.Files.move(stagedData, root.resolve(s"v=${latest + 1}"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.deleteIfExists(stage)
+        return latest + 1
+      } catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost the race for this slot — discard the stage and rebase
+          org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+    }
+    throw new IllegalStateException(s"commit did not land in $maxAttempts attempts")
+  }
+
+  /** Manifest digest column: the order-independent 32-bit-md5-prefix of
+    * (doc_id, text) shared with [[ensureSnapshots]]. */
+  private def manifestH(id: org.apache.spark.sql.Column,
+                        text: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat_ws("|", id, text)), 1, 8), 16, 10).cast("long")
+
+  /** TWO CONCURRENT WRITERS racing real merges onto one versioned store,
+    * surfaced as an oracle-checked query: writer A upserts revisions
+    * (doc_id % 7 → " [w1]"), writer B inserts new documents
+    * (doc_id % 11 = 5 → id+200000), both through [[commitNext]] from two
+    * JVM threads against a fresh store whose v=0 is the corpus manifest.
+    * WHICH writer lands v=1 is nondeterministic; the INVARIANTS are not:
+    * exactly 3 contiguous versions exist, and rebase makes the final
+    * state the serial composition of both deltas (key-disjoint, so
+    * order-commutative) — that final profile is what the oracle checks.
+    * Manifests are (doc_id, h) — snapshots are metadata, the text lives
+    * once ([[ensureSnapshots]]'s principle). */
+  def concurrentCommit(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstore-")
+    val base = Tables.documents(spark, dir)
+    base.select(col("doc_id"), manifestH(col("doc_id"), col("text")).as("h"))
+      .write.mode("overwrite").parquet(root.resolve("v=0").toString)
+    val deltaA = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        manifestH(col("doc_id"), concat(col("text"), lit(" [w1]"))).as("h"))
+    val deltaB = base.filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        manifestH(col("doc_id") + 200000L, concat(lit("[w2] "), col("text"))).as("h"))
+    val writers = Seq(deltaA, deltaB).map { delta =>
+      val t = new Thread(() => {
+        commitNext(spark, root) { cur =>
+          val d = delta.select(col("doc_id").as("d_id"), col("h").as("d_h"))
+          cur.join(d, col("doc_id") === col("d_id"), "full_outer")
+            .select(coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+              coalesce(col("d_h"), col("h")).as("h"))
+        }
+        ()
+      })
+      t.start(); t
+    }
+    writers.foreach(_.join())
+    val versions = (0 to latestVersion(root))
+      .map(v => root.resolve(s"v=$v")).filter(java.nio.file.Files.exists(_))
+    val finalV = versions.size - 1
+    spark.read.parquet(root.resolve(s"v=$finalV").toString)
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("content_digest"))
+      .select(lit(versions.size.toLong).as("n_versions"),
+        lit(finalV.toLong).as("final_version"),
+        col("n_docs"), col("content_digest"))
+  }
+
+  /** DuckDB oracle for [[concurrentCommit]] — the serial composition of
+    * both writers' deltas over the corpus manifest. The commit protocol
+    * guarantees the racing execution converges on exactly this. */
+  val concurrentCommitOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH merged AS (
+          SELECT doc_id, text || ' [w1]' AS text FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+          UNION ALL
+          SELECT doc_id + 200000, '[w2] ' || text FROM documents WHERE doc_id % 11 = 5)
+        SELECT CAST(3 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS final_version,
+               count(*) AS n_docs, CAST(sum($hexToLong) AS BIGINT) AS content_digest
+        FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+              FROM merged) t"""
+  }
+
   /** DuckDB oracle for [[corpusMerge]] — the same delta CTE and the same
     * full-outer merge. */
   val corpusMergeOracleSql: String =

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Curation
+import scala.jdk.CollectionConverters._
 
 /** Training-data curation semantics: hash sampling determinism and
   * proportionality, token packing budget/coverage invariants, and the
@@ -647,5 +648,73 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(rows.size ==
       docs.size - docs.keys.count(_ % 17 == 5) + inserted.size)
+  }
+
+  test("two-writer race: contiguous monotone versions, one winner per slot, serializable final state") {
+    val out = Curation.concurrentCommit(spark, sf).head()
+    // both commits landed: v0 + exactly two successor versions, no gaps
+    assert(out.getLong(0) == 3L, "expected versions v=0, v=1, v=2")
+    assert(out.getLong(1) == 2L)
+    // final state is the serial composition of both deltas — no lost
+    // update even though both writers started from v=0
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h(id: Long, text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s"$id|$text".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val merged = docs.map { case (id, t) =>
+      if (id % 7 == 0) id -> (t + " [w1]") else id -> t
+    } ++ docs.collect { case (id, t) if id % 11 == 5 =>
+      (id + 200000L) -> ("[w2] " + t)
+    }
+    assert(out.getLong(2) == merged.size.toLong, "post-state row count")
+    assert(out.getLong(3) == merged.map { case (id, t) => h(id, t) }.sum,
+      "post-state content digest")
+  }
+
+  test("identical re-run race: concurrent duplicate merges converge (idempotent content)") {
+    // the reference's monthly INSERT-SELECT re-executed concurrently:
+    // both writers apply the SAME delta; the loser rebases onto the
+    // winner's result and must land a version with IDENTICAL content
+    val root = java.nio.file.Files.createTempDirectory("graft-rerun-")
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    base.write.mode("overwrite").parquet(root.resolve("v=0").toString)
+    val delta = base.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("d_id"), (col("h") + 1L).as("d_h"))
+    def writer(): Thread = {
+      val t = new Thread(() => {
+        Curation.commitNext(spark, root) { cur =>
+          cur.join(delta, col("doc_id") === col("d_id"), "full_outer")
+            .select(coalesce(col("doc_id"), col("d_id")).as("doc_id"),
+              coalesce(col("d_h"), col("h")).as("h"))
+        }
+        ()
+      })
+      t.start(); t
+    }
+    val ts = Seq(writer(), writer()); ts.foreach(_.join())
+    def digest(v: Int): (Long, Long) = {
+      val r = spark.read.parquet(root.resolve(s"v=$v").toString)
+        .agg(count(lit(1)), sum(col("h"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // three contiguous versions; v1 and v2 have identical content
+    assert((0 to 2).forall(v => java.nio.file.Files.exists(root.resolve(s"v=$v"))))
+    assert(!java.nio.file.Files.exists(root.resolve("v=3")))
+    assert(digest(1) == digest(2), "re-run did not converge")
+    assert(digest(1) != digest(0), "delta was a no-op")
+    // no orphaned stage directories survive the race
+    val children = {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+    assert(children.forall(_.startsWith("v=")), s"orphaned entries: $children")
   }
 }
