@@ -303,7 +303,14 @@ object Bucketing {
     val selected = manifest
       .filter(r => !r.getTimestamp(2).before(loTs) && !r.getTimestamp(1).after(hiTs))
       .map(_.getString(0))
-    spark.read.parquet(selected.toIndexedSeq: _*)
+    // a window outside the data's range selects ZERO files — serve it
+    // from the base scan under a false-by-stats predicate (parquet footer
+    // min/max prunes every row group, so this costs metadata only)
+    // instead of calling spark.read.parquet() with no paths, which throws
+    val pruned =
+      if (selected.isEmpty) spark.read.parquet(base)
+      else spark.read.parquet(selected.toIndexedSeq: _*)
+    pruned
       .filter(col("o_orderdate").between(lit(loTs), lit(hiTs)))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))

@@ -773,10 +773,12 @@ object TextAnalysis {
     * the frequency table, never the text. The 1-row best pair broadcasts.
     *
     * Merge application is non-overlapping left-to-right `replace` on a
-    * '|'-delimited symbol string — the BPE apply semantics — and the
-    * occurrence count falls out of pure length arithmetic
-    * (each application deletes exactly one delimiter), which both engines
-    * compute identically. */
+    * DOUBLE-delimited symbol string (each token wrapped '|tok|', so
+    * back-to-back pair occurrences never share a matched delimiter —
+    * replace-all IS exact greedy left-to-right BPE apply, including runs
+    * like 'abab' and 'aaaa'), and the occurrence count falls out of pure
+    * length arithmetic (each application deletes exactly two delimiter
+    * chars), which both engines compute identically. */
   def bpeStep(spark: SparkSession, dir: String): DataFrame = {
     // materialize the vocabulary ONCE (it is tiny — distinct words); both
     // the pair-count arm and the merge-application arm read it, so the
@@ -798,9 +800,11 @@ object TextAnalysis {
     val best = pc.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
       .select(col("a").as("ma"), col("b").as("mb"), col("cnt").as("pair_count"))
     ch.crossJoin(broadcast(best))
-      .withColumn("padded", concat(lit("|"), array_join(col("cs"), "|"), lit("|")))
-      .withColumn("occ", length(col("padded")) - length(expr(
-        "replace(padded, concat('|', ma, '|', mb, '|'), concat('|', ma, mb, '|'))")))
+      .withColumn("padded", concat(lit("|"), array_join(col("cs"), "||"), lit("|")))
+      .withColumn("occ", expr(
+        """(length(padded) - length(
+             replace(padded, concat('|', ma, '||', mb, '|'),
+                             concat('|', ma, mb, '|')))) div 2"""))
       .groupBy(col("ma").as("merge_a"), col("mb").as("merge_b"), col("pair_count"))
       .agg(count(lit(1)).as("n_vocab"),
         sum(col("freq") * size(col("cs"))).as("n_tokens_before"),
@@ -818,14 +822,14 @@ object TextAnalysis {
        best AS (SELECT a AS ma, b AS mb, cnt AS pair_count
                 FROM pr ORDER BY cnt DESC, a, b LIMIT 1),
        app AS (SELECT freq, len(cs) AS nb,
-                      '|' || array_to_string(cs, '|') || '|' AS padded
+                      '|' || array_to_string(cs, '||') || '|' AS padded
                FROM ch)
        SELECT b.ma AS merge_a, b.mb AS merge_b, b.pair_count,
               count(*) AS n_vocab,
               CAST(sum(freq * nb) AS BIGINT) AS n_tokens_before,
               CAST(sum(freq * (nb - (length(padded)
-                - length(replace(padded, '|' || b.ma || '|' || b.mb || '|',
-                                         '|' || b.ma || b.mb || '|')))))
+                - length(replace(padded, '|' || b.ma || '||' || b.mb || '|',
+                                         '|' || b.ma || b.mb || '|'))) // 2))
                    AS BIGINT) AS n_tokens_after
        FROM app CROSS JOIN best b
        GROUP BY 1, 2, 3"""
@@ -837,10 +841,11 @@ object TextAnalysis {
     * the single driver-side transfer per step is the 1-row best pair —
     * the irreducible sequential dependency of BPE (merge i+1's counts
     * depend on merge i's application), exactly how production trainers
-    * iterate. Symbols are '|'-delimited strings so multi-char tokens
-    * from earlier merges survive later splits, and the greedy
-    * left-to-right `replace` semantics match the oracle's — which
-    * replays the SAME k steps as k unrolled CTE blocks in DuckDB. */
+    * iterate. Symbols are double-delimited strings ('|tok|' per
+    * token) so multi-char tokens from earlier merges survive later
+    * splits AND back-to-back occurrences merge exactly like greedy
+    * left-to-right BPE apply; the oracle replays the SAME k steps as k
+    * unrolled CTE blocks in DuckDB. */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
     var vocab = Tables.documents(spark, dir)
@@ -848,7 +853,7 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(concat(lit("|"), array_join(
-        expr("filter(split(word, ''), c -> c <> '')"), "|"), lit("|")).as("padded"),
+        expr("filter(split(word, ''), c -> c <> '')"), "||"), lit("|")).as("padded"),
         col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -869,7 +874,7 @@ object TextAnalysis {
       merges += ((step, a, b, cnt))
       vocab = vocab
         .withColumn("padded", expr(
-          s"replace(padded, '|' || '${sqlEscape(a)}' || '|' || '${sqlEscape(b)}' || '|', " +
+          s"replace(padded, '|' || '${sqlEscape(a)}' || '||' || '${sqlEscape(b)}' || '|', " +
             s"'|' || '${sqlEscape(a)}${sqlEscape(b)}' || '|')"))
         .localCheckpoint()
     }
@@ -887,7 +892,7 @@ object TextAnalysis {
     * replace — so the learned merge tables must agree row for row. */
   def bpeMergesOracleSql(k: Int = 3): String = {
     val base =
-      """w0 AS (SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '|') || '|' AS padded,
+      """w0 AS (SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '||') || '|' AS padded,
                        freq
                 FROM (SELECT w AS word, count(*) AS freq
                       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -899,7 +904,7 @@ object TextAnalysis {
                        unnest(range(1, CAST(len(cs) AS BIGINT))) AS t(j)
                   GROUP BY 1, 2),
           b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-          w$i AS (SELECT replace(padded, '|' || b$i.a || '|' || b$i.b || '|',
+          w$i AS (SELECT replace(padded, '|' || b$i.a || '||' || b$i.b || '|',
                                          '|' || b$i.a || b$i.b || '|') AS padded, freq
                   FROM w${i - 1} CROSS JOIN b$i)"""
     }.mkString(",\n")

@@ -128,13 +128,29 @@ object StreamingOps {
     materialized
   }
 
-  /** The driver testdata's events.parquet: `ts` is TIMESTAMP(MICROS)
-    * parquet (isAdjustedToUTC=false), read as plain TimestampType under
-    * the UTC session (see [[graft.Sessions]] / [[graft.Tables.events]]). */
-  private val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** File-source stream over events.parquet with the ts arm DERIVED from
+    * the batch loader's probe of the live file, mirroring
+    * [[graft.Tables.events]]: micros-NTZ generations surface `ts` as
+    * TimestampType; nanos generations (under legacy nanosAsLong) as a raw
+    * long, normalized here with the same integer division. The driver
+    * regenerates testdata between rounds and has switched encodings
+    * before — probing instead of hardcoding keeps the streaming path in
+    * lockstep with the batch path, whichever encoding arrives. The probe
+    * reads only the parquet footer. Returned `ts` is always
+    * TimestampType. */
+  private def eventFileStream(spark: SparkSession, dir: String,
+                              watchDir: java.nio.file.Path): DataFrame = {
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema).parquet(watchDir.toString)
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** End-to-end oracle-checkable streaming run (VERDICT r3 item 8): the
     * events table consumed as a file-source STREAM → [[hourlyCounts]] →
@@ -159,8 +175,7 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = spark.readStream.schema(rawEventSchema)
-      .parquet(watchDir.toString)
+    val stream = eventFileStream(spark, dir, watchDir)
       // ts arrives as native TimestampType from the declared schema
       .withColumn("value", col("value").cast("decimal(18,2)"))
     val q = hourlyCounts(stream).writeStream
@@ -317,8 +332,7 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = spark.readStream.schema(rawEventSchema)
-      .parquet(watchDir.toString)
+    val stream = eventFileStream(spark, dir, watchDir)
       // ts arrives as native TimestampType from the declared schema
       .withColumn("value", col("value").cast("decimal(18,2)").cast("double"))
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -361,8 +375,7 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = spark.readStream.schema(rawEventSchema)
-      .parquet(watchDir.toString)
+    val stream = eventFileStream(spark, dir, watchDir)
       // ts arrives as native TimestampType from the declared schema
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"),
@@ -429,8 +442,7 @@ object StreamingOps {
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = spark.readStream.schema(rawEventSchema)
-      .parquet(watchDir.toString)
+    val stream = eventFileStream(spark, dir, watchDir)
       .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -804,7 +816,7 @@ object StreamingOps {
     // canonical two-stream shape (and it sidesteps streaming self-join
     // attribute ambiguity)
     def side(name: String): DataFrame =
-      ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+      eventFileStream(ss, dir, watchDir)
         // ts arrives as native TimestampType from the declared schema
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
@@ -863,7 +875,7 @@ object StreamingOps {
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     def side(name: String): DataFrame =
-      ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+      eventFileStream(ss, dir, watchDir)
         // ts arrives as native TimestampType from the declared schema
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))
@@ -910,7 +922,7 @@ object StreamingOps {
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
     def side(name: String): DataFrame =
-      ss.readStream.schema(rawEventSchema).parquet(watchDir.toString)
+      eventFileStream(ss, dir, watchDir)
         // ts arrives as native TimestampType from the declared schema
         .select(col("event_id").as(s"${name}_event_id"),
           col("ts").as(s"${name}_ts"), col("user_id").as(s"${name}_user_id"))

@@ -287,4 +287,12 @@ class BucketingSpec extends AnyFunSuite {
         s"direct filter ${(direct.getLong(0), direct.getDouble(1))}")
     assert(out.getLong(2) == 8 && out.getBoolean(3))
   }
+
+  test("manifest planning: a window outside the data range returns zero rows, not a crash") {
+    val out = Bucketing.manifestPrunedScan(spark, sf,
+      lo = "2015-01-01", hi = "2015-01-31").collect()(0)
+    assert(out.getLong(0) == 0L, "out-of-range window must count zero orders")
+    assert(out.isNullAt(1), "revenue over zero orders is null")
+    assert(out.getLong(2) == 8)
+  }
 }
