@@ -319,6 +319,9 @@ object SparkEntry {
     "q_audio_meta"        -> ((s, d) => Multimodal.audioMeta(s, d)),
     "q_media_quarantine"  -> ((s, d) => Multimodal.mediaQuarantine(s, d)),
     "q_frame_sample"      -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    // payload decode at the planned offsets: real sample values out of
+    // the container bytes, oracle-recomputed from the builder's rule
+    "q_frame_extract"     -> ((s, d) => Multimodal.frameExtract(s, d)),
     // resize plan: fit decoded dims into a 224-box, aspect preserved
     "q_media_resize"      -> ((s, d) => Multimodal.resizePlan(s, d)),
     // feature extraction after decode: bytes -> stub embedding through
@@ -797,6 +800,7 @@ object SparkEntry {
     "q_audio_meta" -> Multimodal.audioMetaOracleSql,
     "q_media_quarantine" -> Multimodal.mediaQuarantineOracleSql,
     "q_frame_sample" -> Multimodal.sampleFramesOracleSql(),
+    "q_frame_extract" -> Multimodal.frameExtractOracleSql(),
     "q_media_resize" -> Multimodal.resizePlanOracleSql(),
     "q_media_embed" -> Multimodal.mediaEmbedOracleSql,
   )

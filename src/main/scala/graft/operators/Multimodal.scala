@@ -382,6 +382,68 @@ object Multimodal {
         expr("data_offset + ((i * n_samples) div kk) * block_align").as("byte_offset"))
   }
 
+  /** FRAME EXTRACTION — the stage after [[sampleFrames]]'s plan: decode
+    * the PAYLOAD bytes at each planned offset, not just the header. One
+    * codec pass per partition parses the container and reads the signed
+    * 16-bit LE sample at data_offset + idx·block_align for each of the k
+    * evenly-spaced frames — the proof that the sampling plan's offsets
+    * address real bytes (the oracle recomputes every sample value from
+    * the builder's cycled-text payload rule). Payload bytes never leave
+    * the partition; only (doc_id, frame_idx, byte_offset, sample_val)
+    * rows do. */
+  def frameExtract(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildWav)
+      .mapPartitions(_.flatMap { r =>
+        val m = parseWav(r.doc_id, r.content)
+        if (m.status != "ok") Iterator.empty
+        else {
+          val kk = math.min(k.toLong, m.n_samples)
+          (0L until kk).iterator.map { i =>
+            val idx = i * m.n_samples / kk
+            val off = (m.data_offset + idx * m.block_align).toInt
+            val lo = r.content(off) & 0xffL
+            val hi = r.content(off + 1).toLong // sign-carrying high byte
+            (r.doc_id, idx, off.toLong, (hi << 8) | lo)
+          }
+        }
+      })
+      .toDF("doc_id", "frame_idx", "byte_offset", "sample_val")
+  }
+
+  /** DuckDB oracle for [[frameExtract]] — the sample-value rule inverted
+    * from the builder: payload byte j is text byte j mod n, so the
+    * sample at data offset d is (text[d mod n], text[(d+1) mod n]) as a
+    * signed 16-bit LE — each byte dug out of hex(encode(text)). */
+  def frameExtractOracleSql(k: Int = 3): String = {
+    // 0-based byte j of the UTF-8 text as an integer, via the hex dump
+    def hexByte(j: String): String = {
+      def nib(o: String) =
+        s"(strpos('0123456789ABCDEF', substr(hx, 2 * ($j) + $o, 1)) - 1)"
+      s"(${nib("1")} * 16 + ${nib("2")})"
+    }
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       f AS (SELECT doc_id, hx, n, 1 + n % 1000 AS ns FROM m),
+       g AS (SELECT doc_id, hx, n, ns,
+                    CASE WHEN ns < $k THEN ns ELSE $k END AS kk FROM f),
+       e AS (SELECT doc_id, hx, n, (i * ns) // kk AS idx
+             FROM g, unnest(range(0, kk)) AS t(i)),
+       b AS (SELECT doc_id, idx, n, hx,
+                    (idx * 2) % n AS j_lo, (idx * 2 + 1) % n AS j_hi
+             FROM e),
+       v AS (SELECT doc_id, idx,
+                    ${hexByte("j_lo")} AS lo, ${hexByte("j_hi")} AS hi
+             FROM b)
+       SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+              CAST(44 + idx * 2 AS BIGINT) AS byte_offset,
+              CAST(CASE WHEN hi >= 128 THEN (hi - 256) * 256 + lo
+                        ELSE hi * 256 + lo END AS BIGINT) AS sample_val
+       FROM v ORDER BY doc_id, frame_idx"""
+  }
+
   /** DuckDB oracle for [[sampleFrames]] — same integer arithmetic over
     * the builder's closed-form audio geometry (data at offset 44,
     * 16-bit mono → block_align 2). */

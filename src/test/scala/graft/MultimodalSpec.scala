@@ -94,6 +94,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("doc_id", "frame_idx").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("frame extraction reads the actual payload bytes at the planned offsets") {
+    val rows = Multimodal.frameExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    rows.foreach { case (id, idx, off, v) =>
+      val t = texts(id); val n = t.length
+      val d = (off - 44).toInt // data-chunk offset; builder cycles text bytes
+      assert(d == idx * 2, s"doc $id: offset $off inconsistent with idx $idx")
+      val lo = t(d % n) & 0xffL
+      val hi = t((d + 1) % n).toLong
+      assert(v == ((hi << 8) | lo), s"doc $id frame $idx: sample $v wrong")
+      assert(v >= Short.MinValue && v <= Short.MaxValue)
+    }
+  }
+
   test("resize plan: fits the box, preserves aspect ratio over parsed dims") {
     val rows = Multimodal.resizePlan(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
