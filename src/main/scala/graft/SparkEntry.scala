@@ -88,6 +88,14 @@ object SparkEntry {
     "q_concurrent_commit" -> ((s, d) => Curation.concurrentCommit(s, d)),
     // per-column row/null/exact-distinct audit in one melted scan
     "q_column_profile"    -> ((s, d) => Analytics.columnProfile(s, d)),
+    // persisted per-day HLL sketch store: distinct-users-ever answered by
+    // an O(days) metadata merge; union-of-daily == direct-sketch pinned
+    "q_hll_store"         -> ((s, d) => Analytics.hllSketchStore(s, d)),
+    // PSI distribution-drift monitor between corpus halves per event_type
+    "q_dist_drift"        -> ((s, d) => Analytics.distributionDrift(s, d)),
+    // runtime bloom-filter semi-join reduction: might_contain probe pushed
+    // into the fact scan (plan verdict emitted as a column)
+    "q_bloom_prune"       -> ((s, d) => Bucketing.bloomPrunedJoin(s, d)),
     // the merge against a doc_id-bucketed corpus: only the delta shuffles
     // (one Exchange, plan-asserted) — the 100 TB layout for upserts
     "q_corpus_merge_bucketed" -> ((s, d) => Curation.corpusMergeBucketed(s, d)),
@@ -370,6 +378,13 @@ object SparkEntry {
     // NATIVE streaming session windows (append mode): the batch session
     // list minus sessions the final watermark left open.
     "q_stream_session_window" -> ((s, d) => graft.streaming.StreamingOps.sessionWindowStreamEndToEnd(s, d)),
+    // CHECKPOINT-RESTART recovery: a stopped aggregation resumed by a new
+    // query instance — state + offsets recovered, phase-2 input pinned
+    // incremental, final result equals the batch aggregate
+    "q_stream_restart"    -> ((s, d) => graft.streaming.StreamingOps.streamRestartEndToEnd(s, d)),
+    // exactly-once foreachBatch sink under simulated batch redelivery:
+    // idempotent per-batchId overwrite, audit proves zero duplicates
+    "q_stream_exactly_once" -> ((s, d) => graft.streaming.StreamingOps.streamExactlyOnceEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -744,6 +759,11 @@ object SparkEntry {
     "q_snapshot_diff" -> Curation.snapshotDiffOracleSql,
     "q_concurrent_commit" -> Curation.concurrentCommitOracleSql,
     "q_column_profile" -> Analytics.columnProfileOracleSql,
+    "q_hll_store" -> Analytics.hllSketchStoreOracleSql,
+    "q_dist_drift" -> Analytics.distributionDriftOracleSql(),
+    "q_bloom_prune" -> Bucketing.bloomPrunedJoinOracleSql(),
+    "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
+    "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     // The bucketed-layout merge must equal the plain merge exactly.
     "q_corpus_merge_bucketed" -> Curation.corpusMergeOracleSql,
     // The micro-batched streaming upsert must land on the batch merge.

@@ -1159,4 +1159,112 @@ object Analytics {
               count(DISTINCT h) AS n_distinct
        FROM m GROUP BY col_name ORDER BY col_name"""
   }
+
+  /** PERSISTED HLL SKETCH STORE — incremental distinct maintenance, the
+    * fourth staged artifact family (signatures, pairs, decontam verdicts,
+    * now sketches): per-day DataSketches HLL sketches of the active user
+    * set are built in ONE scan and persisted as a metadata-sized parquet
+    * store (one binary row per day — ∝ days, never corpus size). The
+    * "distinct users ever" question is then answered by merging the
+    * stored sketches (`hll_union_agg`) WITHOUT rescanning the corpus; a
+    * new day appends one sketch row instead of triggering the nightly
+    * full recount. At 100 TB this turns an O(corpus) distinct query into
+    * an O(days) metadata merge.
+    *
+    * HLL registers are max-merged, so the union of disjoint daily
+    * sketches is EXACTLY the sketch of the whole table (same lgK, same
+    * hash) — `merged_equals_direct` pins that algebraic identity, not an
+    * approximation. `within_5pct` pins estimate quality against the exact
+    * count the oracle recomputes. */
+  def hllSketchStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = Pipeline.scratch(dir) + "/hll_user_store"
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(store)
+    val merged = spark.read.parquet(store)
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_merged"),
+        sum(col("n_events")).as("n_events"))
+    val direct = Tables.events(spark, dir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+        countDistinct(col("user_id")).as("distinct_exact"))
+    merged.crossJoin(direct) // both sides are 1-row aggregates
+      .select(col("n_days"), col("n_events"), col("distinct_exact"),
+        (col("est_merged") === col("est_direct")).as("merged_equals_direct"),
+        (abs(col("est_merged") - col("distinct_exact"))
+          <= col("distinct_exact") * 0.05).as("within_5pct"))
+  }
+
+  val hllSketchStoreOracleSql: String =
+    """SELECT count(DISTINCT date_trunc('day', ts)) AS n_days,
+              count(*) AS n_events,
+              count(DISTINCT user_id) AS distinct_exact,
+              true AS merged_equals_direct,
+              true AS within_5pct
+       FROM events"""
+
+  /** DISTRIBUTION-DRIFT detection (PSI) between two corpus slices — the
+    * monitoring query every continuously-ingesting pipeline runs before
+    * trusting a new batch: per event_type, the `value` distribution of
+    * the even-id half (baseline) is compared against the odd-id half
+    * (current) over fixed-width bins via the Population Stability Index
+    * Σ (p−q)·ln(p/q) with add-one smoothing (so empty bins stay finite
+    * and the arithmetic is exact-integer until the final log). One scan,
+    * one (type, half, bin) count aggregate, then a bins-sized reshape —
+    * the data-sized work is a single partial-agged groupBy at any scale.
+    * Counts are exact integers in both engines; the PSI double is rounded
+    * to 6 dp for cross-engine hash stability. */
+  def distributionDrift(spark: SparkSession, dir: String,
+                        binWidth: Int = 50, nBins: Int = 10): DataFrame = {
+    // ONE corpus scan: the conditional-sum groupBy lands directly on the
+    // (type, bin) grain; totals re-aggregate the bins-sized result, never
+    // the events again
+    val perHalf = Tables.events(spark, dir)
+      .select(col("event_type"), (col("event_id") % 2 === 0).as("is_base"),
+        least(floor(col("value") / binWidth).cast("long"), lit(nBins - 1L)).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = perHalf.groupBy("event_type")
+      .agg(sum(col("n_base")).as("t_base"), sum(col("n_cur")).as("t_cur"))
+    val p = (col("n_base") + 1).cast("double") / (col("t_base") + nBins)
+    val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + nBins)
+    perHalf.join(totals, "event_type")
+      .select(col("event_type"), ((p - q) * log(p / q)).as("term"),
+        col("t_base"), col("t_cur"))
+      .groupBy("event_type")
+      .agg(round(sum(col("term")), 6).as("psi"),
+        max(col("t_base")).as("n_base"), max(col("t_cur")).as("n_cur"))
+      .withColumn("drifted", col("psi") >= 0.2)
+  }
+
+  def distributionDriftOracleSql(binWidth: Int = 50, nBins: Int = 10): String =
+    s"""WITH binned AS (
+          SELECT event_type, event_id % 2 = 0 AS is_base,
+                 least(CAST(floor(value / $binWidth) AS BIGINT), ${nBins - 1}) AS bin
+          FROM events),
+        per_half AS (
+          SELECT event_type, bin,
+                 CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                 CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM binned GROUP BY event_type, bin),
+        totals AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS t_base,
+                 CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS t_cur
+          FROM binned GROUP BY event_type)
+        SELECT event_type, round(sum(term), 6) AS psi,
+               max(t_base) AS n_base, max(t_cur) AS n_cur,
+               round(sum(term), 6) >= 0.2 AS drifted
+        FROM (
+          SELECT h.event_type,
+                 (CAST(n_base + 1 AS DOUBLE) / (t_base + $nBins)
+                  - CAST(n_cur + 1 AS DOUBLE) / (t_cur + $nBins))
+                 * ln((CAST(n_base + 1 AS DOUBLE) / (t_base + $nBins))
+                      / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + $nBins))) AS term,
+                 t_base, t_cur
+          FROM per_half h JOIN totals t ON h.event_type = t.event_type) terms
+        GROUP BY event_type ORDER BY event_type"""
 }

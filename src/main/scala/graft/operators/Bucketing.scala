@@ -385,6 +385,67 @@ object Bucketing {
         WHERE o_orderdate BETWEEN TIMESTAMP '$lo 00:00:00'
                               AND TIMESTAMP '$hi 00:00:00'"""
 
+  /** RUNTIME BLOOM-FILTER join pruning — the row-level sibling of DPP for
+    * UNPARTITIONED join keys: the creation side (orders under a selective
+    * priority predicate) is aggregated into a bloom filter at runtime and
+    * Catalyst injects a `might_contain` probe into the application side's
+    * scan, so most lineitem rows are dropped AT THE SCAN before the join
+    * shuffle ever sees them. At 100 TB this turns "shuffle the whole fact
+    * table, discard 95% at the join" into "shuffle only probable
+    * matches" — the semi-join reduction every warehouse engine ships.
+    * Local-mode thresholds (application-side scan size, broadcast) are
+    * scoped to this query and restored after; the result is materialized
+    * under those confs so the optimizer rule actually fires at execution,
+    * and the plan's `might_contain` presence is emitted as a verdict
+    * column the oracle pins to true. Exactness is free: bloom false
+    * positives are removed by the join itself. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String,
+                      priority: String = "1-URGENT"): DataFrame = {
+    val out = Pipeline.scratch(dir) + "/bloom_join_out"
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    val applied =
+      try {
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        // local test files are far below the 10 GB production default —
+        // the rule's economics are a cluster concern, its CORRECTNESS and
+        // plan shape are what this query pins
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", (64L << 20).toString)
+        // force the shuffle join the rule targets (a broadcast join
+        // already ships the exact key set; bloom pruning is the
+        // too-big-to-broadcast path)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === priority)
+          .select("o_orderkey", "o_orderpriority")
+        val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+        val agg = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        val injected = agg.queryExecution.optimizedPlan.toString.contains("might_contain")
+        agg.write.mode("overwrite").parquet(out)
+        injected
+      } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    spark.read.parquet(out).withColumn("bloom_applied", lit(applied))
+  }
+
+  def bloomPrunedJoinOracleSql(priority: String = "1-URGENT"): String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               true AS bloom_applied
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '$priority'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   def zorderKeyOracleSql(bits: Int = 10): String = {
     val mask = (1 << bits) - 1
     // each shift term fully parenthesized: SQL `+` binds tighter than `<<`

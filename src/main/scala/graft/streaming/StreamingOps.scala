@@ -1013,4 +1013,150 @@ object StreamingOps {
        WHERE sid < last_sid
        ORDER BY user_id, session_start_us"""
   }
+
+  def streamRestartEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    streamRestartWithMetrics(spark, dir)._1
+
+  /** CHECKPOINT-RESTART recovery — the property that makes a streaming
+    * deployment survivable: a watermarked hourly aggregation is run over
+    * half the event corpus and STOPPED; a brand-new query instance is
+    * then started on the SAME checkpoint after the other half lands. The
+    * restarted query must (a) recover its aggregation state from the
+    * state store — hours straddling the stop would otherwise undercount —
+    * and (b) resume from the recorded source offsets — re-reading phase-1
+    * files would double-count. Equality with the batch oracle pins both
+    * failure modes; `resumed_incremental` (phase-2 input rows == exactly
+    * the late half) pins that the restart did NOT silently recompute from
+    * scratch, which result-equality alone could mask. The two-phase file
+    * drop is the deterministic local stand-in for a mid-stream crash; at
+    * 100 TB/day this is the nightly executor-loss / code-deploy path. */
+  private[graft] def streamRestartWithMetrics(
+      spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val out = scratchDir("restart")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "in"))
+    val events = graft.Tables.events(spark, dir)
+      .withColumn("value", col("value").cast("decimal(18,2)"))
+    // Time-ordered arrival, split at the corpus midpoint SHIFTED OFF the
+    // hour edge (+30 min) so hours straddling the stop are fed by BOTH
+    // phases — exactly the windows broken state recovery would undercount.
+    // The boundary is a 1-row aggregate (driver scalar, deterministic).
+    val Array(boundRow) = events
+      .agg(unix_micros(min(col("ts"))).as("lo"),
+        unix_micros(max(col("ts"))).as("hi")).collect()
+    val boundaryUs =
+      (boundRow.getLong(0) + boundRow.getLong(1)) / 2 + 1800L * 1000000L
+    def dropPhase(name: String, pred: org.apache.spark.sql.Column): Long = {
+      val slice = events.filter(pred)
+      // stage then move part files into the ONE flat watch dir the file
+      // source lists — the same drop-directory shape a real ingest uses
+      val stage = java.nio.file.Paths.get(s"$out/stage_$name")
+      slice.write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(stage)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        finally listing.close()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$out/in/${name}_$i.parquet"))
+      }
+      slice.count()
+    }
+    def runToDrained(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", org.apache.spark.sql.types.DecimalType(18, 2)),
+          StructField("props", StringType))))
+        .parquet(s"$out/in")
+      val q = hourlyCounts(stream).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/result")
+        }
+        .start()
+      q.awaitTermination()
+      q
+    }
+    dropPhase("early", unix_micros(col("ts")) <= boundaryUs)
+    runToDrained() // phase 1: the early half, clean stop
+    val lateRows = dropPhase("late", unix_micros(col("ts")) > boundaryUs)
+    val q2 = runToDrained() // phase 2: NEW query instance, same checkpoint
+    val p2Rows = q2.recentProgress.map(_.numInputRows).sum
+    val result = readBackCleaned(spark, out)(_.select(
+      col("hour_start"), col("event_type"), col("n_events"),
+      col("total_value").cast("double").as("total_value"))
+      .withColumn("resumed_incremental", lit(p2Rows == lateRows)))
+    (result, p2Rows, lateRows)
+  }
+
+  def streamExactlyOnceEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    streamExactlyOnceWithMetrics(spark, dir)._1
+
+  /** EXACTLY-ONCE sink under AT-LEAST-ONCE batch delivery — the foreachBatch
+    * contract every production sink must honor: after a failure between
+    * epoch execution and commit, Spark re-delivers the SAME micro-batch
+    * with the SAME batchId, so the sink must be idempotent on batchId.
+    * This replay runs the events corpus through a 4-file stream
+    * (`maxFilesPerTrigger=1`) whose sink writes each batch to a
+    * `batch=<id>` directory via full-overwrite — and then writes it AGAIN
+    * (the simulated redelivery; an append-mode sink would double every
+    * row). The final audit over the whole sink directory proves each
+    * event landed exactly once: total rows == distinct event ids == the
+    * corpus count the oracle recomputes. */
+  private[graft] def streamExactlyOnceWithMetrics(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val out = scratchDir("eonce")
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$out/in")
+    val inSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DecimalType(18, 2))))
+    val q = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$out/in")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        def commit(): Unit = batch.write.mode("overwrite")
+          .parquet(s"$out/result/batch=$id")
+        commit()
+        commit() // simulated redelivery of the same epoch: must be a no-op
+      }
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val audit = spark.read.parquet(s"$out/result")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_distinct_events"),
+        sum(col("value")).cast("double").as("total_value"))
+      .withColumn("multi_batch", lit(nBatches >= 2))
+      .withColumn("dup_free", col("n_rows") === col("n_distinct_events"))
+      .localCheckpoint(true)
+    deleteRecursively(java.nio.file.Paths.get(out))
+    (audit, nBatches)
+  }
+
+  val streamRestartOracleSql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+              count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+              true AS resumed_incremental
+       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+
+  val streamExactlyOnceOracleSql: String =
+    """SELECT count(*) AS n_rows,
+              count(DISTINCT event_id) AS n_distinct_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+              true AS multi_batch, true AS dup_free
+       FROM events"""
 }

@@ -486,4 +486,40 @@ class AnalyticsSpec extends AnyFunSuite {
     val expected = joined(spark).collect().head
     assert(row == expected, s"skew-split result drifted: $row vs $expected")
   }
+
+  test("hll sketch store: daily-merge identity and estimate quality hold") {
+    val row = Analytics.hllSketchStore(spark, sf).collect().head
+    // HLL registers max-merge: the union of disjoint daily sketches must
+    // EQUAL the direct whole-table sketch, not merely approximate it
+    assert(row.getAs[Boolean]("merged_equals_direct"),
+      "daily sketch union diverged from the direct sketch")
+    assert(row.getAs[Boolean]("within_5pct"))
+    assert(row.getAs[Long]("n_days") >= 2,
+      "store must hold at least two daily sketches for the merge to mean anything")
+  }
+
+  test("distribution drift: identical slices yield PSI 0, a shifted slice does not") {
+    import spark.implicits._
+    // the operator's arithmetic on a hand-built frame: baseline == current
+    // (every event duplicated across halves) must give PSI exactly 0
+    val base = Seq.tabulate(200)(i =>
+      (i.toLong * 2, "t", (i % 10) * 50.0 + 1.0)) // even ids: baseline
+    val cur = base.map { case (id, t, v) => (id + 1, t, v) } // odd twin
+    val df = (base ++ cur).toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val zero = Analytics.distributionDrift(spark, tmp).collect().head
+    assert(zero.getAs[Double]("psi") == 0.0 && !zero.getAs[Boolean]("drifted"))
+    // shift the odd half's values by two full bins: PSI must flag drift
+    val shifted = (base ++ cur.map { case (id, t, v) => (id, t, v + 100.0) })
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    shifted.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val hit = Analytics.distributionDrift(spark, tmp).collect().head
+    assert(hit.getAs[Double]("psi") > 0.2 && hit.getAs[Boolean]("drifted"),
+      s"two-bin shift must trip the 0.2 PSI gate, got ${hit.getAs[Double]("psi")}")
+  }
 }

@@ -295,4 +295,25 @@ class BucketingSpec extends AnyFunSuite {
     assert(out.isNullAt(1), "revenue over zero orders is null")
     assert(out.getLong(2) == 8)
   }
+
+  test("bloom prune: filter injected, result exact, session confs restored") {
+    import org.apache.spark.sql.functions.col
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val out = Bucketing.bloomPrunedJoin(spark, sf).collect()
+    // the verdict column is computed from the optimized plan — the rule
+    // must actually have fired under the scoped confs
+    assert(out.forall(_.getAs[Boolean]("bloom_applied")),
+      "runtime bloom filter was not injected")
+    // bloom false positives are removed by the join: exact row parity with
+    // the unpruned join
+    val plain = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(out.map(_.getAs[Long]("n_lines")).sum == plain)
+    // the scoped conf block must restore the session's broadcast threshold
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before,
+      "bloomPrunedJoin leaked a session conf override")
+  }
 }

@@ -402,4 +402,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.join(deleted, "doc_id").count() == 0,
       "deleted keys must not surface in the final state")
   }
+
+  test("checkpoint restart: new query resumes incrementally and lands on the batch aggregate") {
+    val (result, p2Rows, lateRows) =
+      StreamingOps.streamRestartWithMetrics(spark, TestSpark.sf)
+    // the restarted instance read ONLY the late files — not a full replay
+    assert(p2Rows == lateRows && lateRows > 0,
+      s"phase-2 read $p2Rows rows, expected exactly the $lateRows late rows")
+    val batch = graft.operators.Analytics.hourlyEvents(spark, TestSpark.sf)
+    val streamed = result.drop("resumed_incremental")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "recovered aggregation state must reproduce the batch hourly counts")
+  }
+
+  test("exactly-once sink: redelivered batches leave no duplicates across >= 2 batches") {
+    val (audit, nBatches) =
+      StreamingOps.streamExactlyOnceWithMetrics(spark, TestSpark.sf)
+    val row = audit.collect().head
+    assert(nBatches >= 2, s"replay must span multiple micro-batches, got $nBatches")
+    assert(row.getAs[Boolean]("dup_free"),
+      "idempotent per-batchId overwrite must absorb the redelivery")
+    val total = Tables.events(spark, TestSpark.sf).count()
+    assert(row.getAs[Long]("n_rows") == total,
+      s"sink holds ${row.getAs[Long]("n_rows")} rows, corpus has $total")
+  }
 }
