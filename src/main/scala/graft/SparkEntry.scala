@@ -211,6 +211,9 @@ object SparkEntry {
     "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     // PMI collocation mining (tokenizer-vocabulary promotion signal)
     "q_pmi_collocations"  -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    // incremental inverted-index refresh under the merge delta: drop
+    // touched postings, re-tokenize only the delta; digest == full rebuild
+    "q_invindex_refresh"  -> ((s, d) => TextAnalysis.invindexRefresh(s, d)),
     // model-based filter scoring: frozen hashed linear weights, sigmoid
     // keep verdict; zero-shuffle integer fold per document
     "q_quality_classifier"-> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
@@ -794,6 +797,7 @@ object SparkEntry {
     "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
     "q_inverted_index" -> TextAnalysis.invertedIndexOracleSql(),
     "q_pmi_collocations" -> TextAnalysis.pmiCollocationsOracleSql(),
+    "q_invindex_refresh" -> TextAnalysis.invindexRefreshOracleSql,
     "q_quality_classifier" -> TextAnalysis.qualityClassifierOracleSql,
     "q_corpus_overlap" -> Dedup.corpusOverlapOracleSql(),
     "q_pii_redact" -> Curation.piiRedactOracleSql,

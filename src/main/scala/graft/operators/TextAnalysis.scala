@@ -646,6 +646,63 @@ object TextAnalysis {
               FROM tok GROUP BY token)
        SELECT token, df, postings FROM df ORDER BY df DESC, token LIMIT $k"""
 
+  /** INCREMENTAL INVERTED-INDEX maintenance under the corpus merge — the
+    * retrieval-index sibling of `q_sigstore_refresh`, completing the
+    * index-maintenance family (MinHash signatures, now token postings):
+    * the FULL postings relation (distinct `(token, doc_id)` pairs — the
+    * actual inverted index) is staged once as the nightly artifact; when
+    * the merge delta arrives, touched keys' postings are dropped with a
+    * broadcast anti-join (delta key sets are tiny at any corpus scale)
+    * and ONLY the delta documents are re-tokenized — delta-sized work
+    * where the naive nightly rebuild re-tokenizes the corpus. At 100 TB
+    * the drop side runs as a delete-bitmap applied at read (merge-on-read)
+    * rather than a store rewrite; the algebra pinned here is the same.
+    * The emitted order-independent digest must equal the oracle's
+    * INDEPENDENT full re-index of the merged corpus — refresh proved
+    * lossless, never drifting from the rebuild. */
+  def invindexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.operators.Dedup.ensureArtifact(
+      s"invindex-${dir.replace('/', '_')}") { tmp =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
+        .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
+    }.toString + "/postings"
+    val delta = Curation.corpusDelta(spark, dir)
+    val kept = spark.read.parquet(store)
+      .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+    val fresh = delta
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("token"))
+    kept.unionByName(fresh)
+      .select(col("token"),
+        conv(substring(md5(concat_ws("|", col("token"), col("doc_id"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("token")).as("n_tokens"),
+        sum(col("h")).as("index_digest"))
+  }
+
+  def invindexRefreshOracleSql: String = {
+    val hex = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH delta AS (
+         SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 100000, '[new] ' || text FROM documents WHERE doc_id % 13 = 3),
+       merged AS (
+         SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                coalesce(d.text, b.text) AS text
+         FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id),
+       tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM merged),
+       hh AS (SELECT token, substr(md5(token || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+              FROM tok)
+       SELECT count(*) AS n_postings,
+              count(DISTINCT token) AS n_tokens,
+              CAST(sum($hex) AS BIGINT) AS index_digest
+       FROM hh"""
+  }
+
   // ---------------------------------------------------------------------
   // PMI collocations
   // ---------------------------------------------------------------------

@@ -307,4 +307,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(hb >= 0.0 && hb <= math.log(counts.size.toDouble) / math.log(2) + 1e-9)
     }
   }
+
+  test("invindex refresh digest equals an independent full re-index of the merged corpus") {
+    import org.apache.spark.sql.functions.{array_distinct, concat_ws, conv, count, countDistinct, lit, md5, substring, sum}
+    val refreshed = TextAnalysis.invindexRefresh(spark, sf).collect().head
+    val merged = graft.operators.Curation.mergeTexts(
+      Tables.documents(spark, sf).select("doc_id", "text", "lang", "source"),
+      graft.operators.Curation.corpusDelta(spark, sf))
+    val full = merged
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " ", -1))).as("token"))
+      .select(col("token"),
+        conv(substring(md5(concat_ws("|", col("token"), col("doc_id"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("token")).as("n_tokens"),
+        sum(col("h")).as("index_digest"))
+      .collect().head
+    assert(refreshed == full,
+      s"incremental refresh drifted from the full rebuild: $refreshed vs $full")
+  }
 }
