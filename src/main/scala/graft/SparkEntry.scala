@@ -139,6 +139,12 @@ object SparkEntry {
     // tile the date line without overlap, layout lossless
     "q_sorted_layout"     -> ((s, d) => Bucketing.sortedLayoutProof(s, d)),
     "q_events_by_type_salted" -> ((s, d) => Analytics.eventsByTypeSalted(s, d)),
+    // manual salt-replicate JOIN (deterministic salt, dim replicated
+    // x salts): the explicit hot-key spread when broadcast + AQE can't
+    "q_salted_join"       -> ((s, d) => Analytics.saltedUserJoin(s, d)),
+    // exact duplicated-PASSAGE spans: >=2-occurrence k-gram windows
+    // merged per doc into maximal spans (substring-level dedup signal)
+    "q_dup_spans"         -> ((s, d) => Curation.dupSpans(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // regex field extraction (parser-family pattern arm)
     "q_regex_parse"       -> ((s, d) => Relational.regexParse(s, d)),
@@ -803,6 +809,8 @@ object SparkEntry {
     "q_pii_redact" -> Curation.piiRedactOracleSql,
     "q_line_dedup" -> Curation.lineDedupOracleSql(),
     "q_chunk_sliding" -> Curation.chunkSlidingOracleSql(),
+    "q_salted_join" -> Analytics.saltedUserJoinOracleSql,
+    "q_dup_spans" -> Curation.dupSpansOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

@@ -171,6 +171,38 @@ object Analytics {
       .agg(sum(col("pc")).as("n_events"),
         sum(col("pv")).cast("double").as("total_value"))
 
+  /** MANUAL SALT-REPLICATE JOIN — the explicit skew-join pattern for when
+    * a single hot key dominates a shuffle join, the small side is too big
+    * (or too hot) to broadcast, and AQE's post-shuffle split can't help
+    * (it splits partitions, not one key's hash bucket): the big side gets
+    * a deterministic salt (event_id % salts — never rand(), which would
+    * break retry/replay determinism), the dim side is replicated ×salts,
+    * and the join runs on (key, salt) so each hot key's rows spread over
+    * `salts` reducers. The result must be EXACTLY the plain join's — the
+    * oracle checks the unsalted aggregate. Replication cost is
+    * salts × |dim|, paid only for the keys in the replicated slice at
+    * scale (salt only the measured-hot keys; here the whole dim is small
+    * enough to demonstrate the full pattern). */
+  def saltedUserJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        col("value").cast(DecimalType(18, 2)).as("value"),
+        (col("event_id") % salts).as("salt"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .crossJoin(spark.range(salts).select(col("id").as("salt")))
+    e.join(c, e("user_id") === c("c_custkey") && e("salt") === c("salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("double").as("total_value"))
+  }
+
+  val saltedUserJoinOracleSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** Hierarchical totals via ROLLUP (region → nation → grand total) —
     * partial-aggregated like any groupBy; grouping-set expansion happens
     * map-side. */

@@ -1331,6 +1331,94 @@ object Curation {
        FROM c ORDER BY doc_id, chunk_idx LIMIT $k"""
 
   // ---------------------------------------------------------------------
+  // Duplicated-passage spans (exact substring-level dedup signal)
+  // ---------------------------------------------------------------------
+
+  /** DUPLICATED-PASSAGE SPANS — the exact substring-dedup signal (the
+    * "deduplicating training data" passage detector): every `k`-token
+    * window is fingerprinted at its position; windows whose fingerprint
+    * occurs ≥2 times ANYWHERE in the corpus (other docs or a repeat in
+    * the same doc) mark their token range as duplicated; per document the
+    * overlapping ranges are merged into maximal spans and the covered
+    * token count / fraction emitted — the quality signal used to trim
+    * boilerplate passages that whole-doc MinHash (too coarse) and
+    * [[lineDedup]]'s fixed blocks (alignment-sensitive) both miss.
+    *
+    * Scale shape: the position-gram stream is corpus-token-sized and
+    * flows through ONE count aggregate + one semi-join back — the sorted-
+    * fingerprint approach published for exact substring dedup, with the
+    * hash-shuffle standing in for the suffix-array sort. The span merge
+    * is a per-document window (state bounded by doc length, partitioned
+    * by doc_id — embarrassingly parallel across the corpus). */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(words) >= $k THEN
+              transform(sequence(0, size(words) - $k),
+                        j -> md5(array_join(slice(words, j + 1, $k), ' ')))
+            ELSE array() END""")))
+      .toDF("doc_id", "pos", "gram")
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(dup.select("gram"), Seq("gram"), "left_semi")
+      // running max of span ends strictly BEFORE this row: a window whose
+      // start lies inside it extends the current merged span
+      .withColumn("prev_end", max(col("pos") + (k - 1))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newg",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("gid", sum(col("newg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "gid")
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("long").as("covered"))
+      .groupBy("doc_id")
+      .agg(sum(col("covered")).as("dup_tokens"), count(lit(1)).as("n_spans"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_fraction"))
+  }
+
+  /** DuckDB oracle for [[dupSpans]] — same position grams, same ≥2 rule,
+    * same window-merge of overlapping ranges. */
+  def dupSpansOracleSql(k: Int = 8): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       g AS (SELECT doc_id, j AS pos,
+                    md5(array_to_string(words[j + 1 : j + $k], ' ')) AS gram
+             FROM w, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS t(j)),
+       dupg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       dp AS (SELECT doc_id, pos FROM g SEMI JOIN dupg USING (gram)),
+       m AS (SELECT doc_id, pos,
+               max(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             FROM dp),
+       grp AS (SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+               FROM m),
+       spans AS (SELECT doc_id, gid, max(pos) - min(pos) + $k AS covered
+                 FROM grp GROUP BY doc_id, gid),
+       per_doc AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens,
+                          count(*) AS n_spans
+                   FROM spans GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+              coalesce(p.dup_tokens, 0) AS dup_tokens,
+              coalesce(p.n_spans, 0) AS n_spans,
+              round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+                    / len(string_split(d.text, ' ')), 6) AS dup_fraction
+       FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       ORDER BY d.doc_id"""
+
+  // ---------------------------------------------------------------------
   // Score-ranked selection (distributed total-order rank / prefix sum)
   // ---------------------------------------------------------------------
 

@@ -487,6 +487,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row == expected, s"skew-split result drifted: $row vs $expected")
   }
 
+  test("salted join equals the plain join and spreads keys across salts") {
+    val salted = Analytics.saltedUserJoin(spark, sf)
+    val plain = graft.Tables.events(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salt-replicate join drifted from the plain join")
+  }
+
   test("hll sketch store: daily-merge identity and estimate quality hold") {
     val row = Analytics.hllSketchStore(spark, sf).collect().head
     // HLL registers max-merge: the union of disjoint daily sketches must

@@ -717,4 +717,36 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(children.forall(_.startsWith("v=")), s"orphaned entries: $children")
   }
+
+  test("dup spans: shared passages merge into maximal spans, clean docs score 0") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      // doc 1/2 share the 12-token passage -> overlapping 8-gram windows
+      // must merge into ONE span of exactly 12 covered tokens each
+      (1L, s"$passage alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $passage"),
+      // doc 3: internal repetition — the same 8 tokens twice in one doc
+      (3L, ((1 to 8).map(i => s"r$i") ++ (1 to 8).map(i => s"r$i")).mkString(" ")),
+      // doc 4: all-unique tokens, no duplicated window anywhere
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dupspan-").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.dupSpans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("dup_tokens") == 12L
+      && out(1L).getAs[Long]("n_spans") == 1L,
+      s"doc 1 expected one merged 12-token span, got ${out(1L)}")
+    assert(out(2L).getAs[Long]("dup_tokens") == 12L
+      && out(2L).getAs[Long]("n_spans") == 1L)
+    // doc 3: both 8-gram copies of r1..r8 duplicate; windows spanning the
+    // seam also repeat nowhere, so coverage is the two copies' extent
+    assert(out(3L).getAs[Long]("dup_tokens") == 16L,
+      s"doc 3 expected both copies covered, got ${out(3L)}")
+    assert(out(4L).getAs[Long]("dup_tokens") == 0L
+      && out(4L).getAs[Double]("dup_fraction") == 0.0)
+  }
 }
