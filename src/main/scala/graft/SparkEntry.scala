@@ -145,6 +145,12 @@ object SparkEntry {
     // exact duplicated-PASSAGE spans: >=2-occurrence k-gram windows
     // merged per doc into maximal spans (substring-level dedup signal)
     "q_dup_spans"         -> ((s, d) => Curation.dupSpans(s, d)),
+    // content-defined chunking (Rabin/FastCDC family): rolling-hash
+    // boundaries + chunk-level corpus dedup census, shift-resistant
+    "q_cdc_chunks"        -> ((s, d) => Curation.cdcChunks(s, d)),
+    // winnowing (SIGMOD'03 / MOSS): per-window min-hash fingerprint
+    // selection with bounded density + cross-document share census
+    "q_winnowing"         -> ((s, d) => Curation.winnowing(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // regex field extraction (parser-family pattern arm)
     "q_regex_parse"       -> ((s, d) => Relational.regexParse(s, d)),
@@ -205,6 +211,9 @@ object SparkEntry {
     "q_doc_logprob"       -> ((s, d) => TextAnalysis.docLogProb(s, d)),
     // interpolated bigram LM score (the next perplexity-proxy rung)
     "q_bigram_logprob"    -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+    // Kneser-Ney smoothed bigram LM (absolute discounting +
+    // continuation-count backoff — the third perplexity-proxy rung)
+    "q_kn_logprob"        -> ((s, d) => TextAnalysis.knLogProb(s, d)),
     // Okapi BM25 per-(doc, query-term) relevance scoring
     "q_bm25"              -> ((s, d) => TextAnalysis.bm25(s, d)),
     // TF-IDF top-k keyword extraction per document
@@ -811,6 +820,9 @@ object SparkEntry {
     "q_chunk_sliding" -> Curation.chunkSlidingOracleSql(),
     "q_salted_join" -> Analytics.saltedUserJoinOracleSql,
     "q_dup_spans" -> Curation.dupSpansOracleSql(),
+    "q_cdc_chunks" -> Curation.cdcChunksOracleSql(),
+    "q_winnowing" -> Curation.winnowingOracleSql(),
+    "q_kn_logprob" -> TextAnalysis.knLogProbOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
     "q_ann_lsh" ->

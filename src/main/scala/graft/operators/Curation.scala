@@ -1721,4 +1721,212 @@ object Curation {
               CAST(sum(CASE WHEN d.n_chars BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        FROM documents d JOIN thr USING (lang)
        GROUP BY d.lang ORDER BY d.lang"""
+
+  // ---------------------------------------------------------------------
+  // Content-defined chunking (rolling-hash boundaries → chunk-level dedup)
+  // ---------------------------------------------------------------------
+
+  /** CONTENT-DEFINED CHUNKING — the storage-dedup primitive (Rabin/FastCDC
+    * family): instead of fixed-width blocks ([[graft.operators.Dedup]]'s
+    * `lineDedup` alignment-sensitive slices), chunk boundaries are chosen
+    * by the CONTENT itself — a boundary falls after token `j` whenever the
+    * rolling window of the last `w` tokens hashes into a target bucket —
+    * so inserting one token near the start of a document shifts only the
+    * chunk containing the edit, and every following chunk re-aligns and
+    * dedups against the previous version. The boundary rule here is
+    * `md5(last-w-token gram) starts with '0'` (P = 1/16 → expected chunk
+    * ≈ 16 tokens); the FastCDC min/max chunk-size clamps are deliberately
+    * omitted because they make boundary choice sequentially dependent on
+    * the previous boundary — the pure content rule keeps the whole pass
+    * expressible as window functions (and is the property that gives
+    * shift-resistance in the first place).
+    *
+    * Scale shape: ONE corpus-token-sized stream (a single posexplode that
+    * carries each token together with its boundary flag — the gram hash is
+    * computed inside the per-row lambda, no self-join), one per-document
+    * window cumsum to assign chunk ids (partitioned by doc_id —
+    * embarrassingly parallel, state bounded by doc length), one
+    * partial-aggregated groupBy to hash chunks, and a vocabulary-of-chunks
+    * groupBy for the corpus duplicate census. Nothing corpus-sized crosses
+    * an unpartitioned window or the driver. */
+  /** The (doc_id, chunk_id, n_tok, chash) chunk table under [[cdcChunks]]
+    * — exposed so the shift-resistance property (an edit re-aligns every
+    * following chunk) is assertable at chunk granularity in the spec. */
+  private[graft] def cdcChunkTable(spark: SparkSession, dir: String,
+                                   w: Int = 4): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(words) - 1), j -> struct(
+              words[j] AS tok,
+              CASE WHEN j >= ${w - 1} AND substr(md5(array_join(
+                     slice(words, j - ${w - 2}, $w), ' ')), 1, 1) = '0'
+                   THEN 1 ELSE 0 END AS b))""")))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"), col("s.tok").as("tok"),
+        col("s.b").as("b"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    // boundary AFTER token j ⇒ token j+1 opens the next chunk: the chunk
+    // id is the count of boundary flags STRICTLY BEFORE this position
+    toks
+      .withColumn("chunk_id", coalesce(sum(col("b"))
+        .over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ")).as("chash"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    // stage the chunk table ONCE: three consumers (duplicate census,
+    // per-doc totals, dup-instance count) would otherwise re-run the
+    // corpus explode + window + digest. persist, not localCheckpoint —
+    // the spillable, lineage-preserving idiom ([[Dedup.containmentPairs]]).
+    val chunks = cdcChunkTable(spark, dir, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = chunks.groupBy("chash")
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+      val perDoc = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+      val dupPerDoc = chunks
+        .join(dup.select("chash"), Seq("chash"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_chunks"))
+      val out = perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+          coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+          round(coalesce(col("dup_chunks"), lit(0L)).cast("double")
+            / col("n_chunks"), 6).as("dup_ratio"))
+      out.cache().count()
+      out
+    } finally chunks.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[cdcChunks]] — same rolling boundary rule, same
+    * strictly-before cumsum, same position-ordered chunk digest. */
+  def cdcChunksOracleSql(w: Int = 4): String =
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       t AS (SELECT doc_id, j AS pos, words[j + 1] AS tok,
+               CASE WHEN j >= ${w - 1} AND substr(md5(array_to_string(
+                      words[j - ${w - 2} : j + 1], ' ')), 1, 1) = '0'
+                    THEN 1 ELSE 0 END AS b
+             FROM wd, unnest(range(0, CAST(len(words) AS BIGINT))) AS r(j)),
+       c AS (SELECT doc_id, pos, tok,
+               coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+             FROM t),
+       ch AS (SELECT doc_id, chunk_id, count(*) AS n_tok,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+              FROM c GROUP BY doc_id, chunk_id),
+       dup AS (SELECT chash FROM ch GROUP BY chash HAVING count(*) >= 2),
+       pd AS (SELECT doc_id, count(*) AS n_chunks,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM ch GROUP BY doc_id),
+       dd AS (SELECT doc_id, count(*) AS dup_chunks
+              FROM ch SEMI JOIN dup USING (chash) GROUP BY doc_id)
+       SELECT pd.doc_id, pd.n_tokens, pd.n_chunks,
+              coalesce(dd.dup_chunks, 0) AS dup_chunks,
+              round(CAST(coalesce(dd.dup_chunks, 0) AS DOUBLE) / pd.n_chunks, 6)
+                AS dup_ratio
+       FROM pd LEFT JOIN dd USING (doc_id) ORDER BY pd.doc_id"""
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS local fingerprint selection)
+  // ---------------------------------------------------------------------
+
+  /** WINNOWING — the local-fingerprint selection algorithm (Schleimer,
+    * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03; the MOSS detector): hash every `k`-token
+    * gram, slide a window of `ww` consecutive gram hashes, and keep the
+    * minimum hash of each window. The guarantee: any shared run of at
+    * least `ww + k − 1` tokens between two documents is caught by at
+    * least one SHARED selected fingerprint, while only ~2/(ww+1) of all
+    * grams are kept — the bounded-density sketch that whole-doc MinHash
+    * (set-level, position-blind) and [[dupSpans]] (exhaustive, corpus-
+    * token-sized output) sit on either side of.
+    *
+    * Ties and partial windows: min is taken over `md5hex || '@' ||
+    * zero-padded pos` so ties (astronomically unlikely with md5) break to
+    * the SMALLEST position deterministically in both engines; leading
+    * windows shorter than `ww` are kept (each prefix window still emits
+    * its min) so documents with fewer than `ww` grams keep ≥ 1
+    * fingerprint — the published algorithm's "every window of w hashes"
+    * with the prefix windows included, a deviation chosen over dropping
+    * short documents silently.
+    *
+    * Scale shape: one corpus-gram-sized stream, one per-document sliding
+    * window (partitioned by doc_id), one DISTINCT at fingerprint density
+    * (~2/(ww+1) of grams), and a fingerprint-keyed groupBy for the
+    * cross-document census. The census join is fingerprint-vocabulary-
+    * sized, never all-pairs. */
+  def winnowing(spark: SparkSession, dir: String,
+                k: Int = 5, ww: Int = 8): DataFrame = {
+    // grams feed the window selection AND the per-doc gram census; fps
+    // feed three consumers — stage both once (persist, not
+    // localCheckpoint: the [[Dedup.containmentPairs]] idiom)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(words) >= $k THEN
+              transform(sequence(0, size(words) - $k),
+                        j -> md5(array_join(slice(words, j + 1, $k), ' ')))
+            ELSE array() END""")))
+      .toDF("doc_id", "pos", "h")
+      .withColumn("key", concat(col("h"), lit("@"),
+        lpad(col("pos").cast("string"), 6, "0")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(ww - 1), 0)
+      val fps = grams
+        .withColumn("sel", min(col("key")).over(win))
+        .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val shared = fps.groupBy("fp")
+          .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
+        val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+        val sharedPerDoc = fps.join(shared.select("fp"), Seq("fp"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("shared_fps"))
+        val out = nGrams.join(perDoc, Seq("doc_id"), "left")
+          .join(sharedPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+            coalesce(col("shared_fps"), lit(0L)).as("shared_fps"),
+            round(coalesce(col("n_fps"), lit(0L)).cast("double")
+              / col("n_grams"), 6).as("density"))
+        out.cache().count()
+        out
+      } finally fps.unpersist(blocking = false)
+    } finally grams.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[winnowing]] — same gram hashes, same pos-padded
+    * tie-break key, same prefix-window policy, same census. */
+  def winnowingOracleSql(k: Int = 5, ww: Int = 8): String =
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       g AS (SELECT doc_id, j AS pos,
+                    md5(array_to_string(words[j + 1 : j + $k], ' ')) AS h
+             FROM wd, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS r(j)),
+       ky AS (SELECT doc_id, pos, h,
+                     h || '@' || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+              FROM g),
+       sel AS (SELECT DISTINCT doc_id,
+                      substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW), 1, 32) AS fp
+               FROM ky),
+       ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+       sh AS (SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+       pd AS (SELECT doc_id, count(*) AS n_fps FROM sel GROUP BY doc_id),
+       sp AS (SELECT doc_id, count(*) AS shared_fps
+              FROM sel SEMI JOIN sh USING (fp) GROUP BY doc_id)
+       SELECT ng.doc_id, ng.n_grams,
+              coalesce(pd.n_fps, 0) AS n_fps,
+              coalesce(sp.shared_fps, 0) AS shared_fps,
+              round(CAST(coalesce(pd.n_fps, 0) AS DOUBLE) / ng.n_grams, 6) AS density
+       FROM ng LEFT JOIN pd USING (doc_id) LEFT JOIN sp USING (doc_id)
+       ORDER BY ng.doc_id"""
 }

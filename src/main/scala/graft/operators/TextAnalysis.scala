@@ -1063,4 +1063,93 @@ object TextAnalysis {
                     - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt),
                     6) AS entropy_bits
        FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // Kneser-Ney smoothed bigram LM (absolute discounting + continuation)
+  // ---------------------------------------------------------------------
+
+  /** KNESER-NEY smoothed bigram scoring — the third rung of the
+    * perplexity-proxy ladder above [[docLogProb]] (unigram) and
+    * [[bigramLogProb]] (Jelinek-Mercer interpolation): absolute
+    * discounting with the CONTINUATION-count unigram backoff,
+    *
+    *   P_kn(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *                 + D·N₁₊(w₁,·)/c(w₁·) · N₁₊(·,w₂)/B
+    *
+    * where N₁₊(w₁,·) = distinct continuations of w₁, N₁₊(·,w₂) = distinct
+    * histories of w₂, and B = distinct bigram types — the backoff that
+    * ranks "Francisco" low despite high raw frequency because it follows
+    * only "San" (the standard KN motivation). Every history w₁ observed
+    * in the corpus has c(w₁·) ≥ 1 and N₁₊(w₁,·) ≥ 1, so the smoothed
+    * probability is strictly positive for every scored position.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — two partial-aggregated
+    * corpus passes (one checkpointed bigram explode reused by counts and
+    * the final join), and ALL KN statistics (c(w₁·), both N₁₊ tables, B)
+    * derive from the bigram TYPE table, which is vocabulary-sized, not
+    * corpus-sized; its joins stay unhinted so AQE broadcasts from
+    * measured size and degrades to shuffle joins at web-corpus
+    * vocabulary. Per-doc sums accumulate exact DECIMAL(28,12). */
+  def knLogProb(spark: SparkSession, dir: String,
+                discount: Double = 0.75): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(gramList(2)).as("bg"))
+      .localCheckpoint()
+    val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", expr("split(bg, ' ')[0]"))
+      .withColumn("w2", expr("split(bg, ' ')[1]"))
+      .localCheckpoint()
+    val hist = cbg.groupBy("w1")
+      .agg(sum(col("cbg")).as("ch"), count(lit(1)).as("n1f"))
+    val cont = cbg.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val btot = cbg.agg(count(lit(1)).as("btypes"))
+    val ptab = cbg
+      .join(hist, "w1")
+      .join(cont, "w2")
+      .crossJoin(btot)
+      .select(col("bg"),
+        log(greatest(col("cbg").cast("double") - lit(discount), lit(0.0))
+            / col("ch")
+          + (lit(discount) * col("n1f") / col("ch"))
+            * (col("n1b").cast("double") / col("btypes")))
+          .cast("decimal(28,12)").as("lp"))
+    bg.join(ptab, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob_kn"))
+  }
+
+  /** DuckDB oracle for [[knLogProb]] — same counts, same discount
+    * formula spelled with the identical operation order, same exact
+    * DECIMAL accumulation. */
+  def knLogProbOracleSql(discount: Double = 0.75): String =
+    s"""WITH bg AS (
+         SELECT doc_id, unnest(
+           CASE WHEN len(string_split(text, ' ')) >= 2
+             THEN [array_to_string(string_split(text, ' ')[i : i + 1], ' ')
+                   for i in range(1, len(string_split(text, ' ')))]
+             ELSE CAST([] AS VARCHAR[]) END) AS bg
+         FROM documents),
+       cbg AS (SELECT bg, count(*) AS cbg,
+                      string_split(bg, ' ')[1] AS w1,
+                      string_split(bg, ' ')[2] AS w2
+               FROM bg GROUP BY bg),
+       hist AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS ch,
+                       count(*) AS n1f
+                FROM cbg GROUP BY w1),
+       cont AS (SELECT w2, count(*) AS n1b FROM cbg GROUP BY w2),
+       btot AS (SELECT count(*) AS btypes FROM cbg),
+       p AS (SELECT cbg.bg,
+                    CAST(ln(greatest(CAST(cbg.cbg AS DOUBLE) - $discount, 0.0)
+                              / hist.ch
+                            + ($discount * hist.n1f / hist.ch)
+                              * (CAST(cont.n1b AS DOUBLE) / btot.btypes))
+                      AS DECIMAL(28,12)) AS lp
+             FROM cbg JOIN hist USING (w1) JOIN cont USING (w2)
+             CROSS JOIN btot)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob_kn
+       FROM bg JOIN p USING (bg)
+       GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -749,4 +749,74 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("dup_tokens") == 0L
       && out(4L).getAs[Double]("dup_fraction") == 0.0)
   }
+
+  private def writeDocs(rows: Seq[(Long, String)], prefix: String): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("cdc chunks: shift-resistant boundaries, token conservation, copy dedup") {
+    // deterministic pseudo-random token stream: enough tokens that the
+    // 1/16 boundary rule yields several chunks
+    val base = (1 to 400).map(i => s"t${(i * 2654435761L) % 9973}")
+    val tmp = writeDocs(Seq(
+      1L -> base.mkString(" "),
+      // one token INSERTED at the front: fixed-width blocks would shift
+      // every block; content-defined boundaries must re-align
+      2L -> ("INSERTED " + base.mkString(" ")),
+      3L -> base.mkString(" ")), // exact copy of doc 1
+      "graft-cdc-")
+    val chunks = Curation.cdcChunkTable(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    // token conservation: chunk token counts sum to the document length
+    assert(byDoc(1L).map(_._3).sum == 400L)
+    assert(byDoc(2L).map(_._3).sum == 401L)
+    val h1 = byDoc(1L).map(_._4).toSet
+    val h2 = byDoc(2L).map(_._4).toSet
+    // shift resistance: after the first boundary beyond the edit the
+    // chunk stream re-aligns — all but the leading chunk(s) are shared
+    assert(h1.size >= 5, s"expected several chunks, got ${h1.size}")
+    assert((h1 intersect h2).size >= h1.size - 2,
+      s"insertion broke re-alignment: ${h1.size} chunks, only ${(h1 intersect h2).size} shared")
+    assert(h1 != h2, "edited doc cannot chunk identically")
+    // exact copy: every chunk duplicated -> dup_ratio 1.0 on both copies
+    val out = Curation.cdcChunks(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("dup_ratio") == 1.0
+      && out(3L).getAs[Double]("dup_ratio") == 1.0,
+      s"copy pair must fully dedup, got ${out(1L)} / ${out(3L)}")
+    assert(out(1L).getAs[Long]("n_tokens") == 400L)
+  }
+
+  test("winnowing: shared-run guarantee, bounded density, clean doc shares none") {
+    val k = 5; val ww = 8
+    val shared = (1 to (ww + k - 1)).map(i => s"s$i").mkString(" ") // 12 tokens
+    val fillA = (1 to 60).map(i => s"a${(i * 31) % 97}").mkString(" ")
+    val fillB = (1 to 60).map(i => s"b${(i * 37) % 89}").mkString(" ")
+    val tmp = writeDocs(Seq(
+      1L -> s"$fillA $shared",
+      2L -> s"$shared $fillB",
+      3L -> (1 to 100).map(i => s"u$i").mkString(" ")), "graft-winnow-")
+    val out = Curation.winnowing(spark, tmp, k, ww).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // SIGMOD'03 guarantee: a shared run of >= ww+k-1 tokens yields at
+    // least one shared selected fingerprint in BOTH documents
+    assert(out(1L).getAs[Long]("shared_fps") >= 1L
+      && out(2L).getAs[Long]("shared_fps") >= 1L,
+      s"shared 12-token run missed: ${out(1L)} / ${out(2L)}")
+    assert(out(3L).getAs[Long]("shared_fps") == 0L)
+    // density: expected ~2/(ww+1) of grams; must stay well under 1
+    for (d <- Seq(1L, 2L, 3L)) {
+      val r = out(d)
+      assert(r.getAs[Long]("n_fps") >= 1L)
+      assert(r.getAs[Double]("density") <= 0.6,
+        s"doc $d density ${r.getAs[Double]("density")} not winnowed")
+    }
+  }
 }

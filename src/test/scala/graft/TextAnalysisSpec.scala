@@ -327,4 +327,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(refreshed == full,
       s"incremental refresh drifted from the full rebuild: $refreshed vs $full")
   }
+
+  test("kneser-ney: continuation counts rank diverse-history words above frequent-but-captive ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    // 'francisco' is FREQUENT (5 occurrences) but follows only 'san';
+    // 'the' follows six distinct histories. Raw-frequency backoff would
+    // score them alike after the shared history 'z'; KN's continuation
+    // count must rank 'z the' above 'z francisco'.
+    val docs =
+      (10L to 14L).map(i => i -> "san francisco") ++ // 5x captive bigram
+      (20L to 24L).map(i => i -> s"x${i - 20} the") ++ // 5 distinct histories
+      Seq(1L -> "z the", 2L -> "z francisco")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kn-").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.knLogProb(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 12 && out.values.forall(_.getLong(1) == 1L))
+    val dThe = out(1L).getAs[Double]("mean_logprob_kn")
+    val dFr = out(2L).getAs[Double]("mean_logprob_kn")
+    // hand computation: B = 8 bigram types; c(z.) = 2, N1+(z,.) = 2;
+    // N1+(.,the) = 6, N1+(.,francisco) = 2; D = 0.75
+    //   P(the|z)       = 0.25/2 + 0.75*(2/2)*(6/8) = 0.6875
+    //   P(francisco|z) = 0.25/2 + 0.75*(2/2)*(2/8) = 0.3125
+    assert(math.abs(dThe - math.log(0.6875)) < 1e-5, s"got $dThe")
+    assert(math.abs(dFr - math.log(0.3125)) < 1e-5, s"got $dFr")
+    assert(dThe > dFr, "continuation backoff did not rank diverse-history word higher")
+    // every scored doc: finite negative log-prob (KN never emits log 0)
+    out.values.foreach { r =>
+      val v = r.getAs[Double]("mean_logprob_kn")
+      assert(!v.isNaN && !v.isInfinite && v < 0.0, s"bad score $r")
+    }
+  }
 }
