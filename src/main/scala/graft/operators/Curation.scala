@@ -1741,56 +1741,63 @@ object Curation {
     * expressible as window functions (and is the property that gives
     * shift-resistance in the first place).
     *
-    * Scale shape: ONE corpus-token-sized stream (a single posexplode that
-    * carries each token together with its boundary flag — the gram hash is
-    * computed inside the per-row lambda, no self-join), one per-document
-    * window cumsum to assign chunk ids (partitioned by doc_id —
-    * embarrassingly parallel, state bounded by doc length), one
-    * partial-aggregated groupBy to hash chunks, and a vocabulary-of-chunks
-    * groupBy for the corpus duplicate census. Nothing corpus-sized crosses
-    * an unpartitioned window or the driver. */
+    * Scale shape: chunking is a per-ROW codegen'd kernel — boundary
+    * detection, chunk extents, and digests all evaluate inside one array
+    * expression (state bounded by doc length, embarrassingly parallel,
+    * no corpus-token explode, no window shuffle); only the chunk stream
+    * (~1/16 of tokens) is exploded, and the duplicate census is a
+    * chunk-vocabulary groupBy. Nothing corpus-sized crosses an
+    * unpartitioned window or the driver. */
+  /** Per-document chunk array — the WHOLE boundary + digest algorithm as
+    * one codegen'd row expression (no corpus-token explode, no window, no
+    * collect_list): boundary positions come from a `filter` over the
+    * token index, chunk extents from a `zip_with` of the derived
+    * start/end arrays, digests from per-chunk `md5`. The outer
+    * single-element `transform`s are LET BINDINGS (the
+    * [[TextAnalysis]] gramList idiom) so `split` and the boundary set
+    * each evaluate ONCE per row. */
+  private def chunkArray(w: Int): org.apache.spark.sql.Column = expr(
+    s"""transform(array(split(text, ' ', -1)), wd ->
+          transform(array(filter(sequence(0, size(wd) - 1),
+              j -> j >= ${w - 1} AND j < size(wd) - 1
+                   AND substr(md5(array_join(
+                     slice(wd, j - ${w - 2}, $w), ' ')), 1, 1) = '0')), bs ->
+            zip_with(
+              concat(array(0), transform(bs, b -> b + 1)),
+              concat(bs, array(size(wd) - 1)),
+              (s, e) -> named_struct(
+                'n_tok', CAST(e - s + 1 AS BIGINT),
+                'chash', md5(array_join(slice(wd, s + 1, e - s + 1), ' ')))))[0])[0]""")
+
   /** The (doc_id, chunk_id, n_tok, chash) chunk table under [[cdcChunks]]
     * — exposed so the shift-resistance property (an edit re-aligns every
     * following chunk) is assertable at chunk granularity in the spec. */
   private[graft] def cdcChunkTable(spark: SparkSession, dir: String,
-                                   w: Int = 4): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(words) - 1), j -> struct(
-              words[j] AS tok,
-              CASE WHEN j >= ${w - 1} AND substr(md5(array_join(
-                     slice(words, j - ${w - 2}, $w), ' ')), 1, 1) = '0'
-                   THEN 1 ELSE 0 END AS b))""")))
-      .toDF("doc_id", "pos", "s")
-      .select(col("doc_id"), col("pos"), col("s.tok").as("tok"),
-        col("s.b").as("b"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    // boundary AFTER token j ⇒ token j+1 opens the next chunk: the chunk
-    // id is the count of boundary flags STRICTLY BEFORE this position
-    toks
-      .withColumn("chunk_id", coalesce(sum(col("b"))
-        .over(win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).as("n_tok"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s("tok")), " ")).as("chash"))
-  }
+                                   w: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(chunkArray(w)))
+      .toDF("doc_id", "chunk_id", "c")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.n_tok").as("n_tok"), col("c.chash").as("chash"))
 
   def cdcChunks(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
-    // stage the chunk table ONCE: three consumers (duplicate census,
-    // per-doc totals, dup-instance count) would otherwise re-run the
-    // corpus explode + window + digest. persist, not localCheckpoint —
-    // the spillable, lineage-preserving idiom ([[Dedup.containmentPairs]]).
-    val chunks = cdcChunkTable(spark, dir, w)
+    // per-doc totals come straight off the per-row chunk array (no
+    // shuffle); only the corpus duplicate census touches the exploded
+    // chunk stream — ~1/16 of the token stream — which is staged once
+    // for its two consumers (persist, not localCheckpoint: the
+    // [[Dedup.containmentPairs]] idiom).
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), chunkArray(w).as("chunks"))
+      .select(col("doc_id"),
+        expr("CAST(aggregate(chunks, 0L, (a, c) -> a + c.n_tok) AS BIGINT)")
+          .as("n_tokens"),
+        size(col("chunks")).cast("long").as("n_chunks"))
+    val exploded = cdcChunkTable(spark, dir, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = chunks.groupBy("chash")
+      val dup = exploded.groupBy("chash")
         .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
-      val perDoc = chunks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
-      val dupPerDoc = chunks
+      val dupPerDoc = exploded
         .join(dup.select("chash"), Seq("chash"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("dup_chunks"))
       val out = perDoc.join(dupPerDoc, Seq("doc_id"), "left")
@@ -1800,7 +1807,7 @@ object Curation {
             / col("n_chunks"), 6).as("dup_ratio"))
       out.cache().count()
       out
-    } finally chunks.unpersist(blocking = false)
+    } finally exploded.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[cdcChunks]] — same rolling boundary rule, same
@@ -1855,53 +1862,57 @@ object Curation {
     * with the prefix windows included, a deviation chosen over dropping
     * short documents silently.
     *
-    * Scale shape: one corpus-gram-sized stream, one per-document sliding
-    * window (partitioned by doc_id), one DISTINCT at fingerprint density
-    * (~2/(ww+1) of grams), and a fingerprint-keyed groupBy for the
-    * cross-document census. The census join is fingerprint-vocabulary-
-    * sized, never all-pairs. */
+    * Scale shape: the selection is a per-ROW codegen'd kernel (no
+    * corpus-gram explode, no window shuffle — state bounded by doc
+    * length); only the distinct fingerprints (~2/(ww+1) of grams) are
+    * exploded, and the cross-document census is a fingerprint-keyed
+    * groupBy — vocabulary-sized, never all-pairs. */
   def winnowing(spark: SparkSession, dir: String,
                 k: Int = 5, ww: Int = 8): DataFrame = {
-    // grams feed the window selection AND the per-doc gram census; fps
-    // feed three consumers — stage both once (persist, not
-    // localCheckpoint: the [[Dedup.containmentPairs]] idiom)
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(words) >= $k THEN
-              transform(sequence(0, size(words) - $k),
-                        j -> md5(array_join(slice(words, j + 1, $k), ' ')))
-            ELSE array() END""")))
-      .toDF("doc_id", "pos", "h")
-      .withColumn("key", concat(col("h"), lit("@"),
-        lpad(col("pos").cast("string"), 6, "0")))
+    // the WHOLE gram-hash + per-window-min selection runs as one
+    // codegen'd per-row expression (the [[chunkArray]] pattern — no
+    // corpus-gram explode, no window shuffle): nested single-element
+    // `transform`s LET-BIND the token array, the gram-hash array, and
+    // the pos-padded key array; the selection is an O(grams·ww)
+    // `array_min` over each trailing slice. Only the DISTINCT
+    // fingerprint array — density ~2/(ww+1) of grams — is exploded for
+    // the cross-document census, staged once for its two consumers.
+    val perRow = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        s"""transform(array(split(text, ' ', -1)), wd ->
+              transform(array(CASE WHEN size(wd) >= $k THEN
+                  transform(sequence(0, size(wd) - $k),
+                    j -> md5(array_join(slice(wd, j + 1, $k), ' ')))
+                ELSE CAST(array() AS ARRAY<STRING>) END), g ->
+                CASE WHEN size(g) = 0 THEN CAST(array() AS ARRAY<STRING>)
+                ELSE transform(array(transform(sequence(0, size(g) - 1),
+                    p -> concat(element_at(g, p + 1), '@',
+                                lpad(CAST(p AS STRING), 6, '0')))), ky ->
+                  array_distinct(transform(sequence(0, size(ky) - 1),
+                    p -> substr(array_min(slice(ky,
+                           greatest(0, p - ${ww - 1}) + 1,
+                           p - greatest(0, p - ${ww - 1}) + 1)), 1, 32))))[0]
+                END)[0])[0]""").as("fps"),
+        expr(s"""CAST(greatest(size(split(text, ' ', -1)) - ${k - 1}, 0)
+                 AS BIGINT)""").as("n_grams"))
+      .where(col("n_grams") > 0)
+    val fps = perRow.select(col("doc_id"), explode(col("fps")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(-(ww - 1), 0)
-      val fps = grams
-        .withColumn("sel", min(col("key")).over(win))
-        .select(col("doc_id"), substring(col("sel"), 1, 32).as("fp"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-        val shared = fps.groupBy("fp")
-          .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
-        val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
-        val sharedPerDoc = fps.join(shared.select("fp"), Seq("fp"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("shared_fps"))
-        val out = nGrams.join(perDoc, Seq("doc_id"), "left")
-          .join(sharedPerDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_grams"),
-            coalesce(col("n_fps"), lit(0L)).as("n_fps"),
-            coalesce(col("shared_fps"), lit(0L)).as("shared_fps"),
-            round(coalesce(col("n_fps"), lit(0L)).cast("double")
-              / col("n_grams"), 6).as("density"))
-        out.cache().count()
-        out
-      } finally fps.unpersist(blocking = false)
-    } finally grams.unpersist(blocking = false)
+      val shared = fps.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
+      val sharedPerDoc = fps.join(shared.select("fp"), Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_fps"))
+      val out = perRow
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fps"))
+        .join(sharedPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_fps"),
+          coalesce(col("shared_fps"), lit(0L)).as("shared_fps"),
+          round(col("n_fps").cast("double") / col("n_grams"), 6).as("density"))
+      out.cache().count()
+      out
+    } finally fps.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[winnowing]] — same gram hashes, same pos-padded
