@@ -229,6 +229,9 @@ object SparkEntry {
     // incremental inverted-index refresh under the merge delta: drop
     // touched postings, re-tokenize only the delta; digest == full rebuild
     "q_invindex_refresh"  -> ((s, d) => TextAnalysis.invindexRefresh(s, d)),
+    // watermark late-data accounting: which late rows a watermarked
+    // aggregation drops (window-end vs watermark rule pinned exactly)
+    "q_stream_late_audit" -> ((s, d) => graft.streaming.StreamingOps.streamLateAuditEndToEnd(s, d)),
     // model-based filter scoring: frozen hashed linear weights, sigmoid
     // keep verdict; zero-shuffle integer fold per document
     "q_quality_classifier"-> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
@@ -813,6 +816,7 @@ object SparkEntry {
     "q_inverted_index" -> TextAnalysis.invertedIndexOracleSql(),
     "q_pmi_collocations" -> TextAnalysis.pmiCollocationsOracleSql(),
     "q_invindex_refresh" -> TextAnalysis.invindexRefreshOracleSql,
+    "q_stream_late_audit" -> graft.streaming.StreamingOps.streamLateAuditOracleSql,
     "q_quality_classifier" -> TextAnalysis.qualityClassifierOracleSql,
     "q_corpus_overlap" -> Dedup.corpusOverlapOracleSql(),
     "q_pii_redact" -> Curation.piiRedactOracleSql,

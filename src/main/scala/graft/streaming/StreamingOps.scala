@@ -1159,4 +1159,132 @@ object StreamingOps {
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
               true AS multi_batch, true AS dup_free
        FROM events"""
+
+  def streamLateAuditEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    streamLateAuditWithMetrics(spark, dir)._1
+
+  /** Watermark delay for [[streamLateAuditWithMetrics]]: 360 h (15 days)
+    * lands the watermark mid-range of the 30-day event corpus, so the
+    * held-back late cohort splits into BOTH accepted and dropped halves —
+    * a drop-rule pin needs rows on each side of the line. */
+  private[graft] val LateAuditDelayMs: Long = 360L * 3600 * 1000
+
+  /** WATERMARK LATE-DATA ACCOUNTING — the one streaming semantic the
+    * other twelve stream queries leave unpinned: WHICH late rows a
+    * watermarked aggregation drops, and how many. Every 10th event
+    * (`event_id % 10 == 0` — deterministic, orthogonal to time) is held
+    * back; phase 1 drains the other 90 % through an update-mode hourly
+    * aggregation (watermark starts at 0 — nothing drops, and the
+    * committed watermark becomes `floor(max_phase1_ts_ms) − delay`);
+    * phase 2 resumes the SAME checkpoint and delivers the late cohort in
+    * ONE file/batch, so every late row is filtered against exactly that
+    * phase-1 watermark. Spark's rule — a late row survives iff its
+    * WINDOW END (micros) exceeds `watermarkMs × 1000`, not its own event
+    * time — is replicated verbatim by the DuckDB oracle, so a divergence
+    * in truncation, boundary strictness, or filter placement trips the
+    * hash. The emitted `n_late_dropped` is derived from the sink totals
+    * (`n_late − (Σn_events − n_phase1)`), i.e. from what the engine
+    * actually kept; the spec separately pins the state-store's own
+    * `numRowsDroppedByWatermark` metric to the same number.
+    *
+    * Scale shape: the production pattern end-to-end — update-mode emit
+    * of only changed windows, per-batch idempotent `batch=<id>` sink,
+    * latest-batch-wins read-back (key-count-sized), watermark state GC.
+    * Driver-side work is one scalar per phase. */
+  private[graft] def streamLateAuditWithMetrics(
+      spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val out = scratchDir("lateaudit")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "in"))
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val lateSet = col("event_id") % 10 === 0
+    def dropPhase(name: String, pred: org.apache.spark.sql.Column): Long = {
+      val slice = events.filter(pred)
+      val stage = java.nio.file.Paths.get(s"$out/stage_$name")
+      // ONE file per phase: the file source then feeds each phase as ONE
+      // micro-batch, so every late row is filtered against the phase-1
+      // watermark (a multi-file late drop could advance the watermark
+      // between its own batches and blur the pinned rule)
+      slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(stage)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        finally listing.close()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(s"$out/in/${name}_$i.parquet"))
+      }
+      slice.count()
+    }
+    def runToDrained(): org.apache.spark.sql.streaming.StreamingQuery = {
+      // written slices are always normalized TimestampType (the writer is
+      // this session), so the stream schema is fixed — no footer probe
+      val stream = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("event_type", StringType))))
+        .parquet(s"$out/in")
+      val q = stream
+        .withWatermark("ts", s"$LateAuditDelayMs milliseconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/result/batch=$id")
+        }
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val nOnTime = dropPhase("ontime", !lateSet)
+    runToDrained() // phase 1: 90% on time; commits the mid-range watermark
+    val nLate = dropPhase("late", lateSet)
+    val q2 = runToDrained() // phase 2: the late cohort vs that watermark
+    val wmDropped = q2.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    // latest-batch-wins per window key (counts only grow; update mode
+    // re-emits a key with its new total every time it changes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_start", "event_type").orderBy(col("batch").desc)
+    val finalRows = spark.read.parquet(s"$out/result")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("hour_start"), col("event_type"), col("n_events"))
+      .localCheckpoint(true)
+    val acceptedTotal = finalRows.agg(sum(col("n_events"))).head().getLong(0)
+    val nLateDropped = nLate - (acceptedTotal - nOnTime)
+    val result = finalRows
+      .withColumn("n_late_dropped", lit(nLateDropped))
+      .localCheckpoint(true)
+    deleteRecursively(java.nio.file.Paths.get(out))
+    (result, nLateDropped, wmDropped)
+  }
+
+  /** DuckDB oracle for [[streamLateAuditWithMetrics]] — Spark's exact
+    * drop rule, spelled out: watermark = floor(max phase-1 event-time
+    * millis) − delay; a held-back row survives iff its hour-window END in
+    * MICROS exceeds watermark-millis × 1000. */
+  val streamLateAuditOracleSql: String =
+    s"""WITH p1 AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+       lt AS (SELECT * FROM events WHERE event_id % 10 = 0),
+       wm AS (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT)
+                     - $LateAuditDelayMs AS wm_ms FROM p1),
+       accl AS (SELECT lt.* FROM lt, wm
+                WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+                      > wm_ms * 1000),
+       acc AS (SELECT * FROM p1 UNION ALL SELECT * FROM accl),
+       agg AS (SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                      count(*) AS n_events
+               FROM acc GROUP BY 1, 2),
+       drp AS (SELECT (SELECT count(*) FROM lt) - (SELECT count(*) FROM accl)
+                        AS n_late_dropped)
+       SELECT hour_start, event_type, n_events, n_late_dropped
+       FROM agg CROSS JOIN drp ORDER BY hour_start, event_type"""
 }

@@ -426,4 +426,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_rows") == total,
       s"sink holds ${row.getAs[Long]("n_rows")} rows, corpus has $total")
   }
+
+  test("late audit: state-store drop metric equals the sink-derived drop count, both cohorts non-empty") {
+    val (result, nLateDropped, wmDroppedMetric) =
+      StreamingOps.streamLateAuditWithMetrics(spark, TestSpark.sf)
+    // the engine's own numRowsDroppedByWatermark must agree with what the
+    // sink actually lost — a mismatch means the audit arithmetic and the
+    // state store disagree about the drop rule
+    assert(wmDroppedMetric == nLateDropped,
+      s"state store dropped $wmDroppedMetric, sink arithmetic says $nLateDropped")
+    // the 15-day watermark must land mid-cohort: rows on BOTH sides of
+    // the line, or the drop-rule pin is vacuous
+    val nLate = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_id") % 10 === 0).count()
+    assert(nLateDropped > 0, "no late row was dropped - watermark never engaged")
+    assert(nLateDropped < nLate,
+      s"all $nLate late rows dropped - no accepted cohort, rule half-pinned")
+    // accepted late rows really landed: total kept == corpus - dropped
+    val kept = result.agg(org.apache.spark.sql.functions.sum(col("n_events")))
+      .head().getLong(0)
+    val corpus = Tables.events(spark, TestSpark.sf).count()
+    assert(kept == corpus - nLateDropped,
+      s"kept $kept, expected ${corpus - nLateDropped}")
+  }
 }
