@@ -1867,6 +1867,26 @@ object Curation {
     * length); only the distinct fingerprints (~2/(ww+1) of grams) are
     * exploded, and the cross-document census is a fingerprint-keyed
     * groupBy — vocabulary-sized, never all-pairs. */
+  /** Per-document winnowing fingerprint array — gram hashing, pos-padded
+    * tie-break keys, and the per-window min selection as ONE codegen'd
+    * row expression over `text` (the [[chunkArray]] pattern; exposed for
+    * the kernel-shape plan assertion in the spec). */
+  private[graft] def winnowArray(k: Int, ww: Int): org.apache.spark.sql.Column = expr(
+    s"""transform(array(split(text, ' ', -1)), wd ->
+          transform(array(CASE WHEN size(wd) >= $k THEN
+              transform(sequence(0, size(wd) - $k),
+                j -> md5(array_join(slice(wd, j + 1, $k), ' ')))
+            ELSE CAST(array() AS ARRAY<STRING>) END), g ->
+            CASE WHEN size(g) = 0 THEN CAST(array() AS ARRAY<STRING>)
+            ELSE transform(array(transform(sequence(0, size(g) - 1),
+                p -> concat(element_at(g, p + 1), '@',
+                            lpad(CAST(p AS STRING), 6, '0')))), ky ->
+              array_distinct(transform(sequence(0, size(ky) - 1),
+                p -> substr(array_min(slice(ky,
+                       greatest(0, p - ${ww - 1}) + 1,
+                       p - greatest(0, p - ${ww - 1}) + 1)), 1, 32))))[0]
+            END)[0])[0]""")
+
   def winnowing(spark: SparkSession, dir: String,
                 k: Int = 5, ww: Int = 8): DataFrame = {
     // the WHOLE gram-hash + per-window-min selection runs as one
@@ -1878,21 +1898,7 @@ object Curation {
     // fingerprint array — density ~2/(ww+1) of grams — is exploded for
     // the cross-document census, staged once for its two consumers.
     val perRow = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(
-        s"""transform(array(split(text, ' ', -1)), wd ->
-              transform(array(CASE WHEN size(wd) >= $k THEN
-                  transform(sequence(0, size(wd) - $k),
-                    j -> md5(array_join(slice(wd, j + 1, $k), ' ')))
-                ELSE CAST(array() AS ARRAY<STRING>) END), g ->
-                CASE WHEN size(g) = 0 THEN CAST(array() AS ARRAY<STRING>)
-                ELSE transform(array(transform(sequence(0, size(g) - 1),
-                    p -> concat(element_at(g, p + 1), '@',
-                                lpad(CAST(p AS STRING), 6, '0')))), ky ->
-                  array_distinct(transform(sequence(0, size(ky) - 1),
-                    p -> substr(array_min(slice(ky,
-                           greatest(0, p - ${ww - 1}) + 1,
-                           p - greatest(0, p - ${ww - 1}) + 1)), 1, 32))))[0]
-                END)[0])[0]""").as("fps"),
+      .select(col("doc_id"), winnowArray(k, ww).as("fps"),
         expr(s"""CAST(greatest(size(split(text, ' ', -1)) - ${k - 1}, 0)
                  AS BIGINT)""").as("n_grams"))
       .where(col("n_grams") > 0)

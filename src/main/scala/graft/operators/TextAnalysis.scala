@@ -1092,32 +1092,43 @@ object TextAnalysis {
     * vocabulary. Per-doc sums accumulate exact DECIMAL(28,12). */
   def knLogProb(spark: SparkSession, dir: String,
                 discount: Double = 0.75): DataFrame = {
+    // the corpus-bigram stream feeds the type counts AND the final
+    // per-doc join; the TYPE table feeds all four KN statistics — stage
+    // both once with spillable, lineage-preserving persist (the
+    // [[graft.operators.Dedup.containmentPairs]] idiom; localCheckpoint
+    // pins executor storage and cannot recompute on executor loss)
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(gramList(2)).as("bg"))
-      .localCheckpoint()
-    val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
-      .withColumn("w1", expr("split(bg, ' ')[0]"))
-      .withColumn("w2", expr("split(bg, ' ')[1]"))
-      .localCheckpoint()
-    val hist = cbg.groupBy("w1")
-      .agg(sum(col("cbg")).as("ch"), count(lit(1)).as("n1f"))
-    val cont = cbg.groupBy("w2").agg(count(lit(1)).as("n1b"))
-    val btot = cbg.agg(count(lit(1)).as("btypes"))
-    val ptab = cbg
-      .join(hist, "w1")
-      .join(cont, "w2")
-      .crossJoin(btot)
-      .select(col("bg"),
-        log(greatest(col("cbg").cast("double") - lit(discount), lit(0.0))
-            / col("ch")
-          + (lit(discount) * col("n1f") / col("ch"))
-            * (col("n1b").cast("double") / col("btypes")))
-          .cast("decimal(28,12)").as("lp"))
-    bg.join(ptab, "bg")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
-          .as("mean_logprob_kn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+        .withColumn("w1", expr("split(bg, ' ')[0]"))
+        .withColumn("w2", expr("split(bg, ' ')[1]"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hist = cbg.groupBy("w1")
+          .agg(sum(col("cbg")).as("ch"), count(lit(1)).as("n1f"))
+        val cont = cbg.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val btot = cbg.agg(count(lit(1)).as("btypes"))
+        val ptab = cbg
+          .join(hist, "w1")
+          .join(cont, "w2")
+          .crossJoin(btot)
+          .select(col("bg"),
+            log(greatest(col("cbg").cast("double") - lit(discount), lit(0.0))
+                / col("ch")
+              + (lit(discount) * col("n1f") / col("ch"))
+                * (col("n1b").cast("double") / col("btypes")))
+              .cast("decimal(28,12)").as("lp"))
+        val out = bg.join(ptab, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("mean_logprob_kn"))
+        out.cache().count()
+        out
+      } finally cbg.unpersist(blocking = false)
+    } finally bg.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[knLogProb]] — same counts, same discount

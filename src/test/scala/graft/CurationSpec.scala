@@ -794,6 +794,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L).getAs[Long]("n_tokens") == 400L)
   }
 
+  test("kernel shape: chunking and winnowing plans are shuffle-free before the census") {
+    // the per-row kernels must not introduce an Exchange, Window, or
+    // global Sort — the whole point of the array rewrite: boundary
+    // detection / fingerprint selection stay inside the scan pipeline
+    val chunkPlan = Curation.cdcChunkTable(spark, sf)
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("Exchange", "Window", "Sort "))
+      assert(!chunkPlan.contains(bad), s"chunk kernel plan has $bad:\n$chunkPlan")
+    val winnowPlan = Tables.documents(spark, sf)
+      .select(col("doc_id"), Curation.winnowArray(5, 8).as("fps"))
+      .queryExecution.executedPlan.toString
+    for (bad <- Seq("Exchange", "Window", "Sort "))
+      assert(!winnowPlan.contains(bad), s"winnow kernel plan has $bad:\n$winnowPlan")
+  }
+
   test("winnowing: shared-run guarantee, bounded density, clean doc shares none") {
     val k = 5; val ww = 8
     val shared = (1 to (ww + k - 1)).map(i => s"s$i").mkString(" ") // 12 tokens
