@@ -373,36 +373,48 @@ object TextAnalysis {
     * pattern). */
   def bigramLogProb(spark: SparkSession, dir: String,
                     lambda: Double = 0.75): DataFrame = {
-    // TWO corpus explode passes total: the bigram table is checkpointed
-    // (it feeds both the type counts and the final per-doc join — without
+    // TWO corpus explode passes total: the bigram table is staged (it
+    // feeds both the type counts and the final per-doc join — without
     // the cut Catalyst re-explodes the corpus per consumer), history
     // counts c(w1·) aggregate from the bigram TYPE counts (Σ_w2 c(w1w2)
     // — vocabulary-sized input, not another corpus pass), and N is the
     // sum of the unigram counts rather than a second token explode.
+    // persist, not localCheckpoint, for the corpus-sized stage (the
+    // [[graft.operators.Dedup.containmentPairs]] idiom — spillable and
+    // recomputable on executor loss).
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(gramList(2)).as("bg"))
-      .localCheckpoint()
-    val cu = Tables.documents(spark, dir).select(explode(tokens).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
-    val total = cu.agg(sum(col("cu")).as("total"))
-    val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
-      .withColumn("w1", expr("split(bg, ' ')[0]"))
-      .withColumn("w2", expr("split(bg, ' ')[1]"))
-      .localCheckpoint()
-    val ch = cbg.groupBy("w1").agg(sum(col("cbg")).as("ch"))
-    val ptab = cbg
-      .join(ch, "w1")
-      .join(cu.withColumnRenamed("token", "w2"), "w2")
-      .crossJoin(total)
-      .select(col("bg"),
-        log(lit(lambda) * (col("cbg").cast("double") / col("ch"))
-          + lit(1 - lambda) * (col("cu").cast("double") / col("total")))
-          .cast("decimal(28,12)").as("lp"))
-    bg.join(ptab, "bg")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("mean_logprob2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cu = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cu"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val total = cu.agg(sum(col("cu")).as("total"))
+        val cbg = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+          .withColumn("w1", expr("split(bg, ' ')[0]"))
+          .withColumn("w2", expr("split(bg, ' ')[1]"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val ch = cbg.groupBy("w1").agg(sum(col("cbg")).as("ch"))
+          val ptab = cbg
+            .join(ch, "w1")
+            .join(cu.withColumnRenamed("token", "w2"), "w2")
+            .crossJoin(total)
+            .select(col("bg"),
+              log(lit(lambda) * (col("cbg").cast("double") / col("ch"))
+                + lit(1 - lambda) * (col("cu").cast("double") / col("total")))
+                .cast("decimal(28,12)").as("lp"))
+          val out = bg.join(ptab, "bg")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_bigrams"),
+              round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+                .as("mean_logprob2"))
+          out.cache().count()
+          out
+        } finally cbg.unpersist(blocking = false)
+      } finally cu.unpersist(blocking = false)
+    } finally bg.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[bigramLogProb]] — same counts, same interpolation
