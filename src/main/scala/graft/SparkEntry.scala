@@ -151,6 +151,12 @@ object SparkEntry {
     // winnowing (SIGMOD'03 / MOSS): per-window min-hash fingerprint
     // selection with bounded density + cross-document share census
     "q_winnowing"         -> ((s, d) => Curation.winnowing(s, d)),
+    // MOSS pair mining from the winnowed sketch: df-capped fingerprint
+    // join at ~2/(ww+1) density instead of the full inverted index
+    "q_winnow_pairs"      -> ((s, d) => Curation.winnowPairs(s, d)),
+    // per-dimension whitening/standardization stats over the embedding
+    // matrix (exact-decimal moments; dimension-sized shuffle)
+    "q_embed_dim_stats"   -> ((s, d) => Similarity.embedDimStats(s, d)),
     "q_revenue_rollup"    -> ((s, d) => Analytics.revenueRollup(s, d)),
     // regex field extraction (parser-family pattern arm)
     "q_regex_parse"       -> ((s, d) => Relational.regexParse(s, d)),
@@ -826,6 +832,8 @@ object SparkEntry {
     "q_dup_spans" -> Curation.dupSpansOracleSql(),
     "q_cdc_chunks" -> Curation.cdcChunksOracleSql(),
     "q_winnowing" -> Curation.winnowingOracleSql(),
+    "q_winnow_pairs" -> Curation.winnowPairsOracleSql(),
+    "q_embed_dim_stats" -> Similarity.embedDimStatsOracleSql,
     "q_kn_logprob" -> TextAnalysis.knLogProbOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.

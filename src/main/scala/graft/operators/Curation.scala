@@ -1921,6 +1921,77 @@ object Curation {
     } finally fps.unpersist(blocking = false)
   }
 
+  /** WINNOWING PAIR MINING — the MOSS detector end-to-end: rank document
+    * pairs by how many SELECTED fingerprints they share. This is the
+    * sketch-density operating point between [[graft.operators.Dedup]]'s
+    * whole-doc MinHash (set-level, position-blind) and
+    * [[graft.operators.Dedup.containmentPairs]]'s full inverted index
+    * (every distinct shingle): the join runs over ~2/(ww+1) of the grams,
+    * so at 100 TB the pair-mining cost shrinks by the winnowing density
+    * while the ≥ ww+k−1 shared-run guarantee still bounds what can be
+    * missed. High-df fingerprints (boilerplate) are capped out exactly as
+    * in containmentPairs; pairs need ≥ `minShared` independent shared
+    * fingerprints so a single colliding window can't nominate a pair.
+    *
+    * Scale shape: per-row kernel ([[winnowArray]]) → fingerprint-keyed
+    * join bounded by maxDf² fan-out per fingerprint — never all-pairs. */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 5, ww: Int = 8,
+                  maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    val perRow = Tables.documents(spark, dir)
+      .select(col("doc_id"), winnowArray(k, ww).as("fps"))
+      .where(size(col("fps")) > 0)
+    val exploded = perRow.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfc = exploded.groupBy("fp").agg(count(lit(1)).as("df"))
+      val kept = exploded
+        .join(dfc.filter(col("df").between(2, maxDf)), "fp")
+        .select("fp", "doc_id")
+      val pairs = kept.select(col("fp"), col("doc_id").as("da"))
+        .join(kept.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+      val sizes = perRow.select(col("doc_id"),
+        size(col("fps")).cast("long").as("nf"))
+      val out = pairs
+        .join(sizes.select(col("doc_id").as("da"), col("nf").as("na")), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nf").as("nb")), "db")
+        .select(col("da"), col("db"), col("n_shared"),
+          round(col("n_shared").cast("double") / least(col("na"), col("nb")), 6)
+            .as("overlap"))
+      out.cache().count()
+      out
+    } finally exploded.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[winnowPairs]] — same kernel semantics (via the
+    * [[winnowingOracleSql]] CTE chain), same df cap, same pair rule. */
+  def winnowPairsOracleSql(k: Int = 5, ww: Int = 8,
+                           maxDf: Int = 50, minShared: Int = 2): String =
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       g AS (SELECT doc_id, j AS pos,
+                    md5(array_to_string(words[j + 1 : j + $k], ' ')) AS h
+             FROM wd, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS r(j)),
+       ky AS (SELECT doc_id, pos, h,
+                     h || '@' || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+              FROM g),
+       sel AS (SELECT DISTINCT doc_id,
+                      substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW), 1, 32) AS fp
+               FROM ky),
+       dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+       keep AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp)
+                WHERE df BETWEEN 2 AND $maxDf),
+       pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+              FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       sz AS (SELECT doc_id, count(*) AS nf FROM sel GROUP BY doc_id)
+       SELECT da, db, n_shared,
+              round(CAST(n_shared AS DOUBLE) / least(x.nf, y.nf), 6) AS overlap
+       FROM pr JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+       ORDER BY da, db"""
+
   /** DuckDB oracle for [[winnowing]] — same gram hashes, same pos-padded
     * tie-break key, same prefix-window policy, same census. */
   def winnowingOracleSql(k: Int = 5, ww: Int = 8): String =

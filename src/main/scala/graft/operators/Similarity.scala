@@ -720,4 +720,56 @@ object Similarity {
          FROM adc) t
        WHERE "rank" <= $k ORDER BY query_id, "rank""""
   }
+
+  /** Per-DIMENSION corpus statistics over the embedding matrix — the
+    * whitening/standardization diagonal (mean, population variance,
+    * range per component) computed before PQ/OPQ training, int8
+    * quantization scale selection, or feature standardization; also the
+    * dead-component detector (variance ≈ 0 ⇒ the dimension carries no
+    * signal and can be dropped from the distance).
+    *
+    * Scale shape: one posexplode to (dim, x) then ONE partial-aggregated
+    * groupBy on the 64 dimension keys — map-side combine reduces every
+    * partition to ≤ dim rows before the exchange, so the shuffle is
+    * dimension-sized, not corpus-sized. Determinism: sums accumulate
+    * exact DECIMAL(28,12) (the [[labelCentroids]] pattern) and the
+    * variance is computed from the two exact moments in one spelled
+    * order, so partial-aggregation order cannot move the rounded
+    * result. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,12)")).as("s1"),
+        sum((col("x") * col("x")).cast("decimal(28,12)")).as("s2"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .select(col("dim"),
+        round(col("s1").cast("double") / col("n"), 6).as("mean"),
+        round(col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n")), 6).as("variance"),
+        round(col("mn"), 6).as("min_x"),
+        round(col("mx"), 6).as("max_x"))
+
+  /** DuckDB oracle for [[embedDimStats]] — same exact-decimal moments,
+    * same operation order, positions via the [[OracleDim]]-bounded range
+    * cross join ([[labelCentroidsOracleSql]] pattern). */
+  val embedDimStatsOracleSql: String =
+    s"""WITH ed AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       c AS (SELECT pos - 1 AS dim, emb[pos] AS x
+             FROM ed, range(1, ${OracleDim + 1}) r(pos)),
+       a AS (SELECT dim, count(*) AS n,
+                    sum(CAST(x AS DECIMAL(28,12))) AS s1,
+                    sum(CAST(x * x AS DECIMAL(28,12))) AS s2,
+                    min(x) AS mn, max(x) AS mx
+             FROM c GROUP BY dim)
+       SELECT dim,
+              round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+              round(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 6)
+                AS variance,
+              round(mn, 6) AS min_x, round(mx, 6) AS max_x
+       FROM a ORDER BY dim"""
 }

@@ -809,6 +809,30 @@ class CurationSpec extends AnyFunSuite {
       assert(!winnowPlan.contains(bad), s"winnow kernel plan has $bad:\n$winnowPlan")
   }
 
+  test("winnow pairs: shared-run pair surfaces, unrelated docs never pair") {
+    val k = 5; val ww = 8
+    // a LONG shared run (well over ww+k-1) so the pair shares >= 2
+    // selected fingerprints and survives minShared
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val fillA = (1 to 40).map(i => s"a${(i * 31) % 97}").mkString(" ")
+    val fillB = (1 to 40).map(i => s"b${(i * 37) % 89}").mkString(" ")
+    val tmp = writeDocs(Seq(
+      1L -> s"$fillA $shared",
+      2L -> s"$shared $fillB",
+      3L -> (1 to 80).map(i => s"u$i").mkString(" ")), "graft-wpair-")
+    val pairs = Curation.winnowPairs(spark, tmp, k, ww).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"40-token shared run produced no pair: ${pairs.keys}")
+    val p = pairs((1L, 2L))
+    assert(p.getAs[Long]("n_shared") >= 2L)
+    val ov = p.getAs[Double]("overlap")
+    assert(ov > 0.0 && ov <= 1.0, s"overlap $ov out of range")
+    // the all-unique doc shares no fingerprint with anyone
+    assert(!pairs.keys.exists(pr => pr._1 == 3L || pr._2 == 3L),
+      s"clean doc paired: ${pairs.keys}")
+  }
+
   test("winnowing: shared-run guarantee, bounded density, clean doc shares none") {
     val k = 5; val ww = 8
     val shared = (1 to (ww + k - 1)).map(i => s"s$i").mkString(" ") // 12 tokens

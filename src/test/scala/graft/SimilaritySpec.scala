@@ -190,4 +190,26 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.pqAdcTopk(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("embed dim stats: one row per dimension, moments match a direct recomputation") {
+    val rows = Similarity.embedDimStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    assert(rows.size == vecs.head.size, s"expected ${vecs.head.size} dims")
+    for (d <- Seq(0, 31, 63)) {
+      val xs = vecs.map(_(d))
+      val mean = xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length
+      val s2 = xs.map(x => BigDecimal(x * x).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length
+      val r = rows(d.toLong)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-5, s"dim $d mean")
+      assert(math.abs(r.getAs[Double]("variance") - (s2 - mean * mean)) < 1e-5,
+        s"dim $d variance")
+      assert(r.getAs[Double]("variance") >= 0.0)
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("max_x"))
+    }
+  }
 }
