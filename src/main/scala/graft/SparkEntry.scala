@@ -91,6 +91,9 @@ object SparkEntry {
     // persisted per-day HLL sketch store: distinct-users-ever answered by
     // an O(days) metadata merge; union-of-daily == direct-sketch pinned
     "q_hll_store"         -> ((s, d) => Analytics.hllSketchStore(s, d)),
+    // HLL inclusion-exclusion audience overlap per event-type pair
+    // (sketch-merge intersection next to the exact user-keyed join)
+    "q_sketch_intersection" -> ((s, d) => Analytics.sketchIntersection(s, d)),
     // PSI distribution-drift monitor between corpus halves per event_type
     "q_dist_drift"        -> ((s, d) => Analytics.distributionDrift(s, d)),
     // runtime bloom-filter semi-join reduction: might_contain probe pushed
@@ -787,6 +790,7 @@ object SparkEntry {
     "q_concurrent_commit" -> Curation.concurrentCommitOracleSql,
     "q_column_profile" -> Analytics.columnProfileOracleSql,
     "q_hll_store" -> Analytics.hllSketchStoreOracleSql,
+    "q_sketch_intersection" -> Analytics.sketchIntersectionOracleSql,
     "q_dist_drift" -> Analytics.distributionDriftOracleSql(),
     "q_bloom_prune" -> Bucketing.bloomPrunedJoinOracleSql(),
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,

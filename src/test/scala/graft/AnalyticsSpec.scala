@@ -534,4 +534,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(hit.getAs[Double]("psi") > 0.2 && hit.getAs[Boolean]("drifted"),
       s"two-bin shift must trip the 0.2 PSI gate, got ${hit.getAs[Double]("psi")}")
   }
+
+  test("sketch intersection: every type pair, exact-consistent, estimate within bound") {
+    val rows = Analytics.sketchIntersection(spark, sf).collect()
+    val nTypes = Tables.events(spark, sf)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == nTypes * (nTypes - 1) / 2,
+      s"expected C($nTypes,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val na = r.getAs[Long]("na"); val nb = r.getAs[Long]("nb")
+      val common = r.getAs[Long]("n_common")
+      assert(common <= math.min(na, nb), s"overlap exceeds a side: $r")
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard $j out of range")
+      assert(r.getAs[Boolean]("est_ok"),
+        s"HLL inclusion-exclusion estimate off by > 5%: $r")
+    }
+  }
 }
