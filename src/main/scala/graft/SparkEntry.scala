@@ -227,6 +227,9 @@ object SparkEntry {
     "q_bm25"              -> ((s, d) => TextAnalysis.bm25(s, d)),
     // TF-IDF top-k keyword extraction per document
     "q_keywords_tfidf"    -> ((s, d) => TextAnalysis.keywordsTfidf(s, d)),
+    // sparse-vector cosine pairs over the df-capped TF-IDF space
+    // (inverted-index self-join — token-space twin of embedding ANN)
+    "q_tfidf_cosine"      -> ((s, d) => TextAnalysis.tfidfCosinePairs(s, d)),
     // count-min sketch heavy hitters (third sketch family next to
     // HLL++/GK); exact counts oracle-checked, sketch bound self-verified
     "q_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsTokenCounts(s, d)),
@@ -822,6 +825,7 @@ object SparkEntry {
     "q_source_quality" -> TextAnalysis.sourceQualityOracleSql(),
     "q_unicode_nfc" -> TextAnalysis.unicodeNfcOracleSql,
     "q_keywords_tfidf" -> TextAnalysis.keywordsTfidfOracleSql(),
+    "q_tfidf_cosine" -> TextAnalysis.tfidfCosinePairsOracleSql(),
     "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
     "q_inverted_index" -> TextAnalysis.invertedIndexOracleSql(),
     "q_pmi_collocations" -> TextAnalysis.pmiCollocationsOracleSql(),

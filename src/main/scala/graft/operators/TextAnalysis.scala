@@ -1175,4 +1175,90 @@ object TextAnalysis {
               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob_kn
        FROM bg JOIN p USING (bg)
        GROUP BY doc_id ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------------
+  // TF-IDF sparse cosine pairs (inverted-index sparse-vector similarity)
+  // ---------------------------------------------------------------------
+
+  /** TF-IDF SPARSE COSINE PAIRS — document similarity in TOKEN space,
+    * the sparse-vector complement of the embedding-space ANN family
+    * ([[graft.operators.Similarity]]): each document is the vector of
+    * `count × ln(N/df)` weights over the df-bounded vocabulary
+    * (2 ≤ df ≤ maxDf — df-1 tokens cannot contribute to any pair and
+    * high-df tokens are stopword-like AND would blow the index fan-out,
+    * so the FEATURE SPACE itself is df-capped, norms included: a defined
+    * vector space, not a truncated dot product), and pairs above the
+    * cosine threshold surface with their shared-term count.
+    *
+    * Scale shape: the dot products come from an inverted-index self-join
+    * keyed by TOKEN (fan-out ≤ maxDf² per token — never all-pairs), the
+    * norms from one partial-aggregated per-doc groupBy. Determinism: dot
+    * and norm sums accumulate exact DECIMAL(28,12) per-term products, so
+    * partial-aggregation order cannot move the rounded cosine; the
+    * threshold applies to the RAW ratio in both engines. */
+  def tfidfCosinePairs(spark: SparkSession, dir: String, maxDf: Int = 50,
+                       threshold: Double = 0.5): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val dfc = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = tok.join(dfc, "token").crossJoin(nDocs)
+      .select(col("doc_id"), col("token"),
+        (col("cnt") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val norms = w.groupBy("doc_id")
+        .agg(sqrt(sum((col("w") * col("w")).cast("decimal(28,12)"))
+          .cast("double")).as("norm"))
+      val dots = w.select(col("token"), col("doc_id").as("da"), col("w").as("wa"))
+        .join(w.select(col("token"), col("doc_id").as("db"), col("w").as("wb")),
+          Seq("token"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("n_shared_terms"),
+          sum((col("wa") * col("wb")).cast("decimal(28,12)")).as("dot"))
+      val out = dots
+        .join(norms.select(col("doc_id").as("da"), col("norm").as("na")), "da")
+        .join(norms.select(col("doc_id").as("db"), col("norm").as("nb")), "db")
+        .withColumn("c_raw", col("dot").cast("double") / (col("na") * col("nb")))
+        .filter(col("c_raw") >= threshold)
+        .select(col("da"), col("db"), col("n_shared_terms"),
+          round(col("c_raw"), 6).as("cosine"))
+      out.cache().count()
+      out
+    } finally w.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[tfidfCosinePairs]] — same df-capped feature
+    * space, same weight formula and operation order, same exact-decimal
+    * accumulation, same raw-ratio threshold. */
+  def tfidfCosinePairsOracleSql(maxDf: Int = 50,
+                                threshold: Double = 0.5): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+       tc AS (SELECT doc_id, token, count(*) AS cnt
+              FROM tok GROUP BY doc_id, token),
+       dfc AS (SELECT token, count(*) AS df FROM tc GROUP BY token
+               HAVING count(*) BETWEEN 2 AND $maxDf),
+       nd AS (SELECT count(*) AS n_docs FROM documents),
+       w AS (SELECT tc.doc_id, tc.token,
+                    tc.cnt * ln(CAST(n_docs AS DOUBLE) / df) AS w
+             FROM tc JOIN dfc USING (token) CROSS JOIN nd),
+       nrm AS (SELECT doc_id,
+                      sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE))
+                        AS norm
+               FROM w GROUP BY doc_id),
+       dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       count(*) AS n_shared_terms,
+                       sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS dot
+                FROM w a JOIN w b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT da, db, n_shared_terms,
+              round(CAST(dot AS DOUBLE) / (x.norm * y.norm), 6) AS cosine
+       FROM dots JOIN nrm x ON x.doc_id = da JOIN nrm y ON y.doc_id = db
+       WHERE CAST(dot AS DOUBLE) / (x.norm * y.norm) >= $threshold
+       ORDER BY da, db"""
 }

@@ -328,6 +328,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"incremental refresh drifted from the full rebuild: $refreshed vs $full")
   }
 
+  test("tfidf cosine: graded similarity matches the hand-computed geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    // equal-idf construction: every token appears in exactly 2 docs, so
+    // all weights are equal and cosines reduce to |shared| / sqrt(na*nb)
+    val docs = Seq(
+      1L -> "a b c d e", // shares a,b,c with d2; d,e with d3
+      2L -> "a b c x y", // shares x,y with d4
+      3L -> "d e p q",   // p,q shared with d4
+      4L -> "x y p q")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tfc-").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.tfidfCosinePairs(spark, tmp, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    def cos(pair: (Long, Long)): Double = out(pair).getAs[Double]("cosine")
+    assert(math.abs(cos((1L, 2L)) - 3.0 / 5.0) < 1e-6, s"got ${cos((1L, 2L))}")
+    assert(math.abs(cos((1L, 3L)) - 2.0 / math.sqrt(20.0)) < 1e-6)
+    assert(math.abs(cos((3L, 4L)) - 2.0 / 4.0) < 1e-6)
+    assert(!out.contains((1L, 4L)) || cos((1L, 4L)) < 0.1 + 1e-9,
+      "docs sharing no token must not pair")
+    assert(out.values.forall(_.getAs[Double]("cosine") <= 1.0 + 1e-9))
+  }
+
   test("kneser-ney: continuation counts rank diverse-history words above frequent-but-captive ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{length, lit}
