@@ -282,6 +282,11 @@ object SparkEntry {
     "q_fuzzy_match"       -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
     // quality-aware keeper per near-dup cluster (keep-the-longest argmax)
     "q_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d)),
+    // estimator calibration: MinHash-128 Jaccard estimate vs exact
+    // Jaccard over the verified pair list (integer micro-unit banking)
+    "q_minhash_error"     -> ((s, d) => Dedup.minhashErrorAudit(s, d)),
+    // near-dup leakage across the 98/1/1 split + cluster-atomic repair
+    "q_split_leakage"     -> ((s, d) => Dedup.splitLeakage(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
@@ -301,6 +306,9 @@ object SparkEntry {
     // near-dup graph (translations/paraphrases never collide in MinHash
     // space; their embeddings do)
     "q_semantic_dedup"    -> ((s, d) => Similarity.semanticDedupClusters(s, d)),
+    // hybrid retrieval: reciprocal-rank fusion of dense cosine + token
+    // Jaccard rankings (per-list top-20, fused top-10)
+    "q_hybrid_rrf"        -> ((s, d) => Similarity.hybridRrf(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -316,6 +324,8 @@ object SparkEntry {
     "q_token_budget"      -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
     // deterministic 98/1/1 train/val/test manifest by source
     "q_split_assign"      -> ((s, d) => Curation.splitAssign(s, d)),
+    // per-(source, lang) data card: docs/chars/tokens/share/exact-dup
+    "q_data_card"         -> ((s, d) => Curation.dataCard(s, d)),
     // order-independent corpus content digest (dataset versioning)
     "q_corpus_fingerprint" -> ((s, d) => Curation.corpusFingerprint(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
@@ -689,6 +699,8 @@ object SparkEntry {
     "q_stream_dedup_near" -> Dedup.nearDupNewVsCorpusOracleSql(),
     // Same pair CTEs + recursive transitive closure (min reachable id).
     "q_dedup_clusters" -> Dedup.nearDupClustersOracleSql(),
+    "q_minhash_error" -> Dedup.minhashErrorAuditOracleSql(),
+    "q_split_leakage" -> Dedup.splitLeakageOracleSql(),
     "q_dedup_pruned" -> Dedup.dedupedCorpusOracleSql(),
     "q_fuzzy_match" -> Dedup.fuzzyNameMatchOracleSql(),
     "q_simhash" ->
@@ -749,6 +761,7 @@ object SparkEntry {
     "q_perplexity_buckets" -> Curation.perplexityBucketsOracleSql,
     "q_token_budget" -> Curation.tokenBudgetSelectOracleSql,
     "q_split_assign" -> Curation.splitAssignOracleSql(),
+    "q_data_card" -> Curation.dataCardOracleSql,
     "q_cluster_canonical" -> Dedup.clusterCanonicalOracleSql(),
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),
@@ -842,6 +855,7 @@ object SparkEntry {
     "q_winnowing" -> Curation.winnowingOracleSql(),
     "q_winnow_pairs" -> Curation.winnowPairsOracleSql(),
     "q_embed_dim_stats" -> Similarity.embedDimStatsOracleSql,
+    "q_hybrid_rrf" -> Similarity.hybridRrfOracleSql(),
     "q_kn_logprob" -> TextAnalysis.knLogProbOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.

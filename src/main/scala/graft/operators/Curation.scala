@@ -1575,8 +1575,16 @@ object Curation {
     * construction [[sampleByHash]]'s contract promises: one id-hash draw
     * in [0,100), carved into train / val / test bands, so membership is
     * stable across retries and every doc lands in EXACTLY one split. */
-  private[graft] def splitExpr(valPct: Int, testPct: Int) = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+  private[graft] def splitExpr(valPct: Int, testPct: Int) =
+    splitExprFor(col("doc_id"), valPct, testPct)
+
+  /** [[splitExpr]] over an arbitrary id column — the split is a pure
+    * function of the id, so consumers holding only ids (the dedup pair
+    * list, a cluster label) can derive membership without a join back to
+    * `documents`. */
+  private[graft] def splitExprFor(id: org.apache.spark.sql.Column,
+                                  valPct: Int, testPct: Int) = {
+    val h = conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
     when(h < 100 - valPct - testPct, "train")
       .when(h < 100 - testPct, "val")
@@ -1611,6 +1619,61 @@ object Curation {
               source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
        FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
   }
+
+  // ---------------------------------------------------------------------
+  // Corpus data card
+  // ---------------------------------------------------------------------
+
+  /** CORPUS DATA CARD — the per-(source, language) composition report a
+    * dataset release ships (datasheets-for-datasets): document count,
+    * character and whitespace-token mass, corpus share, and how many of
+    * the cell's docs are byte-exact duplicates of ANY corpus doc (the
+    * cross-source duplication signal that drives mixture re-weighting).
+    * This is the artifact a 100 TB pipeline regenerates after every
+    * curation step — it has to be one cheap deterministic pass.
+    *
+    * Scale shape: one corpus scan; the duplicate flag reuses the exact-
+    * dedup shuffle shape (groupBy on the text hash — content-keyed, so
+    * it partial-aggregates map-side); the cell rollup is a second
+    * partial-aggregated groupBy over source×lang (tiny); the corpus
+    * total joins back as a broadcast 1-row aggregate, never a global
+    * window over a single partition. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ", -1)).as("n_tokens"),
+        md5(col("text")).as("th"))
+    val dupGroups = docs.groupBy("th").agg(count(lit(1)).as("grp"))
+    val cells = docs.join(dupGroups, "th")
+      .groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+    val tot = cells.agg(sum(col("n_chars")).as("tot_chars"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_pct",
+        round(col("n_chars").cast("double") * lit(100) / col("tot_chars"), 4))
+      .drop("tot_chars")
+  }
+
+  /** DuckDB oracle for [[dataCard]] — same tokenization, same dup rule,
+    * same share arithmetic (×100 before the divide). */
+  def dataCardOracleSql: String =
+    s"""WITH t AS (SELECT source, lang, n_chars,
+                          len(string_split(text, ' ')) AS n_tokens,
+                          count(*) OVER (PARTITION BY md5(text)) AS grp
+                   FROM documents),
+       c AS (SELECT source, lang, count(*) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                    CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_exact_dup
+             FROM t GROUP BY 1, 2),
+       tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars FROM c)
+       SELECT source, lang, n_docs, n_chars, n_tokens, n_exact_dup,
+              round(CAST(n_chars AS DOUBLE) * 100 / tot_chars, 4) AS share_pct
+       FROM c CROSS JOIN tot ORDER BY source, lang"""
 
   /** DELETE PROPAGATION (right-to-forget / takedown) — the compliance op
     * every production corpus needs: a small keyed delete list must purge

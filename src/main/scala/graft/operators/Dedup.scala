@@ -1388,4 +1388,169 @@ object Dedup {
                 AS is_canonical
        FROM lbl l JOIN documents d USING (doc_id)
        ORDER BY l.cluster_id, l.doc_id"""
+
+  // ---------------------------------------------------------------------
+  // MinHash estimator-quality audit
+  // ---------------------------------------------------------------------
+
+  /** MINHASH ESTIMATOR ERROR AUDIT — the calibration check a production
+    * dedup deployment runs before trusting its LSH thresholds: for every
+    * verified near-dup pair, compare the MinHash-128 agreement ESTIMATE of
+    * Jaccard (agree/128, the quantity the banding and `estJaccard`
+    * pre-filter act on) against the EXACT shingle Jaccard the verify stage
+    * computed, and report the error distribution. A drifting estimator
+    * (bad hash family, band geometry mis-sized for the corpus's shingle
+    * distribution) silently turns the threshold into a different
+    * effective threshold — this one-row audit makes that failure loud.
+    *
+    * Scale shape: joins the persisted PAIR artifact (LSH output, orders
+    * of magnitude smaller than the corpus) against the signature store's
+    * profile table — pair-sized work, no corpus re-sign. Per-pair errors
+    * are banked as INTEGER micro-units (round(|est − J|·10⁶)) so the
+    * aggregate is an order-independent integer sum — the mean is then one
+    * exact division, reproduced digit-for-digit by the oracle regardless
+    * of either engine's accumulation order. */
+  def minhashErrorAudit(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                        minBands: Int = DefaultMinBands,
+                        maxBucket: Int = DefaultMaxBucket,
+                        estJaccard: Double = DefaultEstJaccard,
+                        shingleK: Int = 1,
+                        bands: Int = NumBands,
+                        rowsPerBand: Int = RowsPerBand): DataFrame = {
+    graft.functions.ArrayAgreeCount.register(spark)
+    val nHashes = bands * rowsPerBand
+    val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+      estJaccard, shingleK, bands, rowsPerBand)
+    val (_, profile) = signatureStore(spark, dir, shingleK, bands, rowsPerBand)
+    val mh = profile.select("doc_id", "mh")
+    val est = pairs
+      .join(mh.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
+      .select(col("jaccard"),
+        expr("array_agree_count(mh_a, mh_b)").cast("double")
+          .divide(lit(nHashes.toDouble)).as("est"))
+      .select(round(abs(col("est") - col("jaccard")) * lit(1e6))
+        .cast("long").as("e"))
+    est.agg(
+      count(lit(1)).as("n_pairs"),
+      round(sum(col("e")).cast("double") / (count(lit(1)) * lit(1e6)), 6)
+        .as("mean_abs_err"),
+      round(max(col("e")).cast("double") / lit(1e6), 6).as("max_abs_err"),
+      sum(when(col("e") <= 50000L, 1L).otherwise(0L)).as("n_within_005"),
+      (round(sum(col("e")).cast("double") / (count(lit(1)) * lit(1e6)), 6)
+        <= 0.03).as("calib_ok"))
+  }
+
+  /** DuckDB oracle for [[minhashErrorAudit]] — same pair chain, same
+    * integer micro-unit banking, same exact final division. */
+  def minhashErrorAuditOracleSql(threshold: Double = 0.95,
+                                 minBands: Int = DefaultMinBands,
+                                 estJaccard: Double = DefaultEstJaccard,
+                                 shingleK: Int = 1,
+                                 bands: Int = NumBands,
+                                 rowsPerBand: Int = RowsPerBand): String = {
+    val nHashes = bands * rowsPerBand
+    s"""WITH ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+       est AS (
+         SELECT p.jaccard,
+                CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+                  / $nHashes.0 AS est
+         FROM pairs p
+         JOIN mh ma ON ma.doc_id = p.doc_a
+         JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+         GROUP BY p.doc_a, p.doc_b, p.jaccard),
+       err AS (SELECT CAST(round(abs(est - jaccard) * 1000000) AS BIGINT) AS e
+               FROM est)
+       SELECT count(*) AS n_pairs,
+              round(CAST(sum(e) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_abs_err,
+              round(CAST(max(e) AS DOUBLE) / 1000000.0, 6) AS max_abs_err,
+              CAST(sum(CASE WHEN e <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_005,
+              round(CAST(sum(e) AS DOUBLE) / (count(*) * 1000000.0), 6) <= 0.03
+                AS calib_ok
+       FROM err"""
+  }
+
+  // ---------------------------------------------------------------------
+  // Near-dup leakage across train/val/test splits
+  // ---------------------------------------------------------------------
+
+  /** SPLIT LEAKAGE AUDIT + REPAIR — the eval-integrity gate every LLM
+    * data pipeline needs: an id-hash train/val/test split assigns near-
+    * DUPLICATE documents independently, so a val doc's near-twin can sit
+    * in train (contaminating the eval exactly like test-set leakage).
+    * This audit counts near-dup pairs whose endpoints landed in different
+    * splits, then REPAIRS by cluster-atomic assignment — every member of
+    * a near-dup cluster inherits the split of the cluster id (its minimum
+    * member), a pure function of ids, so the repair is deterministic and
+    * re-runnable. One row: pairs audited, pairs leaking before, docs the
+    * repair moves, pairs leaking after (provably 0: both endpoints of
+    * every pair share a cluster, hence a repaired split — the query
+    * recomputes it honestly rather than asserting it).
+    *
+    * Scale shape: everything joins the persisted PAIR and CLUSTER
+    * artifacts (orders of magnitude smaller than the corpus); the split
+    * is a pure hash of the id ([[Curation.splitExprFor]]), so no join
+    * back to `documents` at all — the whole audit is pair-list-sized. */
+  def splitLeakage(spark: SparkSession, dir: String, valPct: Int = 1,
+                   testPct: Int = 1): DataFrame = {
+    def splitOf(c: Column) = Curation.splitExprFor(c, valPct, testPct)
+    val pairs = nearDupPairs(spark, dir).select("doc_a", "doc_b")
+    val clusters = nearDupClusters(spark, dir).select("cluster_id", "doc_id")
+    val before = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(splitOf(col("doc_a")) =!= splitOf(col("doc_b")), 1L)
+        .otherwise(0L)).as("n_cross_before"))
+    val moved = clusters.agg(
+      sum(when(splitOf(col("doc_id")) =!= splitOf(col("cluster_id")), 1L)
+        .otherwise(0L)).as("n_docs_moved"))
+    // post-repair recount: each endpoint's split is the split of ITS
+    // cluster id (broadcast map join — the cluster list is artifact-sized)
+    val repaired = clusters
+      .select(col("doc_id"), splitOf(col("cluster_id")).as("rsplit"))
+    val after = pairs
+      .join(broadcast(repaired).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("rsplit", "split_a"), "doc_a")
+      .join(broadcast(repaired).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("rsplit", "split_b"), "doc_b")
+      .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+        .as("n_cross_after"))
+    before.crossJoin(broadcast(moved)).crossJoin(broadcast(after))
+  }
+
+  /** DuckDB oracle for [[splitLeakage]] — same pair + cluster chain, same
+    * id-hash split bands. */
+  def splitLeakageOracleSql(valPct: Int = 1, testPct: Int = 1,
+                            threshold: Double = 0.95,
+                            minBands: Int = DefaultMinBands,
+                            estJaccard: Double = DefaultEstJaccard,
+                            shingleK: Int = 1,
+                            bands: Int = NumBands,
+                            rowsPerBand: Int = RowsPerBand): String = {
+    def duckSplitCase(idCol: String): String = {
+      val hexToLong = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+        .mkString(" + ")
+      s"""CASE WHEN ($hexToLong) % 100 < ${100 - valPct - testPct} THEN 'train'
+               WHEN ($hexToLong) % 100 < ${100 - testPct} THEN 'val'
+               ELSE 'test' END"""
+    }
+    s"""WITH RECURSIVE ${clusterCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+       b AS (SELECT count(*) AS n_pairs,
+                    CAST(sum(CASE WHEN ${duckSplitCase("doc_a")}
+                                <> ${duckSplitCase("doc_b")}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_before
+             FROM pairs),
+       m AS (SELECT CAST(sum(CASE WHEN ${duckSplitCase("doc_id")}
+                                <> ${duckSplitCase("cluster_id")}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_moved
+             FROM lbl),
+       rep AS (SELECT doc_id, ${duckSplitCase("cluster_id")} AS rsplit FROM lbl),
+       a AS (SELECT CAST(sum(CASE WHEN ra.rsplit <> rb.rsplit THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_cross_after
+             FROM pairs p
+             JOIN rep ra ON ra.doc_id = p.doc_a
+             JOIN rep rb ON rb.doc_id = p.doc_b)
+       SELECT n_pairs, n_cross_before, n_docs_moved, n_cross_after
+       FROM b CROSS JOIN m CROSS JOIN a"""
+  }
 }

@@ -772,4 +772,103 @@ object Similarity {
                 AS variance,
               round(mn, 6) AS min_x, round(mx, 6) AS max_x
        FROM a ORDER BY dim"""
+
+  // ---------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of dense + lexical rankings
+  // ---------------------------------------------------------------------
+
+  /** HYBRID RETRIEVAL (RRF) — the standard production retrieval stack
+    * fuses a DENSE ranking (embedding cosine) with a LEXICAL ranking
+    * (token-set Jaccard) via reciprocal-rank fusion:
+    * score(d) = Σ_lists 1/(C + rank_list(d)) over the lists where d made
+    * the per-list top-`k` cut. RRF needs no score normalization across
+    * the two incomparable score spaces — only ranks — which is exactly
+    * why it is the default fusion in hybrid search engines. Candidates
+    * are the docs that carry BOTH a text row and an embedding row
+    * (doc_id = vec_id); queries are ids < 10, the [[topkCosine]]
+    * convention.
+    *
+    * Scale shape: the query side is tiny and BROADCAST against one
+    * corpus-sized scan (the [[topkCosine]] shape); both per-list ranks
+    * come from windows over the SAME query_id partitioning, so the three
+    * row_number passes share ONE shuffle (partition once, re-sort
+    * thrice). All ties break on cand_id, so ranks — and therefore the
+    * fused scores — are fully deterministic. */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 20,
+                kOut: Int = 10, c: Int = 60): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.ArrayIntersectCount.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ", -1)).as("tset"))
+    val cand = docs.join(embDouble(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("tset"), col("emb"))
+    val q = cand.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("tset").as("qtset"),
+        col("emb").as("qemb"))
+    val scored = cand.join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .withColumn("c_int", expr("array_intersect_count(tset, qtset)"))
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        expr("cosine_sim(emb, qemb)").as("dsim"),
+        (col("c_int").cast("double") /
+          (size(col("tset")) + size(col("qtset")) - col("c_int"))).as("lsim"))
+    val wd = Window.partitionBy("query_id").orderBy(desc("dsim"), asc("cand_id"))
+    val wl = Window.partitionBy("query_id").orderBy(desc("lsim"), asc("cand_id"))
+    val fused = scored
+      .withColumn("rd", row_number().over(wd))
+      .withColumn("rl", row_number().over(wl))
+      .filter(col("rd") <= k || col("rl") <= k)
+      .withColumn("rrf",
+        when(col("rd") <= k, lit(1.0) / (lit(c) + col("rd"))).otherwise(lit(0.0))
+          + when(col("rl") <= k, lit(1.0) / (lit(c) + col("rl"))).otherwise(lit(0.0)))
+    val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("cand_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf_score"),
+        col("rd").as("dense_rank_pos"), col("rl").as("lex_rank_pos"))
+  }
+
+  /** DuckDB oracle for [[hybridRrf]] — same candidate set, same two
+    * rankings (dot/(norm·norm) exactly as [[topkCosine]]'s oracle, token
+    * Jaccard exactly as the dedup verify stage), same fusion arithmetic
+    * and tie-breaks. */
+  def hybridRrfOracleSql(k: Int = 20, kOut: Int = 10, c: Int = 60): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))) AS norm
+                   FROM embeddings),
+       d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+             FROM documents),
+       cand AS (SELECT doc_id, tset, emb, norm FROM d JOIN e ON doc_id = vec_id),
+       q AS (SELECT doc_id AS query_id, tset AS qtset, emb AS qemb, norm AS qnorm
+             FROM cand WHERE doc_id < 10),
+       scored AS (
+         SELECT q.query_id, cc.doc_id AS cand_id,
+                list_dot_product(cc.emb, q.qemb) / (cc.norm * q.qnorm) AS dsim,
+                CAST(len(list_intersect(cc.tset, q.qtset)) AS DOUBLE)
+                  / (len(cc.tset) + len(q.qtset)
+                     - len(list_intersect(cc.tset, q.qtset))) AS lsim
+         FROM cand cc JOIN q ON cc.doc_id <> q.query_id),
+       ranked AS (
+         SELECT query_id, cand_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dsim DESC, cand_id) AS rd,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY lsim DESC, cand_id) AS rl
+         FROM scored),
+       fused AS (
+         SELECT query_id, cand_id, rd, rl,
+                (CASE WHEN rd <= $k THEN CAST(1 AS DOUBLE) / ($c + rd)
+                      ELSE CAST(0 AS DOUBLE) END
+                 + CASE WHEN rl <= $k THEN CAST(1 AS DOUBLE) / ($c + rl)
+                        ELSE CAST(0 AS DOUBLE) END) AS rrf
+         FROM ranked WHERE rd <= $k OR rl <= $k)
+       SELECT query_id, cand_id, "rank", round(rrf, 6) AS rrf_score,
+              rd AS dense_rank_pos, rl AS lex_rank_pos
+       FROM (SELECT query_id, cand_id, rd, rl, rrf,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, cand_id) AS "rank"
+             FROM fused) t
+       WHERE "rank" <= $kOut
+       ORDER BY query_id, "rank""""
 }

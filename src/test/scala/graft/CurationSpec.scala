@@ -858,4 +858,21 @@ class CurationSpec extends AnyFunSuite {
         s"doc $d density ${r.getAs[Double]("density")} not winnowed")
     }
   }
+
+  test("data card: cells partition the corpus, shares sum to 100, dup counts bounded") {
+    val cells = graft.operators.Curation.dataCard(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "cells must partition the corpus")
+    assert(cells.map(_.getAs[Long]("n_chars")).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0))
+    val shareSum = cells.map(_.getAs[Double]("share_pct")).sum
+    assert(math.abs(shareSum - 100.0) < 0.01,
+      s"share_pct must sum to ~100, got $shareSum")
+    cells.foreach { c =>
+      assert(c.getAs[Long]("n_exact_dup") <= c.getAs[Long]("n_docs"))
+      assert(c.getAs[Long]("n_tokens") >= c.getAs[Long]("n_docs"),
+        "every doc has at least one whitespace token")
+    }
+  }
 }

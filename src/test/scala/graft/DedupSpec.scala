@@ -507,4 +507,37 @@ class DedupSpec extends AnyFunSuite {
       assert(gcont >= jac - 1e-9, s"pair $pair containment below jaccard")
     }
   }
+
+  test("minhash error audit: covers every verified pair, calibrated within bounds") {
+    val audit = graft.operators.Dedup.minhashErrorAudit(spark, sf).head()
+    val nPairs = audit.getAs[Long]("n_pairs")
+    val meanErr = audit.getAs[Double]("mean_abs_err")
+    val maxErr = audit.getAs[Double]("max_abs_err")
+    val nWithin = audit.getAs[Long]("n_within_005")
+    assert(nPairs == graft.operators.Dedup.nearDupPairs(spark, sf).count(),
+      "audit must cover exactly the verified pair list")
+    // MinHash-128 stderr at J≈0.95 is sqrt(J(1-J)/128) ≈ 0.019 — a
+    // healthy estimator's mean |error| sits well under 0.03, and most
+    // pairs land within 0.05
+    assert(audit.getAs[Boolean]("calib_ok"), s"estimator drifted: mean=$meanErr")
+    assert(meanErr >= 0.0 && meanErr <= maxErr,
+      s"mean $meanErr must be within [0, max=$maxErr]")
+    assert(nWithin >= (nPairs * 9) / 10,
+      s"only $nWithin of $nPairs pairs within 0.05 absolute error")
+  }
+
+  test("split leakage: honest before-count, zero after cluster-atomic repair") {
+    val r = graft.operators.Dedup.splitLeakage(spark, sf).head()
+    val nPairs = r.getAs[Long]("n_pairs")
+    val before = r.getAs[Long]("n_cross_before")
+    val moved = r.getAs[Long]("n_docs_moved")
+    val after = r.getAs[Long]("n_cross_after")
+    assert(nPairs == graft.operators.Dedup.nearDupPairs(spark, sf).count())
+    assert(before >= 0 && before <= nPairs)
+    assert(after == 0,
+      s"cluster-atomic reassignment must eliminate all cross-split pairs, got $after")
+    // the repair only moves docs when something leaked; a doc moves at
+    // most once and every leaking pair has ≥1 non-minimum endpoint
+    if (before == 0) assert(moved >= 0) else assert(moved >= 1)
+  }
 }

@@ -212,4 +212,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("min_x") <= r.getAs[Double]("max_x"))
     }
   }
+
+  test("hybrid RRF: contiguous ranks, monotone fused scores, union-of-top-k membership") {
+    val k = 20
+    val rows = graft.operators.Similarity.hybridRrf(spark, sf, k = k).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        s"query $qid ranks not contiguous")
+      // fused score nonincreasing in rank
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      scores.sliding(2).foreach { case Array(a, b) =>
+        assert(a >= b - 1e-9, s"query $qid fused scores not monotone")
+      }
+      sorted.foreach { r =>
+        val rd = r.getAs[Int]("dense_rank_pos")
+        val rl = r.getAs[Int]("lex_rank_pos")
+        assert(rd <= k || rl <= k,
+          s"query $qid cand ${r.getAs[Long]("cand_id")} in neither top-$k list")
+        // recompute the fusion arithmetic from the emitted per-list
+        // positions — the fused score must be exactly Σ 1/(60+rank)
+        val expected =
+          (if (rd <= k) 1.0 / (60 + rd) else 0.0) +
+            (if (rl <= k) 1.0 / (60 + rl) else 0.0)
+        assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 5e-7,
+          s"query $qid fused score drifted from 1/(60+r) arithmetic")
+      }
+    }
+  }
 }
