@@ -287,6 +287,10 @@ object SparkEntry {
     "q_minhash_error"     -> ((s, d) => Dedup.minhashErrorAudit(s, d)),
     // near-dup leakage across the 98/1/1 split + cluster-atomic repair
     "q_split_leakage"     -> ((s, d) => Dedup.splitLeakage(s, d)),
+    // soft dedup: integer ppm down-weights (1/cluster_size) per doc
+    "q_dedup_soft"        -> ((s, d) => Dedup.softDedupWeights(s, d)),
+    // per-source MinHash-union sketch vs exact source-level Jaccard
+    "q_source_overlap"    -> ((s, d) => Dedup.sourceOverlapSketch(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
@@ -326,6 +330,8 @@ object SparkEntry {
     "q_split_assign"      -> ((s, d) => Curation.splitAssign(s, d)),
     // per-(source, lang) data card: docs/chars/tokens/share/exact-dup
     "q_data_card"         -> ((s, d) => Curation.dataCard(s, d)),
+    // temperature-weighted per-source token allocation + epoch cap
+    "q_mixture_epochs"    -> ((s, d) => Curation.mixtureEpochs(s, d)),
     // order-independent corpus content digest (dataset versioning)
     "q_corpus_fingerprint" -> ((s, d) => Curation.corpusFingerprint(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
@@ -701,6 +707,8 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.nearDupClustersOracleSql(),
     "q_minhash_error" -> Dedup.minhashErrorAuditOracleSql(),
     "q_split_leakage" -> Dedup.splitLeakageOracleSql(),
+    "q_dedup_soft" -> Dedup.softDedupWeightsOracleSql(),
+    "q_source_overlap" -> Dedup.sourceOverlapSketchOracleSql(),
     "q_dedup_pruned" -> Dedup.dedupedCorpusOracleSql(),
     "q_fuzzy_match" -> Dedup.fuzzyNameMatchOracleSql(),
     "q_simhash" ->
@@ -762,6 +770,7 @@ object SparkEntry {
     "q_token_budget" -> Curation.tokenBudgetSelectOracleSql,
     "q_split_assign" -> Curation.splitAssignOracleSql(),
     "q_data_card" -> Curation.dataCardOracleSql,
+    "q_mixture_epochs" -> Curation.mixtureEpochsOracleSql(),
     "q_cluster_canonical" -> Dedup.clusterCanonicalOracleSql(),
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),

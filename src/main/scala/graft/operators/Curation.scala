@@ -1675,6 +1675,69 @@ object Curation {
               round(CAST(n_chars AS DOUBLE) * 100 / tot_chars, 4) AS share_pct
        FROM c CROSS JOIN tot ORDER BY source, lang"""
 
+  // ---------------------------------------------------------------------
+  // Mixture epoch planner
+  // ---------------------------------------------------------------------
+
+  /** MIXTURE EPOCH PLANNER — the step between the data card and the
+    * training run: given per-source token mass and a total training
+    * budget (`budgetX` × corpus tokens), allocate tokens per source under
+    * temperature-α=0.5 weights (w_s = ⌊√tokens_s⌋ — up-weights small
+    * sources exactly like [[temperatureSample]] up-weights small
+    * languages) and report the implied EPOCH count (allocation ÷ mass,
+    * i.e. how many times the source repeats). Sources whose allocation
+    * exceeds `maxEpochs` passes are flagged and capped — the standard
+    * memorization guard (repeating a small source 40× memorizes it; ~4
+    * epochs is the usual ceiling).
+    *
+    * All selection arithmetic is INTEGER (the [[temperatureSample]]
+    * discipline): weights are integer isqrt, allocations integer
+    * `div`-floors of budget × weight, caps integer min — so the oracle
+    * reproduces every row bit-for-bit and a re-run plans the identical
+    * mixture. One corpus scan → source-sized rollup → broadcast 1-row
+    * total; nothing corpus-sized shuffles twice. */
+  def mixtureEpochs(spark: SparkSession, dir: String, budgetX: Int = 2,
+                    maxEpochs: Int = 4): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = toks.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("weight")).as("w_total"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"tot_tokens * $budgetX * weight div w_total"))
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("capped", col("epochs") > maxEpochs)
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), col("n_tokens") * maxEpochs))
+      .select("source", "n_tokens", "weight", "target_tokens", "epochs",
+        "capped", "alloc_tokens")
+  }
+
+  /** DuckDB oracle for [[mixtureEpochs]] — same isqrt weights, same
+    * left-associative integer `//` allocation, same cap. */
+  def mixtureEpochsOracleSql(budgetX: Int = 2, maxEpochs: Int = 4): String =
+    s"""WITH toks AS (
+         SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source),
+       w AS (SELECT source, n_tokens,
+                    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+             FROM toks),
+       tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                      CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+       t AS (SELECT source, n_tokens, weight,
+                    tot_tokens * $budgetX * weight // w_total AS target_tokens
+             FROM w CROSS JOIN tot)
+       SELECT source, n_tokens, weight, target_tokens,
+              round(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+              round(CAST(target_tokens AS DOUBLE) / n_tokens, 6) > $maxEpochs
+                AS capped,
+              least(target_tokens, n_tokens * $maxEpochs) AS alloc_tokens
+       FROM t ORDER BY source"""
+
   /** DELETE PROPAGATION (right-to-forget / takedown) — the compliance op
     * every production corpus needs: a small keyed delete list must purge
     * the document AND every derived artifact that embeds it (here the

@@ -1553,4 +1553,154 @@ object Dedup {
        SELECT n_pairs, n_cross_before, n_docs_moved, n_cross_after
        FROM b CROSS JOIN m CROSS JOIN a"""
   }
+
+  // ---------------------------------------------------------------------
+  // Soft dedup: down-weight near-dup clusters instead of dropping
+  // ---------------------------------------------------------------------
+
+  /** SOFT DEDUP WEIGHTS — the sampling-weight alternative to hard
+    * pruning: instead of keeping one member per near-dup cluster
+    * ([[dedupedCorpus]]), every document gets weight 1/cluster_size, so a
+    * cluster contributes ONE document's worth of sampling mass while
+    * preserving intra-cluster variation (the soft-dedup policy used when
+    * near-dups are noisy variants worth averaging over, not junk).
+    * Weights are integer PARTS-PER-MILLION (`1000000 div size` — the
+    * [[temperatureSample]] integer-arithmetic discipline), so re-runs and
+    * the oracle reproduce them exactly. Output: one row per document —
+    * (doc_id, cluster_size, weight_ppm); unclustered docs have size 1,
+    * weight 1000000.
+    *
+    * Scale shape: cluster sizes come from the persisted CLUSTER artifact
+    * (pair-graph-sized); the per-doc join back to the corpus id list is a
+    * BROADCAST left join — one narrow corpus scan, no corpus-sized
+    * shuffle. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir).select("cluster_id", "doc_id")
+    val sized = clusters.join(
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      "cluster_id")
+      .select("doc_id", "cluster_size")
+    Tables.documents(spark, dir).select("doc_id")
+      .join(broadcast(sized), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+  }
+
+  /** DuckDB oracle for [[softDedupWeights]] — same cluster chain, same
+    * integer ppm weights. */
+  def softDedupWeightsOracleSql(threshold: Double = 0.95,
+                                minBands: Int = DefaultMinBands,
+                                estJaccard: Double = DefaultEstJaccard,
+                                shingleK: Int = 1,
+                                bands: Int = NumBands,
+                                rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH RECURSIVE ${clusterCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+       sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1),
+       per AS (SELECT l.doc_id, s.cluster_size
+               FROM lbl l JOIN sz s USING (cluster_id))
+       SELECT d.doc_id,
+              coalesce(p.cluster_size, 1) AS cluster_size,
+              1000000 // coalesce(p.cluster_size, 1) AS weight_ppm
+       FROM documents d LEFT JOIN per p USING (doc_id)
+       ORDER BY d.doc_id"""
+
+  // ---------------------------------------------------------------------
+  // Corpus-level source overlap via per-source MinHash union sketch
+  // ---------------------------------------------------------------------
+
+  /** SOURCE OVERLAP SKETCH — corpus-level content overlap between
+    * SOURCES, estimated from per-source MinHash-union signatures and
+    * validated against the exact source-level Jaccard in the same row.
+    * The union property is what makes MinHash compositional: the
+    * signature of a source's shingle-set UNION is the element-wise MIN of
+    * its documents' signatures, so one groupBy produces a 128-long sketch
+    * per source and the pairwise comparison is sources² — independent of
+    * corpus size. This is how a 100 TB deployment audits cross-source
+    * duplication (the data-card signal) WITHOUT any doc-pair join: the
+    * sketch is mergeable across partitions, days, and datasets.
+    *
+    * The exact arm (per-shingle source-pair counting, fan-out bounded at
+    * sources² per shingle) validates the estimate at test scale; at
+    * production scale the sketch column is the product and the exact arm
+    * is the audit one runs on samples. */
+  def sourceOverlapSketch(spark: SparkSession, dir: String,
+                          nHashes: Int = NumBands * RowsPerBand): DataFrame = {
+    graft.functions.ArrayAgreeCount.register(spark)
+    // distinct (source, shingle): one exploded pass staged for the
+    // sketch, the sizes, and the exact-intersection consumers
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingleSetK(1)).as("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hashed = sh.select(col("source"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+      val mins = affineCoeffs(nHashes).zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % HashMod).as(s"m$i")
+      }
+      val wide = hashed.groupBy("source").agg(mins.head, mins.tail: _*)
+        .select(col("source"),
+          array((0 until nHashes).map(i => col(s"m$i")): _*).as("mh"))
+      val pairs = wide.select(col("source").as("src_a"), col("mh").as("mh_a"))
+        .join(wide.select(col("source").as("src_b"), col("mh").as("mh_b")),
+          col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          expr("array_agree_count(mh_a, mh_b)").as("agree"))
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("shingle"), col("source").as("src_a"))
+        .join(sh.select(col("shingle"), col("source").as("src_b")), Seq("shingle"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("c"))
+      val out = pairs
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .select(col("src_a"), col("src_b"),
+          round(col("agree").cast("double") / lit(nHashes.toDouble), 6)
+            .as("est_jaccard"),
+          round(col("c0").cast("double") / (col("na") + col("nb") - col("c0")), 6)
+            .as("exact_jaccard"))
+        .withColumn("est_ok",
+          abs(col("est_jaccard") - col("exact_jaccard")) <= 0.15)
+      out.cache().count()
+      out
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[sourceOverlapSketch]] — same distinct
+    * (source, shingle) base, same affine minhash family, same agreement
+    * estimate and exact arm. */
+  def sourceOverlapSketchOracleSql(nHashes: Int = NumBands * RowsPerBand): String =
+    s"""WITH w AS (SELECT source,
+                          unnest(list_distinct(string_split(text, ' '))) AS shingle
+                   FROM documents),
+       ss AS (SELECT DISTINCT source, shingle FROM w),
+       shh AS (SELECT source, substr(md5(shingle), 1, 8) AS h8 FROM ss),
+       sh2 AS (SELECT source, ${duckHexToBigint("h8", 8)} AS h FROM shh),
+       mh AS (SELECT source, i, min((a * h + b) % $HashMod) AS m
+              FROM sh2 CROSS JOIN (VALUES ${affineValuesRows(nHashes)}) AS ab(i, a, b)
+              GROUP BY source, i),
+       agree AS (SELECT x.source AS src_a, y.source AS src_b,
+                        sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS agree
+                 FROM mh x JOIN mh y ON x.i = y.i AND x.source < y.source
+                 GROUP BY 1, 2),
+       sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+                 FROM ss a JOIN ss b
+                   ON a.shingle = b.shingle AND a.source < b.source
+                 GROUP BY 1, 2)
+       SELECT g.src_a, g.src_b,
+              round(CAST(g.agree AS DOUBLE) / $nHashes.0, 6) AS est_jaccard,
+              round(CAST(coalesce(i.c, 0) AS DOUBLE)
+                    / (x.n + y.n - coalesce(i.c, 0)), 6) AS exact_jaccard,
+              abs(round(CAST(g.agree AS DOUBLE) / $nHashes.0, 6)
+                  - round(CAST(coalesce(i.c, 0) AS DOUBLE)
+                          / (x.n + y.n - coalesce(i.c, 0)), 6)) <= 0.15 AS est_ok
+       FROM agree g
+       LEFT JOIN inter i ON i.src_a = g.src_a AND i.src_b = g.src_b
+       JOIN sz x ON x.source = g.src_a
+       JOIN sz y ON y.source = g.src_b
+       ORDER BY g.src_a, g.src_b"""
 }

@@ -859,6 +859,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture epochs: integer allocation within budget, cap law, small-source up-weighting") {
+    val budgetX = 2
+    val maxEpochs = 4
+    val rows = Curation.mixtureEpochs(spark, sf, budgetX, maxEpochs).collect()
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val wTotal = rows.map(_.getAs[Long]("weight")).sum
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val w = r.getAs[Long]("weight")
+      val target = r.getAs[Long]("target_tokens")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      // integer allocation law, recomputed by hand
+      assert(w == math.sqrt(n.toDouble).floor.toLong, s"weight for ${r.get(0)}")
+      assert(target == totTokens * budgetX * w / wTotal, s"target for ${r.get(0)}")
+      assert(alloc == math.min(target, n * maxEpochs))
+      assert(r.getAs[Boolean]("capped") == (r.getAs[Double]("epochs") > maxEpochs))
+    }
+    // floors only lose tokens: the plan never over-allocates the budget
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= totTokens * budgetX)
+    // α=0.5 up-weights small sources: the smallest source gets strictly
+    // more epochs than the largest (equality only if masses are equal)
+    val byMass = rows.sortBy(_.getAs[Long]("n_tokens"))
+    if (byMass.head.getAs[Long]("n_tokens") < byMass.last.getAs[Long]("n_tokens"))
+      assert(byMass.head.getAs[Double]("epochs") >= byMass.last.getAs[Double]("epochs"))
+  }
+
   test("data card: cells partition the corpus, shares sum to 100, dup counts bounded") {
     val cells = graft.operators.Curation.dataCard(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

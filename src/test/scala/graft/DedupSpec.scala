@@ -526,6 +526,50 @@ class DedupSpec extends AnyFunSuite {
       s"only $nWithin of $nPairs pairs within 0.05 absolute error")
   }
 
+  test("soft dedup weights: mass conservation per cluster, ppm integer law") {
+    val rows = graft.operators.Dedup.softDedupWeights(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "one weight row per corpus doc")
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      assert(sz >= 1)
+      assert(r.getAs[Long]("weight_ppm") == 1000000L / sz)
+    }
+    // each cluster contributes ~one doc of mass (integer-floor deficit
+    // bounded by cluster_size ppm); unclustered docs contribute exactly 1
+    val clustered = rows.filter(_.getAs[Long]("cluster_size") > 1)
+    val bySize = clustered.groupBy(_.getAs[Long]("cluster_size"))
+    bySize.foreach { case (sz, members) =>
+      assert(members.length % sz == 0,
+        s"cluster-size-$sz member count ${members.length} not a multiple")
+    }
+    val totalPpm = rows.map(_.getAs[Long]("weight_ppm")).sum
+    val nClusters = graft.operators.Dedup.nearDupClusters(spark, sf)
+      .select("cluster_id").distinct().count()
+    val nUnclustered = docs - clustered.length
+    val idealPpm = (nUnclustered + nClusters) * 1000000L
+    assert(totalPpm <= idealPpm && totalPpm >= idealPpm - 1000000L * nClusters,
+      s"soft mass $totalPpm outside floor bound of ideal $idealPpm")
+  }
+
+  test("source overlap sketch: estimate within tolerance of the exact arm, all pairs present") {
+    val rows = graft.operators.Dedup.sourceOverlapSketch(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      s"expected all ${nSources * (nSources - 1) / 2} source pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      assert(r.getAs[Boolean]("est_ok") == (math.abs(est - exact) <= 0.15))
+    }
+    // the union sketch must not be systematically biased: the mean signed
+    // error over all pairs stays inside ±0.1 (128 hashes → std ≈ 0.04)
+    val meanSigned = rows.map(r =>
+      r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard")).sum / rows.length
+    assert(math.abs(meanSigned) <= 0.1, s"sketch biased: mean signed error $meanSigned")
+  }
+
   test("split leakage: honest before-count, zero after cluster-atomic repair") {
     val r = graft.operators.Dedup.splitLeakage(spark, sf).head()
     val nPairs = r.getAs[Long]("n_pairs")

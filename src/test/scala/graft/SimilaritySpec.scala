@@ -213,6 +213,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF plan: all three rank windows share one hash Exchange") {
+    val plan = graft.operators.Similarity.hybridRrf(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the dense/lexical/fused windows all partition by query_id, so the
+    // planner must reuse ONE hashpartitioning Exchange (re-sorts between
+    // windows are fine); a second data Exchange means the fusion stage
+    // re-shuffled work it already had co-located
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(dataExchanges == 1,
+      s"expected exactly one hash Exchange for the three windows, got $dataExchanges:\n${plan.take(3000)}")
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      "query side must broadcast against the corpus scan")
+  }
+
   test("hybrid RRF: contiguous ranks, monotone fused scores, union-of-top-k membership") {
     val k = 20
     val rows = graft.operators.Similarity.hybridRrf(spark, sf, k = k).collect()
