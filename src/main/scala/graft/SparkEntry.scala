@@ -332,6 +332,10 @@ object SparkEntry {
     "q_data_card"         -> ((s, d) => Curation.dataCard(s, d)),
     // temperature-weighted per-source token allocation + epoch cap
     "q_mixture_epochs"    -> ((s, d) => Curation.mixtureEpochs(s, d)),
+    // TTR quintiles crossed with near-dup membership (score calibration)
+    "q_quality_calibration" -> ((s, d) => Curation.qualityCalibration(s, d)),
+    // first-order Markov transition matrix over user event sequences
+    "q_event_transitions" -> ((s, d) => Analytics.eventTransitions(s, d)),
     // order-independent corpus content digest (dataset versioning)
     "q_corpus_fingerprint" -> ((s, d) => Curation.corpusFingerprint(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
@@ -771,6 +775,8 @@ object SparkEntry {
     "q_split_assign" -> Curation.splitAssignOracleSql(),
     "q_data_card" -> Curation.dataCardOracleSql,
     "q_mixture_epochs" -> Curation.mixtureEpochsOracleSql(),
+    "q_quality_calibration" -> Curation.qualityCalibrationOracleSql,
+    "q_event_transitions" -> Analytics.eventTransitionsOracleSql,
     "q_cluster_canonical" -> Dedup.clusterCanonicalOracleSql(),
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),

@@ -1365,4 +1365,45 @@ object Analytics {
        FROM nd x JOIN nd y ON x.event_type < y.event_type
        LEFT JOIN pr ON pr.ta = x.event_type AND pr.tb = y.event_type
        ORDER BY ta, tb"""
+
+  // ---------------------------------------------------------------------
+  // Event-type Markov transition matrix
+  // ---------------------------------------------------------------------
+
+  /** EVENT TRANSITION MATRIX — the first-order Markov profile of user
+    * behavior: for every consecutive event pair within a user's timeline,
+    * count cur→next transitions and normalize per row to transition
+    * probabilities. This is the sequence-model summary behind journey
+    * analysis, anomaly scoring (improbable transitions), and synthetic-
+    * session generation. Ordering is (ts, event_id) so simultaneous
+    * events break ties deterministically in both engines.
+    *
+    * Scale shape: ONE shuffle on user_id for the lead() window (users are
+    * high-cardinality, so the partitioning is even), then a tiny
+    * types×types aggregate; the row-normalizing sum is a window over the
+    * output-sized matrix, not the corpus. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("cur_type")), 6))
+  }
+
+  /** DuckDB oracle for [[eventTransitions]] — same lead() ordering, same
+    * row normalization. */
+  val eventTransitionsOracleSql: String =
+    """WITH s AS (SELECT event_type AS cur_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS next_type
+                  FROM events),
+       c AS (SELECT cur_type, next_type, count(*) AS n
+             FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       SELECT cur_type, next_type, n,
+              round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur_type), 6) AS p
+       FROM c ORDER BY cur_type, next_type"""
 }

@@ -1738,6 +1738,77 @@ object Curation {
               least(target_tokens, n_tokens * $maxEpochs) AS alloc_tokens
        FROM t ORDER BY source"""
 
+  // ---------------------------------------------------------------------
+  // Quality-score calibration against the dedup graph
+  // ---------------------------------------------------------------------
+
+  /** QUALITY CALIBRATION — does the quality score actually predict the
+    * junk the pipeline removes elsewhere? Cross the type-token-ratio
+    * quality signal ([[TextAnalysis.docQuality]]) in exact corpus
+    * QUINTILES against near-dup cluster membership: repetitive low-TTR
+    * documents (templates, boilerplate) should concentrate in the dedup
+    * graph, so a flat dup_rate across bands means the quality score and
+    * the dedup stage disagree about what "junk" is — the audit a pipeline
+    * runs before trusting either as a standalone filter. One row per
+    * quintile band: docs, near-dup members, keep verdicts, dup rate.
+    *
+    * Scale shape: quintile cuts are ONE 4-value exact-percentile
+    * aggregate broadcast back ([[Analytics.revenueDeciles]] pattern — no
+    * global sort, no single-partition window); cluster membership is a
+    * BROADCAST left join against the persisted cluster artifact. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.docQuality(spark, dir)
+      .select(col("doc_id"), col("type_token_ratio"), col("keep"))
+    val dup = Dedup.nearDupClusters(spark, dir)
+      .select("doc_id").distinct().withColumn("is_dup", lit(true))
+    val cuts = q.agg(
+      transform(percentile(col("type_token_ratio"),
+        lit(Array(0.2, 0.4, 0.6, 0.8))), c => round(c, 6)).as("cuts"))
+    q.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("keep"),
+        (lit(1L) + aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + when(col("type_token_ratio") > c, 1L)
+            .otherwise(0L))).as("band"))
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .groupBy("band").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs"), 6))
+  }
+
+  /** DuckDB oracle for [[qualityCalibration]] — same rounded TTR, same
+    * quantile_cont cuts, same cluster chain for membership. */
+  def qualityCalibrationOracleSql: String = {
+    val ttr = """round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6)"""
+    val stop = """round(CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6)"""
+    s"""WITH RECURSIVE ${Dedup.clusterCtes(0.95, Dedup.DefaultMinBands,
+          Dedup.DefaultEstJaccard, 1, Dedup.NumBands, Dedup.RowsPerBand)},
+       q AS (SELECT doc_id, $ttr AS ttr,
+                    (n_chars BETWEEN 50 AND 2000)
+                      AND $stop <= 0.5 AND $ttr >= 0.05 AS keep
+             FROM documents),
+       cuts AS (SELECT [round(quantile_cont(ttr, 0.2), 6),
+                        round(quantile_cont(ttr, 0.4), 6),
+                        round(quantile_cont(ttr, 0.6), 6),
+                        round(quantile_cont(ttr, 0.8), 6)] AS cs FROM q),
+       dup AS (SELECT DISTINCT doc_id FROM lbl),
+       b AS (SELECT q.doc_id, q.keep,
+                    1 + len(list_filter(cs, c -> ttr > c)) AS band,
+                    q.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+             FROM q CROSS JOIN cuts)
+       SELECT band, count(*) AS n_docs,
+              CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS dup_rate
+       FROM b GROUP BY band ORDER BY band"""
+  }
+
   /** DELETE PROPAGATION (right-to-forget / takedown) — the compliance op
     * every production corpus needs: a small keyed delete list must purge
     * the document AND every derived artifact that embeds it (here the

@@ -551,4 +551,20 @@ class AnalyticsSpec extends AnyFunSuite {
         s"HLL inclusion-exclusion estimate off by > 5%: $r")
     }
   }
+
+  test("event transitions: rows normalize to 1, transition mass = events - users") {
+    val rows = Analytics.eventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-row (cur_type) probabilities sum to 1 within rounding slack
+    rows.groupBy(_.getAs[String]("cur_type")).foreach { case (t, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"row $t sums to $pSum")
+      rs.foreach(r => assert(r.getAs[Double]("p") > 0.0 && r.getAs[Double]("p") <= 1.0))
+    }
+    // every user with k events contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      "transition mass must be total events minus one per user")
+  }
 }

@@ -886,6 +886,25 @@ class CurationSpec extends AnyFunSuite {
       assert(byMass.head.getAs[Double]("epochs") >= byMass.last.getAs[Double]("epochs"))
   }
 
+  test("quality calibration: quintile bands partition the corpus, rates recompute") {
+    val rows = Curation.qualityCalibration(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("band")).distinct.length == rows.length)
+    assert(rows.forall(r => r.getAs[Long]("band") >= 1 && r.getAs[Long]("band") <= 5))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count(),
+      "bands must partition the corpus")
+    val totalDup = rows.map(_.getAs[Long]("n_dup")).sum
+    val clustered = graft.operators.Dedup.nearDupClusters(spark, sf)
+      .select("doc_id").distinct().count()
+    assert(totalDup == clustered, "per-band dup counts must cover exactly the cluster members")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("dup_rate")
+      val recomputed = r.getAs[Long]("n_dup").toDouble / r.getAs[Long]("n_docs")
+      assert(math.abs(rate - recomputed) < 1e-6)
+    }
+  }
+
   test("data card: cells partition the corpus, shares sum to 100, dup counts bounded") {
     val cells = graft.operators.Curation.dataCard(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
