@@ -334,6 +334,9 @@ object SparkEntry {
     "q_mixture_epochs"    -> ((s, d) => Curation.mixtureEpochs(s, d)),
     // TTR quintiles crossed with near-dup membership (score calibration)
     "q_quality_calibration" -> ((s, d) => Curation.qualityCalibration(s, d)),
+    // incremental data-card maintenance: card' = card - replaced + delta;
+    // oracle recomputes from a full merge (incremental == recompute)
+    "q_card_refresh"      -> ((s, d) => Curation.cardRefresh(s, d)),
     // first-order Markov transition matrix over user event sequences
     "q_event_transitions" -> ((s, d) => Analytics.eventTransitions(s, d)),
     // order-independent corpus content digest (dataset versioning)
@@ -398,6 +401,9 @@ object SparkEntry {
     // Stateful streaming exact-dedup (X1's streaming twin): first-seen
     // fingerprints survive; the distinct-fp set is the deterministic part.
     "q_stream_dedup"      -> ((s, d) => graft.streaming.StreamingOps.streamDedupEndToEnd(s, d)),
+    // running per-(source, lang) composition monitor; final state equals
+    // the batch data card's count columns
+    "q_stream_data_card"  -> ((s, d) => graft.streaming.StreamingOps.streamDataCardEndToEnd(s, d)),
     // The state-BOUNDED production variant: dropDuplicatesWithinWatermark
     // holds only the re-ingest window in the state store (bound asserted
     // in StreamingSpec); same distinct-fp result on a bounded replay.
@@ -774,8 +780,14 @@ object SparkEntry {
     "q_token_budget" -> Curation.tokenBudgetSelectOracleSql,
     "q_split_assign" -> Curation.splitAssignOracleSql(),
     "q_data_card" -> Curation.dataCardOracleSql,
+    "q_stream_data_card" ->
+      """SELECT source, lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_mixture_epochs" -> Curation.mixtureEpochsOracleSql(),
     "q_quality_calibration" -> Curation.qualityCalibrationOracleSql,
+    "q_card_refresh" -> Curation.cardRefreshOracleSql,
     "q_event_transitions" -> Analytics.eventTransitionsOracleSql,
     "q_cluster_canonical" -> Dedup.clusterCanonicalOracleSql(),
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,

@@ -1739,6 +1739,70 @@ object Curation {
        FROM t ORDER BY source"""
 
   // ---------------------------------------------------------------------
+  // Incremental data-card maintenance under the corpus merge
+  // ---------------------------------------------------------------------
+
+  /** INCREMENTAL CARD REFRESH — materialized-view delta maintenance for
+    * the data card: after the keyed MERGE ([[corpusMerge]]) applies a
+    * delta, the composition report is refreshed WITHOUT recomputing over
+    * the merged corpus — card' = card − contrib(replaced base rows) +
+    * contrib(delta rows), with each contribution attributed to its OWN
+    * (source, lang) cell so documents that move cells under the update
+    * are handled. The oracle recomputes the card from a FULL merge, so a
+    * green row proves incremental ≡ recompute — the invariant that lets
+    * a 100 TB deployment keep its data card fresh at delta cost (the
+    * [[graft.operators.Dedup.sigstoreRefresh]] pattern applied to an
+    * AGGREGATE instead of a signature store).
+    *
+    * Scale shape: contrib(delta) is delta-sized; contrib(replaced) is a
+    * semi-join of the base corpus against the delta's keys (AQE picks a
+    * broadcast when the delta is small; a bucketed store would prune to
+    * the delta's buckets); the three signed cell-lists then combine in
+    * one card-sized aggregate. Char mass is `length(text)` (not the
+    * stored n_chars) so updated texts re-count from bytes actually
+    * merged. */
+  def cardRefresh(spark: SparkSession, dir: String): DataFrame = {
+    def contrib(df: DataFrame, sign: Int): DataFrame =
+      df.groupBy("source", "lang").agg(
+        (count(lit(1)) * sign).as("dn"),
+        (sum(length(col("text")).cast("long")) * sign).as("dchars"),
+        (sum(size(split(col("text"), " ", -1)).cast("long")) * sign).as("dtoks"))
+    val base = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    val delta = corpusDelta(spark, dir)
+    val replaced = base.join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+    contrib(base, 1)
+      .unionByName(contrib(replaced, -1))
+      .unionByName(contrib(delta, 1))
+      .groupBy("source", "lang").agg(
+        sum(col("dn")).as("n_docs"),
+        sum(col("dchars")).as("n_chars"),
+        sum(col("dtoks")).as("n_tokens"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** DuckDB oracle for [[cardRefresh]] — the card recomputed from a FULL
+    * delta-wins merge (same delta synthesis as [[corpusMergeOracleSql]]);
+    * equality proves the incremental maintenance correct. */
+  val cardRefreshOracleSql: String =
+    """WITH delta AS (
+         SELECT doc_id, text || ' [rev2]' AS text, lang, source
+         FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 100000, '[new] ' || text, lang, source
+         FROM documents WHERE doc_id % 13 = 3),
+       merged AS (
+         SELECT coalesce(d.doc_id, b.doc_id) AS doc_id,
+                coalesce(d.text, b.text) AS text,
+                coalesce(d.lang, b.lang) AS lang,
+                coalesce(d.source, b.source) AS source
+         FROM documents b FULL OUTER JOIN delta d ON b.doc_id = d.doc_id)
+       SELECT source, lang, count(*) AS n_docs,
+              CAST(sum(length(text)) AS BIGINT) AS n_chars,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       FROM merged GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---------------------------------------------------------------------
   // Quality-score calibration against the dedup graph
   // ---------------------------------------------------------------------
 

@@ -467,6 +467,49 @@ object StreamingOps {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** [[graft.operators.Curation.dataCard]]'s STREAMING twin — the
+    * running composition monitor an ingest pipeline keeps live: documents
+    * arrive as micro-batches (4 part files, `maxFilesPerTrigger=1`, so
+    * the replay is genuinely incremental) and a streaming aggregate
+    * maintains per-(source, lang) doc/char/token mass; the final state
+    * equals the batch card's count columns (the oracle). Corpus-relative
+    * columns (share, exact-dup) are deliberately absent — they need the
+    * whole corpus and belong to the batch card; the streaming card is the
+    * composition DRIFT signal (a source suddenly dominating an hour's
+    * ingest) that pages before the nightly batch runs.
+    *
+    * Scale shape per batch: one narrow scan of the arriving files into a
+    * partial-aggregated groupBy whose state is CELLS (sources × langs) —
+    * constant-size state no matter how much data streams through. */
+  def streamDataCardEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    streamDataCardWithMetrics(spark, dir)._1
+
+  /** [[streamDataCardEndToEnd]] plus the number of micro-batches, so the
+    * spec can pin that the card really accreted incrementally. */
+  private[graft] def streamDataCardWithMetrics(spark: SparkSession,
+                                               dir: String): (DataFrame, Long) = {
+    val out = scratchDir("datacard")
+    graft.Tables.documents(spark, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$out/in")
+    val agg = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    (readBackCleaned(spark, out)(identity), nBatches)
+  }
+
   /** X1's streaming twin — stateful exact dedup on a document STREAM:
     * `dropDuplicates` on the content digest keeps the first-seen row per
     * fingerprint in the state store, so re-crawled/re-ingested content is

@@ -886,6 +886,26 @@ class CurationSpec extends AnyFunSuite {
       assert(byMass.head.getAs[Double]("epochs") >= byMass.last.getAs[Double]("epochs"))
   }
 
+  test("card refresh: incremental maintenance equals full recompute on the merged corpus") {
+    val inc = Curation.cardRefresh(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens")))
+      .toMap
+    // full recompute in-engine (independent of the oracle path)
+    val full = Curation.mergeTexts(
+      Tables.documents(spark, sf).select("doc_id", "text", "lang", "source"),
+      Curation.corpusDelta(spark, sf))
+      .groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(inc == full, "incremental card must equal the recomputed card")
+  }
+
   test("quality calibration: quintile bands partition the corpus, rates recompute") {
     val rows = Curation.qualityCalibration(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("band")).distinct.length == rows.length)

@@ -449,4 +449,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == corpus - nLateDropped,
       s"kept $kept, expected ${corpus - nLateDropped}")
   }
+
+  test("streaming data card: accretes over multiple batches, final state equals batch card") {
+    val (card, nBatches) = graft.streaming.StreamingOps
+      .streamDataCardWithMetrics(spark, TestSpark.sf)
+    assert(nBatches > 1, s"expected a multi-batch replay, got $nBatches batch(es)")
+    val got = card.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens")))
+      .toMap
+    val want = graft.operators.Curation.dataCard(spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(got == want, "streaming composition must equal the batch data card's counts")
+  }
 }
