@@ -104,6 +104,21 @@ object SparkEntry {
     "q_corpus_merge_bucketed" -> ((s, d) => Curation.corpusMergeBucketed(s, d)),
     // — headline analytics [EXT] —
     "q_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(s, d)),
+    // — TPC-H-shaped decision-support suite [EXT] (TpchSuite.scala) —
+    "q_shipping_priority" -> ((s, d) => TpchSuite.shippingPriority(s, d)),
+    "q_order_priority_exists" -> ((s, d) => TpchSuite.orderPriorityExists(s, d)),
+    "q_local_supplier_volume" -> ((s, d) => TpchSuite.localSupplierVolume(s, d)),
+    "q_forecast_revenue"  -> ((s, d) => TpchSuite.forecastRevenue(s, d)),
+    "q_nation_trade_volume" -> ((s, d) => TpchSuite.nationTradeVolume(s, d)),
+    "q_market_share"      -> ((s, d) => TpchSuite.marketShare(s, d)),
+    "q_returned_items"    -> ((s, d) => TpchSuite.returnedItems(s, d)),
+    "q_cust_order_distribution" -> ((s, d) => TpchSuite.custOrderDistribution(s, d)),
+    "q_promo_revenue"     -> ((s, d) => TpchSuite.promoRevenue(s, d)),
+    "q_supplier_part_breadth" -> ((s, d) => TpchSuite.supplierPartBreadth(s, d)),
+    "q_small_qty_revenue" -> ((s, d) => TpchSuite.smallQtyRevenue(s, d)),
+    "q_large_volume_cust" -> ((s, d) => TpchSuite.largeVolumeCustomers(s, d)),
+    "q_special_revenue"   -> ((s, d) => TpchSuite.specialRevenue(s, d)),
+    "q_dormant_customers" -> ((s, d) => TpchSuite.dormantCustomers(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
     "q_revenue_by_region" -> ((s, d) => Analytics.revenueByRegion(s, d)),
     // supply-side dim rollup (the supplier table's coverage row)
@@ -856,6 +871,20 @@ object SparkEntry {
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
     "q_label_centroids" -> Similarity.labelCentroidsOracleSql,
     "q_star_join" -> Analytics.starJoinRevenueOracleSql(),
+    "q_shipping_priority" -> TpchSuite.shippingPriorityOracleSql,
+    "q_order_priority_exists" -> TpchSuite.orderPriorityExistsOracleSql,
+    "q_local_supplier_volume" -> TpchSuite.localSupplierVolumeOracleSql,
+    "q_forecast_revenue" -> TpchSuite.forecastRevenueOracleSql,
+    "q_nation_trade_volume" -> TpchSuite.nationTradeVolumeOracleSql,
+    "q_market_share" -> TpchSuite.marketShareOracleSql,
+    "q_returned_items" -> TpchSuite.returnedItemsOracleSql,
+    "q_cust_order_distribution" -> TpchSuite.custOrderDistributionOracleSql,
+    "q_promo_revenue" -> TpchSuite.promoRevenueOracleSql,
+    "q_supplier_part_breadth" -> TpchSuite.supplierPartBreadthOracleSql,
+    "q_small_qty_revenue" -> TpchSuite.smallQtyRevenueOracleSql,
+    "q_large_volume_cust" -> TpchSuite.largeVolumeCustomersOracleSql,
+    "q_special_revenue" -> TpchSuite.specialRevenueOracleSql,
+    "q_dormant_customers" -> TpchSuite.dormantCustomersOracleSql,
     "q_incremental_agg" -> Analytics.incrementalRevenueOracleSql,
     "q_supplier_profile" -> Analytics.supplierProfileOracleSql,
     "q_topk_aggregator" -> Analytics.topPricesPerCustomerOracleSql,

@@ -1,0 +1,501 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** TPC-H-shaped decision-support suite over the testdata star schema.
+  *
+  * The reference delegates all relational analytics to Redshift
+  * (`dag-knlp.py:369-405` is its entire SQL surface); a user replacing that
+  * warehouse with this engine gets the standard decision-support shapes
+  * here, adapted to the driver testdata's TPC-H-lite schema (no partsupp,
+  * no commit/receipt dates, no ship modes — those queries are re-targeted
+  * to the columns that exist, keeping each query's *plan shape*: the
+  * multi-way join order problem, semi/anti joins from EXISTS, scalar
+  * subqueries, conditional aggregation, group-then-window shares,
+  * correlated per-group thresholds, and deterministic top-k).
+  *
+  * Determinism for the DuckDB oracle: all money sums are exact DECIMAL
+  * then cast to double (partial-agg order can't change the result);
+  * every LIMIT carries a total-order tie-break; double ratios divide two
+  * already-cast doubles in the same association order on both sides.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - nation/region are fixed-cardinality (25/5) at every SF → broadcast
+  *    hints. customer/part/supplier scale linearly → no forced hints;
+  *    AQE picks broadcast at small SF and shuffle at large.
+  *  - Selective date/segment/brand filters sit directly on the scans so
+  *    Parquet row-group pruning and pushdown apply before any join.
+  *  - The per-part threshold in [[smallQtyRevenue]] is a groupBy+rejoin
+  *    (two shuffles, both key-partitioned), not a per-row correlated
+  *    subquery — the form that survives a 1000-executor plan.
+  */
+object TpchSuite {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Exact decimal revenue sum of price*(1-disc), surfaced as double. */
+  private def revenueSum: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec4(col("l_discount"))))
+      .cast("double")
+  private val revenueSumSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- Q3
+  /** Shipping priority: revenue of not-yet-shipped order lines for one
+    * market segment, top-10. Fact-fact join pruned by three pushed
+    * filters before the shuffle; deterministic limit via full tie-break. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(revenueSum.as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  val shippingPriorityOracleSql: String =
+    s"""SELECT l_orderkey, $revenueSumSql AS revenue, o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30'
+          AND l_shipdate  > TIMESTAMP '1998-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""
+
+  // ---------------------------------------------------------------- Q4
+  /** Order-priority check: orders in one quarter with at least one line
+    * shipped after the order date — EXISTS becomes a LEFT SEMI join
+    * (equi key + residual non-equi condition), never a per-row probe. */
+  def orderPriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-07-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val orderPriorityExistsOracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders o
+       WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+         AND o_orderdate <  TIMESTAMP '1997-10-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- Q5
+  /** Local supplier volume: revenue where the ordering customer and the
+    * supplying supplier sit in the same nation, one order-year. The
+    * c_nationkey = s_nationkey residual rides the lineitem⋈supplier join;
+    * nation broadcasts (25 rows at every SF). */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(revenueSum.as("revenue"))
+  }
+
+  val localSupplierVolumeOracleSql: String =
+    s"""SELECT n_name, $revenueSumSql AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name"""
+
+  // ---------------------------------------------------------------- Q6
+  /** Forecast revenue change: pure scan-side query — every predicate
+    * (date range, discount band, quantity cap) pushes to the Parquet
+    * scan, then a single exact-decimal sum. The canonical pushdown
+    * showcase: zero joins, zero wide shuffles. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.04 && col("l_discount") <= 0.06
+        && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec4(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  val forecastRevenueOracleSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+         AND l_discount >= CAST(0.04 AS DOUBLE)
+         AND l_discount <= CAST(0.06 AS DOUBLE)
+         AND l_quantity < 24"""
+
+  // ---------------------------------------------------------------- Q7
+  /** Nation trade volume: shipped revenue between a pair of nations in
+    * both directions, by ship-year. Two independent nation broadcasts
+    * (supplier side, customer side) + a cross-pair residual filter. */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(pair: _*))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(pair: _*))
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenueSum.as("revenue"))
+  }
+
+  val nationTradeVolumeOracleSql: String =
+    s"""SELECT supp_nation, cust_nation, l_year, $revenueSumSql AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     l_extendedprice, l_discount
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey  = c_custkey
+              JOIN supplier ON l_suppkey  = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1','NATION_2')
+                AND n2.n_name IN ('NATION_1','NATION_2')
+                AND n1.n_name <> n2.n_name) t
+        GROUP BY supp_nation, cust_nation, l_year"""
+
+  // ---------------------------------------------------------------- Q8
+  /** Market share: per order-year, each supplier-nation's share of PROMO
+    * part revenue sold to one region's customers. Group-then-window: the
+    * exact decimal group sums stay decimal through the window total so
+    * the share ratio divides two identically-computed doubles. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val revDec = sum(dec(col("l_extendedprice"))
+      * (lit(1).cast(DecimalType(4, 2)) - dec4(col("l_discount"))))
+    val grouped = l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n2), s("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .agg(revDec.as("rev_dec"))
+    val w = Window.partitionBy("o_year")
+    grouped
+      .withColumn("mkt_share",
+        col("rev_dec").cast("double") / sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("o_year"), col("supp_nation"),
+        col("rev_dec").cast("double").as("revenue"), col("mkt_share"))
+  }
+
+  val marketShareOracleSql: String =
+    """SELECT o_year, supp_nation,
+              CAST(rev_dec AS DOUBLE) AS revenue,
+              CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, supp_nation,
+                    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+             FROM (SELECT o_orderdate, n2.n_name AS supp_nation,
+                          l_extendedprice, l_discount
+                   FROM lineitem
+                   JOIN part     ON l_partkey = p_partkey
+                   JOIN orders   ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey  = c_custkey
+                   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                   JOIN region   ON n1.n_regionkey = r_regionkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                   WHERE p_type = 'PROMO' AND r_name = 'ASIA') t
+             GROUP BY 1, 2) g"""
+
+  // ---------------------------------------------------------------- Q10
+  /** Returned-item losses: revenue of 'R'-flagged lines per customer for
+    * one order-quarter, top-20 with full tie-break. The returnflag and
+    * date predicates push to the two fact scans before the join. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-10-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(revenueSum.as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsOracleSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revenueSumSql AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  // ---------------------------------------------------------------- Q13
+  /** Customer order-count distribution: LEFT OUTER join keeps the
+    * zero-order customers, double aggregation (per-customer count, then
+    * histogram of counts). The second groupBy is tiny (distinct counts),
+    * so the plan is one fact-sized shuffle + one trivial one. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val custOrderDistributionOracleSql: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer
+             LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                        WHERE o_orderpriority <> '1-URGENT') o
+               ON c_custkey = o_custkey
+             GROUP BY c_custkey) t
+       GROUP BY c_count"""
+
+  // ---------------------------------------------------------------- Q14
+  /** Promo revenue share: conditional aggregation — one pass computes
+    * both the PROMO-part revenue and the total, then one double ratio.
+    * No second scan, no self-join. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-03-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val disc = dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) - dec4(col("l_discount")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("promo_rev"),
+        sum(disc).cast("double").as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+  }
+
+  val promoRevenueOracleSql: String =
+    """SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_pct
+       FROM (SELECT
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+               AND l_shipdate <  TIMESTAMP '1997-04-01') t"""
+
+  // ---------------------------------------------------------------- Q16
+  /** Supplier breadth per part class: COUNT(DISTINCT supplier) per
+    * (brand, type, size) from the sales log, excluding one brand. The
+    * distinct rides the groupBy shuffle (partial sets merged), never a
+    * driver-side set. */
+  def supplierPartBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val supplierPartBreadthOracleSql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#1'
+       GROUP BY p_brand, p_type, p_size"""
+
+  // ---------------------------------------------------------------- Q17
+  /** Small-quantity revenue: lines of one brand ordered below 20% of
+    * that part's average quantity. The correlated per-part threshold is
+    * a groupBy + key-partitioned rejoin (both shuffles on l_partkey),
+    * not a per-row subquery — the shape that scales. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val thresholds = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(thresholds, l("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val smallQtyRevenueOracleSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN (SELECT l_partkey AS t_partkey,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+             FROM lineitem GROUP BY l_partkey) t
+         ON l_partkey = t_partkey
+       WHERE p_brand = 'Brand#3'
+         AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty"""
+
+  // ---------------------------------------------------------------- Q18
+  /** Large-volume customers: orders whose total quantity exceeds a
+    * threshold, with the ordering customer. HAVING on an exact decimal
+    * sum, then a key join back to orders/customer. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val big = l.groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    big.join(o, col("b_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  val largeVolumeCustomersOracleSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       FROM (SELECT l_orderkey AS b_orderkey,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250) b
+       JOIN orders   ON b_orderkey = o_orderkey
+       JOIN customer ON o_custkey  = c_custkey"""
+
+  // ---------------------------------------------------------------- Q19
+  /** Special revenue: three OR'd brand/size/quantity windows — a single
+    * disjunctive residual on one lineitem⋈part join, not a UNION of
+    * three scans. */
+  def specialRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .filter(cond)
+      .agg(revenueSum.as("revenue"))
+  }
+
+  val specialRevenueOracleSql: String =
+    s"""SELECT $revenueSumSql AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  // ---------------------------------------------------------------- Q22
+  /** Dormant high-balance customers: above the positive-balance average
+    * (scalar aggregate broadcast via 1-row cross join) with no order
+    * since 1999 (LEFT ANTI against the date-pruned orders scan), counted
+    * per nation. */
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
+
+  val dormantCustomersOracleSql: String =
+    """SELECT n_name, count(*) AS n_cust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       FROM customer c
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                          FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+       GROUP BY n_name"""
+}
