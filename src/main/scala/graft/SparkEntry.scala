@@ -406,6 +406,13 @@ object SparkEntry {
     // feature extraction after decode: bytes -> stub embedding through
     // the per-partition batch boundary, exactly oracle-checked
     "q_media_embed"       -> ((s, d) => Multimodal.mediaEmbed(s, d)),
+    // perceptual dHash over the real pixel payload; banded hamming join
+    // (4×16-bit bands, exact for hamming ≤ 3 by pigeonhole) vs an
+    // all-pairs oracle proves the banding lossless
+    "q_media_phash"       -> ((s, d) => Multimodal.perceptualHash(s, d)),
+    "q_image_near_dup"    -> ((s, d) => Multimodal.imageNearDup(s, d)),
+    // per-clip PCM energy features, Long-exact sum-of-squares
+    "q_audio_stats"       -> ((s, d) => Multimodal.audioStats(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
@@ -937,5 +944,8 @@ object SparkEntry {
     "q_frame_extract" -> Multimodal.frameExtractOracleSql(),
     "q_media_resize" -> Multimodal.resizePlanOracleSql(),
     "q_media_embed" -> Multimodal.mediaEmbedOracleSql,
+    "q_media_phash" -> Multimodal.perceptualHashOracleSql,
+    "q_image_near_dup" -> Multimodal.imageNearDupOracleSql(),
+    "q_audio_stats" -> Multimodal.audioStatsOracleSql,
   )
 }

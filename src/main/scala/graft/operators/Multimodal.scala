@@ -457,4 +457,219 @@ object Multimodal {
        SELECT doc_id, CAST((i * ns) // kk AS BIGINT) AS frame_idx,
               CAST(44 + ((i * ns) // kk) * 2 AS BIGINT) AS byte_offset
        FROM e ORDER BY doc_id, frame_idx"""
+
+  // ---------------------------------------------------------------------
+  // Perceptual hashing — image NEAR-dup over the real pixel payload
+  // ---------------------------------------------------------------------
+
+  /** 64-bit difference hash (dHash) over the decoded 24-bpp pixel grid:
+    * sample a 9×8 grayscale grid by nearest-neighbor from the REAL
+    * payload bytes (bottom-up rows, 4-byte-aligned stride, BGR), then
+    * bit i = gy·8+gx is set iff gray(gx+1, gy) > gray(gx, gy). Returned
+    * as two unsigned 32-bit halves so the SQL oracle can rebuild each
+    * half with `bit << i` sums without touching the sign bit. */
+  def dHash64(c: Array[Byte], off: Int, w: Int, h: Int): (Long, Long) = {
+    val row = ((w * 3 + 3) / 4) * 4
+    val gray = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val px = gx * w / 9; val py = gy * h / 8
+        val p = off + py * row + px * 3
+        gray(gy)(gx) = ((c(p) & 0xff) + (c(p + 1) & 0xff) + (c(p + 2) & 0xff)) / 3
+        gx += 1
+      }
+      gy += 1
+    }
+    var hi = 0L; var lo = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (gray(gy)(gx + 1) > gray(gy)(gx)) {
+          val i = gy * 8 + gx
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-image perceptual hash: decode each BMP in its partition batch,
+    * dHash the pixel payload, emit only (doc_id, phash_hi, phash_lo).
+    * Narrow (no shuffle); payload bytes never leave the partition — at
+    * 100 TB only 16 bytes/image cross to the dedup join. */
+  def perceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildBmp)
+      .mapPartitions(_.flatMap { r =>
+        val m = parseBmp(r.doc_id, r.content)
+        if (m.status != "ok") Iterator.empty
+        else {
+          val (hi, lo) = dHash64(r.content, 54, m.width.toInt, m.height.toInt)
+          Iterator((r.doc_id, hi, lo))
+        }
+      })
+      .toDF("doc_id", "phash_hi", "phash_lo")
+  }
+
+  // 0-based byte j of the UTF-8 text as an integer, via the hex dump —
+  // shared by the payload-reading oracles.
+  private def oHexByte(j: String): String = {
+    def nib(o: String) =
+      s"(strpos('0123456789ABCDEF', substr(hx, 2 * ($j) + $o, 1)) - 1)"
+    s"(${nib("1")} * 16 + ${nib("2")})"
+  }
+
+  /** DuckDB oracle for [[perceptualHash]] — payload byte p is text byte
+    * p mod n (builder rule), so every grid sample, comparison bit, and
+    * packed half is reproducible in closed form. */
+  def perceptualHashOracleSql: String = {
+    val base = "(py * rw + px * 3)"
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       d AS (SELECT doc_id, hx, n, 1 + n % 64 AS w, 1 + (n * 7) % 48 AS h FROM m),
+       r AS (SELECT doc_id, hx, n, w, h, ((w * 3 + 3) // 4) * 4 AS rw FROM d),
+       g AS (SELECT doc_id, hx, n, rw, gx, gy,
+                    (gx * w) // 9 AS px, (gy * h) // 8 AS py
+             FROM r, unnest(range(0, 9)) t1(gx), unnest(range(0, 8)) t2(gy)),
+       gr AS (SELECT doc_id, gx, gy,
+                     (${oHexByte(s"$base % n")} + ${oHexByte(s"($base + 1) % n")}
+                      + ${oHexByte(s"($base + 2) % n")}) // 3 AS gray
+              FROM g),
+       bits AS (SELECT a.doc_id, a.gy * 8 + a.gx AS i,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM gr a JOIN gr b
+                  ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+                WHERE a.gx < 8)
+       SELECT doc_id,
+              CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+              CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS phash_lo
+       FROM bits GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Image near-dup pairs via BANDED hamming join over [[perceptualHash]]:
+    * the 64-bit dHash splits into 4×16-bit bands; by pigeonhole any pair
+    * within hamming distance ≤ 3 shares at least one untouched band, so
+    * the band equi-join is EXACT for the ≤ 3 threshold (never all-pairs —
+    * candidate work is per-bucket, the simhash scale shape). Candidates
+    * are verified with a real popcount over both halves. */
+  def imageNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    // stage the hashes ONCE: both join sides consume them, and at 100 TB
+    // re-deriving a side means re-decoding every image — persist the
+    // 16-byte/image relation (spillable, lineage-preserving) instead.
+    val hashes = perceptualHash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try imageNearDupFrom(hashes, maxHamming)
+    finally hashes.unpersist(blocking = false)
+  }
+
+  private def imageNearDupFrom(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val ph = hashes
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        array(
+          col("phash_lo").bitwiseAND(lit(0xffffL)),
+          shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)) + lit(0x10000L),
+          col("phash_hi").bitwiseAND(lit(0xffffL)) + lit(0x20000L),
+          shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL)) + lit(0x30000L))
+          .as("bands"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        explode(col("bands")).as("band"))
+    val a = ph.select(col("band"), col("doc_id").as("a"),
+      col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+    val b = ph.select(col("band"), col("doc_id").as("b"),
+      col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+    val out = a.join(b, Seq("band")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("a", "b")
+    // materialize the pair-sized result while the hash stage is live,
+    // then release it deterministically (same idiom as containmentPairs)
+    out.cache().count()
+    out
+  }
+
+  /** DuckDB oracle for [[imageNearDup]] — brute-force all-pairs hamming
+    * over the closed-form hashes. The Spark side bands and never goes
+    * all-pairs; equality with this oracle PROVES the banding is lossless
+    * at the ≤ 3 threshold. */
+  def imageNearDupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH ph AS (${perceptualHashOracleSql.replace("ORDER BY doc_id", "")})
+       SELECT a.doc_id AS a, b.doc_id AS b,
+              CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                   + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT) AS hamming
+       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+             + bit_count(xor(a.phash_lo, b.phash_lo)) <= $maxHamming
+       ORDER BY a, b"""
+
+  // ---------------------------------------------------------------------
+  // Audio signal statistics — energy features over the real PCM payload
+  // ---------------------------------------------------------------------
+
+  /** Per-clip audio energy features over every decoded 16-bit PCM sample:
+    * RMS, silence ratio (|s| < 256), and peak amplitude. The
+    * sum-of-squares accumulates in a Long (samples ≤ 2¹⁵ → squares fit
+    * exactly), so the result is bit-deterministic regardless of partition
+    * count — the float rounding happens exactly once at the end. Narrow
+    * per-partition pass; only 5 scalars per clip leave the stage. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildWav)
+      .mapPartitions(_.flatMap { r =>
+        val m = parseWav(r.doc_id, r.content)
+        if (m.status != "ok") Iterator.empty
+        else {
+          var i = 0L; var sumSq = 0L; var nSilent = 0L; var peak = 0L
+          while (i < m.n_samples) {
+            val off = (m.data_offset + i * m.block_align).toInt
+            val v = (r.content(off + 1).toLong << 8) | (r.content(off) & 0xffL)
+            val a = math.abs(v)
+            sumSq += v * v
+            if (a < 256) nSilent += 1
+            if (a > peak) peak = a
+            i += 1
+          }
+          val rms = BigDecimal(math.sqrt(sumSq.toDouble / m.n_samples))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val sil = BigDecimal(nSilent.toDouble / m.n_samples)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator((r.doc_id, m.n_samples, rms, sil, peak))
+        }
+      })
+      .toDF("doc_id", "n_samples", "rms", "silence_ratio", "peak")
+  }
+
+  /** DuckDB oracle for [[audioStats]] — every sample value from the
+    * cycled-text payload rule, sum-of-squares in BIGINT (exact), one
+    * rounding at the end mirroring the Scala side. */
+  def audioStatsOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       f AS (SELECT doc_id, hx, n, 1 + n % 1000 AS ns FROM m),
+       e AS (SELECT doc_id, hx, n, ns, unnest(range(0, ns)) AS i FROM f),
+       b AS (SELECT doc_id, ns,
+                    ${oHexByte("(i * 2) % n")} AS lo,
+                    ${oHexByte("(i * 2 + 1) % n")} AS hi
+             FROM e),
+       v AS (SELECT doc_id, ns,
+                    CAST(CASE WHEN hi >= 128 THEN (hi - 256) * 256 + lo
+                              ELSE hi * 256 + lo END AS BIGINT) AS s
+             FROM b)
+       SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+              round(sqrt(CAST(sum(s * s) AS DOUBLE) / ns), 6) AS rms,
+              round(CAST(sum(CASE WHEN abs(s) < 256 THEN 1 ELSE 0 END) AS DOUBLE) / ns, 6) AS silence_ratio,
+              CAST(max(abs(s)) AS BIGINT) AS peak
+       FROM v GROUP BY doc_id, ns ORDER BY doc_id"""
 }

@@ -140,4 +140,75 @@ class MultimodalSpec extends AnyFunSuite {
     // only the summary leaves the stage; payload bytes never in the schema
     assert(!e.schema.fieldNames.contains("content"))
   }
+
+  test("dHash64: monotone gradients pin every bit; structure not content noise") {
+    // hand-built 9×8 24-bpp payload, no builder involved: pixel (x,y)
+    // bytes all = x*10 → gray strictly increasing in x → all 64 bits set
+    def rawBmp(f: (Int, Int) => Int): Array[Byte] = {
+      val w = 9; val h = 8; val row = ((w * 3 + 3) / 4) * 4
+      val c = new Array[Byte](54 + row * h)
+      for (y <- 0 until h; x <- 0 until w; k <- 0 until 3)
+        c(54 + y * row + x * 3 + k) = f(x, y).toByte
+      c
+    }
+    val inc = Multimodal.dHash64(rawBmp((x, _) => x * 10), 54, 9, 8)
+    assert(inc == (0xffffffffL, 0xffffffffL))
+    val dec = Multimodal.dHash64(rawBmp((x, _) => 90 - x * 10), 54, 9, 8)
+    assert(dec == (0L, 0L))
+    // flat image → no bit set (strict >)
+    assert(Multimodal.dHash64(rawBmp((_, _) => 42), 54, 9, 8) == (0L, 0L))
+    // halves are unsigned 32-bit
+    assert(inc._1 >= 0 && inc._1 <= 0xffffffffL && inc._2 >= 0)
+  }
+
+  test("perceptual hash: one row per ok image, halves unsigned-32, rerun-identical") {
+    val ph = Multimodal.perceptualHash(spark, sf)
+    val okN = Multimodal.mediaMeta(spark, sf).count()
+    assert(ph.count() == okN)
+    assert(ph.filter(col("phash_hi") < 0 || col("phash_hi") > 0xffffffffL ||
+      col("phash_lo") < 0 || col("phash_lo") > 0xffffffffL).isEmpty)
+    val again = Multimodal.perceptualHash(spark, sf)
+    assert(ph.exceptAll(again).isEmpty && again.exceptAll(ph).isEmpty)
+  }
+
+  test("image near-dup: banded join equals brute-force all-pairs at hamming <= 3") {
+    val banded = Multimodal.imageNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Spark-side brute force (independent of the band path)
+    val ph = Multimodal.perceptualHash(spark, sf)
+    val a = ph.select(col("doc_id").as("a"), col("phash_hi").as("ha"), col("phash_lo").as("la"))
+    val b = ph.select(col("doc_id").as("b"), col("phash_hi").as("hb"), col("phash_lo").as("lb"))
+    val brute = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)")).cast("long").as("d"))
+      .filter(col("d") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, "4×16-bit banding must be lossless at hamming <= 3")
+    banded.foreach { case (x, y, d) => assert(x < y && d >= 0 && d <= 3) }
+  }
+
+  test("audio stats: exact Long sum-of-squares matches an independent per-doc recompute") {
+    val rows = Multimodal.audioStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    rows.foreach { case (id, ns, rms, sil, peak) =>
+      val t = texts(id); val n = t.length
+      assert(ns == 1 + n % 1000)
+      // independent recompute straight from the cycled-text payload rule
+      val samples = (0L until ns).map { i =>
+        val lo = t(((i * 2) % n).toInt) & 0xffL
+        val hi = t(((i * 2 + 1) % n).toInt).toLong
+        (hi << 8) | lo
+      }
+      val expRms = BigDecimal(math.sqrt(samples.map(s => s * s).sum.toDouble / ns))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rms == expRms, s"doc $id rms")
+      assert(peak == samples.map(math.abs).max, s"doc $id peak")
+      val expSil = BigDecimal(samples.count(s => math.abs(s) < 256).toDouble / ns)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sil == expSil, s"doc $id silence")
+    }
+  }
 }
