@@ -413,6 +413,10 @@ object SparkEntry {
     "q_image_near_dup"    -> ((s, d) => Multimodal.imageNearDup(s, d)),
     // per-clip PCM energy features, Long-exact sum-of-squares
     "q_audio_stats"       -> ((s, d) => Multimodal.audioStats(s, d)),
+    // exact set-similarity self-join via prefix filtering (AllPairs/
+    // PPJoin): all Jaccard >= 0.9 pairs with zero misses, never
+    // all-pairs; brute-force oracle proves the filter lossless
+    "q_ppjoin"            -> ((s, d) => PrefixJoin.ppJoin(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
@@ -947,5 +951,6 @@ object SparkEntry {
     "q_media_phash" -> Multimodal.perceptualHashOracleSql,
     "q_image_near_dup" -> Multimodal.imageNearDupOracleSql(),
     "q_audio_stats" -> Multimodal.audioStatsOracleSql,
+    "q_ppjoin" -> PrefixJoin.ppJoinOracleSql(),
   )
 }

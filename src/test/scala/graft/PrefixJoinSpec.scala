@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PrefixJoin
+import graft.Tables
+
+/** Exact prefix-filtered set-similarity join: losslessness vs brute
+  * force, and the no-all-pairs plan shape. */
+class PrefixJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("ppJoin equals Spark-side brute-force all-pairs Jaccard (lossless filter)") {
+    val got = PrefixJoin.ppJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.functions.ArrayIntersectCount.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ", -1)).as("ts"))
+      .withColumn("sz", size(col("ts")))
+    val a = docs.select(col("doc_id").as("a"), col("ts").as("tsa"), col("sz").as("sza"))
+    val b = docs.select(col("doc_id").as("b"), col("ts").as("tsb"), col("sz").as("szb"))
+    val brute = a.join(b, col("a") < col("b"))
+      .withColumn("ni", expr("array_intersect_count(tsa, tsb)").cast("long"))
+      .withColumn("nu", col("sza") + col("szb") - col("ni"))
+      .filter(col("ni").cast("double") / col("nu") >= 0.95)
+      .select(col("a"), col("b"), col("ni"),
+        round(col("ni").cast("double") / col("nu"), 6).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == brute, s"prefix filter dropped or invented pairs: " +
+      s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty, "fixture should contain near-dup pairs at 0.95")
+  }
+
+  test("ppJoin plan never forms a cartesian/nested-loop product") {
+    val plan = PrefixJoin.ppJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("prefix arithmetic: p = sz - ceil(tau*sz) + 1, always >= 1, shrinks with tau") {
+    def p(sz: Int, tau: Double) = sz - math.ceil(tau * sz).toInt + 1
+    assert(p(10, 0.9) == 2 && p(10, 0.5) == 6 && p(1, 0.9) == 1)
+    for (sz <- 1 to 50; tau <- Seq(0.5, 0.8, 0.9, 0.99))
+      assert(p(sz, tau) >= 1 && p(sz, tau) <= sz)
+  }
+
+  test("every reported pair really clears the threshold; symmetry and ordering hold") {
+    val rows = PrefixJoin.ppJoin(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(3) >= 0.95 - 5e-7 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) >= 1)
+    }
+  }
+}
