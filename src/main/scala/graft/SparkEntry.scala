@@ -417,6 +417,14 @@ object SparkEntry {
     // PPJoin): all Jaccard >= 0.9 pairs with zero misses, never
     // all-pairs; brute-force oracle proves the filter lossless
     "q_ppjoin"            -> ((s, d) => PrefixJoin.ppJoin(s, d)),
+    // IR-metric evaluation of the deterministic IVF ANN arm vs exact
+    // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
+    // oracle-reproduced (centroids, probes, ranking, metrics)
+    "q_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
+    // Zipf-law exponent over the top-100 token frequencies (corpus
+    // health: natural text slopes near -1); TakeOrdered cut, OLS over
+    // the fit panel only
+    "q_zipf_fit"          -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
@@ -952,5 +960,7 @@ object SparkEntry {
     "q_image_near_dup" -> Multimodal.imageNearDupOracleSql(),
     "q_audio_stats" -> Multimodal.audioStatsOracleSql,
     "q_ppjoin" -> PrefixJoin.ppJoinOracleSql(),
+    "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
+    "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
   )
 }

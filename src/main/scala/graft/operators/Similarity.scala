@@ -871,4 +871,77 @@ object Similarity {
              FROM fused) t
        WHERE "rank" <= $kOut
        ORDER BY query_id, "rank""""
+
+  // ---------------------------------------------------------------------
+  // Retrieval-quality evaluation — the IR metrics a production ANN stage
+  // reports against exact ground truth
+  // ---------------------------------------------------------------------
+
+  /** Per-query retrieval metrics of the DETERMINISTIC IVF arm
+    * ([[annIvfTopk]]) against exact brute-force cosine top-k ground
+    * truth: recall@k, MRR@k (reciprocal rank of the first true
+    * neighbor retrieved), and binary-relevance nDCG@k. One row per
+    * query — the evaluation harness every ANN deployment runs before
+    * trading exactness for speed, here oracle-checked end to end
+    * because every stage (centroids, probes, ranking, metrics) is
+    * deterministic and tie-broken.
+    *
+    * Scale shape: ground truth is the expensive part (brute force), but
+    * it runs over the QUERY SAMPLE only (10 queries here; a fixed-size
+    * panel at 100 TB) — the corpus-sized side stays a broadcast-scored
+    * scan, never an all-pairs join. */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = embDouble(spark, dir)
+    val q = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val wT = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
+    val truth = e0.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(emb, qemb)").as("sim_raw"))
+      .withColumn("grank", row_number().over(wT))
+      .filter(col("grank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("rel"))
+    val retrieved = annIvfTopk(spark, dir, k)
+    // idcg is a constant: truth always has k members (corpus >> k)
+    val idcg = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum
+    retrieved
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        round(sum(coalesce(col("rel"), lit(0))).cast("double") / k, 6).as("recall"),
+        round(coalesce(max(when(col("rel") === 1, lit(1.0) / col("rank"))), lit(0.0)), 6).as("rr"),
+        round(coalesce(sum(when(col("rel") === 1,
+          lit(1.0) / (log(col("rank") + 1) / log(lit(2.0))))), lit(0.0)) / idcg, 6).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB oracle for [[retrievalEval]] — re-derives the full IVF
+    * retrieval ([[annIvfTopkOracleSql]] verbatim as a CTE), the exact
+    * ground truth, and the same three metrics. */
+  def retrievalEvalOracleSql(k: Int = 10): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH retr AS (${annIvfTopkOracleSql(k)}),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       qv AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
+       truth AS (
+         SELECT query_id, neighbor_id, 1 AS rel FROM (
+           SELECT q.query_id, x.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY ${cos("x.emb", "q.qemb")} DESC, x.vec_id ASC) AS grank
+           FROM e x JOIN qv q ON x.vec_id <> q.query_id) t
+         WHERE grank <= $k),
+       idcg AS (SELECT sum(1.0 / log2(r + 1)) AS v
+                FROM unnest(range(1, $k + 1)) AS t(r)),
+       j AS (SELECT r.query_id, r."rank", coalesce(t.rel, 0) AS rel
+             FROM retr r LEFT JOIN truth t
+               ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id)
+       SELECT query_id,
+              round(CAST(sum(rel) AS DOUBLE) / $k, 6) AS recall,
+              round(coalesce(max(CASE WHEN rel = 1 THEN 1.0 / "rank" END), 0.0), 6) AS rr,
+              round(coalesce(sum(CASE WHEN rel = 1 THEN 1.0 / log2("rank" + 1) END), 0.0)
+                    / (SELECT v FROM idcg), 6) AS ndcg
+       FROM j GROUP BY query_id ORDER BY query_id"""
+  }
 }

@@ -1261,4 +1261,57 @@ object TextAnalysis {
        FROM dots JOIN nrm x ON x.doc_id = da JOIN nrm y ON y.doc_id = db
        WHERE CAST(dot AS DOUBLE) / (x.norm * y.norm) >= $threshold
        ORDER BY da, db"""
+
+  // ---------------------------------------------------------------------
+  // Zipf power-law fit — corpus-health statistic
+  // ---------------------------------------------------------------------
+
+  /** Least-squares fit of ln(freq) = intercept + slope·ln(rank) over the
+    * top-`topN` token frequencies — the Zipf-law exponent. Natural text
+    * sits near slope ≈ −1; a corpus whose slope drifts far from that
+    * (template floods, boilerplate) fails the fit. One scalar row:
+    * (n_points, slope, intercept, r2).
+    *
+    * Scale shape: frequency table is one shuffle; the top-N cut is
+    * TakeOrdered (distributed heap, never a global sort of the vocab);
+    * the window rank and OLS run over the N = $topN surviving rows only
+    * — the driver/single-partition work is fit-panel-sized, not
+    * vocab-sized. */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 100,
+              minFreq: Long = 2L): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+      .orderBy(desc("n"), asc("token")).limit(topN)
+    // rank over the already-cut N rows — the unpartitioned window is
+    // deliberate and bounded (N rows), not a corpus-sized sort
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("token"))
+    val pts = freq.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val slope = covar_pop(col("y"), col("x")) / var_pop(col("x"))
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      round(slope, 6).as("slope"),
+      round(avg(col("y")) - slope * avg(col("x")), 6).as("intercept"),
+      round(corr(col("x"), col("y")) * corr(col("x"), col("y")), 6).as("r2"))
+  }
+
+  /** DuckDB oracle for [[zipfFit]] — identical tie-broken ranking and
+    * the same population-moment OLS arithmetic. */
+  def zipfFitOracleSql(topN: Int = 100, minFreq: Long = 2L): String =
+    s"""WITH f AS (SELECT token, count(*) AS n
+                   FROM (SELECT unnest(string_split(text, ' ')) AS token
+                         FROM documents) t
+                   GROUP BY token HAVING count(*) >= $minFreq),
+       r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+             FROM f),
+       pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+               FROM r WHERE rank <= $topN)
+       SELECT CAST(count(*) AS BIGINT) AS n_points,
+              round(covar_pop(y, x) / var_pop(x), 6) AS slope,
+              round(avg(y) - covar_pop(y, x) / var_pop(x) * avg(x), 6) AS intercept,
+              round(corr(x, y) * corr(x, y), 6) AS r2
+       FROM pts"""
 }

@@ -256,4 +256,22 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("retrieval eval: one row per query, metrics bounded and mutually consistent") {
+    val rows = Similarity.retrievalEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    rows.foreach { case (q, recall, rr, ndcg) =>
+      assert(recall >= 0 && recall <= 1, s"query $q recall $recall")
+      assert(rr >= 0 && rr <= 1, s"query $q rr $rr")
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9, s"query $q ndcg $ndcg")
+      // any hit at all (recall > 0) forces a positive reciprocal rank,
+      // and nDCG can't exceed recall-share by construction of binary rel
+      if (recall > 0) assert(rr > 0 && ndcg > 0, s"query $q inconsistent metrics")
+      else assert(rr == 0 && ndcg == 0, s"query $q phantom hit")
+    }
+    // the IVF arm clears the same 0.6 floor its recall self-check pins
+    val avgRecall = rows.map(_._2).sum / rows.length
+    assert(avgRecall >= 0.6, s"avg recall@10 $avgRecall below the IVF floor")
+  }
 }

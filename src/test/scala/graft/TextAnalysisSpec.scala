@@ -388,4 +388,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(!v.isNaN && !v.isInfinite && v < 0.0, s"bad score $r")
     }
   }
+
+  test("zipf fit: full panel, negative slope, coherent OLS identities") {
+    val r = TextAnalysis.zipfFit(spark, sf).collect().head
+    val (n, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // the synthetic corpus draws from a ~31-token vocabulary, so the
+    // panel is vocab-bounded below the 100 cap
+    assert(n >= 10 && n <= 100, s"fit panel size out of range: $n")
+    assert(slope < 0, s"rank-frequency slope must be negative, got $slope")
+    assert(r2 >= 0 && r2 <= 1 + 1e-9, s"r2 out of range: $r2")
+    // the fitted line must pass above the tail: intercept = ln(freq) at
+    // rank 1, so it should at least reach the top frequency's magnitude
+    assert(intercept > 0, s"ln-frequency intercept must be positive: $intercept")
+    // re-running the fit is bit-identical (deterministic tie-break)
+    val again = TextAnalysis.zipfFit(spark, sf).collect().head
+    assert(r == again)
+  }
 }
