@@ -425,6 +425,12 @@ object SparkEntry {
     // health: natural text slopes near -1); TakeOrdered cut, OLS over
     // the fit panel only
     "q_zipf_fit"          -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    // SentencePiece-style unigram-LM tokenizer step: Viterbi-best
+    // segmentation per distinct word under micro-log integer scores
+    // (oracle enumerates ALL segmentations — agreement proves the DP),
+    // plus one EM count step over the best segmentations
+    "q_unigram_lm"        -> ((s, d) => UnigramLM.viterbiSegment(s, d)),
+    "q_unigram_em"        -> ((s, d) => UnigramLM.emStep(s, d)),
     // — Structured Streaming, end-to-end (file stream → watermarked
     //   window agg → foreachBatch sink), checked against the same oracle
     //   as its batch twin q_hourly_events —
@@ -962,5 +968,7 @@ object SparkEntry {
     "q_ppjoin" -> PrefixJoin.ppJoinOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
+    "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),
+    "q_unigram_em" -> UnigramLM.emStepOracleSql(),
   )
 }
