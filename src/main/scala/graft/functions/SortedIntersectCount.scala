@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** Native Catalyst expression: |A ∩ B| over two SORTED, DISTINCT string
-  * arrays via a single linear merge — zero allocation per row.
+/** Native Catalyst expression: |A ∩ B| over two SORTED, DISTINCT arrays
+  * (string, long, or int elements) via a single linear merge — zero
+  * allocation per row. The integer arms serve dictionary-encoded token
+  * sets (hash the vocabulary once, then every set operation is integer
+  * compares — the columnar-engine encode-then-operate pattern).
   *
   * The allocation-free sibling of [[ArrayIntersectCount]]: that kernel
   * builds a HashSet per row (the right call for unsorted inputs); this
@@ -34,12 +37,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(_: LongType, _), ArrayType(_: LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(_: IntegerType, _), ArrayType(_: IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects two array<string> inputs, got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+        s"$prettyName expects two array<string|long|int> inputs of matching " +
+          s"element type, got ${left.dataType.simpleString} and " +
+          s"${right.dataType.simpleString}")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+
+  private def isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StringType]
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[LongType]
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,7 +60,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var cnt = 0
     while (i < nx && j < ny && !x.isNullAt(i) && !y.isNullAt(j)) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val c =
+        if (isString) x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        else if (isLong) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else java.lang.Integer.compare(x.getInt(i), y.getInt(j))
       if (c == 0) { cnt += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -61,11 +77,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val cnt = ctx.freshName("cnt")
       val c = ctx.freshName("c")
+      // the element type is static at codegen time — emit only its branch
+      val cmp =
+        if (isString) s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"java.lang.Integer.compare($a.getInt($i), $b.getInt($j))"
       s"""
          |int $i = 0; int $j = 0; int $cnt = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()
          |       && !$a.isNullAt($i) && !$b.isNullAt($j)) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $c = $cmp;
          |  if ($c == 0) { $cnt++; $i++; $j++; }
          |  else if ($c < 0) { $i++; } else { $j++; }
          |}

@@ -59,11 +59,17 @@ object PrefixJoin {
     // On a near-dup-dense corpus this shrinks the hot prefix buckets
     // (a duplicated doc contributes its rare tokens once, not once per
     // copy) and turns all within-group pairs into free J=1 emissions.
+    // tsh = the DICTIONARY-ENCODED set: xxhash64 each token once, sort —
+    // from here on every set operation is integer compares, not string
+    // compares, and verify rows carry 8 bytes/token instead of the text
+    // (collision bound vocab²/2⁶⁴, the same accepted hash regime as the
+    // MinHash family)
     val groups = Tables.documents(spark, dir)
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " ", -1))).as("ts"))
       .groupBy("ts")
       .agg(min(col("doc_id")).as("set_id"), collect_list(col("doc_id")).as("members"))
       .withColumn("sz", size(col("ts")))
+      .withColumn("tsh", expr("array_sort(transform(ts, t -> xxhash64(t)))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tok = groups.select(col("set_id"), col("sz"), explode(col("ts")).as("tok"))
@@ -112,9 +118,9 @@ object PrefixJoin {
       // member lists join AFTER the τ-filter: only the few surviving
       // set pairs pay the member-array copy, not every candidate row
       val setPairs = cand
-        .join(groups.select(col("set_id").as("sa"), col("ts").as("tsa"),
+        .join(groups.select(col("set_id").as("sa"), col("tsh").as("tsa"),
           col("sz").as("sza")), "sa")
-        .join(groups.select(col("set_id").as("sb"), col("ts").as("tsb"),
+        .join(groups.select(col("set_id").as("sb"), col("tsh").as("tsb"),
           col("sz").as("szb")), "sb")
         .withColumn("ni", expr("sorted_intersect_count(tsa, tsb)").cast("long"))
         .withColumn("nu", col("sza") + col("szb") - col("ni"))
