@@ -167,6 +167,10 @@ object Bench {
       // date-range layout: the manifest-skipping query plans over its
       // per-file min/max stats (ingest shape, paid once like bucketing)
       "range_orders" -> (() => operators.Bucketing.ensureRangeOrders(spark, sfDir)),
+      // prefix index of the exact similarity join (df order + per-doc
+      // prefixes + encoded sets): the nightly index the incremental
+      // probe reads — q_ppjoin_incremental times the probe, not the build
+      "ppjoin_index" -> (() => operators.PrefixJoin.ensurePrefixIndex(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

@@ -417,6 +417,9 @@ object SparkEntry {
     // PPJoin): all Jaccard >= 0.9 pairs with zero misses, never
     // all-pairs; brute-force oracle proves the filter lossless
     "q_ppjoin"            -> ((s, d) => PrefixJoin.ppJoin(s, d)),
+    // incremental arm: new-batch prefixes probe the corpus prefix index;
+    // candidate work scales with the batch, never corpus squared
+    "q_ppjoin_incremental"-> ((s, d) => PrefixJoin.ppJoinIncremental(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -966,6 +969,7 @@ object SparkEntry {
     "q_image_near_dup" -> Multimodal.imageNearDupOracleSql(),
     "q_audio_stats" -> Multimodal.audioStatsOracleSql,
     "q_ppjoin" -> PrefixJoin.ppJoinOracleSql(),
+    "q_ppjoin_incremental" -> PrefixJoin.ppJoinIncrementalOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

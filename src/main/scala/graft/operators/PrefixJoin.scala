@@ -151,6 +151,105 @@ object PrefixJoin {
     } finally groups.unpersist(blocking = false)
   }
 
+  /** INCREMENTAL exact set-similarity: every (new doc, corpus doc) pair
+    * with Jaccard ≥ τ — the production daily-crawl flow for the exact
+    * join, mirroring [[Dedup.nearDupNewVsCorpus]] for the banded path.
+    * New batch = the top decile of doc_id (derived from a parquet max
+    * stat, metadata-scale); candidate work is new-prefix × corpus-bucket
+    * — cost ∝ |batch|, never corpus². The prefix theorem is split-
+    * agnostic (any J ≥ τ pair shares a token inside BOTH prefixes under
+    * the one global order), so the asymmetric probe loses nothing; the
+    * df table it orders by is the maintained vocabulary artifact of the
+    * store (recomputed here, vocabulary-sized either way). */
+  def prefixIndexKey(dir: String, threshold: Double): String =
+    s"ppidx-${dir.replace('/', '_')}-t$threshold"
+
+  /** Build (once per process) the persisted PREFIX INDEX the incremental
+    * exact join probes: `df/` (the global token order), `prefix/` (each
+    * doc's exploded rarest-first prefix under that order), and `sets/`
+    * (dictionary-encoded sorted sets for verification). The single-app
+    * stand-in for the nightly index job every downstream incremental
+    * similarity query reads — same staged-artifact contract as the
+    * MinHash signature store. */
+  def ensurePrefixIndex(spark: SparkSession, dir: String,
+                        threshold: Double = 0.95): String =
+    Dedup.ensureArtifact(prefixIndexKey(dir, threshold)) { tmp =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " ", -1))).as("ts"))
+        .withColumn("sz", size(col("ts")))
+      val tok = docs.select(col("doc_id"), col("sz"), explode(col("ts")).as("tok"))
+      val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      dfreq.write.mode("overwrite").parquet(s"$tmp/df")
+      val ordered = tok
+        .join(spark.read.parquet(s"$tmp/df"), "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+          first(col("sz")).as("sz"))
+        .select(col("doc_id"), col("sz"),
+          expr("transform(ord, x -> x.tok)").as("ordts"))
+      ordered
+        .withColumn("p", (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1))
+        .select(col("doc_id"), col("sz"),
+          posexplode(slice(col("ordts"), lit(1), col("p"))).as(Seq("pos", "tok")))
+        .write.mode("overwrite").parquet(s"$tmp/prefix")
+      docs.withColumn("tsh", expr("array_sort(transform(ts, t -> xxhash64(t)))"))
+        .select("doc_id", "sz", "tsh")
+        .write.mode("overwrite").parquet(s"$tmp/sets")
+    }.toString
+
+  def ppJoinIncremental(spark: SparkSession, dir: String,
+                        threshold: Double = 0.95): DataFrame = {
+    val splitFrom = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    // probe the PERSISTED index: the query's cost is the batch probe +
+    // one index scan — the corpus is never re-tokenized or re-ordered
+    val idx = ensurePrefixIndex(spark, dir, threshold)
+    val prefix = spark.read.parquet(s"$idx/prefix")
+    val sets = spark.read.parquet(s"$idx/sets")
+    val newPre = prefix.filter(col("doc_id") >= splitFrom)
+        .select(col("tok"), col("doc_id").as("new_doc"),
+        col("sz").as("sza"), (col("pos") + 1).as("rna"))
+    val corpusPre = prefix.filter(col("doc_id") < splitFrom)
+        .select(col("tok"), col("doc_id").as("corpus_doc"),
+        col("sz").as("szb"), (col("pos") + 1).as("rnb"))
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("sza") + col("szb")) - lit(1e-9))
+    val cand = newPre.join(corpusPre,
+        newPre("tok") === corpusPre("tok") &&
+          col("szb") * lit(threshold) <= col("sza") &&
+          col("sza") * lit(threshold) <= col("szb") &&
+          (lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))) >= minOverlap)
+      .select("new_doc", "corpus_doc").distinct()
+    graft.functions.SortedIntersectCount.register(spark)
+    cand
+      .join(sets.select(col("doc_id").as("new_doc"), col("tsh").as("tsa"),
+        col("sz").as("sza")), "new_doc")
+      .join(sets.select(col("doc_id").as("corpus_doc"), col("tsh").as("tsb"),
+        col("sz").as("szb")), "corpus_doc")
+      .withColumn("ni", expr("sorted_intersect_count(tsa, tsb)").cast("long"))
+      .withColumn("nu", col("sza") + col("szb") - col("ni"))
+      .filter(col("ni").cast("double") / col("nu") >= threshold)
+      .select(col("new_doc"), col("corpus_doc"), col("ni").as("n_common"),
+        round(col("ni").cast("double") / col("nu"), 6).as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[ppJoinIncremental]] — brute-force new×corpus
+    * exact Jaccard over the same decile split. */
+  def ppJoinIncrementalOracleSql(threshold: Double = 0.95): String =
+    s"""WITH s AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+                   FROM documents),
+       split AS (SELECT (max(doc_id) * 9) // 10 AS sf FROM documents),
+       p AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                    len(list_intersect(a.ts, b.ts)) AS ni,
+                    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS nu
+             FROM s a JOIN s b ON a.doc_id <> b.doc_id
+             CROSS JOIN split
+             WHERE a.doc_id >= split.sf AND b.doc_id < split.sf)
+       SELECT new_doc, corpus_doc, CAST(ni AS BIGINT) AS n_common,
+              round(CAST(ni AS DOUBLE) / nu, 6) AS jaccard
+       FROM p WHERE CAST(ni AS DOUBLE) / nu >= $threshold
+       ORDER BY new_doc, corpus_doc"""
+
   /** DuckDB oracle for [[ppJoin]] — brute-force all-pairs exact Jaccard.
     * Equality with the Spark side proves the prefix filter lossless: the
     * Spark plan never forms an all-pairs product, yet returns the

@@ -55,4 +55,36 @@ class PrefixJoinSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 1)
     }
   }
+
+  test("incremental probe equals brute-force new-batch x corpus; store is reused") {
+    val got = PrefixJoin.ppJoinIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.functions.ArrayIntersectCount.register(spark)
+    val splitFrom = Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ", -1)).as("ts"))
+      .withColumn("sz", size(col("ts")))
+    val brute = docs.filter(col("doc_id") >= splitFrom)
+      .select(col("doc_id").as("new_doc"), col("ts").as("tsa"), col("sz").as("sza"))
+      .join(docs.filter(col("doc_id") < splitFrom)
+        .select(col("doc_id").as("corpus_doc"), col("ts").as("tsb"), col("sz").as("szb")),
+        col("new_doc") =!= col("corpus_doc"))
+      .withColumn("ni", expr("array_intersect_count(tsa, tsb)").cast("long"))
+      .withColumn("nu", col("sza") + col("szb") - col("ni"))
+      .filter(col("ni").cast("double") / col("nu") >= 0.95)
+      .select(col("new_doc"), col("corpus_doc"), col("ni"),
+        round(col("ni").cast("double") / col("nu"), 6).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == brute, s"incremental probe diverged: missing=${(brute -- got).take(3)} " +
+      s"extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty)
+    // second invocation must reuse the persisted index (same path back)
+    val p1 = PrefixJoin.ensurePrefixIndex(spark, sf)
+    val p2 = PrefixJoin.ensurePrefixIndex(spark, sf)
+    assert(p1 == p2)
+    assert(new java.io.File(s"$p1/prefix").exists && new java.io.File(s"$p1/sets").exists
+      && new java.io.File(s"$p1/df").exists)
+  }
 }
