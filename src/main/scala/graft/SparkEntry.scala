@@ -420,6 +420,10 @@ object SparkEntry {
     // incremental arm: new-batch prefixes probe the corpus prefix index;
     // candidate work scales with the batch, never corpus squared
     "q_ppjoin_incremental"-> ((s, d) => PrefixJoin.ppJoinIncremental(s, d)),
+    // connected components by alternating large-star/small-star edge
+    // contraction (SoCC'14) — same clusters, same oracle as
+    // q_dedup_clusters: two independent published CC algorithms agree
+    "q_cc_star"           -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -970,6 +974,7 @@ object SparkEntry {
     "q_audio_stats" -> Multimodal.audioStatsOracleSql,
     "q_ppjoin" -> PrefixJoin.ppJoinOracleSql(),
     "q_ppjoin_incremental" -> PrefixJoin.ppJoinIncrementalOracleSql(),
+    "q_cc_star" -> Dedup.nearDupClustersOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

@@ -926,6 +926,109 @@ object Dedup {
     (parent.createDataFrame(out.rdd, out.schema), iter)
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the published alternative to
+    * [[connectedComponents]]'s min-label propagation, and the variant
+    * whose per-round work CONTRACTS the edge set instead of streaming
+    * labels over a static edge list:
+    *
+    *  - large-star: every node u links each LARGER neighbor to
+    *    m(u) = min(N(u) ∪ {u}) — long chains fold toward minima;
+    *  - small-star: u links each neighbor ≤ u (and itself) to m(u) —
+    *    local stars flatten onto their minimum.
+    *
+    * Both steps are a groupBy-min + an edge join — NO per-node neighbor
+    * lists are ever collected, so a 10⁶-degree hub costs a shuffle of
+    * its edges, not an array build. Convergence (O(log n) alternations)
+    * is detected by a commutative edge-set digest riding the round's
+    * materialization as an `observe` metric — one driver action per
+    * round, mirroring the propagation loop's fixpoint probe.
+    *
+    * Returns (cluster_id = component min, doc_id), identical to
+    * [[connectedComponents]] — DedupSpec asserts the two algorithms
+    * agree on adversarial graphs, and `q_cc_star` pins the equality
+    * against the same recursive-CTE oracle as `q_dedup_clusters`. */
+  private[graft] def connectedComponentsStarWithRounds(pairs: DataFrame,
+                                                       maxIters: Int = 50): (DataFrame, Int) = {
+    val parent = pairs.sparkSession
+    val loop = parent.newSession()
+    loop.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    val src = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
+    val nodes = loop.createDataFrame(
+      src.select(col("u").as("doc_id")).union(src.select(col("v").as("doc_id")))
+        .distinct().localCheckpoint().rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .localCheckpoint()
+    var edges = loop.createDataFrame(src.rdd, src.schema).localCheckpoint()
+    def bothDirs(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def minTarget(e2: DataFrame): DataFrame =
+      e2.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+    var digest: (Long, Long, Long) = (-1L, -1L, -1L)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // large-star: (v, m(u)) for v ∈ N(u), v > u
+      val e2a = bothDirs(edges)
+      val ma = minTarget(e2a)
+      val large = e2a.join(ma, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the large-star output: (v, m(u)) for v ≤ u, + (u, m(u))
+      val e2b = bothDirs(large)
+      val mb = minTarget(e2b)
+      val small = e2b.join(mb, "u").filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mb.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      // commutative digest in two 31-bit-masked halves: ANSI-safe Long
+      // sums up to ~4·10⁹ edges per partition-set, far past any round's
+      // edge count, while two independent halves keep the collision
+      // probability of a false fixpoint negligible
+      val obs = new org.apache.spark.sql.Observation()
+      val next = small
+        .observe(obs,
+          coalesce(sum(expr("xxhash64(u, v) & 2147483647")), lit(0L)).as("dg_lo"),
+          coalesce(sum(expr("(xxhash64(u, v) >> 33) & 2147483647")), lit(0L)).as("dg_hi"),
+          count(lit(1)).as("ne"))
+        .localCheckpoint()
+      val d = (obs.get("dg_lo").asInstanceOf[Long],
+        obs.get("dg_hi").asInstanceOf[Long], obs.get("ne").asInstanceOf[Long])
+      converged = d == digest
+      digest = d
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"star-contraction did not converge within $maxIters alternations")
+    System.err.println(s"[graft] connectedComponentsStar converged in $iter alternations")
+    // at the fixpoint every edge points a node at its component minimum;
+    // nodes with no outgoing edge are their component's minimum (or singletons)
+    val out = nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("root")), Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(coalesce(min(col("root")), first(col("doc_id"))).as("cluster_id"))
+      .select(col("cluster_id"), col("doc_id"))
+    (parent.createDataFrame(out.rdd, out.schema), iter)
+  }
+
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsStarWithRounds(pairs, maxIters)._1
+
+  /** [[nearDupClusters]] computed by star contraction instead of label
+    * propagation — same pair artifact, same output contract, same
+    * oracle. Green next to `q_dedup_clusters` proves two independent
+    * published CC algorithms agree on the dedup graph. */
+  def nearDupClustersStar(spark: SparkSession, dir: String,
+                          threshold: Double = 0.95): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, threshold)
+      .select("doc_a", "doc_b").localCheckpoint()
+    connectedComponentsStar(pairs)
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
   /** X2e — the END of the dedup story: near-dup PAIRS → transitive
     * CLUSTERS → one keeper per cluster. A~B and B~C must dedup as ONE
     * group even when A~C never collided (the at-scale heir of the

@@ -320,6 +320,31 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.filter(col("cluster_id") =!= 0L).isEmpty)
   }
 
+  test("star contraction agrees with label propagation on the adversarial graphs") {
+    import spark.implicits._
+    // 10k-node path, min at one end (diameter 9999)
+    val n = 10000L
+    val path = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (ccP, altP) = Dedup.connectedComponentsStarWithRounds(path)
+    assert(altP <= 28, s"path took $altP alternations (O(log n) expected)")
+    assert(ccP.count() == n && ccP.filter(col("cluster_id") =!= 0L).isEmpty)
+    // star-of-stars, min at a leaf (diameter 4)
+    val root = 9999L
+    val pairs2 = ((9900L until 9999L).map(h => (root, h)) ++
+      (0L until 9900L).map(i => (9900L + i % 99, i))).toDF("doc_a", "doc_b")
+    val (ccS, altS) = Dedup.connectedComponentsStarWithRounds(pairs2)
+    assert(altS <= 8, s"star-of-stars took $altS alternations")
+    assert(ccS.count() == 10000L && ccS.filter(col("cluster_id") =!= 0L).isEmpty)
+    // and on the real dedup graph: identical clustering to min-label CC
+    val real = Dedup.nearDupPairs(spark, sf, 0.95).select("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(real).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    val b = Dedup.connectedComponentsStar(real).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(a == b, "the two published CC algorithms disagree on the dedup graph")
+  }
+
   test("near-dup clusters: consistent with the pair list, keeper is the min member") {
     val pairs = Dedup.nearDupPairs(spark, sf, 0.95).select("doc_a", "doc_b")
     val clusters = Dedup.nearDupClusters(spark, sf, 0.95)
