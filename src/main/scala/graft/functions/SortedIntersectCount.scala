@@ -49,9 +49,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
 
-  private def isString: Boolean =
+  // type is fixed after analysis — hoist the discriminant so the
+  // interpreted merge loop dispatches as statically as the codegen path
+  private lazy val isString: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[StringType]
-  private def isLong: Boolean =
+  private lazy val isLong: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType.isInstanceOf[LongType]
 
   override def nullSafeEval(a: Any, b: Any): Any = {

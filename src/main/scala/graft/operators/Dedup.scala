@@ -957,7 +957,7 @@ object Dedup {
     val src = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
     val nodes = loop.createDataFrame(
       src.select(col("u").as("doc_id")).union(src.select(col("v").as("doc_id")))
-        .distinct().localCheckpoint().rdd,
+        .distinct().rdd,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType, nullable = false))))

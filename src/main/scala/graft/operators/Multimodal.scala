@@ -416,12 +416,7 @@ object Multimodal {
     * sample at data offset d is (text[d mod n], text[(d+1) mod n]) as a
     * signed 16-bit LE — each byte dug out of hex(encode(text)). */
   def frameExtractOracleSql(k: Int = 3): String = {
-    // 0-based byte j of the UTF-8 text as an integer, via the hex dump
-    def hexByte(j: String): String = {
-      def nib(o: String) =
-        s"(strpos('0123456789ABCDEF', substr(hx, 2 * ($j) + $o, 1)) - 1)"
-      s"(${nib("1")} * 16 + ${nib("2")})"
-    }
+    def hexByte(j: String): String = oHexByte(j)
     s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
                           octet_length(encode(text)) AS n
                    FROM documents

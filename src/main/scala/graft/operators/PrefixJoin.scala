@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -34,13 +34,42 @@ import graft.Tables
   *  - A length filter (τ·|A| ≤ |B|) prunes candidates further: J ≥ τ
   *    forces |B| ≥ τ·|A| (intersection ≤ min, union ≥ max).
   *  - Verification computes exact |A∩B| with the codegen'd
-  *    array_intersect_count over the full sorted sets — no token
-  *    re-explosion, no second shuffle of token rows.
+  *    sorted_intersect_count merge kernel over DICTIONARY-ENCODED sets
+  *    (xxhash64 per token, sorted longs — 8 bytes/token, integer
+  *    compares; collision bound vocab²/2⁶⁴, the MinHash hash regime) —
+  *    no token re-explosion, no second shuffle of token rows.
   *
   * Everything is one declarative plan: explode → two hash joins →
   * distinct → verify. No driver-side loops, no all-pairs stage.
   */
 object PrefixJoin {
+
+  /** Prefix length p = sz − ⌈τ·sz⌉ + 1 as a Column. The −1e-9 inside the
+    * ceil guards the float product: τ·sz landing epsilon ABOVE an exact
+    * integer would otherwise round the ceil up and shorten the prefix
+    * below what the losslessness theorem requires (e.g. 0.55·460 =
+    * 253.00000000000003). Erring longer only adds candidates. */
+  private def prefixLen(threshold: Double): Column =
+    col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + 1
+
+  /** The candidate-join condition shared by the self-join and the
+    * incremental probe (single source of truth — a guard fixed in one
+    * path must not silently diverge the other): token equality, the
+    * length filter (J ≥ τ forces τ·max ≤ min of the sizes), and the
+    * PPJoin positional filter. Every τ-product carries the −1e-9 float
+    * guard: all three are PRUNING bounds, so erring permissive costs a
+    * verify; erring strict silently drops true pairs. */
+  private def candCondition(tokA: Column, tokB: Column, threshold: Double): Column = {
+    // minOverlap: J ≥ τ ⟺ |A∩B| ≥ τ/(1+τ)·(|A|+|B|)
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("sza") + col("szb")) - lit(1e-9))
+    tokA === tokB &&
+      col("szb") * lit(threshold) - lit(1e-9) <= col("sza") &&
+      col("sza") * lit(threshold) - lit(1e-9) <= col("szb") &&
+      // positional: on the FIRST common token row, overlap ≤ 1 + min
+      // remaining suffix — every true pair survives via that row
+      (lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))) >= minOverlap
+  }
 
   /** All unordered doc pairs with unigram-token-set Jaccard ≥ τ:
     * (a, b, n_common, jaccard), a < b.
@@ -90,27 +119,15 @@ object PrefixJoin {
       // evenly — fusing the intersect into this join was measured 2×
       // slower at sf0.1 (one straggler task did 14M intersects).
       val prefix = ordered
-        .withColumn("p", (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1))
+        .withColumn("p", prefixLen(threshold))
         .select(col("set_id"), col("sz"),
           posexplode(slice(col("ordts"), lit(1), col("p"))).as(Seq("pos", "tok")))
       val candA = prefix.select(col("tok"), col("set_id").as("sa"),
         col("sz").as("sza"), (col("pos") + 1).as("rna"))
       val candB = prefix.select(col("tok"), col("set_id").as("sb"),
         col("sz").as("szb"), (col("pos") + 1).as("rnb"))
-      // minOverlap: J ≥ τ ⟺ |A∩B| ≥ τ/(1+τ)·(|A|+|B|); the −1e-9 keeps
-      // float noise from rounding an exactly-integer bound upward (over-
-      // pruning loses true pairs; under-pruning only costs a verify)
-      val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-        (col("sza") + col("szb")) - lit(1e-9))
       val cand = candA.join(candB,
-          candA("tok") === candB("tok") && col("sa") < col("sb") &&
-            // length filter: J ≥ τ forces τ·max ≤ min of the two sizes
-            col("szb") * lit(threshold) <= col("sza") &&
-            col("sza") * lit(threshold) <= col("szb") &&
-            // positional filter (PPJoin): on the FIRST common token row,
-            // overlap ≤ 1 + min(remaining suffix lengths) — every true
-            // pair survives via that row; later-token rows may prune
-            (lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))) >= minOverlap)
+          candCondition(candA("tok"), candB("tok"), threshold) && col("sa") < col("sb"))
         .select("sa", "sb").distinct()
       // verify on the evenly-repartitioned distinct pairs with the
       // allocation-free sorted-merge kernel (arrays are sorted+distinct)
@@ -188,7 +205,7 @@ object PrefixJoin {
         .select(col("doc_id"), col("sz"),
           expr("transform(ord, x -> x.tok)").as("ordts"))
       ordered
-        .withColumn("p", (col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1))
+        .withColumn("p", prefixLen(threshold))
         .select(col("doc_id"), col("sz"),
           posexplode(slice(col("ordts"), lit(1), col("p"))).as(Seq("pos", "tok")))
         .write.mode("overwrite").parquet(s"$tmp/prefix")
@@ -212,13 +229,8 @@ object PrefixJoin {
     val corpusPre = prefix.filter(col("doc_id") < splitFrom)
         .select(col("tok"), col("doc_id").as("corpus_doc"),
         col("sz").as("szb"), (col("pos") + 1).as("rnb"))
-    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("sza") + col("szb")) - lit(1e-9))
     val cand = newPre.join(corpusPre,
-        newPre("tok") === corpusPre("tok") &&
-          col("szb") * lit(threshold) <= col("sza") &&
-          col("sza") * lit(threshold) <= col("szb") &&
-          (lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))) >= minOverlap)
+        candCondition(newPre("tok"), corpusPre("tok"), threshold))
       .select("new_doc", "corpus_doc").distinct()
     graft.functions.SortedIntersectCount.register(spark)
     cand

@@ -126,6 +126,11 @@ object UnigramLM {
              minFreq: Long = 2L): DataFrame = {
     val seg = viterbiSegment(spark, dir, vocabCap, minFreq)
     val uses = seg
+      // split("", "\\|") yields [""], so an empty word (consecutive
+      // spaces produce one) would inject a phantom '' piece with weight
+      // wfreq — its segmentation is empty BY DEFINITION (n_pieces = 0),
+      // so it must contribute nothing to the EM statistics
+      .filter(col("segmentation") =!= "")
       .select(col("wfreq"), explode(split(col("segmentation"), "\\|")).as("piece"))
       .groupBy("piece").agg(sum(col("wfreq")).as("uses"))
     val totalUses = uses.agg(sum(col("uses")).cast("double").as("t"))
@@ -196,7 +201,8 @@ object UnigramLM {
     s"""WITH RECURSIVE ${oracleModelCtes(vocabCap, minFreq)},
        uses AS (SELECT unnest(string_split(b.seg, '|')) AS piece,
                        w.wfreq
-                FROM bestseg b JOIN words w ON b.word = w.word),
+                FROM bestseg b JOIN words w ON b.word = w.word
+                WHERE b.seg <> ''),
        agg AS (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS uses
                FROM uses GROUP BY piece),
        t AS (SELECT CAST(sum(uses) AS DOUBLE) AS total FROM agg)
