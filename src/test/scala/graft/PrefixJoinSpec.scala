@@ -56,6 +56,35 @@ class PrefixJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("float-boundary threshold: tau=0.55 subset pair at exactly J=0.55 is kept") {
+    // 0.55*460 = 253.00000000000003 in doubles: without the -1e-9 guards
+    // the length filter drops this pair and the ceil shortens the prefix
+    // below the theorem's requirement. A is the first 253 of B's 460
+    // distinct tokens, so J = 253/460 = 0.55 exactly (rational).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin-boundary-").toString
+    try {
+      val bToks = (1 to 460).map(i => f"t$i%04d")
+      val aToks = bToks.take(253)
+      Seq(
+        (1L, aToks.mkString(" "), "en", "s", aToks.mkString(" ").length.toLong),
+        (2L, bToks.mkString(" "), "en", "s", bToks.mkString(" ").length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = PrefixJoin.ppJoin(spark, dir, threshold = 0.55).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 253L)),
+        s"boundary pair J=253/460=0.55 must survive the filters, got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+  }
+
   test("incremental probe equals brute-force new-batch x corpus; store is reused") {
     val got = PrefixJoin.ppJoinIncremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
