@@ -424,6 +424,9 @@ object SparkEntry {
     // contraction (SoCC'14) — same clusters, same oracle as
     // q_dedup_clusters: two independent published CC algorithms agree
     "q_cc_star"           -> ((s, d) => Dedup.nearDupClustersStar(s, d)),
+    // contrastive triplet mining: hardest same-label positive + hardest
+    // different-label negative per anchor, margin = pos - neg
+    "q_triplet_mining"    -> ((s, d) => Similarity.tripletMining(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -975,6 +978,7 @@ object SparkEntry {
     "q_ppjoin" -> PrefixJoin.ppJoinOracleSql(),
     "q_ppjoin_incremental" -> PrefixJoin.ppJoinIncrementalOracleSql(),
     "q_cc_star" -> Dedup.nearDupClustersOracleSql(),
+    "q_triplet_mining" -> Similarity.tripletMiningOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

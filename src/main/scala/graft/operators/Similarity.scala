@@ -944,4 +944,78 @@ object Similarity {
                     / (SELECT v FROM idcg), 6) AS ndcg
        FROM j GROUP BY query_id ORDER BY query_id"""
   }
+
+  // ---------------------------------------------------------------------
+  // Contrastive triplet mining — embedding-training data preparation
+  // ---------------------------------------------------------------------
+
+  /** Hard (anchor, positive, negative) triplets for contrastive /
+    * metric-learning training: per anchor, the HARDEST POSITIVE is its
+    * most-similar same-label vector and the HARDEST NEGATIVE its
+    * most-similar different-label vector; margin = pos_sim − neg_sim
+    * (negative margin ⇒ the pair the loss must fix). The standard
+    * batch-mining step of embedding-model training, run over the
+    * labeled embedding table.
+    *
+    * Scale shape: anchors are a fixed panel broadcast against one
+    * corpus-linear scored scan; the two "hardest" picks are one ranked
+    * window over the scored rows — never an all-pairs product. */
+  def tripletMining(spark: SparkSession, dir: String, nAnchors: Int = 10): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val anchors = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("emb").as("aemb"),
+        col("label").as("alabel"))
+    val scored = e.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("alabel"), col("vec_id").as("cand_id"),
+        col("label").as("clabel"), expr("cosine_sim(emb, aemb)").as("sim"))
+    val w = Window.partitionBy("anchor_id", "is_pos")
+      .orderBy(desc("sim"), asc("cand_id"))
+    val ranked = scored
+      .withColumn("is_pos", col("clabel") === col("alabel"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val pos = ranked.filter(col("is_pos"))
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        round(col("sim"), 6).as("pos_sim"), col("sim").as("pos_raw"))
+    val neg = ranked.filter(!col("is_pos"))
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        round(col("sim"), 6).as("neg_sim"), col("sim").as("neg_raw"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+      .orderBy("anchor_id")
+  }
+
+  /** DuckDB oracle for [[tripletMining]] — same scoring, ranking,
+    * tie-breaks, and margin arithmetic (rounded once, from the raw
+    * sims, exactly as the Spark side). */
+  def tripletMiningOracleSql(nAnchors: Int = 10): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                   FROM embeddings),
+       a AS (SELECT vec_id AS anchor_id, emb AS aemb, label AS alabel
+             FROM e WHERE vec_id < $nAnchors),
+       scored AS (
+         SELECT a.anchor_id, a.alabel, c.vec_id AS cand_id, c.label AS clabel,
+                ${cos("c.emb", "a.aemb")} AS sim
+         FROM e c JOIN a ON c.vec_id <> a.anchor_id),
+       ranked AS (
+         SELECT anchor_id, cand_id, sim, clabel = alabel AS is_pos,
+                row_number() OVER (PARTITION BY anchor_id, clabel = alabel
+                                   ORDER BY sim DESC, cand_id ASC) AS rn
+         FROM scored),
+       pos AS (SELECT anchor_id, cand_id AS pos_id, sim AS pos_raw
+               FROM ranked WHERE is_pos AND rn = 1),
+       neg AS (SELECT anchor_id, cand_id AS neg_id, sim AS neg_raw
+               FROM ranked WHERE NOT is_pos AND rn = 1)
+       SELECT p.anchor_id, p.pos_id, round(p.pos_raw, 6) AS pos_sim,
+              n.neg_id, round(n.neg_raw, 6) AS neg_sim,
+              round(p.pos_raw - n.neg_raw, 6) AS margin
+       FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+       ORDER BY p.anchor_id"""
+  }
 }

@@ -274,4 +274,34 @@ class SimilaritySpec extends AnyFunSuite {
     val avgRecall = rows.map(_._2).sum / rows.length
     assert(avgRecall >= 0.6, s"avg recall@10 $avgRecall below the IVF floor")
   }
+
+  test("triplet mining: labels respected, picks are the argmax, margin arithmetic exact") {
+    val rows = Similarity.tripletMining(spark, sf).collect()
+    assert(rows.length == 10)
+    val labels = graft.Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (a, p, ps, n, ns, m) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(labels(p) == labels(a), s"anchor $a: positive $p has a different label")
+      assert(labels(n) != labels(a), s"anchor $a: negative $n shares the label")
+      assert(p != a && n != a)
+      assert(math.abs((ps - ns) - m) < 2e-6, s"anchor $a margin drifted")
+      assert(ps >= -1 - 1e-9 && ps <= 1 + 1e-9 && ns >= -1 - 1e-9 && ns <= 1 + 1e-9)
+    }
+    // brute-force argmax check on one anchor
+    graft.functions.CosineSimilarity.register(spark)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val a0 = e.filter(col("vec_id") === 0L)
+      .select(col("emb").as("aemb"), col("label").as("alabel"))
+    val scored = e.crossJoin(a0).filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("label"), col("alabel"),
+        expr("cosine_sim(emb, aemb)").as("sim")).collect()
+    val bestPos = scored.filter(r => r.getInt(1) == r.getInt(2))
+      .maxBy(r => (r.getDouble(3), -r.getLong(0)))
+    val got0 = rows.find(_.getLong(0) == 0L).get
+    assert(got0.getLong(1) == bestPos.getLong(0),
+      s"anchor 0: hardest positive should be ${bestPos.getLong(0)}")
+  }
 }
