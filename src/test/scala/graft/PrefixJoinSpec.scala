@@ -85,6 +85,49 @@ class PrefixJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized corpora: ppJoin equals brute force across thresholds (seeded)") {
+    // seeded property sweep: small random corpora over a tiny alphabet
+    // (forces heavy token sharing, boundary Jaccards, duplicate sets,
+    // singleton docs) across three thresholds including a float-hostile
+    // one. Brute force is recomputed per corpus in plain Scala.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (tau <- Seq(0.5, 0.7, 0.85)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ppjoin-prop-").toString
+      try {
+        val vocab = (1 to 12).map(i => s"w$i")
+        val docs = (0 until 60).map { id =>
+          val n = 1 + rnd.nextInt(10)
+          val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+          (id.toLong, words.mkString(" "), "en", "s", words.mkString(" ").length.toLong)
+        }
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val got = PrefixJoin.ppJoin(spark, dir, threshold = tau).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // plain-Scala brute force
+        val sets = docs.map { case (id, text, _, _, _) =>
+          id -> text.split(" ", -1).distinct.toSet
+        }
+        val brute = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a < b
+          ni = (sa & sb).size
+          nu = sa.size + sb.size - ni
+          if nu > 0 && ni.toDouble / nu >= tau
+        } yield (a, b, ni.toLong)).toSet
+        assert(got == brute,
+          s"tau=$tau: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        val st = java.nio.file.Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally st.close()
+      }
+    }
+  }
+
   test("incremental probe equals brute-force new-batch x corpus; store is reused") {
     val got = PrefixJoin.ppJoinIncremental(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
