@@ -44,31 +44,54 @@ import graft.Tables
   */
 object PrefixJoin {
 
-  /** Prefix length p = sz − ⌈τ·sz⌉ + 1 as a Column. The −1e-9 inside the
-    * ceil guards the float product: τ·sz landing epsilon ABOVE an exact
-    * integer would otherwise round the ceil up and shorten the prefix
-    * below what the losslessness theorem requires (e.g. 0.55·460 =
-    * 253.00000000000003). Erring longer only adds candidates. */
+  // Relative float guard for the τ-product pruning bounds: double
+  // rounding puts τ·sz up to a few ulps ABOVE an exact integer (0.55·460
+  // = 253.00000000000003), which would round a ceil up and shorten the
+  // prefix / over-tighten a filter below what the losslessness theorem
+  // requires. A RELATIVE factor stays correct at any magnitude (a fixed
+  // −1e-9 stops covering ulp error once the product passes ~10⁷), and
+  // 1e-12 ≫ the ~5e-16 relative error while ≪ the gap between distinct
+  // rational Jaccard values at any realistic set size. All three bounds
+  // are PRUNING bounds: erring permissive only costs a verify.
+  private val GuardFactor = 1 - 1e-12
+
+  /** Prefix length p = sz − ⌈τ·sz⌉ + 1 as a Column (guarded ceil). */
   private def prefixLen(threshold: Double): Column =
-    col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + 1
+    col("sz") - ceil(col("sz") * lit(threshold * GuardFactor)).cast("int") + 1
 
   /** The candidate-join condition shared by the self-join and the
     * incremental probe (single source of truth — a guard fixed in one
     * path must not silently diverge the other): token equality, the
     * length filter (J ≥ τ forces τ·max ≤ min of the sizes), and the
-    * PPJoin positional filter. Every τ-product carries the −1e-9 float
-    * guard: all three are PRUNING bounds, so erring permissive costs a
-    * verify; erring strict silently drops true pairs. */
+    * PPJoin positional filter. */
   private def candCondition(tokA: Column, tokB: Column, threshold: Double): Column = {
     // minOverlap: J ≥ τ ⟺ |A∩B| ≥ τ/(1+τ)·(|A|+|B|)
-    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
-      (col("sza") + col("szb")) - lit(1e-9))
+    val minOverlap = ceil(lit(threshold / (1 + threshold) * GuardFactor) *
+      (col("sza") + col("szb")))
     tokA === tokB &&
-      col("szb") * lit(threshold) - lit(1e-9) <= col("sza") &&
-      col("sza") * lit(threshold) - lit(1e-9) <= col("szb") &&
+      col("szb") * lit(threshold * GuardFactor) <= col("sza") &&
+      col("sza") * lit(threshold * GuardFactor) <= col("szb") &&
       // positional: on the FIRST common token row, overlap ≤ 1 + min
       // remaining suffix — every true pair survives via that row
       (lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb"))) >= minOverlap
+  }
+
+  /** (id, sz, ts) → exploded rarest-first prefix rows (id, sz, pos, tok)
+    * under the ONE global (df asc, token asc) order — the construction
+    * both the self-join and the persisted index build share; the shared
+    * order is what makes index and join prefixes comparable, so it must
+    * have a single definition. */
+  private def orderedPrefix(rows: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val tok = rows.select(col(idCol), col("sz"), explode(col("ts")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "tok")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+        first(col("sz")).as("sz"))
+      .select(col(idCol), col("sz"), expr("transform(ord, x -> x.tok)").as("ordts"))
+      .withColumn("p", prefixLen(threshold))
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("ordts"), lit(1), col("p"))).as(Seq("pos", "tok")))
   }
 
   /** All unordered doc pairs with unigram-token-set Jaccard ≥ τ:
@@ -101,16 +124,6 @@ object PrefixJoin {
       .withColumn("tsh", expr("array_sort(transform(ts, t -> xxhash64(t)))"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tok = groups.select(col("set_id"), col("sz"), explode(col("ts")).as("tok"))
-      val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-      // per-set global-order token list (df asc, token asc = rarest first)
-      val ordered = tok.join(dfreq, "tok")
-        .groupBy("set_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
-          first(col("sz")).as("sz"))
-        .select(col("set_id"), col("sz"),
-          expr("transform(ord, x -> x.tok)").as("ordts"))
-      // prefix length p = sz - ceil(τ·sz) + 1; explode ONLY the prefix.
       // The candidate join is deliberately ARRAY-FREE: a hot prefix token
       // (one rare-ranked token shared by a whole near-dup family) puts
       // its whole df² pair block into ONE join task, so anything
@@ -118,10 +131,8 @@ object PrefixJoin {
       // Verification happens AFTER the distinct repartitions pairs
       // evenly — fusing the intersect into this join was measured 2×
       // slower at sf0.1 (one straggler task did 14M intersects).
-      val prefix = ordered
-        .withColumn("p", prefixLen(threshold))
-        .select(col("set_id"), col("sz"),
-          posexplode(slice(col("ordts"), lit(1), col("p"))).as(Seq("pos", "tok")))
+      val prefix = orderedPrefix(groups.select(col("set_id"), col("sz"), col("ts")),
+        "set_id", threshold)
       val candA = prefix.select(col("tok"), col("set_id").as("sa"),
         col("sz").as("sza"), (col("pos") + 1).as("rna"))
       val candB = prefix.select(col("tok"), col("set_id").as("sb"),
@@ -168,16 +179,7 @@ object PrefixJoin {
     } finally groups.unpersist(blocking = false)
   }
 
-  /** INCREMENTAL exact set-similarity: every (new doc, corpus doc) pair
-    * with Jaccard ≥ τ — the production daily-crawl flow for the exact
-    * join, mirroring [[Dedup.nearDupNewVsCorpus]] for the banded path.
-    * New batch = the top decile of doc_id (derived from a parquet max
-    * stat, metadata-scale); candidate work is new-prefix × corpus-bucket
-    * — cost ∝ |batch|, never corpus². The prefix theorem is split-
-    * agnostic (any J ≥ τ pair shares a token inside BOTH prefixes under
-    * the one global order), so the asymmetric probe loses nothing; the
-    * df table it orders by is the maintained vocabulary artifact of the
-    * store (recomputed here, vocabulary-sized either way). */
+  /** Per-process artifact key for the persisted prefix index. */
   def prefixIndexKey(dir: String, threshold: Double): String =
     s"ppidx-${dir.replace('/', '_')}-t$threshold"
 
@@ -194,26 +196,28 @@ object PrefixJoin {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " ", -1))).as("ts"))
         .withColumn("sz", size(col("ts")))
-      val tok = docs.select(col("doc_id"), col("sz"), explode(col("ts")).as("tok"))
-      val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-      dfreq.write.mode("overwrite").parquet(s"$tmp/df")
-      val ordered = tok
-        .join(spark.read.parquet(s"$tmp/df"), "tok")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
-          first(col("sz")).as("sz"))
-        .select(col("doc_id"), col("sz"),
-          expr("transform(ord, x -> x.tok)").as("ordts"))
-      ordered
-        .withColumn("p", prefixLen(threshold))
-        .select(col("doc_id"), col("sz"),
-          posexplode(slice(col("ordts"), lit(1), col("p"))).as(Seq("pos", "tok")))
+      // the df table is the maintained vocabulary artifact of the store
+      docs.select(col("doc_id"), explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$tmp/df")
+      // SAME construction as the self-join (shared orderedPrefix): the
+      // one global order is what makes index and join prefixes comparable
+      orderedPrefix(docs.select(col("doc_id"), col("sz"), col("ts")),
+        "doc_id", threshold)
         .write.mode("overwrite").parquet(s"$tmp/prefix")
       docs.withColumn("tsh", expr("array_sort(transform(ts, t -> xxhash64(t)))"))
         .select("doc_id", "sz", "tsh")
         .write.mode("overwrite").parquet(s"$tmp/sets")
     }.toString
 
+  /** INCREMENTAL exact set-similarity: every (new doc, corpus doc) pair
+    * with Jaccard ≥ τ — the production daily-crawl flow for the exact
+    * join, mirroring [[Dedup.nearDupNewVsCorpus]] for the banded path.
+    * New batch = the top decile of doc_id (derived from a parquet max
+    * stat, metadata-scale); candidate work is new-prefix × corpus-bucket
+    * — cost ∝ |batch|, never corpus². The prefix theorem is split-
+    * agnostic (any J ≥ τ pair shares a token inside BOTH prefixes under
+    * the one global order), so the asymmetric probe loses nothing. */
   def ppJoinIncremental(spark: SparkSession, dir: String,
                         threshold: Double = 0.95): DataFrame = {
     val splitFrom = Tables.documents(spark, dir)
