@@ -427,6 +427,10 @@ object SparkEntry {
     // contrastive triplet mining: hardest same-label positive + hardest
     // different-label negative per anchor, margin = pos - neg
     "q_triplet_mining"    -> ((s, d) => Similarity.tripletMining(s, d)),
+    // streaming multimodal: arriving images phash per row (narrow
+    // build+decode+dHash kernel), stream-static banded hamming probe of
+    // the corpus phash table; banding exact at hamming <= 3
+    "q_stream_image_dedup"-> ((s, d) => graft.streaming.StreamingOps.streamImageDedupEndToEnd(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -979,6 +983,7 @@ object SparkEntry {
     "q_ppjoin_incremental" -> PrefixJoin.ppJoinIncrementalOracleSql(),
     "q_cc_star" -> Dedup.nearDupClustersOracleSql(),
     "q_triplet_mining" -> Similarity.tripletMiningOracleSql(),
+    "q_stream_image_dedup" -> graft.streaming.StreamingOps.streamImageDedupOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -493,23 +493,42 @@ object Multimodal {
     (hi, lo)
   }
 
-  /** Per-image perceptual hash: decode each BMP in its partition batch,
-    * dHash the pixel payload, emit only (doc_id, phash_hi, phash_lo).
-    * Narrow (no shuffle); payload bytes never leave the partition — at
-    * 100 TB only 16 bytes/image cross to the dedup join. */
-  def perceptualHash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaBytes(spark, dir, buildBmp)
+  /** (doc_id, text) → (doc_id, phash_hi, phash_lo): the ingest-build +
+    * decode + dHash chain as ONE stateless narrow transform, usable on
+    * batch AND streaming inputs (the streaming image-dedup flow maps it
+    * over arriving micro-batches). */
+  def withPHash(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[MediaRow]
       .mapPartitions(_.flatMap { r =>
-        val m = parseBmp(r.doc_id, r.content)
+        val bytes = buildBmp(r.doc_id, r.content)
+        val m = parseBmp(r.doc_id, bytes)
         if (m.status != "ok") Iterator.empty
         else {
-          val (hi, lo) = dHash64(r.content, 54, m.width.toInt, m.height.toInt)
+          val (hi, lo) = dHash64(bytes, 54, m.width.toInt, m.height.toInt)
           Iterator((r.doc_id, hi, lo))
         }
       })
       .toDF("doc_id", "phash_hi", "phash_lo")
   }
+
+  /** Per-image perceptual hash: decode each BMP in its partition batch,
+    * dHash the pixel payload, emit only (doc_id, phash_hi, phash_lo).
+    * Narrow (no shuffle); payload bytes never leave the partition — at
+    * 100 TB only 16 bytes/image cross to the dedup join. */
+  def perceptualHash(spark: SparkSession, dir: String): DataFrame =
+    withPHash(Tables.documents(spark, dir).select("doc_id", "text"))
+
+  /** The 4×16-bit band array of a phash, position-tagged so one explode
+    * + equi-join buckets per (band index, band value) — shared by the
+    * batch self-join and the streaming probe. */
+  private[graft] def phashBands(hi: Column, lo: Column): Column =
+    array(
+      lo.bitwiseAND(lit(0xffffL)),
+      shiftright(lo, 16).bitwiseAND(lit(0xffffL)) + lit(0x10000L),
+      hi.bitwiseAND(lit(0xffffL)) + lit(0x20000L),
+      shiftright(hi, 16).bitwiseAND(lit(0xffffL)) + lit(0x30000L))
 
   // 0-based byte j of the UTF-8 text as an integer, via the hex dump —
   // shared by the payload-reading oracles.
@@ -568,14 +587,7 @@ object Multimodal {
   private def imageNearDupFrom(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val ph = hashes
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
-        array(
-          col("phash_lo").bitwiseAND(lit(0xffffL)),
-          shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xffffL)) + lit(0x10000L),
-          col("phash_hi").bitwiseAND(lit(0xffffL)) + lit(0x20000L),
-          shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xffffL)) + lit(0x30000L))
-          .as("bands"))
-      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
-        explode(col("bands")).as("band"))
+        explode(phashBands(col("phash_hi"), col("phash_lo"))).as("band"))
     val a = ph.select(col("band"), col("doc_id").as("a"),
       col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
     val b = ph.select(col("band"), col("doc_id").as("b"),

@@ -1330,4 +1330,73 @@ object StreamingOps {
                         AS n_late_dropped)
        SELECT hour_start, event_type, n_events, n_late_dropped
        FROM agg CROSS JOIN drp ORDER BY hour_start, event_type"""
+
+  /** STREAMING IMAGE NEAR-DUP — the multimodal twin of
+    * [[streamNearDupEndToEnd]]: arriving documents build/decode their
+    * BMP payload and compute the 64-bit dHash PER ROW (the stateless
+    * narrow [[graft.operators.Multimodal.withPHash]] kernel — payload
+    * bytes never leave the micro-batch task), then a stream-static
+    * banded hamming join probes the corpus phash table (re-planned per
+    * batch, the nightly-index read flow). The 4×16-bit banding is
+    * pigeonhole-exact at hamming ≤ 3, so the stream finds EVERY
+    * qualifying (new image, corpus image) pair — oracle is brute force
+    * over the closed-form hashes. */
+  def streamImageDedupEndToEnd(spark: SparkSession, dir: String,
+                               maxHamming: Int = 3): DataFrame = {
+    import graft.operators.Multimodal
+    val splitFrom = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    // static side: the corpus phash table (16 bytes/image), band-exploded
+    val corpus = Multimodal.perceptualHash(spark, dir)
+      .filter(col("doc_id") < splitFrom)
+      .select(col("doc_id").as("corpus_doc"),
+        col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"),
+        explode(Multimodal.phashBands(col("phash_hi"), col("phash_lo"))).as("band"))
+      .localCheckpoint()
+    val out = scratchDir("imagededup")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val newHashes = Multimodal.withPHash(
+        spark.readStream.schema(docSchema).parquet(watchDir.toString)
+          .filter(col("doc_id") >= splitFrom)
+          .select("doc_id", "text"))
+      .select(col("doc_id").as("new_doc"),
+        col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"),
+        explode(Multimodal.phashBands(col("phash_hi"), col("phash_lo"))).as("band"))
+    val pairs = newHashes.join(corpus, Seq("band"))
+      .dropDuplicates("new_doc", "corpus_doc")
+      .select(col("new_doc"), col("corpus_doc"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val q = pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
+  /** DuckDB oracle for [[streamImageDedupEndToEnd]] — brute-force
+    * new-decile × corpus hamming over the closed-form dHashes. */
+  def streamImageDedupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH ph AS (${graft.operators.Multimodal.perceptualHashOracleSql
+         .replace("ORDER BY doc_id", "")}),
+       split AS (SELECT (max(doc_id) * 9) // 10 AS sf FROM documents)
+       SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+              CAST(bit_count(xor(n.phash_hi, c.phash_hi))
+                   + bit_count(xor(n.phash_lo, c.phash_lo)) AS BIGINT) AS hamming
+       FROM ph n JOIN ph c ON n.doc_id <> c.doc_id
+       CROSS JOIN split
+       WHERE n.doc_id >= split.sf AND c.doc_id < split.sf
+         AND bit_count(xor(n.phash_hi, c.phash_hi))
+             + bit_count(xor(n.phash_lo, c.phash_lo)) <= $maxHamming
+       ORDER BY new_doc, corpus_doc"""
 }

@@ -464,4 +464,26 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(got == want, "streaming composition must equal the batch data card's counts")
   }
+
+  test("streaming image dedup equals a batch brute force over the same split") {
+    import org.apache.spark.sql.functions._
+    val got = graft.streaming.StreamingOps
+      .streamImageDedupEndToEnd(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val splitFrom = graft.Tables.documents(spark, TestSpark.sf)
+      .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
+    val ph = graft.operators.Multimodal.perceptualHash(spark, TestSpark.sf)
+    val n = ph.filter(col("doc_id") >= splitFrom)
+      .select(col("doc_id").as("a"), col("phash_hi").as("ha"), col("phash_lo").as("la"))
+    val c = ph.filter(col("doc_id") < splitFrom)
+      .select(col("doc_id").as("b"), col("phash_hi").as("hb"), col("phash_lo").as("lb"))
+    val brute = n.crossJoin(c)
+      .select(col("a"), col("b"),
+        (expr("bit_count(ha ^ hb)") + expr("bit_count(la ^ lb)")).cast("long").as("d"))
+      .filter(col("d") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"stream missed/invented pairs: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty, "fixture should contain cross-split image near-dups")
+  }
 }
