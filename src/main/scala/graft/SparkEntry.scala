@@ -431,6 +431,10 @@ object SparkEntry {
     // build+decode+dHash kernel), stream-static banded hamming probe of
     // the corpus phash table; banding exact at hamming <= 3
     "q_stream_image_dedup"-> ((s, d) => graft.streaming.StreamingOps.streamImageDedupEndToEnd(s, d)),
+    // audio fingerprint (segment-energy difference hash over real PCM)
+    // + near-dup through the SAME banded hamming machinery as images
+    "q_audio_fingerprint" -> ((s, d) => Multimodal.audioFingerprint(s, d)),
+    "q_audio_near_dup"    -> ((s, d) => Multimodal.audioNearDup(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -984,6 +988,8 @@ object SparkEntry {
     "q_cc_star" -> Dedup.nearDupClustersOracleSql(),
     "q_triplet_mining" -> Similarity.tripletMiningOracleSql(),
     "q_stream_image_dedup" -> graft.streaming.StreamingOps.streamImageDedupOracleSql(),
+    "q_audio_fingerprint" -> Multimodal.audioFingerprintOracleSql,
+    "q_audio_near_dup" -> Multimodal.audioNearDupOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

@@ -620,6 +620,109 @@ object Multimodal {
        ORDER BY a, b"""
 
   // ---------------------------------------------------------------------
+  // Audio fingerprinting — segment-energy difference hash over real PCM
+  // ---------------------------------------------------------------------
+
+  /** 64-bit audio fingerprint in the chromaprint/echoprint SHAPE,
+    * reduced to what raw PCM supports without a DSP library: split the
+    * clip into 65 equal sample segments, sum |amplitude| per segment
+    * (exact Long), and set bit j iff energy(j+1) > energy(j) — the same
+    * difference-coding idea as the image dHash, over the time axis. The
+    * fingerprint survives amplitude-preserving edits that shift absolute
+    * levels and feeds the identical banded hamming machinery. */
+  def audioHash64(c: Array[Byte], dataOffset: Long, blockAlign: Long,
+                  nSamples: Long): (Long, Long) = {
+    val segs = new Array[Long](65)
+    var i = 0L
+    while (i < nSamples) {
+      val off = (dataOffset + i * blockAlign).toInt
+      val v = (c(off + 1).toLong << 8) | (c(off) & 0xffL)
+      segs((i * 65 / nSamples).toInt) += math.abs(v)
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    var j = 0
+    while (j < 64) {
+      if (segs(j + 1) > segs(j)) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-clip fingerprint rows (doc_id, phash_hi, phash_lo) — named like
+    * the image hash so the shared banded join applies unchanged. Narrow,
+    * payload never leaves the partition. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildWav)
+      .mapPartitions(_.flatMap { r =>
+        val m = parseWav(r.doc_id, r.content)
+        if (m.status != "ok") Iterator.empty
+        else {
+          val (hi, lo) = audioHash64(r.content, m.data_offset, m.block_align, m.n_samples)
+          Iterator((r.doc_id, hi, lo))
+        }
+      })
+      .toDF("doc_id", "phash_hi", "phash_lo")
+  }
+
+  /** DuckDB oracle for [[audioFingerprint]] — per-segment |amplitude|
+    * sums from the cycled-text payload rule (BIGINT-exact), then the
+    * same difference bits and unsigned-half packing. */
+  def audioFingerprintOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       f AS (SELECT doc_id, hx, n, 1 + n % 1000 AS ns FROM m),
+       e AS (SELECT doc_id, hx, n, ns, unnest(range(0, ns)) AS i FROM f),
+       b AS (SELECT doc_id, ns, i,
+                    ${oHexByte("(i * 2) % n")} AS lo,
+                    ${oHexByte("(i * 2 + 1) % n")} AS hi
+             FROM e),
+       v AS (SELECT doc_id, ns, (i * 65) // ns AS j,
+                    CAST(CASE WHEN hi >= 128 THEN (hi - 256) * 256 + lo
+                              ELSE hi * 256 + lo END AS BIGINT) AS s
+             FROM b),
+       seg AS (SELECT doc_id, j, sum(abs(s)) AS en FROM v GROUP BY 1, 2),
+       grid AS (SELECT doc_id, jj FROM f, unnest(range(0, 65)) t(jj)),
+       en AS (SELECT g.doc_id, g.jj, coalesce(s.en, 0) AS en
+              FROM grid g LEFT JOIN seg s ON s.doc_id = g.doc_id AND s.j = g.jj),
+       bits AS (SELECT a.doc_id, a.jj AS i,
+                       CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+                FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.jj = a.jj + 1
+                WHERE a.jj < 64)
+       SELECT doc_id,
+              CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+              CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS phash_lo
+       FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Audio near-dup pairs: the SAME banded hamming join as
+    * [[imageNearDup]], over the audio fingerprints — one machinery, two
+    * modalities. Exact at hamming ≤ 3 by the same pigeonhole. */
+  def audioNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val hashes = audioFingerprint(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try imageNearDupFrom(hashes, maxHamming)
+    finally hashes.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[audioNearDup]] — brute-force all-pairs hamming
+    * over the closed-form fingerprints. */
+  def audioNearDupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH ph AS (${audioFingerprintOracleSql.replace("ORDER BY doc_id", "")})
+       SELECT a.doc_id AS a, b.doc_id AS b,
+              CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                   + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT) AS hamming
+       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+             + bit_count(xor(a.phash_lo, b.phash_lo)) <= $maxHamming
+       ORDER BY a, b"""
+
+  // ---------------------------------------------------------------------
   // Audio signal statistics — energy features over the real PCM payload
   // ---------------------------------------------------------------------
 

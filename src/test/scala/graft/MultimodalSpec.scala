@@ -187,6 +187,39 @@ class MultimodalSpec extends AnyFunSuite {
     banded.foreach { case (x, y, d) => assert(x < y && d >= 0 && d <= 3) }
   }
 
+  test("audio fingerprint: matches an independent recompute; banded near-dup equals brute force") {
+    val rows = Multimodal.audioFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    rows.foreach { case (id, hi, lo) =>
+      val t = texts(id); val n = t.length; val ns = 1 + n % 1000
+      val segs = new Array[Long](65)
+      (0L until ns).foreach { i =>
+        val l = t(((i * 2) % n).toInt) & 0xffL
+        val h = t(((i * 2 + 1) % n).toInt).toLong
+        segs(((i * 65) / ns).toInt) += math.abs((h << 8) | l)
+      }
+      var ehi = 0L; var elo = 0L
+      (0 until 64).foreach { j =>
+        if (segs(j + 1) > segs(j)) {
+          if (j < 32) elo |= 1L << j else ehi |= 1L << (j - 32)
+        }
+      }
+      assert((hi, lo) == (ehi, elo), s"doc $id fingerprint mismatch")
+    }
+    // banded near-dup equals brute force at hamming <= 3
+    val banded = Multimodal.audioNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, ha, la) <- rows; (b, hb, lb) <- rows if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute, "audio banding must be lossless at hamming <= 3")
+  }
+
   test("audio stats: exact Long sum-of-squares matches an independent per-doc recompute") {
     val rows = Multimodal.audioStats(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
