@@ -435,6 +435,11 @@ object SparkEntry {
     // + near-dup through the SAME banded hamming machinery as images
     "q_audio_fingerprint" -> ((s, d) => Multimodal.audioFingerprint(s, d)),
     "q_audio_near_dup"    -> ((s, d) => Multimodal.audioNearDup(s, d)),
+    // multi-frame GVID video container: parse + per-frame phash + any-
+    // frame banded near-dup (min qualifying frame-pair distance)
+    "q_video_meta"        -> ((s, d) => Multimodal.videoMeta(s, d)),
+    "q_video_frame_phash" -> ((s, d) => Multimodal.videoFramePHash(s, d)),
+    "q_video_near_dup"    -> ((s, d) => Multimodal.videoNearDup(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -990,6 +995,9 @@ object SparkEntry {
     "q_stream_image_dedup" -> graft.streaming.StreamingOps.streamImageDedupOracleSql(),
     "q_audio_fingerprint" -> Multimodal.audioFingerprintOracleSql,
     "q_audio_near_dup" -> Multimodal.audioNearDupOracleSql(),
+    "q_video_meta" -> Multimodal.videoMetaOracleSql,
+    "q_video_frame_phash" -> Multimodal.videoFramePHashOracleSql,
+    "q_video_near_dup" -> Multimodal.videoNearDupOracleSql(),
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

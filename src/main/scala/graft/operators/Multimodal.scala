@@ -24,6 +24,11 @@ case class WavMeta(doc_id: Long, byte_len: Long, status: String,
   * pinning every component). */
 case class MediaEmbed(doc_id: Long, e0: Double, esum: Double, enorm: Double)
 
+/** Parsed video-container metadata ("GVID": magic, frame count, length-
+  * prefixed BMP frames). Dims are the (shared) frame dims when ok. */
+case class VideoMeta(doc_id: Long, byte_len: Long, status: String,
+                     n_frames: Long, width: Long, height: Long)
+
 /** Multimodal-column plumbing: image/audio as opaque `binary` columns
   * with typed metadata, decoded in partition-sized batches.
   *
@@ -618,6 +623,200 @@ object Multimodal {
        WHERE bit_count(xor(a.phash_hi, b.phash_hi))
              + bit_count(xor(a.phash_lo, b.phash_lo)) <= $maxHamming
        ORDER BY a, b"""
+
+  // ---------------------------------------------------------------------
+  // Video containers — multi-frame BMP payloads, parse + per-frame phash
+  // ---------------------------------------------------------------------
+
+  /** A simple but REAL multi-frame video container ("GVID"): 4-byte
+    * magic, u32-LE frame count, then per frame a u32-LE length prefix
+    * and a complete BMP whose payload is the text CYCLED WITH OFFSET f
+    * (frame f's payload byte i = text[(i + f) mod n]) — consecutive
+    * frames are near-identical, exactly the redundancy a video codec
+    * would exploit and a near-dup stage must see through. Frame count =
+    * 1 + n mod 3; same deterministic corruption rules as BMP/WAV. */
+  def buildVideo(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val nFrames = 1 + n % 3
+    val frames = (0 until nFrames).map { f =>
+      val w = 1 + n % 64
+      val h = 1 + (n * 7) % 48
+      val row = ((w * 3 + 3) / 4) * 4
+      val size = 54 + row * h
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(0).putInt(row * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var i = 0
+      while (i < row * h) { b.put(text((i + f) % n)); i += 1 }
+      b.array
+    }
+    val total = 8 + frames.map(4 + _.length).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+    frames.foreach { fr => out.putInt(fr.length); out.put(fr) }
+    corrupt(docId, out.array)
+  }
+
+  /** Parse one GVID container: magic, frame count, per-frame length
+    * extents, then a full BMP parse of every frame. Any bad frame
+    * rejects the container (the strictest policy — a production decoder
+    * might salvage; the QUARANTINE decision must still be byte-driven). */
+  def parseVideo(docId: Long, c: Array[Byte]): VideoMeta = {
+    val len = c.length.toLong
+    def bad(st: String) = VideoMeta(docId, len, st, 0L, 0L, 0L)
+    if (len < 8) bad("too_short")
+    else if (!ascii(c, 0, "GVID")) bad("bad_magic")
+    else {
+      val nFrames = le32(c, 4)
+      if (nFrames < 1 || nFrames > 1024) bad("bad_header")
+      else {
+        var off = 8L
+        var f = 0L
+        var w = 0L; var h = 0L
+        var ok = true; var reason = "ok"
+        while (ok && f < nFrames) {
+          if (off + 4 > len) { ok = false; reason = "truncated" }
+          else {
+            val fl = le32(c, off.toInt)
+            if (off + 4 + fl > len) { ok = false; reason = "truncated" }
+            else {
+              val fb = java.util.Arrays.copyOfRange(c, (off + 4).toInt, (off + 4 + fl).toInt)
+              val m = parseBmp(docId, fb)
+              if (m.status != "ok") { ok = false; reason = s"frame_${m.status}" }
+              else { w = m.width; h = m.height; off += 4 + fl; f += 1 }
+            }
+          }
+        }
+        if (!ok) bad(reason)
+        else if (off != len) bad("truncated")
+        else VideoMeta(docId, len, "ok", nFrames, w, h)
+      }
+    }
+  }
+
+  /** Parsed video metadata for the ok subset. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildVideo)
+      .mapPartitions(_.map(r => parseVideo(r.doc_id, r.content)))
+      .filter(_.status == "ok")
+      .toDF()
+      .select("doc_id", "byte_len", "n_frames", "width", "height")
+  }
+
+  /** DuckDB oracle for [[videoMeta]] — closed-form container geometry. */
+  def videoMetaOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       d AS (SELECT doc_id, n, 1 + n % 3 AS nf, 1 + n % 64 AS w,
+                    1 + (n * 7) % 48 AS h FROM m),
+       s AS (SELECT doc_id, nf, w, h,
+                    54 + ((w * 3 + 3) // 4) * 4 * h AS bmp FROM d)
+       SELECT doc_id, CAST(8 + nf * (4 + bmp) AS BIGINT) AS byte_len,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+       FROM s ORDER BY doc_id"""
+
+  /** Per-frame perceptual hashes of every ok video: (doc_id, frame_idx,
+    * phash_hi, phash_lo) — decode stays in the partition, 16 bytes/frame
+    * leave it. */
+  def videoFramePHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildVideo)
+      .mapPartitions(_.flatMap { r =>
+        val m = parseVideo(r.doc_id, r.content)
+        if (m.status != "ok") Iterator.empty
+        else {
+          var off = 8L
+          (0L until m.n_frames).iterator.map { f =>
+            val fl = le32(r.content, off.toInt)
+            val frame = java.util.Arrays.copyOfRange(
+              r.content, (off + 4).toInt, (off + 4 + fl).toInt)
+            val fm = parseBmp(r.doc_id, frame)
+            val (hi, lo) = dHash64(frame, 54, fm.width.toInt, fm.height.toInt)
+            off += 4 + fl
+            (r.doc_id, f, hi, lo)
+          }
+        }
+      })
+      .toDF("doc_id", "frame_idx", "phash_hi", "phash_lo")
+  }
+
+  /** DuckDB oracle for [[videoFramePHash]] — the image phash oracle with
+    * the frame's rotation folded into the byte index (frame f payload
+    * byte p = text[(p + f) mod n]). */
+  def videoFramePHashOracleSql: String = {
+    val base = "(py * rw + px * 3)"
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents
+                   WHERE doc_id % 97 != 0 AND doc_id % 89 != 0),
+       d AS (SELECT doc_id, hx, n, 1 + n % 3 AS nf, 1 + n % 64 AS w,
+                    1 + (n * 7) % 48 AS h FROM m),
+       r AS (SELECT doc_id, hx, n, w, h, ((w * 3 + 3) // 4) * 4 AS rw,
+                    unnest(range(0, nf)) AS f FROM d),
+       g AS (SELECT doc_id, f, hx, n, rw, gx, gy,
+                    (gx * w) // 9 AS px, (gy * h) // 8 AS py
+             FROM r, unnest(range(0, 9)) t1(gx), unnest(range(0, 8)) t2(gy)),
+       gr AS (SELECT doc_id, f, gx, gy,
+                     (${oHexByte(s"($base + f) % n")}
+                      + ${oHexByte(s"($base + 1 + f) % n")}
+                      + ${oHexByte(s"($base + 2 + f) % n")}) // 3 AS gray
+              FROM g),
+       bits AS (SELECT a.doc_id, a.f, a.gy * 8 + a.gx AS i,
+                       CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+                FROM gr a JOIN gr b
+                  ON a.doc_id = b.doc_id AND a.f = b.f AND a.gy = b.gy
+                     AND b.gx = a.gx + 1
+                WHERE a.gx < 8)
+       SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+              CAST(sum(CASE WHEN i >= 32 THEN bit::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+              CAST(sum(CASE WHEN i < 32 THEN bit::BIGINT << i ELSE 0 END) AS BIGINT) AS phash_lo
+       FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_idx"""
+  }
+
+  /** Video near-dup: two videos match when ANY frame pair is within
+    * hamming ≤ 3 — per-frame hashes feed the same banded join (exact by
+    * the same pigeonhole, applied per frame pair), then the minimum
+    * qualifying distance aggregates per video pair. Output
+    * (a, b, hamming = min qualifying frame-pair distance). */
+  def videoNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands only guarantee recall for hamming <= 3")
+    val ph = videoFramePHash(spark, dir)
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        explode(phashBands(col("phash_hi"), col("phash_lo"))).as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = ph.select(col("band"), col("doc_id").as("a"),
+        col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+      val b = ph.select(col("band"), col("doc_id").as("b"),
+        col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+      val out = a.join(b, Seq("band")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+            .cast("long").as("d"))
+        .filter(col("d") <= maxHamming)
+        .groupBy("a", "b").agg(min(col("d")).as("hamming"))
+        .orderBy("a", "b")
+      out.cache().count()
+      out
+    } finally ph.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[videoNearDup]] — brute force over every frame
+    * combination of every video pair. */
+  def videoNearDupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH ph AS (${videoFramePHashOracleSql.replace("ORDER BY doc_id, frame_idx", "")}),
+       d AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                    bit_count(xor(a.phash_hi, b.phash_hi))
+                      + bit_count(xor(a.phash_lo, b.phash_lo)) AS d
+             FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+       SELECT a, b, CAST(min(d) AS BIGINT) AS hamming
+       FROM d WHERE d <= $maxHamming
+       GROUP BY a, b ORDER BY a, b"""
 
   // ---------------------------------------------------------------------
   // Audio fingerprinting — segment-energy difference hash over real PCM

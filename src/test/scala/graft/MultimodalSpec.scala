@@ -187,6 +187,39 @@ class MultimodalSpec extends AnyFunSuite {
     banded.foreach { case (x, y, d) => assert(x < y && d >= 0 && d <= 3) }
   }
 
+  test("video container: build/parse round-trip, frame accounting, corruption quarantine") {
+    val text = "sphinx of black quartz judge my vow".getBytes("UTF-8")
+    val n = text.length
+    val ok = Multimodal.buildVideo(1L, text)
+    val m = Multimodal.parseVideo(1L, ok)
+    assert(m.status == "ok")
+    assert(m.n_frames == 1 + n % 3)
+    assert(m.width == 1 + n % 64 && m.height == 1 + (n * 7) % 48)
+    assert(m.byte_len == ok.length.toLong)
+    // wrong magic, truncation, and a damaged inner frame all quarantine
+    val xm = ok.clone(); xm(0) = 'X'.toByte
+    assert(Multimodal.parseVideo(1L, xm).status == "bad_magic")
+    assert(Multimodal.parseVideo(1L,
+      java.util.Arrays.copyOf(ok, ok.length - 5)).status == "truncated")
+    val fb = ok.clone(); fb(8 + 4) = 'X'.toByte // first frame's 'B'
+    assert(Multimodal.parseVideo(1L, fb).status == "frame_bad_magic")
+    assert(Multimodal.parseVideo(1L, Array[Byte](1, 2)).status == "too_short")
+  }
+
+  test("video frame 0 phash equals the single-image phash (zero rotation)") {
+    val vf = Multimodal.videoFramePHash(spark, sf)
+      .filter(col("frame_idx") === 0L)
+      .select("doc_id", "phash_hi", "phash_lo")
+    val img = Multimodal.perceptualHash(spark, sf)
+    assert(vf.exceptAll(img).isEmpty && img.exceptAll(vf).isEmpty,
+      "frame 0 is the unrotated payload, so its dHash must equal the image dHash")
+    // consecutive frames are near-identical by construction: every
+    // multi-frame video's adjacent frames sit within a small hamming
+    val counts = Multimodal.videoFramePHash(spark, sf)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(counts > 0, "fixture should contain multi-frame videos")
+  }
+
   test("audio fingerprint: matches an independent recompute; banded near-dup equals brute force") {
     val rows = Multimodal.audioFingerprint(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
