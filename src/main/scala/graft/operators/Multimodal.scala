@@ -720,6 +720,34 @@ object Multimodal {
               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
        FROM s ORDER BY doc_id"""
 
+  /** The quarantine side of the video decode — every corrupted container
+    * with its byte-level reason, mirroring [[mediaQuarantine]]. The
+    * halved-payload corruption always cuts mid-frame (the smallest
+    * container is 70 bytes, so half is past the 8-byte header), so the
+    * frame-extent walk reports `truncated`. */
+  def videoQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, dir, buildVideo)
+      .mapPartitions(_.map(r => parseVideo(r.doc_id, r.content)))
+      .filter(_.status != "ok")
+      .map(m => (m.doc_id, m.status, m.byte_len))
+      .toDF("doc_id", "reason", "byte_len")
+  }
+
+  /** DuckDB oracle for [[videoQuarantine]] — corruption rules + container
+    * arithmetic alone. */
+  def videoQuarantineOracleSql: String =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+                   WHERE doc_id % 97 = 0 OR doc_id % 89 = 0),
+       d AS (SELECT doc_id, 1 + n % 3 AS nf, 1 + n % 64 AS w,
+                    1 + (n * 7) % 48 AS h FROM m),
+       s AS (SELECT doc_id, 8 + nf * (4 + 54 + ((w * 3 + 3) // 4) * 4 * h) AS sz
+             FROM d)
+       SELECT doc_id,
+              CASE WHEN doc_id % 97 = 0 THEN 'bad_magic' ELSE 'truncated' END AS reason,
+              CAST(CASE WHEN doc_id % 97 = 0 THEN sz ELSE sz // 2 END AS BIGINT) AS byte_len
+       FROM s ORDER BY doc_id"""
+
   /** Per-frame perceptual hashes of every ok video: (doc_id, frame_idx,
     * phash_hi, phash_lo) — decode stays in the partition, 16 bytes/frame
     * leave it. */
