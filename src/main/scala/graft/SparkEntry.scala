@@ -441,6 +441,8 @@ object SparkEntry {
     "q_video_frame_phash" -> ((s, d) => Multimodal.videoFramePHash(s, d)),
     "q_video_near_dup"    -> ((s, d) => Multimodal.videoNearDup(s, d)),
     "q_video_quarantine"  -> ((s, d) => Multimodal.videoQuarantine(s, d)),
+    // cross-modal calibration: text vs image near-dup pair-set overlap
+    "q_modality_agreement"-> ((s, d) => Multimodal.modalityAgreement(s, d)),
     // IR-metric evaluation of the deterministic IVF ANN arm vs exact
     // ground truth: per-query recall@10 / MRR@10 / nDCG@10, fully
     // oracle-reproduced (centroids, probes, ranking, metrics)
@@ -1000,6 +1002,7 @@ object SparkEntry {
     "q_video_frame_phash" -> Multimodal.videoFramePHashOracleSql,
     "q_video_near_dup" -> Multimodal.videoNearDupOracleSql(),
     "q_video_quarantine" -> Multimodal.videoQuarantineOracleSql,
+    "q_modality_agreement" -> Multimodal.modalityAgreementOracleSql,
     "q_retrieval_eval" -> Similarity.retrievalEvalOracleSql(),
     "q_zipf_fit" -> TextAnalysis.zipfFitOracleSql(),
     "q_unigram_lm" -> UnigramLM.viterbiSegmentOracleSql(),

@@ -624,6 +624,52 @@ object Multimodal {
              + bit_count(xor(a.phash_lo, b.phash_lo)) <= $maxHamming
        ORDER BY a, b"""
 
+  /** CROSS-MODAL AGREEMENT AUDIT — does the image near-dup graph agree
+    * with the text near-dup graph about which documents are duplicates?
+    * Both pipelines run over the same corpus (the images are built from
+    * the text), so their pair sets should overlap heavily; the audit
+    * reports n_both / n_text_only / n_image_only and the pair-set
+    * Jaccard — the calibration number a pipeline owner watches when one
+    * modality's thresholds drift. Same cross-subsystem-audit shape as
+    * q_quality_calibration. */
+  def modalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val text = Dedup.nearDupPairs(spark, dir, threshold = 0.95)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+        lit(1).as("t"), lit(0).as("i"))
+    val img = imageNearDup(spark, dir)
+      .select(col("a"), col("b"), lit(0).as("t"), lit(1).as("i"))
+    text.unionByName(img)
+      .groupBy("a", "b")
+      .agg(max(col("t")).as("t"), max(col("i")).as("i"))
+      .agg(
+        sum(when(col("t") === 1 && col("i") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("t") === 1 && col("i") === 0, 1L).otherwise(0L)).as("n_text_only"),
+        sum(when(col("t") === 0 && col("i") === 1, 1L).otherwise(0L)).as("n_image_only"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_both"), col("n_text_only"), col("n_image_only"),
+        round(col("n_both").cast("double") / col("n_union"), 6).as("pair_jaccard"))
+  }
+
+  /** DuckDB oracle for [[modalityAgreement]] — composes the full text
+    * near-dup oracle and the image near-dup oracle, then the same
+    * set-algebra counts. */
+  def modalityAgreementOracleSql: String =
+    s"""WITH tpq AS (SELECT doc_a AS a, doc_b AS b FROM
+           (${Dedup.nearDupOracleSql().replace("ORDER BY doc_a, doc_b", "")}) tq),
+       ipq AS (SELECT a, b FROM
+           (${imageNearDupOracleSql().replace("ORDER BY a, b", "")}) iq),
+       u AS (SELECT a, b, max(t) AS t, max(i) AS i FROM (
+               SELECT a, b, 1 AS t, 0 AS i FROM tpq
+               UNION ALL
+               SELECT a, b, 0 AS t, 1 AS i FROM ipq) z
+             GROUP BY a, b)
+       SELECT CAST(sum(CASE WHEN t = 1 AND i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+              CAST(sum(CASE WHEN t = 1 AND i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+              CAST(sum(CASE WHEN t = 0 AND i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+              round(CAST(sum(CASE WHEN t = 1 AND i = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS pair_jaccard
+       FROM u"""
+
   // ---------------------------------------------------------------------
   // Video containers — multi-frame BMP payloads, parse + per-frame phash
   // ---------------------------------------------------------------------
