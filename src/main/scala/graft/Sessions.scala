@@ -38,6 +38,10 @@ object Sessions {
             graft.functions.ArrayIntersectCount.info,
             graft.functions.ArrayIntersectCount.builder))
         ext.injectFunction(
+          (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.SortedIntersectCount.name),
+            graft.functions.SortedIntersectCount.info,
+            graft.functions.SortedIntersectCount.builder))
+        ext.injectFunction(
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.LevenshteinWithin.name),
             graft.functions.LevenshteinWithin.info,
             graft.functions.LevenshteinWithin.builder))
