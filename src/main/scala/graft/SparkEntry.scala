@@ -308,6 +308,9 @@ object SparkEntry {
     "q_source_overlap"    -> ((s, d) => Dedup.sourceOverlapSketch(s, d)),
     // — X3 similarity search —
     "q_topk_cosine"       -> ((s, d) => Similarity.topkCosine(s, d)),
+    // metadata-filtered vector search: label predicate PRE-filters the
+    // candidate set inside the join condition (dense in-filter ranks)
+    "q_ann_filtered"      -> ((s, d) => Similarity.topkCosineFiltered(s, d)),
     "q_embed_near_dup"    -> ((s, d) => Similarity.embedNearDup(s, d)),
     "q_ann_lsh"           -> ((s, d) => Similarity.annLshRecall(s, d)),
     "q_ann_ivf"           -> ((s, d) => Similarity.annIvfRecall(s, d)),
@@ -357,6 +360,9 @@ object SparkEntry {
     // order-independent corpus content digest (dataset versioning)
     "q_corpus_fingerprint" -> ((s, d) => Curation.corpusFingerprint(s, d)),
     "q_token_pack"        -> ((s, d) => Curation.tokenPack(s, d)),
+    // DSIR importance weights: hashed-bigram target-vs-raw log-ratio
+    // score, broadcast lambda table, exact-decimal top-k selection
+    "q_dsir_weights"      -> ((s, d) => Curation.dsirWeights(s, d)),
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
     "q_decontam"          -> ((s, d) => Curation.contamination(s, d)),
@@ -813,6 +819,7 @@ object SparkEntry {
                                               c.vec_id ASC) AS "rank"
            FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) t
          WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q_ann_filtered" -> Similarity.topkCosineFilteredOracleSql(),
     "q_embed_near_dup" -> Similarity.embedNearDupOracleSql(),
     // Shared pair CTEs + recursive transitive closure (min reachable id).
     "q_semantic_dedup" -> Similarity.semanticDedupOracleSql(),
@@ -858,6 +865,7 @@ object SparkEntry {
     "q_cluster_canonical" -> Dedup.clusterCanonicalOracleSql(),
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),
+    "q_dsir_weights" -> Curation.dsirWeightsOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),
     "q_vocab_oov" -> Curation.vocabOovOracleSql(),

@@ -2290,4 +2290,96 @@ object Curation {
               round(CAST(coalesce(pd.n_fps, 0) AS DOUBLE) / ng.n_grams, 6) AS density
        FROM ng LEFT JOIN pd USING (doc_id) LEFT JOIN sp USING (doc_id)
        ORDER BY ng.doc_id"""
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. NeurIPS 2023) — the published recipe for
+    * "select raw web data that looks like a high-quality target corpus":
+    * fit two bag-of-hashed-ngram multinomials, target p and raw q, and
+    * score every document by its summed per-feature log importance ratio
+    * Σ c_d[b]·(ln p̂[b] − ln q̂[b]) with add-1 smoothing over `buckets`
+    * hashed bigram features. The target distribution here is the
+    * `targetLang` slice of the corpus itself (the quality-corpus
+    * stand-in); production DSIR adds Gumbel noise before the top-k cut —
+    * this deterministic variant takes the exact top-`k`, which is what a
+    * re-runnable pipeline (and the oracle) needs.
+    *
+    * Scale shape: ONE corpus bigram explode staged with spillable
+    * `persist` feeds all three consumers (raw bucket counts, target
+    * bucket counts — a filter of the same frame, not a second pass — and
+    * the per-doc scoring join). Bucket tables are `buckets`-sized (1024),
+    * so the λ table is built with a 1-row-aggregate crossJoin and joined
+    * back BROADCAST; the only corpus-sized shuffle is the final doc_id
+    * aggregation. λ values are ln-casts to DECIMAL(28,12) subtracted and
+    * summed exactly (the [[graft.operators.TextAnalysis.docLogProb]]
+    * determinism pattern), so partial-aggregation order cannot move a
+    * weight, and the top-k cut (TakeOrderedAndProject) orders on the
+    * EXACT decimal sum with a doc_id tie-break. Documents with fewer than
+    * two tokens have no features and are not scored — mirrored by the
+    * oracle's inner join. */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024,
+                  targetLang: String = "en", k: Int = 100): DataFrame = {
+    require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.gramList(2)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rc = pos.groupBy("b").agg(count(lit(1)).as("rc"))
+      val tc = pos.filter(col("lang") === targetLang)
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val counts = rc.join(tc, Seq("b"), "left")
+        .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+      val tots = counts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+      val lam = counts.crossJoin(tots)
+        .select(col("b"),
+          (log((col("tc") + 1).cast("double") / (col("tt") + buckets))
+            .cast("decimal(28,12)")
+            - log((col("rc") + 1).cast("double") / (col("rt") + buckets))
+              .cast("decimal(28,12)")).as("lam"))
+      val out = pos.join(broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lam")).as("w_exact"))
+        .orderBy(desc("w_exact"), asc("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          round(col("w_exact").cast("double"), 6).as("dsir_weight"))
+      out.cache().count()
+      out
+    } finally pos.unpersist(blocking = false)
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] — same bigram construction as the
+    * winnowing oracle at k=2, same 32-bit md5 bucket hash as
+    * [[sampleByHashOracleSql]], same smoothing arithmetic and exact
+    * DECIMAL ln accumulation, same exact-sum ordering for the top-k. */
+  def dsirWeightsOracleSql(buckets: Int = 1024, targetLang: String = "en",
+                           k: Int = 100): String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH pos AS (
+         SELECT doc_id, lang, ($hexToLong) % $buckets AS b
+         FROM (SELECT doc_id, lang, substr(md5(bg), 1, 8) AS h8 FROM (
+                 SELECT doc_id, lang,
+                        array_to_string(words[j + 1 : j + 2], ' ') AS bg
+                 FROM (SELECT doc_id, lang, string_split(text, ' ') AS words
+                       FROM documents) wd,
+                      unnest(range(0, greatest(CAST(len(words) AS BIGINT) - 1, 0))) AS r(j)) g) h),
+       rc AS (SELECT b, count(*) AS rc FROM pos GROUP BY b),
+       tc AS (SELECT b, count(*) AS tc FROM pos WHERE lang = '$targetLang' GROUP BY b),
+       tot AS (SELECT (SELECT sum(rc) FROM rc) AS rt,
+                      (SELECT coalesce(sum(tc), 0) FROM tc) AS tt),
+       lam AS (SELECT rc.b,
+                      CAST(ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE) / (tt + $buckets)) AS DECIMAL(28,12))
+                    - CAST(ln(CAST(rc.rc + 1 AS DOUBLE) / (rt + $buckets)) AS DECIMAL(28,12)) AS lam
+               FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+       w AS (SELECT doc_id, lang, count(*) AS n_bigrams, sum(lam) AS w_exact
+             FROM pos JOIN lam USING (b) GROUP BY doc_id, lang)
+       SELECT doc_id, lang, n_bigrams,
+              round(CAST(w_exact AS DOUBLE), 6) AS dsir_weight
+       FROM w ORDER BY w_exact DESC, doc_id LIMIT $k"""
+  }
 }

@@ -56,6 +56,58 @@ object Similarity {
         round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** FILTERED vector search — exact top-k cosine under a metadata
+    * predicate: each query (vec_id < 10) retrieves only among candidates
+    * sharing its `label` (the tenant-isolation / category-scoped search
+    * every RAG serving layer runs). The filter lives IN the join
+    * condition, i.e. it is a PRE-filter: candidates are pruned before any
+    * cosine is computed, and ranks are dense within the filtered set.
+    * Post-filtering an unfiltered top-k — the classic filtered-ANN
+    * mistake — would silently return < k results whenever fewer than k
+    * of the global neighbors share the label; this shape cannot.
+    *
+    * Scale: the query panel broadcasts (queries are panel-sized at any
+    * corpus scale) and label+id predicates evaluate before the
+    * `cosine_sim` codegen kernel inside one narrow pass over the
+    * candidate scan; with the embedding store laid out
+    * partitioned-by-label the same condition becomes partition pruning.
+    * The per-query rank is a WindowGroupLimit (panel-keyed, k rows per
+    * partition forwarded). */
+  def topkCosineFiltered(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("vec_id").as("neighbor_id"), cosine(spark).as("sim_raw"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"), col("rank"),
+        round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** DuckDB oracle for [[topkCosineFiltered]] — the [[topkCosine]] oracle
+    * with the label equality folded into the join predicate. */
+  def topkCosineFilteredOracleSql(k: Int = 5): String =
+    s"""WITH n AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+         FROM embeddings)
+       SELECT query_id, label, neighbor_id, "rank", round(sim_raw, 6) AS sim FROM (
+         SELECT q.vec_id AS query_id, q.label AS label, c.vec_id AS neighbor_id,
+                list_dot_product(c.emb, q.emb) / (c.norm * q.norm) AS sim_raw,
+                row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY list_dot_product(c.emb, q.emb) / (c.norm * q.norm) DESC,
+                                            c.vec_id ASC) AS "rank"
+         FROM n q JOIN n c ON q.vec_id < 10 AND c.label = q.label
+                          AND c.vec_id <> q.vec_id) t
+       WHERE "rank" <= $k ORDER BY query_id, "rank""""
+
   /** LSH sizing: bits scale with corpus size so the expected bucket holds
     * ~`TargetBucket` vectors and Σ bucket² ≈ n·TargetBucket — LINEAR in n,
     * not the n²/2^bits a constant bit count degrades to (VERDICT r3 #6).

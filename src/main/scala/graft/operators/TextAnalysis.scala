@@ -459,7 +459,7 @@ object TextAnalysis {
     * functions get no subexpression elimination across lambda scopes),
     * which profiled as the whole cost of q_repetition: O(tokens²) token
     * copies per document instead of O(tokens·k). */
-  private def gramList(k: Int): Column = expr(
+  private[operators] def gramList(k: Int): Column = expr(
     s"""transform(array(split(text, ' ', -1)), w ->
           CASE WHEN size(w) >= $k THEN
             transform(sequence(0, size(w) - $k),

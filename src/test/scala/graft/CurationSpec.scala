@@ -941,4 +941,52 @@ class CurationSpec extends AnyFunSuite {
         "every doc has at least one whitespace token")
     }
   }
+
+  test("dsir weights: match a driver-side brute-force recomputation; deterministic") {
+    val buckets = 1024
+    val target = "en"
+    val k = 100
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // (doc_id, lang, bucket) positions with multiplicity
+    val pos = docs.flatMap { case (id, lang, text) =>
+      val w = text.split(" ", -1)
+      if (w.length < 2) Array.empty[(Long, String, Long)]
+      else w.sliding(2).map(p => (id, lang, md5_32(p.mkString(" ")) % buckets)).toArray
+    }
+    val rc = pos.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tc = pos.filter(_._2 == target).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val rt = rc.values.sum
+    val tt = tc.values.sum
+    def lnDec(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val lam: Map[Long, BigDecimal] = rc.map { case (b, n) =>
+      b -> (lnDec((tc.getOrElse(b, 0L) + 1).toDouble / (tt + buckets))
+        - lnDec((n + 1).toDouble / (rt + buckets)))
+    }
+    val expect = pos.groupBy(_._1).map { case (id, ps) =>
+      (id, ps.head._2, ps.length.toLong, ps.map(p => lam(p._3)).sum)
+    }.toSeq.sortBy { case (id, _, _, w) => (-w, id) }.take(k)
+    val got = Curation.dsirWeights(spark, sf, buckets, target, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gi, gl, gn, gw), (ei, el, en, ew)) =>
+      assert(gi == ei && gl == el && gn == en, s"row mismatch: got $gi expected $ei")
+      assert(math.abs(gw - ew.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+        s"weight mismatch for doc $gi: $gw vs $ew")
+    }
+    // target-language documents should dominate the selected head
+    val enShare = got.count(_._2 == target).toDouble / got.length
+    val corpusShare = docs.count(_._2 == target).toDouble / docs.length
+    assert(enShare > corpusShare, s"target share $enShare <= corpus share $corpusShare")
+    // deterministic across runs
+    val again = Curation.dsirWeights(spark, sf, buckets, target, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sameElements(again))
+  }
 }

@@ -304,4 +304,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got0.getLong(1) == bestPos.getLong(0),
       s"anchor 0: hardest positive should be ${bestPos.getLong(0)}")
   }
+
+  test("filtered top-k: label isolation, dense ranks, matches brute force, differs from post-filter") {
+    val res = graft.operators.Similarity.topkCosineFiltered(spark, sf).collect()
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val labels = emb.map(e => e._1 -> e._3).toMap
+    // every neighbor shares the query's label; rank dense 1..k per query
+    res.groupBy(_.getLong(0)).foreach { case (qid, rows0) =>
+      rows0.foreach { r =>
+        assert(r.getInt(1) == labels(qid), s"query $qid: label leaked")
+        assert(labels(r.getLong(2)) == labels(qid), s"query $qid: neighbor off-label")
+      }
+      val ranks = rows0.map(_.getInt(3)).sorted
+      assert(ranks.sameElements(1 to rows0.length), s"query $qid: ranks not dense")
+    }
+    // brute force: per query, top-5 cosine among same-label candidates
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(_._1 < 10)
+    queries.foreach { case (qid, qv, ql) =>
+      val expect = emb.filter(e => e._3 == ql && e._1 != qid)
+        .map(e => (e._1, cos(qv, e._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      val got = res.filter(_.getLong(0) == qid).sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(got.sameElements(expect), s"query $qid: $got vs $expect")
+    }
+    // the pre-filter result is NOT the post-filtered global top-k: for at
+    // least one query, filtering the unfiltered top-5 by label loses rows
+    val global = graft.operators.Similarity.topkCosine(spark, sf).collect()
+    val lossy = queries.exists { case (qid, _, ql) =>
+      val post = global.filter(_.getLong(0) == qid)
+        .map(_.getLong(1)).count(n => labels(n) == ql)
+      post < res.count(_.getLong(0) == qid)
+    }
+    assert(lossy, "post-filtering the global top-k should lose rows for some query")
+  }
 }
