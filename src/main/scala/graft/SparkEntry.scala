@@ -119,6 +119,9 @@ object SparkEntry {
     "q_large_volume_cust" -> ((s, d) => TpchSuite.largeVolumeCustomers(s, d)),
     "q_special_revenue"   -> ((s, d) => TpchSuite.specialRevenue(s, d)),
     "q_dormant_customers" -> ((s, d) => TpchSuite.dormantCustomers(s, d)),
+    "q_late_priority"     -> ((s, d) => TpchSuite.latePriority(s, d)),
+    "q_top_supplier"      -> ((s, d) => TpchSuite.topSupplier(s, d)),
+    "q_waiting_suppliers" -> ((s, d) => TpchSuite.waitingSuppliers(s, d)),
     "q_revenue_by_segment"-> ((s, d) => Analytics.revenueBySegment(s, d)),
     "q_revenue_by_region" -> ((s, d) => Analytics.revenueByRegion(s, d)),
     // supply-side dim rollup (the supplier table's coverage row)
@@ -215,6 +218,13 @@ object SparkEntry {
     "q_revenue_deciles"   -> ((s, d) => Analytics.revenueDeciles(s, d)),
     // — X7 as-of join —
     "q_events_asof"       -> ((s, d) => AsofJoin.eventOrderAsof(s, d)),
+    // SCD-2 point-in-time lookup: validity-interval join against the
+    // purchase-versioned dimension, LEFT semantics (version 0 = pre)
+    "q_temporal_join"     -> ((s, d) => AsofJoin.temporalJoin(s, d)),
+    // its streaming twin: stream-static join with the range residual,
+    // shared join+agg code with the batch operator, same oracle
+    "q_stream_temporal_join" -> ((s, d) =>
+      graft.streaming.StreamingOps.streamTemporalJoinEndToEnd(s, d)),
     // — X4 text analysis over documents —
     "q_doc_stats"         -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q_token_freq"        -> ((s, d) => TextAnalysis.tokenFreq(s, d)),
@@ -679,6 +689,9 @@ object SparkEntry {
            FROM events e
            LEFT JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
          WHERE rn = 1 ORDER BY event_id""",
+    "q_temporal_join" -> AsofJoin.temporalJoinOracleSql,
+    // stream twin shares the batch contract exactly
+    "q_stream_temporal_join" -> AsofJoin.temporalJoinOracleSql,
     "q_doc_stats" ->
       """SELECT doc_id, lang, length(text) AS n_chars_calc,
                 len(string_split(text, ' ')) AS n_tokens,
@@ -944,6 +957,9 @@ object SparkEntry {
     "q_large_volume_cust" -> TpchSuite.largeVolumeCustomersOracleSql,
     "q_special_revenue" -> TpchSuite.specialRevenueOracleSql,
     "q_dormant_customers" -> TpchSuite.dormantCustomersOracleSql,
+    "q_late_priority" -> TpchSuite.latePriorityOracleSql,
+    "q_top_supplier" -> TpchSuite.topSupplierOracleSql,
+    "q_waiting_suppliers" -> TpchSuite.waitingSuppliersOracleSql,
     "q_incremental_agg" -> Analytics.incrementalRevenueOracleSql,
     "q_supplier_profile" -> Analytics.supplierProfileOracleSql,
     "q_topk_aggregator" -> Analytics.topPricesPerCustomerOracleSql,

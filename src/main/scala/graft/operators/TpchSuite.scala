@@ -498,4 +498,121 @@ object TpchSuite {
                          WHERE o.o_custkey = c.c_custkey
                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
        GROUP BY n_name"""
+
+  // ---------------------------------------------------------------- Q12
+  /** Late-shipment priority audit (Q12 shape re-targeted: the schema has
+    * no ship modes or receipt dates, so "late" = shipped more than 60
+    * days after the order date, and the grouping key is l_returnflag).
+    * Keeps Q12's plan: one orders⋈lineitem equi-join with the lateness
+    * predicate as a join-time residual, then conditional aggregation
+    * splitting high (1-URGENT/2-HIGH) from lower priorities over a
+    * 3-value key. Exact timestamp interval arithmetic in both engines. */
+  def latePriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_late"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  val latePriorityOracleSql: String =
+    """SELECT l_returnflag, count(*) AS n_late,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       GROUP BY l_returnflag"""
+
+  // ---------------------------------------------------------------- Q15
+  /** Top supplier: per-supplier revenue over one quarter, keep the
+    * supplier(s) achieving the maximum. The max is a 1-row aggregate
+    * broadcast back via crossJoin (Q15's view + scalar subquery, with no
+    * driver-side action), and the equality compares EXACT decimal sums —
+    * a double round-trip could merge or split the argmax set. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val revDec =
+      sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(4, 2)) - dec4(col("l_discount"))))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy("l_suppkey").agg(revDec.as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierOracleSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+       FROM rev JOIN supplier ON s_suppkey = l_suppkey
+       WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       ORDER BY s_suppkey"""
+
+  // ---------------------------------------------------------------- Q21
+  /** Suppliers who kept orders waiting (Q21 shape re-targeted: no
+    * commit/receipt dates, so the "blame" rule is: in an order touching
+    * ≥2 suppliers, the supplier holding the STRICT latest line shipdate).
+    * Q21's native form is a doubly-correlated EXISTS / NOT EXISTS
+    * self-join on the fact table — the oracle keeps exactly that text —
+    * but the distributed form here computes each supplier's per-order max
+    * once, then answers both correlations from ONE order-keyed window
+    * (supplier count, order max, max multiplicity): the fact table is
+    * scanned once and shuffled once, versus three correlated fact scans,
+    * the rewrite that survives a 1000-executor plan. */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sm = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("l_shipdate")).as("smax"))
+    val w = Window.partitionBy("l_orderkey")
+    val blamed = sm
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("omax", max(col("smax")).over(w))
+      .withColumn("n_at_max",
+        sum(when(col("smax") === max(col("smax")).over(w), 1L).otherwise(0L)).over(w))
+      .filter(col("n_supp") >= 2 && col("smax") === col("omax") && col("n_at_max") === 1)
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    blamed.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .orderBy(desc("numwait"), asc("s_suppkey"))
+      .limit(10)
+      .select("s_suppkey", "s_name", "numwait")
+  }
+
+  val waitingSuppliersOracleSql: String =
+    """WITH sm AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+                   FROM lineitem GROUP BY l_orderkey, l_suppkey)
+       SELECT s_suppkey, s_name, count(*) AS numwait
+       FROM sm t JOIN supplier ON s_suppkey = t.l_suppkey
+       WHERE EXISTS (SELECT 1 FROM sm o
+                     WHERE o.l_orderkey = t.l_orderkey
+                       AND o.l_suppkey <> t.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM sm o
+                         WHERE o.l_orderkey = t.l_orderkey
+                           AND o.l_suppkey <> t.l_suppkey
+                           AND o.smax >= t.smax)
+       GROUP BY s_suppkey, s_name
+       ORDER BY numwait DESC, s_suppkey LIMIT 10"""
 }

@@ -462,6 +462,45 @@ object StreamingOps {
       col("total_value").cast("double").as("total_value")))
   }
 
+  /** STREAMING temporal table join (Flink's signature op, batch twin
+    * [[graft.operators.AsofJoin.temporalJoin]]): arriving non-purchase
+    * events join the STATIC SCD-2 versioned dimension on user equality +
+    * validity range (`valid_from <= ts < valid_to`) — each event is
+    * enriched with the version valid AT ITS EVENT TIME, not the current
+    * one, which is exactly what makes a replayed/late stream reproducible.
+    * The join + aggregation code is shared with the batch operator
+    * (`AsofJoin.temporalJoinAgg`), so stream and batch cannot drift; the
+    * oracle is the batch SQL.
+    *
+    * Scale shape per micro-batch: stream-static LEFT join re-planned per
+    * batch (the dimension refreshes between batches in production), range
+    * residual evaluated after the user_id equi-match whose fanout is the
+    * per-user version count; aggregate state is (user × version)-sized,
+    * independent of stream volume. */
+  def streamTemporalJoinEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir("temporal")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val fact = eventFileStream(spark, dir, watchDir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val dim = graft.operators.AsofJoin.temporalDim(spark, dir)
+    val q = graft.operators.AsofJoin.temporalJoinAgg(fact, dim)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
   private val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),

@@ -24,4 +24,24 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.count() == e.count())
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
+
+  test("temporal join: every fact event lands in exactly one version; version-0 arm correct") {
+    val got = AsofJoin.temporalJoin(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2), r.getLong(3)))
+    val facts = ev.filter(_._3 != "purchase")
+    // total preservation: disjoint intervals + LEFT join = |fact| rows out
+    assert(got.map(_.getAs[Long]("n_events")).sum == facts.length)
+    // brute-force version assignment per fact event
+    val purchasesByUser: Map[Long, Seq[Long]] =
+      ev.filter(_._3 == "purchase").groupBy(_._1)
+        .view.mapValues(_.sortBy(p => (p._2, p._4)).map(_._2).toSeq).toMap
+    val expect = facts.map { case (u, t, _, _) =>
+      val vs = purchasesByUser.getOrElse(u, Seq.empty[Long])
+      (u, vs.lastIndexWhere(_ <= t) + 1) // 0 = before first purchase
+    }.groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val gotMap = got.map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("n_events")).toMap
+    assert(gotMap == expect, s"version histogram drifted: ${gotMap.toSeq.sorted.take(5)}...")
+  }
 }

@@ -163,6 +163,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming temporal join equals its batch twin exactly") {
+    val got = StreamingOps.streamTemporalJoinEndToEnd(spark, TestSpark.sf)
+    val want = graft.operators.AsofJoin.temporalJoin(spark, TestSpark.sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming near-dup equals the batch incremental flow exactly") {
     val got = StreamingOps.streamNearDupEndToEnd(spark, TestSpark.sf)
     val want = graft.operators.Dedup.nearDupNewVsCorpus(spark, TestSpark.sf)

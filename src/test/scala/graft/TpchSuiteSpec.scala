@@ -89,4 +89,52 @@ class TpchSuiteSpec extends AnyFunSuite {
     val got = TpchSuite.largeVolumeCustomers(spark, sf).collect()
     assert(got.forall(_.getAs[Double]("sum_qty") > 250))
   }
+
+  test("late priority: high+low partition the late lines; lateness rule recounted") {
+    val rows = TpchSuite.latePriority(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")
+        == r.getAs[Long]("n_late"), s"flag ${r.getString(0)}: counts must partition")
+    }
+    val expected = Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_late")).sum == expected)
+  }
+
+  test("top supplier: returned supplier(s) hold the exact per-supplier revenue max") {
+    val got = TpchSuite.topSupplier(spark, sf).collect()
+    assert(got.nonEmpty)
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+        * (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+        .as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val mx = rev.values.max
+    val winners = rev.filter(_._2 == mx).keys.toSeq.sorted
+    assert(got.map(_.getLong(0)).toSeq == winners,
+      s"got ${got.map(_.getLong(0)).toSeq} expected $winners")
+    got.foreach(r => assert(math.abs(r.getAs[Double]("total_revenue") - mx.doubleValue) < 1e-6))
+  }
+
+  test("waiting suppliers: window rewrite equals the correlated-exists brute force") {
+    val got = TpchSuite.waitingSuppliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("numwait")))
+    // brute force from per-(order, supplier) max shipdates on the driver
+    val sm = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("l_shipdate")).as("smax")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val byOrder = sm.groupBy(_._1)
+    val blame = sm.filter { case (o, s0, t) =>
+      val others = byOrder(o).filter(_._2 != s0)
+      others.nonEmpty && others.forall(_._3 < t)
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = blame.toSeq.sortBy { case (s0, n) => (-n, s0) }.take(10)
+    assert(got.toSeq == expect, s"got ${got.toSeq} expected $expect")
+  }
 }
