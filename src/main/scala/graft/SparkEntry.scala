@@ -138,6 +138,8 @@ object SparkEntry {
     // state; k values per partition-group cross the shuffle, no sort)
     "q_topk_aggregator"   -> ((s, d) => Analytics.topPricesPerCustomer(s, d)),
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
+    // calendar densification + LOCF carry over the filled axis
+    "q_gap_fill"          -> ((s, d) => Analytics.gapFill(s, d)),
     // native session_window gap sessions (batch twin of q_sessionize)
     "q_session_window"    -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     // hive-partitioned parquet layout + partition-pruned scan
@@ -302,6 +304,8 @@ object SparkEntry {
     // policy) in fixed-point BIGINT arithmetic (damping = 17/20, units of
     // 1e-15) so 3 Jacobi iterations oracle bit-exactly
     "q_pagerank"          -> ((s, d) => Dedup.nearDupPageRank(s, d)),
+    // degree-ordered triangle count + closure ratio over the pair graph
+    "q_triangle_count"    -> ((s, d) => Dedup.triangleCount(s, d)),
     // blocked fuzzy matching (entity resolution): Levenshtein within
     // nation-key blocks, never a corpus-wide cross join
     "q_fuzzy_match"       -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
@@ -373,6 +377,9 @@ object SparkEntry {
     // DSIR importance weights: hashed-bigram target-vs-raw log-ratio
     // score, broadcast lambda table, exact-decimal top-k selection
     "q_dsir_weights"      -> ((s, d) => Curation.dsirWeights(s, d)),
+    // merge-on-read deletion vectors: immutable base + positional DV
+    // sidecar, read = anti-join on (_metadata.file_path, row_index)
+    "q_delete_vectors"    -> ((s, d) => Curation.deleteVectors(s, d)),
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
     "q_decontam"          -> ((s, d) => Curation.contamination(s, d)),
@@ -628,6 +635,7 @@ object SparkEntry {
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_gap_fill" -> Analytics.gapFillOracleSql,
     // The streaming path must equal its batch twin exactly.
     "q_stream_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -879,6 +887,7 @@ object SparkEntry {
     "q_corpus_fingerprint" -> Curation.corpusFingerprintOracleSql,
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_dsir_weights" -> Curation.dsirWeightsOracleSql(),
+    "q_delete_vectors" -> Curation.deleteVectorsOracleSql,
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),
     "q_vocab_oov" -> Curation.vocabOovOracleSql(),
@@ -940,6 +949,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_dedup_degree" -> Dedup.nearDupDegreeProfileOracleSql(),
     "q_pagerank" -> Dedup.nearDupPageRankOracleSql(),
+    "q_triangle_count" -> Dedup.triangleCountOracleSql(),
     "q_pq_adc" -> Similarity.pqAdcTopkOracleSql(),
     "q_label_centroids" -> Similarity.labelCentroidsOracleSql,
     "q_star_join" -> Analytics.starJoinRevenueOracleSql(),

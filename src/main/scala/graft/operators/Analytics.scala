@@ -106,6 +106,64 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
+  /** CALENDAR GAP-FILL + LOCF — the time-series resampling step every
+    * metrics/feature pipeline runs before modeling: per-user daily event
+    * aggregates densified over each user's [first_day, last_day] span
+    * (missing days appear as explicit zero rows) and a last-observation-
+    * carried-forward column over the densified axis. Without the fill,
+    * window features silently skip gap days; with it, gaps are visible
+    * and imputable.
+    *
+    * Scale shape: the daily aggregate is one partial-aggregated shuffle;
+    * the calendar derives from the per-user SPAN table (users-sized, not
+    * events-sized) via `sequence()` + explode — fanout is days-per-user,
+    * bounded by the observation window at any corpus size; the LEFT join
+    * back and the LOCF window both reuse user_id partitioning. The LOCF
+    * is a running `last(_, ignoreNulls)` frame — per-row O(1) state, no
+    * self-join. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("value").cast(DecimalType(18, 2))).as("v_obs"))
+    val cal = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("carried_value",
+        last(col("v_obs"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("user_id"), col("day"),
+        col("v_obs").isNull.as("is_gap"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        coalesce(col("v_obs").cast("double"), lit(0d)).as("total_value"),
+        col("carried_value"))
+  }
+
+  /** DuckDB oracle for [[gapFill]] — same daily aggregate, same
+    * generate_series densification, same IGNORE NULLS running carry. */
+  val gapFillOracleSql: String =
+    """WITH daily AS (
+         SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_obs,
+                sum(CAST(value AS DECIMAL(18,2))) AS v_obs
+         FROM events GROUP BY user_id, date_trunc('day', ts)),
+       cal AS (
+         SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY user_id) s)
+       SELECT c.user_id, c.day,
+              d.v_obs IS NULL AS is_gap,
+              coalesce(d.n_obs, 0) AS n_events,
+              coalesce(CAST(d.v_obs AS DOUBLE), 0) AS total_value,
+              CAST(last_value(d.v_obs IGNORE NULLS) OVER (
+                     PARTITION BY c.user_id ORDER BY c.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS carried_value
+       FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+       ORDER BY c.user_id, c.day"""
+
   /** X6's gap-session sibling via the NATIVE `session_window` aggregate —
     * the built-in batch twin of [[graft.streaming.StreamingOps
     * .sessionizeEndToEnd]]'s custom flatMapGroupsWithState state machine:

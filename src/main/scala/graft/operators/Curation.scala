@@ -1925,6 +1925,69 @@ object Curation {
        FROM kept"""
   }
 
+  /** MERGE-ON-READ POSITION DELETES (deletion vectors) — the table-format
+    * delete mechanism (Iceberg position deletes / Delta deletion vectors)
+    * that makes row-level deletes O(delete) instead of O(table): the base
+    * files stay immutable, deletes are recorded as (file, row position)
+    * sidecar rows, and the read path subtracts them with a positional
+    * anti-join. The complement of [[forgetPurge]] (which REWRITES the
+    * corpus): here nothing is rewritten until a compaction applies the
+    * vectors.
+    *
+    * The base store is staged once (4-file immutable table) and the DV
+    * sidecar is derived positionally from a scan of the WRITTEN files via
+    * Spark's `_metadata.file_path` / `_metadata.row_index` columns — the
+    * read-side anti-join matches ONLY on position, never on keys, so it
+    * exercises exactly the table-format contract (a key-based join would
+    * hide position bookkeeping bugs). Output audits per-language base /
+    * deleted / live masses; the spec pins live ≡ base ∖ deleted by
+    * content as well.
+    *
+    * Scale shape: the DV side is delete-sized; the anti-join key leads
+    * with file_path, so co-partitioning by file keeps the subtraction
+    * file-local (production formats push the per-file DV bitmap into the
+    * scan itself). The base scan stays narrow; one lang-keyed aggregate. */
+  def deleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val path = Dedup.ensureArtifact(s"dvstore-${dir.replace('/', '_')}") { tmp =>
+      val base = tmp.resolve("base").toString
+      Tables.documents(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(base)
+      // position-delete sidecar, derived from the written files. Keyed by
+      // FILE NAME, not full path: the artifact dir is built in a temp
+      // location and atomically moved into place, so absolute paths are
+      // not stable across the move — part-file names are (and are unique
+      // within one store, like the relative paths table formats record).
+      spark.read.parquet(base)
+        .select(col("doc_id"), col("_metadata.file_name").as("f"),
+          col("_metadata.row_index").as("p"))
+        .filter(col("doc_id") % 7 === 0)
+        .select("f", "p")
+        .write.mode("overwrite").parquet(tmp.resolve("dv").toString)
+    }
+    val base = spark.read.parquet(path.resolve("base").toString)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("_metadata.file_name").as("f"), col("_metadata.row_index").as("p"))
+    val dv = spark.read.parquet(path.resolve("dv").toString)
+    val baseStats = base.groupBy("lang")
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("n_deleted"))
+    val liveStats = base.join(dv, Seq("f", "p"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_chars").cast("long")).as("chars_live"))
+    baseStats.join(liveStats, "lang")
+      .select("lang", "n_base", "n_deleted", "n_live", "chars_live")
+  }
+
+  /** DuckDB oracle for [[deleteVectors]] — the read path must equal the
+    * delete predicate's complement, whatever the physical positions. */
+  val deleteVectorsOracleSql: String =
+    """SELECT lang, count(*) AS n_base,
+              CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+              CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+              CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS chars_live
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   /** PER-LANGUAGE ADAPTIVE LENGTH FILTER (CCNet-style) — fixed length
     * thresholds are wrong across languages (a 100-char Chinese document
     * is not a 100-char English one), so production filters cut each

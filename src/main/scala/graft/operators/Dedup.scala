@@ -737,6 +737,89 @@ object Dedup {
        SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs
        FROM deg GROUP BY degree ORDER BY degree"""
 
+  /** TRIANGLE COUNT + global clustering coefficient of the near-dup pair
+    * graph — the fourth graph operator next to the degree profile,
+    * connected components, and PageRank: triangle density separates
+    * template neighborhoods (near-cliques — every copy near-dup to every
+    * other) from chain-shaped false-positive strings the banding can
+    * produce, and the closure ratio 3·triangles / wedges is the standard
+    * one-number summary.
+    *
+    * Scale shape (Suri & Vassilvitskii, WWW'11): edges are oriented from
+    * the lower-(degree, id) endpoint to the higher one, so every wedge is
+    * enumerated at its lowest-ranked vertex — per-vertex fanout is its
+    * OUT-degree, bounded by O(√m) on any graph (a hub of degree d ranks
+    * above its neighbors and generates no wedges), versus the d² blowup
+    * of naive wedge enumeration. Each triangle has exactly one vertex
+    * with out-degree 2 in this orientation, so joining wedge endpoints
+    * back to the canonical edge list counts each triangle once. All over
+    * the pair list (corpus-small); wedge mass Σ d(d−1)/2 in exact int64. */
+  def triangleCount(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                    minBands: Int = DefaultMinBands,
+                    maxBucket: Int = DefaultMaxBucket,
+                    estJaccard: Double = DefaultEstJaccard,
+                    shingleK: Int = 1,
+                    bands: Int = NumBands,
+                    rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
+      estJaccard, shingleK, bands, rowsPerBand)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    // orient each edge low-(deg, id) -> high-(deg, id)
+    val da = deg.select(col("doc_id").as("doc_a"), col("deg").as("dega"))
+    val db = deg.select(col("doc_id").as("doc_b"), col("deg").as("degb"))
+    val oriented = pairs.join(da, "doc_a").join(db, "doc_b")
+      .select(
+        when(col("dega") < col("degb")
+          || (col("dega") === col("degb") && col("doc_a") < col("doc_b")),
+          col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(col("dega") < col("degb")
+          || (col("dega") === col("degb") && col("doc_a") < col("doc_b")),
+          col("doc_b")).otherwise(col("doc_a")).as("dst"))
+    val x = oriented.select(col("src"), col("dst").as("v"))
+    val y = oriented.select(col("src"), col("dst").as("w"))
+    val wedges = x.join(y, Seq("src")).filter(col("v") < col("w"))
+      .select(least(col("v"), col("w")).as("doc_a"),
+        greatest(col("v"), col("w")).as("doc_b"))
+    val tri = wedges.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = pairs.agg(count(lit(1)).as("n_edges"))
+    val wmass = deg.agg(sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    stats.crossJoin(broadcast(tri)).crossJoin(broadcast(wmass))
+      .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_triangles").cast("double") * 3
+            / col("n_wedges"), 6)).as("closure"))
+  }
+
+  /** DuckDB oracle for [[triangleCount]] — same pair CTEs; triangles in
+    * the canonical a<b<c three-way self-join form (each triangle appears
+    * exactly once), which the orientation-based operator must equal. */
+  def triangleCountOracleSql(threshold: Double = 0.95,
+                             minBands: Int = DefaultMinBands,
+                             estJaccard: Double = DefaultEstJaccard,
+                             shingleK: Int = 1,
+                             bands: Int = NumBands,
+                             rowsPerBand: Int = RowsPerBand): String =
+    s"""WITH ${nearDupPairsCtes(threshold, minBands, estJaccard, shingleK, bands, rowsPerBand)},
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       deg AS (SELECT doc_id, count(*) AS d FROM (
+                 SELECT a AS doc_id FROM e UNION ALL SELECT b FROM e) t
+               GROUP BY doc_id),
+       tri AS (SELECT count(*) AS t
+               FROM e e1
+               JOIN e e2 ON e2.a = e1.b
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       wm AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+       SELECT (SELECT count(*) FROM e) AS n_edges,
+              (SELECT t FROM tri) AS n_triangles,
+              (SELECT w FROM wm) AS n_wedges,
+              CASE WHEN (SELECT w FROM wm) = 0 THEN NULL
+                   ELSE round(CAST((SELECT t FROM tri) AS DOUBLE) * 3
+                              / (SELECT w FROM wm), 6) END AS closure"""
+
   /** PAGERANK over the near-dup pair graph — the third graph operator
     * next to the degree profile and connected components: centrality
     * identifies the "template hubs" of a near-dup neighborhood (the doc

@@ -567,4 +567,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected,
       "transition mass must be total events minus one per user")
   }
+
+  test("gap fill: dense daily axis, zero gaps, LOCF carries the last observed value") {
+    val rows = graft.operators.Analytics.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getBoolean(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val dayMs = 24L * 3600 * 1000
+    rows.groupBy(_._1).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      // contiguous daily axis from first to last observed day
+      assert(rs.head._3 == false && rs.last._3 == false,
+        s"user $u: span endpoints must be observed days")
+      rs.sliding(2).foreach { case Array((_, a, _, _, _, _), (_, b, _, _, _, _)) =>
+        assert(b - a == dayMs, s"user $u: axis not contiguous")
+      }
+      // gap rows are zeroed; carried value repeats the last observed total
+      var lastObserved = Double.NaN
+      rs.foreach { case (_, _, isGap, n, v, carried) =>
+        if (isGap) {
+          assert(n == 0L && v == 0d)
+          assert(carried == lastObserved, s"user $u: LOCF drifted")
+        } else {
+          assert(n > 0L)
+          lastObserved = v
+          assert(carried == v)
+        }
+      }
+    }
+    // observed mass equals the raw daily aggregate (events all preserved)
+    val ev = Tables.events(spark, sf)
+    assert(rows.map(_._4).sum == ev.count())
+  }
 }

@@ -942,6 +942,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("deletion vectors: positional read path equals the predicate complement by content") {
+    val got = Curation.deleteVectors(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    // per-lang conservation: base = deleted + live
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_base") ==
+        r.getAs[Long]("n_deleted") + r.getAs[Long]("n_live"), s"lang ${r.getString(0)}")
+    }
+    assert(got.map(_.getAs[Long]("n_base")).sum == docs.count())
+    // content equivalence: the live masses equal the predicate complement,
+    // even though the read path subtracted by (file, row_index) only
+    val want = docs.filter(col("doc_id") % 7 =!= 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_chars").cast("long")).as("chars_live"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      assert(want(r.getString(0)) ==
+        ((r.getAs[Long]("n_live"), r.getAs[Long]("chars_live"))))
+    }
+  }
+
   test("dsir weights: match a driver-side brute-force recomputation; deterministic") {
     val buckets = 1024
     val target = "en"
@@ -988,5 +1010,10 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.dsirWeights(spark, sf, buckets, target, k)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(got.sameElements(again))
+    // plan shape: the lambda table (bucket-count-sized) joins BROADCAST —
+    // the corpus-sized position frame must never shuffle on bucket id
+    val plan = Curation.dsirWeights(spark, sf, buckets, target, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 }

@@ -609,4 +609,29 @@ class DedupSpec extends AnyFunSuite {
     // most once and every leaking pair has ≥1 non-minimum endpoint
     if (before == 0) assert(moved >= 0) else assert(moved >= 1)
   }
+
+  test("triangle count: degree-ordered orientation equals the naive a<b<c enumeration") {
+    val r = Dedup.triangleCount(spark, sf).head()
+    val edges = Dedup.nearDupPairs(spark, sf).select("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edgeSet = edges.toSet
+    assert(r.getAs[Long]("n_edges") == edges.length)
+    // naive: for each canonical edge (a,b), close with every c > b
+    val bySrc = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = edges.map { case (a, b) =>
+      bySrc.getOrElse(b, Set.empty).count(c => edgeSet.contains((a, c)))
+    }.sum
+    assert(r.getAs[Long]("n_triangles") == naive.toLong,
+      s"got ${r.getAs[Long]("n_triangles")} expected $naive")
+    // wedge mass from degrees; closure consistent
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    if (wedges > 0) {
+      assert(math.abs(r.getAs[Double]("closure") - 3.0 * naive / wedges) < 1e-6)
+      // a near-dup graph of exact-duplicate cliques should actually close
+      assert(naive > 0, "expected at least one triangle in the dup-clique graph")
+    }
+  }
 }

@@ -343,5 +343,12 @@ class SimilaritySpec extends AnyFunSuite {
       post < res.count(_.getLong(0) == qid)
     }
     assert(lossy, "post-filtering the global top-k should lose rows for some query")
+    // plan shape: panel broadcasts; rank<=k pushes a per-partition group
+    // limit (WindowGroupLimit) so only k rows per query cross the shuffle
+    val plan = graft.operators.Similarity.topkCosineFiltered(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 }
