@@ -260,6 +260,9 @@ object SparkEntry {
     // count-min sketch heavy hitters (third sketch family next to
     // HLL++/GK); exact counts oracle-checked, sketch bound self-verified
     "q_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsTokenCounts(s, d)),
+    // per-micro-batch CMS sketches merged counter-wise (mergeability)
+    "q_stream_cms"        -> ((s, d) =>
+      graft.streaming.StreamingOps.streamCmsEndToEnd(s, d)),
     // inverted-index head: df + bounded posting heads via a custom
     // SmallestKLongs aggregator (map-side k-element state, no sort)
     "q_inverted_index"    -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
@@ -380,6 +383,8 @@ object SparkEntry {
     // merge-on-read deletion vectors: immutable base + positional DV
     // sidecar, read = anti-join on (_metadata.file_path, row_index)
     "q_delete_vectors"    -> ((s, d) => Curation.deleteVectors(s, d)),
+    // MOR compaction: apply DVs, rewrite live rows, digest-proved lossless
+    "q_dv_compaction"     -> ((s, d) => Curation.dvCompaction(s, d)),
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
     // semi-join shape (benchmark side is tiny at any corpus scale)
     "q_decontam"          -> ((s, d) => Curation.contamination(s, d)),
@@ -888,6 +893,7 @@ object SparkEntry {
     "q_token_pack" -> Curation.tokenPackOracleSql(),
     "q_dsir_weights" -> Curation.dsirWeightsOracleSql(),
     "q_delete_vectors" -> Curation.deleteVectorsOracleSql,
+    "q_dv_compaction" -> Curation.dvCompactionOracleSql,
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),
     "q_vocab_oov" -> Curation.vocabOovOracleSql(),
@@ -981,6 +987,7 @@ object SparkEntry {
     "q_keywords_tfidf" -> TextAnalysis.keywordsTfidfOracleSql(),
     "q_tfidf_cosine" -> TextAnalysis.tfidfCosinePairsOracleSql(),
     "q_cms_heavy_hitters" -> TextAnalysis.cmsTokenCountsOracleSql(),
+    "q_stream_cms" -> TextAnalysis.cmsTokenCountsOracleSql(),
     "q_inverted_index" -> TextAnalysis.invertedIndexOracleSql(),
     "q_pmi_collocations" -> TextAnalysis.pmiCollocationsOracleSql(),
     "q_invindex_refresh" -> TextAnalysis.invindexRefreshOracleSql,

@@ -1947,8 +1947,11 @@ object Curation {
     * with file_path, so co-partitioning by file keeps the subtraction
     * file-local (production formats push the per-file DV bitmap into the
     * scan itself). The base scan stays narrow; one lang-keyed aggregate. */
-  def deleteVectors(spark: SparkSession, dir: String): DataFrame = {
-    val path = Dedup.ensureArtifact(s"dvstore-${dir.replace('/', '_')}") { tmp =>
+  /** The staged MOR store shared by [[deleteVectors]] and
+    * [[dvCompaction]]: a 4-file immutable base table plus the positional
+    * delete sidecar, built once per process. */
+  private def dvStorePath(spark: SparkSession, dir: String): java.nio.file.Path =
+    Dedup.ensureArtifact(s"dvstore-${dir.replace('/', '_')}") { tmp =>
       val base = tmp.resolve("base").toString
       Tables.documents(spark, dir).repartition(4)
         .write.mode("overwrite").parquet(base)
@@ -1964,9 +1967,16 @@ object Curation {
         .select("f", "p")
         .write.mode("overwrite").parquet(tmp.resolve("dv").toString)
     }
-    val base = spark.read.parquet(path.resolve("base").toString)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+
+  /** Base rows of the MOR store with their physical positions attached. */
+  private def dvBase(spark: SparkSession, path: java.nio.file.Path): DataFrame =
+    spark.read.parquet(path.resolve("base").toString)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
         col("_metadata.file_name").as("f"), col("_metadata.row_index").as("p"))
+
+  def deleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val path = dvStorePath(spark, dir)
+    val base = dvBase(spark, path)
     val dv = spark.read.parquet(path.resolve("dv").toString)
     val baseStats = base.groupBy("lang")
       .agg(count(lit(1)).as("n_base"),
@@ -1977,6 +1987,64 @@ object Curation {
         sum(col("n_chars").cast("long")).as("chars_live"))
     baseStats.join(liveStats, "lang")
       .select("lang", "n_base", "n_deleted", "n_live", "chars_live")
+  }
+
+  /** MOR COMPACTION — the second half of the deletion-vector lifecycle:
+    * apply the DV sidecar and REWRITE the live rows into fresh files,
+    * after which the store needs no merge-on-read work (DVs retire with
+    * the files they referenced). The audit measures physical file counts
+    * distributedly (`_metadata.file_name` distinct counts, never a
+    * driver listing), and proves losslessness with an order-independent
+    * content digest over (doc_id, text) — compacted output ≡ the
+    * positional live set ≡ the delete predicate's complement.
+    *
+    * Scale shape: the rewrite is ONE narrow scan + anti-join (the
+    * [[deleteVectors]] read path) into a size-targeted write; at scale a
+    * production compactor picks only files whose DV density crosses a
+    * threshold — here the whole (4-file) store is one compaction unit. */
+  def dvCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val path = dvStorePath(spark, dir)
+    val base = dvBase(spark, path)
+    val dv = spark.read.parquet(path.resolve("dv").toString)
+    val live = base.join(dv, Seq("f", "p"), "left_anti")
+    val compactedDir = Dedup.ensureArtifact(
+      s"dvcompact-${dir.replace('/', '_')}") { tmp =>
+      live.select("doc_id", "text", "lang", "n_chars")
+        .repartition(2)
+        .write.mode("overwrite").parquet(tmp.resolve("c").toString)
+    }
+    val compacted = spark.read.parquet(compactedDir.resolve("c").toString)
+      .select(col("doc_id"), col("text"),
+        col("_metadata.file_name").as("cf"))
+    def digest(df: DataFrame, idc: String, tc: String) =
+      sum(conv(substring(md5(concat_ws("|", col(idc), col(tc))), 1, 8), 16, 10)
+        .cast("long"))
+    val beforeStats = base.agg(
+      countDistinct(col("f")).as("n_base_files"),
+      count(lit(1)).as("n_base"))
+    val afterStats = compacted.agg(
+      countDistinct(col("cf")).as("n_compacted_files"),
+      count(lit(1)).as("n_live"),
+      digest(compacted, "doc_id", "text").as("content_digest"))
+    beforeStats.crossJoin(broadcast(afterStats))
+      .select("n_base_files", "n_base", "n_compacted_files", "n_live",
+        "content_digest")
+  }
+
+  /** DuckDB oracle for [[dvCompaction]] — file counts are the layout
+    * constants (4-file base, 2-file compaction target); row counts and
+    * the content digest come from the delete predicate's complement. */
+  val dvCompactionOracleSql: String = {
+    val hexToLong = (1 to 8)
+      .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""SELECT CAST(4 AS BIGINT) AS n_base_files,
+              (SELECT count(*) FROM documents) AS n_base,
+              CAST(2 AS BIGINT) AS n_compacted_files,
+              count(*) AS n_live,
+              CAST(sum($hexToLong) AS BIGINT) AS content_digest
+       FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8
+             FROM documents WHERE doc_id % 7 <> 0) t"""
   }
 
   /** DuckDB oracle for [[deleteVectors]] — the read path must equal the

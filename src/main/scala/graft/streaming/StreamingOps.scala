@@ -462,6 +462,60 @@ object StreamingOps {
       col("total_value").cast("double").as("total_value")))
   }
 
+  /** STREAMING COUNT-MIN SKETCH — the mergeability argument made
+    * executable: each micro-batch builds its own CMS over the arriving
+    * tokens and the driver merges them counter-wise
+    * (`CountMinSketch.mergeInPlace`). Because every batch sketch shares
+    * the seed/geometry and CMS addition commutes, the merged sketch's
+    * counters are IDENTICAL to the one-shot batch sketch's — which is
+    * why production pipelines ship per-hour sketches and merge into
+    * daily/weekly grids instead of re-scanning. Output contract and
+    * oracle are exactly [[graft.operators.TextAnalysis.cmsTokenCounts]]:
+    * exact top-k counts plus the one-sided-error verdicts the merged
+    * sketch must satisfy.
+    *
+    * Scale shape per batch: the sketch build is a per-partition
+    * aggregate merged to one fixed O(1/ε·ln 1/δ) grid — constant state
+    * no matter the stream volume; the exact top-k probe list is the
+    * batch-side aggregate (the sketch answers point queries, the heavy
+    * set comes from elsewhere). */
+  def streamCmsEndToEnd(spark: SparkSession, dir: String, topK: Int = 5,
+                        eps: Double = 0.0001,
+                        confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val out = scratchDir("cms")
+    graft.Tables.documents(spark, dir).repartition(4)
+      .write.mode("overwrite").parquet(s"$out/in")
+    val merged = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.util.sketch.CountMinSketch](null)
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = batch.stat.countMinSketch(col("token"), eps, confidence, 42)
+        merged.updateAndGet(m => if (m == null) sk else { m.mergeInPlace(sk); m })
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    deleteRecursively(java.nio.file.Paths.get(out))
+    val cms = merged.get()
+    val top = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = cms.totalCount()
+    top.toSeq.map { case (t, exact) =>
+      val est = cms.estimateCount(t)
+      (t, exact, est >= exact && est <= exact + (eps * total).toLong)
+    }.toDF("token", "n", "cms_ok")
+  }
+
   /** STREAMING temporal table join (Flink's signature op, batch twin
     * [[graft.operators.AsofJoin.temporalJoin]]): arriving non-purchase
     * events join the STATIC SCD-2 versioned dimension on user equality +

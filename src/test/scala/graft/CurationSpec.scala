@@ -964,6 +964,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dv compaction: lossless rewrite — digest equals the live set's, files shrink") {
+    val r = Curation.dvCompaction(spark, sf).head()
+    assert(r.getAs[Long]("n_base_files") == 4L)
+    assert(r.getAs[Long]("n_compacted_files") == 2L)
+    val docs = Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_base") == docs.count())
+    val live = docs.filter(col("doc_id") % 7 =!= 0)
+    assert(r.getAs[Long]("n_live") == live.count())
+    val wantDigest = live.agg(
+      sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
+        .cast("long")).as("d")).head().getLong(0)
+    assert(r.getAs[Long]("content_digest") == wantDigest)
+  }
+
   test("dsir weights: match a driver-side brute-force recomputation; deterministic") {
     val buckets = 1024
     val target = "en"

@@ -163,6 +163,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming CMS merge equals the one-shot batch sketch output") {
+    val got = StreamingOps.streamCmsEndToEnd(spark, TestSpark.sf)
+    val want = graft.operators.TextAnalysis.cmsTokenCounts(spark, TestSpark.sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // mergeability is exact, not approximate: two half-corpus sketches
+    // merged counter-wise estimate every probe identically to one shot
+    val tok = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    val oneShot = tok.stat.countMinSketch(col("token"), 0.0001, 0.99, 42)
+    val h1 = tok.filter(col("doc_id") % 2 === 0)
+      .stat.countMinSketch(col("token"), 0.0001, 0.99, 42)
+    val h2 = tok.filter(col("doc_id") % 2 =!= 0)
+      .stat.countMinSketch(col("token"), 0.0001, 0.99, 42)
+    h1.mergeInPlace(h2)
+    val probes = tok.select("token").distinct().limit(50).collect().map(_.getString(0))
+    probes.foreach { t =>
+      assert(h1.estimateCount(t) == oneShot.estimateCount(t), s"probe $t drifted")
+    }
+    assert(h1.totalCount() == oneShot.totalCount())
+  }
+
   test("streaming temporal join equals its batch twin exactly") {
     val got = StreamingOps.streamTemporalJoinEndToEnd(spark, TestSpark.sf)
     val want = graft.operators.AsofJoin.temporalJoin(spark, TestSpark.sf)
