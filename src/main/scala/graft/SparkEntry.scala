@@ -140,6 +140,10 @@ object SparkEntry {
     "q_hourly_events"     -> ((s, d) => Analytics.hourlyEvents(s, d)),
     // calendar densification + LOCF carry over the filled axis
     "q_gap_fill"          -> ((s, d) => Analytics.gapFill(s, d)),
+    // sliding-window COUNT DISTINCT via bounded contribution explode
+    "q_rolling_dau"       -> ((s, d) => Analytics.rollingDau(s, d)),
+    // RFM quintile scoring via broadcast percentile cuts (no ntile sort)
+    "q_rfm_segments"      -> ((s, d) => Analytics.rfmSegments(s, d)),
     // native session_window gap sessions (batch twin of q_sessionize)
     "q_session_window"    -> ((s, d) => Analytics.sessionWindowAgg(s, d)),
     // hive-partitioned parquet layout + partition-pruned scan
@@ -383,6 +387,8 @@ object SparkEntry {
     // merge-on-read deletion vectors: immutable base + positional DV
     // sidecar, read = anti-join on (_metadata.file_path, row_index)
     "q_delete_vectors"    -> ((s, d) => Curation.deleteVectors(s, d)),
+    // column-level security: salted pseudonym, banded lengths, preview
+    "q_masked_view"       -> ((s, d) => Curation.maskedView(s, d)),
     // MOR compaction: apply DVs, rewrite live rows, digest-proved lossless
     "q_dv_compaction"     -> ((s, d) => Curation.dvCompaction(s, d)),
     // train/eval decontamination: benchmark 8-gram overlap, broadcast
@@ -641,6 +647,8 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q_gap_fill" -> Analytics.gapFillOracleSql,
+    "q_rolling_dau" -> Analytics.rollingDauOracleSql(),
+    "q_rfm_segments" -> Analytics.rfmSegmentsOracleSql,
     // The streaming path must equal its batch twin exactly.
     "q_stream_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -894,6 +902,7 @@ object SparkEntry {
     "q_dsir_weights" -> Curation.dsirWeightsOracleSql(),
     "q_delete_vectors" -> Curation.deleteVectorsOracleSql,
     "q_dv_compaction" -> Curation.dvCompactionOracleSql,
+    "q_masked_view" -> Curation.maskedViewOracleSql(),
     "q_decontam" -> Curation.contaminationOracleSql(),
     "q_decontam_pruned" -> Curation.decontaminatedCorpusOracleSql(),
     "q_vocab_oov" -> Curation.vocabOovOracleSql(),

@@ -106,6 +106,61 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
+  /** ROLLING DISTINCT USERS (DAU / WAU / stickiness) — the canonical
+    * sliding-window COUNT DISTINCT problem: distinct does not decompose
+    * over windows (yesterday's WAU can't be updated, only recomputed), so
+    * the scale-correct shape is CONTRIBUTION EXPLODE: each (user, active
+    * day) pair — already deduplicated, so the explode input is bounded by
+    * users × days, not events — contributes to the 7 window-days it
+    * participates in, and one (window_day, user)-keyed distinct
+    * aggregation answers every day's WAU in a single pass. Fanout is the
+    * window length (7×), a constant — versus the 7 full recomputations of
+    * the naive per-day approach, or the unbounded state of a
+    * sliding-window stream distinct. Window days outside the observed
+    * range are clipped via a broadcast 1-row bounds aggregate (no driver
+    * action). Stickiness = DAU/WAU, the product-analytics ratio this
+    * table exists to serve. */
+  def rollingDau(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr(s"INTERVAL ${windowDays - 1} DAY"),
+          expr("INTERVAL 1 DAY"))).as("wday"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday") <= col("d_max"))
+      .select(col("user_id"), col("wday").as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  /** DuckDB oracle for [[rollingDau]] — same contribution explode, same
+    * clipping, same ratio. */
+  def rollingDauOracleSql(windowDays: Int = 7): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                    FROM events),
+       b AS (SELECT max(day) AS d_max FROM ud),
+       dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+       contrib AS (
+         SELECT DISTINCT user_id,
+                unnest(generate_series(day, day + INTERVAL ${windowDays - 1} DAY,
+                                       INTERVAL 1 DAY)) AS day
+         FROM ud),
+       wau AS (SELECT day, count(*) AS wau
+               FROM contrib CROSS JOIN b WHERE day <= d_max GROUP BY day)
+       SELECT dau.day, dau.dau, wau.wau,
+              round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+       FROM dau JOIN wau ON dau.day = wau.day
+       ORDER BY dau.day"""
+
   /** CALENDAR GAP-FILL + LOCF — the time-series resampling step every
     * metrics/feature pipeline runs before modeling: per-user daily event
     * aggregates densified over each user's [first_day, last_day] span
@@ -864,6 +919,84 @@ object Analytics {
                     1 + len(list_filter(cs, c -> rev > c)) AS decile
              FROM pc CROSS JOIN cuts) t
        GROUP BY decile ORDER BY decile"""
+
+  /** RFM SEGMENTATION — the classic customer-scoring workload: per-user
+    * Recency (days since last event, anchored to the corpus max so the
+    * run is reproducible), Frequency (event count) and Monetary (exact
+    * decimal value mass), each quintile-scored 1–5 and mapped to the
+    * usual segments (champion / new / at-risk / regular). Scoring uses
+    * the [[revenueDeciles]] percentile-CUT pattern — exact interpolated
+    * quintile cuts computed once, broadcast, and compared per row with a
+    * fold — never an ntile() global window: the users-sized aggregate
+    * sorts nowhere, and the three metric scores come from ONE broadcast
+    * row. Recency counts cuts ABOVE the value (recent = high score);
+    * frequency/monetary count cuts below. Day arithmetic is integer
+    * micros division, identical in both engines. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(18, 2))).as("mon"))
+    val anchor = perUser.agg(max(col("last_ts")).as("t_max"))
+    val base = perUser.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        expr("(unix_micros(t_max) - unix_micros(last_ts)) div 86400000000")
+          .as("rec_days"),
+        col("freq"), col("mon").cast("double").as("mon"))
+    val qs = lit((1 to 4).map(_ / 5.0).toArray)
+    val cuts = base.agg(
+      transform(percentile(col("rec_days"), qs), c => round(c, 4)).as("rc"),
+      transform(percentile(col("freq"), qs), c => round(c, 4)).as("fc"),
+      transform(percentile(col("mon"), qs), c => round(c, 4)).as("mc"))
+    val scored = base.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("mon"),
+        (lit(1L) + aggregate(col("rc"), lit(0L),
+          (acc, c) => acc + when(col("rec_days") < c, 1L).otherwise(0L))).as("r"),
+        (lit(1L) + aggregate(col("fc"), lit(0L),
+          (acc, c) => acc + when(col("freq") > c, 1L).otherwise(0L))).as("f"),
+        (lit(1L) + aggregate(col("mc"), lit(0L),
+          (acc, c) => acc + when(col("mon") > c, 1L).otherwise(0L))).as("m"))
+    scored
+      .withColumn("segment",
+        when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champion")
+          .when(col("r") >= 4 && col("f") <= 2, "new")
+          .when(col("r") <= 2 && col("f") >= 4, "at_risk")
+          .otherwise("regular"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("mon").cast(DecimalType(18, 2))).cast("double").as("monetary"))
+  }
+
+  /** DuckDB oracle for [[rfmSegments]] — same anchored day arithmetic,
+    * same rounded quintile cuts, same fold directions and segment map. */
+  val rfmSegmentsOracleSql: String = {
+    def cutList(c: String) = s"[round(quantile_cont($c, 0.2), 4), round(quantile_cont($c, 0.4), 4), " +
+      s"round(quantile_cont($c, 0.6), 4), round(quantile_cont($c, 0.8), 4)]"
+    s"""WITH pu AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+                          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mon
+                   FROM events GROUP BY user_id),
+       base AS (SELECT user_id,
+                       (epoch_us((SELECT max(last_ts) FROM pu)) - epoch_us(last_ts))
+                         // 86400000000 AS rec_days,
+                       freq, mon
+                FROM pu),
+       cuts AS (SELECT ${cutList("rec_days")} AS rc, ${cutList("freq")} AS fc,
+                       ${cutList("mon")} AS mc
+                FROM base),
+       scored AS (SELECT user_id, mon,
+                         1 + len(list_filter(rc, c -> rec_days < c)) AS r,
+                         1 + len(list_filter(fc, c -> freq > c)) AS f,
+                         1 + len(list_filter(mc, c -> mon > c)) AS m
+                  FROM base CROSS JOIN cuts)
+       SELECT CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                   WHEN r >= 4 AND f <= 2 THEN 'new'
+                   WHEN r <= 2 AND f >= 4 THEN 'at_risk'
+                   ELSE 'regular' END AS segment,
+              count(*) AS n_users,
+              CAST(sum(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+       FROM scored GROUP BY 1 ORDER BY 1"""
+  }
 
   /** Per-customer top-3 order prices via the custom TYPED AGGREGATOR
     * ([[graft.functions.TopKDoubles]]) — the bounded-state top-k that

@@ -2056,6 +2056,35 @@ object Curation {
               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS chars_live
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** GOVERNANCE MASKING VIEW — the column-level security projection a
+    * warehouse exposes to analysts who may aggregate but not read raw
+    * content: the stable id is replaced by a salted one-way PSEUDONYM
+    * (deterministic, so it still joins across derived tables and across
+    * runs — the property ad-hoc randomization destroys — but not
+    * invertible without the salt), raw text is reduced to a fixed-width
+    * preview, and exact lengths are BANDED to 100-char buckets (k-anonymity
+    * style coarsening: exact lengths fingerprint documents). Pure narrow
+    * projection — no shuffle, column pruning reaches the scan, and the
+    * masked view composes under every downstream aggregate. */
+  def maskedView(spark: SparkSession, dir: String, salt: String = "graft-mask-v1")
+      : DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        substring(md5(concat_ws("|", lit(salt), col("doc_id"))), 1, 16)
+          .as("doc_key"),
+        col("lang"), col("source"),
+        (floor(col("n_chars") / 100) * 100).cast("long").as("n_chars_band"),
+        concat(substring(col("text"), 1, 12), lit("…")).as("preview"))
+
+  /** DuckDB oracle for [[maskedView]] — same salt, same md5 prefix, same
+    * banding and preview width. */
+  def maskedViewOracleSql(salt: String = "graft-mask-v1"): String =
+    s"""SELECT substr(md5('$salt' || '|' || CAST(doc_id AS VARCHAR)), 1, 16) AS doc_key,
+              lang, source,
+              CAST(floor(n_chars / 100) * 100 AS BIGINT) AS n_chars_band,
+              substr(text, 1, 12) || '…' AS preview
+       FROM documents ORDER BY doc_key"""
+
   /** PER-LANGUAGE ADAPTIVE LENGTH FILTER (CCNet-style) — fixed length
     * thresholds are wrong across languages (a 100-char Chinese document
     * is not a 100-char English one), so production filters cut each

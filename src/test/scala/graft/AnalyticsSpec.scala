@@ -568,6 +568,68 @@ class AnalyticsSpec extends AnyFunSuite {
       "transition mass must be total events minus one per user")
   }
 
+  test("rfm segments: users partition into segments; scores match a brute-force recompute") {
+    val got = graft.operators.Analytics.rfmSegments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pu = Tables.events(spark, sf).groupBy("user_id")
+      .agg(max(col("ts")).as("t"), count(lit(1)).as("f"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("m"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    assert(got.values.map(_._1).sum == pu.length, "segments must partition users")
+    val tMax = pu.map(_._2).max
+    val base = pu.map { case (u, t, f, m) => (u, (tMax - t) / 86400000L / 1000L, f, m) }
+    def cuts(xs: Seq[Double]): Seq[Double] = {
+      val s = xs.sorted
+      (1 to 4).map { q =>
+        val rank = (s.length - 1) * q / 5.0
+        val lo = s(rank.toInt)
+        val hi = s(math.min(rank.toInt + 1, s.length - 1))
+        BigDecimal(lo + (rank - rank.toInt) * (hi - lo))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val (rc, fc, mc) = (cuts(base.map(_._2.toDouble).toSeq),
+      cuts(base.map(_._3.toDouble).toSeq), cuts(base.map(_._4).toSeq))
+    val expect = base.map { case (_, rec, f, m) =>
+      val r = 1 + rc.count(rec < _)
+      val fs = 1 + fc.count(f > _)
+      val ms = 1 + mc.count(m > _)
+      val seg = if (r >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (r >= 4 && fs <= 2) "new"
+        else if (r <= 2 && fs >= 4) "at_risk" else "regular"
+      (seg, m)
+    }.groupBy(_._1).map { case (s, xs) => s -> (xs.length.toLong,
+      xs.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble) }
+    assert(got.keySet == expect.keySet, s"${got.keySet} vs ${expect.keySet}")
+    expect.foreach { case (s, (n, m)) =>
+      assert(got(s)._1 == n, s"segment $s count")
+      assert(math.abs(got(s)._2 - m) < 1e-6, s"segment $s monetary")
+    }
+  }
+
+  test("rolling DAU/WAU: contribution explode equals per-day brute-force distinct") {
+    val got = graft.operators.Analytics.rollingDau(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Double]("stickiness")))
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val dayMs = 24L * 3600 * 1000
+    val days = ud.map(_._2).distinct.sorted
+    assert(got.map(_._1).sorted.sameElements(days), "one row per active day")
+    got.foreach { case (d, dau, wau, st) =>
+      val expDau = ud.count(_._2 == d)
+      // brute force WAU: distinct users active in [d-6, d]
+      val expWau = ud.filter(p => p._2 <= d && p._2 >= d - 6 * dayMs)
+        .map(_._1).distinct.length
+      assert(dau == expDau, s"day $d dau")
+      assert(wau == expWau, s"day $d wau: $wau vs $expWau")
+      assert(wau >= dau && st > 0 && st <= 1.0)
+      assert(math.abs(st - dau.toDouble / wau) < 1e-6)
+    }
+  }
+
   test("gap fill: dense daily axis, zero gaps, LOCF carries the last observed value") {
     val rows = graft.operators.Analytics.gapFill(spark, sf).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getBoolean(2),

@@ -964,6 +964,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("masked view: pseudonyms stay joinable, bands coarsen, raw columns absent") {
+    val v = Curation.maskedView(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    // deterministic one-to-one pseudonymization: still joinable as a key
+    assert(v.select("doc_key").distinct().count() == docs.count())
+    val again = Curation.maskedView(spark, sf)
+    assert(v.exceptAll(again).isEmpty && again.exceptAll(v).isEmpty)
+    // a different salt rotates every pseudonym (no accidental stability)
+    val rotated = Curation.maskedView(spark, sf, salt = "other")
+    assert(v.select("doc_key").intersect(rotated.select("doc_key")).count() == 0)
+    // schema: no doc_id / text / exact n_chars escape the view
+    assert(!v.columns.contains("doc_id") && !v.columns.contains("text")
+      && !v.columns.contains("n_chars"))
+    v.collect().foreach { r =>
+      assert(r.getAs[Long]("n_chars_band") % 100 == 0)
+      assert(r.getAs[String]("preview").length <= 13)
+    }
+  }
+
   test("dv compaction: lossless rewrite — digest equals the live set's, files shrink") {
     val r = Curation.dvCompaction(spark, sf).head()
     assert(r.getAs[Long]("n_base_files") == 4L)
