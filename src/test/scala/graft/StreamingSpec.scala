@@ -163,6 +163,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-static join re-plans the static side: a dim refresh is visible mid-stream") {
+    // Pins the claim streamEnrich/streamTemporalJoin rely on: the static
+    // side of a stream-static join is re-read at every micro-batch, so a
+    // dimension refreshed between batches affects later batches only.
+    val out = java.nio.file.Files.createTempDirectory("replantest").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // 3 single-row stream files -> 3 micro-batches (maxFilesPerTrigger=1).
+    // The file source wants FLAT files in the watch dir, so copy each
+    // write's part file out of its directory.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/in"))
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"evt$i")).toDF("k", "payload")
+        .write.parquet(s"$out/stage$i")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$out/stage$i"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$out/in/f$i.parquet"))
+    }
+    def writeDim(version: Int): Unit =
+      Seq((1L, version), (2L, version), (3L, version)).toDF("k", "dim_version")
+        .write.mode("overwrite").parquet(s"$out/dim")
+    writeDim(0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      .writeStream
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // join against the CURRENT dim table (planned fresh per batch)
+        val dim = spark.read.parquet(s"$out/dim")
+        val rows = batch.join(dim, "k")
+          .select(col("k"), col("dim_version")).collect()
+        seen.synchronized { rows.foreach(r => seen += ((id, r.getInt(1)))) }
+        writeDim(id.toInt + 1) // refresh the dim AFTER this batch
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.size == 3, s"expected 3 single-row batches, got $seen")
+    // batch i must see dim version i — each refresh lands in the NEXT
+    // batch, proving the static side is re-planned per micro-batch
+    seen.foreach { case (id, v) =>
+      assert(v == id, s"batch $id saw dim version $v: $seen")
+    }
+    // local recursive cleanup (children before parents)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally walk.close()
+  }
+
   test("streaming CMS merge equals the one-shot batch sketch output") {
     val got = StreamingOps.streamCmsEndToEnd(spark, TestSpark.sf)
     val want = graft.operators.TextAnalysis.cmsTokenCounts(spark, TestSpark.sf)
