@@ -124,7 +124,9 @@ object Analytics {
     val ud = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
-    val bounds = ud.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+    // only the upper clip is needed: window days never precede the
+    // contributing activity day
+    val bounds = ud.agg(max(col("day")).as("d_max"))
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"),

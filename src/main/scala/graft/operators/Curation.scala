@@ -1985,8 +1985,13 @@ object Curation {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_live"),
         sum(col("n_chars").cast("long")).as("chars_live"))
-    baseStats.join(liveStats, "lang")
-      .select("lang", "n_base", "n_deleted", "n_live", "chars_live")
+    // LEFT join + zero-fill: a language whose rows are ALL deleted must
+    // still report (n_live=0, chars_live=0), exactly as the oracle's
+    // whole-corpus GROUP BY does
+    baseStats.join(liveStats, Seq("lang"), "left")
+      .select(col("lang"), col("n_base"), col("n_deleted"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("chars_live"), lit(0L)).as("chars_live"))
   }
 
   /** MOR COMPACTION — the second half of the deletion-vector lifecycle:
@@ -2016,8 +2021,8 @@ object Curation {
     val compacted = spark.read.parquet(compactedDir.resolve("c").toString)
       .select(col("doc_id"), col("text"),
         col("_metadata.file_name").as("cf"))
-    def digest(df: DataFrame, idc: String, tc: String) =
-      sum(conv(substring(md5(concat_ws("|", col(idc), col(tc))), 1, 8), 16, 10)
+    val digest =
+      sum(conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
         .cast("long"))
     val beforeStats = base.agg(
       countDistinct(col("f")).as("n_base_files"),
@@ -2025,7 +2030,7 @@ object Curation {
     val afterStats = compacted.agg(
       countDistinct(col("cf")).as("n_compacted_files"),
       count(lit(1)).as("n_live"),
-      digest(compacted, "doc_id", "text").as("content_digest"))
+      digest.as("content_digest"))
     beforeStats.crossJoin(broadcast(afterStats))
       .select("n_base_files", "n_base", "n_compacted_files", "n_live",
         "content_digest")

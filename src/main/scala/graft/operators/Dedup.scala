@@ -761,9 +761,12 @@ object Dedup {
                     shingleK: Int = 1,
                     bands: Int = NumBands,
                     rowsPerBand: Int = RowsPerBand): DataFrame = {
+    // pairs come from the persisted parquet artifact — cheap to rescan,
+    // so no checkpoint/persist: the three aggregate branches below share
+    // one action and Spark reuses the exchange where profitable
     val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
       estJaccard, shingleK, bands, rowsPerBand)
-      .select("doc_a", "doc_b").localCheckpoint()
+      .select("doc_a", "doc_b")
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
@@ -780,9 +783,10 @@ object Dedup {
           col("doc_b")).otherwise(col("doc_a")).as("dst"))
     val x = oriented.select(col("src"), col("dst").as("v"))
     val y = oriented.select(col("src"), col("dst").as("w"))
+    // v < w already canonicalizes the wedge endpoints (doc ids are the
+    // edge-list order), so they map to (doc_a, doc_b) directly
     val wedges = x.join(y, Seq("src")).filter(col("v") < col("w"))
-      .select(least(col("v"), col("w")).as("doc_a"),
-        greatest(col("v"), col("w")).as("doc_b"))
+      .select(col("v").as("doc_a"), col("w").as("doc_b"))
     val tri = wedges.join(pairs, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val stats = pairs.agg(count(lit(1)).as("n_edges"))

@@ -101,10 +101,22 @@ object TextAnalysis {
     * by the CMS guarantee. */
   def cmsTokenCounts(spark: SparkSession, dir: String, topK: Int = 5,
                      eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
-    import spark.implicits._
     val tok = Tables.documents(spark, dir).select(explode(tokens).as("token"))
     val cms = tok.stat.countMinSketch(col("token"), eps, confidence, 42)
-    val top = tok.groupBy("token").agg(count(lit(1)).as("n"))
+    cmsVerdicts(spark, dir, cms, topK, eps)
+  }
+
+  /** The exact-top-k probe + one-sided-error verdict block shared by the
+    * batch sketch and its streaming merge twin
+    * (`StreamingOps.streamCmsEndToEnd`) — one copy, so the shared oracle
+    * contract (tokenization, tie-break, bound arithmetic) cannot drift
+    * between the two paths. */
+  private[graft] def cmsVerdicts(spark: SparkSession, dir: String,
+                                 cms: org.apache.spark.util.sketch.CountMinSketch,
+                                 topK: Int, eps: Double): DataFrame = {
+    import spark.implicits._
+    val top = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(topK).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val total = cms.totalCount()

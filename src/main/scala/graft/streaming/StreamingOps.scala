@@ -482,7 +482,6 @@ object StreamingOps {
   def streamCmsEndToEnd(spark: SparkSession, dir: String, topK: Int = 5,
                         eps: Double = 0.0001,
                         confidence: Double = 0.99): DataFrame = {
-    import spark.implicits._
     val out = scratchDir("cms")
     graft.Tables.documents(spark, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$out/in")
@@ -503,17 +502,8 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     deleteRecursively(java.nio.file.Paths.get(out))
-    val cms = merged.get()
-    val top = graft.Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ", -1)).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc("token")).limit(topK).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val total = cms.totalCount()
-    top.toSeq.map { case (t, exact) =>
-      val est = cms.estimateCount(t)
-      (t, exact, est >= exact && est <= exact + (eps * total).toLong)
-    }.toDF("token", "n", "cms_ok")
+    // shared probe + verdict block (one copy keeps the oracle contract)
+    graft.operators.TextAnalysis.cmsVerdicts(spark, dir, merged.get(), topK, eps)
   }
 
   /** STREAMING temporal table join (Flink's signature op, batch twin

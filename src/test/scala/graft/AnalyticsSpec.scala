@@ -577,7 +577,9 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
     assert(got.values.map(_._1).sum == pu.length, "segments must partition users")
     val tMax = pu.map(_._2).max
-    val base = pu.map { case (u, t, f, m) => (u, (tMax - t) / 86400000L / 1000L, f, m) }
+    // getTime is MILLIS; the operator divides micros by 86400000000,
+    // which is millis div 86400000 — one day, not a thousand
+    val base = pu.map { case (u, t, f, m) => (u, (tMax - t) / 86400000L, f, m) }
     def cuts(xs: Seq[Double]): Seq[Double] = {
       val s = xs.sorted
       (1 to 4).map { q =>
@@ -640,8 +642,9 @@ class AnalyticsSpec extends AnyFunSuite {
       // contiguous daily axis from first to last observed day
       assert(rs.head._3 == false && rs.last._3 == false,
         s"user $u: span endpoints must be observed days")
-      rs.sliding(2).foreach { case Array((_, a, _, _, _, _), (_, b, _, _, _, _)) =>
-        assert(b - a == dayMs, s"user $u: axis not contiguous")
+      rs.sliding(2).filter(_.length == 2).foreach {
+        case Array((_, a, _, _, _, _), (_, b, _, _, _, _)) =>
+          assert(b - a == dayMs, s"user $u: axis not contiguous")
       }
       // gap rows are zeroed; carried value repeats the last observed total
       var lastObserved = Double.NaN
