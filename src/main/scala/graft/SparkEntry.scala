@@ -30,6 +30,8 @@ object SparkEntry {
     "q_count_check"       -> ((s, d) => Relational.countCheck(s, d)),
     "q_top1_by_length"    -> ((s, d) => Relational.top1ByLength(s, d)),
     "q_length_check"      -> ((s, d) => Relational.lengthCheck(s, d)),
+    // dbt-style expectations battery: PK/FK/domain/range, one row per check
+    "q_expectations"      -> ((s, d) => Relational.expectations(s, d)),
     "q_distinct"          -> ((s, d) => Relational.distinctPairs(s, d)),
     "q_limit"             -> ((s, d) => Relational.limitRows(s, d)),
     "q_split_parse"       -> ((s, d) => Relational.splitParse(s, d)),
@@ -574,6 +576,7 @@ object SparkEntry {
       """SELECT max(length(o_orderpriority)) AS max_len,
                 max(length(o_orderpriority)) <= 15 AS ok
          FROM orders""",
+    "q_expectations" -> Relational.expectationsOracleSql,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",

@@ -761,15 +761,30 @@ object Dedup {
                     shingleK: Int = 1,
                     bands: Int = NumBands,
                     rowsPerBand: Int = RowsPerBand): DataFrame = {
-    // pairs come from the persisted parquet artifact — cheap to rescan,
-    // so no checkpoint/persist: the three aggregate branches below share
-    // one action and Spark reuses the exchange where profitable
+    // pairs feed five consumers (degrees, orientation, wedge join, the
+    // triangle semi-join probe, the edge count) and deg feeds three —
+    // spillable persist (the containmentPairs idiom: recomputable on
+    // executor loss, never pinned like localCheckpoint), released below
     val pairs = nearDupPairs(spark, dir, threshold, minBands, maxBucket,
       estJaccard, shingleK, bands, rowsPerBand)
       .select("doc_a", "doc_b")
-    val deg = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // materialize the 1-row result before the inputs are released
+        // (the bigramLogProb idiom), so consumers never recompute
+        val out = triangleCountFrom(pairs, deg)
+        out.cache().count()
+        out
+      } finally deg.unpersist(blocking = false)
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  private def triangleCountFrom(pairs: DataFrame, deg: DataFrame): DataFrame = {
     // orient each edge low-(deg, id) -> high-(deg, id)
     val da = deg.select(col("doc_id").as("doc_a"), col("deg").as("dega"))
     val db = deg.select(col("doc_id").as("doc_b"), col("deg").as("degb"))

@@ -182,6 +182,83 @@ object Relational {
               count(*) AS n_orders
        FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** EXPECTATIONS SUITE — the dbt-style declarative data-quality audit
+    * that generalizes the reference's two hard checks (D1 count, D2
+    * max-length — `dag-knlp.py:390-405`) into the battery a warehouse
+    * runs on every load: primary-key uniqueness, referential integrity
+    * (FK orphan counts via LEFT ANTI — never an IN-subquery per row),
+    * value-domain membership, non-negativity, and event-time range.
+    * One row per check, with the violation count (so a red check is
+    * diagnosable, not just boolean) and the pass verdict.
+    *
+    * Scale shape: each check is one narrow scan + aggregate (conditional
+    * sums push the predicate into the scan); the FK checks are key-keyed
+    * anti-joins, AQE-broadcast when the parent is small. The checks
+    * union as 1-row frames — plan fan-out is the number of CHECKS, a
+    * constant. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"), col("n").as("n_violations"),
+        (col("n") === 0).as("pass"))
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val pkUnique = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n"))
+    val fkLineOrders = check("lineitem_orderkey_in_orders",
+      lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val fkOrdersCust = check("orders_custkey_in_customer",
+      orders.select("o_custkey")
+        .join(Tables.customer(spark, dir).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val domain = check("lineitem_returnflag_domain",
+      lineitem.agg(sum(when(!col("l_returnflag").isin("N", "A", "R"), 1L)
+        .otherwise(0L)).as("n")))
+    val nonneg = check("lineitem_extendedprice_nonnegative",
+      lineitem.agg(sum(when(col("l_extendedprice") < 0, 1L)
+        .otherwise(0L)).as("n")))
+    val tsRange = check("events_ts_in_range",
+      Tables.events(spark, dir).agg(
+        sum(when(col("ts") < lit("2020-01-01").cast("timestamp")
+          || col("ts") >= lit("2030-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("n")))
+    check("orders_orderkey_unique", pkUnique)
+      .unionAll(fkLineOrders).unionAll(fkOrdersCust)
+      .unionAll(domain).unionAll(nonneg).unionAll(tsRange)
+  }
+
+  /** DuckDB oracle for [[expectations]] — the same checks as plain SQL. */
+  val expectationsOracleSql: String =
+    """WITH checks AS (
+         SELECT 'orders_orderkey_unique' AS check_name,
+                count(*) - count(DISTINCT o_orderkey) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem_orderkey_in_orders',
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         UNION ALL
+         SELECT 'orders_custkey_in_customer',
+                (SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+         UNION ALL
+         SELECT 'lineitem_returnflag_domain',
+                (SELECT count(*) FROM lineitem
+                 WHERE l_returnflag NOT IN ('N', 'A', 'R'))
+         UNION ALL
+         SELECT 'lineitem_extendedprice_nonnegative',
+                (SELECT count(*) FROM lineitem WHERE l_extendedprice < 0)
+         UNION ALL
+         SELECT 'events_ts_in_range',
+                (SELECT count(*) FROM events
+                 WHERE ts < TIMESTAMP '2020-01-01' OR ts >= TIMESTAMP '2030-01-01'))
+       SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+              n_violations = 0 AS pass
+       FROM checks ORDER BY check_name"""
+
   /** P1+P3 — delimiter split with overflow-tail rejoin (SURVEY Q1;
     * `dag-knlp.py:102,104-105`): first field + remainder-after-first-delim,
     * exactly the arity-coercion semantics rationalized to StringType. */
