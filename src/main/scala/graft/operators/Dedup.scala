@@ -1819,8 +1819,9 @@ object Dedup {
     * validated against the exact source-level Jaccard in the same row.
     * The union property is what makes MinHash compositional: the
     * signature of a source's shingle-set UNION is the element-wise MIN of
-    * its documents' signatures, so one groupBy produces a 128-long sketch
-    * per source and the pairwise comparison is sources² — independent of
+    * its documents' signatures, so the PERSISTED per-doc signature store
+    * folds into a 128-long sketch per source with one narrow min
+    * aggregate and the pairwise comparison is sources² — independent of
     * corpus size. This is how a 100 TB deployment audits cross-source
     * duplication (the data-card signal) WITHOUT any doc-pair join: the
     * sketch is mergeable across partitions, days, and datasets.
@@ -1833,20 +1834,41 @@ object Dedup {
                           nHashes: Int = NumBands * RowsPerBand): DataFrame = {
     graft.functions.ArrayAgreeCount.register(spark)
     // distinct (source, shingle): one exploded pass staged for the
-    // sketch, the sizes, and the exact-intersection consumers
+    // sizes and exact-intersection consumers (the audit arm)
     val sh = Tables.documents(spark, dir)
       .select(col("source"), explode(shingleSetK(1)).as("shingle"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val hashed = sh.select(col("source"),
-        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
-      val mins = affineCoeffs(nHashes).zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a) * col("h") + lit(b)) % HashMod).as(s"m$i")
-      }
-      val wide = hashed.groupBy("source").agg(mins.head, mins.tail: _*)
-        .select(col("source"),
-          array((0 until nHashes).map(i => col(s"m$i")): _*).as("mh"))
+      // Per-SOURCE sketch = elementwise MIN over the per-DOC MinHash
+      // signatures (the union property: min over docs of per-doc mins =
+      // min over the source's shingle-set union — within-source shingle
+      // duplication is absorbed by min). The per-doc signatures come
+      // from the PERSISTED signature store (same md5-prefix h, same
+      // affine family, same modulus — bit-identical to hashing the
+      // distinct (source, shingle) set directly), so this query never
+      // re-hashes the corpus and never compiles a 128-column aggregate:
+      // posexplode to (source, i, m) rows, ONE map-side-combined
+      // min(LONG), reassemble the fixed-128 array per source.
+      val profile =
+        if (nHashes == NumBands * RowsPerBand)
+          spark.read.parquet(s"${ensureSignatureStore(spark, dir)}/profile")
+            .select(col("doc_id"), col("mh"))
+        else // non-store geometry (tests): the shared narrow kernel,
+             // one pass, no wide aggregate
+          withNarrowSignatures(
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+            shingleK = 1, bands = 1, rowsPerBand = nHashes)
+            .filter(size(shingleSetK(1)) > 0)
+            .select(col("doc_id"), col("mh"))
+      val wide = profile
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+        .select(col("source"), posexplode(col("mh")).as(Seq("i", "m")))
+        .groupBy("source", "i").agg(min(col("m")).as("m"))
+        .groupBy("source")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("mh"))
       val pairs = wide.select(col("source").as("src_a"), col("mh").as("mh_a"))
         .join(wide.select(col("source").as("src_b"), col("mh").as("mh_b")),
           col("src_a") < col("src_b"))

