@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 237 codegen'd plans in one bench JVM overflow the default 240 MB
+  // JIT code cache; once full, HotSpot stops compiling NEW generated
+  // methods and late-suite first runs execute interpreted (measured in
+  // r10 as a uniform ~1.4x drift clustering alphabetically late, with
+  // end-of-suite WARM reruns of early-compiled plans still fast).
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -19,6 +19,18 @@ import java.nio.file.{Files, Paths}
   *    so a crashed query can never be mistaken for a fast one.
   */
 object Bench {
+
+  /** The cost-regression GATE (VERDICT r10 #4): a query fails the bench
+    * when its WARM rerun — against a cleaned session, after the whole
+    * suite, so JIT/codegen/contamination noise is already excluded — is
+    * still more than `factor`× its prior-run time, above an absolute
+    * `floorSec` (sub-second swings are suite noise, not plan changes).
+    * Pure so the spec can prove the gate trips on an injected
+    * regression and stays silent on noise. */
+  def warmGateTrips(priorSec: Double, warmSec: Double,
+                    factor: Double = 2.0, floorSec: Double = 0.5): Boolean =
+    priorSec > 0 && warmSec > factor * priorSec && warmSec > floorSec
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
@@ -274,23 +286,44 @@ object Bench {
       System.err.println(
         f"[bench] trend guard: $name regressed ${now / prior}%.2fx vs prior run ($prior%.2f s -> $now%.2f s)")
     }
-    val reruns = (slowest ++ regressions.map(_._1)).distinct.take(8).map { name =>
+    // Every >1.5x regression gets a warm rerun (the gate below judges
+    // the WARM number, so the rerun set must cover the whole regression
+    // list, not a top-8 slice — r10 shipped 57 regressions with only 8
+    // rerun rows). Cap at 32 as a runaway bound; a round with more than
+    // 32 genuine >1.5x regressions should fail loudly anyway.
+    val reruns = (slowest ++ regressions.map(_._1)).distinct.take(32).map { name =>
       System.err.println(s"[bench] re-timing $name (trend guard)")
       val (sec, ok) = run(name, SparkEntry.queries(name))
       clearState()
       (name, if (ok) sec else -1.0)
     }
+    // GATE (VERDICT r10 #4): a warm rerun still >2x its prior time is a
+    // real plan/cost regression, not suite noise — it joins the "failed"
+    // list and the bench exits nonzero, so a cost regression can never
+    // ship green again.
+    val warmRegressions: Seq[(String, Double, Double)] = reruns.collect {
+      case (name, warm) if warm > 0 &&
+        priorQueries.get(name).exists(p => warmGateTrips(p, warm)) =>
+        (name, priorQueries(name), warm)
+    }
+    warmRegressions.foreach { case (name, prior, warm) =>
+      System.err.println(
+        f"[bench] COST GATE: $name warm rerun ${warm / prior}%.2fx vs prior ($prior%.2f s -> $warm%.2f s) — failing the bench")
+    }
     val qs = retried.map { case (k, v, _, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val failed = retried.filterNot(_._3).map(r => s""""${r._1}"""").mkString("[", ",", "]")
+    val failed = (retried.filterNot(_._3).map(_._1) ++ warmRegressions.map(_._1))
+      .distinct.map(n => s""""$n"""").mkString("[", ",", "]")
     val retries = retried.collect { case (k, v, _, Some(first)) =>
       s""""$k":{"first":$first,"retry":$v}""" }.mkString("{", ",", "}")
     val rerun = reruns.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val stores = storeBuilds.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val regr = regressions.map { case (k, prior, now) =>
       s""""$k":{"prior":$prior,"now":$now}""" }.mkString("{", ",", "}")
+    val warmRegr = warmRegressions.map { case (k, prior, warm) =>
+      s""""$k":{"prior":$prior,"warm":$warm}""" }.mkString("{", ",", "}")
     val total = retried.filter(_._3).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"regressions":$regr,"store_build":$stores,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"regressions":$regr,"warm_regressions":$warmRegr,"store_build":$stores,"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
@@ -298,8 +331,11 @@ object Bench {
     // ~4 KB and the driver's tail capture slices it (BENCH r7/r8 both
     // recorded "parsed": null) — this one always survives any tail window.
     // Full per-query detail stays in the big line + BENCH_LOCAL.json.
-    val failedN = retried.count(!_._3)
+    val failedN = retried.count(!_._3) + warmRegressions.size
     println(f"""{"metric":"total","value":$total%.1f,"unit":"sec","n":${retried.size},"n_failed":$failedN,"sf":"$sfDir"}""")
     spark.stop()
+    // the cost gate fails the whole bench run: nonzero rc is the signal
+    // the driver records, on top of the "failed" entries above
+    if (warmRegressions.nonEmpty) sys.exit(1)
   }
 }

@@ -492,7 +492,7 @@ object StreamingOps {
     val mergeLock = new Object
     var merged: org.apache.spark.util.sketch.CountMinSketch = null
     val q = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      .option("maxFilesPerTrigger", "2").parquet(s"$out/in")
       .select(explode(split(col("text"), " ", -1)).as("token"))
       .writeStream
       .outputMode("append")
@@ -559,8 +559,8 @@ object StreamingOps {
 
   /** [[graft.operators.Curation.dataCard]]'s STREAMING twin — the
     * running composition monitor an ingest pipeline keeps live: documents
-    * arrive as micro-batches (4 part files, `maxFilesPerTrigger=1`, so
-    * the replay is genuinely incremental) and a streaming aggregate
+    * arrive as micro-batches (4 part files, `maxFilesPerTrigger=2`, so
+    * the replay is genuinely incremental across >= 2 micro-batches) and a streaming aggregate
     * maintains per-(source, lang) doc/char/token mass; the final state
     * equals the batch card's count columns (the oracle). Corpus-relative
     * columns (share, exact-dup) are deliberately absent — they need the
@@ -582,7 +582,7 @@ object StreamingOps {
     graft.Tables.documents(spark, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$out/in")
     val agg = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$out/in")
+      .option("maxFilesPerTrigger", "2").parquet(s"$out/in")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast("long")).as("n_chars"),
@@ -691,7 +691,7 @@ object StreamingOps {
 
   /** MERGE/upsert's STREAMING twin — micro-batched CDC apply: the same
     * deterministic delta as [[graft.operators.Curation.corpusMerge]]
-    * arrives as a document STREAM (4 part files, `maxFilesPerTrigger=1`,
+    * arrives as a document STREAM (4 part files, `maxFilesPerTrigger=2`,
     * so the upsert really replays as successive micro-batches), and each
     * batch is applied to the keyed corpus store with the identical
     * full-outer + delta-wins merge, ping-ponging between versioned state
@@ -724,7 +724,7 @@ object StreamingOps {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType)))
     val q = spark.readStream.schema(deltaSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$out/delta")
       .writeStream
       .outputMode("append")
@@ -784,7 +784,7 @@ object StreamingOps {
       StructField("op", StringType), StructField("text", StringType),
       StructField("lang", StringType)))
     val q = spark.readStream.schema(opSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$out/oplog")
       .writeStream
       .outputMode("append")
@@ -1235,7 +1235,7 @@ object StreamingOps {
     * epoch execution and commit, Spark re-delivers the SAME micro-batch
     * with the SAME batchId, so the sink must be idempotent on batchId.
     * This replay runs the events corpus through a 4-file stream
-    * (`maxFilesPerTrigger=1`) whose sink writes each batch to a
+    * (`maxFilesPerTrigger=2`) whose sink writes each batch to a
     * `batch=<id>` directory via full-overwrite — and then writes it AGAIN
     * (the simulated redelivery; an append-mode sink would double every
     * row). The final audit over the whole sink directory proves each
@@ -1253,7 +1253,7 @@ object StreamingOps {
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("value", org.apache.spark.sql.types.DecimalType(18, 2))))
     val q = spark.readStream.schema(inSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$out/in")
       .writeStream
       .outputMode("append")
