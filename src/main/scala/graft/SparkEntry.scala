@@ -354,6 +354,9 @@ object SparkEntry {
     // hybrid retrieval: reciprocal-rank fusion of dense cosine + token
     // Jaccard rankings (per-list top-20, fused top-10)
     "q_hybrid_rrf"        -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "q_rerank_ce"         -> ((s, d) => Similarity.rerankCrossEncoder(s, d)),
+    "q_semantic_canonical" -> ((s, d) => Similarity.semanticCanonical(s, d)),
+    "q_opq_audit"         -> ((s, d) => Similarity.opqRotationAudit(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -1016,6 +1019,9 @@ object SparkEntry {
     "q_winnow_pairs" -> Curation.winnowPairsOracleSql(),
     "q_embed_dim_stats" -> Similarity.embedDimStatsOracleSql,
     "q_hybrid_rrf" -> Similarity.hybridRrfOracleSql(),
+    "q_rerank_ce" -> Similarity.rerankCrossEncoderOracleSql(),
+    "q_semantic_canonical" -> Similarity.semanticCanonicalOracleSql(),
+    "q_opq_audit" -> Similarity.opqRotationAuditOracleSql,
     "q_kn_logprob" -> TextAnalysis.knLogProbOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.
