@@ -357,6 +357,8 @@ object SparkEntry {
     "q_rerank_ce"         -> ((s, d) => Similarity.rerankCrossEncoder(s, d)),
     "q_semantic_canonical" -> ((s, d) => Similarity.semanticCanonical(s, d)),
     "q_opq_audit"         -> ((s, d) => Similarity.opqRotationAudit(s, d)),
+    "q_ivf_refresh"       -> ((s, d) => Similarity.ivfRefresh(s, d)),
+    "q_embedding_quality" -> ((s, d) => Similarity.embeddingQuality(s, d)),
     // — training-data curation: deterministic sampling + token packing —
     "q_sample_hash"       -> ((s, d) => Curation.sampleByHash(s, d)),
     "q_sample_stratified" -> ((s, d) => Curation.stratifiedSample(s, d)),
@@ -1022,6 +1024,8 @@ object SparkEntry {
     "q_rerank_ce" -> Similarity.rerankCrossEncoderOracleSql(),
     "q_semantic_canonical" -> Similarity.semanticCanonicalOracleSql(),
     "q_opq_audit" -> Similarity.opqRotationAuditOracleSql,
+    "q_ivf_refresh" -> Similarity.ivfRefreshOracleSql,
+    "q_embedding_quality" -> Similarity.embeddingQualityOracleSql,
     "q_kn_logprob" -> TextAnalysis.knLogProbOracleSql(),
     // Self-verifying ANN: embeddings are deterministic per sf; the LSH
     // multiprobe recall@10 comfortably clears the 0.2 floor.

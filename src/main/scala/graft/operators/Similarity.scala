@@ -1080,6 +1080,141 @@ object Similarity {
        ORDER BY p.anchor_id"""
   }
 
+  /** X3d — INCREMENTAL IVF index maintenance (the ANN twin of
+    * `q_sigstore_refresh`): a daily batch (top decile of vec_id, derived
+    * from the parquet max stat) is assigned to the EXISTING coarse cells
+    * — centroids stay pinned to the ones the old corpus was indexed with,
+    * because re-centroiding would invalidate every stored posting — and
+    * the per-cell postings counts merge ADDITIVELY (counts are the
+    * mergeable sketch here). Output is the maintenance audit a production
+    * deployment gates retraining on: per cell, the old mass, the new
+    * mass, the merged total, and the new-batch share in integer ppm —
+    * a cell whose share drifts far from batch/corpus is the drift signal
+    * that the batch's distribution no longer matches the quantizer.
+    *
+    * 100 TB posture: refresh cost is |batch|·C dot products against a
+    * BROADCAST centroid table + one cell-keyed count — the old corpus is
+    * never re-assigned (its counts are the staged index's metadata,
+    * recomputed here only because the single-app bench stands in for the
+    * nightly index job). */
+  def ivfRefresh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = embDouble(spark, dir)
+    val splitFrom = e0.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+    val old = e0.filter(col("vec_id") < splitFrom)
+    val nCells = cellsFor(old.count())
+    val cent = old.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
+    val oldCounts = assignCells(spark, old, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n_old"))
+    val newCounts = assignCells(spark, e0.filter(col("vec_id") >= splitFrom), cent)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    cent.select(col("cell"))
+      .join(oldCounts, Seq("cell"), "left")
+      .join(newCounts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_old") + col("n_new"))
+      .withColumn("new_share_ppm",
+        when(col("n_total") === 0, lit(0L))
+          .otherwise(expr("n_new * 1000000 div n_total")))
+  }
+
+  /** DuckDB oracle for [[ivfRefresh]] — same decile split, same cell
+    * ladder over the OLD corpus, same pinned centroids and argmax
+    * assignment, same integer ppm law. */
+  def ivfRefreshOracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       split AS (SELECT (max(vec_id) * 9) // 10 AS sf FROM e),
+       old AS (SELECT vec_id, emb FROM e, split WHERE vec_id < sf),
+       shape AS (SELECT LEAST(4096, GREATEST(4,
+                   CAST(floor(sqrt(count(*) / 2.0)) AS INTEGER))) AS nc FROM old),
+       cent AS (SELECT vec_id AS cell, emb AS cemb FROM old, shape
+                WHERE vec_id < nc),
+       oassign AS (
+         SELECT vec_id, cell FROM (
+           SELECT x.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY ${cos("x.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM old x, cent c) t WHERE rn = 1),
+       nw AS (SELECT vec_id, emb FROM e, split WHERE vec_id >= sf),
+       nassign AS (
+         SELECT vec_id, cell FROM (
+           SELECT x.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY ${cos("x.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM nw x, cent c) t WHERE rn = 1),
+       oc AS (SELECT cell, count(*) AS n_old FROM oassign GROUP BY cell),
+       ncc AS (SELECT cell, count(*) AS n_new FROM nassign GROUP BY cell)
+       SELECT c.cell, coalesce(oc.n_old, 0) AS n_old,
+              coalesce(ncc.n_new, 0) AS n_new,
+              coalesce(oc.n_old, 0) + coalesce(ncc.n_new, 0) AS n_total,
+              CASE WHEN coalesce(oc.n_old, 0) + coalesce(ncc.n_new, 0) = 0
+                   THEN 0
+                   ELSE coalesce(ncc.n_new, 0) * 1000000
+                        // (coalesce(oc.n_old, 0) + coalesce(ncc.n_new, 0))
+              END AS new_share_ppm
+       FROM cent c
+       LEFT JOIN oc ON oc.cell = c.cell
+       LEFT JOIN ncc ON ncc.cell = c.cell
+       ORDER BY c.cell"""
+  }
+
+  /** X3g — EMBEDDING QUALITY GATE: the vector-side twin of the text and
+    * multimodal quarantine paths — before any vector enters dedup or ANN,
+    * the pipeline must reject NaN components, zero vectors (undefined
+    * cosine), and dimension mismatches. One narrow pass over the corpus:
+    * per-row NaN/zero-norm/arity verdicts fold into the corpus audit row
+    * a rollout gates on (counts by failure class + the norm envelope).
+    * All per-row checks are exact predicates (no float tolerance); min
+    * and max are reduction-order-independent. */
+  def embeddingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = embDouble(spark, dir)
+    val (_, dim) = corpusShape(e0)
+    val sq = expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)")
+    e0.select(
+        expr("exists(emb, x -> isnan(x))").as("has_nan"),
+        (size(col("emb")) =!= dim).as("bad_dim"),
+        sq.as("sq"))
+      .withColumn("zero_norm", !col("has_nan") && !col("bad_dim") && col("sq") === 0d)
+      .withColumn("ok", !col("has_nan") && !col("bad_dim") && col("sq") > 0d)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("bad_dim"), 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("zero_norm"), 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        round(min(when(col("ok"), sqrt(col("sq")))), 6).as("min_norm"),
+        round(max(when(col("ok"), sqrt(col("sq")))), 6).as("max_norm"))
+  }
+
+  /** DuckDB oracle for [[embeddingQuality]] — same exact predicates, the
+    * expected dim taken from the same lowest-vec_id row the operator's
+    * shape probe reads. */
+  def embeddingQualityOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dim AS (SELECT len(emb) AS d FROM e ORDER BY vec_id LIMIT 1),
+       per AS (SELECT
+                 list_sum([CASE WHEN isnan(x) THEN 1 ELSE 0 END for x in emb]) > 0
+                   AS has_nan,
+                 len(emb) <> dim.d AS bad_dim,
+                 list_dot_product(emb, emb) AS sq
+               FROM e, dim),
+       cls AS (SELECT has_nan, bad_dim,
+                      NOT has_nan AND NOT bad_dim AND sq = 0 AS zero_norm,
+                      NOT has_nan AND NOT bad_dim AND sq > 0 AS ok, sq
+               FROM per)
+       SELECT count(*) AS n_vecs,
+              CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+              CAST(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+              CAST(sum(CASE WHEN zero_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+              CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+              round(min(CASE WHEN ok THEN sqrt(sq) END), 6) AS min_norm,
+              round(max(CASE WHEN ok THEN sqrt(sq) END), 6) AS max_norm
+       FROM cls"""
+
   // ---------------------------------------------------------------------
   // Second-stage rerank + OPQ-style rotation + unified keeper policy
   // (the three frontier gaps named in VERDICT r10 "what's missing" #3)

@@ -51,6 +51,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sourceOverlapSketch grew a wide aggregate again (agg-expr counts: $wide)")
   }
 
+  test("registry is 1:1 — every registered query has a DuckDB oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o,
+      s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
+        s"stale oracles: ${(o -- q).toSeq.sorted}")
+  }
+
   test("bench warm-rerun cost gate trips on a real regression, not on noise") {
     // injected deliberate regression: warm rerun 3x prior, above floor
     assert(Bench.warmGateTrips(priorSec = 2.0, warmSec = 6.0))

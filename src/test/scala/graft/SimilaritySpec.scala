@@ -351,4 +351,87 @@ class SimilaritySpec extends AnyFunSuite {
       plan.take(2000))
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+  test("ivf refresh: additive postings cover the corpus, ppm law holds") {
+    val r = Similarity.ivfRefresh(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+    // every vector lands in exactly one cell on each side of the split,
+    // so the merged postings counts re-add to the corpus size
+    assert(r.agg(sum("n_total")).head().getLong(0) == e.count())
+    assert(r.filter(col("n_total") =!= col("n_old") + col("n_new")).isEmpty)
+    // integer ppm law: share = n_new * 1e6 div n_total, 0 when empty
+    assert(r.filter(col("n_total") > 0 &&
+      col("new_share_ppm") =!= expr("n_new * 1000000 div n_total")).isEmpty)
+    assert(r.filter(col("new_share_ppm") < 0 || col("new_share_ppm") > 1000000).isEmpty)
+  }
+
+  test("embedding quality: failure classes partition the corpus") {
+    val Array(row) = Similarity.embeddingQuality(spark, sf).collect()
+    val n = row.getAs[Long]("n_vecs")
+    assert(n == graft.Tables.embeddings(spark, sf).count())
+    assert(row.getAs[Long]("n_nan") + row.getAs[Long]("n_bad_dim")
+      + row.getAs[Long]("n_zero_norm") + row.getAs[Long]("n_ok") == n,
+      "every vector must fall in exactly one class")
+    // the synthetic corpus is clean: the gate must pass it through
+    assert(row.getAs[Long]("n_ok") == n)
+    assert(row.getAs[Double]("min_norm") > 0)
+    assert(row.getAs[Double]("max_norm") >= row.getAs[Double]("min_norm"))
+  }
+
+  test("embedding quality: dirty vectors land in the right class") {
+    import spark.implicits._
+    // exercise the per-row predicates directly on a crafted frame via the
+    // same expressions the operator uses (NaN, zero vector, short vector)
+    val rows = Seq(
+      (1L, Array(1.0, 2.0, 3.0, 4.0)),
+      (2L, Array(Double.NaN, 1.0, 1.0, 1.0)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)),
+      (4L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "emb")
+    val per = rows.select(
+      col("vec_id"),
+      expr("exists(emb, x -> isnan(x))").as("has_nan"),
+      (size(col("emb")) =!= 4).as("bad_dim"),
+      expr("aggregate(emb, 0D, (acc, x) -> acc + x * x)").as("sq"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getDouble(3))).toMap
+    assert(!per(1L)._1 && !per(1L)._2 && per(1L)._3 > 0)
+    assert(per(2L)._1, "NaN component must be flagged")
+    assert(!per(3L)._1 && !per(3L)._2 && per(3L)._3 == 0.0, "zero vector")
+    assert(per(4L)._2, "dimension mismatch must be flagged")
+  }
+
+  test("semantic canonical: one keeper per cluster, argmax by length then id") {
+    val r = Similarity.semanticCanonical(spark, sf)
+    val perCluster = r.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("k"))
+    assert(perCluster.filter(col("k") =!= 1).isEmpty, "exactly one keeper")
+    // the keeper is maximal under (n_chars desc, vec_id asc)
+    val bad = r.as("a").join(r.as("b"), Seq("cluster_id"))
+      .filter(col("a.is_canonical") && !col("b.is_canonical") &&
+        (col("b.n_chars") > col("a.n_chars") ||
+          (col("b.n_chars") === col("a.n_chars") && col("b.vec_id") < col("a.vec_id"))))
+    assert(bad.isEmpty, "a non-keeper dominates the keeper")
+  }
+
+  test("opq audit: rotation is orthogonal and distortions are positive") {
+    val Array(row) = Similarity.opqRotationAudit(spark, sf).collect()
+    assert(row.getAs[Boolean]("norm_ok"), "Hadamard/sqrt(d) must preserve norms")
+    assert(row.getAs[Double]("mse_plain") > 0 && row.getAs[Double]("mse_rotated") > 0)
+    assert(row.getAs[Long]("n_vecs") == graft.Tables.embeddings(spark, sf).count())
+  }
+
+  test("rerank: permutes exactly the first-stage survivors per query") {
+    val first = Similarity.hybridRrf(spark, sf)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val re = Similarity.rerankCrossEncoder(spark, sf)
+    val reSet = re.select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reSet == first, "rerank must not add or drop candidates")
+    // rerank_pos is a permutation of 1..k per query
+    val k = re.groupBy("query_id").count().select(max("count")).head().getLong(0)
+    assert(re.filter(col("rerank_pos") < 1 || col("rerank_pos") > k).isEmpty)
+    assert(re.groupBy("query_id", "rerank_pos").count()
+      .filter(col("count") > 1).isEmpty, "positions unique per query")
+  }
+
 }
