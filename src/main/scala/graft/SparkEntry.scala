@@ -551,6 +551,9 @@ object SparkEntry {
     // exactly-once foreachBatch sink under simulated batch redelivery:
     // idempotent per-batchId overwrite, audit proves zero duplicates
     "q_stream_exactly_once" -> ((s, d) => graft.streaming.StreamingOps.streamExactlyOnceEndToEnd(s, d)),
+    // online ANN serving: new vectors stream in, each answered with its
+    // IVF top-k against the pinned old-corpus index
+    "q_stream_ann"        -> ((s, d) => graft.streaming.StreamingOps.streamAnnEndToEnd(s, d)),
   )
 
   private val dimSql =
@@ -957,6 +960,7 @@ object SparkEntry {
     "q_bloom_prune" -> Bucketing.bloomPrunedJoinOracleSql(),
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
+    "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),
     // The bucketed-layout merge must equal the plain merge exactly.
     "q_corpus_merge_bucketed" -> Curation.corpusMergeOracleSql,
     // The micro-batched streaming upsert must land on the batch merge.

@@ -1163,6 +1163,24 @@ object Similarity {
        ORDER BY c.cell"""
   }
 
+  /** The SERVING-side IVF index of the old-corpus decile split, shared
+    * with the streaming ANN path ([[graft.streaming.StreamingOps
+    * .streamAnnEndToEnd]]): (splitFrom, centroid table, assigned corpus
+    * postings, nProbe). Centroids and assignment are exactly
+    * [[ivfRefresh]]'s — one pinned quantizer serves build, maintain, and
+    * online probe. */
+  private[graft] def ivfServingIndex(spark: SparkSession,
+                                     dir: String): (Long, DataFrame, DataFrame, Int) = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = embDouble(spark, dir)
+    val splitFrom = e0.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+    val old = e0.filter(col("vec_id") < splitFrom)
+    val nCells = cellsFor(old.count())
+    val cent = old.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
+    (splitFrom, cent, assignCells(spark, old, cent), math.max(1, nCells / 4))
+  }
+
   /** X3g — EMBEDDING QUALITY GATE: the vector-side twin of the text and
     * multimodal quarantine paths — before any vector enters dedup or ANN,
     * the pipeline must reject NaN components, zero vectors (undefined

@@ -1494,4 +1494,108 @@ object StreamingOps {
          AND bit_count(xor(n.phash_hi, c.phash_hi))
              + bit_count(xor(n.phash_lo, c.phash_lo)) <= $maxHamming
        ORDER BY new_doc, corpus_doc"""
+
+  /** STREAMING ANN SERVING — the online leg of the IVF lifecycle (build
+    * `q_ann_ivf` → maintain `q_ivf_refresh` → serve here): new vectors
+    * (top decile of vec_id) arrive as a micro-batched stream and each is
+    * answered with its IVF top-k against the indexed old corpus — probe
+    * the nProbe nearest of the PINNED coarse cells (broadcast centroid
+    * table), exact-cosine only the postings in probed cells. The per-new
+    * -vector ranking runs inside foreachBatch (append-mode streams admit
+    * no window functions; per-entity ranking in the batch hook is the
+    * production pattern, and it is exact here because each vector occurs
+    * in exactly one batch).
+    *
+    * Scale shape per micro-batch: |batch|·C dot products against a
+    * broadcast C·dim centroid table, then an equi-join on cell that
+    * touches ≈ nProbe/C of the postings — never the corpus, never
+    * batch×corpus. The DuckDB oracle replays the identical deterministic
+    * pipeline (pinned lowest-id centroids, argmax assignment, id-broken
+    * ties), so the approximate answer itself is exactly verified. */
+  def streamAnnEndToEnd(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    val (splitFrom, cent, assigned, nProbe) = Similarity.ivfServingIndex(spark, dir)
+    val out = scratchDir("streamann")
+    val watchDir = java.nio.file.Paths.get(out, "in")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("embeddings.parquet"),
+      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+      StructField("label", IntegerType)))
+    val newStream = spark.readStream.schema(embSchema).parquet(watchDir.toString)
+      .filter(col("vec_id") >= splitFrom)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qemb"))
+    val q = newStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wProbe = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("csim"), asc("cell"))
+        val probes = batch.join(broadcast(cent))
+          .select(col("query_id"), col("qemb"), col("cell"),
+            expr("cosine_sim(qemb, cemb)").as("csim"))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= nProbe)
+          .select("query_id", "qemb", "cell")
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("sim_raw"), asc("neighbor_id"))
+        assigned.join(probes, Seq("cell"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            expr("cosine_sim(emb, qemb)").as("sim_raw"))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("sim_raw"), 6).as("sim"))
+          .write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
+  /** DuckDB oracle for [[streamAnnEndToEnd]] — the full deterministic
+    * IVF probe of the new decile against the old-corpus index. */
+  def streamAnnOracleSql(k: Int = 3): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       split AS (SELECT (max(vec_id) * 9) // 10 AS sf FROM e),
+       old AS (SELECT vec_id, emb FROM e, split WHERE vec_id < sf),
+       shape AS (SELECT LEAST(4096, GREATEST(4,
+                   CAST(floor(sqrt(count(*) / 2.0)) AS INTEGER))) AS nc FROM old),
+       np AS (SELECT GREATEST(1, nc // 4) AS np FROM shape),
+       cent AS (SELECT vec_id AS cell, emb AS cemb FROM old, shape
+                WHERE vec_id < nc),
+       assigned AS (
+         SELECT vec_id, emb, cell FROM (
+           SELECT x.vec_id, x.emb, c.cell,
+                  row_number() OVER (PARTITION BY x.vec_id
+                    ORDER BY ${cos("x.emb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM old x, cent c) t WHERE rn = 1),
+       nw AS (SELECT vec_id AS query_id, emb AS qemb FROM e, split
+              WHERE vec_id >= sf),
+       probes AS (
+         SELECT query_id, qemb, cell FROM (
+           SELECT n.query_id, n.qemb, c.cell,
+                  row_number() OVER (PARTITION BY n.query_id
+                    ORDER BY ${cos("n.qemb", "c.cemb")} DESC, c.cell ASC) AS rn
+           FROM nw n, cent c) t, np WHERE rn <= np.np),
+       cand AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+                ${cos("a.emb", "p.qemb")} AS sim
+         FROM probes p JOIN assigned a ON a.cell = p.cell)
+       SELECT query_id, neighbor_id, rnk AS "rank", round(sim, 6) AS sim
+       FROM (SELECT query_id, neighbor_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id ASC) AS rnk
+             FROM cand) t
+       WHERE rnk <= $k
+       ORDER BY query_id, rnk"""
+  }
 }

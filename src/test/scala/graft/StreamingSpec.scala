@@ -573,4 +573,20 @@ class StreamingSpec extends AnyFunSuite {
       s"stream missed/invented pairs: missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
     assert(got.nonEmpty, "fixture should contain cross-split image near-dups")
   }
+  test("streaming ANN serving: ranked per new vector, neighbors only from the indexed corpus") {
+    val r = graft.streaming.StreamingOps.streamAnnEndToEnd(spark, TestSpark.sf)
+    val split = graft.Tables.embeddings(spark, TestSpark.sf)
+      .agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+    assert(r.count() > 0, "the new decile must get answers")
+    // queries are new-decile vectors; neighbors come only from the index
+    assert(r.filter(col("query_id") < split).isEmpty)
+    assert(r.filter(col("neighbor_id") >= split).isEmpty)
+    // ranks are unique 1..k per query and sims are non-increasing in rank
+    assert(r.groupBy("query_id", "rank").count().filter(col("count") > 1).isEmpty)
+    val bad = r.as("a").join(r.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+        col("a.rank") < col("b.rank") && col("a.sim") < col("b.sim"))
+    assert(bad.isEmpty, "sim must be non-increasing in rank")
+  }
+
 }
