@@ -1511,8 +1511,14 @@ object Dedup {
     // lineage-preserving persist (memory while it fits, disk when it
     // doesn't, rebuildable from the scan if an executor dies) is the
     // survivable idiom at 100 TB.
+    // DICTIONARY-ENCODE the shingle right at the explode: every
+    // downstream stage (df count, the capped self-join, the pair
+    // aggregate) shuffles and compares 8-byte longs instead of ~6-word
+    // text (collision bound vocab²/2⁶⁴ — the same accepted hash regime
+    // as the MinHash family and the ppjoin verify sets).
     val sh = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingleSetK(k)).as("shingle"))
+      .select(col("doc_id"), explode(shingleSetK(k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
