@@ -183,6 +183,9 @@ object Bench {
       // prefixes + encoded sets): the nightly index the incremental
       // probe reads — q_ppjoin_incremental times the probe, not the build
       "ppjoin_index" -> (() => operators.PrefixJoin.ensurePrefixIndex(spark, sfDir)),
+      // serving-side IVF index (pinned centroids + corpus postings): the
+      // nightly artifact q_ivf_refresh and q_stream_ann probe
+      "ivf_index" -> (() => operators.Similarity.ensureIvfIndex(spark, sfDir)),
     ).map { case (name, build) =>
       val (sec, ok) = withTimeout(s"store_$name") { build(); () }
       System.err.println(

@@ -1947,13 +1947,21 @@ object Curation {
     * with file_path, so co-partitioning by file keeps the subtraction
     * file-local (production formats push the per-file DV bitmap into the
     * scan itself). The base scan stays narrow; one lang-keyed aggregate. */
+  /** Physical layout targets for the MOR store — the SAME constants feed
+    * the repartition calls and [[dvCompactionOracleSql]]'s expected file
+    * counts, so a changed layout cannot silently diverge from the oracle.
+    * (Round-robin repartition of a non-empty corpus never leaves an empty
+    * output partition, so file count == partition count.) */
+  private val DvBaseFiles = 4
+  private val DvCompactFiles = 2
+
   /** The staged MOR store shared by [[deleteVectors]] and
     * [[dvCompaction]]: a 4-file immutable base table plus the positional
     * delete sidecar, built once per process. */
   private def dvStorePath(spark: SparkSession, dir: String): java.nio.file.Path =
     Dedup.ensureArtifact(s"dvstore-${dir.replace('/', '_')}") { tmp =>
       val base = tmp.resolve("base").toString
-      Tables.documents(spark, dir).repartition(4)
+      Tables.documents(spark, dir).repartition(DvBaseFiles)
         .write.mode("overwrite").parquet(base)
       // position-delete sidecar, derived from the written files. Keyed by
       // FILE NAME, not full path: the artifact dir is built in a temp
@@ -2015,7 +2023,7 @@ object Curation {
     val compactedDir = Dedup.ensureArtifact(
       s"dvcompact-${dir.replace('/', '_')}") { tmp =>
       live.select("doc_id", "text", "lang", "n_chars")
-        .repartition(2)
+        .repartition(DvCompactFiles)
         .write.mode("overwrite").parquet(tmp.resolve("c").toString)
     }
     val compacted = spark.read.parquet(compactedDir.resolve("c").toString)
@@ -2036,16 +2044,17 @@ object Curation {
         "content_digest")
   }
 
-  /** DuckDB oracle for [[dvCompaction]] — file counts are the layout
-    * constants (4-file base, 2-file compaction target); row counts and
-    * the content digest come from the delete predicate's complement. */
+  /** DuckDB oracle for [[dvCompaction]] — file counts are the shared
+    * layout constants ([[DvBaseFiles]]/[[DvCompactFiles]], the same
+    * values the writers repartition to); row counts and the content
+    * digest come from the delete predicate's complement. */
   val dvCompactionOracleSql: String = {
     val hexToLong = (1 to 8)
       .map(i => s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
       .mkString(" + ")
-    s"""SELECT CAST(4 AS BIGINT) AS n_base_files,
+    s"""SELECT CAST($DvBaseFiles AS BIGINT) AS n_base_files,
               (SELECT count(*) FROM documents) AS n_base,
-              CAST(2 AS BIGINT) AS n_compacted_files,
+              CAST($DvCompactFiles AS BIGINT) AS n_compacted_files,
               count(*) AS n_live,
               CAST(sum($hexToLong) AS BIGINT) AS content_digest
        FROM (SELECT substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8) AS h8

@@ -1098,16 +1098,13 @@ object Similarity {
     * recomputed here only because the single-app bench stands in for the
     * nightly index job). */
   def ivfRefresh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(spark)
-    val e0 = embDouble(spark, dir)
-    val splitFrom = e0.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
-    val old = e0.filter(col("vec_id") < splitFrom)
-    val nCells = cellsFor(old.count())
-    val cent = old.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
-    val oldCounts = assignCells(spark, old, cent)
-      .groupBy("cell").agg(count(lit(1)).as("n_old"))
-    val newCounts = assignCells(spark, e0.filter(col("vec_id") >= splitFrom), cent)
+    // the old side comes from the PERSISTED index (cent/ + assigned/):
+    // the refresh never re-assigns the corpus — its cost is the new
+    // batch's |batch|·C assignment plus two cell-keyed counts
+    val (splitFrom, cent, assigned, _) = ivfServingIndex(spark, dir)
+    val oldCounts = assigned.groupBy("cell").agg(count(lit(1)).as("n_old"))
+    val newCounts = assignCells(spark,
+        embDouble(spark, dir).filter(col("vec_id") >= splitFrom), cent)
       .groupBy("cell").agg(count(lit(1)).as("n_new"))
     cent.select(col("cell"))
       .join(oldCounts, Seq("cell"), "left")
@@ -1163,22 +1160,45 @@ object Similarity {
        ORDER BY c.cell"""
   }
 
-  /** The SERVING-side IVF index of the old-corpus decile split, shared
-    * with the streaming ANN path ([[graft.streaming.StreamingOps
-    * .streamAnnEndToEnd]]): (splitFrom, centroid table, assigned corpus
-    * postings, nProbe). Centroids and assignment are exactly
-    * [[ivfRefresh]]'s — one pinned quantizer serves build, maintain, and
-    * online probe. */
+  /** Build (once per process) the PERSISTED serving-side IVF index of
+    * the old-corpus decile split: `cent/` (the pinned coarse centroids)
+    * and `assigned/` (the corpus postings — every old vector with its
+    * cell). The nightly index artifact both the incremental refresh
+    * ([[ivfRefresh]]) and the online probe ([[graft.streaming
+    * .StreamingOps.streamAnnEndToEnd]]) read — same staged-artifact
+    * contract as the MinHash signature store and the ppjoin prefix
+    * index. */
+  private[graft] def ensureIvfIndex(spark: SparkSession, dir: String): String =
+    Dedup.ensureArtifact(s"ivfidx-${dir.replace('/', '_')}") { tmp =>
+      graft.functions.CosineSimilarity.register(spark)
+      val e0 = embDouble(spark, dir)
+      val splitFrom = e0.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
+      val old = e0.filter(col("vec_id") < splitFrom)
+      val nCells = cellsFor(old.count())
+      val cent = old.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cell"), col("emb").as("cemb"))
+      cent.write.mode("overwrite").parquet(tmp.resolve("cent").toString)
+      assignCells(spark, old, cent)
+        .write.mode("overwrite").parquet(tmp.resolve("assigned").toString)
+    }.toString
+
+  /** The SERVING-side IVF index read back from the staged artifact:
+    * (splitFrom, centroid table, assigned corpus postings, nProbe).
+    * Centroids and assignment are exactly [[ivfRefresh]]'s — one pinned
+    * quantizer serves build, maintain, and online probe; the scalar
+    * geometry (split point, probe width) re-derives from metadata-cheap
+    * aggregates. */
   private[graft] def ivfServingIndex(spark: SparkSession,
                                      dir: String): (Long, DataFrame, DataFrame, Int) = {
     graft.functions.CosineSimilarity.register(spark)
+    val idx = ensureIvfIndex(spark, dir)
     val e0 = embDouble(spark, dir)
     val splitFrom = e0.agg(max(col("vec_id"))).head().getLong(0) * 9 / 10
-    val old = e0.filter(col("vec_id") < splitFrom)
-    val nCells = cellsFor(old.count())
-    val cent = old.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
-    (splitFrom, cent, assignCells(spark, old, cent), math.max(1, nCells / 4))
+    val nCells = cellsFor(e0.filter(col("vec_id") < splitFrom).count())
+    (splitFrom,
+      spark.read.parquet(s"$idx/cent"),
+      spark.read.parquet(s"$idx/assigned"),
+      math.max(1, nCells / 4))
   }
 
   /** X3g — EMBEDDING QUALITY GATE: the vector-side twin of the text and

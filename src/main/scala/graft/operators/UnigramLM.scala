@@ -66,7 +66,10 @@ object UnigramLM {
   }
 
   /** Viterbi-best segmentation per distinct word: (word, wfreq,
-    * score_micro, n_pieces, segmentation) with pieces '|'-joined. */
+    * score_micro, n_pieces, segmentation) with pieces joined on ' ' —
+    * the word separator itself, which BY CONSTRUCTION cannot occur
+    * inside a word (words come from splitting text on ' '), so the
+    * join/split round-trip is unambiguous for any corpus content. */
   def viterbiSegment(spark: SparkSession, dir: String, vocabCap: Int = 500,
                      minFreq: Long = 2L): DataFrame = {
     import spark.implicits._
@@ -105,7 +108,7 @@ object UnigramLM {
           i += 1
         }
         val (score, ids, segs) = best(n)
-        (word, wfreq, score, ids.length.toLong, segs.mkString("|"))
+        (word, wfreq, score, ids.length.toLong, segs.mkString(" "))
       }
     }.toDF("word", "wfreq", "score_micro", "n_pieces", "segmentation")
   }
@@ -126,12 +129,12 @@ object UnigramLM {
              minFreq: Long = 2L): DataFrame = {
     val seg = viterbiSegment(spark, dir, vocabCap, minFreq)
     val uses = seg
-      // split("", "\\|") yields [""], so an empty word (consecutive
+      // split("", " ") yields [""], so an empty word (consecutive
       // spaces produce one) would inject a phantom '' piece with weight
       // wfreq — its segmentation is empty BY DEFINITION (n_pieces = 0),
       // so it must contribute nothing to the EM statistics
       .filter(col("segmentation") =!= "")
-      .select(col("wfreq"), explode(split(col("segmentation"), "\\|")).as("piece"))
+      .select(col("wfreq"), explode(split(col("segmentation"), " ")).as("piece"))
       .groupBy("piece").agg(sum(col("wfreq")).as("uses"))
     val totalUses = uses.agg(sum(col("uses")).cast("double").as("t"))
     uses.crossJoin(broadcast(totalUses))
@@ -171,7 +174,7 @@ object UnigramLM {
          SELECT p.word, p.pos + length(m.piece), p.score + m.logp_u,
                 list_append(p.ids, CAST(m.id AS INTEGER)),
                 CASE WHEN p.pos = 0 THEN m.piece
-                     ELSE p.seg || '|' || m.piece END
+                     ELSE p.seg || ' ' || m.piece END
          FROM paths p JOIN model m
            ON substr(p.word, p.pos + 1, length(m.piece)) = m.piece),
        bestseg AS (
@@ -199,7 +202,7 @@ object UnigramLM {
   /** DuckDB oracle for [[emStep]]. */
   def emStepOracleSql(vocabCap: Int = 500, minFreq: Long = 2L): String =
     s"""WITH RECURSIVE ${oracleModelCtes(vocabCap, minFreq)},
-       uses AS (SELECT unnest(string_split(b.seg, '|')) AS piece,
+       uses AS (SELECT unnest(string_split(b.seg, ' ')) AS piece,
                        w.wfreq
                 FROM bestseg b JOIN words w ON b.word = w.word
                 WHERE b.seg <> ''),

@@ -572,14 +572,14 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = graft.operators.Analytics.rfmSegments(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val pu = Tables.events(spark, sf).groupBy("user_id")
-      .agg(max(col("ts")).as("t"), count(lit(1)).as("f"),
+      .agg(unix_micros(max(col("ts"))).as("t"), count(lit(1)).as("f"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("m"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.values.map(_._1).sum == pu.length, "segments must partition users")
     val tMax = pu.map(_._2).max
-    // getTime is MILLIS; the operator divides micros by 86400000000,
-    // which is millis div 86400000 — one day, not a thousand
-    val base = pu.map { case (u, t, f, m) => (u, (tMax - t) / 86400000L, f, m) }
+    // exact MICROS, same arithmetic as the operator — getTime would
+    // truncate sub-millisecond precision and could flip a day boundary
+    val base = pu.map { case (u, t, f, m) => (u, (tMax - t) / 86400000000L, f, m) }
     def cuts(xs: Seq[Double]): Seq[Double] = {
       val s = xs.sorted
       (1 to 4).map { q =>

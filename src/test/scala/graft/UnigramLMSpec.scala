@@ -15,7 +15,7 @@ class UnigramLMSpec extends AnyFunSuite {
   test("every segmentation reassembles its word; piece lengths bounded") {
     assert(segRows.nonEmpty)
     segRows.foreach { case (word, _, _, nPieces, seg) =>
-      val pieces = if (seg.isEmpty) Array.empty[String] else seg.split('|')
+      val pieces = if (seg.isEmpty) Array.empty[String] else seg.split(' ')
       assert(pieces.mkString("") == word, s"'$seg' does not reassemble '$word'")
       assert(pieces.length.toLong == nPieces)
       pieces.foreach(p => assert(p.nonEmpty && p.length <= UnigramLM.MaxPieceLen))
