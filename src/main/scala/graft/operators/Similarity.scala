@@ -208,7 +208,7 @@ object Similarity {
   /** The CTE chain up to `epairs` (vec_a, vec_b, sim) reproducing
     * [[embedNearDup]] — shared by the pair oracle and the semantic-dedup
     * cluster oracle so they cannot drift. */
-  private def embedPairsCtes(threshold: Double): String = {
+  private[graft] def embedPairsCtes(threshold: Double): String = {
     val ps = planes(MaxBits, OracleDim)
     val ladder = (MinBits until MaxBits)
       .map(b => s"WHEN c <= ${TargetBucket.toLong << b} THEN $b")
