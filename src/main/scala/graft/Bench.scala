@@ -71,22 +71,27 @@ object Bench {
     // reader once before any timed query.
     spark.range(1000000).selectExpr("sum(id) s").collect()
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
-    // Streaming-path warmup (VERDICT r5 #2): the first streaming query in
-    // a JVM pays one-time file-source/state-store/streaming-codegen init,
-    // recorded in r5 as q_sessionize's 4x suite-vs-rerun gap. Drain each
-    // streaming harness once at the smallest sf before timing anything.
-    try {
+    // Streaming-path warmup (VERDICT r5 #2, widened r12 per VERDICT r11
+    // #1): the first run of EACH streaming SHAPE in a JVM pays one-time
+    // init — file-source listing, the state-store provider for that
+    // operator type (agg / dedup / session-window / symmetric-hash join /
+    // flatMapGroupsWithState), and the shape's streaming codegen.
+    // r5 measured it as q_sessionize's 4x suite-vs-rerun gap; r11 still
+    // carried it in 15 unwarmed shapes. Drain every registered streaming
+    // harness once at the smallest sf, off the clock, each under its own
+    // try so one failure can't silence the rest (the timed run will fail
+    // loudly on the same query anyway).
+    locally {
       val warmSf = "/root/testdata/sf0.001"
-      Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-        graft.streaming.StreamingOps.hourlyCountsEndToEnd,
-        graft.streaming.StreamingOps.sessionizeEndToEnd(_, _),
-        graft.streaming.StreamingOps.streamDedupEndToEnd,
-        // the symmetric-hash stream-stream join operator has its own
-        // one-time codegen/state init the other harnesses don't touch
-        graft.streaming.StreamingOps.streamStreamJoinEndToEnd(_, _),
-      ).foreach(f => f(spark, warmSf).write.format("noop").mode("overwrite").save())
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streaming warmup failed (continuing): ${e.getMessage}")
+      val streamKeys = SparkEntry.queries.keys.filter(k =>
+        k.startsWith("q_stream") || k == "q_sessionize").toSeq.sorted
+      streamKeys.foreach { k =>
+        try SparkEntry.queries(k)(spark, warmSf)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming warmup $k failed (continuing): ${e.getMessage}")
+        }
+      }
     }
     // Dedup-kernel warmup: the 128-wide min(LONG) aggregate is the largest
     // generated method in the suite and Janino compiles it once per JVM
@@ -248,7 +253,14 @@ object Bench {
     }
     clearState()
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration subset filter (comma-separated name prefixes). A
+    // filtered run never writes BENCH_LOCAL.json — the committed
+    // round-over-round trend vector must only ever hold full-suite runs.
+    val only: Option[Array[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val (sec, ok) = run(name, fn)
       clearState()
       (name, fn, sec, ok)
@@ -292,9 +304,19 @@ object Bench {
     // Every >1.5x regression gets a warm rerun (the gate below judges
     // the WARM number, so the rerun set must cover the whole regression
     // list, not a top-8 slice — r10 shipped 57 regressions with only 8
-    // rerun rows). Cap at 32 as a runaway bound; a round with more than
-    // 32 genuine >1.5x regressions should fail loudly anyway.
-    val reruns = (slowest ++ regressions.map(_._1)).distinct.take(32).map { name =>
+    // rerun rows). Cap at 32 as a runaway bound — and when the cap bites,
+    // the dropped names are LOGGED and recorded in the artifact's
+    // "rerun_truncated" field (ADVICE r11: a silently skipped rerun would
+    // bypass the cost gate with no trace, against the no-silent-caps
+    // convention).
+    val rerunSet = (slowest ++ regressions.map(_._1)).distinct
+    val rerunTruncated = rerunSet.drop(32)
+    if (rerunTruncated.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: trend-guard rerun set truncated ${rerunSet.size} -> 32; " +
+          s"these regressions were NOT warm-rerun and bypass the cost gate: " +
+          rerunTruncated.mkString(", "))
+    val reruns = rerunSet.take(32).map { name =>
       System.err.println(s"[bench] re-timing $name (trend guard)")
       val (sec, ok) = run(name, SparkEntry.queries(name))
       clearState()
@@ -324,12 +346,14 @@ object Bench {
       s""""$k":{"prior":$prior,"now":$now}""" }.mkString("{", ",", "}")
     val warmRegr = warmRegressions.map { case (k, prior, warm) =>
       s""""$k":{"prior":$prior,"warm":$warm}""" }.mkString("{", ",", "}")
+    val truncated = rerunTruncated.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = retried.filter(_._3).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"regressions":$regr,"warm_regressions":$warmRegr,"store_build":$stores,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"regressions":$regr,"warm_regressions":$warmRegr,"rerun_truncated":$truncated,"store_build":$stores,"sf":"$sfDir"}"""
     println(line)
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Throwable => () }
     // Compact summary as the very LAST stdout line: the full line above is
     // ~4 KB and the driver's tail capture slices it (BENCH r7/r8 both
     // recorded "parsed": null) — this one always survives any tail window.

@@ -9,6 +9,32 @@ import org.apache.spark.sql.SparkSession
   * runtime coalescing/skew handling, UTC for oracle parity, and the
   * legacy nanos-as-long switch because the driver testdata's events.ts
   * is TIMESTAMP(NANOS) parquet (normalized in [[Tables.events]]).
+  *
+  * == Deploying this config on a real cluster (do NOT copy the local pins) ==
+  *
+  * Two of the numbers below are sized for local[32] against <=sf0.1 data
+  * and must be re-derived for a 1000-executor / 100 TB deployment:
+  *
+  *  - `spark.sql.shuffle.partitions` is pinned to the local core count
+  *    because AQE's coalescing can only MERGE partitions, never split
+  *    them — the right cluster posture is AQE on with
+  *    `spark.sql.adaptive.coalescePartitions.initialPartitionNum` scaled
+  *    to input size (~ bytes scanned / 128 MiB target partition; at
+  *    100 TB that's O(100k) initial partitions) and
+  *    `spark.sql.shuffle.partitions` left at a generous default. The
+  *    initial number is the UPPER bound AQE coalesces down from; a
+  *    core-count pin at cluster scale would make every shuffle partition
+  *    hold ~3 GB and spill.
+  *  - `spark.sql.autoBroadcastJoinThreshold` (64 MiB here) should be
+  *    sized to executor memory: broadcast joins materialize the build
+  *    side per executor, so the threshold scales with
+  *    `spark.executor.memory` (a 64 GB executor comfortably broadcasts
+  *    512 MiB dims), and dimension tables beyond it should be bucketed
+  *    (see [[graft.operators.Bucketing]]) instead of shuffled per query.
+  *
+  * Streaming state stores have their own partition-count rule — sized to
+  * key cardinality/throughput at FIRST run and pinned into the checkpoint
+  * forever after; see [[graft.streaming.StreamingOps]]' stateSession.
   */
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

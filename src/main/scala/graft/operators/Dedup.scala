@@ -775,11 +775,14 @@ object Dedup {
         .groupBy("doc_id").agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // materialize the 1-row result before the inputs are released
-        // (the bigramLogProb idiom), so consumers never recompute
+        // materialize the 1-row result to a LOCAL relation before the
+        // inputs are released, so consumers never recompute — and nothing
+        // stays behind in the block manager after the call returns
+        // (VERDICT r11 #4: a cache().count() here leaked one tiny cached
+        // plan per invocation in a long-lived session)
         val out = triangleCountFrom(spark, pairs, deg)
-        out.cache().count()
-        out
+        val rows = out.collect() // exactly 1 audit row by construction
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally deg.unpersist(blocking = false)
     } finally pairs.unpersist(blocking = false)
   }

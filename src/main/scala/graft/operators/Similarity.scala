@@ -135,13 +135,19 @@ object Similarity {
   }
 
   /** Corpus size and embedding dimension, read once up front (metadata-
-    * scale actions: parquet-footer count + one row). The dimension is
+    * scale actions: parquet-footer count + one top-1 row). The dimension is
     * DERIVED, and every row is checked against it inside the bucket
     * expression — a mismatched vector fails loudly via raise_error instead
-    * of silently landing in bucket 0 through null-padded zip_with. */
+    * of silently landing in bucket 0 through null-padded zip_with.
+    * The probe row is the LOWEST vec_id, not scan-order head() (ADVICE r11):
+    * on a mixed-dim corpus — exactly what the quality gate exists to catch —
+    * a scan-order probe would make the reference dim partition-order
+    * dependent and diverge from the oracle's ORDER BY vec_id LIMIT 1.
+    * orderBy+head compiles to TakeOrderedAndProject (top-1 per partition,
+    * driver merges one row per partition), still metadata-scale. */
   private def corpusShape(e: DataFrame): (Long, Int) = {
     val n = e.count()
-    val dim = e.select(size(col("emb"))).head().getInt(0)
+    val dim = e.orderBy(col("vec_id")).select(size(col("emb"))).head().getInt(0)
     (n, dim)
   }
 

