@@ -169,6 +169,10 @@ object Bench {
       // the Exchange-free steady-state join, not the table rewrite
       // (VERDICT r8 #2)
       "bucketed_tables" -> (() => operators.Bucketing.ensureBucketedTables(spark, sfDir)),
+      // catalog tables + ANALYZE statistics for the CBO reorder query
+      // (nightly-ANALYZE shape: q_cbo_star times the stats-planned join,
+      // not the ingest + stats collection)
+      "cbo_tables" -> (() => operators.Bucketing.ensureCboTables(spark, sfDir)),
       // input fixtures of the load-boundary/maintenance queries (same
       // philosophy as raw_fixtures: the dirty files, the fragmented dir,
       // and the evolving batches ARRIVE at a real pipeline)

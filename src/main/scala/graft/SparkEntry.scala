@@ -135,6 +135,7 @@ object SparkEntry {
     // full recompute (the oracle IS the recompute)
     "q_incremental_agg"   -> ((s, d) => Analytics.incrementalRevenue(s, d)),
     "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
+    "q_cbo_star"          -> ((s, d) => Bucketing.cboStarJoin(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -958,6 +959,7 @@ object SparkEntry {
     "q_sketch_intersection" -> Analytics.sketchIntersectionOracleSql,
     "q_dist_drift" -> Analytics.distributionDriftOracleSql(),
     "q_bloom_prune" -> Bucketing.bloomPrunedJoinOracleSql(),
+    "q_cbo_star" -> Bucketing.cboStarJoinOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

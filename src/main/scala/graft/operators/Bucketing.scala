@@ -460,4 +460,84 @@ object Bucketing {
               FROM events) t
         ORDER BY event_id"""
   }
+
+  // ---------------------------------------------------------------------
+  // Cost-based optimization: ANALYZE TABLE statistics + CBO join reorder
+  // (VERDICT r11 #5 — the one optimizer surface AQE doesn't cover: AQE
+  // re-plans from RUNTIME shuffle sizes, so it can only fix what it has
+  // already partially executed; CBO reorders the join tree BEFORE
+  // execution from catalog statistics, which is what prevents a bad
+  // multi-join order from being executed at all on a 100 TB fact table.)
+  // ---------------------------------------------------------------------
+
+  /** Stage the star-join tables as catalog tables WITH statistics: each
+    * table is saveAsTable'd (pruned to the query's columns) and then
+    * `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` collects row
+    * counts + per-column NDV/min/max into the catalog — the inputs
+    * Spark's `JoinReorderDP` costs candidate orders with. Idempotent per
+    * (session, corpus) like the bucketed ingest; at production scale this
+    * is the nightly ANALYZE after ingest. */
+  def ensureCboTables(spark: SparkSession, dir: String): Map[String, String] = {
+    def stage(base: String, df: => DataFrame): (String, String) = {
+      val name = taggedName(base, dir)
+      ensureStagedTable(spark, dir, name) {
+        df.write.mode("overwrite").saveAsTable(name)
+        spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      base -> name
+    }
+    Map(
+      stage("cbo_orders", Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+      stage("cbo_customer", Tables.customer(spark, dir)
+        .select("c_custkey", "c_nationkey")),
+      stage("cbo_nation", Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")))
+  }
+
+  /** An isolated session with CBO + stats-based join reorder ON (both
+    * default off). Session-scoped so the setting never leaks into the
+    * caller's other work; the catalog (tables + statistics) is shared
+    * across sessions of one SparkContext. */
+  private[graft] def cboSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    ss
+  }
+
+  /** The reorder-bait join, parameterized by table names so the spec can
+    * run the IDENTICAL text with and without CBO: syntactically the big
+    * fact (orders, 10x customer, 600x nation) is joined FIRST — the order
+    * a naive query author writes — and the selective dimension chain
+    * (customer -> nation) last. Left-deep syntactic execution materializes
+    * the orders x customer intermediate in full; a stats-informed reorder
+    * builds the tiny customer x nation side first. The join graph is a
+    * chain (o—c—n), so both orders are cartesian-free and CBO's choice is
+    * purely cost-driven. */
+  private[graft] def cboStarJoinSql(o: String, c: String, n: String): String =
+    s"""SELECT n_name, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM $o JOIN $c ON o_custkey = c_custkey
+                JOIN $n ON c_nationkey = n_nationkey
+        GROUP BY n_name"""
+
+  /** X-CBO — the registered query: the star join over ANALYZEd catalog
+    * tables, planned under CBO join reorder. Result is identical to the
+    * plain parquet join (reorder is semantics-preserving), which is
+    * exactly what the oracle pins; CboSpec separately pins that the
+    * optimized join ORDER differs from the syntactic one and matches the
+    * stats-informed expectation. */
+  def cboStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = ensureCboTables(spark, dir)
+    cboSession(spark)
+      .sql(cboStarJoinSql(t("cbo_orders"), t("cbo_customer"), t("cbo_nation")))
+  }
+
+  def cboStarJoinOracleSql: String =
+    """SELECT n_name, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
 }

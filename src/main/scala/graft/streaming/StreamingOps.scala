@@ -107,21 +107,33 @@ object StreamingOps {
     ss
   }
 
-  /** Link a single-file parquet fixture into a file-source watch dir.
-    * The file stream source lists a DIRECTORY; the driver testdata tables
-    * are single parquet FILES, so a symlink gives the drop-directory
-    * shape without a copy. Guarded (ADVICE r11): if a future testdata
-    * generation emits directory-style parquet, this fails with the actual
-    * cause instead of an empty stream and a missing-result mystery
-    * downstream — the fix then is to rewrite the input via write.parquet
-    * into the watch dir, as the micro-batched harnesses already do. */
+  /** Link a parquet fixture into a file-source watch dir. The file
+    * stream source lists a DIRECTORY; the driver testdata tables are
+    * single parquet FILES, so a symlink gives the drop-directory shape
+    * without a copy. Directory-style parquet (standard Spark output —
+    * e.g. the ScaleBench tiled corpora) links each part file instead:
+    * the previous single-file assumption made the source silently list
+    * nothing and fail on a missing result dir with no diagnostic tying
+    * it to layout (ADVICE r11). Anything else fails loudly here, naming
+    * the cause. */
   private def linkIntoWatchDir(watchDir: java.nio.file.Path,
                                src: java.nio.file.Path): Unit = {
-    require(java.nio.file.Files.isRegularFile(src),
-      s"file-stream fixture $src is not a single parquet file (directory-style " +
-        "parquet?): rewrite it into the watch dir with write.parquet instead of symlinking")
     java.nio.file.Files.createDirectories(watchDir)
-    java.nio.file.Files.createSymbolicLink(watchDir.resolve(src.getFileName), src)
+    if (java.nio.file.Files.isRegularFile(src))
+      java.nio.file.Files.createSymbolicLink(watchDir.resolve(src.getFileName), src)
+    else if (java.nio.file.Files.isDirectory(src)) {
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(src)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        finally listing.close()
+      require(parts.nonEmpty,
+        s"file-stream fixture $src is a directory with no .parquet part files")
+      parts.foreach(p => java.nio.file.Files.createSymbolicLink(
+        watchDir.resolve(p.getFileName), p))
+    } else
+      require(false, s"file-stream fixture $src does not exist")
   }
 
   /** Watermarked hourly tumbling-window counts — the streaming twin of
