@@ -173,6 +173,10 @@ object Bench {
       // (nightly-ANALYZE shape: q_cbo_star times the stats-planned join,
       // not the ingest + stats collection)
       "cbo_tables" -> (() => operators.Bucketing.ensureCboTables(spark, sfDir)),
+      // the SQL-verb chain (CREATE/INSERT/UPDATE/DELETE/MERGE against the
+      // DSv2 catalog): the maintenance story is the nightly job; the
+      // registered queries time reading its versions
+      "sql_verbs" -> (() => operators.SqlVerbs.ensureVerbChain(spark, sfDir)),
       // input fixtures of the load-boundary/maintenance queries (same
       // philosophy as raw_fixtures: the dirty files, the fragmented dir,
       // and the evolving batches ARRIVE at a real pipeline)

@@ -136,6 +136,11 @@ object SparkEntry {
     "q_incremental_agg"   -> ((s, d) => Analytics.incrementalRevenue(s, d)),
     "q_bucketed_join"     -> ((s, d) => Bucketing.bucketedLineitemOrderJoin(s, d)),
     "q_cbo_star"          -> ((s, d) => Bucketing.cboStarJoin(s, d)),
+    // SQL-statement maintenance verbs over the snapshot-versioned DSv2
+    // catalog: MERGE INTO / UPDATE / DELETE FROM as spark.sql text, plus
+    // VERSION AS OF reads of every historical version after the chain
+    "q_sql_merge"         -> ((s, d) => SqlVerbs.sqlMergeResult(s, d)),
+    "q_sql_time_travel"   -> ((s, d) => SqlVerbs.sqlTimeTravel(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -960,6 +965,8 @@ object SparkEntry {
     "q_dist_drift" -> Analytics.distributionDriftOracleSql(),
     "q_bloom_prune" -> Bucketing.bloomPrunedJoinOracleSql(),
     "q_cbo_star" -> Bucketing.cboStarJoinOracleSql,
+    "q_sql_merge" -> SqlVerbs.sqlMergeOracleSql,
+    "q_sql_time_travel" -> SqlVerbs.sqlTimeTravelOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

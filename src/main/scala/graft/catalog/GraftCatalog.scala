@@ -1,0 +1,442 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal snapshot-versioned, parquet-backed DataSource-v2 catalog:
+  * the SQL-syntax surface for the maintenance verbs that VERDICT r11
+  * scoped as "only via DSv2 catalogs" — `MERGE INTO`, `UPDATE`,
+  * `DELETE FROM`, `INSERT INTO/OVERWRITE`, and `VERSION AS OF` /
+  * `TIMESTAMP AS OF` time travel, all as plain `spark.sql(...)` text
+  * against `graft_cat.<ns>.<table>` identifiers.
+  *
+  * == Storage model ==
+  *
+  * One directory per table under the catalog `root`:
+  *
+  * {{{
+  * <root>/<ns...>/<table>/
+  *   meta.json            -- schema + full commit history (version -> file list)
+  *   data/c-<uuid>/part-* -- immutable parquet files, one subdir per commit
+  * }}}
+  *
+  * A table VERSION is a manifest: an explicit list of data-file paths.
+  * Commits never mutate data files — append adds files to the inherited
+  * list, truncate/replace starts a fresh list — so every historical
+  * version stays readable forever (time travel) and a reader holding
+  * version N is never disturbed by a concurrent writer committing N+1
+  * (snapshot isolation at the manifest level). `meta.json` is the single
+  * mutable object; it is rewritten atomically (temp file + ATOMIC_MOVE)
+  * under an optimistic check — a commit that raced another writer fails
+  * with a conflict instead of silently dropping the other's files, the
+  * same contract `Curation.ensureSnapshots` pins for the DataFrame-side
+  * snapshot store. At 100 TB the inline manifest becomes per-commit
+  * manifest FILES with a tiny pointer in meta.json (Iceberg's layout);
+  * the commit protocol — immutable data + one atomic pointer swap — is
+  * unchanged, which is why the verbs scale: MERGE cost is the rewrite
+  * query itself, never a table lock.
+  *
+  * == Execution model: delegate to the built-in parquet v2 source ==
+  *
+  * Scans and writes are delegated to Spark's own [[ParquetTable]] over
+  * the manifest's file list, so reads keep the vectorized reader, filter
+  * pushdown, and column pruning (`.explain` shows the usual PushedFilters
+  * / ReadSchema on catalog tables), and writes keep the hadoop commit
+  * protocol — this catalog adds exactly ONE thing, the versioned-manifest
+  * commit, instead of re-implementing a parquet IO stack.
+  *
+  * == Row-level operations (MERGE / UPDATE / DELETE) ==
+  *
+  * [[GraftTable]] implements [[SupportsRowLevelOperations]] with
+  * group-based (copy-on-write) semantics at table granularity: Catalyst's
+  * RewriteMergeIntoTable / RewriteUpdateTable / RewriteDeleteFromTable
+  * turn the verb into a ReplaceData plan — a join/filter of the current
+  * snapshot against the source that emits every surviving row — and the
+  * commit swaps the manifest to exactly the files that plan wrote. The
+  * group is the whole table because parquet files are unsorted here; the
+  * file-granular refinement (prune untouched files via runtime filtering
+  * and inherit them into the new manifest) drops into the same commit
+  * protocol. Correctness does not depend on group size — only rewrite
+  * volume does.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root=<dir>")
+    root = Paths.get(r)
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    ident.namespace().foldLeft(root)(_.resolve(_)).resolve(ident.name())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve(TableMeta.MetaFile)))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), dir, pinnedVersion = None)
+  }
+
+  /** `VERSION AS OF <v>` time travel: an immutable view of manifest v. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft catalog versions are integers, got '$version'")
+    }
+    new GraftTable(s"${fullName(ident)}@v$v", dir, pinnedVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` time travel: the latest version whose commit
+    * time is at or before `timestamp` (microseconds since epoch, per the
+    * DSv2 contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
+    val meta = TableMeta.read(dir)
+    val tsMillis = timestamp / 1000
+    val v = meta.history.filter(_.tsMillis <= tsMillis)
+      .map(_.version).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit of ${fullName(ident)} at or before timestamp $timestamp"))
+    new GraftTable(s"${fullName(ident)}@v$v", dir, pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned (manifest versions, not hive dirs)")
+    val dir = tableDir(ident)
+    if (Files.exists(dir.resolve(TableMeta.MetaFile)))
+      throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir.resolve("data"))
+    TableMeta.write(dir, TableMeta(schema, Seq(Commit(0, System.currentTimeMillis(),
+      "create", Nil))), expectedLatest = None)
+    new GraftTable(fullName(ident), dir, pinnedVersion = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported (schema is fixed at CREATE)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir)) false
+    else {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      true
+    }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    if (!Files.exists(src.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(from)
+    val dst = tableDir(to)
+    if (Files.exists(dst)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+}
+
+/** One commit in a table's history: `version`'s manifest is `files`
+  * (paths relative to the table dir). */
+private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
+                                   files: Seq[String])
+
+private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit]) {
+  def latest: Int = history.map(_.version).max
+  def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
+    throw new IllegalArgumentException(
+      s"no version $v (history has ${history.map(_.version).mkString(",")})"))
+}
+
+private[catalog] object TableMeta {
+  val MetaFile = "meta.json"
+
+  /** meta.json (de)serialization via Spark's bundled json4s — schema as
+    * Spark's own schema-json dialect, history as a flat array. */
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def write(dir: Path, meta: TableMeta, expectedLatest: Option[Int]): Unit =
+    GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      // optimistic concurrency: the caller computed `meta` against
+      // `expectedLatest`; if another writer has since committed, fail the
+      // commit instead of overwriting its manifest entry
+      expectedLatest.foreach { exp =>
+        val now = read(dir).latest
+        if (now != exp)
+          throw new IllegalStateException(
+            s"concurrent commit conflict on $dir: expected latest v$exp, found v$now")
+      }
+      val json = JObject(
+        "schema" -> JsonMethods.parse(meta.schema.json),
+        "history" -> JArray(meta.history.sortBy(_.version).map(c => JObject(
+          "version" -> JInt(c.version), "ts" -> JInt(c.tsMillis),
+          "op" -> JString(c.op),
+          "files" -> JArray(c.files.map(JString(_)).toList))).toList))
+      val tmp = Files.createTempFile(dir, ".meta", ".tmp")
+      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
+      Files.move(tmp, dir.resolve(MetaFile), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  def read(dir: Path): TableMeta = {
+    val j = JsonMethods.parse(Files.readString(dir.resolve(MetaFile)))
+    val schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
+      .asInstanceOf[StructType]
+    val history = (j \ "history").asInstanceOf[JArray].arr.map { c =>
+      Commit(
+        (c \ "version").asInstanceOf[JInt].num.toInt,
+        (c \ "ts").asInstanceOf[JInt].num.toLong,
+        (c \ "op").asInstanceOf[JString].s,
+        (c \ "files").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s))
+    }
+    TableMeta(schema, history)
+  }
+}
+
+/** A snapshot-versioned parquet table (see [[GraftCatalog]]).
+  * `pinnedVersion = Some(v)` is a time-travel view: readable, never
+  * writable. */
+class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  private def meta: TableMeta = TableMeta.read(dir)
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+  override def schema(): StructType = meta.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def properties(): java.util.Map[String, String] =
+    java.util.Map.of("format", "parquet", "provider", "graft",
+      "latest_version", meta.latest.toString)
+
+  /** The delegate parquet v2 table over an explicit file list — reads get
+    * the vectorized reader + pushdown, writes get the hadoop commit
+    * protocol. `userSpecifiedSchema` is always the TABLE schema so an
+    * empty manifest still scans as the right shape. */
+  private def delegate(paths: Seq[String]): ParquetTable =
+    ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(), paths,
+      Some(meta.schema), classOf[ParquetFileFormat])
+
+  private def manifestPaths(m: TableMeta): Seq[String] =
+    m.manifest(pinnedVersion.getOrElse(m.latest)).files
+      .map(f => dir.resolve(f).toString)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate(manifestPaths(meta)).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName is a time-travel view; writes go to the live table")
+    new GraftWriteBuilder(this, info, replaceManifest = false)
+  }
+
+  /** MERGE / UPDATE / DELETE: group-based copy-on-write at table
+    * granularity — the scan is the current snapshot, the replacement
+    * write's manifest REPLACES the file list. */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      // The row-level scan must NOT accept row-granularity filter
+      // pushdown: Spark pushes the verb's condition into this scan as a
+      // GROUP filter ("rewrite only groups containing a match"), and a
+      // delegate parquet scan would apply it per ROW — silently dropping
+      // every non-matching row of the rewritten group (smoke-tested:
+      // UPDATE ... WHERE id <= 2 erased rows 3 and 4). With the group
+      // being the whole table, the correct behavior is a full-table scan
+      // with the condition left in the plan; only column pruning is
+      // forwarded.
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ColumnPruneOnlyScanBuilder(
+          GraftTable.this.newScanBuilder(options))
+      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
+        require(pinnedVersion.isEmpty,
+          s"$tableName is a time-travel view; ${info.command()} goes to the live table")
+        new GraftWriteBuilder(GraftTable.this, writeInfo, replaceManifest = true)
+      }
+      override def description(): String = s"graft COW ${info.command()}"
+    }
+
+  // ---- commit machinery shared with GraftWriteBuilder ----
+
+  private[catalog] def commitDirFor(queryId: String): Path =
+    dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
+
+  /** Swap in the next manifest. Append commits REBASE: the data files
+    * are new and disjoint, so the commit inherits whatever the latest
+    * manifest is AT COMMIT TIME (a racing appender serializes behind the
+    * lock and neither's files are lost). Replace commits (truncate and
+    * every COW rewrite) must instead FAIL on a race — their file list was
+    * computed against `baseLatest`'s snapshot, and publishing it over a
+    * newer version would silently undo the other writer. */
+  private[catalog] def commitVersion(op: String, baseLatest: Int,
+                                     newFiles: Seq[String], replace: Boolean): Unit =
+    GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      val m = meta
+      val inherited = if (replace) Nil else m.manifest(m.latest).files
+      val next = Commit(m.latest + 1, System.currentTimeMillis(), op,
+        inherited ++ newFiles)
+      TableMeta.write(dir, m.copy(history = m.history :+ next),
+        expectedLatest = if (replace) Some(baseLatest) else None)
+    }
+
+  private[catalog] def currentLatest: Int = meta.latest
+  private[catalog] def tableDirPath: Path = dir
+}
+
+private[catalog] object GraftTable {
+  /** Per-table commit locks (JVM-wide — all sessions of one SparkContext
+    * share the catalog state, like the staged-artifact latches). */
+  val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
+/** Write builder: stages files into a fresh commit subdir via the
+  * delegate parquet writer, then swaps the manifest on commit. `truncate`
+  * (INSERT OVERWRITE) and row-level replacement both start a fresh file
+  * list; plain build() appends. */
+private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo,
+                                         replaceManifest: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncate0 = replaceManifest
+
+  override def truncate(): WriteBuilder = { truncate0 = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val commitDir = table.commitDirFor(info.queryId())
+      val baseLatest = table.currentLatest
+      Files.createDirectories(commitDir)
+      val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        table.name(), SparkSession.active,
+        new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
+        Seq(commitDir.toString), Some(info.schema()),
+        classOf[ParquetFileFormat])
+        .newWriteBuilder(info).build().toBatch
+      new BatchWrite {
+        override def createBatchWriterFactory(phyInfo: PhysicalWriteInfo): DataWriterFactory = {
+          val factory = inner.createBatchWriterFactory(phyInfo)
+          // Group-based ReplaceData plans prepend Catalyst's
+          // __row_operation INT column to every row (RowDeltaUtils.
+          // OPERATION_COLUMN; all rows carry WRITE/WRITE_WITH_METADATA —
+          // this connector declares no delta support, so no row-level
+          // verbs reach here). With zero requiredMetadataAttributes Spark
+          // picks the plain DataWritingSparkTask, which does NOT apply
+          // ReplaceDataProjections.rowProjection (only the
+          // metadata-projecting task does), so the extra column reaches
+          // the writer and must be stripped here against the declared
+          // write schema.
+          if (replaceManifest)
+            OperationColumnStrippingFactory(factory, info.schema())
+          else factory
+        }
+        // the hadoop FileCommitProtocol owns task-commit arbitration; a
+        // second authorization from Spark's coordinator double-books the
+        // attempt ids and denies every task (smoke-tested) — delegate.
+        override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+        override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+          inner.onDataWriterCommit(message)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          inner.commit(messages)
+          val s = Files.list(commitDir)
+          val files = try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => table.tableDirPath.relativize(p).toString).toSeq
+          finally s.close()
+          val op = if (replaceManifest) "replace" else if (truncate0) "overwrite" else "append"
+          table.commitVersion(op, baseLatest, files, replace = truncate0)
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit =
+          inner.abort(messages)
+      }
+    }
+  }
+}
+
+/** Scan builder for row-level (COW) reads: forwards ONLY column pruning
+  * to the delegate and deliberately implements no filter-pushdown
+  * interface, so the verb's condition stays in the plan and every row of
+  * the rewritten group survives into the replacement write (see the
+  * comment at the use site). */
+private[catalog] class ColumnPruneOnlyScanBuilder(delegate: ScanBuilder)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  override def pruneColumns(requiredSchema: StructType): Unit = delegate match {
+    case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      p.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+  override def build(): org.apache.spark.sql.connector.read.Scan = delegate.build()
+}
+
+/** Strips the leading `__row_operation` column off ReplaceData rows
+  * before they reach the parquet writer (see the comment at the use
+  * site). The projection reuses Catalyst's [[ProjectingInternalRow]]
+  * (one mutable view per writer, no per-row allocation) mapping write
+  * ordinal i -> incoming ordinal i + 1. Rows that already match the
+  * write schema pass through untouched, so the wrapper is shape-safe if
+  * a future Spark version starts applying rowProjection itself. */
+private[catalog] case class OperationColumnStrippingFactory(
+    inner: DataWriterFactory, writeSchema: StructType) extends DataWriterFactory {
+  import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val delegate = inner.createWriter(partitionId, taskId)
+    val n = writeSchema.length
+    val view = ProjectingInternalRow(writeSchema, (1 to n).toIndexedSeq)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == n + 1) { view.project(row); delegate.write(view) }
+        else delegate.write(row)
+      override def commit(): WriterCommitMessage = delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
+    }
+  }
+}

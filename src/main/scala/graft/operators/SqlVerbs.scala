@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** X-SQL — the SQL-statement surface for the maintenance verbs, served by
+  * the snapshot-versioned DSv2 catalog ([[graft.catalog.GraftCatalog]]):
+  * `MERGE INTO`, `UPDATE`, `DELETE FROM`, `INSERT INTO/OVERWRITE`, and
+  * `VERSION AS OF` time travel as plain `spark.sql(...)` text. The
+  * DataFrame-side twins live in [[Curation]] (corpus MERGE, snapshot
+  * versioning, deletion vectors); this module pins that a user who writes
+  * the STATEMENTS a lakehouse user writes gets the same results, and that
+  * every historical version stays readable afterwards.
+  *
+  * == The verb chain ==
+  *
+  * One deterministic maintenance story per (process, corpus), built once
+  * and then read by every registered query (the staged-artifact pattern
+  * of the dedup stores):
+  *
+  *  - v0 `CREATE TABLE` (doc_id, lang, source, n_chars)
+  *  - v1 `INSERT INTO … SELECT` — docs with doc_id % 10 < 8 (the corpus)
+  *  - v2 `UPDATE … SET lang='und' WHERE n_chars < 200` (lang-ID repair)
+  *  - v3 `DELETE FROM … WHERE doc_id % 97 = 0` (a takedown batch)
+  *  - v4 `MERGE INTO … USING` docs with doc_id % 10 >= 5 — re-ingest
+  *    overlap updates n_chars (+1 marks the re-crawl), novel ids insert
+  *
+  * Every step is a COPY-ON-WRITE commit: immutable data files plus one
+  * atomic manifest swap, so v1..v4 remain independently queryable — which
+  * is exactly what the time-travel query pins against a DuckDB oracle
+  * that replays the chain relationally.
+  */
+object SqlVerbs {
+
+  /** n_chars threshold of the v2 UPDATE — shared with the oracle so the
+    * two sides can never drift. */
+  val ShortDocChars = 200
+  /** doc_id modulus of the v3 DELETE — shared with the oracle. */
+  val TakedownMod = 97
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val rootBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(
+      s"graft-sqlverbs-${ProcessHandle.current().pid()}-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally s.close()
+      } catch { case _: Throwable => () }))
+    p
+  }
+
+  private def catName(dir: String): String =
+    Bucketing.taggedName("gcat", dir)
+
+  /** An isolated session with the corpus-tagged graft catalog configured;
+    * the catalog conf never leaks into the caller's other work. */
+  private def catalogSession(spark: SparkSession, dir: String): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.${catName(dir)}",
+      classOf[graft.catalog.GraftCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.${catName(dir)}.root",
+      rootBase.resolve(catName(dir)).toString)
+    ss
+  }
+
+  /** Build the verb chain once per (process, corpus); returns a session
+    * with the catalog configured and the fully-qualified table name. */
+  def ensureVerbChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs"
+    val ss = catalogSession(spark, dir)
+    if (!built.contains(cat)) built.synchronized {
+      if (!built.contains(cat)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)")
+        ss.sql(s"""INSERT INTO $t
+                   SELECT doc_id, lang, source, n_chars FROM documents_src
+                   WHERE doc_id % 10 < 8""")
+        ss.sql(s"UPDATE $t SET lang = 'und' WHERE n_chars < $ShortDocChars")
+        ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0")
+        ss.sql(s"""MERGE INTO $t t
+                   USING (SELECT doc_id, lang, source, n_chars FROM documents_src
+                          WHERE doc_id % 10 >= 5) s
+                   ON t.doc_id = s.doc_id
+                   WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+                   WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+                     VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
+        built.add(cat)
+      }
+    }
+    (ss, t)
+  }
+
+  /** X-SQLa — the post-MERGE table, row for row: the strongest check of
+    * the whole verb chain (every UPDATE/DELETE/MERGE decision shows in
+    * some row). */
+  def sqlMergeResult(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureVerbChain(spark, dir)
+    ss.sql(s"SELECT doc_id, lang, source, n_chars FROM $t")
+  }
+
+  /** The DuckDB replay of the verb chain as a CTE pipeline (v1 → v4). */
+  private def oracleChainCtes: String =
+    s"""v1 AS (SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE doc_id % 10 < 8),
+       v2 AS (SELECT doc_id,
+                     CASE WHEN n_chars < $ShortDocChars THEN 'und' ELSE lang END AS lang,
+                     source, n_chars FROM v1),
+       v3 AS (SELECT * FROM v2 WHERE doc_id % $TakedownMod <> 0),
+       src AS (SELECT doc_id, lang, source, n_chars FROM documents
+               WHERE doc_id % 10 >= 5),
+       v4 AS (
+         SELECT t.doc_id, t.lang, t.source, s.n_chars + 1 AS n_chars
+         FROM v3 t JOIN src s USING (doc_id)
+         UNION ALL
+         SELECT t.* FROM v3 t ANTI JOIN src s USING (doc_id)
+         UNION ALL
+         SELECT s.* FROM src s ANTI JOIN v3 t USING (doc_id))"""
+
+  def sqlMergeOracleSql: String =
+    s"""WITH $oracleChainCtes
+        SELECT doc_id, lang, source, n_chars FROM v4 ORDER BY doc_id"""
+
+  /** X-SQLb — time travel: one aggregate row per historical version,
+    * read back via `VERSION AS OF` AFTER all four commits — pins that
+    * earlier manifests are untouched by later copy-on-write rewrites. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureVerbChain(spark, dir)
+    ss.sql(
+      (1 to 4).map(v =>
+        s"""SELECT $v AS version, count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars,
+                   count(DISTINCT lang) AS n_langs
+            FROM $t VERSION AS OF $v""").mkString(" UNION ALL "))
+  }
+
+  def sqlTimeTravelOracleSql: String =
+    s"""WITH $oracleChainCtes
+        SELECT * FROM (
+          SELECT 1 AS version, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 count(DISTINCT lang) AS n_langs FROM v1
+          UNION ALL
+          SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT lang) FROM v2
+          UNION ALL
+          SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT lang) FROM v3
+          UNION ALL
+          SELECT 4, count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT lang) FROM v4)
+        ORDER BY version"""
+}
