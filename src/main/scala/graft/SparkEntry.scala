@@ -141,6 +141,7 @@ object SparkEntry {
     // VERSION AS OF reads of every historical version after the chain
     "q_sql_merge"         -> ((s, d) => SqlVerbs.sqlMergeResult(s, d)),
     "q_sql_time_travel"   -> ((s, d) => SqlVerbs.sqlTimeTravel(s, d)),
+    "q_sql_expire"        -> ((s, d) => SqlVerbs.sqlExpire(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -967,6 +968,7 @@ object SparkEntry {
     "q_cbo_star" -> Bucketing.cboStarJoinOracleSql,
     "q_sql_merge" -> SqlVerbs.sqlMergeOracleSql,
     "q_sql_time_travel" -> SqlVerbs.sqlTimeTravelOracleSql,
+    "q_sql_expire" -> SqlVerbs.sqlExpireOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

@@ -72,7 +72,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol. Correctness does not depend on group size — only rewrite
   * volume does.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -150,9 +150,37 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(fullName(ident), dir, pinnedVersion = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (schema is fixed at CREATE)")
+  /** Schema evolution, additive only: `ALTER TABLE … ADD COLUMN` appends
+    * a nullable top-level field to the table schema (a metadata-only
+    * commit — no data files move; the parquet reader null-fills the new
+    * column for every pre-evolution file because scans always pass the
+    * TABLE schema as the expected schema). Drops/renames/retypes are
+    * rejected: they would change the meaning of immutable historical
+    * files, which is a rewrite (the verbs above), not an ALTER. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
+    GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      val m = TableMeta.read(dir)
+      val newSchema = changes.foldLeft(m.schema) {
+        case (schema, add: TableChange.AddColumn) =>
+          require(add.fieldNames().length == 1,
+            "graft catalog: only top-level ADD COLUMN is supported")
+          require(add.isNullable,
+            "graft catalog: added columns must be nullable (existing files have no values)")
+          require(!schema.fieldNames.contains(add.fieldNames()(0)),
+            s"column ${add.fieldNames()(0)} already exists")
+          schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+        case (_, other) =>
+          throw new UnsupportedOperationException(
+            s"graft catalog: unsupported ALTER TABLE change $other " +
+              "(only ADD COLUMN of a nullable top-level field)")
+      }
+      TableMeta.write(dir, m.copy(schema = newSchema), expectedLatest = Some(m.latest))
+    }
+    new GraftTable(fullName(ident), dir, pinnedVersion = None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -177,6 +205,88 @@ class GraftCatalog extends TableCatalog {
 
   private def fullName(ident: Identifier): String =
     (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+
+  // ---- maintenance procedures (CALL <cat>.system.<proc>(...)) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "expire_versions"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    if (ident.namespace().sameElements(Array("system")) &&
+        ident.name() == "expire_versions")
+      new ExpireVersionsProcedure(this)
+    else throw new UnsupportedOperationException(
+      s"no procedure ${fullName(ident)} (available: system.expire_versions)")
+
+  private[catalog] def tableDirOf(dotted: String): Path = {
+    val parts = dotted.split('.')
+    tableDir(Identifier.of(parts.dropRight(1), parts.last))
+  }
+}
+
+/** `CALL <cat>.system.expire_versions(table => '<ns.table>', keep_last
+  * => K)` — snapshot retention: drops every manifest older than the
+  * newest K, then deletes the data files no surviving manifest
+  * references. This is the storage-reclaim half of the copy-on-write
+  * story (without it a 100 TB table's rewrites accumulate dead files
+  * forever); the version chain keeps its numbering, so kept versions
+  * stay addressable by the same `VERSION AS OF` they always had.
+  * Returns one row: (expired_versions, kept_versions, deleted_files). */
+private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = "expire_versions"
+  override def description(): String =
+    "drop table versions older than the newest keep_last; delete unreferenced data files"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = ExpireVersionsProcedure.this.name()
+      override def description(): String = ExpireVersionsProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("keep_last", IntegerType).build())
+
+      private val outSchema = StructType(Seq(
+        StructField("expired_versions", IntegerType, nullable = false),
+        StructField("kept_versions", IntegerType, nullable = false),
+        StructField("deleted_files", IntegerType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val keepLast = input.getInt(1)
+        require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        // expire under the table's commit lock: readers of KEPT versions
+        // are unaffected (their manifests and files survive); a racing
+        // writer serializes on the same lock
+        val (nExpired, nKept, nDeleted) =
+          GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+            _ => new Object).synchronized {
+            val m = TableMeta.read(dir)
+            val keepFrom = m.latest - keepLast + 1
+            val (expired, kept) = m.history.partition(_.version < keepFrom)
+            val live = kept.flatMap(_.files).toSet
+            val dead = expired.flatMap(_.files).filterNot(live).distinct
+            TableMeta.write(dir, m.copy(history = kept), expectedLatest = Some(m.latest))
+            dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+            (expired.size, kept.size, dead.size)
+          }
+        val row: InternalRow = InternalRow(nExpired, nKept, nDeleted)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
 }
 
 /** One commit in a table's history: `version`'s manifest is `files`

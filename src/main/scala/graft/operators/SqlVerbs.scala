@@ -138,6 +138,57 @@ object SqlVerbs {
             FROM $t VERSION AS OF $v""").mkString(" UNION ALL "))
   }
 
+  /** X-SQLc — snapshot retention via `CALL system.expire_versions`: a
+    * second table gets its own three-commit chain, the oldest two
+    * versions (create + v1) are expired, and the output pins BOTH the
+    * procedure's accounting and that the kept versions still read
+    * correctly while the expired one is really gone. `deleted_files` is
+    * deliberately NOT in the output — file counts depend on write task
+    * parallelism; CatalogSpec pins `deleted_files > 0` instead. */
+  def sqlExpire(spark: SparkSession, dir: String): DataFrame = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_exp"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-expire"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_exp")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_exp WHERE doc_id % 10 < 8")
+        ss.sql(s"INSERT OVERWRITE $t SELECT doc_id, n_chars FROM documents_src_exp WHERE doc_id % 10 >= 8")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_exp " +
+          s"WHERE doc_id % $TakedownMod = 0 AND doc_id % 10 < 8")
+        ss.sql(s"CALL $cat.system.expire_versions(table => 'main.docs_exp', keep_last => 2)")
+        built.add(key)
+      }
+    }
+    val expiredReadable =
+      try { ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect(); 1L }
+      catch { case _: Throwable => 0L }
+    val versions = ss.sql(s"SELECT count(DISTINCT version) FROM " +
+      s"(SELECT 2 AS version FROM $t VERSION AS OF 2 LIMIT 1)").head().getLong(0)
+    import ss.implicits._
+    Seq(
+      ("v1_still_readable", expiredReadable),
+      ("v2_rows", ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head().getLong(0)),
+      ("v3_rows", ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 3").head().getLong(0)),
+      ("latest_rows", ss.sql(s"SELECT count(*) FROM $t").head().getLong(0)),
+      ("kept_v2_probe", versions))
+      .toDF("metric", "value")
+  }
+
+  def sqlExpireOracleSql: String =
+    s"""WITH c1 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 >= 8),
+            c2 AS (SELECT count(*) AS n FROM documents
+                   WHERE doc_id % $TakedownMod = 0 AND doc_id % 10 < 8)
+        SELECT * FROM (
+          SELECT 'v1_still_readable' AS metric, CAST(0 AS BIGINT) AS value
+          UNION ALL SELECT 'v2_rows', (SELECT n FROM c1)
+          UNION ALL SELECT 'v3_rows', (SELECT n FROM c1) + (SELECT n FROM c2)
+          UNION ALL SELECT 'latest_rows', (SELECT n FROM c1) + (SELECT n FROM c2)
+          UNION ALL SELECT 'kept_v2_probe', CAST(1 AS BIGINT))
+        ORDER BY metric"""
+
   def sqlTimeTravelOracleSql: String =
     s"""WITH $oracleChainCtes
         SELECT * FROM (

@@ -39,9 +39,9 @@ import org.apache.spark.sql.functions._
   * reads them); they are linked verbatim so table loads keep working.
   *
   * Usage: ScaleBench [baseSfDir] [workDir] [points]
-  *   generates workDir/sfx3 and workDir/sfx10 (skipped when already
+  *   generates workDir/sfx{3,10,30} (skipped when already
   *   present — tiling is deterministic), then times the target queries at
-  *   the selected points (comma list of x1/x3/x10; default all three).
+  *   the selected points (comma list of x1/x3/x10/x30; default all).
   *
   * == Measurement validity: ONE JVM PER POINT, with the bench JVM flags ==
   *
@@ -162,7 +162,8 @@ object ScaleBench {
     val points: Seq[(String, Int, String)] = Seq(
       ("x1", 1, base),
       ("x3", 3, s"$work/sfx3"),
-      ("x10", 10, s"$work/sfx10"))
+      ("x10", 10, s"$work/sfx10"),
+      ("x30", 30, s"$work/sfx30"))
       .filter { case (name, _, _) => wanted.forall(_.contains(name)) }
     require(points.nonEmpty, s"no points selected from ${wanted.getOrElse(Set())}")
     points.filter(_._2 > 1).foreach { case (name, times, dst) =>

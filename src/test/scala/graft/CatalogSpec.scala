@@ -122,6 +122,49 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).toSet == Set("a"))
   }
 
+  test("CALL system.expire_versions reclaims dead files, keeps live versions readable") {
+    val (ss, c) = freshCatalog("cat_expire")
+    val t = s"$c.ns.t"
+    seed(ss, t) // v1
+    ss.sql(s"INSERT OVERWRITE $t VALUES (10,'x',0.0)") // v2: v1's files now dead-if-expired
+    ss.sql(s"INSERT INTO $t VALUES (11,'y',1.0)") // v3 inherits v2's files
+    val before = ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0)
+    assert(before == 4)
+    val res = ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 2)")
+      .collect()
+    assert(res.length == 1)
+    val r = res.head
+    // v0 (create) and v1 expired; v2,v3 kept; v1's seed files deleted
+    assert(r.getInt(0) == 2, s"expired_versions = ${r.getInt(0)}")
+    assert(r.getInt(1) == 2, s"kept_versions = ${r.getInt(1)}")
+    assert(r.getInt(2) > 0, s"deleted_files = ${r.getInt(2)}")
+    // kept versions unaffected, same version numbers
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head().getLong(0) == 1)
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+    // the expired version is gone
+    intercept[Exception](ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect())
+    // expiring everything but the latest still leaves the table readable
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 1)")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2)
+  }
+
+  test("ALTER TABLE ADD COLUMN: old files null-fill, new writes carry it, non-additive rejected") {
+    val (ss, c) = freshCatalog("cat_evolve")
+    val t = s"$c.ns.t"
+    seed(ss, t)
+    ss.sql(s"ALTER TABLE $t ADD COLUMN tag STRING")
+    // pre-evolution files read the new column as null
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE tag IS NULL").head().getLong(0) == 4)
+    ss.sql(s"INSERT INTO $t VALUES (5,'e',4.5,'new')")
+    assert(ss.sql(s"SELECT tag FROM $t WHERE id = 5").head().getString(0) == "new")
+    // the evolved column is UPDATEable across old rows (COW backfill)
+    ss.sql(s"UPDATE $t SET tag = 'back' WHERE id <= 2")
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE tag = 'back'").head().getLong(0) == 2)
+    // destructive evolution is a rewrite, not an ALTER
+    intercept[Exception](ss.sql(s"ALTER TABLE $t DROP COLUMN tag"))
+    intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label"))
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes stale corpus rows") {
     val (ss, c) = freshCatalog("cat_mbs")
     val t = s"$c.ns.t"

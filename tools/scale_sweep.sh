@@ -9,7 +9,7 @@ FLAGS="-Xmx48g -XX:ReservedCodeCacheSize=2g -Dspark.ui.enabled=false -Dspark.sql
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 BASE="${1:-/root/testdata/sf0.1}"
 WORK="${2:-/root/repo/target/scale}"
-for p in x1 x3 x10; do
+for p in x1 x3 x10 x30; do
   java $ADDOPENS $FLAGS -cp "$CP" graft.tools.ScaleBench "$BASE" "$WORK" "$p" \
     2> "target/scale_${p}.log"
 done
