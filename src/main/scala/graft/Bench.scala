@@ -177,6 +177,14 @@ object Bench {
       // DSv2 catalog): the maintenance story is the nightly job; the
       // registered queries time reading its versions
       "sql_verbs" -> (() => operators.SqlVerbs.ensureVerbChain(spark, sfDir)),
+      // the round-12 catalog chains: range-bucketed skip table, the
+      // fragmented->compacted table (incl. the CALL compact itself), and
+      // the scattered->clustered table (incl. the probe + sorted rewrite)
+      // are nightly ingest/maintenance; the registered queries time the
+      // read-side proofs
+      "sql_skip_table" -> (() => operators.SqlVerbs.ensureSkipTable(spark, sfDir)),
+      "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
+      "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same
       // philosophy as raw_fixtures: the dirty files, the fragmented dir,
       // and the evolving batches ARRIVE at a real pipeline)

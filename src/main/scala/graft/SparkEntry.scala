@@ -142,6 +142,15 @@ object SparkEntry {
     "q_sql_merge"         -> ((s, d) => SqlVerbs.sqlMergeResult(s, d)),
     "q_sql_time_travel"   -> ((s, d) => SqlVerbs.sqlTimeTravel(s, d)),
     "q_sql_expire"        -> ((s, d) => SqlVerbs.sqlExpire(s, d)),
+    // OPTIMIZE via CALL system.compact: rows/content/time-travel all
+    // preserved across the bin-pack REPLACE commit
+    "q_sql_compact"       -> ((s, d) => SqlVerbs.sqlCompact(s, d)),
+    // manifest data skipping: footer stats in the manifest prune the
+    // file list at plan time; aggregate oracle pins losslessness
+    "q_sql_skipping"      -> ((s, d) => SqlVerbs.sqlSkipping(s, d)),
+    // clustering rewrite (compact sort_by): scattered manifest is
+    // unprunable, the re-laid-out one plans a strict file subset
+    "q_sql_cluster"       -> ((s, d) => SqlVerbs.sqlCluster(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -558,6 +567,12 @@ object SparkEntry {
     // exactly-once foreachBatch sink under simulated batch redelivery:
     // idempotent per-batchId overwrite, audit proves zero duplicates
     "q_stream_exactly_once" -> ((s, d) => graft.streaming.StreamingOps.streamExactlyOnceEndToEnd(s, d)),
+    // exactly-once streaming ingest into the versioned catalog: the SINK
+    // dedupes replayed epochs on (queryId, epochId) manifest commits
+    "q_stream_catalog_sink" -> ((s, d) => graft.streaming.StreamingOps.streamCatalogSinkEndToEnd(s, d)),
+    // the catalog table as a streaming SOURCE: snapshot + incremental
+    // version tail, compaction invisible via dataChange=false
+    "q_stream_catalog_source" -> ((s, d) => graft.streaming.StreamingOps.streamCatalogSourceEndToEnd(s, d)),
     // online ANN serving: new vectors stream in, each answered with its
     // IVF top-k against the pinned old-corpus index
     "q_stream_ann"        -> ((s, d) => graft.streaming.StreamingOps.streamAnnEndToEnd(s, d)),
@@ -969,6 +984,11 @@ object SparkEntry {
     "q_sql_merge" -> SqlVerbs.sqlMergeOracleSql,
     "q_sql_time_travel" -> SqlVerbs.sqlTimeTravelOracleSql,
     "q_sql_expire" -> SqlVerbs.sqlExpireOracleSql,
+    "q_sql_compact" -> SqlVerbs.sqlCompactOracleSql,
+    "q_sql_skipping" -> SqlVerbs.sqlSkippingOracleSql,
+    "q_sql_cluster" -> SqlVerbs.sqlClusterOracleSql,
+    "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
+    "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

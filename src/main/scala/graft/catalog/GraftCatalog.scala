@@ -210,15 +210,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "expire_versions"))
+      Array(Identifier.of(Array("system"), "expire_versions"),
+        Identifier.of(Array("system"), "compact"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     if (ident.namespace().sameElements(Array("system")) &&
         ident.name() == "expire_versions")
       new ExpireVersionsProcedure(this)
+    else if (ident.namespace().sameElements(Array("system")) &&
+        ident.name() == "compact")
+      new CompactProcedure(this)
     else throw new UnsupportedOperationException(
-      s"no procedure ${fullName(ident)} (available: system.expire_versions)")
+      s"no procedure ${fullName(ident)} (available: system.expire_versions, system.compact)")
 
   private[catalog] def tableDirOf(dotted: String): Path = {
     val parts = dotted.split('.')
@@ -289,10 +293,130 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
     }
 }
 
+/** Per-file data-skipping statistics, collected from parquet FOOTERS at
+  * commit time (metadata-only — no data pages are read, so the cost is
+  * ∝ file count, the same budget Iceberg/Delta spend writing their
+  * manifests). `mins`/`maxs` hold a canonical string encoding per
+  * top-level column (decoded against the TABLE schema at prune time);
+  * `nullCounts` is -1 when parquet didn't know. Columns absent from the
+  * maps have no usable stats and never prune. */
+private[graft] case class FileStats(rows: Long, mins: Map[String, String],
+                                    maxs: Map[String, String],
+                                    nullCounts: Map[String, Long])
+
+/** `CALL <cat>.system.compact(table => '<ns.table>', target_files => N
+  * [, sort_by => 'c1,c2'])` — bin-pack the live manifest's files into at
+  * most N (the OPTIMIZE verb): reads the current snapshot, coalesces (no
+  * shuffle — parquet splits are concatenated, rows and order within each
+  * input untouched), writes a fresh file set, and commits it as a
+  * REPLACE. With `sort_by`, the rewrite is a CLUSTERING rewrite instead
+  * (Iceberg's rewrite_data_files sort strategy): a range repartition on
+  * the sort columns hands each output file a contiguous key range and an
+  * in-file sort keeps row groups tight, so the manifest's per-file
+  * min/max bounds become disjoint on the leading column — the write-side
+  * layout that makes [[SkipEval]] file skipping (and parquet row-group
+  * pruning inside kept files) effective on a previously scattered table.
+  * Historical versions keep referencing the small files they always did
+  * (compaction is invisible to time travel); the small files become
+  * reclaimable only when `expire_versions` retires the last manifest
+  * naming them — the OPTIMIZE-then-VACUUM pairing every lakehouse runs
+  * nightly. The rewrite runs OUTSIDE the commit lock; a commit racing a
+  * concurrent writer fails with a conflict and the caller retries —
+  * compaction must never block or clobber ingest. A table already at or
+  * under `target_files` is a no-op (no empty commit) unless `sort_by`
+  * demands a re-layout. Returns one row:
+  * (files_before, files_after, rows). */
+private[catalog] class CompactProcedure(cat: GraftCatalog)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "bin-pack the live manifest into at most target_files files (a REPLACE commit)"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = CompactProcedure.this.name()
+      override def description(): String = CompactProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("target_files", IntegerType).build(),
+        procedures.ProcedureParameter.in("sort_by", StringType)
+          .defaultValue("NULL").comment("comma-separated sort columns for a clustering rewrite")
+          .build())
+
+      private val outSchema = StructType(Seq(
+        StructField("files_before", IntegerType, nullable = false),
+        StructField("files_after", IntegerType, nullable = false),
+        StructField("rows", LongType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val target = input.getInt(1)
+        val sortBy = if (input.isNullAt(2)) Nil
+          else input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(target >= 1, s"target_files must be >= 1, got $target")
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val spark = SparkSession.active
+        val m = TableMeta.read(dir)
+        sortBy.foreach(c => require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"sort_by column '$c' is not in ${m.schema.fieldNames.mkString(", ")}"))
+        val mf = m.manifest(m.latest)
+        val rowsFromStats = mf.files.flatMap(mf.stats.get).map(_.rows).sum
+        val (before, after, rows) =
+          if (mf.files.size <= target && sortBy.isEmpty)
+            (mf.files.size, mf.files.size, rowsFromStats)
+          else {
+            val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
+            val snapshot = spark.read.schema(m.schema)
+              .parquet(mf.files.map(f => dir.resolve(f).toString): _*)
+            val rewritten =
+              if (sortBy.isEmpty) snapshot.coalesce(target)
+              else {
+                val cols = sortBy.map(org.apache.spark.sql.functions.col)
+                snapshot.repartitionByRange(target, cols: _*)
+                  .sortWithinPartitions(cols: _*)
+              }
+            rewritten.write.parquet(staging.toString)
+            val s = Files.list(staging)
+            val abs = try s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            finally s.close()
+            val rel = abs.map(p => dir.relativize(p).toString)
+            val stats = FooterStats.collect(dir, abs, m.schema,
+              spark.sessionState.newHadoopConf())
+            val table0 = new GraftTable(table, dir, pinnedVersion = None)
+            // dataChange = false: rows are identical, only layout moved —
+            // streaming readers of this table skip the commit entirely
+            table0.commitVersion("compact", m.latest, rel, replace = true,
+              newStats = stats, dataChange = false)
+            (mf.files.size, rel.size, stats.values.map(_.rows).sum)
+          }
+        val row: InternalRow = InternalRow(before, after, rows)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
 /** One commit in a table's history: `version`'s manifest is `files`
-  * (paths relative to the table dir). */
+  * (paths relative to the table dir). `stats` carries [[FileStats]] per
+  * relative path; files without an entry (pre-stats manifests) are
+  * always scanned. `dataChange = false` marks a commit that changed
+  * LAYOUT but not rows (compaction/clustering) — streaming readers skip
+  * it ([[GraftMicroBatchStream]]), the same flag Delta/Iceberg use to
+  * keep OPTIMIZE invisible to downstream streams. */
 private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
-                                   files: Seq[String])
+                                   files: Seq[String],
+                                   stats: Map[String, FileStats] = Map.empty,
+                                   dataChange: Boolean = true)
 
 private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit]) {
   def latest: Int = history.map(_.version).max
@@ -326,7 +450,15 @@ private[catalog] object TableMeta {
         "history" -> JArray(meta.history.sortBy(_.version).map(c => JObject(
           "version" -> JInt(c.version), "ts" -> JInt(c.tsMillis),
           "op" -> JString(c.op),
-          "files" -> JArray(c.files.map(JString(_)).toList))).toList))
+          "dataChange" -> JBool(c.dataChange),
+          "files" -> JArray(c.files.map(JString(_)).toList),
+          "stats" -> JObject(c.stats.toList.sortBy(_._1).map { case (f, s) =>
+            f -> JObject(
+              "rows" -> JInt(s.rows),
+              "mins" -> JObject(s.mins.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+              "maxs" -> JObject(s.maxs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+              "nulls" -> JObject(s.nullCounts.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
+          }))).toList))
       val tmp = Files.createTempFile(dir, ".meta", ".tmp")
       Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
       Files.move(tmp, dir.resolve(MetaFile), StandardCopyOption.ATOMIC_MOVE,
@@ -338,11 +470,28 @@ private[catalog] object TableMeta {
     val schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
       .asInstanceOf[StructType]
     val history = (j \ "history").asInstanceOf[JArray].arr.map { c =>
+      val stats = c \ "stats" match {
+        case JObject(fields) => fields.map { case (f, s) =>
+          def strMap(field: String): Map[String, String] = s \ field match {
+            case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+            case _ => Map.empty
+          }
+          val nulls = s \ "nulls" match {
+            case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JInt].num.toLong }.toMap
+            case _ => Map.empty[String, Long]
+          }
+          f -> FileStats((s \ "rows").asInstanceOf[JInt].num.toLong,
+            strMap("mins"), strMap("maxs"), nulls)
+        }.toMap
+        case _ => Map.empty[String, FileStats]
+      }
       Commit(
         (c \ "version").asInstanceOf[JInt].num.toInt,
         (c \ "ts").asInstanceOf[JInt].num.toLong,
         (c \ "op").asInstanceOf[JString].s,
-        (c \ "files").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s))
+        (c \ "files").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s),
+        stats,
+        c \ "dataChange" match { case JBool(b) => b; case _ => true })
     }
     TableMeta(schema, history)
   }
@@ -361,7 +510,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
   override def schema(): StructType = meta.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def properties(): java.util.Map[String, String] =
     java.util.Map.of("format", "parquet", "provider", "graft",
       "latest_version", meta.latest.toString)
@@ -374,12 +524,39 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
     ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(), paths,
       Some(meta.schema), classOf[ParquetFileFormat])
 
-  private def manifestPaths(m: TableMeta): Seq[String] =
-    m.manifest(pinnedVersion.getOrElse(m.latest)).files
-      .map(f => dir.resolve(f).toString)
+  /** Scans go through manifest data skipping: the pushed conjuncts are
+    * evaluated against each file's footer stats ([[SkipEval]]) and the
+    * delegate parquet builder sees only the surviving files — so a
+    * selective `WHERE` on a sorted/clustered table plans a fraction of
+    * the manifest before a single data byte is read, and the parquet
+    * delegate still applies row-group pushdown within the kept files. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = meta
+    val mf = m.manifest(pinnedVersion.getOrElse(m.latest))
+    new org.apache.spark.sql.graft.SkippingScanBuilder(
+      filters => {
+        val kept = SkipEval.prune(m.schema, mf.files, mf.stats, filters)
+        SkipRecorder.record(tableName, kept.size, mf.files.size)
+        kept
+      },
+      rel => delegate(rel.map(f => dir.resolve(f).toString)).newScanBuilder(options),
+      mf.files,
+      _ => {
+        require(pinnedVersion.isEmpty,
+          s"$tableName is a time-travel view; stream the live table and bound it yourself")
+        new GraftMicroBatchStream(this,
+          Option(options.get("max_versions_per_trigger")).map(_.toInt))
+      })
+  }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate(manifestPaths(meta)).newScanBuilder(options)
+  /** A bare delegate parquet Scan over an explicit file subset — the
+    * streaming source plans each version-delta through this (full table
+    * schema, no pushdown; Spark filters above the scan). */
+  private[catalog] def delegateScanOver(relFiles: Seq[String]): org.apache.spark.sql.connector.read.Scan =
+    delegate(relFiles.map(f => dir.resolve(f).toString))
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+
+  private[catalog] def currentMeta: TableMeta = meta
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -424,17 +601,34 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
     * lock and neither's files are lost). Replace commits (truncate and
     * every COW rewrite) must instead FAIL on a race — their file list was
     * computed against `baseLatest`'s snapshot, and publishing it over a
-    * newer version would silently undo the other writer. */
+    * newer version would silently undo the other writer. When
+    * `idempotencyKey` is set (streaming epochs), a history entry already
+    * carrying this `op` means the commit is a REPLAY — the manifest is
+    * left untouched and `false` is returned so the caller can discard
+    * its staged files: the sink-side half of Structured Streaming's
+    * exactly-once contract (dedupe on (queryId, epochId)). Returns
+    * whether the commit landed. */
   private[catalog] def commitVersion(op: String, baseLatest: Int,
-                                     newFiles: Seq[String], replace: Boolean): Unit =
+                                     newFiles: Seq[String], replace: Boolean,
+                                     newStats: Map[String, FileStats] = Map.empty,
+                                     idempotencyKey: Boolean = false,
+                                     dataChange: Boolean = true): Boolean =
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = meta
-      val inherited = if (replace) Nil else m.manifest(m.latest).files
-      val next = Commit(m.latest + 1, System.currentTimeMillis(), op,
-        inherited ++ newFiles)
-      TableMeta.write(dir, m.copy(history = m.history :+ next),
-        expectedLatest = if (replace) Some(baseLatest) else None)
+      if (idempotencyKey && m.history.exists(_.op == op)) false
+      else {
+        val prev = m.manifest(m.latest)
+        val inherited = if (replace) Nil else prev.files
+        // inherited files keep their stats; replaced manifests start fresh
+        val inheritedStats = if (replace) Map.empty[String, FileStats]
+          else prev.stats.view.filterKeys(inherited.contains).toMap
+        val next = Commit(m.latest + 1, System.currentTimeMillis(), op,
+          inherited ++ newFiles, inheritedStats ++ newStats, dataChange)
+        TableMeta.write(dir, m.copy(history = m.history :+ next),
+          expectedLatest = if (replace) Some(baseLatest) else None)
+        true
+      }
     }
 
   private[catalog] def currentLatest: Int = meta.latest
@@ -459,6 +653,17 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
   override def truncate(): WriteBuilder = { truncate0 = true; this }
 
   override def build(): Write = new Write {
+    /** `writeStream.toTable(...)`: append-mode micro-batches become
+      * idempotent manifest commits (see [[GraftStreamingWrite]]). */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!replaceManifest, "row-level operations are batch-only")
+      require(!truncate0,
+        s"${table.name()}: streaming writes support append output mode only " +
+          "(complete-mode truncation per epoch would race batch writers; " +
+          "use foreachBatch + INSERT OVERWRITE for full-refresh shapes)")
+      new GraftStreamingWrite(table, info)
+    }
+
     override def toBatch: BatchWrite = {
       val commitDir = table.commitDirFor(info.queryId())
       val baseLatest = table.currentLatest
@@ -495,17 +700,237 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
         override def commit(messages: Array[WriterCommitMessage]): Unit = {
           inner.commit(messages)
           val s = Files.list(commitDir)
-          val files = try s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(p => table.tableDirPath.relativize(p).toString).toSeq
+          val abs = try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           finally s.close()
+          val files = abs.map(p => table.tableDirPath.relativize(p).toString)
+          // footer-only stats for the commit's files — the data-skipping
+          // manifest entries (cost ∝ files in THIS commit, never the table)
+          val stats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
+            SparkSession.active.sessionState.newHadoopConf())
           val op = if (replaceManifest) "replace" else if (truncate0) "overwrite" else "append"
-          table.commitVersion(op, baseLatest, files, replace = truncate0)
+          table.commitVersion(op, baseLatest, files, replace = truncate0, newStats = stats)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit =
           inner.abort(messages)
       }
     }
+  }
+}
+
+/** A streaming OFFSET for catalog tables: "consumed through manifest
+  * version v". `openingSnapshot = true` is the pre-consumption marker a
+  * fresh stream starts from — version v's FULL manifest is still owed to
+  * the consumer (then the tail proceeds from v). */
+private[catalog] case class GraftVersionOffset(v: Int, openingSnapshot: Boolean = false)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = if (openingSnapshot) s"snap:$v" else v.toString
+}
+
+private[catalog] object GraftVersionOffset {
+  def parse(json: String): GraftVersionOffset = {
+    val s = json.trim
+    if (s.startsWith("snap:")) GraftVersionOffset(s.stripPrefix("snap:").toInt, true)
+    else GraftVersionOffset(s.toInt)
+  }
+}
+
+/** The catalog table as a STREAMING SOURCE — `readStream.table(
+  * graft_cat.…)` tails the version chain: each manifest version is an
+  * offset, and a micro-batch reads exactly the files ADDED by the
+  * data-changing commits in `(start, end]` (new files = the commit's
+  * manifest minus its parent's — appends inherit, so the delta is the
+  * commit's own files). Three history shapes, three behaviors:
+  *
+  *  - APPEND commits (INSERT INTO, stream epochs): their new files are
+  *    the batch. The parent-subset check proves append-ness structurally
+  *    instead of trusting op strings.
+  *  - `dataChange = false` commits (compact/cluster): SKIPPED — rows
+  *    moved, none changed; OPTIMIZE stays invisible to downstream
+  *    streams (Delta/Iceberg's flag, same semantics).
+  *  - REWRITES (COW UPDATE/DELETE/MERGE, INSERT OVERWRITE): the stream
+  *    FAILS with the version number — an incremental reader cannot
+  *    reconstruct row-level changes from a file-level rewrite, and
+  *    silently re-emitting the table would duplicate everything
+  *    downstream. (CDC would need row-level delete vectors in the
+  *    manifest; scoped out as Delta does with its CDF option.)
+  *
+  * A fresh stream OPENS WITH THE CURRENT SNAPSHOT (the latest manifest,
+  * marked in the initial offset) and tails from there — so history
+  * before the stream's birth, rewrites included, is irrelevant to it
+  * (Delta's default starting-version semantics). A checkpointed offset
+  * whose manifest `expire_versions` has since retired fails loudly
+  * instead of re-snapshotting (which would duplicate consumed rows).
+  * The reader factory delegates to the parquet source once — partition
+  * plans vary per batch, the factory does not. At 100 TB the tail cost
+  * per trigger is ∝ the NEW files since the last trigger, never the
+  * table.
+  *
+  * Admission control: `option("max_versions_per_trigger", k)` caps each
+  * micro-batch at k manifest versions past the checkpointed offset — the
+  * Kafka `maxOffsetsPerTrigger` knob re-expressed in versions, so a
+  * consumer restarting after downtime drains a long backlog in bounded
+  * batches instead of one giant catch-up. */
+private[catalog] class GraftMicroBatchStream(table: GraftTable,
+                                             maxVersionsPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  maxVersionsPerTrigger.foreach(k =>
+    require(k >= 1, s"max_versions_per_trigger must be >= 1, got $k"))
+
+  /** Trigger.AvailableNow target: the latest version captured at query
+    * start — the run drains THROUGH it (in bounded per-trigger steps
+    * when admission-controlled) and then stops, ignoring later commits. */
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(table.currentMeta.latest)
+
+  override def initialOffset(): Offset =
+    GraftVersionOffset(table.currentMeta.latest, openingSnapshot = true)
+  override def latestOffset(): Offset = GraftVersionOffset(table.currentMeta.latest)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = GraftVersionOffset(table.currentMeta.latest)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset]
+    val latest = availableNowTarget.getOrElse(table.currentMeta.latest)
+    val end = maxVersionsPerTrigger match {
+      case Some(k) => math.min(latest, s.v + k)
+      case None => latest
+    }
+    if (end == s.v && !s.openingSnapshot) s // nothing new: same offset, no batch
+    else GraftVersionOffset(end)
+  }
+  override def deserializeOffset(json: String): Offset = GraftVersionOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def expired(v: Int): Nothing = throw new IllegalStateException(
+    s"${table.name()}: checkpointed offset v$v was expired by snapshot retention; " +
+      "start a fresh stream (it will open with the current snapshot)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset]
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    val m = table.currentMeta
+    val opening =
+      if (!s.openingSnapshot) Nil
+      else m.history.find(_.version == s.v).getOrElse(expired(s.v)).files
+    val deltas = m.history.filter(c => c.version > s.v && c.version <= e)
+      .sortBy(_.version).flatMap { c =>
+        if (!c.dataChange) Nil // layout-only: rows already emitted
+        else {
+          val prev = m.history.find(_.version == c.version - 1)
+            .getOrElse(expired(c.version - 1))
+          val prevSet = prev.files.toSet
+          if (!prevSet.subsetOf(c.files.toSet))
+            throw new UnsupportedOperationException(
+              s"${table.name()}: version ${c.version} (${c.op}) rewrote the table; " +
+                "catalog streams support append-only history (compactions are skipped " +
+                "via dataChange=false) — restart the stream from the current snapshot")
+          c.files.filterNot(prevSet)
+        }
+      }
+    val newFiles = opening ++ deltas
+    if (newFiles.isEmpty) Array.empty
+    else table.delegateScanOver(newFiles).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    table.delegateScanOver(Nil).toBatch.createReaderFactory()
+}
+
+/** Structured Streaming sink: each micro-batch (epoch) is one APPEND
+  * manifest commit, made EXACTLY-ONCE by keying the commit on
+  * `(queryId, epochId)` — Spark's documented sink-dedup contract. The
+  * failure mode this closes: Spark persists a batch's offsets, writes
+  * the sink data, then dies before its own commit log — on restart it
+  * re-runs that epoch, and without the key the table would hold every
+  * replayed row twice. Here the replayed epoch's manifest commit is
+  * refused by [[GraftTable.commitVersion]]'s history check and its
+  * staged files are deleted, so `readStream → toTable(graft_cat...)`
+  * restart-replays to the same table content (spec-pinned by killing a
+  * query between sink write and checkpoint commit is not deterministically
+  * forceable, so the spec replays an epoch through the API instead).
+  *
+  * Mechanics: `createStreamingWriterFactory` is called once per epoch
+  * (from `MicroBatchWrite`), strictly before that epoch's
+  * `commit`/`abort` and never concurrently with another epoch — micro-
+  * batches of one query are sequential — so a single pending slot carries
+  * the per-epoch delegate parquet writer and its staging dir from
+  * factory-creation to commit. Writers delegate to the same batch parquet
+  * factory as batch writes (hadoop commit protocol arbitrates task
+  * retries; no commit coordinator, same as [[FileBatchWrite]]). */
+private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private case class Pending(commitDir: Path, inner: BatchWrite)
+  private val pending = new java.util.concurrent.atomic.AtomicReference[Pending]()
+
+  override def createStreamingWriterFactory(phyInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val commitDir = table.commitDirFor(info.queryId())
+    Files.createDirectories(commitDir)
+    val inner = ParquetTable(table.name(), SparkSession.active,
+      new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
+      Seq(commitDir.toString), Some(info.schema()), classOf[ParquetFileFormat])
+      .newWriteBuilder(info).build().toBatch
+    require(pending.compareAndSet(null, Pending(commitDir, inner)),
+      s"${table.name()}: overlapping streaming epochs (a second writer factory " +
+        "was requested before the previous epoch committed or aborted)")
+    val factory = inner.createBatchWriterFactory(phyInfo)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+        factory.createWriter(partitionId, taskId)
+    }
+  }
+
+  // hadoop FileCommitProtocol owns task-commit arbitration (same contract
+  // as the batch path; FileBatchWrite also returns false)
+  override def useCommitCoordinator(): Boolean = false
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = pending.getAndSet(null)
+    require(p != null, s"${table.name()}: commit($epochId) with no staged epoch")
+    p.inner.commit(messages)
+    val s = Files.list(p.commitDir)
+    val abs = try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    finally s.close()
+    if (abs.isEmpty) {
+      // empty epoch: nothing to publish, no manifest entry to record —
+      // a replayed empty epoch re-appends nothing either way
+      deleteStaged(p.commitDir)
+    } else {
+      val files = abs.map(f => table.tableDirPath.relativize(f).toString)
+      val stats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
+        SparkSession.active.sessionState.newHadoopConf())
+      val committed = table.commitVersion(
+        s"stream-epoch:${info.queryId()}:$epochId", table.currentLatest,
+        files, replace = false, newStats = stats, idempotencyKey = true)
+      if (!committed) {
+        // replayed epoch — the original commit already published this
+        // data; discard the replica (the whole staged dir: parquet,
+        // _SUCCESS marker, checksums)
+        deleteStaged(p.commitDir)
+      }
+    }
+  }
+
+  private def deleteStaged(dir: Path): Unit = {
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = pending.getAndSet(null)
+    if (p != null) p.inner.abort(messages)
   }
 }
 

@@ -1,0 +1,278 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Path
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Commit-time collection of per-file [[FileStats]] from parquet FOOTERS —
+  * the metadata half of manifest-based data skipping ([[SkipEval]] is the
+  * planning half). Reading a footer touches a few KB at the file tail, no
+  * data pages, so the commit-time cost is ∝ files-in-commit: the same
+  * budget Iceberg spends writing manifest entries, and the reason this
+  * scales to 100 TB tables (stats for a commit's files are collected once
+  * when the commit is small, never by rescanning the table).
+  *
+  * Encoding: one canonical string per (column, bound) decoded against the
+  * TABLE schema at prune time — integral/date/timestamp as `Long.toString`
+  * (days / micros), float/double as `Double.toString`, strings raw,
+  * booleans `"true"/"false"`. A column is dropped from the maps the moment
+  * any row group lacks a usable bound for it (absent stats never prune —
+  * the conservative direction). INT96 timestamps (Spark's default parquet
+  * timestamp encoding) carry no usable parquet statistics and simply never
+  * produce bounds.
+  */
+private[graft] object FooterStats {
+
+  /** Collect stats for `files` (absolute paths) of a table rooted at
+    * `tableDir`, keyed by path RELATIVE to the table dir (the manifest's
+    * file key). Files that fail to parse yield no entry (never prune). */
+  def collect(tableDir: Path, files: Seq[Path], schema: StructType,
+              conf: Configuration): Map[String, FileStats] =
+    files.flatMap { f =>
+      try Some(tableDir.relativize(f).toString -> collectOne(f, schema, conf))
+      catch { case _: Exception => None }
+    }.toMap
+
+  private def collectOne(file: Path, schema: StructType, conf: Configuration): FileStats = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // per top-level column: fold bounds across row groups; a single
+      // unusable row-group statistic poisons the column (conservative)
+      var mins = Map.empty[String, String]
+      var maxs = Map.empty[String, String]
+      var nulls = Map.empty[String, Long]
+      schema.fields.foreach { field =>
+        val chunksPerBlock = blocks.map(_.getColumns.asScala.find { c =>
+          val p = c.getPath.toArray
+          p.length == 1 && p(0).equalsIgnoreCase(field.name)
+        })
+        if (chunksPerBlock.forall(_.isDefined)) {
+          val chunks = chunksPerBlock.map(_.get)
+          val stats = chunks.map(_.getStatistics)
+          // null counts: sum if every row group knows its count
+          nulls += field.name -> (
+            if (stats.forall(s => s != null && s.isNumNullsSet))
+              stats.map(_.getNumNulls).sum
+            else -1L)
+          // every row group with at least one non-null value must carry a
+          // usable bound; all-null row groups contribute no bound
+          val usable = stats.collect {
+            case s if s != null && s.hasNonNullValue =>
+              if (s.isEmpty) None
+              else encode(field.dataType, s.genericGetMin.asInstanceOf[AnyRef],
+                s.genericGetMax.asInstanceOf[AnyRef])
+          }
+          if (usable.nonEmpty && usable.forall(_.isDefined)) {
+            val los = usable.map(_.get._1)
+            val his = usable.map(_.get._2)
+            (minOf(field.dataType, los), maxOf(field.dataType, his)) match {
+              case (Some(lo), Some(hi)) =>
+                mins += field.name -> lo
+                maxs += field.name -> hi
+              case _ => ()
+            }
+          }
+        }
+      }
+      FileStats(rows, mins, maxs, nulls)
+    } finally reader.close()
+  }
+
+  /** Canonical string encodings for (min, max); None = unusable. */
+  private def encode(dt: DataType, mn: AnyRef, mx: AnyRef): Option[(String, String)] =
+    (dt, mn, mx) match {
+      case (ByteType | ShortType | IntegerType | LongType | DateType |
+            TimestampType | TimestampNTZType, a: Number, b: Number) =>
+        Some((a.longValue.toString, b.longValue.toString))
+      case (FloatType | DoubleType, a: Number, b: Number) =>
+        val (lo, hi) = (a.doubleValue, b.doubleValue)
+        if (lo.isNaN || hi.isNaN) None else Some((lo.toString, hi.toString))
+      case (StringType, a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+        Some((a.toStringUsingUTF8, b.toStringUsingUTF8))
+      case (BooleanType, a: java.lang.Boolean, b: java.lang.Boolean) =>
+        Some((a.toString, b.toString))
+      case _ => None
+    }
+
+  private def minOf(dt: DataType, vs: Seq[String]): Option[String] =
+    SkipEval.domainOrdering(dt).map(ord => vs.minBy(s => SkipEval.decode(dt, s))(ord))
+  private def maxOf(dt: DataType, vs: Seq[String]): Option[String] =
+    SkipEval.domainOrdering(dt).map(ord => vs.maxBy(s => SkipEval.decode(dt, s))(ord))
+}
+
+/** The planning half of manifest data skipping: decide, per file, whether
+  * its [[FileStats]] ADMIT a possible match for a pushed predicate. The
+  * contract is strictly conservative — `mightMatch` may say `true` for a
+  * file with no matching rows (wasted IO), never `false` for a file with
+  * one (lost rows). Anything unrecognized — casts, UDFs, nested columns,
+  * types without bounds — therefore evaluates to `true`.
+  *
+  * Supported shapes: `=`, `<`, `<=`, `>`, `>=` between a top-level
+  * attribute and a literal (either side), `IN`, `IS NULL` / `IS NOT
+  * NULL`, and `AND` / `OR` recursion. String comparison is UNSIGNED
+  * UTF-8 BYTE order on both sides — the order parquet binary stats are
+  * computed in AND the order Spark's `UTF8String.compareTo` sorts in, so
+  * the three orderings (stats, predicate semantics, pruning) can never
+  * disagree. The DuckDB-checked q_sql_skipping query plus CatalogSpec's
+  * lossless assertion pin the conservative contract end-to-end.
+  */
+private[graft] object SkipEval {
+
+  /** The comparison domain a column's bounds decode into. */
+  sealed trait Dom extends Any
+  private final case class LongD(v: Long) extends Dom
+  private final case class DoubleD(v: Double) extends Dom
+  private final case class BytesD(v: Array[Byte]) extends Dom
+
+  private[catalog] def decode(dt: DataType, s: String): Dom = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => LongD(s.toLong)
+    case FloatType | DoubleType => DoubleD(s.toDouble)
+    case StringType => BytesD(s.getBytes(StandardCharsets.UTF_8))
+    case BooleanType => LongD(if (s.toBoolean) 1L else 0L)
+    case other => throw new IllegalArgumentException(s"no skip domain for $other")
+  }
+
+  private[catalog] def domainOrdering(dt: DataType): Option[Ordering[Dom]] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType | BooleanType => Some(domOrdering)
+    case _ => None
+  }
+
+  /** unsigned lexicographic — parquet's binary order and UTF8String's */
+  private def compareBytes(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var c = 0
+    while (i < n && c == 0) {
+      c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+  }
+
+  private val domOrdering: Ordering[Dom] = (a: Dom, b: Dom) => (a, b) match {
+    case (LongD(x), LongD(y)) => java.lang.Long.compare(x, y)
+    case (DoubleD(x), DoubleD(y)) => java.lang.Double.compare(x, y)
+    case (BytesD(x), BytesD(y)) => compareBytes(x, y)
+    case _ => throw new IllegalArgumentException(s"mixed skip domains: $a vs $b")
+  }
+
+  /** Literal runtime value → comparison domain (None = can't compare →
+    * caller keeps the file). */
+  private def literalDom(dt: DataType, value: Any): Option[Dom] = (dt, value) match {
+    case (_, null) => None
+    case (ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType, n: Number) => Some(LongD(n.longValue))
+    case (FloatType, f: java.lang.Float) =>
+      if (f.isNaN) None else Some(DoubleD(f.doubleValue))
+    case (DoubleType, d: java.lang.Double) =>
+      if (d.isNaN) None else Some(DoubleD(d.doubleValue))
+    case (StringType, s: UTF8String) => Some(BytesD(s.getBytes))
+    case (BooleanType, b: java.lang.Boolean) => Some(LongD(if (b) 1L else 0L))
+    case _ => None
+  }
+
+  /** Keep exactly the files whose stats admit a match for EVERY pushed
+    * conjunct. Files without stats are always kept. */
+  def prune(schema: StructType, files: Seq[String], stats: Map[String, FileStats],
+            filters: Seq[Expression]): Seq[String] =
+    if (filters.isEmpty) files
+    else files.filter { f =>
+      stats.get(f) match {
+        case Some(st) => filters.forall(mightMatch(schema, st, _))
+        case None => true
+      }
+    }
+
+  def mightMatch(schema: StructType, st: FileStats, pred: Expression): Boolean = {
+    // a zero-row file matches nothing, whatever the predicate
+    if (st.rows == 0) return false
+
+    def field(a: AttributeReference): Option[StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(a.name))
+
+    def colBounds(f: StructField): Option[(Dom, Dom)] =
+      for { lo <- st.mins.get(f.name); hi <- st.maxs.get(f.name) }
+        yield (decode(f.dataType, lo), decode(f.dataType, hi))
+
+    def allNull(f: StructField): Boolean =
+      st.nullCounts.get(f.name).contains(st.rows)
+
+    /** A comparison predicate on `a` vs literal `lit`: null comparisons
+      * never match, so an all-null column prunes outright; otherwise test
+      * the bound. */
+    def cmp(a: AttributeReference, lit: Literal)(test: (Dom, Dom, Dom) => Boolean): Boolean =
+      field(a) match {
+        case Some(f) if allNull(f) => false
+        case Some(f) =>
+          (colBounds(f), literalDom(lit.dataType, lit.value)) match {
+            case (Some((lo, hi)), Some(v)) => test(lo, hi, v)
+            case _ => true
+          }
+        case None => true
+      }
+
+    def ge(x: Dom, y: Dom) = domOrdering.compare(x, y) >= 0
+    def gt(x: Dom, y: Dom) = domOrdering.compare(x, y) > 0
+
+    pred match {
+      case And(l, r) => mightMatch(schema, st, l) && mightMatch(schema, st, r)
+      case Or(l, r) => mightMatch(schema, st, l) || mightMatch(schema, st, r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((lo, hi, v) => ge(v, lo) && ge(hi, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((lo, hi, v) => ge(v, lo) && ge(hi, v))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((_, hi, v) => gt(hi, v))
+      case GreaterThan(l: Literal, a: AttributeReference) => // lit > col  ⇔  col < lit
+        cmp(a, l)((lo, _, v) => gt(v, lo))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((_, hi, v) => ge(hi, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((lo, _, v) => ge(v, lo))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((lo, _, v) => gt(v, lo))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((_, hi, v) => gt(hi, v))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((lo, _, v) => ge(v, lo))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((_, hi, v) => ge(hi, v))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => mightMatch(schema, st, EqualTo(a, v.asInstanceOf[Literal])))
+      case InSet(a: AttributeReference, vs) =>
+        // InSet holds INTERNAL values (UTF8String etc.) — wrap them
+        // as-is, not via Literal.create's external-value conversion
+        vs.exists(v => mightMatch(schema, st, EqualTo(a, Literal(v, a.dataType))))
+      case IsNull(a: AttributeReference) =>
+        field(a).forall(f => !st.nullCounts.get(f.name).contains(0L))
+      case IsNotNull(a: AttributeReference) =>
+        field(a).forall(f => !allNull(f))
+      case Literal(v, BooleanType) => v == true
+      case _ => true
+    }
+  }
+}
+
+/** Observability hook: the last (kept, total) file-skipping decision per
+  * table, recorded by the scan builder at filter-pushdown time — what the
+  * spec's end-to-end assertion and a deployer's sanity check read, instead
+  * of re-deriving the plan. */
+object SkipRecorder {
+  private val last = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  def record(table: String, kept: Int, total: Int): Unit = last.put(table, (kept, total))
+  def lastFor(table: String): Option[(Int, Int)] = Option(last.get(table))
+}

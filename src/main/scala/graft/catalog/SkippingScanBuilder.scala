@@ -1,0 +1,89 @@
+// This class lives in an org.apache.spark.sql subpackage ON PURPOSE:
+// file-source filter pushdown in Spark flows through the `private[sql]`
+// trait SupportsPushDownCatalystFilters (V2ScanRelationPushDown pushes
+// CATALYST expressions to file sources, not translated v1/v2 filters),
+// and implementing it is the only way a wrapping ScanBuilder can both
+// see the predicates early enough to prune the FILE LIST and still
+// forward them to the delegate parquet builder so row-group pushdown
+// (the `PushedFilters:` the plan pins) is preserved. The class holds no
+// Spark internals beyond that trait; all stats logic stays in
+// graft.catalog.SkipEval.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+
+/** Manifest data skipping for graft catalog scans ([[graft.catalog
+  * .GraftCatalog]]): `pruneFiles` evaluates the pushed conjuncts against
+  * the manifest's per-file footer stats and the delegate parquet builder
+  * is then constructed over ONLY the surviving files — Iceberg-style
+  * planning, transparent to the query. Spark's pushdown sequence on one
+  * builder is pushFilters → pruneColumns → build (each at most once), so
+  * the delegate is created lazily at whichever call arrives first; a
+  * filterless query scans the full manifest.
+  *
+  * Pushdown is a planning HINT by contract — Spark keeps every pushed
+  * filter in the plan as a post-scan Filter (parquet row-group stats are
+  * also advisory), so file pruning only has to be conservative
+  * ([[graft.catalog.SkipEval]]'s contract), never exact. */
+class SkippingScanBuilder(
+    pruneFiles: Seq[Expression] => Seq[String],
+    mkDelegate: Seq[String] => ScanBuilder,
+    allFiles: Seq[String],
+    mkStream: String => MicroBatchStream)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var delegate: ScanBuilder = _
+
+  private def ensureDelegate(): ScanBuilder = {
+    if (delegate == null) delegate = mkDelegate(allFiles)
+    delegate
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    require(delegate == null,
+      "pushFilters arrived after the delegate was built — pushdown ordering changed")
+    delegate = mkDelegate(pruneFiles(filters))
+    delegate match {
+      case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters: Array[Predicate] = ensureDelegate() match {
+    case f: SupportsPushDownCatalystFilters => f.pushedFilters
+    case _ => Array.empty
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = ensureDelegate() match {
+    case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+
+  override def build(): Scan = new ForwardingScan(ensureDelegate().build(), mkStream)
+}
+
+/** The built Scan: batch paths forward VERBATIM to the delegate parquet
+  * scan (vectorized reads, metadata, metrics — `description()` included,
+  * so plan text and its `PushedFilters:` pins are unchanged); the one
+  * addition is `toMicroBatchStream`, which the parquet scan does not
+  * implement and the catalog serves from its version chain. */
+class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream) extends Scan {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+  override def toBatch: Batch = delegate.toBatch
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    mkStream(checkpointLocation)
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+}

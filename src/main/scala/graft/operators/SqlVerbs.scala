@@ -189,6 +189,218 @@ object SqlVerbs {
           UNION ALL SELECT 'kept_v2_probe', CAST(1 AS BIGINT))
         ORDER BY metric"""
 
+  /** X-SQLd — OPTIMIZE via `CALL system.compact`: a third table is
+    * fragmented by three range INSERTs, bin-packed to ONE file, and the
+    * output pins the four properties that make compaction safe to run
+    * against live ingest: the procedure's own accounting (`files_after`,
+    * `rows` — both deterministic), row preservation (count at the latest
+    * version), time-travel invisibility (the PRE-compact version still
+    * reads the small files), and content identity (symmetric EXCEPT ALL
+    * between the two versions is empty — compaction changed layout, not
+    * one row). `files_before` stays out (write-parallelism-dependent;
+    * CatalogSpec pins `> target`). */
+  def sqlCompact(spark: SparkSession, dir: String): DataFrame = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_cmp"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-compact"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_cmp")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        (0 until 3).foreach { third =>
+          ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_cmp " +
+            s"WHERE doc_id % 3 = $third")
+        }
+        val res = ss.sql(
+          s"CALL $cat.system.compact(table => 'main.docs_cmp', target_files => 1)").head()
+        compactReports.put(key, (res.getInt(0), res.getInt(1), res.getLong(2)))
+        built.add(key)
+      }
+    }
+    val (before, after, rowsReported) = compactReports.get(key)
+    val preVersion = 3 // v0 create, v1..v3 inserts, v4 = the compact commit
+    val exceptDiff = ss.sql(
+      s"""SELECT count(*) FROM (
+            (SELECT doc_id, n_chars FROM $t
+             EXCEPT ALL SELECT doc_id, n_chars FROM $t VERSION AS OF $preVersion)
+            UNION ALL
+            (SELECT doc_id, n_chars FROM $t VERSION AS OF $preVersion
+             EXCEPT ALL SELECT doc_id, n_chars FROM $t))""").head().getLong(0)
+    import ss.implicits._
+    Seq(
+      ("rows_latest", ss.sql(s"SELECT count(*) FROM $t").head().getLong(0)),
+      ("rows_pre_compact", ss.sql(s"SELECT count(*) FROM $t VERSION AS OF $preVersion")
+        .head().getLong(0)),
+      ("rows_reported", rowsReported),
+      ("files_after", after.toLong),
+      ("fragmented_before", if (before > 1) 1L else 0L),
+      ("except_diff", exceptDiff))
+      .toDF("metric", "value")
+  }
+
+  def sqlCompactOracleSql: String =
+    """WITH n AS (SELECT count(*) AS c FROM documents)
+       SELECT * FROM (
+         SELECT 'rows_latest' AS metric, (SELECT c FROM n) AS value
+         UNION ALL SELECT 'rows_pre_compact', (SELECT c FROM n)
+         UNION ALL SELECT 'rows_reported', (SELECT c FROM n)
+         UNION ALL SELECT 'files_after', CAST(1 AS BIGINT)
+         UNION ALL SELECT 'fragmented_before', CAST(1 AS BIGINT)
+         UNION ALL SELECT 'except_diff', CAST(0 AS BIGINT))
+       ORDER BY metric"""
+
+  /** Number of range-bucketed INSERTs the skipping table is built from —
+    * shared with the spec so its "skipped most of the manifest" bound
+    * tracks the build. */
+  val SkipBuckets = 8
+
+  /** The skipping table: `documents` re-ingested as [[SkipBuckets]]
+    * doc_id-range INSERTs, so the manifest's per-file footer stats carry
+    * disjoint doc_id bounds — the clustered-ingest layout (by date, by
+    * tenant, by crawl) that manifest skipping exists for. */
+  private[graft] def ensureSkipTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_skip"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-skip"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        val docs = Tables.documents(ss, dir)
+        docs.createOrReplaceTempView("documents_src_skip")
+        val Array(b) = docs.agg(
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val span = mx - mn + 1
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        (0 until SkipBuckets).foreach { i =>
+          val lo = mn + i * span / SkipBuckets
+          val hi = mn + (i + 1) * span / SkipBuckets
+          // one file per bucket commit: the ingest shape the skipping
+          // proof is about (a date/tenant-clustered drop, not confetti)
+          ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ doc_id, lang, n_chars " +
+            s"FROM documents_src_skip WHERE doc_id >= $lo AND doc_id < $hi")
+        }
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  /** X-SQLe — manifest data skipping, end-to-end: a quartile doc_id
+    * window over the range-ingested table. The aggregate is oracle-checked
+    * (pruning must be lossless); `skipped_some` reads the scan's recorded
+    * (kept, total) decision — the plan touched a strict subset of the
+    * manifest before any data IO. Bounds derive from min/max by the SAME
+    * integer formula the oracle's scalar subqueries use, so both sides
+    * select the identical window at every scale factor. */
+  def sqlSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureSkipTable(spark, dir)
+    val Array(b) = Tables.documents(ss, dir).agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val lo = mn + (mx - mn) / 4
+    val hi = lo + (mx - mn) / 8
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs,
+                 sum(n_chars) AS sum_chars,
+                 count(DISTINCT lang) AS n_langs
+          FROM $t WHERE doc_id BETWEEN $lo AND $hi""").head()
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t)
+      .getOrElse((Int.MaxValue, Int.MaxValue))
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+      kept < total, kept >= 1))
+      .toDF("n_docs", "sum_chars", "n_langs", "skipped_some", "kept_some")
+  }
+
+  def sqlSkippingOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            w AS (SELECT mn + (mx - mn) // 4 AS lo,
+                         mn + (mx - mn) // 4 + (mx - mn) // 8 AS hi FROM b)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(DISTINCT lang) AS n_langs,
+              true AS skipped_some, true AS kept_some
+       FROM documents, w WHERE doc_id BETWEEN w.lo AND w.hi"""
+
+  /** X-SQLf — CLUSTERING rewrite (`compact … sort_by`), the write-side
+    * half of manifest skipping: the table is ingested SCATTERED (modulus
+    * inserts — every file spans the full doc_id range, so footer stats
+    * can prune nothing), probed, re-laid-out by `CALL system.compact(…,
+    * sort_by => 'doc_id')`, and probed again with the same window. The
+    * output pins the before/after contrast from the scan recorder —
+    * pre-cluster the manifest is unprunable (kept == total), post-cluster
+    * the same predicate plans a strict subset — and the window aggregate
+    * is oracle-checked, so the re-layout moved bytes, not rows. */
+  def sqlCluster(spark: SparkSession, dir: String): DataFrame = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_clu"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-cluster"
+    val docs = Tables.documents(ss, dir)
+    val Array(b) = docs.agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val lo = mn + (mx - mn) / 2
+    val hi = lo + (mx - mn) / 8
+    def probe(): (Int, Int) = {
+      ss.sql(s"SELECT count(*) FROM $t WHERE doc_id BETWEEN $lo AND $hi").collect()
+      graft.catalog.SkipRecorder.lastFor(t).getOrElse((-1, -1))
+    }
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        docs.createOrReplaceTempView("documents_src_clu")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        // round-robin REPARTITION scatters each slice across its files,
+        // so every file spans the full doc_id range (nothing prunable —
+        // the layout clustering exists to fix)
+        (0 until 4).foreach { slice =>
+          ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(2) */ doc_id, n_chars " +
+            s"FROM documents_src_clu WHERE doc_id % 4 = $slice")
+        }
+        val (keptPre, totalPre) = probe()
+        ss.sql(s"CALL $cat.system.compact(table => 'main.docs_clu', " +
+          "target_files => 4, sort_by => 'doc_id')")
+        clusterProbes.put(key, (keptPre, totalPre))
+        built.add(key)
+      }
+    }
+    val (keptPre, totalPre) = clusterProbes.get(key)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars
+          FROM $t WHERE doc_id BETWEEN $lo AND $hi""").head()
+    val (keptPost, totalPost) = graft.catalog.SkipRecorder.lastFor(t)
+      .getOrElse((Int.MaxValue, Int.MaxValue))
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      keptPre == totalPre && totalPre >= 4, // scattered layout: unprunable
+      keptPost < totalPost && keptPost >= 1)) // clustered: strict subset
+      .toDF("n_docs", "sum_chars", "scattered_unprunable", "clustered_skips")
+  }
+
+  def sqlClusterOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            w AS (SELECT mn + (mx - mn) // 2 AS lo,
+                         mn + (mx - mn) // 2 + (mx - mn) // 8 AS hi FROM b)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              true AS scattered_unprunable, true AS clustered_skips
+       FROM documents, w WHERE doc_id BETWEEN w.lo AND w.hi"""
+
+  private val compactReports =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Long)]()
+
+  private val clusterProbes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** The catalog-configured session + catalog name, for operators outside
+    * this module that target the same per-corpus catalog (the streaming
+    * sink). */
+  private[graft] def sessionAndCatalog(spark: SparkSession, dir: String): (SparkSession, String) =
+    (catalogSession(spark, dir), catName(dir))
+
   def sqlTimeTravelOracleSql: String =
     s"""WITH $oracleChainCtes
         SELECT * FROM (

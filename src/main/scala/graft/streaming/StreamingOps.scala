@@ -1328,6 +1328,144 @@ object StreamingOps {
               true AS multi_batch, true AS dup_free
        FROM events"""
 
+  /** EXACTLY-ONCE STREAMING INGEST INTO THE VERSIONED CATALOG —
+    * `readStream → writeStream.toTable(graft_cat.…)`, the statement-level
+    * twin of [[streamExactlyOnceWithMetrics]]'s foreachBatch pattern: here
+    * the SINK ITSELF owns idempotence (each micro-batch is one manifest
+    * commit keyed on (queryId, epochId) — [[graft.catalog
+    * .GraftStreamingWrite]]), so the user writes no dedup logic at all.
+    * The harness forces the failure mode the key exists for: after the
+    * stream drains, the newest entry in the checkpoint's commit log is
+    * deleted — exactly the on-disk state of a driver that died between
+    * sink commit and checkpoint commit — and the query is restarted, so
+    * Spark re-executes the final micro-batch with the SAME epochId from
+    * its recorded offsets. The sink must refuse the replayed commit:
+    * `replay_dup_free` pins both no-duplicate-rows AND no extra manifest
+    * version; the aggregate itself is oracle-checked against the events
+    * corpus. At 100 TB/day this is the kafka→lakehouse ingest path: an
+    * append commit per epoch costs one manifest swap regardless of table
+    * size, and restart safety needs no table-wide reconciliation. */
+  def streamCatalogSinkEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, cat) = graft.operators.SqlVerbs.sessionAndCatalog(spark, dir)
+    val t = s"$cat.main.events_stream"
+    val out = scratchDir("catsink")
+    graft.Tables.events(ss, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$out/in")
+    ss.sql(s"DROP TABLE IF EXISTS $t") // each invocation ingests fresh
+    ss.sql(s"CREATE TABLE $t (event_id BIGINT, event_type STRING, value DECIMAL(18,2))")
+    val inSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DecimalType(18, 2))))
+    def runToDrained(): Unit = {
+      val q = ss.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", "2") // 4 staged files -> 2 epochs
+        .parquet(s"$out/in")
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    runToDrained()
+    // simulate dying between sink commit and checkpoint commit: drop the
+    // newest commit-log entry, keeping its offsets — restart re-runs that
+    // epoch against the sink with the same epochId
+    val commits = java.nio.file.Paths.get(s"$out/_ckpt/commits")
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(commits)
+    val newest = try listing.iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    finally listing.close()
+    java.nio.file.Files.delete(newest)
+    // the checksum sibling too, or the rewrite's crc rename collides and
+    // Spark misreads the leftover as a concurrent writer
+    java.nio.file.Files.deleteIfExists(
+      newest.resolveSibling(s".${newest.getFileName}.crc"))
+    runToDrained()
+    val versions = ss.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .find(_.getString(0) == "latest_version")
+      .map(_.getString(1).toLong).getOrElse(0L)
+    val audit = ss.sql(
+      s"""SELECT count(*) AS n_rows,
+                 count(DISTINCT event_id) AS n_distinct_events,
+                 CAST(sum(value) AS DOUBLE) AS total_value FROM $t""")
+      .withColumn("multi_epoch", lit(versions >= 2))
+      .withColumn("replay_dup_free",
+        col("n_rows") === col("n_distinct_events") && lit(versions == 2L))
+    deleteRecursively(java.nio.file.Paths.get(out))
+    audit
+  }
+
+  val streamCatalogSinkOracleSql: String =
+    """SELECT count(*) AS n_rows,
+              count(DISTINCT event_id) AS n_distinct_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+              true AS multi_epoch, true AS replay_dup_free
+       FROM events"""
+
+  /** THE CATALOG TABLE AS A STREAMING SOURCE — `readStream.table(
+  * graft_cat.…)` tails the version chain ([[graft.catalog
+    * .GraftMicroBatchStream]]): a fresh stream opens with the current
+    * snapshot; a RESUMED stream reads exactly the versions committed
+    * since its checkpointed offset — here the third event slice lands
+    * together with a `CALL system.compact` re-layout, and the resumed
+    * stream must emit the slice's rows ONCE and the compaction's
+    * rewritten files NEVER (`dataChange = false` skip; `resumed_
+    * incremental` pins the phase-2 input row count to exactly the
+    * slice). This is the downstream half of the lakehouse loop the sink
+    * query opens: ingest lands exactly-once, consumers tail
+    * incrementally at cost ∝ new files per trigger, and nightly
+    * OPTIMIZE stays invisible to both. */
+  def streamCatalogSourceEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, cat) = graft.operators.SqlVerbs.sessionAndCatalog(spark, dir)
+    val t = s"$cat.main.events_src"
+    val out = scratchDir("catsrc")
+    ss.sql(s"DROP TABLE IF EXISTS $t") // each invocation tails fresh
+    ss.sql(s"CREATE TABLE $t (event_id BIGINT, event_type STRING, value DECIMAL(18,2))")
+    graft.Tables.events(ss, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+      .createOrReplaceTempView("events_catalog_src")
+    def ingest(slice: Int): Unit =
+      ss.sql(s"INSERT INTO $t SELECT * FROM events_catalog_src WHERE event_id % 3 = $slice")
+    def drain(): Long = {
+      val q = ss.readStream.table(t)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/result")
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    ingest(0); ingest(1)
+    drain() // opening snapshot: slices 0 and 1
+    ingest(2)
+    ss.sql(s"CALL $cat.system.compact(table => 'main.events_src', target_files => 2)")
+    val resumedRows = drain() // delta only: slice 2; compaction skipped
+    val slice2Rows = ss.sql(
+      "SELECT count(*) FROM events_catalog_src WHERE event_id % 3 = 2").head().getLong(0)
+    readBackCleaned(spark, out)(df => df
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_distinct_events"),
+        sum(col("value")).cast("double").as("total_value"))
+      .withColumn("resumed_incremental", lit(resumedRows == slice2Rows))
+      .withColumn("compaction_invisible", col("n_rows") === col("n_distinct_events")))
+  }
+
+  val streamCatalogSourceOracleSql: String =
+    """SELECT count(*) AS n_rows,
+              count(DISTINCT event_id) AS n_distinct_events,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+              true AS resumed_incremental, true AS compaction_invisible
+       FROM events"""
+
   def streamLateAuditEndToEnd(spark: SparkSession, dir: String): DataFrame =
     streamLateAuditWithMetrics(spark, dir)._1
 

@@ -165,6 +165,292 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label"))
   }
 
+  test("manifest data skipping: selective scans touch a strict file subset, losslessly") {
+    val (ss, c) = freshCatalog("cat_skip")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    // four range-disjoint commits -> four+ files with disjoint id bounds
+    (0 until 4).foreach { i =>
+      ss.sql(s"INSERT INTO $t SELECT id, concat('v', id) FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val rows = ss.sql(s"SELECT id FROM $t WHERE id BETWEEN 150 AND 249 ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == (150L to 249L), "pruned scan lost rows")
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(s"$c.ns.t").get
+    assert(total >= 4, s"expected >=4 files in the manifest, saw $total")
+    assert(kept < total, s"no files were skipped (kept=$kept total=$total)")
+    assert(kept >= 1, "pruned to zero files yet returned rows?")
+    // point lookup prunes harder than the range
+    ss.sql(s"SELECT v FROM $t WHERE id = 7").collect()
+    val (kept2, total2) = graft.catalog.SkipRecorder.lastFor(s"$c.ns.t").get
+    assert(kept2 <= kept && total2 == total)
+    // a predicate outside every file's bounds prunes EVERYTHING and
+    // still answers correctly (empty relation with the right schema)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE id > 10000").head().getLong(0) == 0)
+    assert(graft.catalog.SkipRecorder.lastFor(s"$c.ns.t").get._1 == 0)
+    // strings skip too (UTF-8 byte order on both sides)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = 'v42'").head().getLong(0) == 1)
+    // IS NULL on an all-non-null column prunes everything
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v IS NULL").head().getLong(0) == 0)
+    assert(graft.catalog.SkipRecorder.lastFor(s"$c.ns.t").get._1 == 0)
+  }
+
+  test("skipping stays conservative: OR reach, IN lists, nulls, unknown shapes") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import graft.catalog.{FileStats, SkipEval}
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val idAttr = AttributeReference("id", LongType)()
+    val vAttr = AttributeReference("v", StringType)()
+    val st = FileStats(100, Map("id" -> "10", "v" -> "a"),
+      Map("id" -> "20", "v" -> "m"), Map("id" -> 0L, "v" -> 5L))
+    def lit(l: Long) = Literal(l, LongType)
+    assert(!SkipEval.mightMatch(schema, st, EqualTo(idAttr, lit(21))))
+    assert(SkipEval.mightMatch(schema, st, EqualTo(idAttr, lit(20))))
+    assert(!SkipEval.mightMatch(schema, st, GreaterThan(idAttr, lit(20))))
+    assert(SkipEval.mightMatch(schema, st, GreaterThanOrEqual(idAttr, lit(20))))
+    assert(!SkipEval.mightMatch(schema, st, LessThan(idAttr, lit(10))))
+    // literal-on-the-left flips the comparison, not the answer
+    assert(!SkipEval.mightMatch(schema, st, GreaterThan(lit(10), idAttr)))
+    assert(SkipEval.mightMatch(schema, st, GreaterThan(lit(11), idAttr)))
+    // OR keeps the file if EITHER side might match
+    assert(SkipEval.mightMatch(schema, st,
+      Or(EqualTo(idAttr, lit(5)), EqualTo(idAttr, lit(15)))))
+    assert(!SkipEval.mightMatch(schema, st,
+      Or(EqualTo(idAttr, lit(5)), EqualTo(idAttr, lit(25)))))
+    // IN = any member in bounds
+    assert(SkipEval.mightMatch(schema, st, In(idAttr, Seq(lit(3), lit(12)))))
+    assert(!SkipEval.mightMatch(schema, st, In(idAttr, Seq(lit(3), lit(99)))))
+    // nulls: the column HAS nulls, so IS NULL must keep; IS NOT NULL too
+    assert(SkipEval.mightMatch(schema, st, IsNull(vAttr)))
+    assert(SkipEval.mightMatch(schema, st, IsNotNull(vAttr)))
+    assert(!SkipEval.mightMatch(schema, st, IsNull(idAttr)))
+    // unknown shapes never prune
+    assert(SkipEval.mightMatch(schema, st,
+      EqualTo(Abs(idAttr), lit(999))))
+    // a zero-row file matches nothing
+    assert(!SkipEval.mightMatch(schema, FileStats(0, Map.empty, Map.empty, Map.empty),
+      IsNotNull(idAttr)))
+    // missing stats keep the file
+    assert(SkipEval.mightMatch(schema, FileStats(10, Map.empty, Map.empty, Map.empty),
+      EqualTo(idAttr, lit(999))))
+  }
+
+  test("row-level (COW) scans bypass skipping: the verb's condition must not drop groups") {
+    val (ss, c) = freshCatalog("cat_skipcow")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, x DOUBLE)")
+    (0 until 3).foreach { i =>
+      ss.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE) FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    // the group is the whole table: an UPDATE touching one file's range
+    // must still rewrite (and keep) the other files' rows
+    ss.sql(s"UPDATE $t SET x = -1.0 WHERE id = 5")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 30)
+    assert(ss.sql(s"SELECT x FROM $t WHERE id = 25").head().getDouble(0) == 25.0)
+    assert(ss.sql(s"SELECT x FROM $t WHERE id = 5").head().getDouble(0) == -1.0)
+  }
+
+  test("CALL system.compact bin-packs the manifest; time travel still reads the old layout") {
+    val (ss, c) = freshCatalog("cat_compact")
+    val t = s"$c.ns.t"
+    (0 until 4).foreach { i =>
+      if (i == 0) ss.sql(s"CREATE TABLE $t (id BIGINT)")
+      ss.sql(s"INSERT INTO $t SELECT id FROM range(${i * 10}, ${i * 10 + 10})")
+    }
+    val r = ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 1)").head()
+    assert(r.getInt(0) > 1, s"files_before = ${r.getInt(0)}")
+    assert(r.getInt(1) == 1, s"files_after = ${r.getInt(1)}")
+    assert(r.getLong(2) == 40L, s"rows = ${r.getLong(2)}")
+    // rows and content unchanged at the new head
+    assert(ss.sql(s"SELECT count(*), sum(id) FROM $t").head().toSeq == Seq(40L, 780L))
+    // pre-compact version still readable (its files were not deleted)
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 4").head().getLong(0) == 40)
+    // compacting an already-compact table is a no-op (no new version)
+    val r2 = ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 1)").head()
+    assert(r2.getInt(0) == 1 && r2.getInt(1) == 1)
+    assert(intercept[Exception](
+      ss.sql(s"SELECT 1 FROM $t VERSION AS OF 6").collect()) != null)
+    // compact + expire is the OPTIMIZE->VACUUM pairing: expiring the
+    // pre-compact manifests reclaims the small files
+    val e = ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 1)").head()
+    assert(e.getInt(2) >= 4, s"deleted_files = ${e.getInt(2)}")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 40)
+  }
+
+  test("compact sort_by: a clustering rewrite turns an unprunable manifest prunable") {
+    val (ss, c) = freshCatalog("cat_cluster")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE)")
+    // round-robin scattered inserts: every file spans the whole id range
+    // -> footer stats can prune nothing
+    (0 until 4).foreach { i =>
+      ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(2) */ id, CAST(id AS DOUBLE) " +
+        s"FROM range(0, 400) WHERE id % 4 = $i")
+    }
+    ss.sql(s"SELECT count(*) FROM $t WHERE id BETWEEN 100 AND 149").collect()
+    val (keptPre, totalPre) = graft.catalog.SkipRecorder.lastFor(s"$c.ns.t").get
+    assert(keptPre == totalPre && totalPre >= 4, s"scattered layout pruned? $keptPre/$totalPre")
+    val r = ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 4, " +
+      "sort_by => 'id')").head()
+    assert(r.getInt(1) <= 4 && r.getLong(2) == 400L)
+    val cnt = ss.sql(s"SELECT count(*) FROM $t WHERE id BETWEEN 100 AND 149").head().getLong(0)
+    assert(cnt == 50)
+    val (keptPost, totalPost) = graft.catalog.SkipRecorder.lastFor(s"$c.ns.t").get
+    assert(keptPost < totalPost, s"clustered layout did not prune: $keptPost/$totalPost")
+    // content identical across the re-layout
+    assert(ss.sql(s"SELECT sum(id), count(*) FROM $t").head().toSeq ==
+      Seq(79800L, 400L))
+    // unknown sort column is rejected before any rewrite
+    intercept[Exception](ss.sql(
+      s"CALL $c.system.compact(table => 'ns.t', target_files => 2, sort_by => 'nope')")
+      .collect())
+  }
+
+  test("streaming sink: epochs append exactly-once; a replayed epoch is refused") {
+    val (ss, c) = freshCatalog("cat_stream")
+    val t = s"$c.ns.sink"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    val out = java.nio.file.Files.createTempDirectory("graft-catspec-streamsink-")
+    out.toFile.deleteOnExit()
+    ss.range(0, 40).selectExpr("id", "concat('v', id) AS v")
+      .repartition(4).write.parquet(s"$out/in")
+    def drain(): Unit = {
+      val q = ss.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$out/in")
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    drain()
+    assert(ss.sql(s"SELECT count(*), count(DISTINCT id) FROM $t").head().toSeq ==
+      Seq(40L, 40L))
+    val versionsAfterFirst = ss.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .find(_.getString(0) == "latest_version").get.getString(1).toInt
+    assert(versionsAfterFirst == 2, s"expected 2 epoch commits, saw $versionsAfterFirst")
+    // kill the newest checkpoint commit marker: the restart re-executes
+    // that epoch with the same epochId -> the sink must refuse the replay
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Paths.get(s"$out/_ckpt/commits")
+    val listing = java.nio.file.Files.list(commits)
+    val newest = try listing.iterator().asScala
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    finally listing.close()
+    java.nio.file.Files.delete(newest)
+    java.nio.file.Files.deleteIfExists(
+      newest.resolveSibling(s".${newest.getFileName}.crc"))
+    drain()
+    assert(ss.sql(s"SELECT count(*), count(DISTINCT id) FROM $t").head().toSeq ==
+      Seq(40L, 40L), "replayed epoch appended duplicate rows")
+    val versionsAfterReplay = ss.sql(s"SHOW TBLPROPERTIES $t").collect()
+      .find(_.getString(0) == "latest_version").get.getString(1).toInt
+    assert(versionsAfterReplay == 2, "replayed epoch minted a new version")
+    // each epoch is an independent, time-travelable commit: v1 holds a
+    // proper non-empty prefix of the stream (the exact split is the file
+    // source's batch packing, not a pinned property)
+    val v1Rows = ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0)
+    assert(v1Rows > 0 && v1Rows < 40, s"v1 held $v1Rows rows")
+    // batch writers interleave freely with the stream's commits
+    ss.sql(s"INSERT INTO $t VALUES (100, 'batch')")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 41)
+    // complete-mode streaming is rejected loudly, not silently truncated
+    val err = intercept[Exception] {
+      val q = ss.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+        .parquet(s"$out/in")
+        .groupBy("v").count()
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$out/_ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    assert(err != null)
+  }
+
+  test("streaming source: opens with the snapshot, tails appends, skips compaction, fails on rewrite") {
+    val (ss, c) = freshCatalog("cat_source")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('a', id) FROM range(0, 10)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('b', id) FROM range(10, 20)")
+    val out = java.nio.file.Files.createTempDirectory("graft-catspec-streamsrc-")
+    out.toFile.deleteOnExit()
+    def drain(ckpt: String): Long = {
+      val q = ss.readStream.table(t)
+        .writeStream
+        .option("checkpointLocation", s"$out/$ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/result")
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    // fresh stream: one opening-snapshot batch with the current 20 rows
+    assert(drain("ck1") == 20)
+    // appends + a compaction land; the resumed stream reads ONLY the
+    // append's 10 rows (the compaction's rewritten files are invisible)
+    ss.sql(s"INSERT INTO $t SELECT id, concat('c', id) FROM range(20, 30)")
+    ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 1)")
+    assert(drain("ck1") == 10, "compaction leaked into the stream (or the append was lost)")
+    val sunk = ss.read.parquet(s"$out/result")
+    assert(sunk.count() == 30 &&
+      sunk.select("id").distinct().count() == 30)
+    // a COW rewrite poisons the tail: the resumed stream must fail...
+    ss.sql(s"UPDATE $t SET v = 'x' WHERE id = 5")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain("ck1"))
+    assert(err.getMessage.contains("rewrote") ||
+      Option(err.getCause).exists(_.getMessage.contains("rewrote")))
+    // ...while a FRESH stream re-opens with the post-rewrite snapshot
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$out/result"))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    assert(drain("ck2") == 30)
+    assert(ss.read.parquet(s"$out/result")
+      .filter(org.apache.spark.sql.functions.col("v") === "x").count() == 1)
+  }
+
+  test("streaming source admission control: max_versions_per_trigger bounds each batch") {
+    val (ss, c) = freshCatalog("cat_admission")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(0, 5)")
+    val out = java.nio.file.Files.createTempDirectory("graft-catspec-admission-")
+    out.toFile.deleteOnExit()
+    def drain(maxV: Option[Int]): Seq[Long] = {
+      val reader = ss.readStream
+      maxV.foreach(k => reader.option("max_versions_per_trigger", k.toString))
+      val q = reader.table(t)
+        .writeStream
+        .option("checkpointLocation", s"$out/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$out/result")
+        }
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).toSeq
+    }
+    assert(drain(None).sum == 5) // opening snapshot
+    // a 3-version backlog drains as 3 bounded batches, in order
+    (1 to 3).foreach(i => ss.sql(s"INSERT INTO $t SELECT id FROM range(${i * 100}, ${i * 100 + i})"))
+    val batches = drain(Some(1)).filter(_ > 0)
+    assert(batches == Seq(1L, 2L, 3L), s"expected per-version batches, got $batches")
+    assert(ss.read.parquet(s"$out/result").count() == 11)
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE deletes stale corpus rows") {
     val (ss, c) = freshCatalog("cat_mbs")
     val t = s"$c.ns.t"
