@@ -151,6 +151,9 @@ object SparkEntry {
     // clustering rewrite (compact sort_by): scattered manifest is
     // unprunable, the re-laid-out one plans a strict file subset
     "q_sql_cluster"       -> ((s, d) => SqlVerbs.sqlCluster(s, d)),
+    // change data feed: the verb chain's row-level changes reconstructed
+    // from the COW manifests at touched-file cost, vs a relational replay
+    "q_sql_cdf"           -> ((s, d) => SqlVerbs.sqlCdf(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -987,6 +990,7 @@ object SparkEntry {
     "q_sql_compact" -> SqlVerbs.sqlCompactOracleSql,
     "q_sql_skipping" -> SqlVerbs.sqlSkippingOracleSql,
     "q_sql_cluster" -> SqlVerbs.sqlClusterOracleSql,
+    "q_sql_cdf" -> SqlVerbs.sqlCdfOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,

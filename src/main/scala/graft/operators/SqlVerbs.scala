@@ -401,6 +401,49 @@ object SqlVerbs {
   private[graft] def sessionAndCatalog(spark: SparkSession, dir: String): (SparkSession, String) =
     (catalogSession(spark, dir), catName(dir))
 
+  /** X-SQLg — CHANGE DATA FEED over the verb chain: every row-level
+    * change the four commits made, reconstructed from the copy-on-write
+    * manifests by [[graft.catalog.ChangeFeed]] (no change files are
+    * written at commit time; the feed is derived on demand at
+    * touched-file cost). The INSERT surfaces as plain inserts, the
+    * UPDATE and the MERGE's matched arm as update_preimage/postimage
+    * pairs (keyed on doc_id), the DELETE as deletes, and the MERGE's
+    * not-matched arm as inserts — including the re-insert of doc_ids the
+    * takedown removed. The DuckDB oracle derives the same feed
+    * RELATIONALLY from the chain's CTE replay, so the manifest-diff
+    * reconstruction is pinned against an independent derivation of what
+    * each statement must have changed. */
+  def sqlCdf(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureVerbChain(spark, dir)
+    graft.catalog.ChangeFeed.tableChanges(ss, t, fromVersion = 1, toVersion = 4,
+      keyCols = Seq("doc_id"))
+  }
+
+  def sqlCdfOracleSql: String =
+    s"""WITH $oracleChainCtes
+        SELECT * FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 'insert' AS _change_type, 1 AS _commit_version FROM v1
+          UNION ALL
+          SELECT doc_id, lang, source, n_chars, 'update_preimage', 2 FROM v1
+          WHERE n_chars < $ShortDocChars AND lang IS DISTINCT FROM 'und'
+          UNION ALL
+          SELECT doc_id, 'und', source, n_chars, 'update_postimage', 2 FROM v1
+          WHERE n_chars < $ShortDocChars AND lang IS DISTINCT FROM 'und'
+          UNION ALL
+          SELECT doc_id, lang, source, n_chars, 'delete', 3 FROM v2
+          WHERE doc_id % $TakedownMod = 0
+          UNION ALL
+          SELECT t.doc_id, t.lang, t.source, t.n_chars, 'update_preimage', 4
+          FROM v3 t WHERE t.doc_id IN (SELECT doc_id FROM src)
+          UNION ALL
+          SELECT t.doc_id, t.lang, t.source, s.n_chars + 1, 'update_postimage', 4
+          FROM v3 t JOIN src s USING (doc_id)
+          UNION ALL
+          SELECT s.doc_id, s.lang, s.source, s.n_chars, 'insert', 4
+          FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM v3))
+        ORDER BY _commit_version, _change_type, doc_id"""
+
   def sqlTimeTravelOracleSql: String =
     s"""WITH $oracleChainCtes
         SELECT * FROM (

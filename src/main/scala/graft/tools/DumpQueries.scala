@@ -21,7 +21,7 @@ object DumpQueries {
           org.json4s.jackson.JsonMethods.render(org.json4s.JString(v)))}"""
       }.mkString("{", ",", "}"))
     names.foreach { n =>
-      SparkEntry.queries(n)(spark, dir).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      SparkEntry.queries(n)(spark, dir).write.mode("overwrite").parquet(s"$out/$n")
       println(s"dumped $n")
     }
     spark.stop()
