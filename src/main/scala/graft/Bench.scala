@@ -183,6 +183,7 @@ object Bench {
       // are nightly ingest/maintenance; the registered queries time the
       // read-side proofs
       "sql_skip_table" -> (() => operators.SqlVerbs.ensureSkipTable(spark, sfDir)),
+      "sql_wap_chain" -> (() => operators.SqlVerbs.ensureWapChain(spark, sfDir)),
       "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
       "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same

@@ -154,6 +154,12 @@ object SparkEntry {
     // change data feed: the verb chain's row-level changes reconstructed
     // from the COW manifests at touched-file cost, vs a relational replay
     "q_sql_cdf"           -> ((s, d) => SqlVerbs.sqlCdf(s, d)),
+    // write-audit-publish: curation staged on a zero-copy branch, audited
+    // in isolation, fast-forward published; output is the published table
+    "q_sql_wap"           -> ((s, d) => SqlVerbs.sqlWap(s, d)),
+    // the WAP audit artifact: the branch's change feed from the fork,
+    // materialized pre-publish ("what will this publish change?")
+    "q_sql_wap_diff"      -> ((s, d) => SqlVerbs.sqlWapDiff(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -991,6 +997,8 @@ object SparkEntry {
     "q_sql_skipping" -> SqlVerbs.sqlSkippingOracleSql,
     "q_sql_cluster" -> SqlVerbs.sqlClusterOracleSql,
     "q_sql_cdf" -> SqlVerbs.sqlCdfOracleSql,
+    "q_sql_wap" -> SqlVerbs.sqlWapOracleSql,
+    "q_sql_wap_diff" -> SqlVerbs.sqlWapDiffOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,

@@ -42,11 +42,14 @@ object ChangeFeed {
   val CommitVersionCol = "_commit_version"
 
   /** Row-level changes committed in versions `[fromVersion, toVersion]`
-    * of `table` (fully qualified `catalog.ns.name`), oldest first.
-    * Output schema: the table's columns plus `_change_type` (insert /
-    * delete / update_preimage / update_postimage) and `_commit_version`.
-    * Requires every parent manifest `v-1` in range to still exist —
-    * expired versions refuse loudly rather than mis-reporting a diff.
+    * of `table` (fully qualified `catalog.ns.name`, or a WAP branch via
+    * the `catalog.ns.name.branch_<b>` suffix — the pre-publish audit
+    * reads "what would this publish change?" as the branch chain's feed
+    * from the fork), oldest first. Output schema: the table's columns
+    * plus `_change_type` (insert / delete / update_preimage /
+    * update_postimage) and `_commit_version`. Requires every parent
+    * manifest `v-1` in range to still exist — expired versions refuse
+    * loudly rather than mis-reporting a diff.
     */
   def tableChanges(ss: SparkSession, table: String, fromVersion: Int,
                    toVersion: Int, keyCols: Seq[String] = Nil): DataFrame = {
@@ -57,24 +60,34 @@ object ChangeFeed {
       case other => throw new IllegalArgumentException(
         s"'${parts.head}' is not a graft catalog (got ${other.getClass.getName})")
     }
-    val dir = cat.tableDirOf(parts.tail.mkString("."))
+    val branch = Option(parts.last).filter(_.startsWith("branch_")).map(_.stripPrefix("branch_"))
+    val dotted = (if (branch.isDefined) parts.tail.dropRight(1) else parts.tail).mkString(".")
+    val dir = cat.tableDirOf(dotted)
     require(Files.exists(dir.resolve(TableMeta.MetaFile)), s"no such table '$table'")
     val meta = TableMeta.read(dir)
+    val chain = branch match {
+      case Some(b) => meta.branches.getOrElse(b, throw new IllegalArgumentException(
+        s"no branch '$b' on $dotted (have: ${meta.branches.keys.toSeq.sorted.mkString(", ")})"))
+      case None => meta.history
+    }
+    val chainLatest = chain.map(_.version).max
     require(fromVersion <= toVersion,
       s"from_version $fromVersion > to_version $toVersion")
-    require(toVersion <= meta.latest,
-      s"to_version $toVersion beyond latest ${meta.latest}")
+    require(toVersion <= chainLatest,
+      s"to_version $toVersion beyond latest $chainLatest")
     keyCols.foreach(k => require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
       s"key column '$k' is not in ${meta.schema.fieldNames.mkString(", ")}"))
+    def manifestOf(v: Int): Commit = chain.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v on '$table'"))
 
     val perVersion = (math.max(fromVersion, 1) to toVersion).flatMap { v =>
-      val commit = meta.manifest(v)
+      val commit = manifestOf(v)
       if (!commit.dataChange) None
       else {
-        val have = meta.history.map(_.version).toSet
+        val have = chain.map(_.version).toSet
         require(have.contains(v - 1),
           s"parent version ${v - 1} of $v was expired; change feed over [$fromVersion,$toVersion] is unreconstructable")
-        val parentFiles = meta.manifest(v - 1).files
+        val parentFiles = manifestOf(v - 1).files
         val cur = commit.files.toSet
         val prev = parentFiles.toSet
         val added = commit.files.filterNot(prev)

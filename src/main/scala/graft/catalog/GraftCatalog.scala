@@ -103,22 +103,42 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
+  /** Plain `cat.ns.t` loads the main chain. `cat.ns.t.branch_<name>`
+    * (Iceberg's branch-suffix idiom) loads a WAP branch view of `ns.t`:
+    * reads and writes resolve against the branch's commit chain until
+    * `CALL system.publish_branch` fast-forwards main. */
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
-    new GraftTable(fullName(ident), dir, pinnedVersion = None)
+    if (Files.exists(dir.resolve(TableMeta.MetaFile)))
+      new GraftTable(fullName(ident), dir, pinnedVersion = None)
+    else if (ident.name().startsWith("branch_") && ident.namespace().nonEmpty) {
+      val base = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+      val baseDir = tableDir(base)
+      if (!Files.exists(baseDir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
+      val b = ident.name().stripPrefix("branch_")
+      if (!TableMeta.read(baseDir).branches.contains(b)) throw new NoSuchTableException(ident)
+      new GraftTable(fullName(ident), baseDir, pinnedVersion = None, branch = Some(b))
+    } else throw new NoSuchTableException(ident)
   }
 
-  /** `VERSION AS OF <v>` time travel: an immutable view of manifest v. */
+  /** `VERSION AS OF <v>` time travel: an immutable view of manifest v.
+    * A non-numeric version names a WAP BRANCH (Iceberg's branch-read
+    * idiom, `VERSION AS OF 'audit'`): a read of the branch head. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft catalog versions are integers, got '$version'")
+    version.toIntOption match {
+      case Some(v) =>
+        new GraftTable(s"${fullName(ident)}@v$v", dir, pinnedVersion = Some(v))
+      case None =>
+        val m = TableMeta.read(dir)
+        if (!m.branches.contains(version))
+          throw new IllegalArgumentException(
+            s"'$version' is neither a version number nor a branch of ${fullName(ident)} " +
+              s"(branches: ${m.branches.keys.toSeq.sorted.mkString(", ")})")
+        new GraftTable(s"${fullName(ident)}@$version", dir, pinnedVersion = None,
+          branch = Some(version))
     }
-    new GraftTable(s"${fullName(ident)}@v$v", dir, pinnedVersion = Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>` time travel: the latest version whose commit
@@ -210,19 +230,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "expire_versions"),
-        Identifier.of(Array("system"), "compact"))
+      Array("expire_versions", "compact", "create_branch", "publish_branch",
+        "drop_branch").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
-    if (ident.namespace().sameElements(Array("system")) &&
-        ident.name() == "expire_versions")
-      new ExpireVersionsProcedure(this)
-    else if (ident.namespace().sameElements(Array("system")) &&
-        ident.name() == "compact")
-      new CompactProcedure(this)
-    else throw new UnsupportedOperationException(
-      s"no procedure ${fullName(ident)} (available: system.expire_versions, system.compact)")
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new UnsupportedOperationException(s"no procedure ${fullName(ident)}")
+    else ident.name() match {
+      case "expire_versions" => new ExpireVersionsProcedure(this)
+      case "compact" => new CompactProcedure(this)
+      case "create_branch" => new BranchProcedure(this, BranchProcedure.Create)
+      case "publish_branch" => new BranchProcedure(this, BranchProcedure.Publish)
+      case "drop_branch" => new BranchProcedure(this, BranchProcedure.Drop)
+      case other => throw new UnsupportedOperationException(
+        s"no procedure system.$other (available: expire_versions, compact, " +
+          "create_branch, publish_branch, drop_branch)")
+    }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
     val parts = dotted.split('.')
@@ -278,7 +302,10 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
             val m = TableMeta.read(dir)
             val keepFrom = m.latest - keepLast + 1
             val (expired, kept) = m.history.partition(_.version < keepFrom)
-            val live = kept.flatMap(_.files).toSet
+            // files referenced by any WAP branch stay live: an unpublished
+            // staging chain must keep reading its fork-point snapshot
+            val live = kept.flatMap(_.files).toSet ++
+              m.branches.values.flatten.flatMap(_.files)
             val dead = expired.flatMap(_.files).filterNot(live).distinct
             TableMeta.write(dir, m.copy(history = kept), expectedLatest = Some(m.latest))
             dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
@@ -413,12 +440,126 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
   * LAYOUT but not rows (compaction/clustering) — streaming readers skip
   * it ([[GraftMicroBatchStream]]), the same flag Delta/Iceberg use to
   * keep OPTIMIZE invisible to downstream streams. */
+/** WAP (write-audit-publish) branch maintenance:
+  *
+  *  - `CALL <cat>.system.create_branch(table => 'ns.t', branch => 'b')` —
+  *    fork a zero-copy branch at the current main head (the branch chain
+  *    starts as main's history; data files are immutable and shared).
+  *  - `CALL … system.publish_branch(table, branch)` — FAST-FORWARD main
+  *    to the branch head, atomically, iff main hasn't advanced since the
+  *    fork (the branch chain must still extend main's history); the
+  *    branch is removed. A diverged main (concurrent ingest, or expire
+  *    rewrote history) refuses loudly — re-stage rather than silently
+  *    merge.
+  *  - `CALL … system.drop_branch(table, branch)` — abandon the staging:
+  *    removes the branch and deletes the data files ONLY it references.
+  *
+  * Writes land on a branch via the Iceberg-style suffix identifier
+  * `cat.ns.t.branch_<name>` (INSERT/UPDATE/DELETE/MERGE all work — the
+  * row-level COW machinery is chain-agnostic), so the audit step reads
+  * the staged table exactly as consumers would, while `cat.ns.t` keeps
+  * serving the unpublished corpus. Returns one row
+  * (action, branch, version, detail). */
+private[catalog] class BranchProcedure(cat: GraftCatalog, mode: BranchProcedure.Mode)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = mode.procName
+  override def description(): String = mode.describe
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = BranchProcedure.this.name()
+      override def description(): String = BranchProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("branch", StringType).build())
+
+      private val outSchema = StructType(Seq(
+        StructField("action", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false),
+        StructField("detail", IntegerType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val b = input.getUTF8String(1).toString
+        require(b.matches("[A-Za-z0-9_]+"),
+          s"branch names are [A-Za-z0-9_]+ (they become the identifier suffix branch_$b), got '$b'")
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val (version, detail) =
+          GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+            _ => new Object).synchronized {
+            val m = TableMeta.read(dir)
+            mode match {
+              case BranchProcedure.Create =>
+                require(!m.branches.contains(b), s"branch '$b' already exists on $table")
+                TableMeta.write(dir, m.copy(branches = m.branches + (b -> m.history)),
+                  expectedLatest = Some(m.latest))
+                (m.latest, 0)
+              case BranchProcedure.Publish =>
+                val ch = m.branches.getOrElse(b, throw new IllegalArgumentException(
+                  s"no branch '$b' on $table"))
+                if (ch.take(m.history.size) != m.history)
+                  throw new IllegalStateException(
+                    s"cannot publish branch '$b' of $table: main advanced since the fork " +
+                      s"(main at v${m.latest}); re-stage against the current head")
+                TableMeta.write(dir, m.copy(history = ch, branches = m.branches - b),
+                  expectedLatest = Some(m.latest))
+                (ch.map(_.version).max, ch.size - m.history.size)
+              case BranchProcedure.Drop =>
+                val ch = m.branches.getOrElse(b, throw new IllegalArgumentException(
+                  s"no branch '$b' on $table"))
+                val retained = (m.history.flatMap(_.files) ++
+                  (m.branches - b).values.flatten.flatMap(_.files)).toSet
+                val orphans = ch.flatMap(_.files).distinct.filterNot(retained)
+                TableMeta.write(dir, m.copy(branches = m.branches - b),
+                  expectedLatest = Some(m.latest))
+                orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+                (m.latest, orphans.size)
+            }
+          }
+        val row: InternalRow = InternalRow(UTF8String.fromString(mode.action),
+          UTF8String.fromString(b), version, detail)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
+private[catalog] object BranchProcedure {
+  sealed trait Mode {
+    def procName: String; def action: String; def describe: String
+  }
+  case object Create extends Mode {
+    val procName = "create_branch"; val action = "created"
+    val describe = "fork a zero-copy WAP branch at the current main head"
+  }
+  case object Publish extends Mode {
+    val procName = "publish_branch"; val action = "published"
+    val describe = "fast-forward main to the branch head (fails if main advanced)"
+  }
+  case object Drop extends Mode {
+    val procName = "drop_branch"; val action = "dropped"
+    val describe = "remove a branch and delete the files only it references"
+  }
+}
+
 private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
                                    files: Seq[String],
                                    stats: Map[String, FileStats] = Map.empty,
                                    dataChange: Boolean = true)
 
-private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit]) {
+private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit],
+                                      branches: Map[String, Seq[Commit]] = Map.empty) {
   def latest: Int = history.map(_.version).max
   def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
     throw new IllegalArgumentException(
@@ -445,20 +586,24 @@ private[catalog] object TableMeta {
           throw new IllegalStateException(
             s"concurrent commit conflict on $dir: expected latest v$exp, found v$now")
       }
+      def commitJson(c: Commit): JObject = JObject(
+        "version" -> JInt(c.version), "ts" -> JInt(c.tsMillis),
+        "op" -> JString(c.op),
+        "dataChange" -> JBool(c.dataChange),
+        "files" -> JArray(c.files.map(JString(_)).toList),
+        "stats" -> JObject(c.stats.toList.sortBy(_._1).map { case (f, s) =>
+          f -> JObject(
+            "rows" -> JInt(s.rows),
+            "mins" -> JObject(s.mins.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+            "maxs" -> JObject(s.maxs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+            "nulls" -> JObject(s.nullCounts.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
+        }))
       val json = JObject(
         "schema" -> JsonMethods.parse(meta.schema.json),
-        "history" -> JArray(meta.history.sortBy(_.version).map(c => JObject(
-          "version" -> JInt(c.version), "ts" -> JInt(c.tsMillis),
-          "op" -> JString(c.op),
-          "dataChange" -> JBool(c.dataChange),
-          "files" -> JArray(c.files.map(JString(_)).toList),
-          "stats" -> JObject(c.stats.toList.sortBy(_._1).map { case (f, s) =>
-            f -> JObject(
-              "rows" -> JInt(s.rows),
-              "mins" -> JObject(s.mins.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-              "maxs" -> JObject(s.maxs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-              "nulls" -> JObject(s.nullCounts.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
-          }))).toList))
+        "history" -> JArray(meta.history.sortBy(_.version).map(commitJson).toList),
+        "branches" -> JObject(meta.branches.toList.sortBy(_._1).map { case (n, cs) =>
+          n -> JArray(cs.sortBy(_.version).map(commitJson).toList)
+        }))
       val tmp = Files.createTempFile(dir, ".meta", ".tmp")
       Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
       Files.move(tmp, dir.resolve(MetaFile), StandardCopyOption.ATOMIC_MOVE,
@@ -469,7 +614,7 @@ private[catalog] object TableMeta {
     val j = JsonMethods.parse(Files.readString(dir.resolve(MetaFile)))
     val schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
       .asInstanceOf[StructType]
-    val history = (j \ "history").asInstanceOf[JArray].arr.map { c =>
+    def parseCommit(c: JValue): Commit = {
       val stats = c \ "stats" match {
         case JObject(fields) => fields.map { case (f, s) =>
           def strMap(field: String): Map[String, String] = s \ field match {
@@ -493,18 +638,41 @@ private[catalog] object TableMeta {
         stats,
         c \ "dataChange" match { case JBool(b) => b; case _ => true })
     }
-    TableMeta(schema, history)
+    val history = (j \ "history").asInstanceOf[JArray].arr.map(parseCommit)
+    val branches = j \ "branches" match {
+      case JObject(fields) => fields.map { case (n, cs) =>
+        n -> cs.asInstanceOf[JArray].arr.map(parseCommit)
+      }.toMap
+      case _ => Map.empty[String, Seq[Commit]]
+    }
+    TableMeta(schema, history, branches)
   }
 }
 
 /** A snapshot-versioned parquet table (see [[GraftCatalog]]).
   * `pinnedVersion = Some(v)` is a time-travel view: readable, never
-  * writable. */
-class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
+  * writable. `branch = Some(b)` is a WAP branch view: reads AND writes
+  * resolve against the branch's commit chain (same schema, same data
+  * directory, immutable shared files), leaving the main chain untouched
+  * until `CALL system.publish_branch` fast-forwards it. */
+class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
+                 branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   private def meta: TableMeta = TableMeta.read(dir)
   private def spark: SparkSession = SparkSession.active
+
+  /** The commit chain this view reads and writes: a branch's chain when
+    * this is a branch view, the main history otherwise. */
+  private def chain(m: TableMeta): Seq[Commit] = branch match {
+    case Some(b) => m.branches.getOrElse(b, throw new IllegalArgumentException(
+      s"no branch '$b' on $tableName (have: ${m.branches.keys.toSeq.sorted.mkString(", ")})"))
+    case None => m.history
+  }
+  private def chainLatest(m: TableMeta): Int = chain(m).map(_.version).max
+  private def chainManifest(m: TableMeta, v: Int): Commit =
+    chain(m).find(_.version == v).getOrElse(throw new IllegalArgumentException(
+      s"no version $v on ${branch.fold("main")(b => s"branch '$b'")} of $tableName"))
 
   override def name(): String = tableName
   override def schema(): StructType = meta.schema
@@ -512,9 +680,11 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
-  override def properties(): java.util.Map[String, String] =
+  override def properties(): java.util.Map[String, String] = {
+    val m = meta
     java.util.Map.of("format", "parquet", "provider", "graft",
-      "latest_version", meta.latest.toString)
+      "latest_version", chainLatest(m).toString)
+  }
 
   /** The delegate parquet v2 table over an explicit file list — reads get
     * the vectorized reader + pushdown, writes get the hadoop commit
@@ -532,7 +702,7 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
     * delegate still applies row-group pushdown within the kept files. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = meta
-    val mf = m.manifest(pinnedVersion.getOrElse(m.latest))
+    val mf = chainManifest(m, pinnedVersion.getOrElse(chainLatest(m)))
     new org.apache.spark.sql.graft.SkippingScanBuilder(
       filters => {
         val kept = SkipEval.prune(m.schema, mf.files, mf.stats, filters)
@@ -544,6 +714,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
       _ => {
         require(pinnedVersion.isEmpty,
           s"$tableName is a time-travel view; stream the live table and bound it yourself")
+        require(branch.isEmpty,
+          s"$tableName is a WAP branch view; stream the base table (branches are short-lived staging)")
         new GraftMicroBatchStream(this,
           Option(options.get("max_versions_per_trigger")).map(_.toInt))
       })
@@ -616,22 +788,34 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int])
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = meta
-      if (idempotencyKey && m.history.exists(_.op == op)) false
+      val ch = chain(m)
+      if (idempotencyKey && ch.exists(_.op == op)) false
       else {
-        val prev = m.manifest(m.latest)
+        val latest = chainLatest(m)
+        // branch replace conflicts are checked here under the (reentrant)
+        // commit lock — TableMeta.write's expectedLatest guard only knows
+        // the MAIN chain, so it is bypassed for branch commits
+        if (branch.isDefined && replace && latest != baseLatest)
+          throw new IllegalStateException(
+            s"concurrent commit conflict on $tableName: expected latest v$baseLatest, found v$latest")
+        val prev = chainManifest(m, latest)
         val inherited = if (replace) Nil else prev.files
         // inherited files keep their stats; replaced manifests start fresh
         val inheritedStats = if (replace) Map.empty[String, FileStats]
           else prev.stats.view.filterKeys(inherited.contains).toMap
-        val next = Commit(m.latest + 1, System.currentTimeMillis(), op,
+        val next = Commit(latest + 1, System.currentTimeMillis(), op,
           inherited ++ newFiles, inheritedStats ++ newStats, dataChange)
-        TableMeta.write(dir, m.copy(history = m.history :+ next),
-          expectedLatest = if (replace) Some(baseLatest) else None)
+        val updated = branch match {
+          case Some(b) => m.copy(branches = m.branches + (b -> (ch :+ next)))
+          case None => m.copy(history = m.history :+ next)
+        }
+        TableMeta.write(dir, updated,
+          expectedLatest = if (branch.isEmpty && replace) Some(baseLatest) else None)
         true
       }
     }
 
-  private[catalog] def currentLatest: Int = meta.latest
+  private[catalog] def currentLatest: Int = chainLatest(meta)
   private[catalog] def tableDirPath: Path = dir
 }
 

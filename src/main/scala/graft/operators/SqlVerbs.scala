@@ -444,6 +444,121 @@ object SqlVerbs {
           FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM v3))
         ORDER BY _commit_version, _change_type, doc_id"""
 
+  /** Build the WAP (write-audit-publish) chain once per (process,
+    * corpus): main gets the corpus, a zero-copy `audit` branch is forked,
+    * the curation (quality takedown + re-crawl MERGE) lands on the
+    * BRANCH via the `…docs_wap.branch_audit` suffix identifier, the
+    * audit step verifies isolation (main still serves the fork-point
+    * snapshot) and staging sanity, and only then does
+    * `CALL system.publish_branch` fast-forward main — the Iceberg WAP
+    * pattern, which is how a 100 TB corpus update ships without
+    * consumers ever reading a half-curated state. */
+  private[graft] def ensureWapChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_wap"
+    val bt = s"$t.branch_audit"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-wap"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_wap")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)")
+        ss.sql(s"""INSERT INTO $t
+                   SELECT doc_id, lang, source, n_chars FROM documents_src_wap
+                   WHERE doc_id % 10 < 8""")
+        val forkCount = ss.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+        ss.sql(s"CALL $cat.system.create_branch(table => 'main.docs_wap', branch => 'audit')")
+        // WRITE: staged curation, on the branch only
+        ss.sql(s"DELETE FROM $bt WHERE n_chars < $ShortDocChars")
+        ss.sql(s"""MERGE INTO $bt t
+                   USING (SELECT doc_id, lang, source, n_chars FROM documents_src_wap
+                          WHERE doc_id % 10 >= 5) s
+                   ON t.doc_id = s.doc_id
+                   WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+                   WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+                     VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
+        // AUDIT: the gate that makes WAP worth the ceremony — staged
+        // content is non-empty, main is UNTOUCHED by the staging, and the
+        // reviewable artifact ("what will this publish change?") is the
+        // branch chain's change feed from the fork, materialized here
+        // while the branch is alive (it is dropped by the publish)
+        val stagedCount = ss.sql(s"SELECT count(*) FROM $bt").head().getLong(0)
+        val mainCount = ss.sql(s"SELECT count(*) FROM $t").head().getLong(0)
+        require(stagedCount > 0, "WAP audit failed: staged branch is empty")
+        require(mainCount == forkCount,
+          s"WAP audit failed: main moved during staging ($forkCount -> $mainCount)")
+        graft.catalog.ChangeFeed
+          .tableChanges(ss, bt, fromVersion = 2, toVersion = 3, keyCols = Seq("doc_id"))
+          .write.mode("overwrite").parquet(wapDiffPath(dir))
+        // PUBLISH: atomic fast-forward
+        ss.sql(s"CALL $cat.system.publish_branch(table => 'main.docs_wap', branch => 'audit')")
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  private def wapDiffPath(dir: String): String =
+    rootBase.resolve(s"${catName(dir)}-wapdiff").toString
+
+  /** X-SQLh — the published table, row for row: every branch decision
+    * (takedown, matched re-crawl bump, novel insert, re-insert of a
+    * taken-down short doc that the re-crawl brought back) must show in
+    * main after the fast-forward. */
+  def sqlWap(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureWapChain(spark, dir)
+    ss.sql(s"SELECT doc_id, lang, source, n_chars FROM $t")
+  }
+
+  /** X-SQLi — the WAP audit artifact: the branch chain's change feed
+    * from the fork ([[graft.catalog.ChangeFeed]] over the
+    * `branch_audit` suffix), materialized by the audit step before the
+    * publish dropped the branch. This is the reviewable "what will this
+    * publish change?" report — takedown deletes at the branch's v2,
+    * matched re-crawl bumps as update pairs and novel docs as inserts at
+    * v3 — pinned against a relational derivation of the staged verbs. */
+  def sqlWapDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, _) = ensureWapChain(spark, dir)
+    ss.read.parquet(wapDiffPath(dir))
+  }
+
+  def sqlWapDiffOracleSql: String =
+    s"""WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents
+                    WHERE doc_id % 10 < 8),
+            d AS (SELECT * FROM v1 WHERE n_chars >= $ShortDocChars),
+            src AS (SELECT doc_id, lang, source, n_chars FROM documents
+                    WHERE doc_id % 10 >= 5)
+        SELECT * FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 'delete' AS _change_type, 2 AS _commit_version FROM v1
+          WHERE n_chars < $ShortDocChars
+          UNION ALL
+          SELECT t.doc_id, t.lang, t.source, t.n_chars, 'update_preimage', 3
+          FROM d t WHERE t.doc_id IN (SELECT doc_id FROM src)
+          UNION ALL
+          SELECT t.doc_id, t.lang, t.source, s.n_chars + 1, 'update_postimage', 3
+          FROM d t JOIN src s USING (doc_id)
+          UNION ALL
+          SELECT s.doc_id, s.lang, s.source, s.n_chars, 'insert', 3
+          FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM d))
+        ORDER BY _commit_version, _change_type, doc_id"""
+
+  def sqlWapOracleSql: String =
+    s"""WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents
+                    WHERE doc_id % 10 < 8),
+            d AS (SELECT * FROM v1 WHERE n_chars >= $ShortDocChars),
+            src AS (SELECT doc_id, lang, source, n_chars FROM documents
+                    WHERE doc_id % 10 >= 5)
+        SELECT * FROM (
+          SELECT t.doc_id, t.lang, t.source, s.n_chars + 1 AS n_chars
+          FROM d t JOIN src s USING (doc_id)
+          UNION ALL
+          SELECT t.* FROM d t ANTI JOIN src s USING (doc_id)
+          UNION ALL
+          SELECT s.doc_id, s.lang, s.source, s.n_chars
+          FROM src s ANTI JOIN d t USING (doc_id))
+        ORDER BY doc_id"""
+
   def sqlTimeTravelOracleSql: String =
     s"""WITH $oracleChainCtes
         SELECT * FROM (

@@ -105,6 +105,20 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed(ss, t, 3, 3).count() == 1)
   }
 
+  test("branch suffix: the feed over a live branch is the pre-publish audit") {
+    val (ss, c) = freshCatalog("cdf_br")
+    val t = s"$c.ns.t"
+    seed(ss, t)
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'wap')")
+    ss.sql(s"UPDATE $t.branch_wap SET v = 'A' WHERE id = 1") // branch v2
+    ss.sql(s"INSERT INTO $t.branch_wap VALUES (9,'z',9.0)")  // branch v3
+    assert(rows(feed(ss, s"$t.branch_wap", 2, 3)) == Set(
+      (1L, "a", 0.5, "update_preimage", 2), (1L, "A", 0.5, "update_postimage", 2),
+      (9L, "z", 9.0, "insert", 3)))
+    // main's feed is untouched by the staging
+    assert(feed(ss, t, 1, 1).count() == 4)
+  }
+
   test("replay invariant: snapshot(from-1) + feed == snapshot(to)") {
     val (ss, c) = freshCatalog("cdf_rpl")
     val t = s"$c.ns.t"
