@@ -184,6 +184,7 @@ object Bench {
       // read-side proofs
       "sql_skip_table" -> (() => operators.SqlVerbs.ensureSkipTable(spark, sfDir)),
       "sql_wap_chain" -> (() => operators.SqlVerbs.ensureWapChain(spark, sfDir)),
+      "sql_decl_table" -> (() => operators.SqlVerbs.ensurePartTable(spark, sfDir)),
       "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
       "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same

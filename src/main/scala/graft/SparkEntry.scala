@@ -160,6 +160,12 @@ object SparkEntry {
     // the WAP audit artifact: the branch's change feed from the fork,
     // materialized pre-publish ("what will this publish change?")
     "q_sql_wap_diff"      -> ((s, d) => SqlVerbs.sqlWapDiff(s, d)),
+    // clustered-table DDL: PARTITIONED BY identity cols force a range
+    // distribution + sort on every write; first scan prunes, no OPTIMIZE
+    "q_sql_partitioned"   -> ((s, d) => SqlVerbs.sqlPartitioned(s, d)),
+    // RESTORE as a new commit: rollback re-references v1's files under a
+    // new version; the bad deploy stays time-travelable for forensics
+    "q_sql_restore"       -> ((s, d) => SqlVerbs.sqlRestore(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -999,6 +1005,8 @@ object SparkEntry {
     "q_sql_cdf" -> SqlVerbs.sqlCdfOracleSql,
     "q_sql_wap" -> SqlVerbs.sqlWapOracleSql,
     "q_sql_wap_diff" -> SqlVerbs.sqlWapDiffOracleSql,
+    "q_sql_partitioned" -> SqlVerbs.sqlPartitionedOracleSql,
+    "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,

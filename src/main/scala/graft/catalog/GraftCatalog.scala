@@ -156,17 +156,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(s"${fullName(ident)}@v$v", dir, pinnedVersion = Some(v))
   }
 
+  /** `PARTITIONED BY (c1, c2)` with identity transforms declares a
+    * CLUSTERED LAYOUT, not hive directories: every write is forced
+    * through a range distribution + in-file sort on those columns (the
+    * Write declares `RequiresDistributionAndOrdering`, so Catalyst plans
+    * the shuffle), which makes the footer stats in the manifest tight and
+    * non-overlapping — the existing data skipping then prunes scans on
+    * the cluster columns at partition-pruning strength, without the
+    * small-files/skew pathologies of value-per-directory layouts at
+    * 100 TB (Iceberg sort orders / Delta liquid clustering, not hive). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (manifest versions, not hive dirs)")
+    val clusterBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports only identity PARTITIONED BY columns (a clustered " +
+          s"layout contract, not hive directories); got $other")
+    }
+    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"PARTITIONED BY column '$c' is not in the schema (${schema.fieldNames.mkString(", ")})"))
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("data"))
     TableMeta.write(dir, TableMeta(schema, Seq(Commit(0, System.currentTimeMillis(),
-      "create", Nil))), expectedLatest = None)
+      "create", Nil)), clusterBy = clusterBy), expectedLatest = None)
     new GraftTable(fullName(ident), dir, pinnedVersion = None)
   }
 
@@ -231,7 +248,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_versions", "compact", "create_branch", "publish_branch",
-        "drop_branch").map(Identifier.of(Array("system"), _))
+        "drop_branch", "restore", "remove_orphans").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -243,9 +260,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "create_branch" => new BranchProcedure(this, BranchProcedure.Create)
       case "publish_branch" => new BranchProcedure(this, BranchProcedure.Publish)
       case "drop_branch" => new BranchProcedure(this, BranchProcedure.Drop)
+      case "restore" => new RestoreProcedure(this)
+      case "remove_orphans" => new RemoveOrphansProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
-          "create_branch, publish_branch, drop_branch)")
+          "create_branch, publish_branch, drop_branch, restore, remove_orphans)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
@@ -440,6 +459,147 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
   * LAYOUT but not rows (compaction/clustering) — streaming readers skip
   * it ([[GraftMicroBatchStream]]), the same flag Delta/Iceberg use to
   * keep OPTIMIZE invisible to downstream streams. */
+/** `CALL <cat>.system.restore(table => 'ns.t', version => V)` — Delta's
+  * RESTORE: roll the table's CONTENT back to version V by appending a
+  * NEW commit whose manifest is V's file list (zero-copy — immutable
+  * files are re-referenced, never moved). History is preserved: the bad
+  * versions stay addressable for forensics, the rollback itself is a
+  * versioned, time-travelable event, and streaming tails see one honest
+  * dataChange commit instead of a rewritten past. Requires V to still
+  * be in history (not expired). Returns (restored_to, new_version,
+  * files). */
+private[catalog] class RestoreProcedure(cat: GraftCatalog)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = "restore"
+  override def description(): String =
+    "roll content back to an earlier version as a NEW commit (history preserved)"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = RestoreProcedure.this.name()
+      override def description(): String = RestoreProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("version", IntegerType).build())
+
+      private val outSchema = StructType(Seq(
+        StructField("restored_to", IntegerType, nullable = false),
+        StructField("new_version", IntegerType, nullable = false),
+        StructField("files", IntegerType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val v = input.getInt(1)
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val (newV, nFiles) =
+          GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+            _ => new Object).synchronized {
+            val m = TableMeta.read(dir)
+            val target = m.history.find(_.version == v).getOrElse(
+              throw new IllegalArgumentException(
+                s"cannot restore $table to v$v: not in history " +
+                  s"(${m.history.map(_.version).mkString(",")}) — expired versions are gone"))
+            val next = Commit(m.latest + 1, System.currentTimeMillis(), s"restore(v$v)",
+              target.files, target.stats, dataChange = true)
+            TableMeta.write(dir, m.copy(history = m.history :+ next),
+              expectedLatest = Some(m.latest))
+            (next.version, target.files.size)
+          }
+        val row: InternalRow = InternalRow(v, newV, nFiles)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.system.remove_orphans(table => 'ns.t' [, older_than_minutes
+  * => M])` — Iceberg's remove_orphan_files: delete data files under the
+  * table directory that NO manifest (main history or any branch)
+  * references — the residue of aborted/crashed writes, which commits
+  * never see but storage pays for forever. The age guard (default 10
+  * minutes) protects files of writes that are staged but not yet
+  * committed; runs under the commit lock so a racing commit can't
+  * publish a file this call just measured as orphaned. Returns
+  * (scanned, orphans_deleted). */
+private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def name(): String = "remove_orphans"
+  override def description(): String =
+    "delete files under the table dir that no manifest or branch references"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = RemoveOrphansProcedure.this.name()
+      override def description(): String = RemoveOrphansProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("older_than_minutes", IntegerType)
+          .defaultValue("10").comment("age guard for in-flight staged writes").build())
+
+      private val outSchema = StructType(Seq(
+        StructField("scanned", IntegerType, nullable = false),
+        StructField("orphans_deleted", IntegerType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val olderMin = if (input.isNullAt(1)) 10 else input.getInt(1)
+        require(olderMin >= 0, s"older_than_minutes must be >= 0, got $olderMin")
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val (scanned, deleted) =
+          GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+            _ => new Object).synchronized {
+            val m = TableMeta.read(dir)
+            val referenced = (m.history.flatMap(_.files) ++
+              m.branches.values.flatten.flatMap(_.files)).toSet
+            val dataDir = dir.resolve("data")
+            val cutoff = System.currentTimeMillis() - olderMin * 60000L
+            // only data files are candidates: commit-protocol sidecars
+            // (_SUCCESS, .crc) are never in a manifest, and a live file's
+            // checksum sidecar must not be swept out from under it
+            val s = Files.walk(dataDir)
+            val all = try s.iterator().asScala.filter(p =>
+              Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toSeq
+              finally s.close()
+            val orphans = all.filter { p =>
+              val rel = dir.relativize(p).toString
+              !referenced.contains(rel) &&
+                Files.getLastModifiedTime(p).toMillis < cutoff
+            }
+            orphans.foreach(Files.deleteIfExists(_))
+            // sweep now-empty staging dirs (cosmetic, best-effort)
+            val d = Files.list(dataDir)
+            try d.iterator().asScala.filter(Files.isDirectory(_)).foreach { sub =>
+              val l = Files.list(sub)
+              val empty = try !l.iterator().hasNext finally l.close()
+              if (empty) Files.deleteIfExists(sub)
+            } finally d.close()
+            (all.size, orphans.size)
+          }
+        val row: InternalRow = InternalRow(scanned, deleted)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
 /** WAP (write-audit-publish) branch maintenance:
   *
   *  - `CALL <cat>.system.create_branch(table => 'ns.t', branch => 'b')` —
@@ -559,7 +719,8 @@ private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
                                    dataChange: Boolean = true)
 
 private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit],
-                                      branches: Map[String, Seq[Commit]] = Map.empty) {
+                                      branches: Map[String, Seq[Commit]] = Map.empty,
+                                      clusterBy: Seq[String] = Nil) {
   def latest: Int = history.map(_.version).max
   def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
     throw new IllegalArgumentException(
@@ -600,6 +761,7 @@ private[catalog] object TableMeta {
         }))
       val json = JObject(
         "schema" -> JsonMethods.parse(meta.schema.json),
+        "clusterBy" -> JArray(meta.clusterBy.map(JString(_)).toList),
         "history" -> JArray(meta.history.sortBy(_.version).map(commitJson).toList),
         "branches" -> JObject(meta.branches.toList.sortBy(_._1).map { case (n, cs) =>
           n -> JArray(cs.sortBy(_.version).map(commitJson).toList)
@@ -645,7 +807,11 @@ private[catalog] object TableMeta {
       }.toMap
       case _ => Map.empty[String, Seq[Commit]]
     }
-    TableMeta(schema, history, branches)
+    val clusterBy = j \ "clusterBy" match {
+      case JArray(cs) => cs.map(_.asInstanceOf[JString].s)
+      case _ => Nil
+    }
+    TableMeta(schema, history, branches, clusterBy)
   }
 }
 
@@ -685,6 +851,13 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     java.util.Map.of("format", "parquet", "provider", "graft",
       "latest_version", chainLatest(m).toString)
   }
+
+  /** The declared cluster columns, reported as identity transforms
+    * (what SHOW CREATE / DESCRIBE surface). */
+  override def partitioning(): Array[Transform] =
+    meta.clusterBy.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+
+  private[catalog] def clusterCols: Seq[String] = meta.clusterBy
 
   /** The delegate parquet v2 table over an explicit file list — reads get
     * the vectorized reader + pushdown, writes get the hadoop commit
@@ -836,7 +1009,34 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
 
   override def truncate(): WriteBuilder = { truncate0 = true; this }
 
-  override def build(): Write = new Write {
+  /** On a clustered table (PARTITIONED BY identity columns) every write —
+    * append, overwrite, COW rewrite, streaming epoch — declares a range
+    * distribution + ascending sort on the cluster columns, so Catalyst
+    * plans the shuffle/sort and each produced file covers a tight,
+    * non-overlapping range: careless ingest still lands skippable. */
+  override def build(): Write = {
+    val base = buildBase()
+    val cluster = table.clusterCols
+    if (cluster.isEmpty) base
+    else new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+      private val orders: Array[SortOrder] = cluster.map(c =>
+        Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+      override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+      override def requiredOrdering(): Array[SortOrder] = orders
+      // 0 = let Spark/AQE size the shuffle to the data — the cluster
+      // posture; a fixed count would be the local-pin mistake at 100 TB
+      override def requiredNumPartitions(): Int = 0
+      override def toBatch: BatchWrite = base.toBatch
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        base.toStreaming
+      override def description(): String = base.description()
+    }
+  }
+
+  private def buildBase(): Write = new Write {
     /** `writeStream.toTable(...)`: append-mode micro-batches become
       * idempotent manifest commits (see [[GraftStreamingWrite]]). */
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {

@@ -498,6 +498,118 @@ object SqlVerbs {
     (ss, t)
   }
 
+  /** X-SQLj — clustered-table DDL: `PARTITIONED BY (doc_id)` declares a
+    * clustered layout (identity transforms = cluster columns, NOT hive
+    * value-directories), and the WRITE PATH enforces it — the DSv2 Write
+    * declares RequiresDistributionAndOrdering, so Catalyst range-
+    * partitions + sorts even a deliberately scattered INSERT (the
+    * REPARTITION hint here round-robins the input first). Files land
+    * with tight, non-overlapping doc_id ranges, so the very first scan
+    * prunes at partition strength with NO maintenance call — the DDL
+    * twin of `q_sql_cluster`'s after-the-fact OPTIMIZE rewrite. The
+    * window aggregate is oracle-checked; the recorder flags pin a strict
+    * subset. */
+  def sqlPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensurePartTable(spark, dir)
+    val Array(b) = Tables.documents(ss, dir).agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val lo = mn + (mx - mn) / 2
+    val hi = lo + (mx - mn) / 8
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs,
+                 sum(n_chars) AS sum_chars,
+                 count(DISTINCT lang) AS n_langs
+          FROM $t WHERE doc_id BETWEEN $lo AND $hi""").head()
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t)
+      .getOrElse((Int.MaxValue, Int.MaxValue))
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+      kept < total, kept >= 1))
+      .toDF("n_docs", "sum_chars", "n_langs", "skipped_some", "kept_some")
+  }
+
+  /** The declared-clustering table: ONE scattered INSERT, no compact —
+    * the layout comes entirely from the write-path distribution. AQE
+    * partition coalescing is disabled only while BUILDING this fixture:
+    * at test scale it would fold the tiny range shuffle into one file
+    * (one file = nothing to skip); at real scale the data volume keeps
+    * the range shuffle wide on its own. */
+  private[graft] def ensurePartTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_decl"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-decl"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_decl")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (doc_id)")
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prior = ss.conf.get(coalesceKey, "true")
+        ss.conf.set(coalesceKey, "false")
+        try ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ doc_id, lang, n_chars " +
+          "FROM documents_src_decl")
+        finally ss.conf.set(coalesceKey, prior)
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlPartitionedOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            w AS (SELECT mn + (mx - mn) // 2 AS lo,
+                         mn + (mx - mn) // 2 + (mx - mn) // 8 AS hi FROM b)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(DISTINCT lang) AS n_langs,
+              true AS skipped_some, true AS kept_some
+       FROM documents, w WHERE doc_id BETWEEN w.lo AND w.hi"""
+
+  /** X-SQLk — RESTORE as a new commit: a bad deploy (INSERT OVERWRITE
+    * with the wrong slice) is rolled back by `CALL system.restore`,
+    * which re-references v1's immutable files under a NEW version —
+    * history is preserved (the bad v2 stays time-travelable for
+    * forensics) and the rollback is itself a versioned event. The
+    * metric rows pin all four: pre-deploy content, bad content, restored
+    * content, and that v2 is still addressable after the rollback. */
+  def sqlRestore(spark: SparkSession, dir: String): DataFrame = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_res"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-restore"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_res")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_res WHERE doc_id % 10 < 8")
+        // the bad deploy: overwrites the corpus with the wrong slice
+        ss.sql(s"INSERT OVERWRITE $t SELECT doc_id, n_chars FROM documents_src_res WHERE doc_id % 10 >= 8")
+        ss.sql(s"CALL $cat.system.restore(table => 'main.docs_res', version => 1)")
+        built.add(key)
+      }
+    }
+    def rows(q: String): Long = ss.sql(q).head().getLong(0)
+    import ss.implicits._
+    Seq(
+      ("v1_rows", rows(s"SELECT count(*) FROM $t VERSION AS OF 1")),
+      ("bad_v2_rows", rows(s"SELECT count(*) FROM $t VERSION AS OF 2")),
+      ("restored_rows", rows(s"SELECT count(*) FROM $t")),
+      ("v2_still_travelable", rows(s"SELECT count(*) FROM $t VERSION AS OF 2")))
+      .toDF("metric", "value")
+  }
+
+  def sqlRestoreOracleSql: String =
+    """WITH c1 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 < 8),
+            c2 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 >= 8)
+       SELECT * FROM (
+         SELECT 'v1_rows' AS metric, (SELECT n FROM c1) AS value
+         UNION ALL SELECT 'bad_v2_rows', (SELECT n FROM c2)
+         UNION ALL SELECT 'restored_rows', (SELECT n FROM c1)
+         UNION ALL SELECT 'v2_still_travelable', (SELECT n FROM c2))
+       ORDER BY metric"""
+
   private def wapDiffPath(dir: String): String =
     rootBase.resolve(s"${catName(dir)}-wapdiff").toString
 

@@ -72,7 +72,53 @@ object ScaleBench {
     "q_bigram_logprob", "q_cc_star", "q_ppjoin", "q_dedup_near",
     "q_containment_pairs", "q_winnow_pairs", "q_triangle_count",
     "q_opq_audit", "q_dup_spans", "q_pagerank", "q_kn_logprob",
-    "q_ann_ivf_kmeans", "q_sessionize")
+    "q_ann_ivf_kmeans", "q_sessionize", "cdc_probe")
+
+  /** The round-12 claim under measurement: on a CLUSTERED catalog table,
+    * a fixed-size UPDATE touches a bounded file set regardless of table
+    * size, so the change feed of that commit ([[graft.catalog.ChangeFeed]],
+    * cost ∝ touched files) should be ~FLAT across corpus scale — CDC at
+    * churn cost, not table cost. The probe ingests the point's documents
+    * into a `PARTITIONED BY (doc_id)` table (the write path range-
+    * clusters them), updates the SAME ~500 base-tile docs at every point
+    * (tile ids are shifted upward, so the base window exists everywhere),
+    * and times the feed of just that commit. `cdc_ingest` is expected
+    * linear; `cdc_update` and `cdc_feed` ~flat. */
+  def cdcProbe(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val ss = spark.newSession()
+    val root = java.nio.file.Files.createTempDirectory("graft-scale-cdc-")
+    val cat = s"scdc${math.abs(dir.hashCode).toString.take(8)}"
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    // keep the small-scale range shuffle wide so the layout has >1 file
+    // (at real scale data volume does this on its own)
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val t = s"$cat.main.docs"
+    Tables.documents(ss, dir).createOrReplaceTempView("docs_cdc_src")
+    val bound = ss.sql(
+      "SELECT max(doc_id) FROM (SELECT doc_id FROM docs_cdc_src ORDER BY doc_id LIMIT 500)")
+      .head().getLong(0)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val ingest = timed {
+      ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (doc_id)")
+      ss.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM docs_cdc_src")
+    }
+    val update = timed {
+      ss.sql(s"UPDATE $t SET n_chars = n_chars + 1 WHERE doc_id <= $bound")
+    }
+    val feed = timed {
+      graft.catalog.ChangeFeed.tableChanges(ss, t, 2, 2, keyCols = Seq("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+    Seq("cdc_ingest" -> ingest, "cdc_update" -> update, "cdc_feed" -> feed)
+  }
 
   /** Staged artifacts the targets read (the bench pre-builds the same
     * ones): timed separately so the one-time build cost — the "cold"
@@ -156,6 +202,11 @@ object ScaleBench {
     val work = args.drop(1).headOption.getOrElse("/root/repo/target/scale")
     val wanted = args.drop(2).headOption
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // optional 4th arg: subset of targets/builds to measure (re-sweeps of
+    // one new operator shouldn't pay for the whole battery)
+    val wantedTargets = args.drop(3).headOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def sel(name: String): Boolean = wantedTargets.forall(_.contains(name))
     val spark = Sessions.build("graft-scale")
     spark.range(1000000).selectExpr("sum(id) s").collect()
 
@@ -180,7 +231,7 @@ object ScaleBench {
 
     val results = points.map { case (name, times, dir) =>
       val nDocs = Tables.documents(spark, dir).count()
-      val builds = storeBuilds(spark, dir).map { case (bn, b) =>
+      val builds = storeBuilds(spark, dir).filter(b => sel(b._1)).map { case (bn, b) =>
         clearState()
         val t0 = System.nanoTime()
         b()
@@ -188,13 +239,19 @@ object ScaleBench {
         System.err.println(f"[scale] $name $bn $sec%.1f s")
         bn -> sec
       }
-      val qs = targets.map { q =>
-        clearState()
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[scale] $name $q $sec%.1f s")
-        q -> sec
+      val qs = targets.filter(sel).flatMap {
+        case "cdc_probe" =>
+          clearState()
+          val rows = cdcProbe(spark, dir)
+          rows.foreach { case (k, v) => System.err.println(f"[scale] $name $k $v%.1f s") }
+          rows
+        case q =>
+          clearState()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[scale] $name $q $sec%.1f s")
+          Seq(q -> sec)
       }
       (name, times, nDocs, builds ++ qs)
     }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.GraftCatalog
+
+/** The storage-maintenance procedure pair added on top of expire/compact:
+  * RESTORE (rollback as a new commit, history preserved) and
+  * remove_orphans (reclaim files no manifest references, with the age
+  * guard for in-flight staged writes). */
+class MaintenanceProcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(name: String): (SparkSession, String, java.nio.file.Path) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-mntspec-$name-")
+    root.toFile.deleteOnExit()
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    (ss, name, root)
+  }
+
+  test("restore rolls content back as a NEW commit; history stays addressable") {
+    val (ss, c, _) = freshCatalog("mnt_restore")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(0, 100)")      // v1
+    ss.sql(s"INSERT OVERWRITE $t SELECT id FROM range(0, 3)")   // v2: the bad deploy
+    val r = ss.sql(s"CALL $c.system.restore(table => 'ns.t', version => 1)").head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3)                // restored_to=1, new_version=3
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 100)
+    // forensics: the bad version is STILL there, as is the pre-restore one
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head().getLong(0) == 3)
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) == 100)
+    // restoring an expired version refuses loudly
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 2)")
+    val e = intercept[Exception](
+      ss.sql(s"CALL $c.system.restore(table => 'ns.t', version => 1)").collect())
+    assert(e.getMessage.contains("not in history"))
+  }
+
+  test("remove_orphans reclaims unreferenced files but respects the age guard") {
+    val (ss, c, root) = freshCatalog("mnt_orphan")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")
+    val dataDir = root.resolve("ns").resolve("t").resolve("data")
+    // simulate a crashed write: a staged file no manifest references
+    val staged = java.nio.file.Files.createDirectories(dataDir.resolve("c-crashed"))
+    val orphan = staged.resolve("part-zombie.parquet")
+    java.nio.file.Files.writeString(orphan, "not really parquet")
+    // age guard: a FRESH orphan survives a guarded pass
+    val kept = ss.sql(s"CALL $c.system.remove_orphans(table => 'ns.t', " +
+      "older_than_minutes => 10)").head()
+    assert(java.nio.file.Files.exists(orphan), "fresh staged file must survive the guard")
+    assert(kept.getInt(1) == 0)
+    // guard disabled: the orphan goes, committed files stay
+    val swept = ss.sql(s"CALL $c.system.remove_orphans(table => 'ns.t', " +
+      "older_than_minutes => 0)").head()
+    assert(swept.getInt(1) == 1 && !java.nio.file.Files.exists(orphan))
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 10)
+    // time travel is untouched — only unreferenced files were deleted
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) == 10)
+  }
+
+  test("remove_orphans keeps branch-only files (they ARE referenced)") {
+    val (ss, c, _) = freshCatalog("mnt_orphan_br")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(0, 10)")
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'wap')")
+    ss.sql(s"INSERT INTO $t.branch_wap SELECT id FROM range(100, 110)")
+    val r = ss.sql(s"CALL $c.system.remove_orphans(table => 'ns.t', " +
+      "older_than_minutes => 0)").head()
+    assert(r.getInt(1) == 0, "branch-referenced files are not orphans")
+    assert(ss.sql(s"SELECT count(*) FROM $t.branch_wap").head().getLong(0) == 20)
+  }
+}
