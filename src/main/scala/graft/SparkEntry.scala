@@ -588,6 +588,9 @@ object SparkEntry {
     // the catalog table as a streaming SOURCE: snapshot + incremental
     // version tail, compaction invisible via dataChange=false
     "q_stream_catalog_source" -> ((s, d) => graft.streaming.StreamingOps.streamCatalogSourceEndToEnd(s, d)),
+    // the full lakehouse loop: upstream table -> version-tail stream ->
+    // per-batch MERGE maintains a downstream aggregate table
+    "q_stream_derived_table" -> ((s, d) => graft.streaming.StreamingOps.streamDerivedTableEndToEnd(s, d)),
     // online ANN serving: new vectors stream in, each answered with its
     // IVF top-k against the pinned old-corpus index
     "q_stream_ann"        -> ((s, d) => graft.streaming.StreamingOps.streamAnnEndToEnd(s, d)),
@@ -1009,6 +1012,7 @@ object SparkEntry {
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
+    "q_stream_derived_table" -> graft.streaming.StreamingOps.streamDerivedTableOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

@@ -1466,6 +1466,74 @@ object StreamingOps {
               true AS resumed_incremental, true AS compaction_invisible
        FROM events"""
 
+  /** X-STRv — DERIVED-TABLE MAINTENANCE, the full lakehouse loop: an
+    * upstream catalog table is ingested in batches, `readStream.table`
+    * tails its version chain, and each micro-batch MERGEs its
+    * AGGREGATED DELTA into a downstream catalog table — per-trigger
+    * cost ∝ the batch (the delta aggregate touches new files only; the
+    * MERGE's COW rewrite touches the downstream table, which is
+    * aggregate-sized, not corpus-sized). Two drains → two MERGEs: the
+    * first exercises the NOT MATCHED arm on the empty table, the second
+    * the MATCHED `+=` arm — pinned by `docs_after_batch1` (the
+    * downstream's VERSION AS OF 1 mass = exactly the first snapshot's
+    * docs). Replay-idempotence is deliberately out of scope here: the
+    * += MERGE is not idempotent, and the exactly-once sink contract is
+    * pinned separately (q_stream_catalog_sink, q_stream_exactly_once);
+    * production pairs this loop with that sink or an epoch-id guard. */
+  def streamDerivedTableEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, cat) = graft.operators.SqlVerbs.sessionAndCatalog(spark, dir)
+    val up = s"$cat.main.docs_up"
+    val down = s"$cat.main.lang_stats"
+    val out = scratchDir("derived")
+    ss.sql(s"DROP TABLE IF EXISTS $up")
+    ss.sql(s"DROP TABLE IF EXISTS $down")
+    ss.sql(s"CREATE TABLE $up (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    ss.sql(s"CREATE TABLE $down (lang STRING, n_docs BIGINT, sum_chars BIGINT)")
+    graft.Tables.documents(ss, dir).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("docs_derived_src")
+    def ingest(slice: Int): Unit =
+      ss.sql(s"INSERT INTO $up SELECT * FROM docs_derived_src WHERE doc_id % 3 = $slice")
+    def drain(): Unit = {
+      val q = ss.readStream.table(up)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the delta aggregate is batch-sized; the MERGE folds it in
+          val bs = batch.sparkSession
+          batch.groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+            .createOrReplaceTempView("derived_batch_delta")
+          bs.sql(
+            s"""MERGE INTO $down t USING derived_batch_delta s ON t.lang = s.lang
+                WHEN MATCHED THEN UPDATE SET
+                  n_docs = t.n_docs + s.n_docs,
+                  sum_chars = t.sum_chars + s.sum_chars
+                WHEN NOT MATCHED THEN INSERT (lang, n_docs, sum_chars)
+                  VALUES (s.lang, s.n_docs, s.sum_chars)""")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    ingest(0); ingest(1)
+    drain() // opening snapshot → first MERGE (all NOT MATCHED)
+    ingest(2)
+    drain() // version tail → second MERGE (MATCHED += / NOT MATCHED mix)
+    val afterBatch1 = ss.sql(s"SELECT sum(n_docs) FROM $down VERSION AS OF 1")
+      .head().getLong(0)
+    ss.sql(s"SELECT lang, n_docs, sum_chars FROM $down")
+      .withColumn("docs_after_batch1", lit(afterBatch1))
+      .write.mode("overwrite").parquet(s"$out/result")
+    readBackCleaned(spark, out)(identity)
+  }
+
+  val streamDerivedTableOracleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              (SELECT count(*) FROM documents WHERE doc_id % 3 < 2) AS docs_after_batch1
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   def streamLateAuditEndToEnd(spark: SparkSession, dir: String): DataFrame =
     streamLateAuditWithMetrics(spark, dir)._1
 
