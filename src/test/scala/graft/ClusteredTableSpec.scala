@@ -68,6 +68,28 @@ class ClusteredTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("identity"))
   }
 
+  test("streaming epochs honor the clustered contract too") {
+    val (ss, c) = freshCatalog("clu_stream")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING) PARTITIONED BY (id)")
+    val src = java.nio.file.Files.createTempDirectory("cluspec-src")
+    ss.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS v")
+      .repartition(8) // scattered input files
+      .write.mode("overwrite").parquet(src.toString)
+    val q = ss.readStream.schema("id BIGINT, v STRING").parquet(src.toString)
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cluspec-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    q.awaitTermination()
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 1000)
+    ss.sql(s"SELECT count(*) FROM $t WHERE id BETWEEN 100 AND 149").collect()
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t).get
+    assert(total >= 4 && kept < total,
+      s"streaming epoch did not land range-clustered: $kept/$total")
+  }
+
   test("COW rewrites preserve the clustered contract") {
     val (ss, c) = freshCatalog("clu_cow")
     val t = s"$c.ns.t"
