@@ -185,6 +185,11 @@ object Bench {
       "sql_skip_table" -> (() => operators.SqlVerbs.ensureSkipTable(spark, sfDir)),
       "sql_wap_chain" -> (() => operators.SqlVerbs.ensureWapChain(spark, sfDir)),
       "sql_decl_table" -> (() => operators.SqlVerbs.ensurePartTable(spark, sfDir)),
+      // round-13 fixtures: the days(ts)-clustered events table and the
+      // file-granular COW chain (insert + targeted UPDATE/DELETE) are
+      // nightly ingest/maintenance; the queries time the read-side proofs
+      "sql_days_table" -> (() => operators.SqlVerbs.ensureDaysTable(spark, sfDir)),
+      "sql_cow_table" -> (() => operators.SqlVerbs.ensureCowTable(spark, sfDir)),
       "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
       "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same
@@ -322,19 +327,17 @@ object Bench {
     // Every >1.5x regression gets a warm rerun (the gate below judges
     // the WARM number, so the rerun set must cover the whole regression
     // list, not a top-8 slice — r10 shipped 57 regressions with only 8
-    // rerun rows). Cap at 32 as a runaway bound — and when the cap bites,
-    // the dropped names are LOGGED and recorded in the artifact's
-    // "rerun_truncated" field (ADVICE r11: a silently skipped rerun would
-    // bypass the cost gate with no trace, against the no-silent-caps
-    // convention).
+    // rerun rows). NO cap: r12's cold-regression list overflowed the old
+    // 32-slot cap and 26 regressions bypassed the cost gate ungated
+    // (VERDICT r12 #3) — on this ±25% VM a noisy run can flag dozens, and
+    // every one must be warm-verified or the gate is advisory. Each rerun
+    // is individually bounded by the watchdog, and the set is bounded by
+    // the registry size, so the worst case is one extra suite pass — the
+    // price of a gate that cannot be bypassed. `rerun_truncated` stays in
+    // the artifact, now permanently [], so r12 parsers keep working.
     val rerunSet = (slowest ++ regressions.map(_._1)).distinct
-    val rerunTruncated = rerunSet.drop(32)
-    if (rerunTruncated.nonEmpty)
-      System.err.println(
-        s"[bench] WARNING: trend-guard rerun set truncated ${rerunSet.size} -> 32; " +
-          s"these regressions were NOT warm-rerun and bypass the cost gate: " +
-          rerunTruncated.mkString(", "))
-    val reruns = rerunSet.take(32).map { name =>
+    val rerunTruncated = Seq.empty[String]
+    val reruns = rerunSet.map { name =>
       System.err.println(s"[bench] re-timing $name (trend guard)")
       val (sec, ok) = run(name, SparkEntry.queries(name))
       clearState()

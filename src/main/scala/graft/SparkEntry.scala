@@ -166,6 +166,13 @@ object SparkEntry {
     // RESTORE as a new commit: rollback re-references v1's files under a
     // new version; the bad deploy stays time-travelable for forensics
     "q_sql_restore"       -> ((s, d) => SqlVerbs.sqlRestore(s, d)),
+    // hidden partitioning: PARTITIONED BY (days(ts)) clusters writes on
+    // the derived day (catalog FunctionCatalog resolves the transform);
+    // a month window on raw ts prunes via ordinary footer stats
+    "q_sql_days_table"    -> ((s, d) => SqlVerbs.sqlDaysTable(s, d)),
+    // file-granular COW: a clustered-range UPDATE + one-row DELETE each
+    // rewrite a strict subset of the manifest (inherited files pinned)
+    "q_sql_cow_subset"    -> ((s, d) => SqlVerbs.sqlCowSubset(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1010,6 +1017,8 @@ object SparkEntry {
     "q_sql_wap_diff" -> SqlVerbs.sqlWapDiffOracleSql,
     "q_sql_partitioned" -> SqlVerbs.sqlPartitionedOracleSql,
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
+    "q_sql_days_table" -> SqlVerbs.sqlDaysTableOracleSql,
+    "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_derived_table" -> graft.streaming.StreamingOps.streamDerivedTableOracleSql,

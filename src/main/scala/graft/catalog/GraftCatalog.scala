@@ -61,18 +61,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * == Row-level operations (MERGE / UPDATE / DELETE) ==
   *
   * [[GraftTable]] implements [[SupportsRowLevelOperations]] with
-  * group-based (copy-on-write) semantics at table granularity: Catalyst's
+  * group-based (copy-on-write) semantics at FILE granularity: Catalyst's
   * RewriteMergeIntoTable / RewriteUpdateTable / RewriteDeleteFromTable
-  * turn the verb into a ReplaceData plan — a join/filter of the current
-  * snapshot against the source that emits every surviving row — and the
-  * commit swaps the manifest to exactly the files that plan wrote. The
-  * group is the whole table because parquet files are unsorted here; the
-  * file-granular refinement (prune untouched files via runtime filtering
-  * and inherit them into the new manifest) drops into the same commit
-  * protocol. Correctness does not depend on group size — only rewrite
-  * volume does.
+  * turn the verb into a ReplaceData plan — a join/filter of the snapshot
+  * against the source that emits every surviving row of the scanned
+  * groups — and the group is the FILE SET the row-level scan kept after
+  * evaluating the verb's pushed condition against the manifest's footer
+  * stats ([[org.apache.spark.sql.graft.CowGroupScanBuilder]]): files the
+  * stats PROVE hold no matching row are never scanned, never rewritten,
+  * and are INHERITED verbatim into the new manifest at commit. On a
+  * clustered table (`PARTITIONED BY`) a targeted UPDATE/DELETE therefore
+  * rewrites a strict subset of the table — the takedown DELETE at 100 TB
+  * costs the touched files, not a full-corpus rewrite (VERDICT r12 #1).
+  * Conditions the stats can't bound (MERGE's source-dependent ON clause,
+  * unsupported expressions) conservatively keep every file — whole-table
+  * rewrite, always correct, never fast-but-wrong. Correctness does not
+  * depend on group size — only rewrite volume does.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -164,7 +170,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * non-overlapping — the existing data skipping then prunes scans on
     * the cluster columns at partition-pruning strength, without the
     * small-files/skew pathologies of value-per-directory layouts at
-    * 100 TB (Iceberg sort orders / Delta liquid clustering, not hive). */
+    * 100 TB (Iceberg sort orders / Delta liquid clustering, not hive).
+    *
+    * TIME transforms — `days(ts)` / `hours(ts)` — are accepted too
+    * (Iceberg's hidden partitioning, the most common clustering key for
+    * an events table): writes cluster on the DERIVED day/hour value
+    * (served by this catalog's [[FunctionCatalog]] side, which is how
+    * Catalyst resolves a v2 transform in a write distribution), so each
+    * file covers a contiguous time range and plain `WHERE ts >= … AND ts
+    * < …` predicates prune through the ordinary ts footer stats — no
+    * derived column in the schema, no directory explosion. `bucket`
+    * stays rejected: hash-bucketed values have no contiguous range, so
+    * footer-stats skipping (this catalog's pruning mechanism) can never
+    * prune them — a bucket layout here would parse but silently never
+    * skip, the fast-but-wrong shape (ClusteredTableSpec pins the
+    * refusal). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -172,12 +192,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case t if t.name == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         t.references()(0).fieldNames()(0)
+      case t if ClusterSpec.TimeUnits.contains(t.name) && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        s"${t.name}(${t.references()(0).fieldNames()(0)})"
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports only identity PARTITIONED BY columns (a clustered " +
-          s"layout contract, not hive directories); got $other")
+        s"graft catalog supports identity, days(col), and hours(col) PARTITIONED BY " +
+          s"transforms (a clustered layout contract, not hive directories; bucket can " +
+          s"never prune by footer stats); got $other")
     }
-    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"PARTITIONED BY column '$c' is not in the schema (${schema.fieldNames.mkString(", ")})"))
+    clusterBy.foreach { c =>
+      val (colName, unit) = ClusterSpec.parse(c)
+      require(schema.fieldNames.contains(colName),
+        s"PARTITIONED BY column '$colName' is not in the schema (${schema.fieldNames.mkString(", ")})")
+      unit.foreach { u =>
+        val dt = schema(colName).dataType
+        val ok = dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType ||
+          (dt == org.apache.spark.sql.types.DateType && u == "days")
+        require(ok, s"$u($colName) needs a timestamp column" +
+          (if (u == "days") " or date column" else "") + s"; '$colName' is $dt")
+      }
+    }
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
@@ -270,6 +305,90 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private[catalog] def tableDirOf(dotted: String): Path = {
     val parts = dotted.split('.')
     tableDir(Identifier.of(parts.dropRight(1), parts.last))
+  }
+
+  // ---- FunctionCatalog: the time partition-transform functions ----
+  //
+  // Catalyst resolves a non-identity transform in a write's required
+  // distribution/ordering by loading the function NAMED like the
+  // transform from the table's catalog (V2ExpressionUtils.
+  // loadV2FunctionOpt → loadFunction(Identifier.of(empty, name))), so
+  // serving days/hours here is what makes `PARTITIONED BY (days(ts))`
+  // plannable end-to-end.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      ClusterSpec.TimeUnits.toArray.sorted.map(Identifier.of(Array.empty[String], _))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.namespace().nonEmpty || !ClusterSpec.TimeUnits.contains(ident.name()))
+      // this catalog serves only the partition transforms (days, hours)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else new TimeTransformFunction(ident.name())
+}
+
+/** Encoding/decoding of a table's declared cluster keys (the manifest's
+  * `clusterBy` strings): `"c"` = identity on column c, `"days(c)"` /
+  * `"hours(c)"` = the time transform on c. One place owns the string
+  * format so the DDL side, `partitioning()` reporting, and the write
+  * distribution can never drift. */
+private[catalog] object ClusterSpec {
+  val TimeUnits: Set[String] = Set("days", "hours")
+
+  /** → (column, transform unit); None = identity. */
+  def parse(s: String): (String, Option[String]) = {
+    val m = "^([A-Za-z]+)\\((.+)\\)$".r
+    s match {
+      case m(unit, col) if TimeUnits.contains(unit) => (col, Some(unit))
+      case _ => (s, None)
+    }
+  }
+
+  def toTransform(s: String): Transform = parse(s) match {
+    case (c, None) => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+    case (c, Some("days")) => org.apache.spark.sql.connector.expressions.Expressions.days(c)
+    case (c, Some("hours")) => org.apache.spark.sql.connector.expressions.Expressions.hours(c)
+    case (_, Some(other)) => throw new IllegalStateException(s"unknown transform $other")
+  }
+}
+
+/** The `days` / `hours` partition-transform function: micros-since-epoch
+  * floor-divided to the unit (dates are already day numbers). Serves the
+  * write-side range distribution of a time-clustered table — evaluated
+  * once per written row to form the shuffle key; the READ side never
+  * evaluates it (queries predicate on the raw ts column and prune via
+  * its footer stats), so a row-at-a-time produceResult is the right
+  * cost/complexity point. */
+private[catalog] class TimeTransformFunction(unit: String)
+    extends functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(ts): partition transform — $unit since epoch"
+
+  override def bind(inputType: StructType): functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit takes exactly one argument, got ${inputType.fields.length}")
+    val dt = inputType.fields(0).dataType
+    val divisor = dt match {
+      case TimestampType | TimestampNTZType =>
+        if (unit == "days") 86_400_000_000L else 3_600_000_000L
+      case DateType if unit == "days" => 1L
+      case other => throw new UnsupportedOperationException(
+        s"$unit() needs a timestamp${if (unit == "days") " or date" else ""} column, got $other")
+    }
+    new functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(dt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = unit
+      override def canonicalName(): String = s"graft.$unit"
+      override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+        if (input.isNullAt(0)) null
+        else if (dt == DateType) Integer.valueOf(input.getInt(0))
+        else Integer.valueOf(Math.floorDiv(input.getLong(0), divisor).toInt)
+    }
   }
 }
 
@@ -525,11 +644,20 @@ private[catalog] class RestoreProcedure(cat: GraftCatalog)
   * => M])` — Iceberg's remove_orphan_files: delete data files under the
   * table directory that NO manifest (main history or any branch)
   * references — the residue of aborted/crashed writes, which commits
-  * never see but storage pays for forever. The age guard (default 10
-  * minutes) protects files of writes that are staged but not yet
-  * committed; runs under the commit lock so a racing commit can't
-  * publish a file this call just measured as orphaned. Returns
-  * (scanned, orphans_deleted). */
+  * never see but storage pays for forever. The age guard protects files
+  * of writes that are staged but not yet committed: a staged file is
+  * unreferenced until its manifest commit lands, so the guard MUST
+  * exceed the longest write/compaction the table ever runs — the default
+  * is 3 days (Iceberg's remove_orphan_files default, for the same
+  * reason; ADVICE r12 flagged the old 10-minute default as deleting
+  * in-flight staging mid-write). Runs under the commit lock so a racing
+  * commit can't publish a file this call just measured as orphaned.
+  * Returns (scanned, orphans_deleted). */
+private[catalog] object RemoveOrphansProcedure {
+  /** 3 days, Iceberg's default for the same guard. */
+  val DefaultGuardMinutes: Int = 3 * 24 * 60
+}
+
 private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
     extends procedures.UnboundProcedure {
   import org.apache.spark.sql.types._
@@ -548,7 +676,9 @@ private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
       override def parameters(): Array[procedures.ProcedureParameter] = Array(
         procedures.ProcedureParameter.in("table", StringType).build(),
         procedures.ProcedureParameter.in("older_than_minutes", IntegerType)
-          .defaultValue("10").comment("age guard for in-flight staged writes").build())
+          .defaultValue(RemoveOrphansProcedure.DefaultGuardMinutes.toString)
+          .comment("age guard for in-flight staged writes; must exceed the longest write")
+          .build())
 
       private val outSchema = StructType(Seq(
         StructField("scanned", IntegerType, nullable = false),
@@ -556,7 +686,8 @@ private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
 
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
-        val olderMin = if (input.isNullAt(1)) 10 else input.getInt(1)
+        val olderMin = if (input.isNullAt(1)) RemoveOrphansProcedure.DefaultGuardMinutes
+          else input.getInt(1)
         require(olderMin >= 0, s"older_than_minutes must be >= 0, got $olderMin")
         val dir = cat.tableDirOf(table)
         require(Files.exists(dir.resolve(TableMeta.MetaFile)),
@@ -718,9 +849,22 @@ private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
                                    stats: Map[String, FileStats] = Map.empty,
                                    dataChange: Boolean = true)
 
+/** Shared state of ONE row-level operation (MERGE/UPDATE/DELETE): the
+  * scan side records which snapshot it planned against and which files
+  * its group filtering kept; the write side commits a replace of exactly
+  * those files. `baseVersion` is the SCAN-time version — committing
+  * against it (not the write-time latest) makes a commit that raced in
+  * between fail the conflict check instead of publishing a rewrite of a
+  * stale snapshot. */
+private[catalog] final class CowContext {
+  @volatile var baseVersion: Int = -1
+  @volatile var replaced: Seq[String] = Nil
+}
+
 private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit],
                                       branches: Map[String, Seq[Commit]] = Map.empty,
-                                      clusterBy: Seq[String] = Nil) {
+                                      clusterBy: Seq[String] = Nil,
+                                      streamEpochs: Map[String, Long] = Map.empty) {
   def latest: Int = history.map(_.version).max
   def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
     throw new IllegalArgumentException(
@@ -762,6 +906,8 @@ private[catalog] object TableMeta {
       val json = JObject(
         "schema" -> JsonMethods.parse(meta.schema.json),
         "clusterBy" -> JArray(meta.clusterBy.map(JString(_)).toList),
+        "streamEpochs" -> JObject(meta.streamEpochs.toList.sortBy(_._1).map {
+          case (q, e) => q -> JInt(e) }),
         "history" -> JArray(meta.history.sortBy(_.version).map(commitJson).toList),
         "branches" -> JObject(meta.branches.toList.sortBy(_._1).map { case (n, cs) =>
           n -> JArray(cs.sortBy(_.version).map(commitJson).toList)
@@ -811,7 +957,11 @@ private[catalog] object TableMeta {
       case JArray(cs) => cs.map(_.asInstanceOf[JString].s)
       case _ => Nil
     }
-    TableMeta(schema, history, branches, clusterBy)
+    val streamEpochs = j \ "streamEpochs" match {
+      case JObject(kv) => kv.map { case (q, e) => q -> e.asInstanceOf[JInt].num.toLong }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    TableMeta(schema, history, branches, clusterBy, streamEpochs)
   }
 }
 
@@ -852,10 +1002,10 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       "latest_version", chainLatest(m).toString)
   }
 
-  /** The declared cluster columns, reported as identity transforms
+  /** The declared cluster keys, reported as their v2 transforms
     * (what SHOW CREATE / DESCRIBE surface). */
   override def partitioning(): Array[Transform] =
-    meta.clusterBy.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+    meta.clusterBy.map(ClusterSpec.toTransform).toArray
 
   private[catalog] def clusterCols: Seq[String] = meta.clusterBy
 
@@ -909,28 +1059,44 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     new GraftWriteBuilder(this, info, replaceManifest = false)
   }
 
-  /** MERGE / UPDATE / DELETE: group-based copy-on-write at table
-    * granularity — the scan is the current snapshot, the replacement
-    * write's manifest REPLACES the file list. */
+  /** MERGE / UPDATE / DELETE: group-based copy-on-write at FILE
+    * granularity. Spark pushes the verb's condition into the row-level
+    * scan as a GROUP filter ("rewrite only groups containing a match") —
+    * a delegate parquet scan would apply it per ROW and silently drop
+    * every non-matching row of a rewritten group (smoke-tested: UPDATE
+    * ... WHERE id <= 2 erased rows 3 and 4), so the condition is consumed
+    * ONLY to shrink the file list via the manifest's footer stats
+    * ([[SkipEval]]'s lossless contract) and stays in the plan for row
+    * semantics. The kept set is recorded in the shared [[CowContext]];
+    * the write's commit REPLACES exactly those files and inherits the
+    * rest — rewrite cost ∝ files the condition can touch, never the
+    * table. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      private val ctx = new CowContext
       override def command(): RowLevelOperation.Command = info.command()
-      // The row-level scan must NOT accept row-granularity filter
-      // pushdown: Spark pushes the verb's condition into this scan as a
-      // GROUP filter ("rewrite only groups containing a match"), and a
-      // delegate parquet scan would apply it per ROW — silently dropping
-      // every non-matching row of the rewritten group (smoke-tested:
-      // UPDATE ... WHERE id <= 2 erased rows 3 and 4). With the group
-      // being the whole table, the correct behavior is a full-table scan
-      // with the condition left in the plan; only column pruning is
-      // forwarded.
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ColumnPruneOnlyScanBuilder(
-          GraftTable.this.newScanBuilder(options))
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        val m = meta
+        val latest = chainLatest(m)
+        val mf = chainManifest(m, latest)
+        // defaults cover a scan that never sees pushFilters/build (e.g. a
+        // condition Spark can't push): whole-manifest rewrite, exact
+        ctx.baseVersion = latest
+        ctx.replaced = mf.files
+        new org.apache.spark.sql.graft.CowGroupScanBuilder(
+          filters => SkipEval.prune(m.schema, mf.files, mf.stats, filters),
+          rel => delegate(rel.map(f => dir.resolve(f).toString)).newScanBuilder(options),
+          mf.files,
+          kept => {
+            ctx.replaced = kept
+            SkipRecorder.record(s"$tableName#cow", kept.size, mf.files.size)
+          })
+      }
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
         require(pinnedVersion.isEmpty,
           s"$tableName is a time-travel view; ${info.command()} goes to the live table")
-        new GraftWriteBuilder(GraftTable.this, writeInfo, replaceManifest = true)
+        new GraftWriteBuilder(GraftTable.this, writeInfo, replaceManifest = true,
+          cow = Some(ctx))
       }
       override def description(): String = s"graft COW ${info.command()}"
     }
@@ -946,23 +1112,34 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     * lock and neither's files are lost). Replace commits (truncate and
     * every COW rewrite) must instead FAIL on a race — their file list was
     * computed against `baseLatest`'s snapshot, and publishing it over a
-    * newer version would silently undo the other writer. When
-    * `idempotencyKey` is set (streaming epochs), a history entry already
-    * carrying this `op` means the commit is a REPLAY — the manifest is
-    * left untouched and `false` is returned so the caller can discard
-    * its staged files: the sink-side half of Structured Streaming's
-    * exactly-once contract (dedupe on (queryId, epochId)). Returns
-    * whether the commit landed. */
+    * newer version would silently undo the other writer. A replace with
+    * `replacedFiles = Some(fs)` is FILE-GRANULAR: only `fs` leave the
+    * manifest (the row-level scan's kept groups); every other previous
+    * file is inherited with its stats — `None` replaces everything
+    * (INSERT OVERWRITE, compaction). When `streamEpoch` is set, a
+    * (queryId, epochId) at or below the table's recorded high-water mark
+    * for that query means the commit is a REPLAY — the manifest is left
+    * untouched and `false` is returned so the caller can discard its
+    * staged files: the sink-side half of Structured Streaming's
+    * exactly-once contract. The mark lives in [[TableMeta.streamEpochs]],
+    * INDEPENDENT of history retention, so `expire_versions` retiring the
+    * epoch's commit can no longer re-admit a replay (ADVICE r12); epochs
+    * of one query are sequential, so one high-water long per queryId is a
+    * complete dedup record. Returns whether the commit landed. */
   private[catalog] def commitVersion(op: String, baseLatest: Int,
                                      newFiles: Seq[String], replace: Boolean,
                                      newStats: Map[String, FileStats] = Map.empty,
-                                     idempotencyKey: Boolean = false,
-                                     dataChange: Boolean = true): Boolean =
+                                     streamEpoch: Option[(String, Long)] = None,
+                                     dataChange: Boolean = true,
+                                     replacedFiles: Option[Seq[String]] = None): Boolean =
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = meta
       val ch = chain(m)
-      if (idempotencyKey && ch.exists(_.op == op)) false
+      val replayed = streamEpoch.exists { case (qid, eid) =>
+        m.streamEpochs.get(qid).exists(_ >= eid) || ch.exists(_.op == op)
+      }
+      if (replayed) false
       else {
         val latest = chainLatest(m)
         // branch replace conflicts are checked here under the (reentrant)
@@ -972,15 +1149,23 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
           throw new IllegalStateException(
             s"concurrent commit conflict on $tableName: expected latest v$baseLatest, found v$latest")
         val prev = chainManifest(m, latest)
-        val inherited = if (replace) Nil else prev.files
-        // inherited files keep their stats; replaced manifests start fresh
-        val inheritedStats = if (replace) Map.empty[String, FileStats]
-          else prev.stats.view.filterKeys(inherited.contains).toMap
+        val inherited =
+          if (!replace) prev.files
+          else replacedFiles match {
+            case Some(r) => val rs = r.toSet; prev.files.filterNot(rs)
+            case None => Nil
+          }
+        // inherited files keep their stats; replaced files' stats drop
+        val inheritedSet = inherited.toSet
+        val inheritedStats = prev.stats.view.filterKeys(inheritedSet).toMap
         val next = Commit(latest + 1, System.currentTimeMillis(), op,
           inherited ++ newFiles, inheritedStats ++ newStats, dataChange)
+        val withEpoch = streamEpoch.fold(m) { case (qid, eid) =>
+          m.copy(streamEpochs = m.streamEpochs + (qid -> eid))
+        }
         val updated = branch match {
-          case Some(b) => m.copy(branches = m.branches + (b -> (ch :+ next)))
-          case None => m.copy(history = m.history :+ next)
+          case Some(b) => withEpoch.copy(branches = m.branches + (b -> (ch :+ next)))
+          case None => withEpoch.copy(history = m.history :+ next)
         }
         TableMeta.write(dir, updated,
           expectedLatest = if (branch.isEmpty && replace) Some(baseLatest) else None)
@@ -1000,10 +1185,12 @@ private[catalog] object GraftTable {
 
 /** Write builder: stages files into a fresh commit subdir via the
   * delegate parquet writer, then swaps the manifest on commit. `truncate`
-  * (INSERT OVERWRITE) and row-level replacement both start a fresh file
-  * list; plain build() appends. */
+  * (INSERT OVERWRITE) starts a fresh file list; a row-level replacement
+  * (`cow` set) replaces only the files the operation's scan kept (file-
+  * granular copy-on-write — see [[CowContext]]); plain build() appends. */
 private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo,
-                                         replaceManifest: Boolean)
+                                         replaceManifest: Boolean,
+                                         cow: Option[CowContext] = None)
     extends WriteBuilder with SupportsTruncate {
   private var truncate0 = replaceManifest
 
@@ -1020,8 +1207,10 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
     if (cluster.isEmpty) base
     else new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+      // time transforms sort on the DERIVED day/hour value — Catalyst
+      // resolves them through the catalog's FunctionCatalog side
       private val orders: Array[SortOrder] = cluster.map(c =>
-        Expressions.sort(Expressions.identity(c),
+        Expressions.sort(ClusterSpec.toTransform(c),
           SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
       override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
         org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
@@ -1050,7 +1239,11 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
 
     override def toBatch: BatchWrite = {
       val commitDir = table.commitDirFor(info.queryId())
-      val baseLatest = table.currentLatest
+      // a row-level op commits against the version its SCAN planned on
+      // (CowContext), so a commit that lands in between fails the
+      // conflict check instead of publishing a stale rewrite
+      val baseLatest = cow.map(_.baseVersion).filter(_ >= 0)
+        .getOrElse(table.currentLatest)
       Files.createDirectories(commitDir)
       val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         table.name(), SparkSession.active,
@@ -1093,7 +1286,8 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
           val stats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
             SparkSession.active.sessionState.newHadoopConf())
           val op = if (replaceManifest) "replace" else if (truncate0) "overwrite" else "append"
-          table.commitVersion(op, baseLatest, files, replace = truncate0, newStats = stats)
+          table.commitVersion(op, baseLatest, files, replace = truncate0, newStats = stats,
+            replacedFiles = if (replaceManifest) cow.map(_.replaced) else None)
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit =
           inner.abort(messages)
@@ -1295,7 +1489,8 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
         SparkSession.active.sessionState.newHadoopConf())
       val committed = table.commitVersion(
         s"stream-epoch:${info.queryId()}:$epochId", table.currentLatest,
-        files, replace = false, newStats = stats, idempotencyKey = true)
+        files, replace = false, newStats = stats,
+        streamEpoch = Some((info.queryId(), epochId)))
       if (!committed) {
         // replayed epoch — the original commit already published this
         // data; discard the replica (the whole staged dir: parquet,
@@ -1316,22 +1511,6 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
     val p = pending.getAndSet(null)
     if (p != null) p.inner.abort(messages)
   }
-}
-
-/** Scan builder for row-level (COW) reads: forwards ONLY column pruning
-  * to the delegate and deliberately implements no filter-pushdown
-  * interface, so the verb's condition stays in the plan and every row of
-  * the rewritten group survives into the replacement write (see the
-  * comment at the use site). */
-private[catalog] class ColumnPruneOnlyScanBuilder(delegate: ScanBuilder)
-    extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-  override def pruneColumns(requiredSchema: StructType): Unit = delegate match {
-    case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-      p.pruneColumns(requiredSchema)
-    case _ => ()
-  }
-  override def build(): org.apache.spark.sql.connector.read.Scan = delegate.build()
 }
 
 /** Strips the leading `__row_operation` column off ReplaceData rows

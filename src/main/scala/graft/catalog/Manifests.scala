@@ -1,0 +1,50 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Read-only manifest inspection for specs, registry queries, and
+  * operators outside the catalog package: which data files a version
+  * references, without going through a scan. This is the observability
+  * half of the file-granular COW contract — "a targeted UPDATE rewrote a
+  * strict subset" is checked by diffing two versions' file lists, the
+  * same way `q_sql_skipping` reads [[SkipRecorder]] instead of re-deriving
+  * the plan. Metadata-scale only: file NAME lists, never data. */
+object Manifests {
+
+  /** Resolve a fully qualified `catalog.ns.table` (same resolution as
+    * [[ChangeFeed.tableChanges]] — through the session's catalog conf,
+    * not the thread-bound CatalogManager) to its table directory. */
+  def tableDir(ss: SparkSession, table: String): Path = {
+    val parts = table.split('.')
+    require(parts.length >= 3, s"need a fully qualified catalog.ns.table, got '$table'")
+    val cls = ss.conf.getOption(s"spark.sql.catalog.${parts.head}").getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured catalog on this session"))
+    require(cls == classOf[GraftCatalog].getName,
+      s"'${parts.head}' is not a graft catalog (got $cls)")
+    val root = Paths.get(ss.conf.get(s"spark.sql.catalog.${parts.head}.root"))
+    val dir = parts.tail.foldLeft(root)(_.resolve(_))
+    require(Files.exists(dir.resolve(TableMeta.MetaFile)), s"no such table '$table'")
+    dir
+  }
+
+  /** The data files (paths relative to the table dir) version `v` of the
+    * MAIN chain references. */
+  def files(ss: SparkSession, table: String, v: Int): Seq[String] =
+    TableMeta.read(tableDir(ss, table)).manifest(v).files
+
+  /** The latest main-chain version number. */
+  def latestVersion(ss: SparkSession, table: String): Int =
+    TableMeta.read(tableDir(ss, table)).latest
+
+  /** Manifest diff of commit `v` against its parent:
+    * (previous files, removed, added, inherited) counts. */
+  def commitFileDiff(ss: SparkSession, table: String, v: Int): (Int, Int, Int, Int) = {
+    val m = TableMeta.read(tableDir(ss, table))
+    val prev = m.manifest(v - 1).files.toSet
+    val cur = m.manifest(v).files.toSet
+    (prev.size, (prev -- cur).size, (cur -- prev).size, (prev & cur).size)
+  }
+}

@@ -25,9 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (days / micros), float/double as `Double.toString`, strings raw,
   * booleans `"true"/"false"`. A column is dropped from the maps the moment
   * any row group lacks a usable bound for it (absent stats never prune —
-  * the conservative direction). INT96 timestamps (Spark's default parquet
-  * timestamp encoding) carry no usable parquet statistics and simply never
-  * produce bounds.
+  * the conservative direction). Timestamp bounds are kept only when the
+  * parquet logical annotation says MICROS — the unit Catalyst literals
+  * compare in ([[graft.Sessions]] pins `outputTimestampType=
+  * TIMESTAMP_MICROS`); MILLIS/NANOS/INT96 columns never produce bounds.
   */
 private[graft] object FooterStats {
 
@@ -47,40 +48,62 @@ private[graft] object FooterStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      // per top-level column: fold bounds across row groups; a single
-      // unusable row-group statistic poisons the column (conservative)
+      // Per top-level column, classify each row group's statistics into
+      // one of three states and fold across groups:
+      //   Some(Some(bound)) — a usable (min, max);
+      //   Some(None)        — PROVABLY all-null (numNulls == rowCount):
+      //                       contributes no bound, poisons nothing;
+      //   None              — POISON: stats absent or unusable for a
+      //                       group that may hold values (parquet-mr also
+      //                       omits min/max when binary values exceed its
+      //                       ~4 KB stats size limit, so hasNonNullValue
+      //                       == false does NOT mean all-null — ADVICE
+      //                       r12), or a type/unit mismatch. One poisoned
+      //                       group drops the column's bounds for the
+      //                       whole file (the conservative direction).
       var mins = Map.empty[String, String]
       var maxs = Map.empty[String, String]
       var nulls = Map.empty[String, Long]
       schema.fields.foreach { field =>
-        val chunksPerBlock = blocks.map(_.getColumns.asScala.find { c =>
+        val chunksPerBlock = blocks.map(b => (b.getRowCount, b.getColumns.asScala.find { c =>
           val p = c.getPath.toArray
           p.length == 1 && p(0).equalsIgnoreCase(field.name)
-        })
-        if (chunksPerBlock.forall(_.isDefined)) {
-          val chunks = chunksPerBlock.map(_.get)
-          val stats = chunks.map(_.getStatistics)
+        }))
+        if (chunksPerBlock.forall(_._2.isDefined)) {
+          val chunks = chunksPerBlock.map { case (rc, c) => (rc, c.get) }
+          val stats = chunks.map(_._2.getStatistics)
           // null counts: sum if every row group knows its count
           nulls += field.name -> (
             if (stats.forall(s => s != null && s.isNumNullsSet))
               stats.map(_.getNumNulls).sum
             else -1L)
-          // every row group with at least one non-null value must carry a
-          // usable bound; all-null row groups contribute no bound
-          val usable = stats.collect {
-            case s if s != null && s.hasNonNullValue =>
-              if (s.isEmpty) None
-              else encode(field.dataType, s.genericGetMin.asInstanceOf[AnyRef],
-                s.genericGetMax.asInstanceOf[AnyRef])
-          }
-          if (usable.nonEmpty && usable.forall(_.isDefined)) {
-            val los = usable.map(_.get._1)
-            val his = usable.map(_.get._2)
-            (minOf(field.dataType, los), maxOf(field.dataType, his)) match {
-              case (Some(lo), Some(hi)) =>
-                mins += field.name -> lo
-                maxs += field.name -> hi
-              case _ => ()
+          val perGroup: Seq[Option[Option[(String, String)]]] =
+            chunks.map { case (rowCount, chunk) =>
+              val s = chunk.getStatistics
+              if (s == null) None
+              else if (s.hasNonNullValue) {
+                if (s.isEmpty) None
+                else encode(field.dataType, chunk.getPrimitiveType,
+                  s.genericGetMin.asInstanceOf[AnyRef],
+                  s.genericGetMax.asInstanceOf[AnyRef]) match {
+                  case Some(b) => Some(Some(b))
+                  case None => None
+                }
+              }
+              else if (s.isNumNullsSet && s.getNumNulls == rowCount) Some(None)
+              else None
+            }
+          if (perGroup.forall(_.isDefined)) {
+            val bounds = perGroup.flatten.flatten
+            if (bounds.nonEmpty) {
+              val los = bounds.map(_._1)
+              val his = bounds.map(_._2)
+              (minOf(field.dataType, los), maxOf(field.dataType, his)) match {
+                case (Some(lo), Some(hi)) =>
+                  mins += field.name -> lo
+                  maxs += field.name -> hi
+                case _ => ()
+              }
             }
           }
         }
@@ -89,11 +112,25 @@ private[graft] object FooterStats {
     } finally reader.close()
   }
 
-  /** Canonical string encodings for (min, max); None = unusable. */
-  private def encode(dt: DataType, mn: AnyRef, mx: AnyRef): Option[(String, String)] =
+  /** Canonical string encodings for (min, max); None = unusable. The
+    * parquet [[org.apache.parquet.schema.PrimitiveType]] is consulted for
+    * TIMESTAMP columns: Catalyst predicate literals are MICROSECONDS, so
+    * footer stats in any other physical unit (MILLIS under
+    * `outputTimestampType=TIMESTAMP_MILLIS`, NANOS, or annotation-less
+    * INT96) must produce NO bound — a unit mismatch would shrink the
+    * bounds ~1000x and prune files that contain matches (ADVICE r12). */
+  private def encode(dt: DataType, primType: org.apache.parquet.schema.PrimitiveType,
+                     mn: AnyRef, mx: AnyRef): Option[(String, String)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     (dt, mn, mx) match {
-      case (ByteType | ShortType | IntegerType | LongType | DateType |
-            TimestampType | TimestampNTZType, a: Number, b: Number) =>
+      case (TimestampType | TimestampNTZType, a: Number, b: Number) =>
+        primType.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            Some((a.longValue.toString, b.longValue.toString))
+          case _ => None
+        }
+      case (ByteType | ShortType | IntegerType | LongType | DateType, a: Number, b: Number) =>
         Some((a.longValue.toString, b.longValue.toString))
       case (FloatType | DoubleType, a: Number, b: Number) =>
         val (lo, hi) = (a.doubleValue, b.doubleValue)
@@ -104,6 +141,7 @@ private[graft] object FooterStats {
         Some((a.toString, b.toString))
       case _ => None
     }
+  }
 
   private def minOf(dt: DataType, vs: Seq[String]): Option[String] =
     SkipEval.domainOrdering(dt).map(ord => vs.minBy(s => SkipEval.decode(dt, s))(ord))

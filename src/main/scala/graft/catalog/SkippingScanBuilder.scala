@@ -69,12 +69,82 @@ class SkippingScanBuilder(
   override def build(): Scan = new ForwardingScan(ensureDelegate().build(), mkStream)
 }
 
+/** The scan side of FILE-GRANULAR copy-on-write (VERDICT r12 #1): the
+  * builder Spark's GroupBasedRowLevelOperationScanPlanning rule pushes a
+  * row-level verb's condition into. The contract there is GROUP
+  * selection, not row filtering — the rule pushes the condition so the
+  * source can prune entire groups, while the ReplaceData plan keeps the
+  * full condition and rewrites every surviving row of the groups the scan
+  * returns. Accordingly this builder:
+  *
+  *  - uses the pushed conjuncts ONLY to shrink the FILE LIST via the
+  *    manifest's footer stats (`pruneFiles` = [[graft.catalog.SkipEval]],
+  *    whose contract is conservative: a pruned file PROVABLY holds no
+  *    matching row, so inheriting it unrewritten is exact);
+  *  - NEVER forwards them to the delegate parquet builder — parquet
+  *    row-group/page pruning inside a kept file would silently drop that
+  *    file's non-matching rows from the rewrite (the lost-rows smoke test
+  *    pinned at the ColumnPruneOnlyScanBuilder use site);
+  *  - reports the kept set to `onScope`, which the row-level WRITE reads
+  *    at commit time: kept files are REPLACED, pruned files are INHERITED
+  *    into the new manifest — a clustered-range UPDATE rewrites a strict
+  *    subset of a 100 TB table instead of all of it.
+  *
+  * Same `private[sql]` trait as [[SkippingScanBuilder]] above, same
+  * reason — no new internal API surface. */
+class CowGroupScanBuilder(
+    pruneFiles: Seq[Expression] => Seq[String],
+    mkDelegate: Seq[String] => ScanBuilder,
+    allFiles: Seq[String],
+    onScope: Seq[String] => Unit)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var delegate: ScanBuilder = _
+
+  private def ensureDelegate(kept: Seq[String]): ScanBuilder = {
+    if (delegate == null) { delegate = mkDelegate(kept); onScope(kept) }
+    delegate
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    require(delegate == null,
+      "pushFilters arrived after the delegate was built — pushdown ordering changed")
+    ensureDelegate(pruneFiles(filters))
+    filters // everything stays post-scan: the scan must yield EVERY row of the kept groups
+  }
+
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    ensureDelegate(allFiles) match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+
+  override def build(): Scan = ensureDelegate(allFiles).build()
+}
+
 /** The built Scan: batch paths forward VERBATIM to the delegate parquet
   * scan (vectorized reads, metadata, metrics — `description()` included,
   * so plan text and its `PushedFilters:` pins are unchanged); the one
   * addition is `toMicroBatchStream`, which the parquet scan does not
-  * implement and the catalog serves from its version chain. */
-class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream) extends Scan {
+  * implement and the catalog serves from its version chain. Size/row
+  * statistics are forwarded too ([[SupportsReportStatistics]] — the
+  * delegate FileScan implements it): without the forward every catalog
+  * scan would fall back to `defaultSizeInBytes` and the planner would
+  * stop broadcast-joining small catalog tables (ADVICE r12). */
+class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream)
+  extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
   override def toBatch: Batch = delegate.toBatch

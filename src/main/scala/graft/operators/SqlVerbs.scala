@@ -558,6 +558,164 @@ object SqlVerbs {
     (ss, t)
   }
 
+  /** X-SQLl — TIME-TRANSFORM clustering (`PARTITIONED BY (days(ts))`,
+    * Iceberg's hidden partitioning): the events table ingested once,
+    * scattered, into a days(ts)-clustered table — the write path range-
+    * clusters on the DERIVED day (the catalog's FunctionCatalog side
+    * resolves the transform), so each file covers a contiguous day range
+    * and a month-window `WHERE ts >= … AND ts < …` predicate prunes
+    * through the ordinary ts footer stats: no derived column in the
+    * schema, no hive day-directories (86k files/table/year at 100 TB),
+    * and consumers never have to know the partitioning exists. Window
+    * bounds derive from min/max by the SAME day arithmetic the oracle's
+    * scalar subqueries use. */
+  def sqlDaysTable(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureDaysTable(spark, dir)
+    val (loD, hiD) = daysWindow(ss, dir)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_events, sum(event_id) AS sum_event_id,
+                 count(DISTINCT user_id) AS n_users
+          FROM $t WHERE ts >= TIMESTAMP'${fmtDay(loD)}' AND ts < TIMESTAMP'${fmtDay(hiD)}'""")
+      .head()
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t)
+      .getOrElse((Int.MaxValue, Int.MaxValue))
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+      kept < total, kept >= 1))
+      .toDF("n_events", "sum_event_id", "n_users", "skipped_some", "kept_some")
+  }
+
+  /** The shared window formula: a ~(span/8)-day window starting a quarter
+    * into the observed day range, in whole days since epoch. */
+  private def daysWindow(ss: SparkSession, dir: String): (Long, Long) = {
+    val Array(b) = Tables.events(ss, dir).agg(
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("ts"))),
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("ts")))).collect()
+    val day = 86400000000L
+    val (mnd, mxd) = (Math.floorDiv(b.getLong(0), day), Math.floorDiv(b.getLong(1), day))
+    val loD = mnd + (mxd - mnd) / 4
+    (loD, loD + (mxd - mnd) / 8 + 1)
+  }
+
+  /** UTC midnight of day-number `d`, as a TZ-less literal both engines
+    * parse identically (the session is pinned UTC). */
+  private def fmtDay(d: Long): String =
+    java.time.Instant.ofEpochSecond(d * 86400).toString.replace("T", " ").stripSuffix("Z")
+
+  /** The days(ts)-clustered events table: ONE scattered INSERT, layout
+    * entirely from the write-path transform distribution (AQE coalescing
+    * disabled while building, same rationale as [[ensurePartTable]]). */
+  private[graft] def ensureDaysTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.events_days"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-days"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.events(ss, dir).createOrReplaceTempView("events_src_days")
+        ss.sql(s"CREATE TABLE $t (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "value DOUBLE) PARTITIONED BY (days(ts))")
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prior = ss.conf.get(coalesceKey, "true")
+        ss.conf.set(coalesceKey, "false")
+        try ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ event_id, ts, user_id, value " +
+          "FROM events_src_days")
+        finally ss.conf.set(coalesceKey, prior)
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlDaysTableOracleSql: String =
+    """WITH b AS (SELECT epoch_us(min(ts)) // 86400000000 AS mnd,
+                         epoch_us(max(ts)) // 86400000000 AS mxd FROM events),
+            w AS (SELECT (mnd + (mxd - mnd) // 4) * 86400000000 AS lo,
+                         (mnd + (mxd - mnd) // 4 + (mxd - mnd) // 8 + 1) * 86400000000 AS hi
+                  FROM b)
+       SELECT count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+              count(DISTINCT user_id) AS n_users,
+              true AS skipped_some, true AS kept_some
+       FROM events, w WHERE epoch_us(ts) >= w.lo AND epoch_us(ts) < w.hi"""
+
+  /** X-SQLm — FILE-GRANULAR copy-on-write (VERDICT r12 #1): on a
+    * clustered table, a targeted UPDATE and a one-row takedown DELETE
+    * each rewrite a STRICT SUBSET of the manifest — the row-level scan
+    * prunes the file list with the verb's condition against footer stats
+    * and the commit inherits every pruned file, so rewrite cost tracks
+    * the files the condition can touch, never the table (a takedown
+    * DELETE at 100 TB rewrites one file, not the corpus). The final
+    * content is oracle-checked relationally; the subset/inheritance
+    * flags read the manifest diffs ([[graft.catalog.Manifests]]) the
+    * same way `q_sql_skipping` reads the scan recorder. */
+  def sqlCowSubset(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureCowTable(spark, dir)
+    val agg = ss.sql(s"SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t").head()
+    // v0 create, v1 insert, v2 targeted UPDATE, v3 one-row DELETE
+    val (updPrev, updRemoved, _, updInherited) =
+      graft.catalog.Manifests.commitFileDiff(ss, t, 2)
+    val (delPrev, delRemoved, _, delInherited) =
+      graft.catalog.Manifests.commitFileDiff(ss, t, 3)
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      updRemoved >= 1 && updRemoved < updPrev && updInherited >= 1,
+      delRemoved >= 1 && delRemoved < delPrev && delInherited >= 1,
+      delRemoved <= updRemoved))
+      .toDF("n_docs", "sum_chars", "update_rewrote_subset", "delete_rewrote_subset",
+        "delete_no_wider_than_update")
+  }
+
+  /** The COW-subset fixture: documents into a doc_id-clustered table
+    * (one scattered INSERT, write-path layout), then the two targeted
+    * verbs. Window = the sqlSkipping quartile formula; the DELETE
+    * removes the corpus MIN doc_id — outside the update window, so the
+    * two verbs touch different file ranges. */
+  private[graft] def ensureCowTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_cow"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-cow"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        val docs = Tables.documents(ss, dir)
+        docs.createOrReplaceTempView("documents_src_cow")
+        val Array(b) = docs.agg(
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val lo = mn + (mx - mn) / 4
+        val hi = lo + (mx - mn) / 8
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT) PARTITIONED BY (doc_id)")
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prior = ss.conf.get(coalesceKey, "true")
+        ss.conf.set(coalesceKey, "false")
+        try {
+          ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ doc_id, n_chars " +
+            "FROM documents_src_cow")
+          ss.sql(s"UPDATE $t SET n_chars = n_chars + 1 WHERE doc_id BETWEEN $lo AND $hi")
+          ss.sql(s"DELETE FROM $t WHERE doc_id = $mn")
+        } finally ss.conf.set(coalesceKey, prior)
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlCowSubsetOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            w AS (SELECT mn, mn + (mx - mn) // 4 AS lo,
+                         mn + (mx - mn) // 4 + (mx - mn) // 8 AS hi FROM b),
+            v AS (SELECT doc_id,
+                         CASE WHEN doc_id BETWEEN w.lo AND w.hi THEN n_chars + 1
+                              ELSE n_chars END AS n_chars
+                  FROM documents, w WHERE doc_id <> w.mn)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              true AS update_rewrote_subset, true AS delete_rewrote_subset,
+              true AS delete_no_wider_than_update
+       FROM v"""
+
   def sqlPartitionedOracleSql: String =
     """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
             w AS (SELECT mn + (mx - mn) // 2 AS lo,
