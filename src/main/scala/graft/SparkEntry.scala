@@ -595,6 +595,9 @@ object SparkEntry {
     // the catalog table as a streaming SOURCE: snapshot + incremental
     // version tail, compaction invisible via dataChange=false
     "q_stream_catalog_source" -> ((s, d) => graft.streaming.StreamingOps.streamCatalogSourceEndToEnd(s, d)),
+    // the change feed as a stream: row-level deltas per commit, COW
+    // rewrites included, one micro-batch per version (.changes suffix)
+    "q_stream_cdf_tail" -> ((s, d) => graft.streaming.StreamingOps.streamCdfTailEndToEnd(s, d)),
     // the full lakehouse loop: upstream table -> version-tail stream ->
     // per-batch MERGE maintains a downstream aggregate table
     "q_stream_derived_table" -> ((s, d) => graft.streaming.StreamingOps.streamDerivedTableEndToEnd(s, d)),
@@ -1021,6 +1024,7 @@ object SparkEntry {
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
+    "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,
     "q_stream_derived_table" -> graft.streaming.StreamingOps.streamDerivedTableOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,

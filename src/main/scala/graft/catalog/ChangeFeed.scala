@@ -88,26 +88,36 @@ object ChangeFeed {
     def manifestOf(v: Int): Commit = chain.find(_.version == v).getOrElse(
       throw new IllegalArgumentException(s"no version $v on '$table'"))
 
-    val perVersion = (math.max(fromVersion, 1) to toVersion).flatMap { v =>
-      val commit = manifestOf(v)
-      if (!commit.dataChange) None
-      else {
-        val have = chain.map(_.version).toSet
-        require(have.contains(v - 1),
-          s"parent version ${v - 1} of $v was expired; change feed over [$fromVersion,$toVersion] is unreconstructable")
-        val parentFiles = manifestOf(v - 1).files
-        val cur = commit.files.toSet
-        val prev = parentFiles.toSet
-        val added = commit.files.filterNot(prev)
-        val removed = parentFiles.filterNot(cur)
-        if (added.isEmpty && removed.isEmpty) None
-        else Some(commitDelta(ss, dir, meta, v, added, removed, keyCols))
-      }
-    }
+    val perVersion = (math.max(fromVersion, 1) to toVersion).flatMap(v =>
+      changesOfCommit(ss, dir, meta, chain, v, keyCols))
 
     val base = withChangeSchema(emptySnapshot(ss, meta), lit(null).cast("string"), lit(0))
       .limit(0)
     perVersion.foldLeft(base)(_.unionAll(_))
+  }
+
+  /** The row-level changes of ONE commit (`None` when the commit changed
+    * nothing row-wise: `dataChange = false` layout rewrites, or an empty
+    * manifest diff) — the unit the batch feed unions over and the
+    * STREAMING feed ([[GraftCdfMicroBatchStream]]) materializes per
+    * version. Requires the parent manifest to still exist. */
+  private[catalog] def changesOfCommit(ss: SparkSession, dir: Path, meta: TableMeta,
+                                       chain: Seq[Commit], v: Int,
+                                       keyCols: Seq[String]): Option[DataFrame] = {
+    val commit = chain.find(_.version == v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v in chain"))
+    if (!commit.dataChange) None
+    else {
+      require(chain.exists(_.version == v - 1),
+        s"parent version ${v - 1} of $v was expired; its change feed is unreconstructable")
+      val parentFiles = chain.find(_.version == v - 1).get.files
+      val cur = commit.files.toSet
+      val prev = parentFiles.toSet
+      val added = commit.files.filterNot(prev)
+      val removed = parentFiles.filterNot(cur)
+      if (added.isEmpty && removed.isEmpty) None
+      else Some(commitDelta(ss, dir, meta, v, added, removed, keyCols))
+    }
   }
 
   /** The net row delta of one commit, classified. One-sided commits

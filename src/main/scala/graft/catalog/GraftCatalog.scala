@@ -112,7 +112,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   /** Plain `cat.ns.t` loads the main chain. `cat.ns.t.branch_<name>`
     * (Iceberg's branch-suffix idiom) loads a WAP branch view of `ns.t`:
     * reads and writes resolve against the branch's commit chain until
-    * `CALL system.publish_branch` fast-forwards main. */
+    * `CALL system.publish_branch` fast-forwards main. `cat.ns.t.changes`
+    * loads the CHANGE-FEED streaming view ([[GraftCdfTable]]): row-level
+    * deltas per commit, COW rewrites included. */
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
@@ -124,6 +126,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       val b = ident.name().stripPrefix("branch_")
       if (!TableMeta.read(baseDir).branches.contains(b)) throw new NoSuchTableException(ident)
       new GraftTable(fullName(ident), baseDir, pinnedVersion = None, branch = Some(b))
+    } else if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+      val base = Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+      val baseDir = tableDir(base)
+      if (!Files.exists(baseDir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
+      new GraftCdfTable(fullName(ident),
+        new GraftTable(fullName(base), baseDir, pinnedVersion = None))
     } else throw new NoSuchTableException(ident)
   }
 
@@ -447,6 +455,24 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
             val dead = expired.flatMap(_.files).filterNot(live).distinct
             TableMeta.write(dir, m.copy(history = kept), expectedLatest = Some(m.latest))
             dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+            // cached change-feed dirs OF expired commits go with them (a
+            // kept commit's cache stays readable even if its parent
+            // expired — it was materialized while the parent lived)
+            val cdfDir = dir.resolve("cdf")
+            if (Files.isDirectory(cdfDir)) {
+              val vPat = "^v(\\d+)-k".r
+              val l = Files.list(cdfDir)
+              val doomed = try l.iterator().asScala.filter { p =>
+                vPat.findFirstMatchIn(p.getFileName.toString)
+                  .exists(_.group(1).toInt < keepFrom)
+              }.toSeq finally l.close()
+              doomed.foreach { d =>
+                val walk = Files.walk(d)
+                try walk.sorted(java.util.Comparator.reverseOrder())
+                  .iterator().asScala.foreach(Files.deleteIfExists(_))
+                finally walk.close()
+              }
+            }
             (expired.size, kept.size, dead.size)
           }
         val row: InternalRow = InternalRow(nExpired, nKept, nDeleted)
@@ -1051,6 +1077,16 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     delegate(relFiles.map(f => dir.resolve(f).toString))
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
 
+  /** A delegate parquet Scan over materialized CDF files (ABSOLUTE
+    * paths, CDF schema = table schema + change columns) — what the
+    * change-feed streaming source ([[GraftCdfMicroBatchStream]]) plans
+    * its micro-batches through. */
+  private[catalog] def cdfScanOver(absFiles: Seq[String],
+                                   cdfSchema: StructType): org.apache.spark.sql.connector.read.Scan =
+    ParquetTable(s"$tableName.changes", spark, CaseInsensitiveStringMap.empty(),
+      absFiles, Some(cdfSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+
   private[catalog] def currentMeta: TableMeta = meta
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1406,9 +1442,12 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
           val prevSet = prev.files.toSet
           if (!prevSet.subsetOf(c.files.toSet))
             throw new UnsupportedOperationException(
-              s"${table.name()}: version ${c.version} (${c.op}) rewrote the table; " +
-                "catalog streams support append-only history (compactions are skipped " +
-                "via dataChange=false) — restart the stream from the current snapshot")
+              s"${table.name()}: version ${c.version} (${c.op}) rewrote files; this " +
+                "source re-emits whole files, so it supports append-only history " +
+                "(compactions are skipped via dataChange=false). For row-level " +
+                s"deltas across rewrites, stream the change feed: readStream.table(\"" +
+                s"${table.name()}.changes\") — or restart this stream from the " +
+                "current snapshot")
           c.files.filterNot(prevSet)
         }
       }

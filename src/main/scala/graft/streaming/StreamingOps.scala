@@ -1466,6 +1466,43 @@ object StreamingOps {
               true AS resumed_incremental, true AS compaction_invisible
        FROM events"""
 
+  /** X-STRw — THE CHANGE FEED AS A STREAM (VERDICT r12 #4): `readStream
+    * .table("….changes")` tails the verb chain's ROW-LEVEL deltas — the
+    * INSERT's rows as inserts, the UPDATE's and the MERGE's matched arm
+    * as keyed pre/post image pairs, the takedown DELETE as deletes —
+    * across COW rewrites the plain version-tail source must refuse
+    * ([[graft.catalog.GraftCdfTable]]). `starting_version = 0` replays
+    * the whole retained chain; `max_versions_per_trigger = 1` forces one
+    * micro-batch PER COMMIT, so the collected output being hash-equal to
+    * the DuckDB relational replay (the same oracle as the batch
+    * `q_sql_cdf`) pins batch-for-batch equality with
+    * [[graft.catalog.ChangeFeed.tableChanges]], not just same-total.
+    * Downstream is how a 100 TB derived table subscribes to takedowns:
+    * per-trigger cost ∝ the files each commit touched (file-granular COW
+    * keeps that ∝ churn), never the corpus. */
+  def streamCdfTailEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = graft.operators.SqlVerbs.ensureVerbChain(spark, dir)
+    val out = scratchDir("cdftail")
+    val q = ss.readStream
+      .option("starting_version", "0")
+      .option("key_cols", "doc_id")
+      .option("max_versions_per_trigger", "1")
+      .table(s"$t.changes")
+      .writeStream
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+    readBackCleaned(spark, out)(identity)
+  }
+
+  /** The stream must equal the batch feed, which equals the relational
+    * replay — one oracle serves all three. */
+  val streamCdfTailOracleSql: String = graft.operators.SqlVerbs.sqlCdfOracleSql
+
   /** X-STRv — DERIVED-TABLE MAINTENANCE, the full lakehouse loop: an
     * upstream catalog table is ingested in batches, `readStream.table`
     * tails its version chain, and each micro-batch MERGEs its

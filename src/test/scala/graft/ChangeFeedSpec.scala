@@ -143,4 +143,61 @@ class ChangeFeedSpec extends AnyFunSuite {
       assert(replayed.exceptAll(end).isEmpty && end.exceptAll(replayed).isEmpty)
     } finally f.unpersist()
   }
+
+  // ---- the feed as a STREAM (.changes suffix, round 13) ----
+
+  private def drainChanges(ss: SparkSession, t: String, out: String,
+                           options: Map[String, String] = Map.empty): Unit = {
+    var r = ss.readStream.option("key_cols", "id")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.table(s"$t.changes")
+      .writeStream
+      .option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$out/result")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streamed feed equals the batch feed across a COW rewrite; compaction invisible") {
+    val (ss, c) = freshCatalog("cdf_stream")
+    val t = s"$c.ns.t"
+    seed(ss, t)
+    ss.sql(s"UPDATE $t SET x = x + 10 WHERE id <= 2") // v2: COW rewrite
+    ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 1)") // v3: layout only
+    ss.sql(s"DELETE FROM $t WHERE id = 4") // v4
+    val out = java.nio.file.Files.createTempDirectory("graft-cdfspec-stream-").toString
+    drainChanges(ss, t, out, Map("starting_version" -> "0",
+      "max_versions_per_trigger" -> "1"))
+    val streamed = ss.read.parquet(s"$out/result")
+    val batch = feed(ss, t, 1, 4)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed feed differs from the batch feed")
+    // the compaction commit contributed zero rows
+    assert(streamed.where("_commit_version = 3").count() == 0)
+  }
+
+  test("a resumed changes stream emits only commits after its checkpointed offset") {
+    val (ss, c) = freshCatalog("cdf_resume")
+    val t = s"$c.ns.t"
+    seed(ss, t)
+    val out = java.nio.file.Files.createTempDirectory("graft-cdfspec-resume-").toString
+    drainChanges(ss, t, out, Map("starting_version" -> "0"))
+    val first = ss.read.parquet(s"$out/result").count()
+    assert(first == 4) // v1's four inserts
+    ss.sql(s"UPDATE $t SET x = 0 WHERE id = 1") // v2 after the checkpoint
+    drainChanges(ss, t, out)
+    val all = ss.read.parquet(s"$out/result")
+    assert(all.count() == 6, "resume re-emitted or dropped commits") // +pre/post pair
+    assert(rows(all.where("_commit_version = 2")) ==
+      Set((1L, "a", 0.5, "update_preimage", 2), (1L, "a", 0.0, "update_postimage", 2)))
+    // default starting point for a FRESH stream is the current latest:
+    // nothing to emit until the next commit
+    val out2 = java.nio.file.Files.createTempDirectory("graft-cdfspec-fresh-").toString
+    drainChanges(ss, t, out2)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out2/result")) ||
+      ss.read.parquet(s"$out2/result").isEmpty)
+  }
 }
