@@ -999,10 +999,19 @@ private[catalog] object TableMeta {
   * until `CALL system.publish_branch` fast-forwards it. */
 class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
                  branch: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
 
   private def meta: TableMeta = TableMeta.read(dir)
   private def spark: SparkSession = SparkSession.active
+
+  /** `_file` (see [[FileTag]]): user-selectable lineage column AND the
+    * filter attribute of runtime group filtering on row-level verbs. A
+    * table with a real `_file` data column shadows it (Spark drops the
+    * conflicting metadata column from relation.metadataOutput; the
+    * row-level op then declares no metadata attrs and stays on the
+    * static pruning path). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(FileTag.column)
 
   /** The commit chain this view reads and writes: a branch's chain when
     * this is a branch view, the main history otherwise. */
@@ -1060,14 +1069,15 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       },
       rel => delegate(rel.map(f => dir.resolve(f).toString)).newScanBuilder(options),
       mf.files,
-      _ => {
+      mkStream = _ => {
         require(pinnedVersion.isEmpty,
           s"$tableName is a time-travel view; stream the live table and bound it yourself")
         require(branch.isEmpty,
           s"$tableName is a WAP branch view; stream the base table (branches are short-lived staging)")
         new GraftMicroBatchStream(this,
           Option(options.get("max_versions_per_trigger")).map(_.toInt))
-      })
+      },
+      fileColShadowed = m.schema.fieldNames.contains(FileTag.Col))
   }
 
   /** A bare delegate parquet Scan over an explicit file subset — the
@@ -1111,6 +1121,16 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     () => new RowLevelOperation {
       private val ctx = new CowContext
       override def command(): RowLevelOperation.Command = info.command()
+      /** Declaring `_file` makes Spark (a) thread it through the
+        * ReplaceData relation so the row-level scan produces it, and
+        * (b) apply RowLevelOperationRuntimeGroupFiltering: a runtime
+        * subquery narrows the rewrite's file group to files that
+        * actually HOLD matching rows — the only pruning that works for
+        * MERGE's source-dependent condition. Skipped when the schema
+        * shadows the name (metadata resolution would fail). */
+      override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        if (meta.schema.fieldNames.contains(FileTag.Col)) Array.empty
+        else Array(org.apache.spark.sql.connector.expressions.Expressions.column(FileTag.Col))
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
         val m = meta
         val latest = chainLatest(m)
@@ -1126,7 +1146,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
           kept => {
             ctx.replaced = kept
             SkipRecorder.record(s"$tableName#cow", kept.size, mf.files.size)
-          })
+          },
+          fileColShadowed = m.schema.fieldNames.contains(FileTag.Col))
       }
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
         require(pinnedVersion.isEmpty,
@@ -1294,12 +1315,15 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
           // __row_operation INT column to every row (RowDeltaUtils.
           // OPERATION_COLUMN; all rows carry WRITE/WRITE_WITH_METADATA —
           // this connector declares no delta support, so no row-level
-          // verbs reach here). With zero requiredMetadataAttributes Spark
-          // picks the plain DataWritingSparkTask, which does NOT apply
-          // ReplaceDataProjections.rowProjection (only the
-          // metadata-projecting task does), so the extra column reaches
-          // the writer and must be stripped here against the declared
-          // write schema.
+          // verbs reach here). Which write task Spark picks depends on
+          // requiredMetadataAttributes: with `_file` declared (the
+          // normal case since round 13) the metadata-projecting task
+          // applies ReplaceDataProjections.rowProjection and rows arrive
+          // already shaped to the write schema; with the attr shadowed
+          // (a table owning a `_file` data column) the plain
+          // DataWritingSparkTask skips the projection and the extra
+          // column reaches the writer. The wrapper's field-count check
+          // handles both shapes.
           if (replaceManifest)
             OperationColumnStrippingFactory(factory, info.schema())
           else factory

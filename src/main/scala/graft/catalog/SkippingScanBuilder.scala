@@ -35,11 +35,16 @@ class SkippingScanBuilder(
     pruneFiles: Seq[Expression] => Seq[String],
     mkDelegate: Seq[String] => ScanBuilder,
     allFiles: Seq[String],
-    mkStream: String => MicroBatchStream)
+    mkStream: String => MicroBatchStream,
+    fileColShadowed: Boolean)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
   private var delegate: ScanBuilder = _
+  private var prunedFiles: Seq[String] = allFiles
+  private var pushed: Seq[Expression] = Nil
+  private var dataSchema: Option[StructType] = None
+  private var wantFile: Boolean = false
 
   private def ensureDelegate(): ScanBuilder = {
     if (delegate == null) delegate = mkDelegate(allFiles)
@@ -49,7 +54,9 @@ class SkippingScanBuilder(
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     require(delegate == null,
       "pushFilters arrived after the delegate was built — pushdown ordering changed")
-    delegate = mkDelegate(pruneFiles(filters))
+    prunedFiles = pruneFiles(filters)
+    pushed = filters
+    delegate = mkDelegate(prunedFiles)
     delegate match {
       case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
       case _ => filters
@@ -61,12 +68,47 @@ class SkippingScanBuilder(
     case _ => Array.empty
   }
 
-  override def pruneColumns(requiredSchema: StructType): Unit = ensureDelegate() match {
-    case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
-    case _ => ()
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // `_file` is the catalog's metadata column — produced by the tagged
+    // scan below, never by the parquet delegate (which would null-fill a
+    // column the files don't have). On a table whose SCHEMA owns a
+    // `_file` data column the name refers to that column (the metadata
+    // column is shadowed) and must flow to the delegate untouched.
+    val (data, wf) =
+      if (fileColShadowed) (requiredSchema, false)
+      else graft.catalog.FileTag.splitSchema(requiredSchema)
+    wantFile = wf
+    dataSchema = Some(data)
+    ensureDelegate() match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(data)
+      case _ => ()
+    }
   }
 
-  override def build(): Scan = new ForwardingScan(ensureDelegate().build(), mkStream)
+  override def build(): Scan =
+    if (!wantFile) new ForwardingScan(ensureDelegate().build(), mkStream)
+    else {
+      // `SELECT _file, … FROM t`: per-file partitions, each tagged with
+      // its manifest-relative path. Filters re-push per file (row-group
+      // pruning inside kept files survives; a post-scan Filter exists,
+      // so row-granular application is allowed on this READ path).
+      // Streaming with _file is not served (the version-tail source has
+      // no per-file tagging) — toMicroBatchStream fails loudly.
+      val data = dataSchema.get
+      val filters = pushed
+      new graft.catalog.FileTaggedScan(() => prunedFiles, files => {
+        val b = mkDelegate(files)
+        b match {
+          case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
+          case _ => ()
+        }
+        b match {
+          case c: SupportsPushDownRequiredColumns => c.pruneColumns(data)
+          case _ => ()
+        }
+        b.build()
+      }, data)
+    }
 }
 
 /** The scan side of FILE-GRANULAR copy-on-write (VERDICT r12 #1): the
@@ -84,11 +126,25 @@ class SkippingScanBuilder(
   *  - NEVER forwards them to the delegate parquet builder — parquet
   *    row-group/page pruning inside a kept file would silently drop that
   *    file's non-matching rows from the rewrite (the lost-rows smoke test
-  *    pinned at the ColumnPruneOnlyScanBuilder use site);
+  *    pinned at the use site in GraftCatalog.scala);
   *  - reports the kept set to `onScope`, which the row-level WRITE reads
   *    at commit time: kept files are REPLACED, pruned files are INHERITED
   *    into the new manifest — a clustered-range UPDATE rewrites a strict
   *    subset of a 100 TB table instead of all of it.
+  *
+  * When the pruned schema carries the `_file` metadata column (the
+  * operation declares it via requiredMetadataAttributes), the built scan
+  * is a [[graft.catalog.FileTaggedScan]] implementing
+  * SupportsRuntimeV2Filtering on `_file`: Spark's
+  * RowLevelOperationRuntimeGroupFiltering plans a subquery computing the
+  * `_file` values of rows MATCHING the verb's condition — including
+  * MERGE's source-dependent ON clause, which footer stats can never
+  * bound — and `filter()` narrows the kept set to exactly those groups
+  * before partitions are planned. Narrowing is sound for the same reason
+  * static pruning is: a file absent from the matching set provably holds
+  * no matching row, so inheriting it unrewritten is exact; an
+  * unparseable runtime predicate leaves the set untouched
+  * (conservative). The commit then replaces the POST-narrowing set.
   *
   * Same `private[sql]` trait as [[SkippingScanBuilder]] above, same
   * reason — no new internal API surface. */
@@ -96,33 +152,57 @@ class CowGroupScanBuilder(
     pruneFiles: Seq[Expression] => Seq[String],
     mkDelegate: Seq[String] => ScanBuilder,
     allFiles: Seq[String],
-    onScope: Seq[String] => Unit)
+    onScope: Seq[String] => Unit,
+    fileColShadowed: Boolean)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
-  private var delegate: ScanBuilder = _
-
-  private def ensureDelegate(kept: Seq[String]): ScanBuilder = {
-    if (delegate == null) { delegate = mkDelegate(kept); onScope(kept) }
-    delegate
-  }
+  @volatile private var kept: Seq[String] = allFiles
+  private var dataSchema: Option[StructType] = None
+  private var wantFile: Boolean = false
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    require(delegate == null,
-      "pushFilters arrived after the delegate was built — pushdown ordering changed")
-    ensureDelegate(pruneFiles(filters))
+    kept = pruneFiles(filters)
+    onScope(kept)
     filters // everything stays post-scan: the scan must yield EVERY row of the kept groups
   }
 
   override def pushedFilters: Array[Predicate] = Array.empty
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    ensureDelegate(allFiles) match {
-      case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // same shadowing contract as SkippingScanBuilder.pruneColumns
+    val (data, wf) =
+      if (fileColShadowed) (requiredSchema, false)
+      else graft.catalog.FileTag.splitSchema(requiredSchema)
+    dataSchema = Some(data)
+    wantFile = wf
+  }
+
+  /** Delegate scan over `files`, column-pruned, NO filters (see class
+    * doc — the rewrite scan must yield every row of its groups). */
+  private def mkScanFor(files: Seq[String]): Scan = {
+    val b = mkDelegate(files)
+    (b, dataSchema) match {
+      case (c: SupportsPushDownRequiredColumns, Some(s)) => c.pruneColumns(s)
       case _ => ()
     }
+    b.build()
+  }
 
-  override def build(): Scan = ensureDelegate(allFiles).build()
+  override def build(): Scan =
+    if (!wantFile) mkScanFor(kept)
+    else new graft.catalog.FileTaggedScan(() => kept, mkScanFor,
+      dataSchema.getOrElse(StructType(Nil)))
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+      override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.FieldReference.column(
+          graft.catalog.FileTag.Col))
+      override def filter(predicates: Array[Predicate]): Unit =
+        graft.catalog.FileTag.allowedFiles(predicates).foreach { allowed =>
+          kept = kept.filter(allowed)
+          onScope(kept)
+        }
+    }
 }
 
 /** The built Scan: batch paths forward VERBATIM to the delegate parquet

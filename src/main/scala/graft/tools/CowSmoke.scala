@@ -41,13 +41,20 @@ object CowSmoke {
     ss.sql(s"UPDATE $t SET v = v + 1")
     diff(6, 7)
     println("count=" + ss.sql(s"SELECT count(*) FROM $t").head().getLong(0))
-    println("--- MERGE (source-dependent condition: conservative full rewrite ok) ---")
+    println("--- SELECT _file (metadata column) ---")
+    val ftab = ss.sql(s"SELECT _file, count(*) AS n FROM $t GROUP BY _file ORDER BY _file")
+      .collect()
+    println("distinct files=" + ftab.length + " total=" + ftab.map(_.getLong(1)).sum)
+    println("--- MERGE (source-dependent condition: runtime group filtering) ---")
     ss.sql(s"""MERGE INTO $t x USING (SELECT id, id AS v FROM range(3990, 4010)) s
                ON x.id = s.id
                WHEN MATCHED THEN UPDATE SET v = s.v
                WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
     diff(7, 8)
     println("count=" + ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) + " expect 4009")
+    println("merge result probe: sum in [3990,4010)=" +
+      ss.sql(s"SELECT sum(v) FROM $t WHERE id >= 3990 AND id < 4010").head().getLong(0) +
+      " expect " + (3990 until 4010).map(_.toLong).sum)
     println("--- time travel: v5 still reads pre-delete content ---")
     println("v5 count=" + ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 5").head().getLong(0) +
       " expect 4000")

@@ -83,26 +83,99 @@ class CowSpec extends AnyFunSuite {
     assert(kept < total, s"inherited stats lost: kept $kept of $total")
   }
 
-  test("unpushable or absent conditions fall back to whole-table rewrite, correctly") {
+  test("stats-unpushable conditions still narrow via the runtime subquery, correctly") {
     val (ss, c) = freshCatalog("cow_cons")
     val t = s"$c.ns.t"
     seedClustered(ss, t)
-    // modulo is not a SkipEval shape -> conservative keep-all
+    // modulo is not a SkipEval shape, so STATIC pruning keeps all files —
+    // but the runtime group-filter subquery computes the _file values of
+    // actually-matching rows (ids 7, 1007, 2007, 3007 -> one file per
+    // range commit) and the rewrite touches only those
     ss.sql(s"UPDATE $t SET v = -1 WHERE id % 1000 = 7")
-    val (prev, removed, _, _) = Manifests.commitFileDiff(ss, t, 5)
-    assert(removed == prev, "unsupported predicate must rewrite every file")
+    val (prev, removed, _, inherited) = Manifests.commitFileDiff(ss, t, 5)
+    assert(removed >= 1 && removed < prev,
+      s"runtime subquery did not narrow the modulo UPDATE: removed $removed of $prev")
+    assert(inherited >= 1)
     assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = -1").head().getLong(0) == 4)
     assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4000)
-    // MERGE's source-dependent condition: conservative too, and correct
-    ss.sql(s"""MERGE INTO $t x USING (SELECT id, -7L AS v FROM range(10, 12)) s
-               ON x.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""")
-    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = -7").head().getLong(0) == 2)
+    // with the runtime filter disabled the same verb falls back to a
+    // whole-table rewrite — conservative, still correct
+    ss.conf.set("spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled", "false")
+    try {
+      ss.sql(s"UPDATE $t SET v = -2 WHERE id % 1000 = 8")
+      val (prev2, removed2, _, _) = Manifests.commitFileDiff(ss, t, 6)
+      assert(removed2 == prev2,
+        s"filter disabled + stats-unpushable must rewrite every file: $removed2 of $prev2")
+      assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = -2").head().getLong(0) == 4)
+      assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4000)
+    } finally ss.conf.set("spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled", "true")
   }
 
   // (the replace-commit conflict guard a COW rewrite rides on — fail on a
   // race rather than publish a stale rewrite — is pinned by CatalogSpec's
   // concurrent-commit tests; the scan-time base only tightens WHICH
   // version the guard compares against)
+
+  // ---- runtime group filtering (the MERGE half of file granularity) ----
+
+  test("MERGE rewrites only files holding MATCHED rows (runtime group filtering)") {
+    val (ss, c) = freshCatalog("cow_merge")
+    val t = s"$c.ns.t"
+    seedClustered(ss, t)
+    // source touches ids 3990..4009: matches live in ONE of the >=4
+    // range files; 3990..3999 update, 4000..4009 insert
+    ss.sql(s"""MERGE INTO $t x USING (SELECT id, -1L AS v FROM range(3990, 4010)) s
+               ON x.id = s.id
+               WHEN MATCHED THEN UPDATE SET v = s.v
+               WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val (prev, removed, _, inherited) = Manifests.commitFileDiff(ss, t, 5)
+    // footer stats can't bound the join condition; the runtime subquery
+    // must narrow the group to the matched file(s)
+    assert(removed >= 1 && removed < prev,
+      s"MERGE did not rewrite a strict subset: removed $removed of $prev")
+    assert(inherited >= 1)
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4010)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = -1").head().getLong(0) == 20)
+    // untouched mass intact
+    assert(ss.sql(s"SELECT sum(v) FROM $t WHERE id < 3990").head().getLong(0) ==
+      (0 until 3990).map(_.toLong * 10).sum)
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE touches every row, correctly (no narrowing)") {
+    val (ss, c) = freshCatalog("cow_mbs")
+    val t = s"$c.ns.t"
+    seedClustered(ss, t)
+    ss.sql(s"""MERGE INTO $t x USING (SELECT id, -1L AS v FROM range(100, 110)) s
+               ON x.id = s.id
+               WHEN MATCHED THEN UPDATE SET v = s.v
+               WHEN NOT MATCHED BY SOURCE AND x.id >= 3995 THEN DELETE""")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3995)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = -1").head().getLong(0) == 10)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE id >= 3995").head().getLong(0) == 0)
+  }
+
+  test("_file metadata column: one value per manifest file, selectable, shadowable") {
+    val (ss, c) = freshCatalog("cow_file")
+    val t = s"$c.ns.t"
+    seedClustered(ss, t)
+    val byFile = ss.sql(s"SELECT _file, count(*) AS n FROM $t GROUP BY _file").collect()
+    val manifest = Manifests.files(ss, t, 4).toSet
+    assert(byFile.map(_.getString(0)).toSet == manifest,
+      "_file values must be exactly the manifest's relative paths")
+    assert(byFile.map(_.getLong(1)).sum == 4000)
+    // plain reads without _file are untouched (still prune via stats)
+    ss.sql(s"SELECT sum(v) FROM $t WHERE id < 1000").collect()
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t).get
+    assert(kept < total)
+    // a table OWNING a _file data column shadows the metadata column and
+    // keeps row-level verbs on the static path
+    val t2 = s"$c.ns.shadow"
+    ss.sql(s"CREATE TABLE $t2 (id BIGINT, _file STRING)")
+    ss.sql(s"INSERT INTO $t2 SELECT id, concat('u', id) FROM range(0, 10)")
+    ss.sql(s"UPDATE $t2 SET _file = 'x' WHERE id < 3")
+    assert(ss.sql(s"SELECT count(*) FROM $t2 WHERE _file = 'x'").head().getLong(0) == 3)
+    assert(ss.sql(s"SELECT count(*) FROM $t2").head().getLong(0) == 10)
+  }
 
   // ---- footer-stats soundness the COW pruning rides on (ADVICE r12) ----
 
