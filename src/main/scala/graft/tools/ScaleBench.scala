@@ -119,12 +119,27 @@ object ScaleBench {
       graft.catalog.ChangeFeed.tableChanges(ss, t, 2, 2, keyCols = Seq("doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
+    // MERGE over the same fixed window: its ON condition is
+    // source-dependent, so the bounded rewrite here is the RUNTIME
+    // group-filter subquery at work (round 13), not footer stats —
+    // cost = one pass over candidate files for the subquery + the
+    // rewrite of matched files; both ∝ churn, never the table
+    val merge = timed {
+      ss.sql(s"""MERGE INTO $t x
+                 USING (SELECT doc_id, n_chars FROM docs_cdc_src WHERE doc_id <= $bound) s
+                 ON x.doc_id = s.doc_id
+                 WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 2""")
+    }
+    val (mTotal, mRewritten, _, _) = graft.catalog.Manifests.commitFileDiff(ss, t, 3)
     val s = java.nio.file.Files.walk(root)
     try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally s.close()
     Seq("cdc_ingest" -> ingest, "cdc_update" -> update, "cdc_feed" -> feed,
-      "cdc_files_rewritten" -> rewritten.toDouble, "cdc_files_total" -> total.toDouble)
+      "cdc_files_rewritten" -> rewritten.toDouble, "cdc_files_total" -> total.toDouble,
+      "cdc_merge" -> merge,
+      "cdc_merge_files_rewritten" -> mRewritten.toDouble,
+      "cdc_merge_files_total" -> mTotal.toDouble)
   }
 
   /** Staged artifacts the targets read (the bench pre-builds the same
