@@ -173,6 +173,11 @@ object SparkEntry {
     // file-granular COW: a clustered-range UPDATE + one-row DELETE each
     // rewrite a strict subset of the manifest (inherited files pinned)
     "q_sql_cow_subset"    -> ((s, d) => SqlVerbs.sqlCowSubset(s, d)),
+    // DESCRIBE HISTORY: the verb chain's commit log via CALL system.history
+    "q_sql_history"       -> ((s, d) => SqlVerbs.sqlHistory(s, d)),
+    // TRUNCATE TABLE as a metadata-only replace commit; pre-truncate
+    // version stays readable (RESTORE-able), writes continue after
+    "q_sql_truncate"      -> ((s, d) => SqlVerbs.sqlTruncate(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1022,6 +1027,8 @@ object SparkEntry {
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_sql_days_table" -> SqlVerbs.sqlDaysTableOracleSql,
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,
+    "q_sql_history" -> SqlVerbs.sqlHistoryOracleSql,
+    "q_sql_truncate" -> SqlVerbs.sqlTruncateOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,

@@ -291,7 +291,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_versions", "compact", "create_branch", "publish_branch",
-        "drop_branch", "restore", "remove_orphans").map(Identifier.of(Array("system"), _))
+        "drop_branch", "restore", "remove_orphans", "history")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -305,9 +306,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "drop_branch" => new BranchProcedure(this, BranchProcedure.Drop)
       case "restore" => new RestoreProcedure(this)
       case "remove_orphans" => new RemoveOrphansProcedure(this)
+      case "history" => new HistoryProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
-          "create_branch, publish_branch, drop_branch, restore, remove_orphans)")
+          "create_branch, publish_branch, drop_branch, restore, remove_orphans, history)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
@@ -757,6 +759,72 @@ private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
     }
 }
 
+/** `CALL <cat>.system.history(table => 'ns.t' [, branch => 'b'])` —
+  * Delta's DESCRIBE HISTORY / Iceberg's snapshots table: one row per
+  * retained commit of the main chain (or a branch's), oldest first —
+  * the operator-facing audit log of what happened to a table and the
+  * input for picking a `VERSION AS OF` / `RESTORE` target. Columns:
+  * version, ts_millis, op, data_change, n_files, n_rows (−1 when any
+  * file predates stats collection). Metadata-only: reads one manifest
+  * file, never data. */
+private[catalog] class HistoryProcedure(cat: GraftCatalog)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = "history"
+  override def description(): String =
+    "the table's retained commit log, oldest first (DESCRIBE HISTORY)"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = HistoryProcedure.this.name()
+      override def description(): String = HistoryProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("branch", StringType)
+          .defaultValue("NULL").comment("read a WAP branch's chain instead of main").build())
+
+      private val outSchema = StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("ts_millis", LongType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("data_change", BooleanType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branch = if (input.isNullAt(1)) None else Some(input.getUTF8String(1).toString)
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val m = TableMeta.read(dir)
+        val chain = branch match {
+          case Some(b) => m.branches.getOrElse(b, throw new IllegalArgumentException(
+            s"no branch '$b' on $table (have: ${m.branches.keys.toSeq.sorted.mkString(", ")})"))
+          case None => m.history
+        }
+        // NOT named `rows`: inside the LocalScan that name resolves to
+        // the override itself — a tail-recursive self-call scalac turns
+        // into an infinite loop (caught by a thread dump, r13)
+        val logRows = chain.sortBy(_.version).map { c =>
+          val rowCounts = c.files.map(f => c.stats.get(f).map(_.rows))
+          val nRows = if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum else -1L
+          InternalRow(c.version, c.tsMillis, UTF8String.fromString(c.op),
+            c.dataChange, c.files.size, nRows)
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = logRows
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
 /** WAP (write-audit-publish) branch maintenance:
   *
   *  - `CALL <cat>.system.create_branch(table => 'ns.t', branch => 'b')` —
@@ -1000,7 +1068,17 @@ private[catalog] object TableMeta {
 class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
                  branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with TruncatableTable {
+
+  /** `TRUNCATE TABLE cat.ns.t`: one replace commit with an EMPTY file
+    * list — a metadata-only operation (no data files move; earlier
+    * versions keep reading them, so an accidental truncate is one
+    * `CALL system.restore` away from undone, and the reclaim path stays
+    * `expire_versions`, same as every other rewrite). */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty, s"$tableName is a time-travel view; truncate the live table")
+    commitVersion("truncate", currentLatest, Nil, replace = true)
+  }
 
   private def meta: TableMeta = TableMeta.read(dir)
   private def spark: SparkSession = SparkSession.active

@@ -716,6 +716,70 @@ object SqlVerbs {
               true AS delete_no_wider_than_update
        FROM v"""
 
+  /** X-SQLn — `CALL system.history` (DESCRIBE HISTORY): the verb chain's
+    * commit log — version/op/data_change/n_rows per retained commit,
+    * oldest first. The op sequence and per-version row counts are fully
+    * determined by the chain's semantics (n_files is write-parallelism-
+    * dependent and deliberately NOT in the output), so a DuckDB oracle
+    * derives the same log relationally. The audit answer an operator
+    * actually needs — "what happened to this table, and how many rows
+    * did each version hold?" — from one manifest read, no data IO. */
+  def sqlHistory(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, _) = ensureVerbChain(spark, dir)
+    val cat = catName(dir)
+    ss.sql(s"CALL $cat.system.history(table => 'main.docs')")
+      .selectExpr("version", "op", "data_change", "n_rows")
+  }
+
+  def sqlHistoryOracleSql: String =
+    s"""WITH $oracleChainCtes
+        SELECT * FROM (
+          SELECT 0 AS version, 'create' AS op, true AS data_change,
+                 CAST(0 AS BIGINT) AS n_rows
+          UNION ALL SELECT 1, 'append', true, (SELECT count(*) FROM v1)
+          UNION ALL SELECT 2, 'replace', true, (SELECT count(*) FROM v2)
+          UNION ALL SELECT 3, 'replace', true, (SELECT count(*) FROM v3)
+          UNION ALL SELECT 4, 'replace', true, (SELECT count(*) FROM v4))
+        ORDER BY version"""
+
+  /** X-SQLo — `TRUNCATE TABLE`: a metadata-only replace commit (empty
+    * file list; no data files move). The metrics pin the three contracts
+    * that make it safe at 100 TB: emptiness after, the pre-truncate
+    * version still readable (accidental truncate = one RESTORE away),
+    * and writes continuing normally on the truncated table. */
+  def sqlTruncate(spark: SparkSession, dir: String): DataFrame = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_trunc"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-trunc"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_trunc")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_trunc WHERE doc_id % 10 < 8")
+        ss.sql(s"TRUNCATE TABLE $t")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_trunc WHERE doc_id % 10 >= 8")
+        built.add(key)
+      }
+    }
+    def rows(q: String): Long = ss.sql(q).head().getLong(0)
+    import ss.implicits._
+    Seq(
+      ("pre_truncate_rows", rows(s"SELECT count(*) FROM $t VERSION AS OF 1")),
+      ("post_truncate_rows", rows(s"SELECT count(*) FROM $t VERSION AS OF 2")),
+      ("refilled_rows", rows(s"SELECT count(*) FROM $t")))
+      .toDF("metric", "value")
+  }
+
+  def sqlTruncateOracleSql: String =
+    """WITH c1 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 < 8),
+            c2 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 10 >= 8)
+       SELECT * FROM (
+         SELECT 'pre_truncate_rows' AS metric, (SELECT n FROM c1) AS value
+         UNION ALL SELECT 'post_truncate_rows', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'refilled_rows', (SELECT n FROM c2))
+       ORDER BY metric"""
+
   def sqlPartitionedOracleSql: String =
     """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
             w AS (SELECT mn + (mx - mn) // 2 AS lo,

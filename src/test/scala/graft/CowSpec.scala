@@ -289,6 +289,38 @@ class CowSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("identity"))
   }
 
+  // ---- TRUNCATE TABLE + CALL system.history (round-13 completions) ----
+
+  test("TRUNCATE TABLE is a metadata-only replace commit; history reports the log") {
+    val (ss, c) = freshCatalog("cow_trunc")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 100)")
+    val filesBefore = Manifests.files(ss, t, 1)
+    ss.sql(s"TRUNCATE TABLE $t")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 0)
+    // metadata-only: the pre-truncate version keeps reading its files
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) == 100)
+    assert(filesBefore.forall(f =>
+      java.nio.file.Files.exists(Manifests.tableDir(ss, t).resolve(f))))
+    // restore undoes it; writes continue
+    ss.sql(s"CALL $c.system.restore(table => 'ns.t', version => 1)")
+    ss.sql(s"INSERT INTO $t SELECT id, id FROM range(100, 110)")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 110)
+    val hist = ss.sql(s"CALL $c.system.history(table => 'ns.t')").collect()
+    assert(hist.map(r => (r.getInt(0), r.getString(2))).toSeq ==
+      Seq((0, "create"), (1, "append"), (2, "truncate"), (3, "restore(v1)"), (4, "append")))
+    assert(hist.map(_.getLong(5)).toSeq == Seq(0L, 100L, 0L, 100L, 110L)) // n_rows per version
+    assert(hist.forall(_.getBoolean(3))) // all data-changing
+    // branch arg reads the branch chain; unknown branch refuses
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'b')")
+    ss.sql(s"DELETE FROM $t.branch_b WHERE id < 5")
+    val bh = ss.sql(s"CALL $c.system.history(table => 'ns.t', branch => 'b')").collect()
+    assert(bh.length == 6 && bh.last.getLong(5) == 105L)
+    intercept[Exception](
+      ss.sql(s"CALL $c.system.history(table => 'ns.t', branch => 'nope')").collect())
+  }
+
   // ---- stream-epoch dedup horizon vs retention (ADVICE r12) ----
 
   test("epoch replay is refused even after expire_versions retired its commit") {
