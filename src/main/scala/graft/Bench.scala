@@ -191,6 +191,8 @@ object Bench {
       "sql_days_table" -> (() => operators.SqlVerbs.ensureDaysTable(spark, sfDir)),
       "sql_cow_table" -> (() => operators.SqlVerbs.ensureCowTable(spark, sfDir)),
       "sql_trunc_table" -> (() => operators.SqlVerbs.sqlTruncate(spark, sfDir).count()),
+      "sql_mdel_table" -> (() => operators.SqlVerbs.ensureMetaDeleteTable(spark, sfDir)),
+      "sql_mor_chain" -> (() => operators.SqlVerbs.ensureMorChain(spark, sfDir)),
       "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
       "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same

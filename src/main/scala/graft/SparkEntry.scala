@@ -178,6 +178,14 @@ object SparkEntry {
     // TRUNCATE TABLE as a metadata-only replace commit; pre-truncate
     // version stays readable (RESTORE-able), writes continue after
     "q_sql_truncate"      -> ((s, d) => SqlVerbs.sqlTruncate(s, d)),
+    // metadata-only DELETE (SupportsDeleteV2): a stats-provable predicate
+    // drops whole files in one manifest swap, zero data IO; an
+    // unprovable one falls back to the COW rewrite (both pinned)
+    "q_sql_metadata_delete" -> ((s, d) => SqlVerbs.sqlMetadataDelete(s, d)),
+    // merge-on-read deletion vectors (SupportsDelta): the verb chain as
+    // per-row deltas — tombstone blobs + appends, zero files rewritten
+    // (manifest-diff pinned); content identical to the COW chain
+    "q_sql_mor"           -> ((s, d) => SqlVerbs.sqlMor(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1029,6 +1037,8 @@ object SparkEntry {
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,
     "q_sql_history" -> SqlVerbs.sqlHistoryOracleSql,
     "q_sql_truncate" -> SqlVerbs.sqlTruncateOracleSql,
+    "q_sql_metadata_delete" -> SqlVerbs.sqlMetadataDeleteOracleSql,
+    "q_sql_mor" -> SqlVerbs.sqlMorOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,

@@ -110,13 +110,23 @@ object ChangeFeed {
     else {
       require(chain.exists(_.version == v - 1),
         s"parent version ${v - 1} of $v was expired; its change feed is unreconstructable")
-      val parentFiles = chain.find(_.version == v - 1).get.files
+      val parent = chain.find(_.version == v - 1).get
       val cur = commit.files.toSet
-      val prev = parentFiles.toSet
+      val prev = parent.files.toSet
       val added = commit.files.filterNot(prev)
-      val removed = parentFiles.filterNot(cur)
-      if (added.isEmpty && removed.isEmpty) None
-      else Some(commitDelta(ss, dir, meta, v, added, removed, keyCols))
+      val removed = parent.files.filterNot(cur)
+      // DELETION-VECTOR growth on files present in both manifests: the
+      // newly tombstoned positions are this commit's row-level deletes
+      // (a MOR DELETE/UPDATE/MERGE — op `rowdelta`). Entries are
+      // positive-only per file (vectors only grow until a rewrite drops
+      // them with the file), so the diff is new-blob minus old-blob.
+      val grown: Map[String, (Option[DvRef], DvRef)] = commit.dvs.collect {
+        case (f, d) if cur.contains(f) && prev.contains(f) &&
+            !parent.dvs.get(f).contains(d) =>
+          f -> (parent.dvs.get(f), d)
+      }
+      if (added.isEmpty && removed.isEmpty && grown.isEmpty) None
+      else Some(commitDelta(ss, dir, meta, v, added, removed, parent.dvs, grown, keyCols))
     }
   }
 
@@ -128,11 +138,22 @@ object ChangeFeed {
     */
   private def commitDelta(ss: SparkSession, dir: Path, meta: TableMeta, v: Int,
                           added: Seq[String], removed: Seq[String],
+                          parentDvs: Map[String, DvRef],
+                          grown: Map[String, (Option[DvRef], DvRef)],
                           keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{max, struct, when, not, explode, array}
     val addedRows = readFiles(ss, dir, meta, added)
-    val removedRows = readFiles(ss, dir, meta, removed)
-    if (removed.isEmpty) withChangeSchema(addedRows, lit("insert"), lit(v))
+    // removed (rewritten/dropped) files are read through the PARENT's
+    // vectors: rows that were already tombstoned before this commit were
+    // deleted by an EARLIER commit and must not re-surface here
+    val removedWhole = Dv.maskedFrame(ss, dir, meta.schema, removed,
+      parentDvs.view.filterKeys(removed.toSet).toMap)
+    // plus the rows newly tombstoned in surviving files (vector growth)
+    val removedRows =
+      if (grown.isEmpty) removedWhole
+      else removedWhole.unionAll(dvGrowthRows(ss, dir, meta, grown))
+    val anyRemoved = removed.nonEmpty || grown.nonEmpty
+    if (!anyRemoved) withChangeSchema(addedRows, lit("insert"), lit(v))
     else if (added.isEmpty) withChangeSchema(removedRows, lit("delete"), lit(v))
     else if (keyCols.isEmpty) {
       // No key: the delta is the multiset difference each way. Each
@@ -164,6 +185,36 @@ object ChangeFeed {
       changes.select((dataCols.map(c => col(s"_c._row.$c")) :+
         col("_c._ct").as(ChangeTypeCol) :+ lit(v).as(CommitVersionCol)): _*)
     }
+  }
+
+  /** The rows newly tombstoned by this commit's deletion-vector growth:
+    * for each grown file, positions in the new blob but not the old,
+    * resolved to rows via `_metadata` row addresses and one broadcast
+    * SEMI join — cost ∝ the grown files' size, blob reads distributed
+    * and ∝ deleted rows. */
+  private def dvGrowthRows(ss: SparkSession, dir: Path, meta: TableMeta,
+                           grown: Map[String, (Option[DvRef], DvRef)]): DataFrame = {
+    import ss.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val confS = new SerHadoopConf(ss.sessionState.newHadoopConf())
+    val specs = grown.toSeq.map { case (f, (oldRef, newRef)) =>
+      (new org.apache.hadoop.fs.Path(dir.resolve(f).toUri).toString,
+        oldRef.map(r => new org.apache.hadoop.fs.Path(dir.resolve(r.path).toUri).toString),
+        new org.apache.hadoop.fs.Path(dir.resolve(newRef.path).toUri).toString)
+    }
+    val fresh = ss.createDataset(specs).flatMap { case (file, oldB, newB) =>
+      val old = oldB.map(b => Dv.read(new org.apache.hadoop.fs.Path(b), confS.value).toSet)
+        .getOrElse(Set.empty[Long])
+      Dv.read(new org.apache.hadoop.fs.Path(newB), confS.value)
+        .iterator.filterNot(old).map(p => (file, p))
+    }.toDF("_gdv_file", "_gdv_pos")
+    val dataCols = meta.schema.fieldNames.toSeq.map(col)
+    ss.read.schema(meta.schema)
+      .parquet(grown.keys.toSeq.map(f => dir.resolve(f).toString): _*)
+      .withColumn("_gdv_file", org.apache.spark.sql.functions.col("_metadata.file_path"))
+      .withColumn("_gdv_pos", org.apache.spark.sql.functions.col("_metadata.row_index"))
+      .join(broadcast(fresh), Seq("_gdv_file", "_gdv_pos"), "left_semi")
+      .select(dataCols: _*)
   }
 
   private def withChangeSchema(df: DataFrame,

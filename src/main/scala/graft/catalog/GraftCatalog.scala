@@ -221,12 +221,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           (if (u == "days") " or date column" else "") + s"; '$colName' is $dt")
       }
     }
+    // TBLPROPERTIES: Spark mixes its own reserved entries (provider,
+    // owner, …) into the map; persist only user-owned keys. The one key
+    // this catalog INTERPRETS is validated here so a typo fails the DDL,
+    // not the first UPDATE.
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "owner", "location", "external", "format")
+    userProps.get(GraftTable.RowLevelModeProp).foreach { v =>
+      require(GraftTable.RowLevelModes.contains(v),
+        s"${GraftTable.RowLevelModeProp} must be one of " +
+          s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '$v'")
+    }
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir.resolve("data"))
     TableMeta.write(dir, TableMeta(schema, Seq(Commit(0, System.currentTimeMillis(),
-      "create", Nil)), clusterBy = clusterBy), expectedLatest = None)
+      "create", Nil)), clusterBy = clusterBy, props = userProps), expectedLatest = None)
     new GraftTable(fullName(ident), dir, pinnedVersion = None)
   }
 
@@ -243,21 +254,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = TableMeta.read(dir)
-      val newSchema = changes.foldLeft(m.schema) {
-        case (schema, add: TableChange.AddColumn) =>
+      val updated = changes.foldLeft(m) {
+        case (meta, add: TableChange.AddColumn) =>
           require(add.fieldNames().length == 1,
             "graft catalog: only top-level ADD COLUMN is supported")
           require(add.isNullable,
             "graft catalog: added columns must be nullable (existing files have no values)")
-          require(!schema.fieldNames.contains(add.fieldNames()(0)),
+          require(!meta.schema.fieldNames.contains(add.fieldNames()(0)),
             s"column ${add.fieldNames()(0)} already exists")
-          schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+          meta.copy(schema = meta.schema.add(add.fieldNames()(0), add.dataType(), nullable = true))
+        case (meta, set: TableChange.SetProperty) =>
+          if (set.property() == GraftTable.RowLevelModeProp)
+            require(GraftTable.RowLevelModes.contains(set.value()),
+              s"${GraftTable.RowLevelModeProp} must be one of " +
+                s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '${set.value()}'")
+          meta.copy(props = meta.props + (set.property() -> set.value()))
+        case (meta, unset: TableChange.RemoveProperty) =>
+          meta.copy(props = meta.props - unset.property())
         case (_, other) =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported ALTER TABLE change $other " +
-              "(only ADD COLUMN of a nullable top-level field)")
+              "(ADD COLUMN of a nullable top-level field, SET/UNSET TBLPROPERTIES)")
       }
-      TableMeta.write(dir, m.copy(schema = newSchema), expectedLatest = Some(m.latest))
+      TableMeta.write(dir, updated, expectedLatest = Some(m.latest))
     }
     new GraftTable(fullName(ident), dir, pinnedVersion = None)
   }
@@ -451,10 +470,12 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
             val keepFrom = m.latest - keepLast + 1
             val (expired, kept) = m.history.partition(_.version < keepFrom)
             // files referenced by any WAP branch stay live: an unpublished
-            // staging chain must keep reading its fork-point snapshot
-            val live = kept.flatMap(_.files).toSet ++
-              m.branches.values.flatten.flatMap(_.files)
-            val dead = expired.flatMap(_.files).filterNot(live).distinct
+            // staging chain must keep reading its fork-point snapshot.
+            // Deletion-vector blobs are referenced files like any other.
+            def refs(c: Commit): Seq[String] = c.files ++ c.dvs.values.map(_.path)
+            val live = kept.flatMap(refs).toSet ++
+              m.branches.values.flatten.flatMap(refs)
+            val dead = expired.flatMap(refs).filterNot(live).distinct
             TableMeta.write(dir, m.copy(history = kept), expectedLatest = Some(m.latest))
             dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
             // cached change-feed dirs OF expired commits go with them (a
@@ -560,14 +581,19 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
         sortBy.foreach(c => require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"sort_by column '$c' is not in ${m.schema.fieldNames.mkString(", ")}"))
         val mf = m.manifest(m.latest)
-        val rowsFromStats = mf.files.flatMap(mf.stats.get).map(_.rows).sum
+        val rowsFromStats = mf.files.flatMap(mf.stats.get).map(_.rows).sum -
+          mf.dvs.values.map(_.rows).sum
         val (before, after, rows) =
-          if (mf.files.size <= target && sortBy.isEmpty)
+          // a manifest carrying deletion vectors is never a no-op:
+          // compaction is how MOR tombstones get MATERIALIZED away
+          if (mf.files.size <= target && sortBy.isEmpty && mf.dvs.isEmpty)
             (mf.files.size, mf.files.size, rowsFromStats)
           else {
             val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
-            val snapshot = spark.read.schema(m.schema)
-              .parquet(mf.files.map(f => dir.resolve(f).toString): _*)
+            // the live snapshot: vectored files read masked, so the
+            // rewrite writes only surviving rows and the commit's fresh
+            // files carry no vectors (the manifest replace drops them)
+            val snapshot = Dv.maskedFrame(spark, dir, m.schema, mf.files, mf.dvs)
             val rewritten =
               if (sortBy.isEmpty) snapshot.coalesce(target)
               else {
@@ -654,7 +680,7 @@ private[catalog] class RestoreProcedure(cat: GraftCatalog)
                 s"cannot restore $table to v$v: not in history " +
                   s"(${m.history.map(_.version).mkString(",")}) — expired versions are gone"))
             val next = Commit(m.latest + 1, System.currentTimeMillis(), s"restore(v$v)",
-              target.files, target.stats, dataChange = true)
+              target.files, target.stats, dataChange = true, dvs = target.dvs)
             TableMeta.write(dir, m.copy(history = m.history :+ next),
               expectedLatest = Some(m.latest))
             (next.version, target.files.size)
@@ -724,16 +750,19 @@ private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
           GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
             _ => new Object).synchronized {
             val m = TableMeta.read(dir)
-            val referenced = (m.history.flatMap(_.files) ++
-              m.branches.values.flatten.flatMap(_.files)).toSet
+            def refs(c: Commit): Seq[String] = c.files ++ c.dvs.values.map(_.path)
+            val referenced = (m.history.flatMap(refs) ++
+              m.branches.values.flatten.flatMap(refs)).toSet
             val dataDir = dir.resolve("data")
             val cutoff = System.currentTimeMillis() - olderMin * 60000L
-            // only data files are candidates: commit-protocol sidecars
-            // (_SUCCESS, .crc) are never in a manifest, and a live file's
-            // checksum sidecar must not be swept out from under it
+            // only data files and deletion-vector blobs are candidates:
+            // commit-protocol sidecars (_SUCCESS, .crc) are never in a
+            // manifest, and a live file's checksum sidecar must not be
+            // swept out from under it
             val s = Files.walk(dataDir)
             val all = try s.iterator().asScala.filter(p =>
-              Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toSeq
+              Files.isRegularFile(p) && (p.getFileName.toString.endsWith(".parquet") ||
+                p.getFileName.toString.endsWith(".dv"))).toSeq
               finally s.close()
             val orphans = all.filter { p =>
               val rel = dir.relativize(p).toString
@@ -813,7 +842,10 @@ private[catalog] class HistoryProcedure(cat: GraftCatalog)
         // into an infinite loop (caught by a thread dump, r13)
         val logRows = chain.sortBy(_.version).map { c =>
           val rowCounts = c.files.map(f => c.stats.get(f).map(_.rows))
-          val nRows = if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum else -1L
+          // live rows = physical rows minus deletion-vector tombstones
+          val nRows = if (rowCounts.forall(_.isDefined))
+            rowCounts.flatten.sum - c.dvs.values.map(_.rows).sum
+          else -1L
           InternalRow(c.version, c.tsMillis, UTF8String.fromString(c.op),
             c.dataChange, c.files.size, nRows)
         }.toArray
@@ -901,9 +933,10 @@ private[catalog] class BranchProcedure(cat: GraftCatalog, mode: BranchProcedure.
               case BranchProcedure.Drop =>
                 val ch = m.branches.getOrElse(b, throw new IllegalArgumentException(
                   s"no branch '$b' on $table"))
-                val retained = (m.history.flatMap(_.files) ++
-                  (m.branches - b).values.flatten.flatMap(_.files)).toSet
-                val orphans = ch.flatMap(_.files).distinct.filterNot(retained)
+                def refs(c: Commit): Seq[String] = c.files ++ c.dvs.values.map(_.path)
+                val retained = (m.history.flatMap(refs) ++
+                  (m.branches - b).values.flatten.flatMap(refs)).toSet
+                val orphans = ch.flatMap(refs).distinct.filterNot(retained)
                 TableMeta.write(dir, m.copy(branches = m.branches - b),
                   expectedLatest = Some(m.latest))
                 orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)))
@@ -938,10 +971,20 @@ private[catalog] object BranchProcedure {
   }
 }
 
+/** One DELETION VECTOR entry of a manifest: `path` (table-dir-relative)
+  * holds the sorted positions of the data file's DELETED rows (format:
+  * [[Dv]]), `rows` is their count (manifest-level accounting — history
+  * row counts subtract it without opening the blob). Entries are
+  * immutable like data files: a delta commit that deletes MORE rows of
+  * an already-vectored file writes a NEW merged blob and repoints the
+  * entry; older manifests keep reading the old blob (time travel). */
+private[catalog] case class DvRef(path: String, rows: Long)
+
 private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
                                    files: Seq[String],
                                    stats: Map[String, FileStats] = Map.empty,
-                                   dataChange: Boolean = true)
+                                   dataChange: Boolean = true,
+                                   dvs: Map[String, DvRef] = Map.empty)
 
 /** Shared state of ONE row-level operation (MERGE/UPDATE/DELETE): the
   * scan side records which snapshot it planned against and which files
@@ -958,7 +1001,8 @@ private[catalog] final class CowContext {
 private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit],
                                       branches: Map[String, Seq[Commit]] = Map.empty,
                                       clusterBy: Seq[String] = Nil,
-                                      streamEpochs: Map[String, Long] = Map.empty) {
+                                      streamEpochs: Map[String, Long] = Map.empty,
+                                      props: Map[String, String] = Map.empty) {
   def latest: Int = history.map(_.version).max
   def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
     throw new IllegalArgumentException(
@@ -996,12 +1040,16 @@ private[catalog] object TableMeta {
             "mins" -> JObject(s.mins.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
             "maxs" -> JObject(s.maxs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
             "nulls" -> JObject(s.nullCounts.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
-        }))
+        }),
+        "dvs" -> JObject(c.dvs.toList.sortBy(_._1).map { case (f, d) =>
+          f -> JObject("path" -> JString(d.path), "rows" -> JInt(d.rows)) }))
       val json = JObject(
         "schema" -> JsonMethods.parse(meta.schema.json),
         "clusterBy" -> JArray(meta.clusterBy.map(JString(_)).toList),
         "streamEpochs" -> JObject(meta.streamEpochs.toList.sortBy(_._1).map {
           case (q, e) => q -> JInt(e) }),
+        "props" -> JObject(meta.props.toList.sortBy(_._1).map {
+          case (k, v) => k -> JString(v) }),
         "history" -> JArray(meta.history.sortBy(_.version).map(commitJson).toList),
         "branches" -> JObject(meta.branches.toList.sortBy(_._1).map { case (n, cs) =>
           n -> JArray(cs.sortBy(_.version).map(commitJson).toList)
@@ -1032,13 +1080,21 @@ private[catalog] object TableMeta {
         }.toMap
         case _ => Map.empty[String, FileStats]
       }
+      val dvs = c \ "dvs" match {
+        case JObject(fields) => fields.map { case (f, d) =>
+          f -> DvRef((d \ "path").asInstanceOf[JString].s,
+            (d \ "rows").asInstanceOf[JInt].num.toLong)
+        }.toMap
+        case _ => Map.empty[String, DvRef]
+      }
       Commit(
         (c \ "version").asInstanceOf[JInt].num.toInt,
         (c \ "ts").asInstanceOf[JInt].num.toLong,
         (c \ "op").asInstanceOf[JString].s,
         (c \ "files").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s),
         stats,
-        c \ "dataChange" match { case JBool(b) => b; case _ => true })
+        c \ "dataChange" match { case JBool(b) => b; case _ => true },
+        dvs)
     }
     val history = (j \ "history").asInstanceOf[JArray].arr.map(parseCommit)
     val branches = j \ "branches" match {
@@ -1055,7 +1111,11 @@ private[catalog] object TableMeta {
       case JObject(kv) => kv.map { case (q, e) => q -> e.asInstanceOf[JInt].num.toLong }.toMap
       case _ => Map.empty[String, Long]
     }
-    TableMeta(schema, history, branches, clusterBy, streamEpochs)
+    val props = j \ "props" match {
+      case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
+      case _ => Map.empty[String, String]
+    }
+    TableMeta(schema, history, branches, clusterBy, streamEpochs, props)
   }
 }
 
@@ -1068,7 +1128,7 @@ private[catalog] object TableMeta {
 class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
                  branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsMetadataColumns with TruncatableTable {
+    with SupportsMetadataColumns with SupportsDeleteV2 {
 
   /** `TRUNCATE TABLE cat.ns.t`: one replace commit with an EMPTY file
     * list — a metadata-only operation (no data files move; earlier
@@ -1080,16 +1140,79 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     commitVersion("truncate", currentLatest, Nil, replace = true)
   }
 
+  /** METADATA-ONLY DELETE ([[SupportsDeleteV2]] — Iceberg's metadata
+    * delete): when the latest manifest PROVES, from footer stats alone,
+    * that every file either holds no matching row (inherit it) or holds
+    * ONLY matching rows (drop it whole), Spark's
+    * OptimizeMetadataOnlyDeleteFromTable swaps the copy-on-write rewrite
+    * for one `deleteWhere` call — a manifest commit that removes the
+    * all-match files and writes NOTHING. The 100 TB shape this exists
+    * for is retention on a time-clustered table: `DELETE FROM events
+    * WHERE ts < cutoff` drops whole trailing files at any table size,
+    * zero data IO, where even file-granular COW would re-write the
+    * boundary's worth of files. The proof obligations live in
+    * [[SkipEval.mustMatchAll]] (nulls known zero, bounds cover the
+    * interval); ANY unprovable file — missing stats, straddling bounds,
+    * unknown nulls, an untranslatable predicate like `doc_id % 7 = 3` —
+    * refuses the whole metadata path and the verb falls back to the
+    * ordinary COW rewrite: slower, never wrong. */
+  override def canDeleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinnedVersion.isEmpty && metadataDeleteSet(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(pinnedVersion.isEmpty, s"$tableName is a time-travel view; DELETE goes to the live table")
+    // recompute and commit under the table's commit lock (reentrant), so
+    // a commit racing between canDeleteWhere and here either re-proves
+    // against ITS manifest or fails this delete's conflict check instead
+    // of dropping files a newer version still references
+    GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      val dropped = metadataDeleteSet(predicates).getOrElse(throw new IllegalStateException(
+        s"$tableName: metadata delete no longer provable at commit time " +
+          "(a concurrent commit changed the manifest); re-run the DELETE"))
+      commitVersion("delete", currentLatest, Nil, replace = true,
+        replacedFiles = Some(dropped))
+    }
+  }
+
+  /** The files a metadata delete would DROP, or None when any file (or
+    * the predicate itself) is unprovable — per-file trichotomy over the
+    * live manifest: all-match → drop, no-match → keep, anything else →
+    * refuse. */
+  private def metadataDeleteSet(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Option[Seq[String]] = {
+    val m = meta
+    val mf = chainManifest(m, chainLatest(m))
+    val translated = predicates.toSeq.map(V2Preds.toCatalyst(_, m.schema))
+    if (translated.exists(_.isEmpty)) None
+    else {
+      val es = translated.flatten
+      val verdicts = mf.files.map { f =>
+        mf.stats.get(f) match {
+          case Some(st) =>
+            if (es.forall(SkipEval.mustMatchAll(m.schema, st, _))) Some(true)
+            else if (!es.forall(SkipEval.mightMatch(m.schema, st, _))) Some(false)
+            else None
+          case None => None
+        }
+      }
+      if (verdicts.contains(None)) None
+      else Some(mf.files.zip(verdicts).collect { case (f, Some(true)) => f })
+    }
+  }
+
   private def meta: TableMeta = TableMeta.read(dir)
   private def spark: SparkSession = SparkSession.active
 
   /** `_file` (see [[FileTag]]): user-selectable lineage column AND the
-    * filter attribute of runtime group filtering on row-level verbs. A
-    * table with a real `_file` data column shadows it (Spark drops the
-    * conflicting metadata column from relation.metadataOutput; the
-    * row-level op then declares no metadata attrs and stays on the
-    * static pruning path). */
-  override def metadataColumns(): Array[MetadataColumn] = Array(FileTag.column)
+    * filter attribute of runtime group filtering on row-level verbs.
+    * `_pos` (see [[Dv]]): the row's physical position in its file —
+    * lineage for users, the second half of the MOR row id for delta
+    * writes. A table with a real `_file`/`_pos` data column shadows the
+    * metadata column of that name (Spark drops the conflict from
+    * relation.metadataOutput; row-level ops then skip the corresponding
+    * machinery). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(FileTag.column, Dv.posColumn)
 
   /** The commit chain this view reads and writes: a branch's chain when
     * this is a branch view, the main history otherwise. */
@@ -1111,9 +1234,18 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       TableCapability.MICRO_BATCH_READ)
   override def properties(): java.util.Map[String, String] = {
     val m = meta
-    java.util.Map.of("format", "parquet", "provider", "graft",
-      "latest_version", chainLatest(m).toString)
+    val out = new java.util.HashMap[String, String]()
+    m.props.foreach { case (k, v) => out.put(k, v) }
+    out.put("format", "parquet")
+    out.put("provider", "graft")
+    out.put("latest_version", chainLatest(m).toString)
+    java.util.Collections.unmodifiableMap(out)
   }
+
+  /** The row-level write mode this table declares:
+    * `copy-on-write` (default) or `merge-on-read`. */
+  private[catalog] def rowLevelMode: String =
+    meta.props.getOrElse(GraftTable.RowLevelModeProp, GraftTable.CopyOnWrite)
 
   /** The declared cluster keys, reported as their v2 transforms
     * (what SHOW CREATE / DESCRIBE surface). */
@@ -1136,6 +1268,17 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     * selective `WHERE` on a sorted/clustered table plans a fraction of
     * the manifest before a single data byte is read, and the parquet
     * delegate still applies row-group pushdown within the kept files. */
+  /** [[AddrSupport]] for one manifest: which files carry deletion
+    * vectors and where each file's blob lives — what the addressed read
+    * path needs, shipped as plain strings (the builder lives outside
+    * this package). */
+  private[catalog] def addrSupportFor(mf: Commit): AddrSupport =
+    AddrSupport(
+      isVectored = f => mf.dvs.contains(f),
+      addrOf = f => (dir.resolve(f).toString,
+        mf.dvs.get(f).map(d => dir.resolve(d.path).toString)),
+      conf = new SerHadoopConf(spark.sessionState.newHadoopConf()))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = meta
     val mf = chainManifest(m, pinnedVersion.getOrElse(chainLatest(m)))
@@ -1155,15 +1298,88 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         new GraftMicroBatchStream(this,
           Option(options.get("max_versions_per_trigger")).map(_.toInt))
       },
-      fileColShadowed = m.schema.fieldNames.contains(FileTag.Col))
+      fileColShadowed = m.schema.fieldNames.contains(FileTag.Col),
+      posColShadowed = m.schema.fieldNames.contains(Dv.PosCol),
+      addr = Some(addrSupportFor(mf)))
   }
 
   /** A bare delegate parquet Scan over an explicit file subset — the
     * streaming source plans each version-delta through this (full table
-    * schema, no pushdown; Spark filters above the scan). */
-  private[catalog] def delegateScanOver(relFiles: Seq[String]): org.apache.spark.sql.connector.read.Scan =
-    delegate(relFiles.map(f => dir.resolve(f).toString))
+    * schema, no pushdown; Spark filters above the scan). Files carrying
+    * a deletion vector in `dvs` are served through the addressed/masked
+    * path instead, so an opening snapshot of a MOR table never re-emits
+    * tombstoned rows. */
+  private[catalog] def delegateScanOver(relFiles: Seq[String],
+                                        dvs: Map[String, DvRef] = Map.empty)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val vectored = relFiles.filter(dvs.contains)
+    val clean = delegate(relFiles.filterNot(dvs.contains).map(f => dir.resolve(f).toString))
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    if (vectored.isEmpty) clean
+    else {
+      val m = meta
+      val a = AddrSupport(
+        isVectored = dvs.contains,
+        addrOf = f => (dir.resolve(f).toString, dvs.get(f).map(d => dir.resolve(d.path).toString)),
+        conf = new SerHadoopConf(spark.sessionState.newHadoopConf()))
+      val addressed = new AddressedScan(() => vectored,
+        files => bareDelegateScan(files, m.schema), m.schema,
+        wantFile = false, wantPos = false, a.addrOf, a.conf)
+      new SplitScan(clean, addressed, m.schema, _ => throw new UnsupportedOperationException(
+        s"$tableName: masked snapshot scans are batch-planned per micro-batch"))
+    }
+  }
+
+  /** Column-pruned, filter-free delegate scan over explicit files — the
+    * building block of every addressed (position-stable) read. */
+  private[catalog] def bareDelegateScan(relFiles: Seq[String], dataSchema: StructType)
+      : org.apache.spark.sql.connector.read.Scan = {
+    val b = delegate(relFiles.map(f => dir.resolve(f).toString))
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    b match {
+      case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        c.pruneColumns(dataSchema)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  /** The chain manifest at version `v` (branch-aware). */
+  private[catalog] def manifestAt(v: Int): Commit = chainManifest(meta, v)
+
+  /** Commit one MOR row delta (see [[MorRowLevelOperation]]): merge each
+    * touched file's new delete positions with its existing vector into a
+    * NEW immutable blob, append the insert files, REPLACE-conflict
+    * against the scan-time version. */
+  private[catalog] def commitRowDelta(baseVersion: Int, newFiles: Seq[String],
+                                      newStats: Map[String, FileStats],
+                                      deletes: Map[String, Array[Long]]): Unit = {
+    if (newFiles.isEmpty && deletes.isEmpty) return // a no-op verb commits nothing
+    GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      val m = meta
+      val mf = chainManifest(m, baseVersion) // throws if base expired meanwhile
+      val conf = spark.sessionState.newHadoopConf()
+      val dvUpdates = deletes.map { case (f, fresh) =>
+        require(mf.files.contains(f),
+          s"$tableName: MOR delete targets '$f' which is not in base manifest v$baseVersion")
+        val old = mf.dvs.get(f).map(d =>
+          Dv.read(new org.apache.hadoop.fs.Path(dir.resolve(d.path).toUri), conf))
+          .getOrElse(Array.empty[Long])
+        // the scan masks existing vectors, so a re-delete of an already-
+        // tombstoned position can only be a positioning bug — fail loudly
+        val oldSet = old.toSet
+        fresh.foreach(p => require(!oldSet.contains(p),
+          s"$tableName: position $p of '$f' is already deleted"))
+        val mergedArr = (old ++ fresh).sorted
+        val rel = s"data/dv-${UUID.randomUUID().toString.take(12)}.dv"
+        Dv.write(new org.apache.hadoop.fs.Path(dir.resolve(rel).toUri), mergedArr, conf)
+        f -> DvRef(rel, mergedArr.length.toLong)
+      }
+      commitVersion("rowdelta", baseVersion, newFiles, replace = true,
+        newStats = newStats, replacedFiles = Some(Nil), dvUpdates = dvUpdates)
+    }
+  }
 
   /** A delegate parquet Scan over materialized CDF files (ABSOLUTE
     * paths, CDF schema = table schema + change columns) — what the
@@ -1195,7 +1411,22 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     * the write's commit REPLACES exactly those files and inherits the
     * rest — rewrite cost ∝ files the condition can touch, never the
     * table. */
-  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // merge-on-read needs BOTH row-id metadata columns resolvable; a
+    // schema owning either name shadows them, so such tables stay on the
+    // always-correct COW path (documented in MorSpec)
+    val morEligible = rowLevelMode == GraftTable.MergeOnRead &&
+      !meta.schema.fieldNames.contains(FileTag.Col) &&
+      !meta.schema.fieldNames.contains(Dv.PosCol)
+    if (morEligible) { () =>
+      require(pinnedVersion.isEmpty,
+        s"$tableName is a time-travel view; ${info.command()} goes to the live table")
+      new MorRowLevelOperation(this, info)
+    }
+    else cowRowLevelOperationBuilder(info)
+  }
+
+  private def cowRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
       private val ctx = new CowContext
       override def command(): RowLevelOperation.Command = info.command()
@@ -1225,7 +1456,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
             ctx.replaced = kept
             SkipRecorder.record(s"$tableName#cow", kept.size, mf.files.size)
           },
-          fileColShadowed = m.schema.fieldNames.contains(FileTag.Col))
+          fileColShadowed = m.schema.fieldNames.contains(FileTag.Col),
+          addr = Some(addrSupportFor(mf)))
       }
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder = {
         require(pinnedVersion.isEmpty,
@@ -1266,7 +1498,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
                                      newStats: Map[String, FileStats] = Map.empty,
                                      streamEpoch: Option[(String, Long)] = None,
                                      dataChange: Boolean = true,
-                                     replacedFiles: Option[Seq[String]] = None): Boolean =
+                                     replacedFiles: Option[Seq[String]] = None,
+                                     dvUpdates: Map[String, DvRef] = Map.empty): Boolean =
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = meta
@@ -1290,11 +1523,15 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
             case Some(r) => val rs = r.toSet; prev.files.filterNot(rs)
             case None => Nil
           }
-        // inherited files keep their stats; replaced files' stats drop
+        // inherited files keep their stats AND their deletion vectors;
+        // replaced/removed files' entries drop (a rewrite materializes
+        // its DVs away), and a delta commit repoints touched entries
         val inheritedSet = inherited.toSet
         val inheritedStats = prev.stats.view.filterKeys(inheritedSet).toMap
+        val inheritedDvs = prev.dvs.view.filterKeys(inheritedSet).toMap
         val next = Commit(latest + 1, System.currentTimeMillis(), op,
-          inherited ++ newFiles, inheritedStats ++ newStats, dataChange)
+          inherited ++ newFiles, inheritedStats ++ newStats, dataChange,
+          inheritedDvs ++ dvUpdates)
         val withEpoch = streamEpoch.fold(m) { case (qid, eid) =>
           m.copy(streamEpochs = m.streamEpochs + (qid -> eid))
         }
@@ -1316,6 +1553,18 @@ private[catalog] object GraftTable {
   /** Per-table commit locks (JVM-wide — all sessions of one SparkContext
     * share the catalog state, like the staged-artifact latches). */
   val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Table property selecting how MERGE/UPDATE/DELETE commit (Iceberg's
+    * `write.delete.mode` family collapsed to one knob): `copy-on-write`
+    * rewrites the touched files (read-optimized — scans stay plain
+    * vectorized parquet), `merge-on-read` writes DELETION VECTORS and
+    * appends (write-optimized — a one-row takedown writes a few-KB blob
+    * at any table size; readers mask vectored files until OPTIMIZE
+    * materializes). */
+  val RowLevelModeProp = "write.row_level.mode"
+  val CopyOnWrite = "copy-on-write"
+  val MergeOnRead = "merge-on-read"
+  val RowLevelModes: Set[String] = Set(CopyOnWrite, MergeOnRead)
 }
 
 /** Write builder: stages files into a fresh commit subdir via the
@@ -1532,9 +1781,9 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
     val s = start.asInstanceOf[GraftVersionOffset]
     val e = end.asInstanceOf[GraftVersionOffset].v
     val m = table.currentMeta
-    val opening =
-      if (!s.openingSnapshot) Nil
-      else m.history.find(_.version == s.v).getOrElse(expired(s.v)).files
+    val openingCommit =
+      if (!s.openingSnapshot) None
+      else Some(m.history.find(_.version == s.v).getOrElse(expired(s.v)))
     val deltas = m.history.filter(c => c.version > s.v && c.version <= e)
       .sortBy(_.version).flatMap { c =>
         if (!c.dataChange) Nil // layout-only: rows already emitted
@@ -1542,24 +1791,71 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
           val prev = m.history.find(_.version == c.version - 1)
             .getOrElse(expired(c.version - 1))
           val prevSet = prev.files.toSet
-          if (!prevSet.subsetOf(c.files.toSet))
+          if (!prevSet.subsetOf(c.files.toSet) || c.dvs != prev.dvs)
             throw new UnsupportedOperationException(
-              s"${table.name()}: version ${c.version} (${c.op}) rewrote files; this " +
-                "source re-emits whole files, so it supports append-only history " +
-                "(compactions are skipped via dataChange=false). For row-level " +
-                s"deltas across rewrites, stream the change feed: readStream.table(\"" +
-                s"${table.name()}.changes\") — or restart this stream from the " +
-                "current snapshot")
+              s"${table.name()}: version ${c.version} (${c.op}) rewrote files or " +
+                "deletion vectors; this source re-emits whole files, so it supports " +
+                "append-only history (compactions are skipped via dataChange=false). " +
+                "For row-level deltas across rewrites, stream the change feed: " +
+                s"readStream.table(\"${table.name()}.changes\") — or restart this " +
+                "stream from the current snapshot")
           c.files.filterNot(prevSet)
         }
       }
-    val newFiles = opening ++ deltas
-    if (newFiles.isEmpty) Array.empty
-    else table.delegateScanOver(newFiles).toBatch.planInputPartitions()
+    // the opening snapshot may carry deletion vectors (a MOR table's
+    // live state): vectored files plan through the addressed/masked
+    // path; clean opening files and all delta files (whose commits are
+    // proven vector-free above) stay on the plain delegate
+    val openingDvs = openingCommit.map(_.dvs).getOrElse(Map.empty)
+    val openingFiles = openingCommit.map(_.files).getOrElse(Nil)
+    val plainFiles = openingFiles.filterNot(openingDvs.contains) ++ deltas
+    val plain =
+      if (plainFiles.isEmpty) Array.empty[InputPartition]
+      else table.delegateScanOver(plainFiles).toBatch.planInputPartitions()
+    val masked = openingFiles.filter(openingDvs.contains).flatMap { f =>
+      val (abs, blob) = (table.tableDirPath.resolve(f).toString,
+        openingDvs.get(f).map(d => table.tableDirPath.resolve(d.path).toString))
+      table.delegateScanOver(Seq(f)).toBatch.planInputPartitions()
+        .map(p => AddrPartition(p, f, abs, blob))
+    }
+    // Spark refuses mixed row/columnar partitions WITHIN a batch, and
+    // masked readers are row-only — so a batch containing any masked
+    // partition wraps EVERY partition in the row-based SplitPartition
+    // shape. Vector-free batches (every batch after the opening, and
+    // every batch of a COW table) stay raw and fully vectorized.
+    if (masked.isEmpty) plain
+    else plain.map(p => SplitPartition(p, addressed = false): InputPartition) ++
+      masked.map(p => SplitPartition(p, addressed = true): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    table.delegateScanOver(Nil).toBatch.createReaderFactory()
+  /** One partition-agnostic parquet factory serves every batch; opening-
+    * snapshot partitions of vectored files arrive as [[AddrPartition]]s
+    * and are routed through the masking reader. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pf = table.delegateScanOver(Nil).toBatch.createReaderFactory()
+    val masked = AddrReaderFactory(pf,
+      new SerHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      wantFile = false, wantPos = false)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+        p match {
+          case sp: SplitPartition =>
+            if (sp.addressed) masked.createReader(sp.inner) else pf.createReader(sp.inner)
+          case other => pf.createReader(other)
+        }
+      override def createColumnarReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+        p match {
+          case sp: SplitPartition => pf.createColumnarReader(sp.inner)
+          case other => pf.createColumnarReader(other)
+        }
+      override def supportColumnarReads(p: InputPartition): Boolean = p match {
+        case _: SplitPartition => false // masked batches read row-based throughout
+        case other => pf.supportColumnarReads(other)
+      }
+    }
+  }
 }
 
 /** Structured Streaming sink: each micro-batch (epoch) is one APPEND

@@ -47,4 +47,10 @@ object Manifests {
     val cur = m.manifest(v).files.toSet
     (prev.size, (prev -- cur).size, (cur -- prev).size, (prev & cur).size)
   }
+
+  /** Version `v`'s deletion-vector entries: data file → (blob path,
+    * tombstoned row count). Empty for COW-only tables. */
+  def dvInfo(ss: SparkSession, table: String, v: Int): Map[String, (String, Long)] =
+    TableMeta.read(tableDir(ss, table)).manifest(v).dvs
+      .map { case (f, d) => f -> (d.path, d.rows) }
 }

@@ -1,0 +1,238 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** MERGE-ON-READ row-level operations ([[org.apache.spark.sql.connector
+  * .write.SupportsDelta]]): the write-optimized half of the catalog's
+  * row-level story, selected per table by `TBLPROPERTIES
+  * ('write.row_level.mode'='merge-on-read')`.
+  *
+  * Where copy-on-write rewrites every file the verb touches (read-
+  * optimized: scans stay plain vectorized parquet), a MOR verb writes
+  * per-row DELTAS: Spark plans the scan with the row id (`_file`,
+  * `_pos`) attached to every row, and the writer receives exactly the
+  * rows that change — deletes as (file, position) pairs that become
+  * DELETION-VECTOR blobs ([[Dv]]), updates as delete+reinsert
+  * (`representUpdateAsDeleteAndInsert`), inserts as ordinary appended
+  * parquet. A one-row takedown DELETE on a 100 TB table therefore
+  * writes a few-KB blob — no data file moves at all — and MERGE ingest
+  * cost is ∝ the delta, not the matched files. The price is paid at
+  * read time: vectored files lose vectorized reads and in-file pushdown
+  * until `CALL system.compact`/`cluster` (or any COW rewrite)
+  * materializes the vectors away — Delta Lake's deletion-vector
+  * trade, re-expressed on this catalog's manifest model.
+  *
+  * == Scan side ==
+  *
+  * [[MorScanBuilder]] is the delta twin of `CowGroupScanBuilder`: the
+  * verb's condition prunes the FILE LIST via footer stats (a pruned
+  * file provably holds no matching row, so skipping it loses no
+  * deltas), but nothing is pushed into parquet — position stability
+  * (see [[Dv]]) and Spark's own post-scan Filter make that both
+  * necessary and safe. Existing vectors are masked, so a second DELETE
+  * never re-deletes a row.
+  *
+  * == Commit ==
+  *
+  * One [[GraftTable.commitVersion]] REPLACE-conflict commit (op
+  * `rowdelta`): inherited files keep their stats, touched files get
+  * their vector entry repointed at a NEW blob holding old ∪ new
+  * positions, insert files append with fresh footer stats. Committing
+  * against the SCAN-time version makes an interleaved writer fail the
+  * conflict check instead of having its rows silently tombstoned by
+  * positions computed on a stale snapshot. */
+private[catalog] class MorRowLevelOperation(table: GraftTable,
+                                            info: RowLevelOperationInfo)
+    extends RowLevelOperation with SupportsDelta {
+
+  private[catalog] val ctx = new CowContext // baseVersion + (unused) replaced
+
+  override def command(): RowLevelOperation.Command = info.command()
+  override def description(): String = s"graft MOR ${info.command()}"
+
+  override def rowId(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.column(FileTag.Col),
+    org.apache.spark.sql.connector.expressions.Expressions.column(Dv.PosCol))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = rowId()
+
+  /** UPDATE rows arrive as delete + reinsert, so one writer shape serves
+    * all three verbs (and MERGE's mixed action lists). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = table.currentMeta
+    val latest = table.currentLatest
+    ctx.baseVersion = latest
+    new MorScanBuilder(table, m.schema, table.manifestAt(latest))
+  }
+
+  override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new MorDeltaWrite(table, writeInfo, ctx)
+    }
+}
+
+/** The MOR row-level scan: every kept file addressed (data + `_file` +
+  * `_pos`, existing vectors masked), the verb's condition consumed only
+  * to prune the file list via footer stats. */
+private[catalog] class MorScanBuilder(table: GraftTable, schema: StructType, mf: Commit)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var kept: Seq[String] = mf.files
+  private var dataSchema: StructType = schema
+  private var wantFile = false
+  private var wantPos = false
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    kept = SkipEval.prune(schema, mf.files, mf.stats, filters)
+    SkipRecorder.record(s"${table.name()}#mor", kept.size, mf.files.size)
+    filters // everything stays post-scan (position stability)
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val (data, wf, wp) = Dv.splitSchema(requiredSchema,
+      fileShadowed = false, posShadowed = false)
+    dataSchema = data
+    wantFile = wf
+    wantPos = wp
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val a = table.addrSupportFor(mf)
+    new AddressedScan(() => kept, files => table.bareDelegateScan(files, dataSchema),
+      dataSchema, wantFile, wantPos, a.addrOf, a.conf)
+  }
+}
+
+/** Per-task delete accumulator + its commit message: positions per
+  * manifest-relative file, plus the delegate parquet writer's message
+  * for the task's insert rows. */
+private[catalog] case class MorCommitMessage(inner: WriterCommitMessage,
+                                             deletes: Map[String, Array[Long]])
+    extends WriterCommitMessage
+
+/** The delta Write/BatchWrite/Writer stack. Insert rows ride the same
+  * delegate parquet writer the append path uses (hadoop commit protocol,
+  * staged under one commit dir); delete row-ids accumulate per task and
+  * merge at commit into one new blob per touched file. */
+private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
+                                     ctx: CowContext) extends DeltaWrite {
+  override def description(): String = s"graft MOR delta write to ${table.name()}"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val commitDir: Path = table.commitDirFor(info.queryId())
+    Files.createDirectories(commitDir)
+    // A pure DELETE's write schema is EMPTY (only row ids flow); the
+    // delegate parquet writer then serves no rows — but parquet refuses
+    // an empty schema outright, so give it the table schema and rely on
+    // the writers being created LAZILY (first insert) below: a delete-
+    // only task never opens a parquet file, so a 32-partition takedown
+    // stages zero data files instead of 32 empty ones.
+    private val writeSchema: StructType =
+      if (info.schema().isEmpty) table.schema() else info.schema()
+    private val inner: BatchWrite = ParquetTable(
+      table.name(), SparkSession.active,
+      new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
+      Seq(commitDir.toString), Some(writeSchema), classOf[ParquetFileFormat])
+      .newWriteBuilder(new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap = info.options()
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = writeSchema
+        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+      }).build().toBatch
+
+    // row-id field order as Spark will deliver it (by name, not position)
+    private val rowIdSchema: StructType = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("delta write without a rowIdSchema"))
+    private val fileIdx = rowIdSchema.fieldIndex(FileTag.Col)
+    private val posIdx = rowIdSchema.fieldIndex(Dv.PosCol)
+
+    override def createBatchWriterFactory(phyInfo: PhysicalWriteInfo): DeltaWriterFactory = {
+      val innerFactory = inner.createBatchWriterFactory(phyInfo)
+      val (fi, pi) = (fileIdx, posIdx)
+      new DeltaWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+          new MorDeltaWriter(() => innerFactory.createWriter(partitionId, taskId), fi, pi)
+      }
+    }
+
+    override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      message match {
+        case m: MorCommitMessage if m.inner != null => inner.onDataWriterCommit(m.inner)
+        case _ => ()
+      }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.map(_.asInstanceOf[MorCommitMessage])
+      inner.commit(msgs.flatMap(m => Option(m.inner)))
+      // staged insert files
+      val s = Files.list(commitDir)
+      val abs = try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+      val newFiles = abs.map(p => table.tableDirPath.relativize(p).toString)
+      val newStats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
+        SparkSession.active.sessionState.newHadoopConf())
+      // merged delete positions per file, across tasks
+      val merged: Map[String, Array[Long]] = msgs.flatMap(_.deletes.toSeq)
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray.sorted).toMap
+      table.commitRowDelta(ctx.baseVersion, newFiles, newStats, merged)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      inner.abort(messages.flatMap {
+        case m: MorCommitMessage => Option(m.inner)
+        case other => Option(other) // a task that died before commit reports raw
+      })
+  }
+}
+
+/** The inner parquet writer is created on FIRST insert — a delete-only
+  * task (the common MOR DELETE case) never opens a data file. */
+private[catalog] class MorDeltaWriter(mkInner: () => DataWriter[InternalRow],
+                                      fileIdx: Int, posIdx: Int)
+    extends DeltaWriter[InternalRow] {
+  private var inner: DataWriter[InternalRow] = _
+  private val deletes = scala.collection.mutable.HashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(fileIdx).toString
+    deletes.getOrElseUpdate(file, scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+      id.getLong(posIdx)
+  }
+  override def insert(row: InternalRow): Unit = {
+    if (inner == null) inner = mkInner()
+    inner.write(row)
+  }
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(metadata, id); insert(row)
+  }
+  override def commit(): WriterCommitMessage =
+    MorCommitMessage(if (inner != null) inner.commit() else null,
+      deletes.view.mapValues(_.toArray).toMap)
+  override def abort(): Unit = if (inner != null) inner.abort()
+  override def close(): Unit = if (inner != null) inner.close()
+}

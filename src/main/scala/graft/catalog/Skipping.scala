@@ -269,6 +269,8 @@ private[graft] object SkipEval {
     pred match {
       case And(l, r) => mightMatch(schema, st, l) && mightMatch(schema, st, r)
       case Or(l, r) => mightMatch(schema, st, l) || mightMatch(schema, st, r)
+      case Not(IsNull(a: AttributeReference)) => mightMatch(schema, st, IsNotNull(a))
+      case Not(IsNotNull(a: AttributeReference)) => mightMatch(schema, st, IsNull(a))
       case EqualTo(a: AttributeReference, l: Literal) =>
         cmp(a, l)((lo, hi, v) => ge(v, lo) && ge(hi, v))
       case EqualTo(l: Literal, a: AttributeReference) =>
@@ -301,6 +303,151 @@ private[graft] object SkipEval {
         field(a).forall(f => !allNull(f))
       case Literal(v, BooleanType) => v == true
       case _ => true
+    }
+  }
+
+  /** The DUAL of [[mightMatch]], for METADATA-ONLY operations: does every
+    * row of the file PROVABLY satisfy `pred`? The conservative direction
+    * flips — `mustMatchAll` may say `false` for a file whose rows all
+    * match (the verb falls back to a copy-on-write rewrite: slower, never
+    * wrong), but `true` only on proof, because a `true` lets DELETE drop
+    * the whole file from the manifest without reading it. Proof needs
+    * three ingredients [[mightMatch]] doesn't: a KNOWN null count (a
+    * comparison is never satisfied by a null row, so `nulls == 0` is part
+    * of every `cmp` proof and `nulls == rows` IS the `IS NULL` proof),
+    * usable bounds, and a bound test that covers the whole [lo, hi]
+    * interval rather than intersecting it. `Or` is proved by either arm
+    * covering every row (sufficient, not necessary — conservative).
+    * A zero-row file vacuously satisfies anything. */
+  def mustMatchAll(schema: StructType, st: FileStats, pred: Expression): Boolean = {
+    if (st.rows == 0) return true
+
+    def field(a: AttributeReference): Option[StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(a.name))
+
+    def colBounds(f: StructField): Option[(Dom, Dom)] =
+      for { lo <- st.mins.get(f.name); hi <- st.maxs.get(f.name) }
+        yield (decode(f.dataType, lo), decode(f.dataType, hi))
+
+    def nullsOf(f: StructField): Option[Long] =
+      st.nullCounts.get(f.name).filter(_ >= 0L)
+
+    /** Comparison proof: zero nulls AND the bound test holds over the
+      * whole interval. Unknown anything → false. */
+    def cmp(a: AttributeReference, lit: Literal)(test: (Dom, Dom, Dom) => Boolean): Boolean =
+      field(a).exists { f =>
+        nullsOf(f).contains(0L) &&
+          ((colBounds(f), literalDom(lit.dataType, lit.value)) match {
+            case (Some((lo, hi)), Some(v)) => test(lo, hi, v)
+            case _ => false
+          })
+      }
+
+    def ge(x: Dom, y: Dom) = domOrdering.compare(x, y) >= 0
+    def gt(x: Dom, y: Dom) = domOrdering.compare(x, y) > 0
+    def eq(x: Dom, y: Dom) = domOrdering.compare(x, y) == 0
+
+    pred match {
+      case And(l, r) => mustMatchAll(schema, st, l) && mustMatchAll(schema, st, r)
+      case Or(l, r) => mustMatchAll(schema, st, l) || mustMatchAll(schema, st, r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((lo, hi, v) => eq(lo, v) && eq(hi, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((lo, hi, v) => eq(lo, v) && eq(hi, v))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((lo, _, v) => gt(lo, v))
+      case GreaterThan(l: Literal, a: AttributeReference) => // lit > col ⇔ col < lit
+        cmp(a, l)((_, hi, v) => gt(v, hi))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((lo, _, v) => ge(lo, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((_, hi, v) => ge(v, hi))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((_, hi, v) => gt(v, hi))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((lo, _, v) => gt(lo, v))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l)((_, hi, v) => ge(v, hi))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l)((lo, _, v) => ge(lo, v))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        // provable only when the file is single-valued on the column and
+        // that value is one of the list's
+        vs.exists(v => mustMatchAll(schema, st, EqualTo(a, v.asInstanceOf[Literal])))
+      case InSet(a: AttributeReference, vs) =>
+        vs.exists(v => mustMatchAll(schema, st, EqualTo(a, Literal(v, a.dataType))))
+      case IsNull(a: AttributeReference) =>
+        field(a).exists(f => nullsOf(f).contains(st.rows))
+      case IsNotNull(a: AttributeReference) =>
+        field(a).exists(f => nullsOf(f).contains(0L))
+      case Not(IsNull(a: AttributeReference)) => mustMatchAll(schema, st, IsNotNull(a))
+      case Not(IsNotNull(a: AttributeReference)) => mustMatchAll(schema, st, IsNull(a))
+      case Literal(v, BooleanType) => v == true
+      case _ => false
+    }
+  }
+}
+
+/** Translate connector (v2) [[org.apache.spark.sql.connector.expressions
+  * .filter.Predicate]]s — what [[org.apache.spark.sql.connector.catalog
+  * .SupportsDeleteV2]] hands `canDeleteWhere` — back into the catalyst
+  * shapes [[SkipEval]] evaluates. Only the shapes SkipEval understands
+  * are translated (=, <, <=, >, >=, IN, IS_NULL, IS_NOT_NULL, NOT of
+  * those, AND/OR, ALWAYS_TRUE/FALSE between a column and a literal);
+  * anything else — nested fields, arithmetic like `doc_id % 7`, casts,
+  * functions — yields None and the caller must refuse the metadata path
+  * (the verb then runs as an ordinary copy-on-write rewrite). */
+private[graft] object V2Preds {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate => VPred}
+
+  def toCatalyst(p: VPred, schema: StructType): Option[Expression] = {
+    def ref(e: VExpr): Option[AttributeReference] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+          .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+      case _ => None
+    }
+    def lit(e: VExpr): Option[Literal] = e match {
+      case l: VLit[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    def bin(mk: (Expression, Expression) => Expression,
+            flip: (Expression, Expression) => Expression): Option[Expression] = {
+      val Array(l, r) = p.children()
+      (ref(l), lit(r), lit(l), ref(r)) match {
+        case (Some(a), Some(v), _, _) => Some(mk(a, v))
+        case (_, _, Some(v), Some(a)) => Some(flip(v, a))
+        case _ => None
+      }
+    }
+    p match {
+      case a: VAnd =>
+        for { l <- toCatalyst(a.left(), schema); r <- toCatalyst(a.right(), schema) }
+          yield And(l, r)
+      case o: VOr =>
+        for { l <- toCatalyst(o.left(), schema); r <- toCatalyst(o.right(), schema) }
+          yield Or(l, r)
+      case n: VNot => toCatalyst(n.child(), schema).map(Not)
+      case _ => p.name() match {
+        case "ALWAYS_TRUE" => Some(Literal.TrueLiteral)
+        case "ALWAYS_FALSE" => Some(Literal.FalseLiteral)
+        case "=" if p.children().length == 2 => bin(EqualTo, EqualTo)
+        case "<" if p.children().length == 2 => bin(LessThan, LessThan)
+        case "<=" if p.children().length == 2 => bin(LessThanOrEqual, LessThanOrEqual)
+        case ">" if p.children().length == 2 => bin(GreaterThan, GreaterThan)
+        case ">=" if p.children().length == 2 => bin(GreaterThanOrEqual, GreaterThanOrEqual)
+        case "IS_NULL" if p.children().length == 1 =>
+          ref(p.children()(0)).map(IsNull)
+        case "IS_NOT_NULL" if p.children().length == 1 =>
+          ref(p.children()(0)).map(IsNotNull)
+        case "IN" if p.children().nonEmpty =>
+          ref(p.children()(0)).flatMap { a =>
+            val vs = p.children().tail.toSeq.map(lit)
+            if (vs.forall(_.isDefined)) Some(In(a, vs.map(_.get))) else None
+          }
+        case _ => None
+      }
     }
   }
 }

@@ -36,7 +36,9 @@ class SkippingScanBuilder(
     mkDelegate: Seq[String] => ScanBuilder,
     allFiles: Seq[String],
     mkStream: String => MicroBatchStream,
-    fileColShadowed: Boolean)
+    fileColShadowed: Boolean,
+    posColShadowed: Boolean = true,
+    addr: Option[graft.catalog.AddrSupport] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -45,6 +47,7 @@ class SkippingScanBuilder(
   private var pushed: Seq[Expression] = Nil
   private var dataSchema: Option[StructType] = None
   private var wantFile: Boolean = false
+  private var wantPos: Boolean = false
 
   private def ensureDelegate(): ScanBuilder = {
     if (delegate == null) delegate = mkDelegate(allFiles)
@@ -69,15 +72,16 @@ class SkippingScanBuilder(
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // `_file` is the catalog's metadata column — produced by the tagged
-    // scan below, never by the parquet delegate (which would null-fill a
-    // column the files don't have). On a table whose SCHEMA owns a
-    // `_file` data column the name refers to that column (the metadata
-    // column is shadowed) and must flow to the delegate untouched.
-    val (data, wf) =
-      if (fileColShadowed) (requiredSchema, false)
-      else graft.catalog.FileTag.splitSchema(requiredSchema)
+    // `_file`/`_pos` are the catalog's metadata columns — produced by the
+    // tagged/addressed scans below, never by the parquet delegate (which
+    // would null-fill columns the files don't have). On a table whose
+    // SCHEMA owns either name the name refers to that data column (the
+    // metadata column is shadowed) and must flow to the delegate
+    // untouched.
+    val (data, wf, wp) =
+      graft.catalog.Dv.splitSchema(requiredSchema, fileColShadowed, posColShadowed)
     wantFile = wf
+    wantPos = wp
     dataSchema = Some(data)
     ensureDelegate() match {
       case c: SupportsPushDownRequiredColumns => c.pruneColumns(data)
@@ -85,30 +89,76 @@ class SkippingScanBuilder(
     }
   }
 
-  override def build(): Scan =
-    if (!wantFile) new ForwardingScan(ensureDelegate().build(), mkStream)
-    else {
-      // `SELECT _file, … FROM t`: per-file partitions, each tagged with
-      // its manifest-relative path. Filters re-push per file (row-group
-      // pruning inside kept files survives; a post-scan Filter exists,
-      // so row-granular application is allowed on this READ path).
-      // Streaming with _file is not served (the version-tail source has
-      // no per-file tagging) — toMicroBatchStream fails loudly.
-      val data = dataSchema.get
-      val filters = pushed
-      new graft.catalog.FileTaggedScan(() => prunedFiles, files => {
-        val b = mkDelegate(files)
-        b match {
-          case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
-          case _ => ()
-        }
-        b match {
-          case c: SupportsPushDownRequiredColumns => c.pruneColumns(data)
-          case _ => ()
-        }
-        b.build()
-      }, data)
+  /** Per-file delegate with the pushed filters re-applied (row-group
+    * pruning inside kept files survives; a post-scan Filter exists, so
+    * row-granular application is allowed on this READ path). */
+  private def filteredScanFor(files: Seq[String]): Scan = {
+    val b = mkDelegate(files)
+    b match {
+      case f: SupportsPushDownCatalystFilters => f.pushFilters(pushed)
+      case _ => ()
     }
+    (b, dataSchema) match {
+      case (c: SupportsPushDownRequiredColumns, Some(s)) => c.pruneColumns(s)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  /** Filter-FREE per-file delegate — what position-producing and masked
+    * reads plan through (row-group pruning would renumber positions). */
+  private def bareScanFor(files: Seq[String]): Scan = {
+    val b = mkDelegate(files)
+    (b, dataSchema) match {
+      case (c: SupportsPushDownRequiredColumns, Some(s)) => c.pruneColumns(s)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  override def build(): Scan = {
+    val vectored = addr match {
+      case Some(a) => prunedFiles.filter(a.isVectored)
+      case None => Nil
+    }
+    // A STREAMING read builds the scan without the pushdown protocol
+    // (no pruneColumns/pushFilters) and uses it only for
+    // toMicroBatchStream — the version-tail source masks its own
+    // opening snapshot, so the batch-side vector handling below is
+    // bypassed, not needed.
+    if (dataSchema.isEmpty)
+      new ForwardingScan(ensureDelegate().build(), mkStream)
+    else if (!wantFile && !wantPos && vectored.isEmpty)
+      new ForwardingScan(ensureDelegate().build(), mkStream)
+    else if (!wantPos && vectored.isEmpty)
+      // `SELECT _file, … FROM t`: per-file partitions, each tagged with
+      // its manifest-relative path. Streaming with _file is not served
+      // (the version-tail source has no per-file tagging) —
+      // toMicroBatchStream fails loudly.
+      new graft.catalog.FileTaggedScan(() => prunedFiles, filteredScanFor, dataSchema.get)
+    else {
+      // Deletion vectors in scope and/or `_pos` requested: those reads
+      // need ROW ADDRESSES, which only the per-file, filter-free
+      // addressed path provides. Files that need neither stay on the
+      // fast path (one bin-packed, filter-pushed, vectorized delegate) —
+      // a table's unvectored bulk never pays for its vectored tail.
+      val a = addr.getOrElse(throw new IllegalStateException(
+        s"${graft.catalog.Dv.PosCol} requested but this scan has no address support"))
+      val data = dataSchema.get
+      if (wantPos) // every file needs addressing; one scan serves all
+        new graft.catalog.AddressedScan(() => prunedFiles, bareScanFor, data,
+          wantFile, true, a.addrOf, a.conf)
+      else {
+        val clean = prunedFiles.filterNot(a.isVectored)
+        val addressed = new graft.catalog.AddressedScan(() => vectored, bareScanFor,
+          data, wantFile, false, a.addrOf, a.conf)
+        val cleanScan =
+          if (wantFile) new graft.catalog.FileTaggedScan(() => clean, filteredScanFor, data)
+          else filteredScanFor(clean)
+        new graft.catalog.SplitScan(cleanScan, addressed, addressed.readSchema(), mkStream)
+      }
+    }
+  }
 }
 
 /** The scan side of FILE-GRANULAR copy-on-write (VERDICT r12 #1): the
@@ -153,7 +203,8 @@ class CowGroupScanBuilder(
     mkDelegate: Seq[String] => ScanBuilder,
     allFiles: Seq[String],
     onScope: Seq[String] => Unit,
-    fileColShadowed: Boolean)
+    fileColShadowed: Boolean,
+    addr: Option[graft.catalog.AddrSupport] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -189,19 +240,53 @@ class CowGroupScanBuilder(
     b.build()
   }
 
+  /** A rewrite group that carries deletion vectors must be read MASKED —
+    * a COW rewrite of a vectored file is exactly how the vector gets
+    * materialized away, and copying tombstoned rows back in would
+    * resurrect them. Clean groups stay on the plain delegate. */
+  private def groupScanFor(files: Seq[String]): Scan = addr match {
+    case Some(a) if files.exists(a.isVectored) =>
+      val (vectored, clean) = files.partition(a.isVectored)
+      val data = dataSchema.getOrElse(StructType(Nil))
+      val masked = new graft.catalog.AddressedScan(() => vectored, mkScanFor, data,
+        wantFile = false, wantPos = false, a.addrOf, a.conf)
+      if (clean.isEmpty) masked
+      else new graft.catalog.SplitScan(mkScanFor(clean), masked, data,
+        _ => throw new UnsupportedOperationException("row-level scans are batch-only"))
+    case _ => mkScanFor(files)
+  }
+
   override def build(): Scan =
-    if (!wantFile) mkScanFor(kept)
-    else new graft.catalog.FileTaggedScan(() => kept, mkScanFor,
-      dataSchema.getOrElse(StructType(Nil)))
-      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-      override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-        Array(org.apache.spark.sql.connector.expressions.FieldReference.column(
-          graft.catalog.FileTag.Col))
-      override def filter(predicates: Array[Predicate]): Unit =
-        graft.catalog.FileTag.allowedFiles(predicates).foreach { allowed =>
-          kept = kept.filter(allowed)
-          onScope(kept)
-        }
+    if (!wantFile) groupScanFor(kept)
+    else {
+      // Per-file tagging, with runtime group filtering narrowing `kept`.
+      // The partition SHAPE is decided ONCE here: if any in-scope group
+      // carries a vector, every group goes through the addressed path
+      // (the tag is served by the same machinery, blob = None for clean
+      // files) — runtime narrowing then can't flip the shape between
+      // partition planning and reader-factory creation.
+      val data = dataSchema.getOrElse(StructType(Nil))
+      val inner: Scan = addr match {
+        case Some(a) if kept.exists(a.isVectored) =>
+          new graft.catalog.AddressedScan(() => kept, mkScanFor, data,
+            wantFile = true, wantPos = false, a.addrOf, a.conf)
+        case _ => new graft.catalog.FileTaggedScan(() => kept, mkScanFor, data)
+      }
+      new Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+        override def readSchema(): StructType = inner.readSchema()
+        override def description(): String = "graft COW group scan (+_file)"
+        override def toBatch: Batch = inner.toBatch
+        override def columnarSupportMode(): Scan.ColumnarSupportMode =
+          Scan.ColumnarSupportMode.PARTITION_DEFINED
+        override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+            graft.catalog.FileTag.Col))
+        override def filter(predicates: Array[Predicate]): Unit =
+          graft.catalog.FileTag.allowedFiles(predicates).foreach { allowed =>
+            kept = kept.filter(allowed)
+            onScope(kept)
+          }
+      }
     }
 }
 

@@ -780,6 +780,136 @@ object SqlVerbs {
          UNION ALL SELECT 'refilled_rows', (SELECT n FROM c2))
        ORDER BY metric"""
 
+  /** X-SQLq — METADATA-ONLY DELETE (`SupportsDeleteV2`, Iceberg's
+    * metadata delete): when footer stats PROVE every file is either
+    * all-match (drop whole) or no-match (inherit), `DELETE FROM` commits
+    * one manifest swap and writes NOTHING — the retention shape
+    * (`DELETE … WHERE ts < cutoff` on a time-clustered table) that at
+    * 100 TB must not cost even a file-granular rewrite. The fixture
+    * makes alignment structural, not layout-lucky: two INSERTs split the
+    * corpus at the quartile Q1, so every v1 file is provably below Q1
+    * whatever the write parallelism did, and `DELETE WHERE doc_id < Q1`
+    * drops exactly v1's files (manifest diff: removed ≥ 1, ADDED = 0).
+    * The second DELETE (`doc_id % 7 = 3`) is unprovable from stats by
+    * construction, so it pins the FALLBACK: the verb silently runs as an
+    * ordinary COW rewrite (added ≥ 1) — slower, never wrong. Content
+    * after both verbs is fully relational, so the oracle replays it. */
+  def sqlMetadataDelete(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureMetaDeleteTable(spark, dir)
+    val agg = ss.sql(s"SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars FROM $t").head()
+    // v0 create, v1 insert (< Q1), v2 insert (>= Q1), v3 metadata DELETE,
+    // v4 fallback COW DELETE
+    val (_, d3removed, d3added, d3inherited) =
+      graft.catalog.Manifests.commitFileDiff(ss, t, 3)
+    val (_, _, d4added, _) =
+      graft.catalog.Manifests.commitFileDiff(ss, t, 4)
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      d3added == 0 && d3removed >= 1 && d3inherited >= 1,
+      d4added >= 1))
+      .toDF("n_docs", "sum_chars", "delete_was_metadata_only", "fallback_rewrote")
+  }
+
+  /** The metadata-delete fixture: the corpus split into two INSERTs at
+    * the quartile, then the provable DELETE and the unprovable one. */
+  private[graft] def ensureMetaDeleteTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_mdel"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-mdel"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        val docs = Tables.documents(ss, dir)
+        docs.createOrReplaceTempView("documents_src_mdel")
+        val Array(b) = docs.agg(
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+        val q1 = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_mdel WHERE doc_id < $q1")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_mdel WHERE doc_id >= $q1")
+        ss.sql(s"DELETE FROM $t WHERE doc_id < $q1")
+        ss.sql(s"DELETE FROM $t WHERE doc_id % 7 = 3")
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  /** X-SQLr — MERGE-ON-READ row-level verbs (`TBLPROPERTIES
+    * ('write.row_level.mode'='merge-on-read')`, Delta's deletion
+    * vectors / Iceberg v2 position deletes): the SAME verb chain the
+    * copy-on-write table runs (UPDATE short-doc langs, takedown DELETE,
+    * re-ingest MERGE), committed as per-row deltas — tombstone blobs +
+    * appended inserts, ZERO data files rewritten (pinned per commit via
+    * the manifest diff), with the tombstone count visible in the
+    * manifest. Content converges to the identical relational result, so
+    * the oracle is the same CTE replay as `q_sql_merge` — the mode is a
+    * write-amplification knob, never a semantics one. The row that
+    * matters at 100 TB: the takedown DELETE writes a few-KB blob where
+    * COW rewrites file(s) and where even file-granular COW pays a full
+    * file rewrite. */
+  def sqlMor(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureMorChain(spark, dir)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                 count(DISTINCT lang) AS n_langs FROM $t""").head()
+    // v0 create, v1 insert, v2 MOR UPDATE, v3 MOR DELETE, v4 MOR MERGE
+    val removedAcross = (2 to 4).map(v =>
+      graft.catalog.Manifests.commitFileDiff(ss, t, v)._2).sum
+    val tombstones = graft.catalog.Manifests.dvInfo(ss, t, 4).values.map(_._2).sum
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+      removedAcross == 0, tombstones >= 1L))
+      .toDF("n_docs", "sum_chars", "n_langs", "no_files_rewritten", "wrote_tombstones")
+  }
+
+  /** The MOR twin of [[ensureVerbChain]]: same corpus, same verbs, same
+    * expected content — only the commit mechanics differ. */
+  private[graft] def ensureMorChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_mor"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-mor"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_mor")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT) " +
+          "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+        ss.sql(s"""INSERT INTO $t
+                   SELECT doc_id, lang, source, n_chars FROM documents_src_mor
+                   WHERE doc_id % 10 < 8""")
+        ss.sql(s"UPDATE $t SET lang = 'und' WHERE n_chars < $ShortDocChars")
+        ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0")
+        ss.sql(s"""MERGE INTO $t t
+                   USING (SELECT doc_id, lang, source, n_chars FROM documents_src_mor
+                          WHERE doc_id % 10 >= 5) s
+                   ON t.doc_id = s.doc_id
+                   WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+                   WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+                     VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlMorOracleSql: String =
+    s"""WITH $oracleChainCtes
+        SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(DISTINCT lang) AS n_langs,
+               true AS no_files_rewritten, true AS wrote_tombstones
+        FROM v4"""
+
+  def sqlMetadataDeleteOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            w AS (SELECT mn + (mx - mn) // 4 AS q1 FROM b),
+            v AS (SELECT doc_id, n_chars FROM documents, w
+                  WHERE doc_id >= w.q1 AND doc_id % 7 <> 3)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              true AS delete_was_metadata_only, true AS fallback_rewrote
+       FROM v"""
+
   def sqlPartitionedOracleSql: String =
     """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
             w AS (SELECT mn + (mx - mn) // 2 AS lo,

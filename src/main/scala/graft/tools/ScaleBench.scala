@@ -131,6 +131,23 @@ object ScaleBench {
                  WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 2""")
     }
     val (mTotal, mRewritten, _, _) = graft.catalog.Manifests.commitFileDiff(ss, t, 3)
+    // MERGE-ON-READ takedown (round 13): switch the SAME table to
+    // merge-on-read and delete one row — the commit is a few-KB
+    // tombstone blob, so the time should be ~FLAT across corpus scale
+    // and the moved-file count EXACTLY zero (printed per point). This
+    // is the arm even file-granular COW can't match: COW's one-row
+    // takedown rewrites the row's whole file, which GROWS with the
+    // per-file data volume.
+    val morDelete = timed {
+      ss.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+      ss.sql(s"DELETE FROM $t WHERE doc_id = $bound")
+    }
+    val vMor = graft.catalog.Manifests.latestVersion(ss, t)
+    val (_, morRemoved, morAdded, _) = graft.catalog.Manifests.commitFileDiff(ss, t, vMor)
+    val morFeed = timed {
+      graft.catalog.ChangeFeed.tableChanges(ss, t, vMor, vMor, keyCols = Seq("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val s = java.nio.file.Files.walk(root)
     try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -139,7 +156,10 @@ object ScaleBench {
       "cdc_files_rewritten" -> rewritten.toDouble, "cdc_files_total" -> total.toDouble,
       "cdc_merge" -> merge,
       "cdc_merge_files_rewritten" -> mRewritten.toDouble,
-      "cdc_merge_files_total" -> mTotal.toDouble)
+      "cdc_merge_files_total" -> mTotal.toDouble,
+      "mor_takedown" -> morDelete,
+      "mor_takedown_files_moved" -> (morRemoved + morAdded).toDouble,
+      "mor_feed" -> morFeed)
   }
 
   /** Staged artifacts the targets read (the bench pre-builds the same
