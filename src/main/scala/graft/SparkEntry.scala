@@ -186,6 +186,9 @@ object SparkEntry {
     // per-row deltas — tombstone blobs + appends, zero files rewritten
     // (manifest-diff pinned); content identical to the COW chain
     "q_sql_mor"           -> ((s, d) => SqlVerbs.sqlMor(s, d)),
+    // parquet-native bloom filters on declared columns: point lookups on
+    // a scattered table skip row groups the bloom proves value-free
+    "q_sql_bloom"         -> ((s, d) => SqlVerbs.sqlBloom(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -614,6 +617,9 @@ object SparkEntry {
     // the full lakehouse loop: upstream table -> version-tail stream ->
     // per-batch MERGE maintains a downstream aggregate table
     "q_stream_derived_table" -> ((s, d) => graft.streaming.StreamingOps.streamDerivedTableEndToEnd(s, d)),
+    // streaming CDC apply under merge-on-read: per-batch MERGE into a
+    // corpus-sized mirror commits tombstone deltas, zero files rewritten
+    "q_stream_mor_upsert" -> ((s, d) => graft.streaming.StreamingOps.streamMorUpsertEndToEnd(s, d)),
     // online ANN serving: new vectors stream in, each answered with its
     // IVF top-k against the pinned old-corpus index
     "q_stream_ann"        -> ((s, d) => graft.streaming.StreamingOps.streamAnnEndToEnd(s, d)),
@@ -1039,10 +1045,12 @@ object SparkEntry {
     "q_sql_truncate" -> SqlVerbs.sqlTruncateOracleSql,
     "q_sql_metadata_delete" -> SqlVerbs.sqlMetadataDeleteOracleSql,
     "q_sql_mor" -> SqlVerbs.sqlMorOracleSql,
+    "q_sql_bloom" -> SqlVerbs.sqlBloomOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,
     "q_stream_derived_table" -> graft.streaming.StreamingOps.streamDerivedTableOracleSql,
+    "q_stream_mor_upsert" -> graft.streaming.StreamingOps.streamMorUpsertOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

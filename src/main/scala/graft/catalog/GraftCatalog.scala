@@ -232,6 +232,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         s"${GraftTable.RowLevelModeProp} must be one of " +
           s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '$v'")
     }
+    userProps.get(GraftTable.BloomColumnsProp).foreach { v =>
+      v.split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"${GraftTable.BloomColumnsProp} column '$c' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+    }
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
@@ -268,6 +274,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             require(GraftTable.RowLevelModes.contains(set.value()),
               s"${GraftTable.RowLevelModeProp} must be one of " +
                 s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '${set.value()}'")
+          if (set.property() == GraftTable.BloomColumnsProp)
+            set.value().split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
+              require(meta.schema.fieldNames.contains(c),
+                s"${GraftTable.BloomColumnsProp} column '$c' is not in the schema " +
+                  s"(${meta.schema.fieldNames.mkString(", ")})"))
           meta.copy(props = meta.props + (set.property() -> set.value()))
         case (meta, unset: TableChange.RemoveProperty) =>
           meta.copy(props = meta.props - unset.property())
@@ -601,7 +612,8 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                 snapshot.repartitionByRange(target, cols: _*)
                   .sortWithinPartitions(cols: _*)
               }
-            rewritten.write.parquet(staging.toString)
+            val table0pre = new GraftTable(table, dir, pinnedVersion = None)
+            rewritten.write.options(table0pre.bloomWriteOptions).parquet(staging.toString)
             val s = Files.list(staging)
             val abs = try s.iterator().asScala
               .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
@@ -1247,6 +1259,47 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
   private[catalog] def rowLevelMode: String =
     meta.props.getOrElse(GraftTable.RowLevelModeProp, GraftTable.CopyOnWrite)
 
+  /** Columns declared for parquet-native BLOOM FILTERS
+    * (`TBLPROPERTIES ('write.bloom.columns'='doc_id,…')`): every data
+    * file written to this table carries a per-row-group bloom on each,
+    * and the parquet reader consults it automatically on pushed
+    * EQUALITY predicates — row groups provably missing the value are
+    * skipped without decoding a page. This is the point-lookup
+    * complement to min/max skipping: footer bounds prune a
+    * high-cardinality column only where the layout clusters it, while
+    * a bloom prunes `WHERE doc_id = X` on a SCATTERED table (the
+    * takedown-by-id lookup at 100 TB). Cost: ~1 byte/distinct value per
+    * file at write time, zero at read planning. */
+  private[catalog] def bloomColumns: Seq[String] =
+    meta.props.get(GraftTable.BloomColumnsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** `info` with this table's write-path parquet options injected
+    * (bloom filters today) — the options land in the delegate
+    * [[ParquetTable]] write's hadoop conf verbatim
+    * (`FileWrite.options.asCaseSensitiveMap` → `newHadoopConfWithOptions`). */
+  private[catalog] def writeInfoWithTableOptions(info: LogicalWriteInfo): LogicalWriteInfo = {
+    val bloom = bloomColumns
+    if (bloom.isEmpty) info
+    else {
+      val merged = new java.util.HashMap[String, String](info.options().asCaseSensitiveMap())
+      bloom.foreach(c => merged.put(s"parquet.bloom.filter.enabled#$c", "true"))
+      val opts = new CaseInsensitiveStringMap(merged)
+      new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap = opts
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = info.schema()
+        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+      }
+    }
+  }
+
+  /** The same options as a plain map — for the maintenance rewrites
+    * that go through the DataFrame writer (compact/cluster staging). */
+  private[catalog] def bloomWriteOptions: Map[String, String] =
+    bloomColumns.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   /** The declared cluster keys, reported as their v2 transforms
     * (what SHOW CREATE / DESCRIBE surface). */
   override def partitioning(): Array[Transform] =
@@ -1565,6 +1618,10 @@ private[catalog] object GraftTable {
   val CopyOnWrite = "copy-on-write"
   val MergeOnRead = "merge-on-read"
   val RowLevelModes: Set[String] = Set(CopyOnWrite, MergeOnRead)
+
+  /** Comma-separated columns to write parquet bloom filters for (see
+    * [[GraftTable.bloomColumns]]). */
+  val BloomColumnsProp = "write.bloom.columns"
 }
 
 /** Write builder: stages files into a fresh commit subdir via the
@@ -1634,7 +1691,7 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
         new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
         Seq(commitDir.toString), Some(info.schema()),
         classOf[ParquetFileFormat])
-        .newWriteBuilder(info).build().toBatch
+        .newWriteBuilder(table.writeInfoWithTableOptions(info)).build().toBatch
       new BatchWrite {
         override def createBatchWriterFactory(phyInfo: PhysicalWriteInfo): DataWriterFactory = {
           val factory = inner.createBatchWriterFactory(phyInfo)
@@ -1892,7 +1949,7 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
     val inner = ParquetTable(table.name(), SparkSession.active,
       new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
       Seq(commitDir.toString), Some(info.schema()), classOf[ParquetFileFormat])
-      .newWriteBuilder(info).build().toBatch
+      .newWriteBuilder(table.writeInfoWithTableOptions(info)).build().toBatch
     require(pending.compareAndSet(null, Pending(commitDir, inner)),
       s"${table.name()}: overlapping streaming epochs (a second writer factory " +
         "was requested before the previous epoch committed or aborted)")

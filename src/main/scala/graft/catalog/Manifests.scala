@@ -53,4 +53,30 @@ object Manifests {
   def dvInfo(ss: SparkSession, table: String, v: Int): Map[String, (String, Long)] =
     TableMeta.read(tableDir(ss, table)).manifest(v).dvs
       .map { case (f, d) => f -> (d.path, d.rows) }
+
+  /** Does EVERY data file of the live manifest carry a parquet bloom
+    * filter on `column` (first row group probed per file)? `false` for
+    * an empty manifest. One footer read per file, no data pages — the
+    * observability hook for the `write.bloom.columns` contract. */
+  def allFilesHaveBloom(ss: SparkSession, table: String, column: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val dir = tableDir(ss, table)
+    val m = TableMeta.read(dir)
+    val files = m.manifest(m.latest).files
+    val conf = ss.sessionState.newHadoopConf()
+    files.nonEmpty && files.forall { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir.resolve(f).toUri), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        !blocks.isEmpty && {
+          val block = blocks.get(0)
+          block.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(column))
+            .exists(c => reader.getBloomFilterDataReader(block).readBloomFilter(c) != null)
+        }
+      } finally reader.close()
+    }
+  }
 }

@@ -150,12 +150,13 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
     // stages zero data files instead of 32 empty ones.
     private val writeSchema: StructType =
       if (info.schema().isEmpty) table.schema() else info.schema()
+    private val withTableOpts = table.writeInfoWithTableOptions(info)
     private val inner: BatchWrite = ParquetTable(
       table.name(), SparkSession.active,
       new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
       Seq(commitDir.toString), Some(writeSchema), classOf[ParquetFileFormat])
       .newWriteBuilder(new LogicalWriteInfo {
-        override def options(): CaseInsensitiveStringMap = info.options()
+        override def options(): CaseInsensitiveStringMap = withTableOpts.options()
         override def queryId(): String = info.queryId()
         override def schema(): StructType = writeSchema
         override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()

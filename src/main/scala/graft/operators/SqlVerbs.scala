@@ -901,6 +901,65 @@ object SqlVerbs {
                true AS no_files_rewritten, true AS wrote_tombstones
         FROM v4"""
 
+  /** X-SQLs — parquet-native BLOOM FILTERS (`TBLPROPERTIES
+    * ('write.bloom.columns'='doc_id')`, Delta's bloom filter index /
+    * parquet's own column bloom): every data file the table writes
+    * carries a per-row-group bloom on the declared columns, and the
+    * parquet reader consults it on pushed EQUALITY predicates — row
+    * groups provably missing the value are skipped without decoding a
+    * page. The point-lookup complement to min/max skipping: on this
+    * deliberately SCATTERED table (round-robin insert, every file spans
+    * the id range) footer bounds prune nothing, and a takedown-by-id
+    * `WHERE doc_id = X` would otherwise decode every row group of every
+    * file. The verdict column pins presence structurally (every live
+    * file's footer carries the bloom — absence would silently degrade
+    * to full decode, the fast-path-quietly-off failure); correctness of
+    * the lookup itself is relational. */
+  def sqlBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureBloomTable(spark, dir)
+    val Array(b) = Tables.documents(ss, dir).agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val target = ss.sql(
+      s"SELECT max(doc_id) FROM documents_src_bloom WHERE doc_id <= $mid").head().getLong(0)
+    val hit = ss.sql(s"SELECT doc_id, n_chars FROM $t WHERE doc_id = $target").head()
+    import ss.implicits._
+    Seq((hit.getLong(0), hit.getLong(1),
+      graft.catalog.Manifests.allFilesHaveBloom(ss, t, "doc_id"),
+      !graft.catalog.Manifests.allFilesHaveBloom(ss, t, "n_chars")))
+      .toDF("doc_id", "n_chars", "bloom_on_doc_id", "no_bloom_on_undeclared")
+  }
+
+  /** The bloom fixture: documents scattered round-robin (worst case for
+    * min/max pruning), blooms declared on doc_id only. */
+  private[graft] def ensureBloomTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_bloom"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-bloom"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_bloom")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT) " +
+          "TBLPROPERTIES ('write.bloom.columns'='doc_id')")
+        ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(4) */ doc_id, n_chars " +
+          "FROM documents_src_bloom")
+        built.add(key)
+      }
+    }
+    Tables.documents(ss, dir).createOrReplaceTempView("documents_src_bloom")
+    (ss, t)
+  }
+
+  def sqlBloomOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            t AS (SELECT max(doc_id) AS target FROM documents, b
+                  WHERE doc_id <= b.mn + (b.mx - b.mn) // 2)
+       SELECT d.doc_id, d.n_chars,
+              true AS bloom_on_doc_id, true AS no_bloom_on_undeclared
+       FROM documents d, t WHERE d.doc_id = t.target"""
+
   def sqlMetadataDeleteOracleSql: String =
     """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
             w AS (SELECT mn + (mx - mn) // 4 AS q1 FROM b),

@@ -1571,6 +1571,81 @@ object StreamingOps {
               (SELECT count(*) FROM documents WHERE doc_id % 3 < 2) AS docs_after_batch1
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** X-STRw — STREAMING CDC APPLY UNDER MERGE-ON-READ: the production
+    * shape deletion vectors exist for. A re-crawl stream lands in an
+    * upstream catalog table; each micro-batch MERGEs DOC-LEVEL rows into
+    * a CORPUS-SIZED downstream mirror declared
+    * `write.row_level.mode = merge-on-read`. Under COW every batch's
+    * matched keys would rewrite their files — write amplification ∝
+    * matched files × batch count, the pattern that makes continuous
+    * upsert ingest infeasible at 100 TB. Under MOR each batch commits
+    * tombstone blobs + appended rows: cost ∝ THE BATCH, and the
+    * downstream never rewrites a data file (pinned: zero files removed
+    * across every downstream commit, tombstones present). Batch 1 seeds
+    * the evens (all NOT MATCHED); batch 2 re-delivers the whole corpus,
+    * so its evens exercise MATCHED-as-delete+reinsert and its odds
+    * insert — the final mirror is fully relational and the oracle
+    * replays it. OPTIMIZE (q_sql_compact's verb) is the read-side
+    * repair, deliberately not run here: the query pins the WRITE path's
+    * zero-rewrite contract. */
+  def streamMorUpsertEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, cat) = graft.operators.SqlVerbs.sessionAndCatalog(spark, dir)
+    val up = s"$cat.main.docs_recrawl"
+    val down = s"$cat.main.docs_mirror"
+    val out = scratchDir("morupsert")
+    ss.sql(s"DROP TABLE IF EXISTS $up")
+    ss.sql(s"DROP TABLE IF EXISTS $down")
+    ss.sql(s"CREATE TABLE $up (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    ss.sql(s"CREATE TABLE $down (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+      "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+    graft.Tables.documents(ss, dir).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("docs_recrawl_src")
+    def drain(): Unit = {
+      val q = ss.readStream.table(up)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          batch.createOrReplaceTempView("mor_upsert_delta")
+          bs.sql(
+            s"""MERGE INTO $down t USING mor_upsert_delta s ON t.doc_id = s.doc_id
+                WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 10
+                WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                  VALUES (s.doc_id, s.lang, s.n_chars)""")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    ss.sql(s"INSERT INTO $up SELECT * FROM docs_recrawl_src WHERE doc_id % 2 = 0")
+    drain() // seed: all NOT MATCHED
+    ss.sql(s"INSERT INTO $up SELECT * FROM docs_recrawl_src")
+    drain() // re-crawl: evens MATCHED (delete+reinsert deltas), odds insert
+    val latest = graft.catalog.Manifests.latestVersion(ss, down)
+    val removedAcross = (1 to latest)
+      .map(v => graft.catalog.Manifests.commitFileDiff(ss, down, v)._2).sum
+    val tombstones = graft.catalog.Manifests.dvInfo(ss, down, latest).values.map(_._2).sum
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                 count(DISTINCT lang) AS n_langs FROM $down""").head()
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2),
+      removedAcross == 0, tombstones >= 1L))
+      .toDF("n_docs", "sum_chars", "n_langs", "no_files_rewritten", "wrote_tombstones")
+      .write.mode("overwrite").parquet(s"$out/result")
+    readBackCleaned(spark, out)(identity)
+  }
+
+  val streamMorUpsertOracleSql: String =
+    """WITH v AS (SELECT doc_id, lang,
+                         CASE WHEN doc_id % 2 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+                  FROM documents)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(DISTINCT lang) AS n_langs,
+              true AS no_files_rewritten, true AS wrote_tombstones
+       FROM v"""
+
   def streamLateAuditEndToEnd(spark: SparkSession, dir: String): DataFrame =
     streamLateAuditWithMetrics(spark, dir)._1
 
