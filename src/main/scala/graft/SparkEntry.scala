@@ -189,6 +189,9 @@ object SparkEntry {
     // parquet-native bloom filters on declared columns: point lookups on
     // a scattered table skip row groups the bloom proves value-free
     "q_sql_bloom"         -> ((s, d) => SqlVerbs.sqlBloom(s, d)),
+    // z-order OPTIMIZE (CALL compact zorder_by): rank-bucketed Morton
+    // layout; file-list skipping pinned on BOTH dimensions
+    "q_sql_zorder"        -> ((s, d) => SqlVerbs.sqlZorder(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1046,6 +1049,7 @@ object SparkEntry {
     "q_sql_metadata_delete" -> SqlVerbs.sqlMetadataDeleteOracleSql,
     "q_sql_mor" -> SqlVerbs.sqlMorOracleSql,
     "q_sql_bloom" -> SqlVerbs.sqlBloomOracleSql,
+    "q_sql_zorder" -> SqlVerbs.sqlZorderOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,

@@ -550,7 +550,22 @@ private[graft] case class FileStats(rows: Long, mins: Map[String, String],
   * compaction must never block or clobber ingest. A table already at or
   * under `target_files` is a no-op (no empty commit) unless `sort_by`
   * demands a re-layout. Returns one row:
-  * (files_before, files_after, rows). */
+  * (files_before, files_after, rows).
+  *
+  * With `zorder_by => 'c1,c2[,…]'` (Delta's OPTIMIZE ZORDER BY, ≥ 2
+  * columns) the rewrite interleaves RANK buckets instead: each column
+  * is bucketed by its own approximate percentile boundaries (GK sketch,
+  * one pass, skew-proof where linear min/max scaling is not), the
+  * per-column bucket bits interleave into a Morton key, and the range
+  * repartition + in-file sort run on that key — every output file
+  * covers a compact z-square, so its footer min/max stay tight on EVERY
+  * zorder dimension and [[SkipEval]] prunes the FILE LIST for a
+  * selective predicate on ANY of them. `sort_by` clusters one leading
+  * dimension perfectly and the others not at all; `zorder_by` is the
+  * layout for tables probed on several (the events table's user/time
+  * pair). Mutually exclusive with `sort_by`; columns must be numeric /
+  * date / timestamp (rank bucketing needs an order with usable footer
+  * stats). */
 private[catalog] class CompactProcedure(cat: GraftCatalog)
     extends procedures.UnboundProcedure {
   import org.apache.spark.sql.types._
@@ -571,6 +586,10 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
         procedures.ProcedureParameter.in("target_files", IntegerType).build(),
         procedures.ProcedureParameter.in("sort_by", StringType)
           .defaultValue("NULL").comment("comma-separated sort columns for a clustering rewrite")
+          .build(),
+        procedures.ProcedureParameter.in("zorder_by", StringType)
+          .defaultValue("NULL")
+          .comment(">=2 comma-separated columns for a Morton (z-order) clustering rewrite")
           .build())
 
       private val outSchema = StructType(Seq(
@@ -583,21 +602,32 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
         val target = input.getInt(1)
         val sortBy = if (input.isNullAt(2)) Nil
           else input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val zorderBy = if (input.isNullAt(3)) Nil
+          else input.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         require(target >= 1, s"target_files must be >= 1, got $target")
+        require(sortBy.isEmpty || zorderBy.isEmpty,
+          "sort_by and zorder_by are mutually exclusive clustering strategies")
+        require(zorderBy.isEmpty || zorderBy.length >= 2,
+          "zorder_by needs >= 2 columns (one column is just sort_by)")
         val dir = cat.tableDirOf(table)
         require(Files.exists(dir.resolve(TableMeta.MetaFile)),
           s"no such table '$table' in catalog ${cat.name()}")
         val spark = SparkSession.active
         val m = TableMeta.read(dir)
-        sortBy.foreach(c => require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-          s"sort_by column '$c' is not in ${m.schema.fieldNames.mkString(", ")}"))
+        (sortBy ++ zorderBy).foreach(c => require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"clustering column '$c' is not in ${m.schema.fieldNames.mkString(", ")}"))
+        zorderBy.foreach { c =>
+          val dt = m.schema(m.schema.fieldNames.find(_.equalsIgnoreCase(c)).get).dataType
+          require(CompactProcedure.zorderable(dt),
+            s"zorder_by column '$c' is $dt; rank bucketing needs a numeric/date/timestamp column")
+        }
         val mf = m.manifest(m.latest)
         val rowsFromStats = mf.files.flatMap(mf.stats.get).map(_.rows).sum -
           mf.dvs.values.map(_.rows).sum
         val (before, after, rows) =
           // a manifest carrying deletion vectors is never a no-op:
           // compaction is how MOR tombstones get MATERIALIZED away
-          if (mf.files.size <= target && sortBy.isEmpty && mf.dvs.isEmpty)
+          if (mf.files.size <= target && sortBy.isEmpty && zorderBy.isEmpty && mf.dvs.isEmpty)
             (mf.files.size, mf.files.size, rowsFromStats)
           else {
             val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
@@ -606,7 +636,9 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
             // files carry no vectors (the manifest replace drops them)
             val snapshot = Dv.maskedFrame(spark, dir, m.schema, mf.files, mf.dvs)
             val rewritten =
-              if (sortBy.isEmpty) snapshot.coalesce(target)
+              if (zorderBy.nonEmpty)
+                CompactProcedure.zorderLayout(snapshot, zorderBy, target)
+              else if (sortBy.isEmpty) snapshot.coalesce(target)
               else {
                 val cols = sortBy.map(org.apache.spark.sql.functions.col)
                 snapshot.repartitionByRange(target, cols: _*)
@@ -635,6 +667,61 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
         }).iterator()
       }
     }
+}
+
+private[catalog] object CompactProcedure {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  def zorderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Rank-bucketed Morton (z-order) layout: each column maps to its
+    * approximate-percentile bucket (GK sketch boundaries, ONE pass over
+    * the snapshot, collected as metadata — 255 doubles per dimension),
+    * bucket bits interleave into the z key, and the write range-
+    * partitions + sorts on it. Rank buckets, not linear min/max
+    * scaling, so a skewed dimension (ids with a hot head) still spreads
+    * across the curve. NULLs land in bucket 0 — clustered together at
+    * the curve's origin, prunable by IS NOT NULL stats like any other
+    * value. The bucket expression is 255 codegen'd comparisons per
+    * dimension per row (a broadcast-literal array filter), the z fold
+    * `bits × dims` shifts — all whole-stage codegen, no UDF, no
+    * shuffle beyond the one range repartition every clustering rewrite
+    * pays. */
+  def zorderLayout(snapshot: DataFrame, cols: Seq[String], target: Int,
+                   bits: Int = 8): DataFrame = {
+    val n = cols.length
+    val dcols = cols.zipWithIndex.map { case (c, i) =>
+      val field = snapshot.schema(snapshot.schema.fieldNames
+        .find(_.equalsIgnoreCase(c)).get)
+      val d = field.dataType match {
+        case TimestampType | TimestampNTZType => unix_micros(col(c)).cast(DoubleType)
+        case DateType => datediff(col(c), to_date(lit("1970-01-01"))).cast(DoubleType)
+        case _ => col(c).cast(DoubleType)
+      }
+      (s"__z_d$i", d)
+    }
+    val withD = dcols.foldLeft(snapshot) { case (df, (nm, e)) => df.withColumn(nm, e) }
+    val nBounds = (1 << bits) - 1
+    val probs = (1 to nBounds).map(_.toDouble / (nBounds + 1)).toArray
+    val bounds = withD.stat.approxQuantile(dcols.map(_._1).toArray, probs, 0.001)
+    val withB = dcols.zipWithIndex.foldLeft(withD) { case (df, ((nm, _), i)) =>
+      val arr = array(bounds(i).map(v => lit(v)): _*)
+      df.withColumn(s"__z_b$i",
+        size(filter(arr, b => b <= col(nm))).cast(LongType))
+    }
+    val z = (0 until bits).flatMap(k => (0 until n).map(i =>
+      shiftleft(shiftright(col(s"__z_b$i"), k).bitwiseAND(lit(1L)), k * n + i)))
+      .reduce(_ + _)
+    withB.withColumn("__zval", z)
+      .repartitionByRange(target, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .select(snapshot.columns.map(col): _*)
+  }
 }
 
 /** One commit in a table's history: `version`'s manifest is `files`

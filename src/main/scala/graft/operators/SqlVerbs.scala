@@ -604,6 +604,13 @@ object SqlVerbs {
   private def fmtDay(d: Long): String =
     java.time.Instant.ofEpochSecond(d * 86400).toString.replace("T", " ").stripSuffix("Z")
 
+  /** Micros-since-epoch as a full-precision TZ-less timestamp literal. */
+  private def fmtMicros(us: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   /** The days(ts)-clustered events table: ONE scattered INSERT, layout
     * entirely from the write-path transform distribution (AQE coalescing
     * disabled while building, same rationale as [[ensurePartTable]]). */
@@ -959,6 +966,93 @@ object SqlVerbs {
        SELECT d.doc_id, d.n_chars,
               true AS bloom_on_doc_id, true AS no_bloom_on_undeclared
        FROM documents d, t WHERE d.doc_id = t.target"""
+
+  /** X-SQLt — Z-ORDER OPTIMIZE (`CALL system.compact(…, zorder_by =>
+    * 'user_id,ts')`, Delta's OPTIMIZE ZORDER BY): the multi-dimensional
+    * clustering rewrite. A linear `sort_by` layout prunes its leading
+    * column perfectly and the others not at all; the Morton layout gives
+    * every output file a compact z-square, so the manifest's footer
+    * min/max stay tight on BOTH dimensions and [[graft.catalog.SkipEval]]
+    * prunes the FILE LIST for a selective window on EITHER — pinned here
+    * by running a user-band probe AND a time-band probe against the same
+    * rewritten table and requiring each to scan a strict subset
+    * (SkipRecorder, the `q_sql_skipping` idiom). Bucketing is by rank
+    * (approximate percentiles), so a skewed dimension still spreads
+    * across the curve. Both window aggregates are relational, so the
+    * oracle replays them; the layout must be lossless by construction
+    * (`dataChange = false` — streams skip the rewrite). */
+  def sqlZorder(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureZorderTable(spark, dir)
+    val Array(ub) = Tables.events(ss, dir).agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("user_id")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("user_id")),
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("ts"))),
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("ts")))).collect()
+    val (umn, umx) = (ub.getLong(0), ub.getLong(1))
+    val (uLo, uHi) = (umn + (umx - umn) / 4, umn + (umx - umn) / 4 + (umx - umn) / 8)
+    val (tmn, tmx) = (ub.getLong(2), ub.getLong(3))
+    val (tLo, tHi) = (tmn + (tmx - tmn) / 4, tmn + (tmx - tmn) / 4 + (tmx - tmn) / 8)
+    val uAgg = ss.sql(s"SELECT count(*), sum(event_id) FROM $t " +
+      s"WHERE user_id BETWEEN $uLo AND $uHi").head()
+    val (uKept, uTotal) = graft.catalog.SkipRecorder.lastFor(t).getOrElse((Int.MaxValue, 0))
+    // the probe must push a RAW ts comparison (a function like
+    // unix_micros(ts) is unboundable by footer stats); the literal is
+    // the exact micros the oracle windows on, session pinned UTC
+    val tAgg = ss.sql(s"SELECT count(*), sum(event_id) FROM $t " +
+      s"WHERE ts >= TIMESTAMP'${fmtMicros(tLo)}' AND ts < TIMESTAMP'${fmtMicros(tHi)}'").head()
+    val (tKept, tTotal) = graft.catalog.SkipRecorder.lastFor(t).getOrElse((Int.MaxValue, 0))
+    import ss.implicits._
+    Seq((uAgg.getLong(0), uAgg.getLong(1), tAgg.getLong(0), tAgg.getLong(1),
+      uKept >= 1 && uKept < uTotal, tKept >= 1 && tKept < tTotal))
+      .toDF("n_user_window", "sum_ev_user", "n_ts_window", "sum_ev_ts",
+        "user_dim_skips", "ts_dim_skips")
+  }
+
+  /** The z-order fixture: events scattered round-robin (no dimension
+    * clustered), then ONE z-order OPTIMIZE over (user_id, ts). */
+  private[graft] def ensureZorderTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.events_zorder"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-zorder"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.events(ss, dir).createOrReplaceTempView("events_src_zorder")
+        ss.sql(s"CREATE TABLE $t (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)")
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prior = ss.conf.get(coalesceKey, "true")
+        ss.conf.set(coalesceKey, "false")
+        try {
+          ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ event_id, ts, user_id, value " +
+            "FROM events_src_zorder")
+          ss.sql(s"CALL $cat.system.compact(table => 'main.events_zorder', " +
+            "target_files => 32, zorder_by => 'user_id,ts')")
+        } finally ss.conf.set(coalesceKey, prior)
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlZorderOracleSql: String =
+    """WITH ub AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+                          epoch_us(min(ts)) AS tmn, epoch_us(max(ts)) AS tmx
+                   FROM events),
+            w AS (SELECT umn + (umx - umn) // 4 AS ulo,
+                         umn + (umx - umn) // 4 + (umx - umn) // 8 AS uhi,
+                         tmn + (tmx - tmn) // 4 AS tlo,
+                         tmn + (tmx - tmn) // 4 + (tmx - tmn) // 8 AS thi
+                  FROM ub)
+       SELECT (SELECT count(*) FROM events, w WHERE user_id BETWEEN w.ulo AND w.uhi) AS n_user_window,
+              (SELECT CAST(sum(event_id) AS BIGINT) FROM events, w
+               WHERE user_id BETWEEN w.ulo AND w.uhi) AS sum_ev_user,
+              (SELECT count(*) FROM events, w
+               WHERE epoch_us(ts) >= w.tlo AND epoch_us(ts) < w.thi) AS n_ts_window,
+              (SELECT CAST(sum(event_id) AS BIGINT) FROM events, w
+               WHERE epoch_us(ts) >= w.tlo AND epoch_us(ts) < w.thi) AS sum_ev_ts,
+              true AS user_dim_skips, true AS ts_dim_skips"""
 
   def sqlMetadataDeleteOracleSql: String =
     """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),

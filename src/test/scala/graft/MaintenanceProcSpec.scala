@@ -75,4 +75,46 @@ class MaintenanceProcSpec extends AnyFunSuite {
     assert(r.getInt(1) == 0, "branch-referenced files are not orphans")
     assert(ss.sql(s"SELECT count(*) FROM $t.branch_wap").head().getLong(0) == 20)
   }
+
+  test("zorder OPTIMIZE: lossless layout-only rewrite, both dims prune the file list") {
+    val (ss, c, _) = freshCatalog("mnt_zorder")
+    val t = s"$c.ns.ev"
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ss.sql(s"CREATE TABLE $t (id BIGINT, u BIGINT, ts TIMESTAMP)")
+    // two independent uniform dimensions, deliberately scattered
+    ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ id, " +
+      "(id * 7919) % 1000 AS u, timestamp_micros(1700000000000000 + (id * 104729) % 100000000 * 1000) AS ts " +
+      "FROM range(0, 20000)")
+    val r = ss.sql(s"CALL $c.system.compact(table => 'ns.ev', target_files => 32, " +
+      "zorder_by => 'u,ts')").head()
+    assert(r.getLong(2) == 20000L)
+    // lossless, and layout-only: streams must see dataChange = false
+    assert(ss.sql(s"SELECT count(*), sum(u) FROM $t").head().toSeq ==
+      Seq(20000L, (0L until 20000L).map(i => (i * 7919) % 1000).sum))
+    // a narrow band on EITHER dimension scans a strict subset of files
+    ss.sql(s"SELECT count(*) FROM $t WHERE u BETWEEN 100 AND 160").collect()
+    val (uk, ut) = graft.catalog.SkipRecorder.lastFor(t).get
+    assert(uk >= 1 && uk < ut, s"u-band kept $uk of $ut")
+    ss.sql(s"SELECT count(*) FROM $t WHERE ts >= TIMESTAMP'2023-11-15 00:00:00' " +
+      "AND ts < TIMESTAMP'2023-11-15 04:00:00'").collect()
+    val (tk, tt) = graft.catalog.SkipRecorder.lastFor(t).get
+    assert(tk >= 1 && tk < tt, s"ts-band kept $tk of $tt")
+  }
+
+  test("zorder OPTIMIZE validates its arguments") {
+    val (ss, c, _) = freshCatalog("mnt_zorder_ddl")
+    val t = s"$c.ns.ev"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, s STRING)")
+    ss.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    intercept[Exception] { // one column is just sort_by
+      ss.sql(s"CALL $c.system.compact(table => 'ns.ev', target_files => 2, zorder_by => 'id')")
+    }
+    intercept[Exception] { // mutually exclusive strategies
+      ss.sql(s"CALL $c.system.compact(table => 'ns.ev', target_files => 2, " +
+        "sort_by => 'id', zorder_by => 'id,s')")
+    }
+    intercept[Exception] { // rank bucketing needs an ordered numeric domain
+      ss.sql(s"CALL $c.system.compact(table => 'ns.ev', target_files => 2, zorder_by => 'id,s')")
+    }
+  }
 }
