@@ -88,7 +88,14 @@ private[catalog] class MorRowLevelOperation(table: GraftTable,
 
 /** The MOR row-level scan: every kept file addressed (data + `_file` +
   * `_pos`, existing vectors masked), the verb's condition consumed only
-  * to prune the file list via footer stats. */
+  * to prune the file list via footer stats.
+  *
+  * Internal-API disclosure: this is the SAME version-pinned
+  * `org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters`
+  * trait SkippingScanBuilder.scala documents (catalyst-expression
+  * pushdown is the only channel file sources get predicates through; the
+  * trait is public in 4.1.2 bytecode, internal by package convention) —
+  * one API, now three declared use sites, no new internal surface. */
 private[catalog] class MorScanBuilder(table: GraftTable, schema: StructType, mf: Commit)
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
