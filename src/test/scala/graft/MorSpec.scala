@@ -232,6 +232,52 @@ class MorSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 298)
   }
 
+  test("the .changes STREAM serves rowdelta commits batch-for-batch equal to the batch feed") {
+    val (ss, c) = freshCatalog("mor_cdf_stream")
+    val t = s"$c.ns.t"
+    seedMor(ss, t, rows = 300)
+    ss.sql(s"DELETE FROM $t WHERE id = 7")
+    ss.sql(s"UPDATE $t SET v = 1 WHERE id >= 20 AND id < 25")
+    val out = java.nio.file.Files.createTempDirectory("mor_cdf_stream")
+    val q = ss.readStream
+      .option("starting_version", "0")
+      .option("key_cols", "id")
+      .option("max_versions_per_trigger", "1")
+      .table(s"$t.changes")
+      .writeStream
+      .option("checkpointLocation", s"$out/chk")
+      .option("path", s"$out/data")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = ss.read.parquet(s"$out/data")
+      .groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = ChangeFeed.tableChanges(ss, t, 1, 5, keyCols = Seq("id"))
+      .groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed((4, "delete")) == 1L && streamed((5, "update_preimage")) == 5L)
+  }
+
+  test("MOR verbs work on a WAP branch; publish carries the tombstones to main") {
+    val (ss, c) = freshCatalog("mor_wap")
+    val t = s"$c.ns.t"
+    seedMor(ss, t, rows = 300)
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'audit')")
+    ss.sql(s"DELETE FROM $t.branch_audit WHERE id < 30")
+    // the delta landed on the branch chain only, as a delta
+    assert(ss.sql(s"SELECT count(*) FROM $t.branch_audit").head().getLong(0) == 270)
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 300)
+    val bv = ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 'audit'").head().getLong(0)
+    assert(bv == 270)
+    ss.sql(s"CALL $c.system.publish_branch(table => 'ns.t', branch => 'audit')")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 270)
+    val v = Manifests.latestVersion(ss, t)
+    assert(Manifests.dvInfo(ss, t, v).values.map(_._2).sum == 30L)
+    assert(Manifests.commitFileDiff(ss, t, v)._2 == 0, "branch MOR delta must not move files")
+  }
+
   test("TBLPROPERTIES are validated, persisted, and surfaced; shadowed addr columns refuse MOR") {
     val (ss, c) = freshCatalog("mor_props")
     intercept[Exception] {
