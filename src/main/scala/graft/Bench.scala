@@ -195,6 +195,8 @@ object Bench {
       "sql_mor_chain" -> (() => operators.SqlVerbs.ensureMorChain(spark, sfDir)),
       "sql_bloom_table" -> (() => operators.SqlVerbs.ensureBloomTable(spark, sfDir)),
       "sql_zorder_table" -> (() => operators.SqlVerbs.ensureZorderTable(spark, sfDir)),
+      "sql_tag_table" -> (() => operators.SqlVerbs.ensureTagTable(spark, sfDir)),
+      "sql_evolve_table" -> (() => operators.SqlVerbs.ensureEvolveTable(spark, sfDir)),
       "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
       "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same

@@ -192,6 +192,12 @@ object SparkEntry {
     // z-order OPTIMIZE (CALL compact zorder_by): rank-bucketed Morton
     // layout; file-list skipping pinned on BOTH dimensions
     "q_sql_zorder"        -> ((s, d) => SqlVerbs.sqlZorder(s, d)),
+    // snapshot tags: an immutable named version survives rolling
+    // expire_versions; VERSION AS OF 'tag' reads the pinned snapshot
+    "q_sql_tag"           -> ((s, d) => SqlVerbs.sqlTag(s, d)),
+    // clustering evolution: set_clustering changes the write-path layout
+    // for future writes only - no rewrite; skipping verdicts pre/post
+    "q_sql_evolve"        -> ((s, d) => SqlVerbs.sqlEvolve(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1050,6 +1056,8 @@ object SparkEntry {
     "q_sql_mor" -> SqlVerbs.sqlMorOracleSql,
     "q_sql_bloom" -> SqlVerbs.sqlBloomOracleSql,
     "q_sql_zorder" -> SqlVerbs.sqlZorderOracleSql,
+    "q_sql_tag" -> SqlVerbs.sqlTagOracleSql,
+    "q_sql_evolve" -> SqlVerbs.sqlEvolveOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,

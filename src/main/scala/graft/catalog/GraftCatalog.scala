@@ -137,7 +137,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
 
   /** `VERSION AS OF <v>` time travel: an immutable view of manifest v.
     * A non-numeric version names a WAP BRANCH (Iceberg's branch-read
-    * idiom, `VERSION AS OF 'audit'`): a read of the branch head. */
+    * idiom, `VERSION AS OF 'audit'`) or a TAG (`CALL system.tag` — an
+    * immutable named version, resolution order branch-then-tag with
+    * name collisions refused at tag time). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
@@ -146,12 +148,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         new GraftTable(s"${fullName(ident)}@v$v", dir, pinnedVersion = Some(v))
       case None =>
         val m = TableMeta.read(dir)
-        if (!m.branches.contains(version))
-          throw new IllegalArgumentException(
-            s"'$version' is neither a version number nor a branch of ${fullName(ident)} " +
-              s"(branches: ${m.branches.keys.toSeq.sorted.mkString(", ")})")
-        new GraftTable(s"${fullName(ident)}@$version", dir, pinnedVersion = None,
-          branch = Some(version))
+        if (m.branches.contains(version))
+          new GraftTable(s"${fullName(ident)}@$version", dir, pinnedVersion = None,
+            branch = Some(version))
+        else m.tags.get(version) match {
+          case Some(v) =>
+            new GraftTable(s"${fullName(ident)}@$version(v$v)", dir, pinnedVersion = Some(v))
+          case None => throw new IllegalArgumentException(
+            s"'$version' is neither a version number, a branch, nor a tag of " +
+              s"${fullName(ident)} (branches: ${m.branches.keys.toSeq.sorted.mkString(", ")}; " +
+              s"tags: ${m.tags.keys.toSeq.sorted.mkString(", ")})")
+        }
     }
   }
 
@@ -321,7 +328,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_versions", "compact", "create_branch", "publish_branch",
-        "drop_branch", "restore", "remove_orphans", "history")
+        "drop_branch", "restore", "remove_orphans", "history", "tag", "untag",
+        "set_clustering")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -337,9 +345,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "restore" => new RestoreProcedure(this)
       case "remove_orphans" => new RemoveOrphansProcedure(this)
       case "history" => new HistoryProcedure(this)
+      case "tag" => new TagProcedure(this, untag = false)
+      case "untag" => new TagProcedure(this, untag = true)
+      case "set_clustering" => new SetClusteringProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
-          "create_branch, publish_branch, drop_branch, restore, remove_orphans, history)")
+          "create_branch, publish_branch, drop_branch, restore, remove_orphans, " +
+          "history, tag, untag, set_clustering)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
@@ -479,7 +491,12 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
             _ => new Object).synchronized {
             val m = TableMeta.read(dir)
             val keepFrom = m.latest - keepLast + 1
-            val (expired, kept) = m.history.partition(_.version < keepFrom)
+            // TAGGED versions are retention-pinned (Iceberg tag
+            // semantics): a release tag must outlive the rolling window,
+            // or tagging would be decorative
+            val tagged = m.tags.values.toSet
+            val (expired, kept) = m.history.partition(c =>
+              c.version < keepFrom && !tagged.contains(c.version))
             // files referenced by any WAP branch stay live: an unpublished
             // staging chain must keep reading its fork-point snapshot.
             // Deletion-vector blobs are referenced files like any other.
@@ -956,6 +973,168 @@ private[catalog] class HistoryProcedure(cat: GraftCatalog)
     }
 }
 
+/** `CALL <cat>.system.tag(table => 'ns.t', tag => 'rel-1' [, version =>
+  * V])` / `…system.untag(table, tag)` — Iceberg tags: IMMUTABLE named
+  * versions. `VERSION AS OF 'rel-1'` reads the tagged manifest forever
+  * (the eval-set/release pin a training pipeline needs for
+  * reproducibility), and `expire_versions` treats tagged versions as
+  * retention-pinned — a rolling keep_last window can never silently
+  * delete the corpus snapshot a published model was trained on. Tag
+  * names share the `VERSION AS OF` namespace with branches, so
+  * collisions (and numeric names, which version-number parsing would
+  * shadow) are refused at tag time. Returns (action, tag, version). */
+private[catalog] class TagProcedure(cat: GraftCatalog, untag: Boolean)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = if (untag) "untag" else "tag"
+  override def description(): String =
+    if (untag) "remove a named version tag"
+    else "pin a version under an immutable name (retention-proof; VERSION AS OF '<tag>')"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = TagProcedure.this.name()
+      override def description(): String = TagProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] =
+        if (untag) Array(
+          procedures.ProcedureParameter.in("table", StringType).build(),
+          procedures.ProcedureParameter.in("tag", StringType).build())
+        else Array(
+          procedures.ProcedureParameter.in("table", StringType).build(),
+          procedures.ProcedureParameter.in("tag", StringType).build(),
+          procedures.ProcedureParameter.in("version", IntegerType)
+            .defaultValue("NULL").comment("defaults to the current latest version").build())
+
+      private val outSchema = StructType(Seq(
+        StructField("action", StringType, nullable = false),
+        StructField("tag", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val tagName = input.getUTF8String(1).toString
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val v = GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+          _ => new Object).synchronized {
+          val m = TableMeta.read(dir)
+          if (untag) {
+            val v = m.tags.getOrElse(tagName, throw new IllegalArgumentException(
+              s"no tag '$tagName' on $table (tags: ${m.tags.keys.toSeq.sorted.mkString(", ")})"))
+            TableMeta.write(dir, m.copy(tags = m.tags - tagName),
+              expectedLatest = Some(m.latest))
+            v
+          } else {
+            require(tagName.nonEmpty && tagName.toIntOption.isEmpty,
+              s"tag name '$tagName' must be non-empty and non-numeric " +
+                "(a numeric name is shadowed by version-number resolution)")
+            require(!m.branches.contains(tagName),
+              s"'$tagName' is already a branch of $table (tags and branches share " +
+                "the VERSION AS OF namespace)")
+            require(!m.tags.contains(tagName),
+              s"tag '$tagName' already exists on $table (tags are immutable; untag first)")
+            val v = if (input.isNullAt(2)) m.latest else input.getInt(2)
+            require(m.history.exists(_.version == v),
+              s"cannot tag $table@v$v: not in history " +
+                s"(${m.history.map(_.version).mkString(",")})")
+            TableMeta.write(dir, m.copy(tags = m.tags + (tagName -> v)),
+              expectedLatest = Some(m.latest))
+            v
+          }
+        }
+        val row: InternalRow = InternalRow(
+          UTF8String.fromString(if (untag) "untagged" else "tagged"),
+          UTF8String.fromString(tagName), v)
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <cat>.system.set_clustering(table => 'ns.t', cluster_by =>
+  * 'days(ts)')` — CLUSTERING EVOLUTION without rewrite (Iceberg's
+  * partition-spec evolution, possible here precisely because the layout
+  * is a write-path contract plus stats-based skipping, not directory
+  * paths): future writes range-cluster on the new keys, EXISTING files
+  * stay exactly as written and keep pruning however well their old
+  * layout allows — no 100 TB rewrite to change a table's clustering,
+  * and no correctness cliff because [[SkipEval]] never assumed a layout,
+  * only per-file bounds. `cluster_by => ''` declares the table
+  * unclustered. Same transform grammar and validation as
+  * `PARTITIONED BY` (identity / days / hours; bucket stays rejected).
+  * Returns (old_clustering, new_clustering). */
+private[catalog] class SetClusteringProcedure(cat: GraftCatalog)
+    extends procedures.UnboundProcedure {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = "set_clustering"
+  override def description(): String =
+    "change the write-path clustering for FUTURE writes; existing files are untouched"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = SetClusteringProcedure.this.name()
+      override def description(): String = SetClusteringProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", StringType).build(),
+        procedures.ProcedureParameter.in("cluster_by", StringType)
+          .comment("comma-separated identity/days(col)/hours(col) keys; '' = unclustered")
+          .build())
+
+      private val outSchema = StructType(Seq(
+        StructField("old_clustering", StringType, nullable = false),
+        StructField("new_clustering", StringType, nullable = false)))
+
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val clusterBy = input.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val dir = cat.tableDirOf(table)
+        require(Files.exists(dir.resolve(TableMeta.MetaFile)),
+          s"no such table '$table' in catalog ${cat.name()}")
+        val old = GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
+          _ => new Object).synchronized {
+          val m = TableMeta.read(dir)
+          clusterBy.foreach { c =>
+            val (colName, unit) = ClusterSpec.parse(c)
+            require(m.schema.fieldNames.contains(colName),
+              s"cluster_by column '$colName' is not in the schema " +
+                s"(${m.schema.fieldNames.mkString(", ")})")
+            unit.foreach { u =>
+              val dt = m.schema(colName).dataType
+              val ok = dt == TimestampType || dt == TimestampNTZType ||
+                (dt == DateType && u == "days")
+              require(ok, s"$u($colName) needs a timestamp column" +
+                (if (u == "days") " or date column" else "") + s"; '$colName' is $dt")
+            }
+          }
+          TableMeta.write(dir, m.copy(clusterBy = clusterBy),
+            expectedLatest = Some(m.latest))
+          m.clusterBy
+        }
+        val row: InternalRow = InternalRow(
+          UTF8String.fromString(old.mkString(",")),
+          UTF8String.fromString(clusterBy.mkString(",")))
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = outSchema
+        }).iterator()
+      }
+    }
+}
+
 /** WAP (write-audit-publish) branch maintenance:
   *
   *  - `CALL <cat>.system.create_branch(table => 'ns.t', branch => 'b')` —
@@ -1101,7 +1280,8 @@ private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit],
                                       branches: Map[String, Seq[Commit]] = Map.empty,
                                       clusterBy: Seq[String] = Nil,
                                       streamEpochs: Map[String, Long] = Map.empty,
-                                      props: Map[String, String] = Map.empty) {
+                                      props: Map[String, String] = Map.empty,
+                                      tags: Map[String, Int] = Map.empty) {
   def latest: Int = history.map(_.version).max
   def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
     throw new IllegalArgumentException(
@@ -1149,6 +1329,8 @@ private[catalog] object TableMeta {
           case (q, e) => q -> JInt(e) }),
         "props" -> JObject(meta.props.toList.sortBy(_._1).map {
           case (k, v) => k -> JString(v) }),
+        "tags" -> JObject(meta.tags.toList.sortBy(_._1).map {
+          case (k, v) => k -> JInt(v) }),
         "history" -> JArray(meta.history.sortBy(_.version).map(commitJson).toList),
         "branches" -> JObject(meta.branches.toList.sortBy(_._1).map { case (n, cs) =>
           n -> JArray(cs.sortBy(_.version).map(commitJson).toList)
@@ -1214,7 +1396,11 @@ private[catalog] object TableMeta {
       case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JString].s }.toMap
       case _ => Map.empty[String, String]
     }
-    TableMeta(schema, history, branches, clusterBy, streamEpochs, props)
+    val tags = j \ "tags" match {
+      case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JInt].num.toInt }.toMap
+      case _ => Map.empty[String, Int]
+    }
+    TableMeta(schema, history, branches, clusterBy, streamEpochs, props, tags)
   }
 }
 

@@ -1054,6 +1054,126 @@ object SqlVerbs {
                WHERE epoch_us(ts) >= w.tlo AND epoch_us(ts) < w.thi) AS sum_ev_ts,
               true AS user_dim_skips, true AS ts_dim_skips"""
 
+  /** X-SQLu — SNAPSHOT TAGS (`CALL system.tag`, Iceberg tags): the
+    * reproducibility pin a training pipeline needs. The corpus is
+    * tagged `baseline` right after ingest, later verbs mutate the live
+    * table, and a rolling `expire_versions(keep_last => 2)` retires
+    * everything older — EXCEPT the tagged version, which expire treats
+    * as retention-pinned. `VERSION AS OF 'baseline'` then still reads
+    * the exact ingest snapshot (relationally oracle-checked), which is
+    * the whole point: the corpus snapshot a published model was trained
+    * on can never be silently vacuumed. */
+  def sqlTag(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureTagTable(spark, dir)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n, sum(n_chars) AS s FROM $t VERSION AS OF 'baseline'""").head()
+    // v0 create (expired), v1 insert (tagged, pinned), v2 update, v3 delete
+    val retained = graft.catalog.Manifests.latestVersion(ss, t)
+    val v0Gone =
+      try { ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 0").collect(); false }
+      catch { case _: Exception => true }
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), retained == 3, v0Gone))
+      .toDF("n_docs_at_tag", "sum_chars_at_tag", "live_chain_intact", "untagged_expired")
+  }
+
+  private[graft] def ensureTagTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_tag"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-tag"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_tag")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars FROM documents_src_tag WHERE doc_id % 10 < 8")
+        ss.sql(s"CALL $cat.system.tag(table => 'main.docs_tag', tag => 'baseline')")
+        ss.sql(s"UPDATE $t SET n_chars = n_chars + 1 WHERE doc_id % 3 = 0")
+        ss.sql(s"DELETE FROM $t WHERE doc_id % 5 = 0")
+        ss.sql(s"CALL $cat.system.expire_versions(table => 'main.docs_tag', keep_last => 2)")
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlTagOracleSql: String =
+    """SELECT count(*) AS n_docs_at_tag, CAST(sum(n_chars) AS BIGINT) AS sum_chars_at_tag,
+              true AS live_chain_intact, true AS untagged_expired
+       FROM documents WHERE doc_id % 10 < 8"""
+
+  /** X-SQLv — CLUSTERING EVOLUTION (`CALL system.set_clustering`,
+    * Iceberg's partition-spec evolution): change a table's clustering
+    * WITHOUT rewriting a byte. The events table starts unclustered
+    * (scattered ingest — a month-window probe scans every file, pinned),
+    * evolution declares `days(ts)` hidden partitioning, and the next
+    * ingest range-clusters on the derived day — the same probe then
+    * scans a strict subset. Possible precisely because the layout is a
+    * write-path contract + stats-based skipping, not directory paths:
+    * at 100 TB, re-deciding a table's clustering costs one metadata
+    * call, with old files pruning however well their old layout allows
+    * until OPTIMIZE rewrites them on the new keys. */
+  def sqlEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureEvolveTable(spark, dir)
+    val (loD, hiD) = daysWindow(ss, dir)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_events, sum(event_id) AS sum_event_id
+          FROM $t WHERE ts >= TIMESTAMP'${fmtDay(loD)}' AND ts < TIMESTAMP'${fmtDay(hiD)}'""")
+      .head()
+    val (keptPost, totalPost) = graft.catalog.SkipRecorder.lastFor(t)
+      .getOrElse((Int.MaxValue, 0))
+    val (keptPre, totalPre) = evolveProbes.getOrDefault(catName(dir), (0, Int.MaxValue))
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1),
+      keptPre == totalPre && totalPre >= 2, // scattered: window prunes nothing
+      keptPost >= 1 && keptPost < totalPost)) // evolved layout: strict subset
+      .toDF("n_events", "sum_event_id", "scattered_unprunable", "evolved_skips")
+  }
+
+  private val evolveProbes = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** The evolution fixture: scattered ingest + pre-probe, THEN
+    * set_clustering(days(ts)) and a re-ingest under the new contract. */
+  private[graft] def ensureEvolveTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.events_evolve"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-evolve"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.events(ss, dir).createOrReplaceTempView("events_src_evolve")
+        ss.sql(s"CREATE TABLE $t (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE)")
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val prior = ss.conf.get(coalesceKey, "true")
+        ss.conf.set(coalesceKey, "false")
+        try {
+          ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ event_id, ts, user_id, value " +
+            "FROM events_src_evolve")
+          val (loD, hiD) = daysWindow(ss, dir)
+          ss.sql(s"SELECT count(*) FROM $t WHERE ts >= TIMESTAMP'${fmtDay(loD)}' " +
+            s"AND ts < TIMESTAMP'${fmtDay(hiD)}'").collect()
+          evolveProbes.put(cat, graft.catalog.SkipRecorder.lastFor(t).getOrElse((0, 0)))
+          ss.sql(s"CALL $cat.system.set_clustering(table => 'main.events_evolve', " +
+            "cluster_by => 'days(ts)')")
+          ss.sql(s"INSERT OVERWRITE $t SELECT /*+ REPARTITION(8) */ event_id, ts, user_id, value " +
+            "FROM events_src_evolve")
+        } finally ss.conf.set(coalesceKey, prior)
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlEvolveOracleSql: String =
+    """WITH b AS (SELECT epoch_us(min(ts)) // 86400000000 AS mnd,
+                         epoch_us(max(ts)) // 86400000000 AS mxd FROM events),
+            w AS (SELECT (mnd + (mxd - mnd) // 4) * 86400000000 AS lo,
+                         (mnd + (mxd - mnd) // 4 + (mxd - mnd) // 8 + 1) * 86400000000 AS hi
+                  FROM b)
+       SELECT count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+              true AS scattered_unprunable, true AS evolved_skips
+       FROM events, w WHERE epoch_us(ts) >= w.lo AND epoch_us(ts) < w.hi"""
+
   def sqlMetadataDeleteOracleSql: String =
     """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
             w AS (SELECT mn + (mx - mn) // 4 AS q1 FROM b),

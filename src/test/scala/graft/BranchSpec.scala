@@ -134,7 +134,7 @@ class BranchSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4)
     val e = intercept[Exception](
       ss.sql(s"SELECT * FROM $t VERSION AS OF 'nope'").collect())
-    assert(e.getMessage.contains("neither a version number nor a branch"))
+    assert(e.getMessage.contains("neither a version number, a branch, nor a tag"))
   }
 
   test("a branch view refuses streaming reads and unknown branches refuse loudly") {

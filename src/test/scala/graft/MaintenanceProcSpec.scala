@@ -101,6 +101,68 @@ class MaintenanceProcSpec extends AnyFunSuite {
     assert(tk >= 1 && tk < tt, s"ts-band kept $tk of $tt")
   }
 
+  test("tags pin versions through expire; untag releases them; names are guarded") {
+    val (ss, c, _) = freshCatalog("mnt_tag")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(0, 100)")              // v1
+    ss.sql(s"CALL $c.system.tag(table => 'ns.t', tag => 'rel')")        // pins v1
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(100, 200)")            // v2
+    ss.sql(s"INSERT INTO $t SELECT id FROM range(200, 300)")            // v3
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 1)")
+    // the tagged v1 survived a keep_last=1 sweep; v2 did not
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 'rel'").head().getLong(0) == 100)
+    assert(ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").head().getLong(0) == 100)
+    intercept[Exception] { ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").collect() }
+    // name guards: immutable, non-numeric, branch-collision-free
+    intercept[Exception] {
+      ss.sql(s"CALL $c.system.tag(table => 'ns.t', tag => 'rel')")
+    }
+    intercept[Exception] {
+      ss.sql(s"CALL $c.system.tag(table => 'ns.t', tag => '7')")
+    }
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'wap')")
+    intercept[Exception] {
+      ss.sql(s"CALL $c.system.tag(table => 'ns.t', tag => 'wap')")
+    }
+    // untag releases the pin: the next sweep reclaims v1
+    ss.sql(s"CALL $c.system.drop_branch(table => 'ns.t', branch => 'wap')")
+    ss.sql(s"CALL $c.system.untag(table => 'ns.t', tag => 'rel')")
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 1)")
+    intercept[Exception] { ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 'rel'").collect() }
+    intercept[Exception] { ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect() }
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 300)
+  }
+
+  test("set_clustering evolves the write layout without touching existing files") {
+    val (ss, c, _) = freshCatalog("mnt_evolve")
+    val t = s"$c.ns.t"
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(4) */ id, id FROM range(0, 4000)")
+    val vBefore = graft.catalog.Manifests.latestVersion(ss, t)
+    val filesBefore = graft.catalog.Manifests.files(ss, t, vBefore)
+    ss.sql(s"CALL $c.system.set_clustering(table => 'ns.t', cluster_by => 'id')")
+    // metadata-only: no new version, no file moved
+    assert(graft.catalog.Manifests.latestVersion(ss, t) == vBefore)
+    assert(graft.catalog.Manifests.files(ss, t, vBefore) == filesBefore)
+    // the NEXT write range-clusters: a narrow probe after a full
+    // re-ingest scans a strict subset
+    ss.sql(s"INSERT OVERWRITE $t SELECT /*+ REPARTITION(4) */ id, id FROM range(0, 4000)")
+    ss.sql(s"SELECT count(*) FROM $t WHERE id BETWEEN 100 AND 300").collect()
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t).get
+    assert(kept >= 1 && kept < total, s"evolved layout kept $kept of $total")
+    // validation: unknown column, wrong type for hours(), '' clears
+    intercept[Exception] {
+      ss.sql(s"CALL $c.system.set_clustering(table => 'ns.t', cluster_by => 'nope')")
+    }
+    intercept[Exception] {
+      ss.sql(s"CALL $c.system.set_clustering(table => 'ns.t', cluster_by => 'hours(id)')")
+    }
+    ss.sql(s"CALL $c.system.set_clustering(table => 'ns.t', cluster_by => '')")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4000)
+  }
+
   test("zorder OPTIMIZE validates its arguments") {
     val (ss, c, _) = freshCatalog("mnt_zorder_ddl")
     val t = s"$c.ns.ev"
