@@ -79,6 +79,14 @@ object Sessions {
           (org.apache.spark.sql.catalyst.FunctionIdentifier(graft.functions.CharEntropy.name),
             graft.functions.CharEntropy.info,
             graft.functions.CharEntropy.builder))
+        // graft-catalog SQL views: DDL intercepted at parse time (Spark
+        // 4.1's ResolveSessionCatalog refuses v2 view DDL before custom
+        // resolution rules run), reads resolved by rule — see
+        // graft.catalog.GraftViewStore for the design note
+        ext.injectParser((session, delegate) =>
+          new graft.catalog.GraftViewParser(session, delegate))
+        ext.injectResolutionRule(session =>
+          new graft.catalog.GraftResolveViews(session))
       }
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")

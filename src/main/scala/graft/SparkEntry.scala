@@ -198,6 +198,14 @@ object SparkEntry {
     // clustering evolution: set_clustering changes the write-path layout
     // for future writes only - no rewrite; skipping verdicts pre/post
     "q_sql_evolve"        -> ((s, d) => SqlVerbs.sqlEvolve(s, d)),
+    // incrementally-maintained materialized view: CALL create_mv /
+    // refresh_mv, affected-key recompute off the change feed (cost
+    // proportional to churn; mode columns pin no full-recompute fallback)
+    "q_sql_mv"            -> ((s, d) => SqlVerbs.sqlMv(s, d)),
+    // persistent SQL views on the v2 catalog: CREATE VIEW / view-on-view
+    // / SHOW VIEWS as statements (parser-intercepted DDL + rule-resolved
+    // reads); metadata-only, always-current over the verb chain
+    "q_sql_view"          -> ((s, d) => SqlVerbs.sqlView(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1058,6 +1066,8 @@ object SparkEntry {
     "q_sql_zorder" -> SqlVerbs.sqlZorderOracleSql,
     "q_sql_tag" -> SqlVerbs.sqlTagOracleSql,
     "q_sql_evolve" -> SqlVerbs.sqlEvolveOracleSql,
+    "q_sql_mv" -> SqlVerbs.sqlMvOracleSql,
+    "q_sql_view" -> SqlVerbs.sqlViewOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,

@@ -298,9 +298,21 @@ class AddressedScan(files: () => Seq[String],
   * reads), `addressed` serves the vectored files. Partitions are
   * dispatched to the factory that planned them. */
 class SplitScan(clean: Scan, addressed: Scan, schema: StructType,
-                mkStream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
-    extends Scan {
+                mkStream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
+                manifestRows: Option[Long] = None, manifestBytes: Option[Long] = None)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
+  /** Planner statistics from the MANIFEST (exact live rows — tombstones
+    * netted — and on-disk bytes of the kept files): the clean delegate
+    * only knows its own unvectored subset, so forwarding would
+    * under-report and mis-size joins on heavily-vectored tables. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        manifestBytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        manifestRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
   override def description(): String =
     s"graft split scan [clean: ${clean.description()} | dv: ${addressed.description()}]"
   override def toBatch: Batch = new Batch {

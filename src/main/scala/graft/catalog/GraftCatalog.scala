@@ -78,7 +78,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rewrite, always correct, never fast-but-wrong. Correctness does not
   * depend on group size — only rewrite volume does.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog
+    with ViewCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -248,6 +249,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
+    require(!Files.exists(dir.resolve(GraftViewStore.ViewFile)),
+      s"a VIEW named ${fullName(ident)} already exists (tables and views share a namespace)")
     Files.createDirectories(dir.resolve("data"))
     TableMeta.write(dir, TableMeta(schema, Seq(Commit(0, System.currentTimeMillis(),
       "create", Nil)), clusterBy = clusterBy, props = userProps), expectedLatest = None)
@@ -329,7 +332,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     if (namespace.sameElements(Array("system")))
       Array("expire_versions", "compact", "create_branch", "publish_branch",
         "drop_branch", "restore", "remove_orphans", "history", "tag", "untag",
-        "set_clustering")
+        "set_clustering", "create_mv", "refresh_mv")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -348,10 +351,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "tag" => new TagProcedure(this, untag = false)
       case "untag" => new TagProcedure(this, untag = true)
       case "set_clustering" => new SetClusteringProcedure(this)
+      case "create_mv" => new CreateMvProcedure(this)
+      case "refresh_mv" => new RefreshMvProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
           "create_branch, publish_branch, drop_branch, restore, remove_orphans, " +
-          "history, tag, untag, set_clustering)")
+          "history, tag, untag, set_clustering, create_mv, refresh_mv)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
@@ -378,6 +383,91 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       // this catalog serves only the partition transforms (days, hours)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     else new TimeTransformFunction(ident.name())
+
+  // ---- ViewCatalog: persistent SQL views (see [[GraftViewStore]]) ----
+  //
+  // Spark 4.1 does not call these natively (nothing in the analyzer is
+  // wired to ViewCatalog yet); the graft SQL surface reaches them via
+  // GraftViewParser / GraftResolveViews, and a future Spark that wires
+  // v2 views picks them up unchanged.
+
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve(GraftViewStore.ViewFile)))
+        .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadView(ident: Identifier): View =
+    GraftViewStore.read(tableDir(ident)) match {
+      case Some(d) => new GraftView(fullName(ident), d)
+      case None => throw new NoSuchViewException(ident)
+    }
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.exists(tableDir(ident).resolve(GraftViewStore.ViewFile))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    val dir = tableDir(ident)
+    if (Files.exists(dir.resolve(TableMeta.MetaFile)))
+      throw new IllegalArgumentException(
+        s"a TABLE named ${fullName(ident)} already exists (tables and views share a namespace)")
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    require(info.columnAliases() == null || info.columnAliases().isEmpty,
+      "graft views do not support column aliases; alias inside the SELECT instead")
+    val d = GraftViewStore.ViewDef(info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema().json,
+      Option(info.properties().get(ViewCatalog.PROP_COMMENT)),
+      info.properties().asScala.toMap -- ViewCatalog.RESERVED_PROPERTIES.asScala)
+    GraftViewStore.write(dir, d)
+    new GraftView(fullName(ident), d)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val dir = tableDir(ident)
+    val d = GraftViewStore.read(dir).getOrElse(throw new NoSuchViewException(ident))
+    val updated = changes.foldLeft(d) { (acc, ch) =>
+      ch match {
+        case s: ViewChange.SetProperty =>
+          acc.copy(props = acc.props + (s.property() -> s.value()))
+        case r: ViewChange.RemoveProperty => acc.copy(props = acc.props - r.property())
+        case other => throw new UnsupportedOperationException(
+          s"unsupported view change $other")
+      }
+    }
+    GraftViewStore.write(dir, updated)
+    new GraftView(fullName(ident), updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    val existed = Files.deleteIfExists(dir.resolve(GraftViewStore.ViewFile))
+    if (existed) {
+      val s = Files.list(dir)
+      val empty = try !s.iterator().hasNext finally s.close()
+      if (empty) Files.deleteIfExists(dir)
+    }
+    existed
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    require(!Files.exists(tableDir(newIdent).resolve(TableMeta.MetaFile)),
+      s"a TABLE named ${fullName(newIdent)} already exists")
+    val d = GraftViewStore.read(tableDir(oldIdent)).get
+    GraftViewStore.write(tableDir(newIdent), d)
+    dropView(oldIdent)
+  }
 }
 
 /** Encoding/decoding of a table's declared cluster keys (the manifest's
@@ -1616,6 +1706,20 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       },
       rel => delegate(rel.map(f => dir.resolve(f).toString)).newScanBuilder(options),
       mf.files,
+      // exact live rows of the kept set for the planner (manifest footer
+      // counts minus deletion-vector tombstones); None when any kept file
+      // predates stats collection — never guess
+      rowsOf = kept =>
+        if (kept.forall(mf.stats.contains))
+          Some(kept.map(f => mf.stats(f).rows).sum -
+            kept.flatMap(mf.dvs.get).map(_.rows).sum)
+        else None,
+      // on-disk bytes of the kept files (driver-side metadata stat, one
+      // call per file at plan time) — the masked/split path can't forward
+      // a delegate's estimate because its clean delegate sees only the
+      // unvectored subset
+      bytesOf = kept => scala.util.Try(
+        kept.map(f => Files.size(dir.resolve(f))).sum).toOption,
       mkStream = _ => {
         require(pinnedVersion.isEmpty,
           s"$tableName is a time-travel view; stream the live table and bound it yourself")

@@ -38,7 +38,9 @@ class SkippingScanBuilder(
     mkStream: String => MicroBatchStream,
     fileColShadowed: Boolean,
     posColShadowed: Boolean = true,
-    addr: Option[graft.catalog.AddrSupport] = None)
+    addr: Option[graft.catalog.AddrSupport] = None,
+    rowsOf: Seq[String] => Option[Long] = _ => None,
+    bytesOf: Seq[String] => Option[Long] = _ => None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -127,9 +129,9 @@ class SkippingScanBuilder(
     // opening snapshot, so the batch-side vector handling below is
     // bypassed, not needed.
     if (dataSchema.isEmpty)
-      new ForwardingScan(ensureDelegate().build(), mkStream)
+      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles))
     else if (!wantFile && !wantPos && vectored.isEmpty)
-      new ForwardingScan(ensureDelegate().build(), mkStream)
+      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles))
     else if (!wantPos && vectored.isEmpty)
       // `SELECT _file, … FROM t`: per-file partitions, each tagged with
       // its manifest-relative path. Streaming with _file is not served
@@ -155,7 +157,8 @@ class SkippingScanBuilder(
         val cleanScan =
           if (wantFile) new graft.catalog.FileTaggedScan(() => clean, filteredScanFor, data)
           else filteredScanFor(clean)
-        new graft.catalog.SplitScan(cleanScan, addressed, addressed.readSchema(), mkStream)
+        new graft.catalog.SplitScan(cleanScan, addressed, addressed.readSchema(), mkStream,
+          manifestRows = rowsOf(prunedFiles), manifestBytes = bytesOf(prunedFiles))
       }
     }
   }
@@ -294,22 +297,34 @@ class CowGroupScanBuilder(
   * scan (vectorized reads, metadata, metrics — `description()` included,
   * so plan text and its `PushedFilters:` pins are unchanged); the one
   * addition is `toMicroBatchStream`, which the parquet scan does not
-  * implement and the catalog serves from its version chain. Size/row
-  * statistics are forwarded too ([[SupportsReportStatistics]] — the
-  * delegate FileScan implements it): without the forward every catalog
-  * scan would fall back to `defaultSizeInBytes` and the planner would
-  * stop broadcast-joining small catalog tables (ADVICE r12). */
-class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream)
+  * implement and the catalog serves from its version chain. Size
+  * statistics are forwarded ([[SupportsReportStatistics]] — the delegate
+  * FileScan implements it): without the forward every catalog scan would
+  * fall back to `defaultSizeInBytes` and the planner would stop
+  * broadcast-joining small catalog tables (ADVICE r12). ROW counts are
+  * better than forwarded: the manifest's footer stats give the EXACT
+  * live row count of the kept file set (tombstones netted out), where a
+  * FileScan only estimates bytes — `manifestRows` carries it so the CBO
+  * sizes joins over catalog tables from real cardinality, post
+  * file-pruning. */
+class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream,
+                     manifestRows: Option[Long] = None)
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    delegate match {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val fwd = delegate match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        Some(s.estimateStatistics())
+      case _ => None
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        fwd.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong = manifestRows match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => fwd.map(_.numRows()).getOrElse(java.util.OptionalLong.empty())
       }
     }
+  }
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
   override def toBatch: Batch = delegate.toBatch

@@ -1309,4 +1309,126 @@ object SqlVerbs {
           UNION ALL
           SELECT 4, count(*), CAST(sum(n_chars) AS BIGINT), count(DISTINCT lang) FROM v4)
         ORDER BY version"""
+
+  /** X-SQLv — incrementally-maintained MATERIALIZED VIEW (`CALL
+    * system.create_mv` / `refresh_mv`): per-lang aggregates over the
+    * standard verb-chain churn, maintained by AFFECTED-KEY recompute off
+    * the change feed ([[graft.catalog.Mv]]) — refresh cost ∝ churn, never
+    * table size, and sound for non-invertible aggregates (max) because
+    * nothing is delta-adjusted. The chain replays the canonical
+    * v1-insert / v2-update / v3-delete / v4-merge story, refreshes, then
+    * lands a TARGETED v5 (one lang's even doc_ids) and refreshes again —
+    * the second refresh's `changed_keys` pins that the feed narrowed the
+    * work to exactly the touched group, and both `mode` columns pin that
+    * neither refresh fell back to a full recompute. Content correctness
+    * is fully relational: the oracle replays all five versions and
+    * aggregates v5. */
+  def sqlMv(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, mv) = ensureMvChain(spark, dir)
+    val (mode1, mode2, changed2) = mvRefreshInfo.get(catName(dir))
+    val agg = ss.sql(s"SELECT lang, n_docs, sum_chars, max_chars FROM $mv")
+    import org.apache.spark.sql.functions.lit
+    agg.withColumn("first_refresh_mode", lit(mode1))
+      .withColumn("second_refresh_mode", lit(mode2))
+      .withColumn("second_changed_keys", lit(changed2))
+  }
+
+  private val mvRefreshInfo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
+
+  /** The MV fixture: source table clustered by the MV's group key (so
+    * the affected-key recompute scan PRUNES — MvSpec pins that with the
+    * recorder; here the bench chain just exercises the path end-to-end),
+    * the canonical verb churn, two refreshes. */
+  private[graft] def ensureMvChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_mvsrc"
+    val mv = s"$cat.main.docs_mv"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-mv"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_mv")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, " +
+          "n_chars BIGINT) PARTITIONED BY (lang)")
+        ss.sql(s"""INSERT INTO $t
+                   SELECT doc_id, lang, source, n_chars FROM documents_src_mv
+                   WHERE doc_id % 10 < 8""")
+        ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mv', " +
+          "source => 'main.docs_mvsrc', keys => 'lang', " +
+          "aggs => 'n_docs:count,sum_chars:sum(n_chars),max_chars:max(n_chars)')")
+        ss.sql(s"UPDATE $t SET lang = 'und' WHERE n_chars < $ShortDocChars")
+        ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0")
+        ss.sql(s"""MERGE INTO $t t
+                   USING (SELECT doc_id, lang, source, n_chars FROM documents_src_mv
+                          WHERE doc_id % 10 >= 5) s
+                   ON t.doc_id = s.doc_id
+                   WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+                   WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+                     VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
+        val r1 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head()
+        // the targeted commit: one lang (deterministic: the smallest),
+        // half its docs — the second refresh must narrow to that key
+        val minLang = ss.sql(s"SELECT min(lang) FROM $t").head().getString(0)
+        ss.sql(s"UPDATE $t SET n_chars = n_chars + 10 " +
+          s"WHERE lang = '$minLang' AND doc_id % 2 = 0")
+        val r2 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head()
+        mvRefreshInfo.put(cat, (r1.getString(2), r2.getString(2), r2.getLong(3)))
+        built.add(key)
+      }
+    }
+    (ss, mv)
+  }
+
+  /** X-SQLw — persistent SQL VIEWS (`CREATE VIEW` / view-on-view /
+    * `SHOW VIEWS`, served by [[graft.catalog.GraftViewStore]]): a
+    * two-layer stack over the canonical verb chain — `docs_long` filters
+    * the corpus, `docs_summary` aggregates THROUGH it — read after all
+    * four row-level commits, so the output pins (a) DDL-as-SQL against a
+    * v2 catalog (parser-intercepted; Spark 4.1 has no native path), (b)
+    * layer-by-layer view resolution, (c) views are always-current
+    * (reflect every commit), all relationally replayable. `n_views` pins
+    * SHOW VIEWS enumeration. Views are metadata-only — the 100 TB cost
+    * of this query is the aggregate itself, never a materialization. */
+  def sqlView(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureVerbChain(spark, dir)
+    val cat = catName(dir)
+    val key = s"$cat-views"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        ss.sql(s"CREATE OR REPLACE VIEW $cat.main.docs_long AS " +
+          s"SELECT doc_id, lang, source, n_chars FROM $t WHERE n_chars >= $ShortDocChars")
+        ss.sql(s"CREATE OR REPLACE VIEW $cat.main.docs_summary AS " +
+          s"SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars " +
+          s"FROM $cat.main.docs_long GROUP BY lang")
+        built.add(key)
+      }
+    }
+    // int32 literal to match the DuckDB oracle's integer constant
+    val nViews = ss.sql(s"SHOW VIEWS IN $cat.main").count().toInt
+    import org.apache.spark.sql.functions.lit
+    ss.sql(s"SELECT lang, n_docs, sum_chars FROM $cat.main.docs_summary")
+      .withColumn("n_views", lit(nViews))
+  }
+
+  def sqlViewOracleSql: String =
+    s"""WITH $oracleChainCtes
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               2 AS n_views
+        FROM v4 WHERE n_chars >= $ShortDocChars GROUP BY lang"""
+
+  def sqlMvOracleSql: String =
+    s"""WITH $oracleChainCtes,
+        v5 AS (SELECT doc_id, lang, source,
+                      CASE WHEN lang = (SELECT min(lang) FROM v4) AND doc_id % 2 = 0
+                           THEN n_chars + 10 ELSE n_chars END AS n_chars
+               FROM v4)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               max(n_chars) AS max_chars,
+               'incremental' AS first_refresh_mode,
+               'incremental' AS second_refresh_mode,
+               (SELECT count(DISTINCT lang) FROM v4
+                WHERE lang = (SELECT min(lang) FROM v4) AND doc_id % 2 = 0)
+                 AS second_changed_keys
+        FROM v5 GROUP BY lang"""
 }

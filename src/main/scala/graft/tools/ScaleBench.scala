@@ -111,6 +111,14 @@ object ScaleBench {
         "PARTITIONED BY (doc_id)")
       ss.sql(s"INSERT INTO $t SELECT doc_id, text, lang, n_chars FROM docs_cdc_src")
     }
+    // MATERIALIZED VIEW created between ingest and update (watermark =
+    // the ingest commit), so the later refresh sees exactly the UPDATE's
+    // churn; keyed on doc_id so the affected-key recompute is ~500 tiny
+    // groups through an inlined IN over the clustered layout
+    val mvBuild = timed {
+      ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_stats', " +
+        "source => 'main.docs', keys => 'doc_id', aggs => 'n:count,chars:max(n_chars)')")
+    }
     val update = timed {
       ss.sql(s"UPDATE $t SET n_chars = n_chars + 1 WHERE doc_id <= $bound")
     }
@@ -119,6 +127,18 @@ object ScaleBench {
       graft.catalog.ChangeFeed.tableChanges(ss, t, 2, 2, keyCols = Seq("doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
+    // MATERIALIZED-VIEW refresh (round 13, Mv.scala): the MV watermark
+    // is the ingest commit, so this refresh's affected-key recompute
+    // covers exactly the UPDATE's ~500 touched keys — fed by the change
+    // feed (∝ churn) and recomputed through an inlined IN that prunes
+    // the clustered layout's file list (kept/total reported). The claim
+    // under measurement: mv_refresh ~FLAT across corpus scale while
+    // mv_build (the initial full load) grows linearly.
+    val mvRefresh = timed {
+      ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_stats')").collect()
+    }
+    val (mvKept, mvTotal) = graft.catalog.SkipRecorder
+      .lastFor(s"$t@v${graft.catalog.Manifests.latestVersion(ss, t)}").getOrElse((-1, -1))
     // MERGE over the same fixed window: its ON condition is
     // source-dependent, so the bounded rewrite here is the RUNTIME
     // group-filter subquery at work (round 13), not footer stats —
@@ -154,6 +174,9 @@ object ScaleBench {
     finally s.close()
     Seq("cdc_ingest" -> ingest, "cdc_update" -> update, "cdc_feed" -> feed,
       "cdc_files_rewritten" -> rewritten.toDouble, "cdc_files_total" -> total.toDouble,
+      "mv_build" -> mvBuild, "mv_refresh" -> mvRefresh,
+      "mv_refresh_files_kept" -> mvKept.toDouble,
+      "mv_refresh_files_total" -> mvTotal.toDouble,
       "cdc_merge" -> merge,
       "cdc_merge_files_rewritten" -> mRewritten.toDouble,
       "cdc_merge_files_total" -> mTotal.toDouble,

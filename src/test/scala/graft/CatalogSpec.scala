@@ -463,4 +463,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT id, x FROM $t ORDER BY id").collect().map(r =>
       (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 10.5), (2L, 11.5)))
   }
+
+  test("scans report EXACT manifest row counts to the planner, tombstones netted") {
+    val (ss, c) = freshCatalog("cat_stats")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+    ss.sql(s"INSERT INTO $t SELECT id, CAST(id AS STRING) FROM range(0, 1000)")
+    ss.sql(s"DELETE FROM $t WHERE id < 100") // MOR: tombstones, no rewrite
+    def reported(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics()
+      }
+      assert(scans.size == 1, s"expected one v2 scan, got ${scans.size}")
+      (scans.head.numRows().orElse(-1L), scans.head.sizeInBytes().orElse(-1L))
+    }
+    val (rows, bytes) = reported(ss.table(t))
+    assert(rows == 900L, s"planner must see live rows (1000 - 100 tombstoned), got $rows")
+    assert(bytes > 0L, "size estimate must forward from the parquet delegate")
+    // file pruning narrows the reported count: a pinned time-travel read
+    // of the pre-delete version reports the full 1000
+    val (rows1, _) = reported(ss.sql(s"SELECT * FROM $t VERSION AS OF 1"))
+    assert(rows1 == 1000L, s"pre-delete snapshot reports all rows, got $rows1")
+  }
 }

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.GraftCatalog
+
+/** Incrementally-maintained materialized views (`CALL system.create_mv`
+  * / `refresh_mv`): affected-key recompute driven by the change feed.
+  * The invariant every test pins one way or another: after ANY refresh,
+  * the MV equals the full recompute of its definition against the
+  * source's current snapshot — incrementality changes the COST, never
+  * the answer. */
+class MvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(name: String): (SparkSession, String) = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-mvspec-$name-")
+    root.toFile.deleteOnExit()
+    val ss = spark.newSession()
+    ss.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$name.root", root.toString)
+    (ss, name)
+  }
+
+  /** MV content == full recompute, compared exactly both directions. */
+  private def assertMatchesRecompute(ss: SparkSession, mv: String, recomputeSql: String): Unit = {
+    val got = ss.table(mv)
+    val want = ss.sql(recomputeSql)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      s"MV diverged from recompute:\nMV:\n${got.collect().mkString("\n")}\n" +
+        s"recompute:\n${want.collect().mkString("\n")}")
+  }
+
+  test("incremental refresh equals full recompute across insert/update/delete/merge") {
+    val (ss, c) = freshCatalog("mv_basic")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, v BIGINT) PARTITIONED BY (grp)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 7 AS STRING)), id * 10 " +
+      "FROM range(0, 1000)")
+    val cr = ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count,total:sum(v),hi:max(v),lo:min(v),mean:avg(v)')").head()
+    assert(cr.getString(0) == "ns.mv" && cr.getLong(2) == 7)
+    val mv = s"$c.ns.mv"
+    val rec = s"SELECT grp, count(*) AS n, sum(v) AS total, max(v) AS hi, " +
+      s"min(v) AS lo, avg(v) AS mean FROM $t GROUP BY grp"
+    assertMatchesRecompute(ss, mv, rec)
+
+    // churn: update one group, delete part of another, merge in new rows
+    ss.sql(s"UPDATE $t SET v = v + 1 WHERE grp = 'g3'")
+    ss.sql(s"DELETE FROM $t WHERE grp = 'g5' AND id % 2 = 0")
+    ss.sql(s"MERGE INTO $t t USING (SELECT id, concat('g', CAST(id % 11 AS STRING)) AS grp, " +
+      s"id AS v FROM range(995, 1040)) s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v WHEN NOT MATCHED THEN INSERT *")
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "incremental", s"expected incremental, got ${r.getString(2)}")
+    assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    assertMatchesRecompute(ss, mv, rec)
+    // no cached plans leak out of the refresh (the r11 Dedup lesson)
+    assert(ss.sparkContext.getPersistentRDDs.isEmpty,
+      "refresh must unpersist its churn-sized intermediates")
+  }
+
+  test("min/max stay right when the extreme row is deleted (the delta-math trap)") {
+    val (ss, c) = freshCatalog("mv_minmax")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, v BIGINT)")
+    ss.sql(s"INSERT INTO $t VALUES (1,'a',10),(2,'a',99),(3,'b',5)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'hi:max(v),lo:min(v)')")
+    // delete a's maximum: subtraction can't maintain max; recompute must
+    ss.sql(s"DELETE FROM $t WHERE id = 2")
+    ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')")
+    val a = ss.sql(s"SELECT hi, lo FROM $c.ns.mv WHERE grp = 'a'").head()
+    assert(a.getLong(0) == 10 && a.getLong(1) == 10)
+  }
+
+  test("a group whose rows all vanish is deleted from the MV") {
+    val (ss, c) = freshCatalog("mv_vanish")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 3 AS STRING)) FROM range(0, 30)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count')")
+    ss.sql(s"DELETE FROM $t WHERE grp = 'g1'")
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "incremental" && r.getLong(5) == 1,
+      s"expected one vanished key, got $r")
+    assert(ss.table(s"$c.ns.mv").count() == 2)
+    assert(ss.sql(s"SELECT count(*) FROM $c.ns.mv WHERE grp = 'g1'").head().getLong(0) == 0)
+  }
+
+  test("refresh with no source commits is a noop; layout-only commits just advance") {
+    val (ss, c) = freshCatalog("mv_noop")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, 'g' FROM range(0, 10)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count')")
+    val mvVersionBefore = graft.catalog.Manifests.latestVersion(ss, s"$c.ns.mv")
+    val r1 = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r1.getString(2) == "noop")
+    // OPTIMIZE on the source is dataChange=false: refresh advances the
+    // watermark without touching the MV
+    ss.sql(s"INSERT INTO $t SELECT id, 'g' FROM range(10, 20)")
+    ss.sql(s"CALL $c.system.compact(table => 'ns.src', target_files => 1)")
+    val r2 = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r2.getString(2) == "incremental" && r2.getLong(3) == 1)
+    val r3 = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r3.getString(2) == "noop")
+    assert(graft.catalog.Manifests.latestVersion(ss, s"$c.ns.mv") == mvVersionBefore + 1)
+  }
+
+  test("expired feed falls back to a full recompute, loudly, still correct") {
+    val (ss, c) = freshCatalog("mv_fallback")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 5 AS STRING)), id FROM range(0, 100)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count,total:sum(v)')")
+    ss.sql(s"UPDATE $t SET v = 0 WHERE grp = 'g2'")
+    ss.sql(s"INSERT INTO $t VALUES (1000, 'g9', 7)")
+    // expire everything but the newest manifest: the watermark's parent
+    // chain is gone, so the change feed is unreconstructable
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.src', keep_last => 1)")
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "full_fallback", s"expected full_fallback, got $r")
+    assertMatchesRecompute(ss, s"$c.ns.mv",
+      s"SELECT grp, count(*) AS n, sum(v) AS total FROM $t GROUP BY grp")
+  }
+
+  test("a targeted source commit refreshes via a PRUNED scan on a clustered source") {
+    val (ss, c) = freshCatalog("mv_prune")
+    val t = s"$c.ns.src"
+    // clustered by grp => each file covers few groups; the affected-key
+    // recompute's IN predicate must prune the file list. AQE would
+    // coalesce this tiny write into ONE file and leave nothing to prune —
+    // at real scale each range partition is a full file, so pin that
+    // shape here.
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, v BIGINT) PARTITIONED BY (grp)")
+    ss.sql(s"INSERT INTO $t SELECT id, " +
+      "concat('g', lpad(CAST(id % 16 AS STRING), 2, '0')), id FROM range(0, 4000)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count,total:sum(v)')")
+    ss.sql(s"UPDATE $t SET v = v + 1 WHERE grp = 'g03'")
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "incremental" && r.getLong(3) == 1, s"got $r")
+    // the recompute scanned the source AT the pinned version; its skipping
+    // decision is recorded under the version-suffixed table name
+    val srcV = graft.catalog.Manifests.latestVersion(ss, t)
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(s"$t@v$srcV").getOrElse(
+      fail(s"no skipping decision recorded for $t@v$srcV"))
+    assert(total > 1 && kept < total,
+      s"affected-key recompute should scan a strict subset ($kept of $total)")
+    assertMatchesRecompute(ss, s"$c.ns.mv",
+      s"SELECT grp, count(*) AS n, sum(v) AS total FROM $t GROUP BY grp")
+  }
+
+  test("multi-key MV takes the join path and still matches the recompute") {
+    val (ss, c) = freshCatalog("mv_multikey")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, sub BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 4 AS STRING)), id % 3, id " +
+      "FROM range(0, 500)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp,sub', aggs => 'n:count,total:sum(v)')")
+    ss.sql(s"DELETE FROM $t WHERE grp = 'g1' AND sub = 2")
+    ss.sql(s"UPDATE $t SET v = -v WHERE grp = 'g0' AND sub = 0")
+    ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')")
+    assertMatchesRecompute(ss, s"$c.ns.mv",
+      s"SELECT grp, sub, count(*) AS n, sum(v) AS total FROM $t GROUP BY grp, sub")
+  }
+
+  test("refresh is idempotent: replaying after a watermark rollback converges") {
+    val (ss, c) = freshCatalog("mv_replay")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 3 AS STRING)) FROM range(0, 60)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count')")
+    ss.sql(s"DELETE FROM $t WHERE grp = 'g0'")
+    ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')")
+    val snapshot = ss.table(s"$c.ns.mv").collect().toSet
+    // simulate the crash window: merge committed, watermark bump lost
+    val wm = graft.catalog.Mv.watermarkOf(ss, s"$c.ns.mv")
+    graft.catalog.Mv.resetWatermark(ss, s"$c.ns.mv", wm - 1)
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "incremental")
+    assert(ss.table(s"$c.ns.mv").collect().toSet == snapshot,
+      "replayed refresh must converge to the same MV state")
+  }
+
+  test("create_mv validates the definition at CREATE time") {
+    val (ss, c) = freshCatalog("mv_validate")
+    ss.sql(s"CREATE TABLE $c.ns.src (id BIGINT, grp STRING)")
+    def failing(call: String): String =
+      intercept[Exception](ss.sql(call).collect()).getMessage
+    assert(failing(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'nope', aggs => 'n:count')").contains("not in"))
+    assert(failing(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:median(id)')").contains("unsupported aggregate"))
+    assert(failing(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'grp:count')").contains("collides"))
+    assert(failing(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.missing', " +
+      "keys => 'grp', aggs => 'n:count')").contains("no such source"))
+    // refresh of a non-MV table refuses with a pointer to create_mv
+    assert(failing(s"CALL $c.system.refresh_mv(view => 'ns.src')")
+      .contains("not a materialized view"))
+  }
+}
