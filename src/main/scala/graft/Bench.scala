@@ -194,6 +194,7 @@ object Bench {
       "sql_mdel_table" -> (() => operators.SqlVerbs.ensureMetaDeleteTable(spark, sfDir)),
       "sql_mor_chain" -> (() => operators.SqlVerbs.ensureMorChain(spark, sfDir)),
       "sql_mv_chain" -> (() => operators.SqlVerbs.ensureMvChain(spark, sfDir)),
+      "sql_an_table" -> (() => operators.SqlVerbs.ensureAnalyzeTable(spark, sfDir)),
       "sql_bloom_table" -> (() => operators.SqlVerbs.ensureBloomTable(spark, sfDir)),
       "sql_zorder_table" -> (() => operators.SqlVerbs.ensureZorderTable(spark, sfDir)),
       "sql_tag_table" -> (() => operators.SqlVerbs.ensureTagTable(spark, sfDir)),

@@ -206,6 +206,10 @@ object SparkEntry {
     // / SHOW VIEWS as statements (parser-intercepted DDL + rule-resolved
     // reads); metadata-only, always-current over the verb chain
     "q_sql_view"          -> ((s, d) => SqlVerbs.sqlView(s, d)),
+    // CALL system.analyze + DSv2 column statistics: exact manifest
+    // bounds/rows free, NDV persisted - join reorder on catalog tables
+    // (CboCatalogSpec pins the dimension-first flip)
+    "q_sql_analyze"       -> ((s, d) => SqlVerbs.sqlAnalyze(s, d)),
     "q_top_order_per_customer" -> ((s, d) => Analytics.topOrderPerCustomer(s, d)),
     // per-group top-3 via the custom typed Aggregator (bounded map-side
     // state; k values per partition-group cross the shuffle, no sort)
@@ -1068,6 +1072,7 @@ object SparkEntry {
     "q_sql_evolve" -> SqlVerbs.sqlEvolveOracleSql,
     "q_sql_mv" -> SqlVerbs.sqlMvOracleSql,
     "q_sql_view" -> SqlVerbs.sqlViewOracleSql,
+    "q_sql_analyze" -> SqlVerbs.sqlAnalyzeOracleSql,
     "q_stream_catalog_sink" -> graft.streaming.StreamingOps.streamCatalogSinkOracleSql,
     "q_stream_catalog_source" -> graft.streaming.StreamingOps.streamCatalogSourceOracleSql,
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,

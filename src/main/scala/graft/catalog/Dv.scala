@@ -299,7 +299,11 @@ class AddressedScan(files: () => Seq[String],
   * dispatched to the factory that planned them. */
 class SplitScan(clean: Scan, addressed: Scan, schema: StructType,
                 mkStream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
-                manifestRows: Option[Long] = None, manifestBytes: Option[Long] = None)
+                manifestRows: Option[Long] = None, manifestBytes: Option[Long] = None,
+                manifestColStats: java.util.Map[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+                  java.util.Collections.emptyMap())
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   /** Planner statistics from the MANIFEST (exact live rows — tombstones
@@ -312,6 +316,9 @@ class SplitScan(clean: Scan, addressed: Scan, schema: StructType,
         manifestBytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
       override def numRows(): java.util.OptionalLong =
         manifestRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = manifestColStats
     }
   override def description(): String =
     s"graft split scan [clean: ${clean.description()} | dv: ${addressed.description()}]"

@@ -212,9 +212,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           t.references()(0).fieldNames().length == 1 =>
         s"${t.name}(${t.references()(0).fieldNames()(0)})"
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports identity, days(col), and hours(col) PARTITIONED BY " +
-          s"transforms (a clustered layout contract, not hive directories; bucket can " +
-          s"never prune by footer stats); got $other")
+        s"graft catalog supports identity, days(col), hours(col), and months(col) " +
+          s"PARTITIONED BY transforms (a clustered layout contract, not hive " +
+          s"directories; bucket can never prune by footer stats); got $other")
     }
     clusterBy.foreach { c =>
       val (colName, unit) = ClusterSpec.parse(c)
@@ -222,11 +222,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         s"PARTITIONED BY column '$colName' is not in the schema (${schema.fieldNames.mkString(", ")})")
       unit.foreach { u =>
         val dt = schema(colName).dataType
+        val dateOk = u == "days" || u == "months"
         val ok = dt == org.apache.spark.sql.types.TimestampType ||
           dt == org.apache.spark.sql.types.TimestampNTZType ||
-          (dt == org.apache.spark.sql.types.DateType && u == "days")
+          (dt == org.apache.spark.sql.types.DateType && dateOk)
         require(ok, s"$u($colName) needs a timestamp column" +
-          (if (u == "days") " or date column" else "") + s"; '$colName' is $dt")
+          (if (dateOk) " or date column" else "") + s"; '$colName' is $dt")
       }
     }
     // TBLPROPERTIES: Spark mixes its own reserved entries (provider,
@@ -332,7 +333,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     if (namespace.sameElements(Array("system")))
       Array("expire_versions", "compact", "create_branch", "publish_branch",
         "drop_branch", "restore", "remove_orphans", "history", "tag", "untag",
-        "set_clustering", "create_mv", "refresh_mv")
+        "set_clustering", "create_mv", "refresh_mv", "analyze")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -353,6 +354,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "set_clustering" => new SetClusteringProcedure(this)
       case "create_mv" => new CreateMvProcedure(this)
       case "refresh_mv" => new RefreshMvProcedure(this)
+      case "analyze" => new AnalyzeProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
           "create_branch, publish_branch, drop_branch, restore, remove_orphans, " +
@@ -476,7 +478,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   * format so the DDL side, `partitioning()` reporting, and the write
   * distribution can never drift. */
 private[catalog] object ClusterSpec {
-  val TimeUnits: Set[String] = Set("days", "hours")
+  val TimeUnits: Set[String] = Set("days", "hours", "months")
 
   /** → (column, transform unit); None = identity. */
   def parse(s: String): (String, Option[String]) = {
@@ -491,6 +493,7 @@ private[catalog] object ClusterSpec {
     case (c, None) => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
     case (c, Some("days")) => org.apache.spark.sql.connector.expressions.Expressions.days(c)
     case (c, Some("hours")) => org.apache.spark.sql.connector.expressions.Expressions.hours(c)
+    case (c, Some("months")) => org.apache.spark.sql.connector.expressions.Expressions.months(c)
     case (_, Some(other)) => throw new IllegalStateException(s"unknown transform $other")
   }
 }
@@ -514,13 +517,17 @@ private[catalog] class TimeTransformFunction(unit: String)
     require(inputType.fields.length == 1,
       s"$unit takes exactly one argument, got ${inputType.fields.length}")
     val dt = inputType.fields(0).dataType
-    val divisor = dt match {
-      case TimestampType | TimestampNTZType =>
-        if (unit == "days") 86_400_000_000L else 3_600_000_000L
-      case DateType if unit == "days" => 1L
+    val dateOk = unit == "days" || unit == "months"
+    dt match {
+      case TimestampType | TimestampNTZType => ()
+      case DateType if dateOk => ()
       case other => throw new UnsupportedOperationException(
-        s"$unit() needs a timestamp${if (unit == "days") " or date" else ""} column, got $other")
+        s"$unit() needs a timestamp${if (dateOk) " or date" else ""} column, got $other")
     }
+    // fixed-length units divide; months (calendar-length) go through
+    // LocalDate — all three are MONOTONE in the raw value, which is what
+    // lets range clustering + raw-column footer-stat skipping hold
+    val divisor = if (unit == "days") 86_400_000_000L else 3_600_000_000L
     new functions.ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(dt)
       override def resultType(): DataType = IntegerType
@@ -528,8 +535,19 @@ private[catalog] class TimeTransformFunction(unit: String)
       override def canonicalName(): String = s"graft.$unit"
       override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
         if (input.isNullAt(0)) null
-        else if (dt == DateType) Integer.valueOf(input.getInt(0))
-        else Integer.valueOf(Math.floorDiv(input.getLong(0), divisor).toInt)
+        else {
+          val epochDays: Long =
+            if (dt == DateType) input.getInt(0).toLong
+            else Math.floorDiv(input.getLong(0), 86_400_000_000L)
+          unit match {
+            case "months" =>
+              val d = java.time.LocalDate.ofEpochDay(epochDays)
+              Integer.valueOf((d.getYear - 1970) * 12 + (d.getMonthValue - 1))
+            case "days" => Integer.valueOf(epochDays.toInt)
+            case _ => // hours: timestamp-only (dateOk guard above)
+              Integer.valueOf(Math.floorDiv(input.getLong(0), divisor).toInt)
+          }
+        }
     }
   }
 }
@@ -1720,6 +1738,10 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       // unvectored subset
       bytesOf = kept => scala.util.Try(
         kept.map(f => Files.size(dir.resolve(f))).sum).toOption,
+      // per-column CBO statistics: free manifest bounds/null-counts plus
+      // CALL system.analyze's persisted NDV/length stats
+      colStatsOf = kept => TableColumnStats.forScan(
+        m.schema, kept, mf.stats, mf.dvs.nonEmpty, m.props),
       mkStream = _ => {
         require(pinnedVersion.isEmpty,
           s"$tableName is a time-travel view; stream the live table and bound it yourself")

@@ -89,12 +89,19 @@ private[graft] object Mv {
       where.fold("")(w => s" WHERE $w") +
       s" GROUP BY ${d.keys.mkString(", ")}"
 
+  /** Characters a string key may contain and still be INLINED as a SQL
+    * literal. Deliberately narrow: Spark's parser treats backslash as an
+    * escape inside string literals (and other specials invite injection-
+    * shaped bugs), so anything outside this set takes the join path —
+    * slower, never wrong. */
+  private val SafeInlineString = "^[A-Za-z0-9_\\-./: ]*$".r
+
   /** SQL literal for an IN-list element; None = this value (or type)
     * cannot be inlined and the refresh must take the join path. */
   def renderLiteral(v: Any, dt: DataType): Option[String] = (v, dt) match {
     case (null, _) => None
     case (x, _: ByteType | _: ShortType | _: IntegerType | _: LongType) => Some(x.toString)
-    case (s: String, _: StringType) => Some("'" + s.replace("'", "''") + "'")
+    case (s: String, _: StringType) if SafeInlineString.matches(s) => Some(s"'$s'")
     case (d: java.sql.Date, _: DateType) => Some(s"DATE'$d'")
     case _ => None
   }

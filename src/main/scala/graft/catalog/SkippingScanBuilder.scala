@@ -40,7 +40,11 @@ class SkippingScanBuilder(
     posColShadowed: Boolean = true,
     addr: Option[graft.catalog.AddrSupport] = None,
     rowsOf: Seq[String] => Option[Long] = _ => None,
-    bytesOf: Seq[String] => Option[Long] = _ => None)
+    bytesOf: Seq[String] => Option[Long] = _ => None,
+    colStatsOf: Seq[String] => java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      _ => java.util.Collections.emptyMap())
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -129,9 +133,11 @@ class SkippingScanBuilder(
     // opening snapshot, so the batch-side vector handling below is
     // bypassed, not needed.
     if (dataSchema.isEmpty)
-      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles))
+      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
+        colStatsOf(prunedFiles))
     else if (!wantFile && !wantPos && vectored.isEmpty)
-      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles))
+      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
+        colStatsOf(prunedFiles))
     else if (!wantPos && vectored.isEmpty)
       // `SELECT _file, … FROM t`: per-file partitions, each tagged with
       // its manifest-relative path. Streaming with _file is not served
@@ -158,7 +164,8 @@ class SkippingScanBuilder(
           if (wantFile) new graft.catalog.FileTaggedScan(() => clean, filteredScanFor, data)
           else filteredScanFor(clean)
         new graft.catalog.SplitScan(cleanScan, addressed, addressed.readSchema(), mkStream,
-          manifestRows = rowsOf(prunedFiles), manifestBytes = bytesOf(prunedFiles))
+          manifestRows = rowsOf(prunedFiles), manifestBytes = bytesOf(prunedFiles),
+          manifestColStats = colStatsOf(prunedFiles))
       }
     }
   }
@@ -308,7 +315,11 @@ class CowGroupScanBuilder(
   * sizes joins over catalog tables from real cardinality, post
   * file-pruning. */
 class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream,
-                     manifestRows: Option[Long] = None)
+                     manifestRows: Option[Long] = None,
+                     manifestColStats: java.util.Map[
+                       org.apache.spark.sql.connector.expressions.NamedReference,
+                       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+                       java.util.Collections.emptyMap())
   extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val fwd = delegate match {
@@ -323,6 +334,9 @@ class ForwardingScan(delegate: Scan, mkStream: String => MicroBatchStream,
         case Some(n) => java.util.OptionalLong.of(n)
         case None => fwd.map(_.numRows()).getOrElse(java.util.OptionalLong.empty())
       }
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = manifestColStats
     }
   }
   override def readSchema(): StructType = delegate.readSchema()

@@ -2,10 +2,10 @@ package graft.catalog
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -87,6 +87,17 @@ private[graft] object GraftViewDdl {
         case Some((cat, ident)) => DropGraftViewCommand(cat, ident, d.ifExists)
         case None => plan
       }
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), _, _) =>
+      graftTarget(ss, parts) match {
+        case Some((cat, ident)) =>
+          // redefine = validated replace that KEEPS comment/props (the
+          // statement's documented semantics); the command reuses the
+          // create path with mustExist
+          CreateGraftViewCommand(cat, ident, a.originalText, comment = None,
+            props = Map.empty, allowExisting = false, replace = true,
+            mustExist = true)
+        case None => plan
+      }
     case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
       // SHOW VIEWS names a NAMESPACE, not a view: parts = catalog [+ ns]
       val (cat, ns) =
@@ -106,13 +117,17 @@ private[graft] object GraftViewDdl {
 private[graft] case class CreateGraftViewCommand(catalogName: String, ident: Identifier,
                                                  sql: String, comment: Option[String],
                                                  props: Map[String, String],
-                                                 allowExisting: Boolean, replace: Boolean)
+                                                 allowExisting: Boolean, replace: Boolean,
+                                                 mustExist: Boolean = false)
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val cat = session.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftCatalog]
-    if (cat.viewExists(ident)) {
+    val exists = cat.viewExists(ident)
+    if (mustExist && !exists) // ALTER VIEW ... AS on a missing view
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    if (exists) {
       if (allowExisting) return Nil
       if (!replace) throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
@@ -124,12 +139,19 @@ private[graft] case class CreateGraftViewCommand(catalogName: String, ident: Ide
     // full analysis of the body under the creating session's context:
     // bad references/types fail HERE, not at the first read
     val analyzed = session.sql(sql)
+    // ALTER VIEW AS keeps the existing comment/props (its documented
+    // semantics); CREATE OR REPLACE takes the statement's
+    val kept: Map[String, String] =
+      if (mustExist)
+        GraftViewStore.load(session, catalogName, ident.namespace().toSeq, ident.name())
+          .map(d => d.props ++ d.comment.map(ViewCatalog.PROP_COMMENT -> _))
+          .getOrElse(Map.empty)
+      else props ++ comment.map(ViewCatalog.PROP_COMMENT -> _)
     val info = new ViewInfo(ident, sql, ctxCatalog, ctxNamespace.toArray,
       analyzed.schema, analyzed.schema.fieldNames, Array.empty, Array.empty,
-      (props ++ comment.map(ViewCatalog.PROP_COMMENT -> _))
-        .foldLeft(new java.util.HashMap[String, String]()) { (m, kv) =>
-          m.put(kv._1, kv._2); m })
-    if (replace && cat.viewExists(ident)) cat.dropView(ident)
+      kept.foldLeft(new java.util.HashMap[String, String]()) { (m, kv) =>
+        m.put(kv._1, kv._2); m })
+    if (exists) cat.dropView(ident)
     cat.createView(info)
     Nil
   }

@@ -1417,6 +1417,81 @@ object SqlVerbs {
                2 AS n_views
         FROM v4 WHERE n_chars >= $ShortDocChars GROUP BY lang"""
 
+  /** X-SQLy — `CALL system.analyze` + DSv2 column statistics: the CBO
+    * feed for catalog tables. Per analyzed column the output carries the
+    * EXACT distinct count (relational, hash-checked) plus three verdicts
+    * computed against the scan's reported [[org.apache.spark.sql
+    * .connector.read.colstats.ColumnStatistics]]: `ndv_ok` (the persisted
+    * approx_count_distinct within 15% of exact — 3x the sketch's 5% rsd),
+    * `bounds_ok` (manifest-aggregated min/max EQUAL the relational
+    * min/max — these are free, no ANALYZE needed), `maxlen_ok` (string
+    * length stats from the analysis). CboCatalogSpec separately pins the
+    * BEHAVIOR these stats buy — dimension-first join reorder on catalog
+    * tables. */
+  def sqlAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureAnalyzeTable(spark, dir)
+    val rel = ss.table(t).queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.getOrElse(throw new IllegalStateException(s"no v2 scan for $t"))
+    val csJava = rel.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    import scala.jdk.CollectionConverters._
+    val cs = csJava.asScala.map { case (k, v) => k.fieldNames().mkString(".") -> v }.toMap
+    val e = ss.sql(
+      s"""SELECT count(DISTINCT doc_id), count(DISTINCT n_chars), count(DISTINCT lang),
+                 min(doc_id), max(doc_id), min(n_chars), max(n_chars),
+                 max(length(lang)) FROM $t""").head()
+    def ndvOk(col: String, exact: Long): Boolean =
+      cs.get(col).exists(s => s.distinctCount().isPresent &&
+        math.abs(s.distinctCount().getAsLong - exact.toDouble) / exact <= 0.15)
+    def boundsOk(col: String, lo: Long, hi: Long): Boolean =
+      cs.get(col).exists(s => s.min().isPresent && s.max().isPresent &&
+        s.min().get() == java.lang.Long.valueOf(lo) &&
+        s.max().get() == java.lang.Long.valueOf(hi))
+    val maxlenOk = cs.get("lang").exists(s =>
+      s.maxLen().isPresent && s.maxLen().getAsLong == e.getInt(7).toLong)
+    import ss.implicits._
+    Seq(
+      ("doc_id", e.getLong(0), ndvOk("doc_id", e.getLong(0)),
+        Some(boundsOk("doc_id", e.getLong(3), e.getLong(4))), Option.empty[Boolean]),
+      ("n_chars", e.getLong(1), ndvOk("n_chars", e.getLong(1)),
+        Some(boundsOk("n_chars", e.getLong(5), e.getLong(6))), Option.empty[Boolean]),
+      ("lang", e.getLong(2), ndvOk("lang", e.getLong(2)),
+        Option.empty[Boolean], Some(maxlenOk)))
+      .toDF("col_name", "exact_distinct", "ndv_ok", "bounds_ok", "maxlen_ok")
+  }
+
+  /** The analyze fixture: the %10<8 corpus slice, one CALL analyze. */
+  private[graft] def ensureAnalyzeTable(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_an"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-analyze"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_an")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars FROM documents_src_an " +
+          "WHERE doc_id % 10 < 8")
+        ss.sql(s"CALL $cat.system.analyze(table => 'main.docs_an')").collect()
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlAnalyzeOracleSql: String =
+    s"""WITH src AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8)
+        SELECT * FROM (
+          SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS exact_distinct,
+                 true AS ndv_ok, true AS bounds_ok, CAST(NULL AS BOOLEAN) AS maxlen_ok
+          FROM src
+          UNION ALL
+          SELECT 'n_chars', count(DISTINCT n_chars), true, true, NULL FROM src
+          UNION ALL
+          SELECT 'lang', count(DISTINCT lang), true, NULL, true FROM src)"""
+
   def sqlMvOracleSql: String =
     s"""WITH $oracleChainCtes,
         v5 AS (SELECT doc_id, lang, source,

@@ -275,6 +275,25 @@ class CowSpec extends AnyFunSuite {
     assert(transforms.map(_.name).toSeq == Seq("days"))
   }
 
+  test("months(ts) clustering: calendar months cluster, a quarter window prunes") {
+    val (ss, c) = freshCatalog("cow_months")
+    val t = s"$c.ns.ev"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, d DATE) PARTITIONED BY (months(d))")
+    // two years of daily rows (DATE column exercises the date arm of the
+    // months transform), scattered before the write re-clusters
+    ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(8) */ id, " +
+      "date_add(DATE'2023-01-01', CAST(id AS INT)) AS d FROM range(0, 730)")
+    val n = ss.sql(s"SELECT count(*) FROM $t " +
+      "WHERE d >= DATE'2023-04-01' AND d < DATE'2023-07-01'").head().getLong(0)
+    assert(n == 91, s"quarter-window content wrong: $n")
+    val (kept, total) = graft.catalog.SkipRecorder.lastFor(t).get
+    assert(kept < total && kept >= 1, s"months(d) layout did not prune: $kept/$total")
+    val cat = ss.sessionState.catalogManager.catalog(c).asInstanceOf[GraftCatalog]
+    assert(cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "ev"))
+      .partitioning().map(_.name).toSeq == Seq("months"))
+  }
+
   test("hours(ts) accepted; days on a non-time column and bucket stay rejected") {
     val (ss, c) = freshCatalog("cow_hours")
     ss.sql(s"CREATE TABLE $c.ns.h (id BIGINT, ts TIMESTAMP) PARTITIONED BY (hours(ts))")

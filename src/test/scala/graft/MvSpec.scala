@@ -190,6 +190,20 @@ class MvSpec extends AnyFunSuite {
       "replayed refresh must converge to the same MV state")
   }
 
+  test("hostile string keys (quotes, backslashes) never inline; refresh stays exact") {
+    val (ss, c) = freshCatalog("mv_hostile")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING)")
+    ss.sql(s"""INSERT INTO $t VALUES (1, "o'brien"), (2, 'a\\\\b'), (3, 'plain'), (4, "o'brien")""")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count')")
+    ss.sql(s"""DELETE FROM $t WHERE id = 4""")
+    ss.sql(s"INSERT INTO $t VALUES (5, 'plain')")
+    ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')")
+    assertMatchesRecompute(ss, s"$c.ns.mv",
+      s"SELECT grp, count(*) AS n FROM $t GROUP BY grp")
+  }
+
   test("create_mv validates the definition at CREATE time") {
     val (ss, c) = freshCatalog("mv_validate")
     ss.sql(s"CREATE TABLE $c.ns.src (id BIGINT, grp STRING)")

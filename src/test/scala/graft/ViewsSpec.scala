@@ -156,6 +156,24 @@ class ViewsSpec extends AnyFunSuite {
       .contains("column list"))
   }
 
+  test("ALTER VIEW ... AS redefines in place, keeping comment-free metadata intact") {
+    val (ss, c) = freshCatalog("vw_alter")
+    ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    ss.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(0, 10)")
+    ss.sql(s"CREATE VIEW $c.ns.v AS SELECT count(*) AS n FROM $c.ns.t")
+    assert(ss.sql(s"SELECT n FROM $c.ns.v").head().getLong(0) == 10)
+    ss.sql(s"ALTER VIEW $c.ns.v AS SELECT count(*) * 2 AS n FROM $c.ns.t")
+    assert(ss.sql(s"SELECT n FROM $c.ns.v").head().getLong(0) == 20)
+    // missing view refuses; cyclic redefinition refuses
+    assert(intercept[Exception](
+      ss.sql(s"ALTER VIEW $c.ns.missing AS SELECT 1 AS x")).getMessage
+      .toLowerCase.contains("view"))
+    ss.sql(s"CREATE VIEW $c.ns.w AS SELECT n FROM $c.ns.v")
+    assert(intercept[Exception](
+      ss.sql(s"ALTER VIEW $c.ns.v AS SELECT n FROM $c.ns.w")).getMessage
+      .contains("cyclic"))
+  }
+
   test("the ViewCatalog connector API serves the same store") {
     val (ss, c) = freshCatalog("vw_api")
     ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
