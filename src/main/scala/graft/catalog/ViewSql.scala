@@ -28,6 +28,14 @@ private[graft] class GraftViewParser(session: SparkSession, delegate: ParserInte
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftViewDdl.rewrite(session, delegate.parsePlan(sqlText))
 
+  // the parameterized entry point (spark.sql(text, args)) does not route
+  // through parsePlan — rewrite its result too, or a parameterized
+  // CREATE VIEW would slip past interception into the analyzer's refusal
+  override def parsePlanWithParameters(
+      sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    GraftViewDdl.rewrite(session, delegate.parsePlanWithParameters(sqlText, ctx))
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
