@@ -162,8 +162,14 @@ private[catalog] class AnalyzeProcedure(cat: GraftCatalog)
             .map(_.name).toSeq
           else input.getUTF8String(1).toString.split(',').map(_.trim)
             .filter(_.nonEmpty).toSeq
-        cols.foreach(c => require(m.schema.fieldNames.contains(c),
-          s"column '$c' is not in ${m.schema.fieldNames.mkString(", ")}"))
+            // case-insensitive like the rest of the SQL surface, resolved
+            // to the schema's canonical spelling
+            .map(c => m.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new IllegalArgumentException(
+                s"column '$c' is not in ${m.schema.fieldNames.mkString(", ")}")))
+        require(cols.nonEmpty,
+          s"nothing to analyze on '$table': no leaf-typed columns selected " +
+            "(name columns explicitly via columns => 'a,b')")
         val ss = SparkSession.active
         val v = m.latest
         import org.apache.spark.sql.functions.{approx_count_distinct, avg, col, length, max}

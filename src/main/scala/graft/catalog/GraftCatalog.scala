@@ -358,7 +358,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
           "create_branch, publish_branch, drop_branch, restore, remove_orphans, " +
-          "history, tag, untag, set_clustering, create_mv, refresh_mv)")
+          "history, tag, untag, set_clustering, create_mv, refresh_mv, analyze)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {

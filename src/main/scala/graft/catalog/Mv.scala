@@ -127,16 +127,21 @@ private[graft] object Mv {
     val srcFq = s"${cat.name()}.${d.source}"
 
     if (to <= fromW) return RefreshResult(fromW, to, "noop", 0, 0, 0)
+    // every version in (fromW, to] still present? Retention may have
+    // expired older commits — and an EXPIRED window can never justify a
+    // noop: a data-changing commit may have been retired from history,
+    // so concluding "layout-only" from the survivors would silently
+    // advance the watermark past real churn (code-review r13 finding).
+    val windowPresent = (fromW to to).forall(v => srcMeta.history.exists(_.version == v))
     val dataChanging = srcMeta.history
       .exists(c => c.version > fromW && c.version <= to && c.dataChange)
-    if (!dataChanging) { // layout-only commits (compact/cluster): just advance
+    if (windowPresent && !dataChanging) { // provably layout-only: just advance
       bumpWatermark(mvDir, to)
       return RefreshResult(fromW, to, "noop", 0, 0, 0)
     }
     // the feed needs every manifest fromW..to (each commit diffs against
-    // its parent); retention may have expired the older ones
-    val feedReconstructable = !forceFull &&
-      (fromW to to).forall(v => srcMeta.history.exists(_.version == v))
+    // its parent)
+    val feedReconstructable = !forceFull && windowPresent
 
     if (!feedReconstructable) {
       ss.sql(s"INSERT OVERWRITE $mvFq ${recomputeSql(d, srcFq, to, None)}")

@@ -77,6 +77,12 @@ private[graft] object GraftViewDdl {
     }
   }
 
+  /** Session temp views win bare-name resolution everywhere else in
+    * Spark; statements naming one must NOT be hijacked by the current
+    * catalog being graft (code-review r13 finding). */
+  private def isTempView(ss: SparkSession, parts: Seq[String]): Boolean =
+    ss.sessionState.catalog.isTempView(parts)
+
   def rewrite(ss: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
     case c @ CreateView(UnresolvedIdentifier(parts, _), _, _, _, _, _, _, _, _, _) =>
       graftTarget(ss, parts) match {
@@ -90,12 +96,12 @@ private[graft] object GraftViewDdl {
             c.allowExisting, c.replace)
         case None => plan
       }
-    case d @ DropView(UnresolvedIdentifier(parts, _), _) =>
+    case d @ DropView(UnresolvedIdentifier(parts, _), _) if !isTempView(ss, parts) =>
       graftTarget(ss, parts) match {
         case Some((cat, ident)) => DropGraftViewCommand(cat, ident, d.ifExists)
         case None => plan
       }
-    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), _, _) =>
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), _, _) if !isTempView(ss, parts) =>
       graftTarget(ss, parts) match {
         case Some((cat, ident)) =>
           // redefine = validated replace that KEEPS comment/props (the
@@ -106,7 +112,7 @@ private[graft] object GraftViewDdl {
             mustExist = true)
         case None => plan
       }
-    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
+    case ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
       // SHOW VIEWS names a NAMESPACE, not a view: parts = catalog [+ ns]
       val (cat, ns) =
         if (parts.nonEmpty && GraftViewStore.graftRoot(ss, parts.head).isDefined)
@@ -114,6 +120,13 @@ private[graft] object GraftViewDdl {
         else (ss.sessionState.catalogManager.currentCatalog.name(), parts)
       if (GraftViewStore.graftRoot(ss, cat).isEmpty) plan
       else ShowGraftViewsCommand(cat, ns, pattern, output)
+    case ShowViews(org.apache.spark.sql.catalyst.analysis.CurrentNamespace, pattern, output) =>
+      // bare `SHOW VIEWS` parses with CurrentNamespace, not
+      // UnresolvedNamespace (verified against the 4.1.2 AstBuilder)
+      val cat = ss.sessionState.catalogManager.currentCatalog.name()
+      if (GraftViewStore.graftRoot(ss, cat).isEmpty) plan
+      else ShowGraftViewsCommand(cat,
+        ss.sessionState.catalogManager.currentNamespace.toSeq, pattern, output)
     case _ => plan
   }
 }
@@ -129,6 +142,9 @@ private[graft] case class CreateGraftViewCommand(catalogName: String, ident: Ide
                                                  mustExist: Boolean = false)
     extends LeafRunnableCommand {
 
+  private def fullNameOf(i: Identifier): String =
+    (catalogName +: i.namespace() :+ i.name()).mkString(".")
+
   override def run(session: SparkSession): Seq[Row] = {
     val cat = session.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[GraftCatalog]
@@ -142,6 +158,20 @@ private[graft] case class CreateGraftViewCommand(catalogName: String, ident: Ide
     }
     val ctxCatalog = session.sessionState.catalogManager.currentCatalog.name()
     val ctxNamespace = session.sessionState.catalogManager.currentNamespace.toSeq
+    // a PERSISTENT view must not capture a session-lifetime object: the
+    // create-time analysis below would resolve the temp view and succeed,
+    // but the read-time qualifier would rewrite the bare name into the
+    // stored catalog context — a not-found error at best, a same-named
+    // catalog table silently substituted at worst (Spark's native
+    // persistent views refuse this for the same reason)
+    session.sessionState.sqlParser.parsePlan(sql).collectWithSubqueries {
+      case u: UnresolvedRelation
+          if session.sessionState.catalog.isTempView(u.multipartIdentifier) =>
+        throw new IllegalArgumentException(
+          s"cannot create persistent view ${fullNameOf(ident)}: the body references " +
+            s"temporary view ${u.multipartIdentifier.mkString(".")}, whose lifetime is " +
+            "this session; inline it or persist it first")
+    }
     GraftViewStore.assertAcyclic(session,
       (catalogName, ident.namespace().toSeq, ident.name()), sql, ctxCatalog, ctxNamespace)
     // full analysis of the body under the creating session's context:

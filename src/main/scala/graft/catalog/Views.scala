@@ -51,7 +51,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * one JSON read at plan time (for MATERIALIZED, see [[Mv]]). Cycles are
   * refused at CREATE time by walking the stored dependency closure —
   * cheaper and clearer than failing analysis with a max-iteration error
-  * at first read.
+  * at first read. Scope limits, both deliberate: views are BATCH-only
+  * (`readStream.table` of a view is not served — stream the base table
+  * or the `.changes` feed; the resolver skips streaming relations so the
+  * error stays Spark's own not-found), and a persistent view may not
+  * reference a session temp view (refused at CREATE — the stored-context
+  * qualification would rebind the name at read time).
   */
 private[graft] object GraftViewStore {
   val ViewFile = "view.json"

@@ -20,7 +20,6 @@ class CboCatalogSpec extends AnyFunSuite {
     val ss = spark.newSession()
     ss.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     ss.conf.set(s"spark.sql.catalog.$name.root", root.toString)
-    ss
     (ss, name)
   }
 

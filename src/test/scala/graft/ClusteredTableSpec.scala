@@ -21,7 +21,6 @@ class ClusteredTableSpec extends AnyFunSuite {
     ss.conf.set(s"spark.sql.catalog.$name.root", root.toString)
     // keep the tiny test shuffle wide so clustering yields >1 file
     ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    ss
     (ss, name)
   }
 

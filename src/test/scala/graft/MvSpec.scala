@@ -190,6 +190,27 @@ class MvSpec extends AnyFunSuite {
       "replayed refresh must converge to the same MV state")
   }
 
+  test("an expired window never fakes a noop: expired churn forces the full fallback") {
+    // the code-review r13 trap: a data-changing commit EXPIRES out of
+    // history and only a dataChange=false survivor remains in the
+    // watermark window — concluding "layout-only" from survivors would
+    // silently advance the watermark past real churn
+    val (ss, c) = freshCatalog("mv_expired_noop")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(0, 10)")            // v1
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count')")                                 // wm = 1
+    ss.sql(s"INSERT INTO $t SELECT id, 'b' FROM range(10, 30)")           // v2: churn
+    ss.sql(s"CALL $c.system.compact(table => 'ns.src', target_files => 1)") // v3: layout
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.src', keep_last => 1)")
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "full_fallback",
+      s"expired churn must force the full fallback, got $r")
+    assertMatchesRecompute(ss, s"$c.ns.mv",
+      s"SELECT grp, count(*) AS n FROM $t GROUP BY grp")
+  }
+
   test("hostile string keys (quotes, backslashes) never inline; refresh stays exact") {
     val (ss, c) = freshCatalog("mv_hostile")
     val t = s"$c.ns.src"

@@ -89,6 +89,38 @@ class ViewsSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT n FROM $c.ns.v").head().getLong(0) == 7)
   }
 
+  test("a persistent view must not capture a session temp view; DDL on temp names passes through") {
+    val (ss, c) = freshCatalog("vw_temp_guard")
+    ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    ss.sql("CREATE TEMPORARY VIEW staging AS SELECT 99 AS id")
+    try {
+      // create-time refusal: the body resolves NOW but would break (or
+      // silently rebind) at read time once qualified to the stored context
+      val e = intercept[Exception](
+        ss.sql(s"CREATE VIEW $c.ns.v AS SELECT id FROM staging"))
+      assert(e.getMessage.contains("temporary view"), e.getMessage)
+      // DROP VIEW on the temp name under a graft current catalog must
+      // reach Spark's temp-view handling, not the graft store
+      val mgr = ss.sessionState.catalogManager
+      mgr.setCurrentCatalog(c)
+      try ss.sql("DROP VIEW staging") finally mgr.setCurrentCatalog("spark_catalog")
+      assert(!ss.catalog.tableExists("staging"))
+    } finally ss.catalog.dropTempView("staging")
+  }
+
+  test("bare SHOW VIEWS under a graft current catalog lists the current namespace") {
+    val (ss, c) = freshCatalog("vw_bare_show")
+    ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    ss.sql(s"CREATE VIEW $c.ns.v AS SELECT id FROM $c.ns.t")
+    val mgr = ss.sessionState.catalogManager
+    mgr.setCurrentCatalog(c)
+    mgr.setCurrentNamespace(Array("ns"))
+    try {
+      val shown = ss.sql("SHOW VIEWS").collect()
+      assert(shown.map(_.getString(1)).toSeq == Seq("v"), shown.mkString(","))
+    } finally mgr.setCurrentCatalog("spark_catalog")
+  }
+
   test("temp views shadow catalog views on bare names; CTE names are not qualified") {
     val (ss, c) = freshCatalog("vw_shadow")
     ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
