@@ -225,6 +225,30 @@ class MvSpec extends AnyFunSuite {
       s"SELECT grp, count(*) AS n FROM $t GROUP BY grp")
   }
 
+  test("MVs chain: an MV over an MV refreshes transitively, each hop incremental") {
+    // an MV is an ordinary catalog table whose MERGE commits feed the
+    // change feed, so a second MV can source the first — refresh
+    // upstream-first and every hop is affected-key incremental
+    val (ss, c) = freshCatalog("mv_chain")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, sub STRING, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 6 AS STRING)), " +
+      "concat('s', CAST(id % 2 AS STRING)), id FROM range(0, 600)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv1', source => 'ns.src', " +
+      "keys => 'grp,sub', aggs => 'n:count,total:sum(v)')")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv2', source => 'ns.mv1', " +
+      "keys => 'sub', aggs => 'groups:count,grand:sum(total)')")
+    ss.sql(s"UPDATE $t SET v = v + 1000 WHERE grp = 'g2'")
+    val r1 = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv1')").head()
+    val r2 = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv2')").head()
+    assert(r1.getString(2) == "incremental" && r2.getString(2) == "incremental",
+      s"both hops incremental, got $r1 / $r2")
+    assertMatchesRecompute(ss, s"$c.ns.mv2",
+      s"""SELECT sub, count(*) AS groups, sum(total) AS grand FROM
+          (SELECT grp, sub, count(*) AS n, sum(v) AS total FROM $t GROUP BY grp, sub)
+          GROUP BY sub""")
+  }
+
   test("create_mv validates the definition at CREATE time") {
     val (ss, c) = freshCatalog("mv_validate")
     ss.sql(s"CREATE TABLE $c.ns.src (id BIGINT, grp STRING)")
