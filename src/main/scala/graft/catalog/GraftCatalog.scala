@@ -417,20 +417,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   override def viewExists(ident: Identifier): Boolean =
     Files.exists(tableDir(ident).resolve(GraftViewStore.ViewFile))
 
-  override def createView(info: ViewInfo): View = {
-    val ident = info.ident()
-    val dir = tableDir(ident)
-    if (Files.exists(dir.resolve(TableMeta.MetaFile)))
-      throw new IllegalArgumentException(
-        s"a TABLE named ${fullName(ident)} already exists (tables and views share a namespace)")
-    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+  private def viewDefOf(ident: Identifier, info: ViewInfo): GraftViewStore.ViewDef = {
+    require(!Files.exists(tableDir(ident).resolve(TableMeta.MetaFile)),
+      s"a TABLE named ${fullName(ident)} already exists (tables and views share a namespace)")
     require(info.columnAliases() == null || info.columnAliases().isEmpty,
       "graft views do not support column aliases; alias inside the SELECT instead")
-    val d = GraftViewStore.ViewDef(info.sql(), info.currentCatalog(),
+    GraftViewStore.ViewDef(info.sql(), info.currentCatalog(),
       info.currentNamespace().toSeq, info.schema().json,
       Option(info.properties().get(ViewCatalog.PROP_COMMENT)),
       info.properties().asScala.toMap -- ViewCatalog.RESERVED_PROPERTIES.asScala)
-    GraftViewStore.write(dir, d)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val d = viewDefOf(ident, info)
+    GraftViewStore.write(tableDir(ident), d)
+    new GraftView(fullName(ident), d)
+  }
+
+  /** CREATE OR REPLACE / ALTER VIEW AS on an EXISTING view: swap the
+    * stored definition in one atomic write ([[GraftViewStore.write]]'s
+    * ATOMIC_MOVE + REPLACE_EXISTING) — drop-then-create would open a
+    * window where a crash loses the view and a concurrent reader sees
+    * it missing (ADVICE r13). */
+  private[graft] def replaceView(info: ViewInfo): View = {
+    val ident = info.ident()
+    val d = viewDefOf(ident, info)
+    GraftViewStore.write(tableDir(ident), d)
     new GraftView(fullName(ident), d)
   }
 

@@ -109,12 +109,29 @@ private[graft] object Mv {
   final case class RefreshResult(fromVersion: Int, toVersion: Int, mode: String,
                                  changedKeys: Long, liveKeys: Long, vanishedKeys: Long)
 
-  /** One refresh of `view` (a `ns.name` identifier within `cat`). */
+  /** One refresh of `view` (a `ns.name` identifier within `cat`).
+    *
+    * The WHOLE refresh — feed read, recompute, MERGE, watermark bump —
+    * runs under the MV's commit lock: two unserialized refreshes could
+    * interleave so the slower one (older `to`) overwrites the newer
+    * merge and regresses the watermark (ADVICE r13). The inner SQL
+    * verbs commit on this same driver thread, so the reentrant lock is
+    * safe; chained MVs lock in DAG order (cycles are refused at create),
+    * so no deadlock is reachable. */
   def refresh(ss: SparkSession, cat: GraftCatalog, view: String,
               forceFull: Boolean): RefreshResult = {
     val mvDir = cat.tableDirOf(view)
     require(Files.exists(mvDir.resolve(TableMeta.MetaFile)),
       s"no such table '$view' in catalog ${cat.name()}")
+    GraftTable.commitLocks.computeIfAbsent(mvDir.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      refreshLocked(ss, cat, view, forceFull, mvDir)
+    }
+  }
+
+  private def refreshLocked(ss: SparkSession, cat: GraftCatalog, view: String,
+                            forceFull: Boolean,
+                            mvDir: java.nio.file.Path): RefreshResult = {
     val mvMeta = TableMeta.read(mvDir)
     val d = readDef(mvMeta, view)
     val fromW = mvMeta.props(WatermarkProp).toInt
@@ -125,6 +142,16 @@ private[graft] object Mv {
     val to = srcMeta.latest
     val mvFq = s"${cat.name()}.$view"
     val srcFq = s"${cat.name()}.${d.source}"
+
+    // force_full is the operational repair lever for a suspect MV: it
+    // must run BEFORE the noop/layout-only early returns, or an
+    // up-to-date watermark would silently skip the recompute (ADVICE r13)
+    if (forceFull) {
+      ss.sql(s"INSERT OVERWRITE $mvFq ${recomputeSql(d, srcFq, to, None)}")
+      bumpWatermark(mvDir, to)
+      val n = ss.table(mvFq).count()
+      return RefreshResult(fromW, to, "full_forced", n, n, 0)
+    }
 
     if (to <= fromW) return RefreshResult(fromW, to, "noop", 0, 0, 0)
     // every version in (fromW, to] still present? Retention may have
@@ -141,14 +168,11 @@ private[graft] object Mv {
     }
     // the feed needs every manifest fromW..to (each commit diffs against
     // its parent)
-    val feedReconstructable = !forceFull && windowPresent
-
-    if (!feedReconstructable) {
+    if (!windowPresent) {
       ss.sql(s"INSERT OVERWRITE $mvFq ${recomputeSql(d, srcFq, to, None)}")
       bumpWatermark(mvDir, to)
       val n = ss.table(mvFq).count()
-      return RefreshResult(fromW, to, if (forceFull) "full_forced" else "full_fallback",
-        n, n, 0)
+      return RefreshResult(fromW, to, "full_fallback", n, n, 0)
     }
 
     val cdf = ChangeFeed.tableChanges(ss, srcFq, fromW + 1, to)
@@ -250,13 +274,18 @@ private[graft] object Mv {
   }
 
   /** Advance the MV's source watermark — a metadata-only write under the
-    * MV's commit lock (the TagProcedure idiom). */
+    * MV's commit lock (the TagProcedure idiom). MONOTONE: a stored
+    * watermark already at or past `to` is left alone (belt to the
+    * whole-refresh lock's suspenders — an older refresh can never
+    * regress a newer one's mark; deliberate rewinds go through
+    * [[resetWatermark]]). */
   private def bumpWatermark(mvDir: java.nio.file.Path, to: Int): Unit =
     GraftTable.commitLocks.computeIfAbsent(mvDir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = TableMeta.read(mvDir)
-      TableMeta.write(mvDir, m.copy(props = m.props + (WatermarkProp -> to.toString)),
-        expectedLatest = Some(m.latest))
+      if (!m.props.get(WatermarkProp).exists(_.toInt >= to))
+        TableMeta.write(mvDir, m.copy(props = m.props + (WatermarkProp -> to.toString)),
+          expectedLatest = Some(m.latest))
     }
 }
 

@@ -113,13 +113,23 @@ private[graft] object GraftViewDdl {
         case None => plan
       }
     case ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
-      // SHOW VIEWS names a NAMESPACE, not a view: parts = catalog [+ ns]
-      val (cat, ns) =
-        if (parts.nonEmpty && GraftViewStore.graftRoot(ss, parts.head).isDefined)
-          (parts.head, parts.tail)
-        else (ss.sessionState.catalogManager.currentCatalog.name(), parts)
-      if (GraftViewStore.graftRoot(ss, cat).isEmpty) plan
-      else ShowGraftViewsCommand(cat, ns, pattern, output)
+      // SHOW VIEWS names a NAMESPACE, not a view: parts = catalog [+ ns].
+      // A head that names a registered NON-graft catalog must pass
+      // through to Spark — treating it as a namespace of the (graft)
+      // current catalog would hijack the other catalog's listing
+      // (ADVICE r13).
+      val headIsGraft = parts.nonEmpty &&
+        GraftViewStore.graftRoot(ss, parts.head).isDefined
+      val headIsOtherCatalog = !headIsGraft && parts.nonEmpty &&
+        ss.sessionState.catalogManager.isCatalogRegistered(parts.head)
+      if (headIsOtherCatalog) plan
+      else {
+        val (cat, ns) =
+          if (headIsGraft) (parts.head, parts.tail)
+          else (ss.sessionState.catalogManager.currentCatalog.name(), parts)
+        if (GraftViewStore.graftRoot(ss, cat).isEmpty) plan
+        else ShowGraftViewsCommand(cat, ns, pattern, output)
+      }
     case ShowViews(org.apache.spark.sql.catalyst.analysis.CurrentNamespace, pattern, output) =>
       // bare `SHOW VIEWS` parses with CurrentNamespace, not
       // UnresolvedNamespace (verified against the 4.1.2 AstBuilder)
@@ -163,8 +173,10 @@ private[graft] case class CreateGraftViewCommand(catalogName: String, ident: Ide
     // but the read-time qualifier would rewrite the bare name into the
     // stored catalog context — a not-found error at best, a same-named
     // catalog table silently substituted at worst (Spark's native
-    // persistent views refuse this for the same reason)
-    session.sessionState.sqlParser.parsePlan(sql).collectWithSubqueries {
+    // persistent views refuse this for the same reason). CTEs substitute
+    // FIRST, mirroring the read path: a body whose own CTE name shadows
+    // a same-named temp view is legitimate, not a capture (ADVICE r13).
+    CTESubstitution.apply(session.sessionState.sqlParser.parsePlan(sql)).collectWithSubqueries {
       case u: UnresolvedRelation
           if session.sessionState.catalog.isTempView(u.multipartIdentifier) =>
         throw new IllegalArgumentException(
@@ -189,8 +201,10 @@ private[graft] case class CreateGraftViewCommand(catalogName: String, ident: Ide
       analyzed.schema, analyzed.schema.fieldNames, Array.empty, Array.empty,
       kept.foldLeft(new java.util.HashMap[String, String]()) { (m, kv) =>
         m.put(kv._1, kv._2); m })
-    if (exists) cat.dropView(ident)
-    cat.createView(info)
+    // replace swaps the stored definition in ONE atomic write — no
+    // drop-then-create window where a crash loses the view or a
+    // concurrent reader gets TABLE_OR_VIEW_NOT_FOUND (ADVICE r13)
+    if (exists) cat.replaceView(info) else cat.createView(info)
     Nil
   }
 }

@@ -110,6 +110,50 @@ class MvSpec extends AnyFunSuite {
     assert(graft.catalog.Manifests.latestVersion(ss, s"$c.ns.mv") == mvVersionBefore + 1)
   }
 
+  test("force_full repairs a suspect MV even when the watermark says noop") {
+    val (ss, c) = freshCatalog("mv_force")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 3 AS STRING)) FROM range(0, 30)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count')")
+    // corrupt the MV directly (the operational scenario force_full exists
+    // for); the watermark is current, so a plain refresh noops past it
+    ss.sql(s"UPDATE $c.ns.mv SET n = 0 WHERE grp = 'g1'")
+    val plain = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(plain.getString(2) == "noop")
+    assert(ss.sql(s"SELECT n FROM $c.ns.mv WHERE grp = 'g1'").head().getLong(0) == 0)
+    // force_full must NOT be short-circuited by the up-to-date watermark
+    val forced = ss.sql(
+      s"CALL $c.system.refresh_mv(view => 'ns.mv', force_full => true)").head()
+    assert(forced.getString(2) == "full_forced", forced.getString(2))
+    assert(ss.sql(s"SELECT n FROM $c.ns.mv WHERE grp = 'g1'").head().getLong(0) == 10)
+  }
+
+  test("concurrent refreshes serialize; the watermark never regresses") {
+    val (ss, c) = freshCatalog("mv_race")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 5 AS STRING)), id FROM range(0, 100)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count,total:sum(v)')")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 5 AS STRING)), id FROM range(100, 140)")
+    // two refreshes racing from separate threads: the lock serializes
+    // them, so both succeed and the MV equals the recompute afterwards
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map(_ => Future {
+      ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head().getString(2)
+    })
+    val modes = Await.result(Future.sequence(fs), 120.seconds)
+    assert(modes.forall(m => m == "incremental" || m == "noop"), modes.toString)
+    assertMatchesRecompute(ss, s"$c.ns.mv",
+      s"SELECT grp, count(*) AS n, sum(v) AS total FROM $t GROUP BY grp")
+    assert(graft.catalog.Mv.watermarkOf(ss, s"$c.ns.mv") ==
+      graft.catalog.Manifests.latestVersion(ss, t))
+  }
+
   test("expired feed falls back to a full recompute, loudly, still correct") {
     val (ss, c) = freshCatalog("mv_fallback")
     val t = s"$c.ns.src"

@@ -121,6 +121,64 @@ class ViewsSpec extends AnyFunSuite {
     } finally mgr.setCurrentCatalog("spark_catalog")
   }
 
+  test("SHOW VIEWS IN a NON-graft catalog passes through even when current catalog is graft") {
+    val (ss, c) = freshCatalog("vw_other_cat")
+    ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    ss.sql(s"CREATE VIEW $c.ns.v AS SELECT id FROM $c.ns.t")
+    val mgr = ss.sessionState.catalogManager
+    mgr.setCurrentCatalog(c)
+    try {
+      // spark_catalog is registered and not graft: the statement must
+      // reach Spark's own handling (session-catalog views, here none),
+      // NOT be read as graft namespace `spark_catalog.default`
+      val shown = ss.sql("SHOW VIEWS IN spark_catalog.default").collect()
+      assert(shown.forall(_.getString(1) != "v"), shown.mkString(","))
+    } finally mgr.setCurrentCatalog("spark_catalog")
+  }
+
+  test("a view body's own CTE may shadow a same-named temp view (not a capture)") {
+    val (ss, c) = freshCatalog("vw_cte_shadow")
+    ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    ss.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(0, 4)")
+    ss.sql("CREATE TEMPORARY VIEW shadowed AS SELECT 99 AS id")
+    try {
+      // `shadowed` inside the body is the CTE, not the temp view — the
+      // read path substitutes CTEs first, so create must not refuse it
+      ss.sql(s"CREATE VIEW $c.ns.v AS WITH shadowed AS " +
+        s"(SELECT id FROM $c.ns.t WHERE id >= 2) SELECT count(*) AS n FROM shadowed")
+      assert(ss.sql(s"SELECT n FROM $c.ns.v").head().getLong(0) == 2)
+      // a genuine capture OUTSIDE any CTE is still refused
+      val e = intercept[Exception](
+        ss.sql(s"CREATE VIEW $c.ns.v2 AS SELECT id FROM shadowed"))
+      assert(e.getMessage.contains("temporary view"), e.getMessage)
+    } finally ss.catalog.dropTempView("shadowed")
+  }
+
+  test("CREATE OR REPLACE swaps the definition atomically (view.json never vanishes)") {
+    val (ss, c) = freshCatalog("vw_atomic_replace")
+    ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    ss.sql(s"INSERT INTO $c.ns.t SELECT id FROM range(0, 6)")
+    ss.sql(s"CREATE VIEW $c.ns.v AS SELECT count(*) AS n FROM $c.ns.t")
+    val root = ss.conf.get(s"spark.sql.catalog.$c.root")
+    val viewJson = java.nio.file.Paths.get(root, "ns", "v", "view.json")
+    // poll the store file from a racing thread across many replaces: the
+    // atomic swap means it must exist at EVERY observation
+    @volatile var missing = false
+    @volatile var stop = false
+    val watcher = new Thread(() => {
+      while (!stop) { if (!java.nio.file.Files.exists(viewJson)) missing = true }
+    })
+    watcher.start()
+    try {
+      (1 to 20).foreach { i =>
+        ss.sql(s"CREATE OR REPLACE VIEW $c.ns.v AS " +
+          s"SELECT count(*) + $i AS n FROM $c.ns.t")
+      }
+    } finally { stop = true; watcher.join() }
+    assert(!missing, "view.json vanished mid-replace (drop-then-create window)")
+    assert(ss.sql(s"SELECT n FROM $c.ns.v").head().getLong(0) == 26)
+  }
+
   test("temp views shadow catalog views on bare names; CTE names are not qualified") {
     val (ss, c) = freshCatalog("vw_shadow")
     ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
