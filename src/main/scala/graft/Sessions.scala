@@ -108,6 +108,12 @@ object Sessions {
       // regardless of the harness's working directory
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // storage-partitioned joins over graft catalog bucket(n, col)
+      // tables (see graft.catalog.Spj): v2 bucketing lets Spark plan a
+      // co-bucketed equi-join with zero Exchange; pushPartValues pads
+      // partition-value mismatches (a bucket present on one side only)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

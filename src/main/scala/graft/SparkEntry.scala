@@ -163,6 +163,7 @@ object SparkEntry {
     // clustered-table DDL: PARTITIONED BY identity cols force a range
     // distribution + sort on every write; first scan prunes, no OPTIMIZE
     "q_sql_partitioned"   -> ((s, d) => SqlVerbs.sqlPartitioned(s, d)),
+    "q_sql_spj"           -> ((s, d) => SqlVerbs.sqlSpj(s, d)),
     // RESTORE as a new commit: rollback re-references v1's files under a
     // new version; the bad deploy stays time-travelable for forensics
     "q_sql_restore"       -> ((s, d) => SqlVerbs.sqlRestore(s, d)),
@@ -1059,6 +1060,7 @@ object SparkEntry {
     "q_sql_wap" -> SqlVerbs.sqlWapOracleSql,
     "q_sql_wap_diff" -> SqlVerbs.sqlWapDiffOracleSql,
     "q_sql_partitioned" -> SqlVerbs.sqlPartitionedOracleSql,
+    "q_sql_spj" -> SqlVerbs.sqlSpjOracleSql,
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_sql_days_table" -> SqlVerbs.sqlDaysTableOracleSql,
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.catalog.MetadataColumn
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DELETION VECTORS — the merge-on-read half of the catalog's row-level
@@ -166,22 +166,28 @@ case class AddrPartition(inner: InputPartition, relFile: String, absFile: String
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Reader factory for addressed partitions: forces the ROW path (masking
-  * and per-row positions cannot be expressed on the delegate's columnar
-  * batches without copying), computes each split's starting position
-  * from the parquet footer with parquet-mr's own midpoint rule, skips
-  * masked positions, and appends the requested metadata columns. */
+/** Reader factory for addressed partitions — BOTH read paths served:
+  * the ROW path skips masked positions row by row; the COLUMNAR path
+  * (VERDICT r13 #3) keeps the delegate's vectorized parquet batches and
+  * applies the mask as a row-index REMAP — each returned batch wraps the
+  * delegate's column vectors in [[MaskedColumnVector]] (one array-lookup
+  * indirection per access, no copy, no de-vectorization), appending
+  * `_file` as a constant vector and `_pos` as a computed one. A MOR
+  * table under churn therefore keeps vectorized analytical scans on its
+  * vectored files — the read-side tax of deletion vectors drops from
+  * "whole scan rows-only" to one indirection on the masked files.
+  * Split→position mapping comes from the parquet footer with
+  * parquet-mr's own midpoint rule on either path. */
 case class AddrReaderFactory(inner: PartitionReaderFactory, conf: SerHadoopConf,
                              wantFile: Boolean, wantPos: Boolean)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition.asInstanceOf[AddrPartition].inner)
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[AddrPartition]
-    val d = inner.createReader(p.inner)
-
-    // ---- split → position segments, from the file's footer ----
+  /** (split → (startPos, rows) segments, deletion mask or null) for one
+    * addressed partition — shared by the row and columnar readers. */
+  private def addressing(p: AddrPartition): (Array[(Long, Long)], java.util.BitSet) = {
     import scala.jdk.CollectionConverters._
     val fp = p.inner match {
       case f: org.apache.spark.sql.execution.datasources.FilePartition => f
@@ -206,8 +212,6 @@ case class AddrReaderFactory(inner: PartitionReaderFactory, conf: SerHadoopConf,
       (startRow, rows)
     }.toArray
     val totalRows = cum.last
-
-    // ---- the mask ----
     val mask: java.util.BitSet = p.absBlob match {
       case None => null
       case Some(blob) =>
@@ -219,6 +223,71 @@ case class AddrReaderFactory(inner: PartitionReaderFactory, conf: SerHadoopConf,
         }
         bs
     }
+    (segments, mask)
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[AddrPartition]
+    val d = inner.createColumnarReader(p.inner)
+    val (segments, mask) = addressing(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var seg = 0
+      private var emittedInSeg = 0L
+
+      override def next(): Boolean = d.next()
+
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = d.get()
+        val rows = b.numRows()
+        // batches never span splits (one underlying reader per split),
+        // so advance whole segments, then place this batch in the current
+        while (seg < segments.length && emittedInSeg >= segments(seg)._2) {
+          seg += 1; emittedInSeg = 0L
+        }
+        if (rows == 0) return b
+        if (seg >= segments.length || emittedInSeg + rows > segments(seg)._2)
+          throw new IllegalStateException(
+            s"${p.relFile}: delegate batch exceeds the footer's split row accounting")
+        val base = segments(seg)._1 + emittedInSeg
+        emittedInSeg += rows
+        val rowMap: Array[Int] =
+          if (mask == null) null
+          else {
+            val buf = new Array[Int](rows)
+            var i = 0; var k = 0
+            while (i < rows) {
+              if (!mask.get((base + i).toInt)) { buf(k) = i; k += 1 }
+              i += 1
+            }
+            java.util.Arrays.copyOf(buf, k)
+          }
+        val nOut = if (rowMap == null) rows else rowMap.length
+        val dataCols: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+          if (rowMap == null) Array.tabulate(b.numCols())(b.column)
+          else Array.tabulate(b.numCols())(j =>
+            new MaskedColumnVector(b.column(j), rowMap))
+        var cols = dataCols
+        if (wantFile) {
+          val const = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+            1, org.apache.spark.sql.types.StringType)
+          const.setUtf8String(UTF8String.fromString(p.relFile))
+          cols = cols :+ (const: org.apache.spark.sql.vectorized.ColumnVector)
+        }
+        if (wantPos)
+          cols = cols :+ (new PosColumnVector(base, rowMap):
+            org.apache.spark.sql.vectorized.ColumnVector)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, nOut)
+      }
+
+      override def close(): Unit = d.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[AddrPartition]
+    val d = inner.createReader(p.inner)
+    val (segments, mask) = addressing(p)
 
     val nMeta = (if (wantFile) 1 else 0) + (if (wantPos) 1 else 0)
     val suffix = new GenericInternalRow(nMeta)
@@ -356,13 +425,75 @@ case class SplitReaderFactory(clean: PartitionReaderFactory, addr: PartitionRead
     val (f, p) = route(partition)
     f.createColumnarReader(p)
   }
-  // Spark refuses MIXED row/columnar partitions within one scan
-  // ("Cannot mix row-based and columnar input partitions"), and the
-  // addressed side is row-only by construction — so the whole split
-  // scan reads row-based. The cost lands exactly where the design says
-  // it should: a table with ANY vectored file in scope reads slower
-  // until OPTIMIZE materializes the vectors away (Delta's deletion-
-  // vector trade; its reader keeps vectorization only by patching row
-  // masks into the parquet reader itself, which delegation forbids).
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  // Spark refuses MIXED row/columnar partitions within one scan, and
+  // since r14 it never has to: the addressed side serves columnar
+  // batches too (AddrReaderFactory's masked remap), so both routes
+  // report the delegate parquet factory's own verdict — uniform by
+  // construction (same format, same schema on both sides) and
+  // vectorized whenever plain parquet would be.
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val (f, p) = route(partition)
+    f.supportColumnarReads(p)
+  }
+}
+
+/** A no-copy deletion-mask view over a delegate column vector: surviving
+  * row `i` reads the delegate's row `rowMap(i)`. One array lookup per
+  * access — the whole-batch alternative (rebuilding compacted vectors)
+  * would copy every value to drop a handful of tombstones. Children of
+  * struct columns wrap recursively (a ColumnarRow addresses children
+  * with the PARENT's row id); arrays/maps return the delegate's physical
+  * views untouched. Lifecycle: the delegate's reader owns the underlying
+  * memory; close here is a no-op. */
+private[catalog] class MaskedColumnVector(d: ColumnVector, rowMap: Array[Int])
+    extends ColumnVector(d.dataType()) {
+  private lazy val kids = new java.util.concurrent.ConcurrentHashMap[Integer, MaskedColumnVector]()
+  override def close(): Unit = ()
+  override def hasNull: Boolean = d.hasNull
+  override def numNulls(): Int = d.numNulls() // may overcount masked nulls; informational
+  override def isNullAt(i: Int): Boolean = d.isNullAt(rowMap(i))
+  override def getBoolean(i: Int): Boolean = d.getBoolean(rowMap(i))
+  override def getByte(i: Int): Byte = d.getByte(rowMap(i))
+  override def getShort(i: Int): Short = d.getShort(rowMap(i))
+  override def getInt(i: Int): Int = d.getInt(rowMap(i))
+  override def getLong(i: Int): Long = d.getLong(rowMap(i))
+  override def getFloat(i: Int): Float = d.getFloat(rowMap(i))
+  override def getDouble(i: Int): Double = d.getDouble(rowMap(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    d.getArray(rowMap(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    d.getMap(rowMap(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    d.getDecimal(rowMap(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = d.getUTF8String(rowMap(i))
+  override def getBinary(i: Int): Array[Byte] = d.getBinary(rowMap(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    kids.computeIfAbsent(ordinal, o => new MaskedColumnVector(d.getChild(o), rowMap))
+}
+
+/** The `_pos` column on the columnar path: physical position =
+  * batch base + the row's original index (identity when unmasked). */
+private[catalog] class PosColumnVector(base: Long, rowMap: Array[Int])
+    extends ColumnVector(LongType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls(): Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getLong(i: Int): Long =
+    base + (if (rowMap == null) i else rowMap(i))
+  private def unsupported: Nothing =
+    throw new UnsupportedOperationException(s"${Dv.PosCol} is a bigint column")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray = unsupported
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap = unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    unsupported
+  override def getUTF8String(i: Int): UTF8String = unsupported
+  override def getBinary(i: Int): Array[Byte] = unsupported
+  override def getChild(ordinal: Int): ColumnVector = unsupported
 }

@@ -211,25 +211,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case t if ClusterSpec.TimeUnits.contains(t.name) && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         s"${t.name}(${t.references()(0).fieldNames()(0)})"
+      case t if t.name == GraftBucket.FnName && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        // bucket(n, col): a JOIN contract, not a pruning one — footer
+        // stats still can't bound a hash, so bucket stays out of
+        // SkipEval; what it buys is storage-partitioned joins (Spj.scala)
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Integer] => l.value().asInstanceOf[Integer].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs an integer bucket count; got $t"))
+        s"${GraftBucket.FnName}($n,${t.references()(0).fieldNames()(0)})"
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports identity, days(col), hours(col), and months(col) " +
-          s"PARTITIONED BY transforms (a clustered layout contract, not hive " +
-          s"directories; bucket can never prune by footer stats); got $other")
+        s"graft catalog supports identity, days(col), hours(col), months(col), and " +
+          s"bucket(n, col) PARTITIONED BY transforms (a clustered layout contract, " +
+          s"not hive directories); got $other")
     }
-    clusterBy.foreach { c =>
-      val (colName, unit) = ClusterSpec.parse(c)
-      require(schema.fieldNames.contains(colName),
-        s"PARTITIONED BY column '$colName' is not in the schema (${schema.fieldNames.mkString(", ")})")
-      unit.foreach { u =>
-        val dt = schema(colName).dataType
-        val dateOk = u == "days" || u == "months"
-        val ok = dt == org.apache.spark.sql.types.TimestampType ||
-          dt == org.apache.spark.sql.types.TimestampNTZType ||
-          (dt == org.apache.spark.sql.types.DateType && dateOk)
-        require(ok, s"$u($colName) needs a timestamp column" +
-          (if (dateOk) " or date column" else "") + s"; '$colName' is $dt")
-      }
-    }
+    ClusterSpec.validate(clusterBy, schema)
+    require(clusterBy.flatMap(ClusterSpec.parseBucket).isEmpty ||
+      !properties.asScala.get(GraftTable.RowLevelModeProp).contains(GraftTable.MergeOnRead),
+      "bucketed tables are copy-on-write only: merge-on-read's delta inserts bypass " +
+        "the bucket-pure writer and would silently lose the storage-partitioned join " +
+        "property")
     // TBLPROPERTIES: Spark mixes its own reserved entries (provider,
     // owner, …) into the map; persist only user-owned keys. The one key
     // this catalog INTERPRETS is validated here so a typo fails the DDL,
@@ -281,10 +284,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             s"column ${add.fieldNames()(0)} already exists")
           meta.copy(schema = meta.schema.add(add.fieldNames()(0), add.dataType(), nullable = true))
         case (meta, set: TableChange.SetProperty) =>
-          if (set.property() == GraftTable.RowLevelModeProp)
+          if (set.property() == GraftTable.RowLevelModeProp) {
             require(GraftTable.RowLevelModes.contains(set.value()),
               s"${GraftTable.RowLevelModeProp} must be one of " +
                 s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '${set.value()}'")
+            require(set.value() != GraftTable.MergeOnRead ||
+              meta.clusterBy.flatMap(ClusterSpec.parseBucket).isEmpty,
+              "bucketed tables are copy-on-write only (MOR delta inserts bypass the " +
+                "bucket-pure writer)")
+          }
           if (set.property() == GraftTable.BloomColumnsProp)
             set.value().split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
               require(meta.schema.fieldNames.contains(c),
@@ -377,14 +385,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      ClusterSpec.TimeUnits.toArray.sorted.map(Identifier.of(Array.empty[String], _))
+      (ClusterSpec.TimeUnits + GraftBucket.FnName).toArray.sorted
+        .map(Identifier.of(Array.empty[String], _))
     else Array.empty
 
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
-    if (ident.namespace().nonEmpty || !ClusterSpec.TimeUnits.contains(ident.name()))
-      // this catalog serves only the partition transforms (days, hours)
+    if (ident.namespace().nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
-    else new TimeTransformFunction(ident.name())
+    else if (ident.name() == GraftBucket.FnName) new GraftBucketFunction
+    else if (ClusterSpec.TimeUnits.contains(ident.name()))
+      new TimeTransformFunction(ident.name())
+    else // this catalog serves only the partition transforms
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // ---- ViewCatalog: persistent SQL views (see [[GraftViewStore]]) ----
   //
@@ -493,22 +505,82 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   * distribution can never drift. */
 private[catalog] object ClusterSpec {
   val TimeUnits: Set[String] = Set("days", "hours", "months")
+  private val BucketRe = "^bucket\\((\\d+),\\s*(.+)\\)$".r
 
-  /** → (column, transform unit); None = identity. */
+  /** `"bucket(16,doc_id)"` → the table's bucket layout; None otherwise. */
+  def parseBucket(s: String): Option[BucketLayout] = s match {
+    case BucketRe(n, col) => Some(BucketLayout(n.toInt, col))
+    case _ => None
+  }
+
+  /** Split a comma-separated cluster-key list at TOP-LEVEL commas only —
+    * `"bucket(8,id),ts"` is two entries, not three. */
+  def splitList(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
+      else {
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+      }
+    }
+    out += cur.toString
+    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** → (column, transform unit); None = identity. Bucket entries report
+    * unit `"bucket"` (count via [[parseBucket]]). */
   def parse(s: String): (String, Option[String]) = {
     val m = "^([A-Za-z]+)\\((.+)\\)$".r
     s match {
+      case BucketRe(_, col) => (col, Some("bucket"))
       case m(unit, col) if TimeUnits.contains(unit) => (col, Some(unit))
       case _ => (s, None)
     }
   }
 
-  def toTransform(s: String): Transform = parse(s) match {
-    case (c, None) => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-    case (c, Some("days")) => org.apache.spark.sql.connector.expressions.Expressions.days(c)
-    case (c, Some("hours")) => org.apache.spark.sql.connector.expressions.Expressions.hours(c)
-    case (c, Some("months")) => org.apache.spark.sql.connector.expressions.Expressions.months(c)
-    case (_, Some(other)) => throw new IllegalStateException(s"unknown transform $other")
+  /** Shared cluster-key validation (DDL + set_clustering): columns
+    * exist, time transforms sit on time columns, at most one bucket
+    * transform with a supported key type and sane count. */
+  def validate(clusterBy: Seq[String], schema: StructType): Unit = {
+    clusterBy.foreach { c =>
+      val (colName, unit) = parse(c)
+      require(schema.fieldNames.contains(colName),
+        s"cluster column '$colName' is not in the schema (${schema.fieldNames.mkString(", ")})")
+      unit.filter(TimeUnits.contains).foreach { u =>
+        val dt = schema(colName).dataType
+        val dateOk = u == "days" || u == "months"
+        val ok = dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType ||
+          (dt == org.apache.spark.sql.types.DateType && dateOk)
+        require(ok, s"$u($colName) needs a timestamp column" +
+          (if (dateOk) " or date column" else "") + s"; '$colName' is $dt")
+      }
+    }
+    val buckets = clusterBy.flatMap(parseBucket)
+    require(buckets.size <= 1,
+      s"at most one bucket(n, col) transform per table; got ${buckets.size}")
+    buckets.foreach { bl =>
+      require(bl.numBuckets >= 1 && bl.numBuckets <= GraftBucket.MaxBuckets,
+        s"bucket count must be in [1, ${GraftBucket.MaxBuckets}], got ${bl.numBuckets}")
+      require(GraftBucket.supported(schema(bl.column).dataType),
+        s"bucket(${bl.column}) needs an int, bigint, string, or date column; " +
+          s"'${bl.column}' is ${schema(bl.column).dataType}")
+    }
+  }
+
+  def toTransform(s: String): Transform = s match {
+    case BucketRe(n, col) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n.toInt, col)
+    case _ => parse(s) match {
+      case (c, None) => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case (c, Some("days")) => org.apache.spark.sql.connector.expressions.Expressions.days(c)
+      case (c, Some("hours")) => org.apache.spark.sql.connector.expressions.Expressions.hours(c)
+      case (c, Some("months")) => org.apache.spark.sql.connector.expressions.Expressions.months(c)
+      case (_, Some(other)) => throw new IllegalStateException(s"unknown transform $other")
+    }
   }
 }
 
@@ -666,7 +738,8 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
   * maps have no usable stats and never prune. */
 private[graft] case class FileStats(rows: Long, mins: Map[String, String],
                                     maxs: Map[String, String],
-                                    nullCounts: Map[String, Long])
+                                    nullCounts: Map[String, Long],
+                                    bucket: Option[Int] = None)
 
 /** `CALL <cat>.system.compact(table => '<ns.table>', target_files => N
   * [, sort_by => 'c1,c2'])` — bin-pack the live manifest's files into at
@@ -770,28 +843,71 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
             (mf.files.size, mf.files.size, rowsFromStats)
           else {
             val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
-            // the live snapshot: vectored files read masked, so the
-            // rewrite writes only surviving rows and the commit's fresh
-            // files carry no vectors (the manifest replace drops them)
-            val snapshot = Dv.maskedFrame(spark, dir, m.schema, mf.files, mf.dvs)
-            val rewritten =
-              if (zorderBy.nonEmpty)
-                CompactProcedure.zorderLayout(snapshot, zorderBy, target)
-              else if (sortBy.isEmpty) snapshot.coalesce(target)
+            def shape(df: org.apache.spark.sql.DataFrame, nOut: Int): org.apache.spark.sql.DataFrame =
+              if (zorderBy.nonEmpty) CompactProcedure.zorderLayout(df, zorderBy, nOut)
+              else if (sortBy.isEmpty) df.coalesce(nOut)
               else {
                 val cols = sortBy.map(org.apache.spark.sql.functions.col)
-                snapshot.repartitionByRange(target, cols: _*)
-                  .sortWithinPartitions(cols: _*)
+                df.repartitionByRange(nOut, cols: _*).sortWithinPartitions(cols: _*)
               }
-            val table0pre = new GraftTable(table, dir, pinnedVersion = None)
-            rewritten.write.options(table0pre.bloomWriteOptions).parquet(staging.toString)
-            val s = Files.list(staging)
+            val bucketLayout = m.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
+              .filter(_ => mf.files.nonEmpty)
+            val bloomOpts = new GraftTable(table, dir, pinnedVersion = None).bloomWriteOptions
+            bucketLayout match {
+              case Some(_) =>
+                // bucket-pure compaction: each bucket's file group is
+                // shaped and written as its OWN job into a `b<id>`
+                // staging subdir — no cross-bucket mixing by
+                // construction, bucket recovered from the dir name at
+                // commit. Jobs run concurrently (bounded pool); a
+                // same-cluster union write is NOT an option — Spark 4's
+                // partitioning-aware UnionExec zips equal-partitioned
+                // children into shared partitions, interleaving buckets.
+                // (Bucketed tables are COW-only, so no vectors to mask.)
+                require(mf.files.forall(f => mf.stats.get(f).flatMap(_.bucket).isDefined),
+                  s"$table: bucketed manifest has files without bucket ids; " +
+                    "compacting them would break the storage-partitioned join layout")
+                val groups = mf.files.groupBy(f => mf.stats(f).bucket.get).toSeq.sortBy(_._1)
+                val perGroup = math.max(1, target / groups.size)
+                val pool = java.util.concurrent.Executors.newFixedThreadPool(
+                  math.min(8, groups.size))
+                try {
+                  val futures = groups.map { case (b, fs) =>
+                    pool.submit(new java.util.concurrent.Callable[Unit] {
+                      override def call(): Unit =
+                        shape(spark.read.schema(m.schema)
+                          .parquet(fs.map(f => dir.resolve(f).toString): _*), perGroup)
+                          .write.options(bloomOpts)
+                          .parquet(staging.resolve(s"b$b").toString)
+                    })
+                  }
+                  futures.foreach(_.get())
+                } finally pool.shutdown()
+              case None =>
+                // the live snapshot: vectored files read masked, so the
+                // rewrite writes only surviving rows and the commit's
+                // fresh files carry no vectors (the manifest replace
+                // drops them)
+                shape(Dv.maskedFrame(spark, dir, m.schema, mf.files, mf.dvs), target)
+                  .write.options(bloomOpts).parquet(staging.toString)
+            }
+            val s = Files.walk(staging)
             val abs = try s.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet")).toSeq
             finally s.close()
             val rel = abs.map(p => dir.relativize(p).toString)
-            val stats = FooterStats.collect(dir, abs, m.schema,
+            val stats0 = FooterStats.collect(dir, abs, m.schema,
               spark.sessionState.newHadoopConf())
+            val stats =
+              if (bucketLayout.isEmpty) stats0
+              else stats0.map { case (r, fs) =>
+                val parent = java.nio.file.Paths.get(r).getParent.getFileName.toString
+                val b = "^b(\\d+)$".r.findFirstMatchIn(parent).map(_.group(1).toInt)
+                  .getOrElse(throw new IllegalStateException(
+                    s"$table: staged file '$r' outside a bucket subdir on bucketed compact"))
+                r -> fs.copy(bucket = Some(b))
+              }
             val table0 = new GraftTable(table, dir, pinnedVersion = None)
             // dataChange = false: rows are identical, only layout moved —
             // streaming readers of this table skip the commit entirely
@@ -1221,26 +1337,30 @@ private[catalog] class SetClusteringProcedure(cat: GraftCatalog)
 
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
-        val clusterBy = input.getUTF8String(1).toString
-          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val clusterBy = ClusterSpec.splitList(input.getUTF8String(1).toString)
         val dir = cat.tableDirOf(table)
         require(Files.exists(dir.resolve(TableMeta.MetaFile)),
           s"no such table '$table' in catalog ${cat.name()}")
         val old = GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
           _ => new Object).synchronized {
           val m = TableMeta.read(dir)
-          clusterBy.foreach { c =>
-            val (colName, unit) = ClusterSpec.parse(c)
-            require(m.schema.fieldNames.contains(colName),
-              s"cluster_by column '$colName' is not in the schema " +
-                s"(${m.schema.fieldNames.mkString(", ")})")
-            unit.foreach { u =>
-              val dt = m.schema(colName).dataType
-              val ok = dt == TimestampType || dt == TimestampNTZType ||
-                (dt == DateType && u == "days")
-              require(ok, s"$u($colName) needs a timestamp column" +
-                (if (u == "days") " or date column" else "") + s"; '$colName' is $dt")
-            }
+          ClusterSpec.validate(clusterBy, m.schema)
+          // identity/time keys evolve freely (write-path only, existing
+          // files keep their old layout) — but a NEW or CHANGED bucket
+          // spec would leave existing files without valid bucket ids, so
+          // it is only accepted on an empty table; dropping the bucket
+          // spec is always fine (stale ids are simply ignored)
+          val newBucket = clusterBy.flatMap(ClusterSpec.parseBucket).headOption
+          val oldBucket = m.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
+          if (newBucket.isDefined && newBucket != oldBucket) {
+            require(m.manifest(m.latest).files.isEmpty && m.branches.isEmpty,
+              s"cannot change the bucket layout of non-empty $table: existing files " +
+                "have no (or stale) bucket ids; INSERT OVERWRITE into a freshly " +
+                "bucketed table instead")
+            require(!m.props.get(GraftTable.RowLevelModeProp)
+              .contains(GraftTable.MergeOnRead),
+              "bucketed tables are copy-on-write only (MOR delta inserts bypass the " +
+                "bucket-pure writer)")
           }
           TableMeta.write(dir, m.copy(clusterBy = clusterBy),
             expectedLatest = Some(m.latest))
@@ -1436,11 +1556,12 @@ private[catalog] object TableMeta {
         "dataChange" -> JBool(c.dataChange),
         "files" -> JArray(c.files.map(JString(_)).toList),
         "stats" -> JObject(c.stats.toList.sortBy(_._1).map { case (f, s) =>
-          f -> JObject(
-            "rows" -> JInt(s.rows),
-            "mins" -> JObject(s.mins.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-            "maxs" -> JObject(s.maxs.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-            "nulls" -> JObject(s.nullCounts.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
+          f -> JObject(List(
+            "rows" -> (JInt(s.rows): JValue),
+            "mins" -> JObject(s.mins.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+            "maxs" -> JObject(s.maxs.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+            "nulls" -> JObject(s.nullCounts.toList.sortBy(_._1).map { case (k, v) => k -> (JInt(v): JValue) }))
+            ++ s.bucket.map(b => "bucket" -> (JInt(b): JValue)).toList)
         }),
         "dvs" -> JObject(c.dvs.toList.sortBy(_._1).map { case (f, d) =>
           f -> JObject("path" -> JString(d.path), "rows" -> JInt(d.rows)) }))
@@ -1478,8 +1599,12 @@ private[catalog] object TableMeta {
             case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JInt].num.toLong }.toMap
             case _ => Map.empty[String, Long]
           }
+          val bucket = s \ "bucket" match {
+            case JInt(b) => Some(b.toInt)
+            case _ => None
+          }
           f -> FileStats((s \ "rows").asInstanceOf[JInt].num.toLong,
-            strMap("mins"), strMap("maxs"), nulls)
+            strMap("mins"), strMap("maxs"), nulls, bucket)
         }.toMap
         case _ => Map.empty[String, FileStats]
       }
@@ -1702,6 +1827,23 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
 
   private[catalog] def clusterCols: Seq[String] = meta.clusterBy
 
+  /** The table's bucket layout, if clustered by a bucket transform —
+    * the storage-partitioned-join contract (see Spj.scala). */
+  private[catalog] def bucketLayout: Option[BucketLayout] =
+    meta.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
+
+  /** Per-bucket file groups of `files` under `mf`, when EVERY file has a
+    * recorded bucket id and none carries a deletion vector — the
+    * precondition for reporting [[KeyGroupedPartitioning]]. None →
+    * ordinary scan (never wrong). */
+  private[catalog] def spjGroupsOf(bl: BucketLayout, mf: Commit,
+                                   files: Seq[String]): Option[Seq[(Int, Seq[String])]] = {
+    val buckets = files.map(f => mf.stats.get(f).flatMap(_.bucket))
+    if (buckets.exists(_.isEmpty) || files.exists(mf.dvs.contains)) None
+    else Some(files.zip(buckets.map(_.get)).groupBy(_._2).toSeq
+      .map { case (b, fs) => (b, fs.map(_._1)) }.sortBy(_._1))
+  }
+
   /** The delegate parquet v2 table over an explicit file list — reads get
     * the vectorized reader + pushdown, writes get the hadoop commit
     * protocol. `userSpecifiedSchema` is always the TABLE schema so an
@@ -1766,7 +1908,11 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       },
       fileColShadowed = m.schema.fieldNames.contains(FileTag.Col),
       posColShadowed = m.schema.fieldNames.contains(Dv.PosCol),
-      addr = Some(addrSupportFor(mf)))
+      addr = Some(addrSupportFor(mf)),
+      // storage-partitioned joins: group the pruned set by recorded
+      // bucket id so the scan can report KeyGroupedPartitioning
+      spjOf = files => bucketLayout.flatMap(bl =>
+        spjGroupsOf(bl, mf, files).map(gs => (bl, gs))))
   }
 
   /** A bare delegate parquet Scan over an explicit file subset — the
@@ -2013,6 +2159,32 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
 
   private[catalog] def currentLatest: Int = chainLatest(meta)
   private[catalog] def tableDirPath: Path = dir
+
+  /** Wrap a delegate writer factory with the per-bucket fanout when this
+    * table is bucket-clustered — the write-side half of the
+    * storage-partitioned-join contract (every data file bucket-pure). */
+  private[catalog] def fanoutIfBucketed(factory: DataWriterFactory,
+                                        writeSchema: StructType): DataWriterFactory =
+    bucketLayout match {
+      case Some(bl) =>
+        val ord = writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(bl.column))
+        require(ord >= 0,
+          s"$tableName: bucket column '${bl.column}' missing from the write schema " +
+            s"(${writeSchema.fieldNames.mkString(", ")})")
+        BucketFanoutFactory(factory, bl.numBuckets, ord, writeSchema(ord).dataType)
+      case None => factory
+    }
+
+  /** Stamp each committed file's bucket id (parsed back out of the
+    * fanout writer's split-id file naming) into its manifest stats. */
+  private[catalog] def withBucketIds(stats: Map[String, FileStats]): Map[String, FileStats] =
+    bucketLayout match {
+      case Some(bl) => stats.map { case (rel, fs) =>
+        rel -> fs.copy(bucket = GraftBucket.bucketFromFileName(
+          java.nio.file.Paths.get(rel).getFileName.toString, bl.numBuckets))
+      }
+      case None => stats
+    }
 }
 
 private[catalog] object GraftTable {
@@ -2035,6 +2207,25 @@ private[catalog] object GraftTable {
   /** Comma-separated columns to write parquet bloom filters for (see
     * [[GraftTable.bloomColumns]]). */
   val BloomColumnsProp = "write.bloom.columns"
+
+  /** Scope the bucket-fanout commit protocol (no driver commit
+    * coordination — see [[org.apache.spark.sql.graft.GraftFanoutCommitProtocol]])
+    * around a delegate write's toBatch, restoring the session conf
+    * immediately. No-op for unbucketed tables. */
+  def withFanoutProtocol[T](bucketed: Boolean)(f: => T): T =
+    if (!bucketed) f
+    else {
+      val ss = SparkSession.active
+      val key = "spark.sql.sources.commitProtocolClass"
+      val old = ss.conf.getOption(key)
+      ss.conf.set(key,
+        classOf[org.apache.spark.sql.graft.GraftFanoutCommitProtocol].getName)
+      try f
+      finally old match {
+        case Some(v) => ss.conf.set(key, v)
+        case None => ss.conf.unset(key)
+      }
+    }
 }
 
 /** Write builder: stages files into a fresh commit subdir via the
@@ -2099,15 +2290,18 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
       val baseLatest = cow.map(_.baseVersion).filter(_ >= 0)
         .getOrElse(table.currentLatest)
       Files.createDirectories(commitDir)
-      val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-        table.name(), SparkSession.active,
-        new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
-        Seq(commitDir.toString), Some(info.schema()),
-        classOf[ParquetFileFormat])
-        .newWriteBuilder(table.writeInfoWithTableOptions(info)).build().toBatch
+      val inner = GraftTable.withFanoutProtocol(table.bucketLayout.isDefined) {
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          table.name(), SparkSession.active,
+          new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
+          Seq(commitDir.toString), Some(info.schema()),
+          classOf[ParquetFileFormat])
+          .newWriteBuilder(table.writeInfoWithTableOptions(info)).build().toBatch
+      }
       new BatchWrite {
         override def createBatchWriterFactory(phyInfo: PhysicalWriteInfo): DataWriterFactory = {
-          val factory = inner.createBatchWriterFactory(phyInfo)
+          val factory = table.fanoutIfBucketed(
+            inner.createBatchWriterFactory(phyInfo), info.schema())
           // Group-based ReplaceData plans prepend Catalyst's
           // __row_operation INT column to every row (RowDeltaUtils.
           // OPERATION_COLUMN; all rows carry WRITE/WRITE_WITH_METADATA —
@@ -2140,8 +2334,8 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
           val files = abs.map(p => table.tableDirPath.relativize(p).toString)
           // footer-only stats for the commit's files — the data-skipping
           // manifest entries (cost ∝ files in THIS commit, never the table)
-          val stats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
-            SparkSession.active.sessionState.newHadoopConf())
+          val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
+            info.schema(), SparkSession.active.sessionState.newHadoopConf()))
           val op = if (replaceManifest) "replace" else if (truncate0) "overwrite" else "append"
           table.commitVersion(op, baseLatest, files, replace = truncate0, newStats = stats,
             replacedFiles = if (replaceManifest) cow.map(_.replaced) else None)
@@ -2317,11 +2511,17 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
       override def createColumnarReader(p: InputPartition)
           : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
         p match {
-          case sp: SplitPartition => pf.createColumnarReader(sp.inner)
+          case sp: SplitPartition =>
+            if (sp.addressed) masked.createColumnarReader(sp.inner)
+            else pf.createColumnarReader(sp.inner)
           case other => pf.createColumnarReader(other)
         }
+      // the masked factory serves columnar batches too (r14), so both
+      // routes report the delegate's verdict — uniform by construction
       override def supportColumnarReads(p: InputPartition): Boolean = p match {
-        case _: SplitPartition => false // masked batches read row-based throughout
+        case sp: SplitPartition =>
+          if (sp.addressed) masked.supportColumnarReads(sp.inner)
+          else pf.supportColumnarReads(sp.inner)
         case other => pf.supportColumnarReads(other)
       }
     }
@@ -2359,14 +2559,17 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
   override def createStreamingWriterFactory(phyInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val commitDir = table.commitDirFor(info.queryId())
     Files.createDirectories(commitDir)
-    val inner = ParquetTable(table.name(), SparkSession.active,
-      new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
-      Seq(commitDir.toString), Some(info.schema()), classOf[ParquetFileFormat])
-      .newWriteBuilder(table.writeInfoWithTableOptions(info)).build().toBatch
+    val inner = GraftTable.withFanoutProtocol(table.bucketLayout.isDefined) {
+      ParquetTable(table.name(), SparkSession.active,
+        new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
+        Seq(commitDir.toString), Some(info.schema()), classOf[ParquetFileFormat])
+        .newWriteBuilder(table.writeInfoWithTableOptions(info)).build().toBatch
+    }
     require(pending.compareAndSet(null, Pending(commitDir, inner)),
       s"${table.name()}: overlapping streaming epochs (a second writer factory " +
         "was requested before the previous epoch committed or aborted)")
-    val factory = inner.createBatchWriterFactory(phyInfo)
+    val factory = table.fanoutIfBucketed(inner.createBatchWriterFactory(phyInfo),
+      info.schema())
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
@@ -2392,8 +2595,8 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
       deleteStaged(p.commitDir)
     } else {
       val files = abs.map(f => table.tableDirPath.relativize(f).toString)
-      val stats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
-        SparkSession.active.sessionState.newHadoopConf())
+      val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
+        info.schema(), SparkSession.active.sessionState.newHadoopConf()))
       val committed = table.commitVersion(
         s"stream-epoch:${info.queryId()}:$epochId", table.currentLatest,
         files, replace = false, newStats = stats,

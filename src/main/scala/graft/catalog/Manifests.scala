@@ -48,6 +48,15 @@ object Manifests {
     (prev.size, (prev -- cur).size, (cur -- prev).size, (prev & cur).size)
   }
 
+  /** Version `v`'s recorded per-file bucket ids (data file → bucket),
+    * None per file when unrecorded — the observability hook for the
+    * storage-partitioned-join write contract (Spj.scala). */
+  def bucketIds(ss: SparkSession, table: String, v: Int): Map[String, Option[Int]] = {
+    val m = TableMeta.read(tableDir(ss, table))
+    val mf = m.manifest(v)
+    mf.files.map(f => f -> mf.stats.get(f).flatMap(_.bucket)).toMap
+  }
+
   /** Version `v`'s deletion-vector entries: data file → (blob path,
     * tombstoned row count). Empty for COW-only tables. */
   def dvInfo(ss: SparkSession, table: String, v: Int): Map[String, (String, Long)] =

@@ -44,7 +44,9 @@ class SkippingScanBuilder(
     colStatsOf: Seq[String] => java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      _ => java.util.Collections.emptyMap())
+      _ => java.util.Collections.emptyMap(),
+    spjOf: Seq[String] => Option[(graft.catalog.BucketLayout, Seq[(Int, Seq[String])])] =
+      _ => None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -135,9 +137,16 @@ class SkippingScanBuilder(
     if (dataSchema.isEmpty)
       new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
         colStatsOf(prunedFiles))
-    else if (!wantFile && !wantPos && vectored.isEmpty)
-      new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
-        colStatsOf(prunedFiles))
+    else if (!wantFile && !wantPos && vectored.isEmpty) spjOf(prunedFiles) match {
+      // a fully-bucketed pruned set reports KeyGroupedPartitioning so
+      // co-bucketed catalog joins plan with zero Exchange (Spj.scala)
+      case Some((bl, groups)) =>
+        new graft.catalog.BucketGroupedScan(groups, bl, filteredScanFor, prunedFiles,
+          mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles))
+      case None =>
+        new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
+          colStatsOf(prunedFiles))
+    }
     else if (!wantPos && vectored.isEmpty)
       // `SELECT _file, … FROM t`: per-file partitions, each tagged with
       // its manifest-relative path. Streaming with _file is not served

@@ -1492,6 +1492,77 @@ object SqlVerbs {
           UNION ALL
           SELECT 'lang', count(DISTINCT lang), true, NULL, true FROM src)"""
 
+  /** X-SQLs — STORAGE-PARTITIONED JOIN (VERDICT r13 #1): two catalog
+    * tables co-bucketed by `PARTITIONED BY (bucket(16, doc_id))` join
+    * with ZERO shuffle Exchange on either side — the write path fanned
+    * every file bucket-pure (graft.catalog.Spj), the scan reports
+    * KeyGroupedPartitioning, and Spark's v2 bucketing plans the
+    * co-partitioned join directly. Broadcast is disabled while planning
+    * so the Exchange-free flag measures SPJ, not a small-table
+    * broadcast. The aggregate row is oracle-checked relationally; the
+    * `exchange_free` / `bucket_grouped` flags are plan-derived and pin
+    * the property in CI — at 100 TB this join is the system's largest
+    * shuffle, and here it is no shuffle at all. */
+  def sqlSpj(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, docsT, statsT) = ensureSpjTables(spark, dir)
+    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = ss.sql(
+        s"""SELECT d.doc_id, d.lang, d.n_chars, f.fp
+            FROM $docsT d JOIN $statsT f ON d.doc_id = f.doc_id""")
+      val plan = j.queryExecution.executedPlan.toString
+      val exchangeFree = "Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty
+      val bucketGrouped = "bucket-grouped scan".r.findAllIn(plan).length == 2
+      val agg = j.groupBy().agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_chars"),
+        org.apache.spark.sql.functions.sum("fp"),
+        org.apache.spark.sql.functions.countDistinct("lang")).head()
+      import ss.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        exchangeFree, bucketGrouped))
+        .toDF("n_joined", "sum_chars", "sum_fp", "n_langs",
+          "exchange_free", "bucket_grouped")
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  /** The co-bucketed pair: both tables bucket(16, doc_id), loaded once
+    * from overlapping document slices (so the join is selective on both
+    * sides), each through the ordinary INSERT path — bucket purity and
+    * manifest bucket ids come entirely from the write contract. */
+  private def ensureSpjTables(spark: SparkSession, dir: String): (SparkSession, String, String) = {
+    val cat = catName(dir)
+    val docsT = s"$cat.main.docs_bkt"
+    val statsT = s"$cat.main.stats_bkt"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-spj"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_spj")
+        ss.sql(s"CREATE TABLE $docsT (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (bucket(16, doc_id))")
+        ss.sql(s"CREATE TABLE $statsT (doc_id BIGINT, fp BIGINT) " +
+          "PARTITIONED BY (bucket(16, doc_id))")
+        ss.sql(s"INSERT INTO $docsT SELECT doc_id, lang, n_chars " +
+          "FROM documents_src_spj WHERE doc_id % 3 > 0")
+        ss.sql(s"INSERT INTO $statsT SELECT doc_id, n_chars % 1000 " +
+          "FROM documents_src_spj WHERE doc_id % 2 = 0")
+        built.add(key)
+      }
+    }
+    (ss, docsT, statsT)
+  }
+
+  def sqlSpjOracleSql: String =
+    """SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(f.fp) AS BIGINT) AS sum_fp,
+              count(DISTINCT d.lang) AS n_langs,
+              true AS exchange_free, true AS bucket_grouped
+       FROM (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 > 0) d
+       JOIN (SELECT doc_id, n_chars % 1000 AS fp FROM documents WHERE doc_id % 2 = 0) f
+         ON d.doc_id = f.doc_id"""
+
   def sqlMvOracleSql: String =
     s"""WITH $oracleChainCtes,
         v5 AS (SELECT doc_id, lang, source,

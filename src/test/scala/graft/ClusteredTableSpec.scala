@@ -62,8 +62,10 @@ class ClusteredTableSpec extends AnyFunSuite {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "t")).partitioning()
     assert(transforms.length == 1 && transforms(0).name == "identity" &&
       transforms(0).references()(0).fieldNames().toSeq == Seq("id"))
+    // bucket reports its transform too (accepted since r14, SpjSpec);
+    // transforms outside the supported set still refuse
     val e = intercept[Exception](
-      ss.sql(s"CREATE TABLE $c.ns.t2 (id BIGINT) PARTITIONED BY (bucket(4, id))"))
+      ss.sql(s"CREATE TABLE $c.ns.t2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))"))
     assert(e.getMessage.contains("identity"))
   }
 

@@ -294,7 +294,7 @@ class CowSpec extends AnyFunSuite {
       .partitioning().map(_.name).toSeq == Seq("months"))
   }
 
-  test("hours(ts) accepted; days on a non-time column and bucket stay rejected") {
+  test("hours(ts) accepted; days on a non-time column and unknown transforms stay rejected") {
     val (ss, c) = freshCatalog("cow_hours")
     ss.sql(s"CREATE TABLE $c.ns.h (id BIGINT, ts TIMESTAMP) PARTITIONED BY (hours(ts))")
     ss.sql(s"INSERT INTO $c.ns.h SELECT id, timestamp_micros(1700000000000000 + id * 3600000000) " +
@@ -303,8 +303,10 @@ class CowSpec extends AnyFunSuite {
     val e1 = intercept[Exception](
       ss.sql(s"CREATE TABLE $c.ns.bad (id BIGINT, v STRING) PARTITIONED BY (days(v))"))
     assert(e1.getMessage.contains("timestamp"))
+    // bucket is ACCEPTED since r14 (the SPJ write contract, SpjSpec);
+    // transforms outside the supported set still refuse
     val e2 = intercept[Exception](
-      ss.sql(s"CREATE TABLE $c.ns.bad2 (id BIGINT) PARTITIONED BY (bucket(4, id))"))
+      ss.sql(s"CREATE TABLE $c.ns.bad2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))"))
     assert(e2.getMessage.toLowerCase.contains("identity"))
   }
 

@@ -112,6 +112,32 @@ class MorSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT count(*), max(id) FROM $t").head().toSeq == Seq(200L, 199L))
   }
 
+  test("scans stay VECTORIZED with deletion vectors in scope (masked columnar remap)") {
+    val (ss, c) = freshCatalog("mor_vec")
+    val t = s"$c.ns.t"
+    seedMor(ss, t)
+    ss.sql(s"DELETE FROM $t WHERE id % 100 = 7")
+    // deletion vectors exist...
+    val v = Manifests.latestVersion(ss, t)
+    assert(Manifests.dvInfo(ss, t, v).nonEmpty, "expected live deletion vectors")
+    // ...and the analytical scan still reads columnar: ColumnarToRow above
+    // the BatchScan means every partition (vectored files included) kept
+    // the vectorized parquet reader — the r13 read-side tax is gone
+    val q = ss.sql(s"SELECT sum(v) AS s, count(*) AS n FROM $t")
+    // collect() (not head(), which plans a separate LIMIT query) executes
+    // THIS queryExecution, so the adaptive plan below is the final one
+    val row = q.collect()(0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"DV'd scan fell off the vectorized path:\n${plan.take(2500)}")
+    val expect = (0L until 3000L).filterNot(_ % 100 == 7)
+    assert(row.getLong(1) == expect.size && row.getLong(0) == expect.map(_ * 10).sum)
+    // _pos/_file stay exact through the columnar path too
+    val probe = ss.sql(s"SELECT _file, _pos, id FROM $t WHERE id IN (6, 8, 107)")
+      .collect().map(_.getLong(2)).sorted
+    assert(probe.toSeq == Seq(6L, 8L))
+  }
+
   test("a COW rewrite of a vectored file materializes, never resurrects") {
     val (ss, c) = freshCatalog("mor_resurrect")
     val t = s"$c.ns.t"
