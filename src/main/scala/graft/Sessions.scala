@@ -114,6 +114,11 @@ object Sessions {
       // partition-value mismatches (a bucket present on one side only)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // resolve parquet columns by FIELD ID when the read schema carries
+      // ids (graft catalog tables do — see graft.catalog.FieldIds): the
+      // identity layer under metadata-only column RENAME/DROP. Schemas
+      // without id metadata (every non-catalog read) are untouched.
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -164,6 +164,9 @@ object SparkEntry {
     // distribution + sort on every write; first scan prunes, no OPTIMIZE
     "q_sql_partitioned"   -> ((s, d) => SqlVerbs.sqlPartitioned(s, d)),
     "q_sql_spj"           -> ((s, d) => SqlVerbs.sqlSpj(s, d)),
+    "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
+    "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
+    "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
     // RESTORE as a new commit: rollback re-references v1's files under a
     // new version; the bad deploy stays time-travelable for forensics
     "q_sql_restore"       -> ((s, d) => SqlVerbs.sqlRestore(s, d)),
@@ -1061,6 +1064,9 @@ object SparkEntry {
     "q_sql_wap_diff" -> SqlVerbs.sqlWapDiffOracleSql,
     "q_sql_partitioned" -> SqlVerbs.sqlPartitionedOracleSql,
     "q_sql_spj" -> SqlVerbs.sqlSpjOracleSql,
+    "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
+    "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
+    "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_sql_days_table" -> SqlVerbs.sqlDaysTableOracleSql,
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,

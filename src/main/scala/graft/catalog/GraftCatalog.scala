@@ -256,57 +256,153 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     require(!Files.exists(dir.resolve(GraftViewStore.ViewFile)),
       s"a VIEW named ${fullName(ident)} already exists (tables and views share a namespace)")
     Files.createDirectories(dir.resolve("data"))
-    TableMeta.write(dir, TableMeta(schema, Seq(Commit(0, System.currentTimeMillis(),
-      "create", Nil)), clusterBy = clusterBy, props = userProps), expectedLatest = None)
+    // columns get stable parquet field ids from birth (see [[FieldIds]])
+    TableMeta.write(dir, TableMeta(FieldIds.stamp(schema),
+      Seq(Commit(0, System.currentTimeMillis(), "create", Nil)),
+      clusterBy = clusterBy, props = userProps), expectedLatest = None)
     new GraftTable(fullName(ident), dir, pinnedVersion = None)
   }
 
-  /** Schema evolution, additive only: `ALTER TABLE … ADD COLUMN` appends
-    * a nullable top-level field to the table schema (a metadata-only
-    * commit — no data files move; the parquet reader null-fills the new
-    * column for every pre-evolution file because scans always pass the
-    * TABLE schema as the expected schema). Drops/renames/retypes are
-    * rejected: they would change the meaning of immutable historical
-    * files, which is a rewrite (the verbs above), not an ALTER. */
+  /** Schema evolution as METADATA COMMITS (no data file ever moves):
+    *
+    *  - `ADD COLUMN` appends a nullable top-level field (a fresh field
+    *    id; pre-evolution files null-fill it);
+    *  - `RENAME COLUMN` renames in the current schema only — the field
+    *    ID stays, so every old file's column (written under the old
+    *    parquet name) still resolves (see [[FieldIds]]); cluster keys
+    *    and bloom props follow the rename;
+    *  - `DROP COLUMN` removes the field from the CURRENT schema; the
+    *    takedown-by-column case costs one metadata commit, data files
+    *    keep the bytes, and pre-drop versions still SERVE the column
+    *    under time travel (each commit records its schema version —
+    *    [[TableMeta.schemas]]). The id is never reused.
+    *
+    * Type changes stay refused — they would reinterpret immutable
+    * bytes, which is a rewrite, not an ALTER. Schema changes also
+    * refuse while WAP branches are open (a publish would fast-forward
+    * the branch's pre-change schema id over the new one). Every schema
+    * change lands as an `alter` commit with `dataChange = false`
+    * (streams skip it), so old manifests pair with their old schemas
+    * forever. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(TableMeta.MetaFile))) throw new NoSuchTableException(ident)
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = TableMeta.read(dir)
-      val updated = changes.foldLeft(m) {
-        case (meta, add: TableChange.AddColumn) =>
+      var schema = m.schema
+      var props = m.props
+      var clusterBy = m.clusterBy
+      var schemaChanged = false
+      def requireSchemaChangeAllowed(what: String): Unit =
+        require(m.branches.isEmpty,
+          s"graft catalog: $what refused while WAP branches exist " +
+            s"(${m.branches.keys.toSeq.sorted.mkString(", ")}): publish would " +
+            "fast-forward the branch's pre-change schema; publish or drop first")
+      changes.foreach {
+        case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "graft catalog: only top-level ADD COLUMN is supported")
           require(add.isNullable,
             "graft catalog: added columns must be nullable (existing files have no values)")
-          require(!meta.schema.fieldNames.contains(add.fieldNames()(0)),
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists")
-          meta.copy(schema = meta.schema.add(add.fieldNames()(0), add.dataType(), nullable = true))
-        case (meta, set: TableChange.SetProperty) =>
+          requireSchemaChangeAllowed("ADD COLUMN")
+          schema = FieldIds.addStamped(schema, m, add.fieldNames()(0), add.dataType())
+          schemaChanged = true
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames().length == 1,
+            "graft catalog: only top-level RENAME COLUMN is supported")
+          val from = r.fieldNames()(0)
+          require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+            s"no column '$from' to rename (${schema.fieldNames.mkString(", ")})")
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
+            s"column '${r.newName()}' already exists")
+          require(FieldIds.allStamped(schema),
+            "graft catalog: RENAME COLUMN needs parquet field ids on every column " +
+              "(a pre-field-id table would lose old files' data under the new name); " +
+              "recreate the table to adopt ids")
+          requireSchemaChangeAllowed("RENAME COLUMN")
+          schema = StructType(schema.fields.map(f =>
+            if (f.name.equalsIgnoreCase(from)) f.copy(name = r.newName()) else f))
+          // declared layout and bloom columns follow the rename
+          clusterBy = clusterBy.map { c =>
+            val (col, unit) = ClusterSpec.parse(c)
+            if (!col.equalsIgnoreCase(from)) c
+            else unit match {
+              case None => r.newName()
+              case Some("bucket") =>
+                val bl = ClusterSpec.parseBucket(c).get
+                s"bucket(${bl.numBuckets},${r.newName()})"
+              case Some(u) => s"$u(${r.newName()})"
+            }
+          }
+          props = props.get(GraftTable.BloomColumnsProp).fold(props) { v =>
+            props + (GraftTable.BloomColumnsProp -> v.split(',').map(_.trim)
+              .map(c => if (c.equalsIgnoreCase(from)) r.newName() else c).mkString(","))
+          }
+          schemaChanged = true
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames().length == 1,
+            "graft catalog: only top-level DROP COLUMN is supported")
+          val col = d.fieldNames()(0)
+          if (!schema.fieldNames.exists(_.equalsIgnoreCase(col))) {
+            if (!d.ifExists()) throw new IllegalArgumentException(
+              s"no column '$col' to drop (${schema.fieldNames.mkString(", ")})")
+          } else {
+            require(FieldIds.allStamped(schema),
+              "graft catalog: DROP COLUMN needs parquet field ids on every column; " +
+                "recreate the table to adopt ids")
+            require(schema.fields.length > 1, "cannot drop a table's last column")
+            require(!clusterBy.exists(c => ClusterSpec.parse(c)._1.equalsIgnoreCase(col)),
+              s"cannot drop '$col': it is a declared cluster/bucket key " +
+                s"(${clusterBy.mkString(", ")}); CALL system.set_clustering first")
+            require(!props.get(GraftTable.BloomColumnsProp).exists(
+              _.split(',').map(_.trim).exists(_.equalsIgnoreCase(col))),
+              s"cannot drop '$col': it is a declared bloom column; unset " +
+                s"${GraftTable.BloomColumnsProp} first")
+            requireSchemaChangeAllowed("DROP COLUMN")
+            schema = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(col)))
+            schemaChanged = true
+          }
+        case set: TableChange.SetProperty =>
           if (set.property() == GraftTable.RowLevelModeProp) {
             require(GraftTable.RowLevelModes.contains(set.value()),
               s"${GraftTable.RowLevelModeProp} must be one of " +
                 s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '${set.value()}'")
             require(set.value() != GraftTable.MergeOnRead ||
-              meta.clusterBy.flatMap(ClusterSpec.parseBucket).isEmpty,
+              clusterBy.flatMap(ClusterSpec.parseBucket).isEmpty,
               "bucketed tables are copy-on-write only (MOR delta inserts bypass the " +
                 "bucket-pure writer)")
           }
           if (set.property() == GraftTable.BloomColumnsProp)
             set.value().split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
-              require(meta.schema.fieldNames.contains(c),
+              require(schema.fieldNames.contains(c),
                 s"${GraftTable.BloomColumnsProp} column '$c' is not in the schema " +
-                  s"(${meta.schema.fieldNames.mkString(", ")})"))
-          meta.copy(props = meta.props + (set.property() -> set.value()))
-        case (meta, unset: TableChange.RemoveProperty) =>
-          meta.copy(props = meta.props - unset.property())
-        case (_, other) =>
+                  s"(${schema.fieldNames.mkString(", ")})"))
+          props = props + (set.property() -> set.value())
+        case unset: TableChange.RemoveProperty =>
+          props = props - unset.property()
+        case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported ALTER TABLE change $other " +
-              "(ADD COLUMN of a nullable top-level field, SET/UNSET TBLPROPERTIES)")
+              "(ADD/RENAME/DROP of a top-level column, SET/UNSET TBLPROPERTIES; " +
+              "type changes would reinterpret immutable files and stay refused)")
       }
-      TableMeta.write(dir, updated, expectedLatest = Some(m.latest))
+      if (!schemaChanged)
+        TableMeta.write(dir, m.copy(props = props, clusterBy = clusterBy),
+          expectedLatest = Some(m.latest))
+      else {
+        val prev = m.manifest(m.latest)
+        val newSchemaId = (m.schemas.keys ++ Seq(m.currentSchemaId)).max + 1
+        val next = Commit(m.latest + 1, System.currentTimeMillis(), "alter",
+          prev.files, prev.stats, dataChange = false, prev.dvs, schemaId = newSchemaId)
+        TableMeta.write(dir, m.copy(schema = schema, props = props,
+          clusterBy = clusterBy,
+          schemas = m.schemas + (m.currentSchemaId -> m.schema),
+          history = m.history :+ next),
+          expectedLatest = Some(m.latest))
+      }
     }
     new GraftTable(fullName(ident), dir, pinnedVersion = None)
   }
@@ -340,8 +436,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("expire_versions", "compact", "create_branch", "publish_branch",
-        "drop_branch", "restore", "remove_orphans", "history", "tag", "untag",
-        "set_clustering", "create_mv", "refresh_mv", "analyze")
+        "drop_branch", "rebase_branch", "restore", "remove_orphans", "history",
+        "tag", "untag", "set_clustering", "create_mv", "refresh_mv", "analyze")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -354,6 +450,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "create_branch" => new BranchProcedure(this, BranchProcedure.Create)
       case "publish_branch" => new BranchProcedure(this, BranchProcedure.Publish)
       case "drop_branch" => new BranchProcedure(this, BranchProcedure.Drop)
+      case "rebase_branch" => new BranchProcedure(this, BranchProcedure.Rebase)
       case "restore" => new RestoreProcedure(this)
       case "remove_orphans" => new RemoveOrphansProcedure(this)
       case "history" => new HistoryProcedure(this)
@@ -365,8 +462,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "analyze" => new AnalyzeProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
-          "create_branch, publish_branch, drop_branch, restore, remove_orphans, " +
-          "history, tag, untag, set_clustering, create_mv, refresh_mv, analyze)")
+          "create_branch, publish_branch, drop_branch, rebase_branch, restore, " +
+          "remove_orphans, history, tag, untag, set_clustering, create_mv, " +
+          "refresh_mv, analyze)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
@@ -496,6 +594,83 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     GraftViewStore.write(tableDir(newIdent), d)
     dropView(oldIdent)
   }
+}
+
+/** PARQUET FIELD IDS — the identity layer under column RENAME/DROP
+  * (VERDICT r13 #2; Iceberg's mechanism): every column of a catalog
+  * table carries a stable numeric id (`parquet.field.id` field
+  * metadata, assigned at CREATE and on ADD COLUMN, never reused), every
+  * data file is written with the ids embedded in its parquet schema
+  * (Spark's own `spark.sql.parquet.fieldId.write.enabled`, on by
+  * default once the metadata is present), and reads resolve columns BY
+  * ID (`spark.sql.parquet.fieldId.read.enabled`, set in the graft
+  * session builder). A rename is then a metadata-only commit — old
+  * files keep their old parquet names but the id still finds the
+  * column — and a drop just removes the field from the CURRENT schema
+  * while historical schema versions ([[TableMeta.schemas]]) keep
+  * serving it under time travel. */
+private[graft] object FieldIds {
+  val MetaKey = "parquet.field.id"
+  import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
+
+  private def withId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(MetaKey, id).build())
+
+  def idOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(MetaKey)) Some(f.metadata.getLong(MetaKey)) else None
+
+  def allStamped(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall(f => f.metadata.contains(MetaKey))
+
+  /** Fresh ids 1..n for a CREATE-time schema. */
+  def stamp(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1L) })
+
+  /** The next unused id across the WORKING schema, the stored current,
+    * and every retired one — dropped columns' ids are never reused (a
+    * recycled id would make an old file's column impersonate the new
+    * one, even when the drop and the add share one ALTER statement). */
+  def nextId(m: TableMeta, working: StructType): Long =
+    (working +: m.schema +: m.schemas.values.toSeq).flatMap(_.fields)
+      .flatMap(idOf).maxOption.getOrElse(0L) + 1
+
+  def addStamped(working: StructType, m: TableMeta, name: String,
+                 dt: DataType): StructType =
+    if (!allStamped(working)) working.add(name, dt, nullable = true) // legacy: stay id-free
+    else StructType(working.fields :+ withId(
+      StructField(name, dt, nullable = true), nextId(m, working)))
+
+  /** COMMIT-TIME safety net: with field-id reads enabled, a data file
+    * missing ids under an id-stamped schema would silently null-fill
+    * (Spark treats an unmatched requested id as a missing column) — so
+    * any write path that LOSES the id metadata must fail the commit
+    * loudly instead. One footer open per new file, metadata only. */
+  def assertFilesCarryIds(tableName: String, files: Seq[Path],
+                          conf: org.apache.hadoop.conf.Configuration): Unit =
+    files.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf))
+      val fields = try reader.getFooter.getFileMetaData.getSchema.getFields
+      finally reader.close()
+      val missing = fields.asScala.filter(_.getId == null).map(_.getName)
+      require(missing.isEmpty,
+        s"$tableName: staged file $p lacks parquet field ids on " +
+          s"${missing.mkString(", ")} — a write path dropped the id metadata; " +
+          "refusing the commit (field-id reads would silently null-fill)")
+    }
+
+  /** Re-stamp ids onto a WRITE schema by name from the table schema —
+    * the analyzer strips field metadata from write plans, so the
+    * delegate writer would otherwise emit id-less files. */
+  def restamp(tableSchema: StructType, writeSchema: StructType): StructType =
+    StructType(writeSchema.fields.map { wf =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(wf.name)).flatMap(idOf) match {
+        case Some(id) => withId(wf, id)
+        case None => wf
+      }
+    })
 }
 
 /** Encoding/decoding of a table's declared cluster keys (the manifest's
@@ -777,7 +952,16 @@ private[graft] case class FileStats(rows: Long, mins: Map[String, String],
   * layout for tables probed on several (the events table's user/time
   * pair). Mutually exclusive with `sort_by`; columns must be numeric /
   * date / timestamp (rank bucketing needs an order with usable footer
-  * stats). */
+  * stats).
+  *
+  * With `min_tombstone_ratio => 0.2` the compact turns SELECTIVE
+  * (Delta's "purge" threshold, the MOR production loop's self-healing
+  * knob): only files whose deletion-vector ratio is at or above the
+  * threshold are rewritten (masked — their vectors materialize away);
+  * every other file, vectored or not, inherits verbatim. The
+  * continuous-upsert table (`q_stream_mor_upsert`'s shape) thus
+  * compacts at churn cost instead of table cost. Mutually exclusive
+  * with the clustering rewrites (those touch everything anyway). */
 private[catalog] class CompactProcedure(cat: GraftCatalog)
     extends procedures.UnboundProcedure {
   import org.apache.spark.sql.types._
@@ -802,6 +986,11 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
         procedures.ProcedureParameter.in("zorder_by", StringType)
           .defaultValue("NULL")
           .comment(">=2 comma-separated columns for a Morton (z-order) clustering rewrite")
+          .build(),
+        procedures.ProcedureParameter.in("min_tombstone_ratio", DoubleType)
+          .defaultValue("NULL")
+          .comment("rewrite ONLY files whose deletion-vector ratio is at or above this; " +
+            "the rest inherit untouched (the MOR self-healing loop)")
           .build())
 
       private val outSchema = StructType(Seq(
@@ -816,11 +1005,18 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
           else input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val zorderBy = if (input.isNullAt(3)) Nil
           else input.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val tombstoneRatio = if (input.isNullAt(4)) None else Some(input.getDouble(4))
         require(target >= 1, s"target_files must be >= 1, got $target")
         require(sortBy.isEmpty || zorderBy.isEmpty,
           "sort_by and zorder_by are mutually exclusive clustering strategies")
         require(zorderBy.isEmpty || zorderBy.length >= 2,
           "zorder_by needs >= 2 columns (one column is just sort_by)")
+        tombstoneRatio.foreach { r =>
+          require(r > 0.0 && r <= 1.0, s"min_tombstone_ratio must be in (0, 1], got $r")
+          require(sortBy.isEmpty && zorderBy.isEmpty,
+            "min_tombstone_ratio is a selective materialization — a clustering " +
+              "re-layout rewrites everything anyway; drop one of the two")
+        }
         val dir = cat.tableDirOf(table)
         require(Files.exists(dir.resolve(TableMeta.MetaFile)),
           s"no such table '$table' in catalog ${cat.name()}")
@@ -836,7 +1032,42 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
         val mf = m.manifest(m.latest)
         val rowsFromStats = mf.files.flatMap(mf.stats.get).map(_.rows).sum -
           mf.dvs.values.map(_.rows).sum
-        val (before, after, rows) =
+        val (before, after, rows) = tombstoneRatio match {
+          case Some(r) =>
+            // SELECTIVE materialization (the MOR self-healing loop): only
+            // files whose tombstone ratio crossed the threshold are
+            // rewritten masked; everything else — files with light or no
+            // vectors — inherits verbatim, vectors included. Churn cost,
+            // not table cost: the continuous-upsert table compacts what
+            // actually rotted.
+            val selectedSet = mf.files.filter(f => mf.dvs.get(f).exists(dv =>
+              mf.stats.get(f).exists(st => st.rows > 0 &&
+                dv.rows.toDouble / st.rows >= r))).toSet
+            val selected = mf.files.filter(selectedSet)
+            if (selected.isEmpty) (mf.files.size, mf.files.size, 0L)
+            else {
+              val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
+              val bloomOpts = new GraftTable(table, dir, pinnedVersion = None).bloomWriteOptions
+              Dv.maskedFrame(spark, dir, m.schema, selected,
+                  mf.dvs.view.filterKeys(selectedSet).toMap)
+                .coalesce(math.min(target, selected.size))
+                .write.options(bloomOpts).parquet(staging.toString)
+              val s = Files.list(staging)
+              val abs = try s.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+              finally s.close()
+              val rel = abs.map(p => dir.relativize(p).toString)
+              val stats = FooterStats.collect(dir, abs, m.schema,
+                spark.sessionState.newHadoopConf())
+              val t0 = new GraftTable(table, dir, pinnedVersion = None)
+              t0.assertIdsOn(abs)
+              t0.commitVersion(
+                "compact", m.latest, rel, replace = true, newStats = stats,
+                dataChange = false, replacedFiles = Some(selected))
+              (mf.files.size, mf.files.size - selected.size + rel.size,
+                stats.values.map(_.rows).sum)
+            }
+          case None =>
           // a manifest carrying deletion vectors is never a no-op:
           // compaction is how MOR tombstones get MATERIALIZED away
           if (mf.files.size <= target && sortBy.isEmpty && zorderBy.isEmpty && mf.dvs.isEmpty)
@@ -909,12 +1140,14 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                 r -> fs.copy(bucket = Some(b))
               }
             val table0 = new GraftTable(table, dir, pinnedVersion = None)
+            table0.assertIdsOn(abs)
             // dataChange = false: rows are identical, only layout moved —
             // streaming readers of this table skip the commit entirely
             table0.commitVersion("compact", m.latest, rel, replace = true,
               newStats = stats, dataChange = false)
             (mf.files.size, rel.size, stats.values.map(_.rows).sum)
           }
+        }
         val row: InternalRow = InternalRow(before, after, rows)
         java.util.List.of[Scan](new LocalScan {
           override def rows(): Array[InternalRow] = Array(row)
@@ -1033,8 +1266,11 @@ private[catalog] class RestoreProcedure(cat: GraftCatalog)
               throw new IllegalArgumentException(
                 s"cannot restore $table to v$v: not in history " +
                   s"(${m.history.map(_.version).mkString(",")}) — expired versions are gone"))
+            // CONTENT rolls back; the schema stays current (Delta's
+            // RESTORE semantics) — field ids resolve the old files
             val next = Commit(m.latest + 1, System.currentTimeMillis(), s"restore(v$v)",
-              target.files, target.stats, dataChange = true, dvs = target.dvs)
+              target.files, target.stats, dataChange = true, dvs = target.dvs,
+              schemaId = m.currentSchemaId)
             TableMeta.write(dir, m.copy(history = m.history :+ next),
               expectedLatest = Some(m.latest))
             (next.version, target.files.size)
@@ -1390,6 +1626,12 @@ private[catalog] class SetClusteringProcedure(cat: GraftCatalog)
   *    merge.
   *  - `CALL … system.drop_branch(table, branch)` — abandon the staging:
   *    removes the branch and deletes the data files ONLY it references.
+  *  - `CALL … system.rebase_branch(table, branch)` — when main ADVANCED
+  *    under the staging (publish refuses): replay the branch's staged
+  *    commits atop the current main head, file-granularly, so the WAP
+  *    loop survives a concurrent ingest ([[BranchProcedure.rebasedChain]];
+  *    overlapping file touches refuse loudly). Publish after a clean
+  *    rebase fast-forwards as usual.
   *
   * Writes land on a branch via the Iceberg-style suffix identifier
   * `cat.ns.t.branch_<name>` (INSERT/UPDATE/DELETE/MERGE all work — the
@@ -1461,6 +1703,14 @@ private[catalog] class BranchProcedure(cat: GraftCatalog, mode: BranchProcedure.
                   expectedLatest = Some(m.latest))
                 orphans.foreach(f => Files.deleteIfExists(dir.resolve(f)))
                 (m.latest, orphans.size)
+              case BranchProcedure.Rebase =>
+                val ch = m.branches.getOrElse(b, throw new IllegalArgumentException(
+                  s"no branch '$b' on $table"))
+                val rebased = BranchProcedure.rebasedChain(table, m, b)
+                val nStaged = rebased.size - m.history.size
+                TableMeta.write(dir, m.copy(branches = m.branches + (b -> rebased)),
+                  expectedLatest = Some(m.latest))
+                (rebased.map(_.version).max, nStaged)
             }
           }
         val row: InternalRow = InternalRow(UTF8String.fromString(mode.action),
@@ -1489,6 +1739,71 @@ private[catalog] object BranchProcedure {
     val procName = "drop_branch"; val action = "dropped"
     val describe = "remove a branch and delete the files only it references"
   }
+  case object Rebase extends Mode {
+    val procName = "rebase_branch"; val action = "rebased"
+    val describe = "replay the branch's staged commits atop current main " +
+      "(file-granular; overlapping touched files refuse loudly)"
+  }
+
+  /** Replay `branch`'s staged commits atop the CURRENT main history —
+    * the survival path for a WAP loop whose main advanced under it
+    * (publish's refusal is correct but operationally a dead end: the
+    * staged audit work would be lost). File-granular three-way merge:
+    *
+    *  - each staged commit is reduced to its DIFF against its parent
+    *    (files removed, files added, deletion-vector entries repointed);
+    *  - the diff replays onto the new base manifest in order, re-numbered
+    *    past the current main head;
+    *  - CONFLICT — refused loudly, branch untouched — when a staged
+    *    commit removed (rewrote) a file that current main no longer
+    *    carries, or repointed a vector on a file whose vector main has
+    *    since changed: both sides touched the same file, and a silent
+    *    merge would drop one side's rows.
+    *
+    * Concurrent appends (the common ingest race) never conflict: their
+    * files are disjoint by construction, so main's new files ride
+    * through every replayed manifest and the staged files land on top. */
+  def rebasedChain(tableName: String, m: TableMeta, b: String): Seq[Commit] = {
+    val ch = m.branches(b)
+    // fork prefix: the longest leading run shared with current main
+    val k = ch.zip(m.history).takeWhile { case (a, c) => a == c }.size
+    val staged = ch.drop(k)
+    if (staged.isEmpty) return m.history
+    var cur = m.history.last
+    var out = m.history
+    staged.zipWithIndex.foreach { case (s, i) =>
+      val parent = if (i == 0) ch(k - 1) else staged(i - 1)
+      val parentFiles = parent.files.toSet
+      val removed = parentFiles -- s.files.toSet
+      val added = s.files.filterNot(parentFiles)
+      val curFiles = cur.files.toSet
+      removed.foreach(f => require(curFiles.contains(f),
+        s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
+          s"(${s.op}) rewrote '$f', which main has since rewritten or removed — " +
+          "overlapping file touches need a manual re-stage"))
+      // vector repoints: entries that changed relative to the parent
+      val dvChanged = s.dvs.filter { case (f, ref) => parent.dvs.get(f) != Some(ref) }
+      dvChanged.keys.foreach { f =>
+        require(cur.dvs.get(f) == parent.dvs.get(f),
+          s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
+            s"repointed the deletion vector of '$f', which main has also changed — " +
+            "overlapping row-level touches need a manual re-stage")
+      }
+      val newFiles = cur.files.filterNot(removed) ++ added
+      val newFileSet = newFiles.toSet
+      val addedStats = s.stats.view.filterKeys(f => added.contains(f)).toMap
+      val next = Commit(out.map(_.version).max + 1, System.currentTimeMillis(),
+        s"${s.op}(rebased)", newFiles,
+        cur.stats.view.filterKeys(newFileSet).toMap ++ addedStats,
+        s.dataChange,
+        (cur.dvs.view.filterKeys(newFileSet).toMap ++ dvChanged)
+          .view.filterKeys(newFileSet).toMap,
+        schemaId = cur.schemaId)
+      out = out :+ next
+      cur = next
+    }
+    out
+  }
 }
 
 /** One DELETION VECTOR entry of a manifest: `path` (table-dir-relative)
@@ -1504,7 +1819,8 @@ private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
                                    files: Seq[String],
                                    stats: Map[String, FileStats] = Map.empty,
                                    dataChange: Boolean = true,
-                                   dvs: Map[String, DvRef] = Map.empty)
+                                   dvs: Map[String, DvRef] = Map.empty,
+                                   schemaId: Int = 0)
 
 /** Shared state of ONE row-level operation (MERGE/UPDATE/DELETE): the
   * scan side records which snapshot it planned against and which files
@@ -1523,11 +1839,23 @@ private[catalog] case class TableMeta(schema: StructType, history: Seq[Commit],
                                       clusterBy: Seq[String] = Nil,
                                       streamEpochs: Map[String, Long] = Map.empty,
                                       props: Map[String, String] = Map.empty,
-                                      tags: Map[String, Int] = Map.empty) {
+                                      tags: Map[String, Int] = Map.empty,
+                                      schemas: Map[Int, StructType] = Map.empty) {
   def latest: Int = history.map(_.version).max
   def manifest(v: Int): Commit = history.find(_.version == v).getOrElse(
     throw new IllegalArgumentException(
       s"no version $v (history has ${history.map(_.version).mkString(",")})"))
+
+  /** The schema a COMMIT was made under — what time travel serves (a
+    * pre-rename version reads through the old name; a pre-drop version
+    * still serves the dropped column). `schema` is always the CURRENT
+    * one; `schemas` holds retired versions (legacy metas have none). */
+  def schemaFor(c: Commit): StructType =
+    if (c.schemaId == currentSchemaId) schema
+    else schemas.getOrElse(c.schemaId, schema)
+
+  def currentSchemaId: Int = history.sortBy(_.version).lastOption.map(_.schemaId)
+    .getOrElse(0)
 }
 
 private[catalog] object TableMeta {
@@ -1564,9 +1892,12 @@ private[catalog] object TableMeta {
             ++ s.bucket.map(b => "bucket" -> (JInt(b): JValue)).toList)
         }),
         "dvs" -> JObject(c.dvs.toList.sortBy(_._1).map { case (f, d) =>
-          f -> JObject("path" -> JString(d.path), "rows" -> JInt(d.rows)) }))
+          f -> JObject("path" -> JString(d.path), "rows" -> JInt(d.rows)) }),
+        "schemaId" -> JInt(c.schemaId))
       val json = JObject(
         "schema" -> JsonMethods.parse(meta.schema.json),
+        "schemas" -> JObject(meta.schemas.toList.sortBy(_._1).map { case (id, s) =>
+          id.toString -> JsonMethods.parse(s.json) }),
         "clusterBy" -> JArray(meta.clusterBy.map(JString(_)).toList),
         "streamEpochs" -> JObject(meta.streamEpochs.toList.sortBy(_._1).map {
           case (q, e) => q -> JInt(e) }),
@@ -1622,7 +1953,8 @@ private[catalog] object TableMeta {
         (c \ "files").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s),
         stats,
         c \ "dataChange" match { case JBool(b) => b; case _ => true },
-        dvs)
+        dvs,
+        c \ "schemaId" match { case JInt(i) => i.toInt; case _ => 0 })
     }
     val history = (j \ "history").asInstanceOf[JArray].arr.map(parseCommit)
     val branches = j \ "branches" match {
@@ -1647,7 +1979,14 @@ private[catalog] object TableMeta {
       case JObject(kv) => kv.map { case (k, v) => k -> v.asInstanceOf[JInt].num.toInt }.toMap
       case _ => Map.empty[String, Int]
     }
-    TableMeta(schema, history, branches, clusterBy, streamEpochs, props, tags)
+    val schemas = j \ "schemas" match {
+      case JObject(kv) => kv.map { case (id, s) =>
+        id.toInt -> DataType.fromJson(JsonMethods.compact(JsonMethods.render(s)))
+          .asInstanceOf[StructType]
+      }.toMap
+      case _ => Map.empty[Int, StructType]
+    }
+    TableMeta(schema, history, branches, clusterBy, streamEpochs, props, tags, schemas)
   }
 }
 
@@ -1759,7 +2098,17 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       s"no version $v on ${branch.fold("main")(b => s"branch '$b'")} of $tableName"))
 
   override def name(): String = tableName
-  override def schema(): StructType = meta.schema
+  /** The CURRENT schema for live views; a time-travel view serves the
+    * schema its pinned commit was made under — a pre-rename version
+    * reads through the old name, a pre-drop version still serves the
+    * dropped column. */
+  override def schema(): StructType = {
+    val m = meta
+    pinnedVersion match {
+      case Some(v) => m.schemaFor(chainManifest(m, v))
+      case None => m.schema
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -1794,24 +2143,24 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     meta.props.get(GraftTable.BloomColumnsProp)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
-  /** `info` with this table's write-path parquet options injected
-    * (bloom filters today) — the options land in the delegate
+  /** `info` with this table's write-path parquet options injected (bloom
+    * filters) AND the write schema re-stamped with the table's parquet
+    * field ids ([[FieldIds.restamp]] — the analyzer strips field
+    * metadata from write plans, and an id-less file would break
+    * rename/drop resolution). Options land in the delegate
     * [[ParquetTable]] write's hadoop conf verbatim
     * (`FileWrite.options.asCaseSensitiveMap` → `newHadoopConfWithOptions`). */
   private[catalog] def writeInfoWithTableOptions(info: LogicalWriteInfo): LogicalWriteInfo = {
-    val bloom = bloomColumns
-    if (bloom.isEmpty) info
-    else {
-      val merged = new java.util.HashMap[String, String](info.options().asCaseSensitiveMap())
-      bloom.foreach(c => merged.put(s"parquet.bloom.filter.enabled#$c", "true"))
-      val opts = new CaseInsensitiveStringMap(merged)
-      new LogicalWriteInfo {
-        override def options(): CaseInsensitiveStringMap = opts
-        override def queryId(): String = info.queryId()
-        override def schema(): StructType = info.schema()
-        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
-        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
-      }
+    val merged = new java.util.HashMap[String, String](info.options().asCaseSensitiveMap())
+    bloomColumns.foreach(c => merged.put(s"parquet.bloom.filter.enabled#$c", "true"))
+    val opts = new CaseInsensitiveStringMap(merged)
+    val stamped = FieldIds.restamp(meta.schema, info.schema())
+    new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap = opts
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = stamped
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
     }
   }
 
@@ -1846,11 +2195,13 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
 
   /** The delegate parquet v2 table over an explicit file list — reads get
     * the vectorized reader + pushdown, writes get the hadoop commit
-    * protocol. `userSpecifiedSchema` is always the TABLE schema so an
-    * empty manifest still scans as the right shape. */
-  private def delegate(paths: Seq[String]): ParquetTable =
+    * protocol. `schemaV` is the schema of the VERSION being read (the
+    * current one on live scans) so an empty manifest still scans as the
+    * right shape and time travel keeps its era's columns. */
+  private def delegate(paths: Seq[String],
+                       schemaV: StructType): ParquetTable =
     ParquetTable(tableName, spark, CaseInsensitiveStringMap.empty(), paths,
-      Some(meta.schema), classOf[ParquetFileFormat])
+      Some(schemaV), classOf[ParquetFileFormat])
 
   /** Scans go through manifest data skipping: the pushed conjuncts are
     * evaluated against each file's footer stats ([[SkipEval]]) and the
@@ -1872,13 +2223,15 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val m = meta
     val mf = chainManifest(m, pinnedVersion.getOrElse(chainLatest(m)))
+    val schemaV = m.schemaFor(mf) // the reading era's schema (time travel)
     new org.apache.spark.sql.graft.SkippingScanBuilder(
       filters => {
-        val kept = SkipEval.prune(m.schema, mf.files, mf.stats, filters)
+        val kept = SkipEval.prune(schemaV, mf.files, mf.stats, filters)
         SkipRecorder.record(tableName, kept.size, mf.files.size)
         kept
       },
-      rel => delegate(rel.map(f => dir.resolve(f).toString)).newScanBuilder(options),
+      rel => delegate(rel.map(f => dir.resolve(f).toString), schemaV)
+        .newScanBuilder(options),
       mf.files,
       // exact live rows of the kept set for the planner (manifest footer
       // counts minus deletion-vector tombstones); None when any kept file
@@ -1897,7 +2250,7 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       // per-column CBO statistics: free manifest bounds/null-counts plus
       // CALL system.analyze's persisted NDV/length stats
       colStatsOf = kept => TableColumnStats.forScan(
-        m.schema, kept, mf.stats, mf.dvs.nonEmpty, m.props),
+        schemaV, kept, mf.stats, mf.dvs.nonEmpty, m.props),
       mkStream = _ => {
         require(pinnedVersion.isEmpty,
           s"$tableName is a time-travel view; stream the live table and bound it yourself")
@@ -1906,8 +2259,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         new GraftMicroBatchStream(this,
           Option(options.get("max_versions_per_trigger")).map(_.toInt))
       },
-      fileColShadowed = m.schema.fieldNames.contains(FileTag.Col),
-      posColShadowed = m.schema.fieldNames.contains(Dv.PosCol),
+      fileColShadowed = schemaV.fieldNames.contains(FileTag.Col),
+      posColShadowed = schemaV.fieldNames.contains(Dv.PosCol),
       addr = Some(addrSupportFor(mf)),
       // storage-partitioned joins: group the pruned set by recorded
       // bucket id so the scan can report KeyGroupedPartitioning
@@ -1925,7 +2278,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
                                         dvs: Map[String, DvRef] = Map.empty)
       : org.apache.spark.sql.connector.read.Scan = {
     val vectored = relFiles.filter(dvs.contains)
-    val clean = delegate(relFiles.filterNot(dvs.contains).map(f => dir.resolve(f).toString))
+    val clean = delegate(relFiles.filterNot(dvs.contains).map(f => dir.resolve(f).toString),
+        meta.schema)
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
     if (vectored.isEmpty) clean
     else {
@@ -1946,7 +2300,7 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     * building block of every addressed (position-stable) read. */
   private[catalog] def bareDelegateScan(relFiles: Seq[String], dataSchema: StructType)
       : org.apache.spark.sql.connector.read.Scan = {
-    val b = delegate(relFiles.map(f => dir.resolve(f).toString))
+    val b = delegate(relFiles.map(f => dir.resolve(f).toString), meta.schema)
       .newScanBuilder(CaseInsensitiveStringMap.empty())
     b match {
       case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
@@ -2062,7 +2416,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         ctx.replaced = mf.files
         new org.apache.spark.sql.graft.CowGroupScanBuilder(
           filters => SkipEval.prune(m.schema, mf.files, mf.stats, filters),
-          rel => delegate(rel.map(f => dir.resolve(f).toString)).newScanBuilder(options),
+          rel => delegate(rel.map(f => dir.resolve(f).toString), m.schema)
+            .newScanBuilder(options),
           mf.files,
           kept => {
             ctx.replaced = kept
@@ -2143,7 +2498,7 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         val inheritedDvs = prev.dvs.view.filterKeys(inheritedSet).toMap
         val next = Commit(latest + 1, System.currentTimeMillis(), op,
           inherited ++ newFiles, inheritedStats ++ newStats, dataChange,
-          inheritedDvs ++ dvUpdates)
+          inheritedDvs ++ dvUpdates, schemaId = prev.schemaId)
         val withEpoch = streamEpoch.fold(m) { case (qid, eid) =>
           m.copy(streamEpochs = m.streamEpochs + (qid -> eid))
         }
@@ -2159,6 +2514,12 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
 
   private[catalog] def currentLatest: Int = chainLatest(meta)
   private[catalog] def tableDirPath: Path = dir
+
+  /** Fail a commit whose staged files lost the parquet field ids (see
+    * [[FieldIds.assertFilesCarryIds]]); no-op for legacy id-less tables. */
+  private[catalog] def assertIdsOn(abs: Seq[Path]): Unit =
+    if (abs.nonEmpty && FieldIds.allStamped(meta.schema))
+      FieldIds.assertFilesCarryIds(tableName, abs, spark.sessionState.newHadoopConf())
 
   /** Wrap a delegate writer factory with the per-bucket fanout when this
     * table is bucket-clustered — the write-side half of the
@@ -2332,6 +2693,7 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
             .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           finally s.close()
           val files = abs.map(p => table.tableDirPath.relativize(p).toString)
+          table.assertIdsOn(abs)
           // footer-only stats for the commit's files — the data-skipping
           // manifest entries (cost ∝ files in THIS commit, never the table)
           val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
@@ -2595,6 +2957,7 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
       deleteStaged(p.commitDir)
     } else {
       val files = abs.map(f => table.tableDirPath.relativize(f).toString)
+      table.assertIdsOn(abs)
       val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
         info.schema(), SparkSession.active.sessionState.newHadoopConf()))
       val committed = table.commitVersion(

@@ -154,9 +154,10 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
     // an empty schema outright, so give it the table schema and rely on
     // the writers being created LAZILY (first insert) below: a delete-
     // only task never opens a parquet file, so a 32-partition takedown
-    // stages zero data files instead of 32 empty ones.
-    private val writeSchema: StructType =
-      if (info.schema().isEmpty) table.schema() else info.schema()
+    // stages zero data files instead of 32 empty ones. Field ids
+    // re-stamp here like every other write path (FieldIds.restamp).
+    private val writeSchema: StructType = FieldIds.restamp(table.schema(),
+      if (info.schema().isEmpty) table.schema() else info.schema())
     private val withTableOpts = table.writeInfoWithTableOptions(info)
     private val inner: BatchWrite = ParquetTable(
       table.name(), SparkSession.active,
@@ -201,6 +202,7 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       finally s.close()
       val newFiles = abs.map(p => table.tableDirPath.relativize(p).toString)
+      table.assertIdsOn(abs)
       val newStats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
         SparkSession.active.sessionState.newHadoopConf())
       // merged delete positions per file, across tasks

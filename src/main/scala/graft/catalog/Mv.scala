@@ -59,6 +59,7 @@ private[graft] object Mv {
   val SourceProp = "graft.mv.source"
   val KeysProp = "graft.mv.keys"
   val AggsProp = "graft.mv.aggs"
+  val WhereProp = "graft.mv.where"
   val WatermarkProp = "graft.mv.source_version"
 
   /** Above this many changed keys the recompute predicate switches from
@@ -67,13 +68,23 @@ private[graft] object Mv {
     * blow up the plan, and at that churn the scan is near-full anyway. */
   val MaxInlineKeys = 1024
 
-  final case class Def(source: String, keys: Seq[String], aggs: Seq[MvAgg])
+  /** `where` is an optional ROW FILTER over source columns (most real
+    * MVs are filtered aggregates). Affected-key recompute stays sound
+    * under it: the change feed marks a key as affected whenever ANY row
+    * of that key changed — including a row that changed INTO or OUT OF
+    * the filter set — and the recompute re-applies the filter to the
+    * key's current rows, so entering/leaving rows are accounted exactly.
+    * Subqueries and nondeterministic predicates are refused at create
+    * (a subquery smuggles in a second source the watermark doesn't
+    * cover; nondeterminism breaks refresh idempotence). */
+  final case class Def(source: String, keys: Seq[String], aggs: Seq[MvAgg],
+                       where: Option[String] = None)
 
   def readDef(meta: TableMeta, view: String): Def = {
     def p(k: String) = meta.props.getOrElse(k, throw new IllegalArgumentException(
       s"'$view' is not a materialized view (missing $k; create via CALL system.create_mv)"))
     Def(p(SourceProp), p(KeysProp).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-      MvAgg.parseList(p(AggsProp)))
+      MvAgg.parseList(p(AggsProp)), meta.props.get(WhereProp))
   }
 
   /** `prefix` qualifies every source-column reference (`s.`) — required
@@ -83,11 +94,15 @@ private[graft] object Mv {
     (d.keys.map(k => s"$prefix$k") ++
       d.aggs.map(a => s"${a.sql(prefix)} AS ${a.alias}")).mkString(", ")
 
-  /** Full recompute of the MV content at source version `v`. */
-  def recomputeSql(d: Def, srcFq: String, v: Int, where: Option[String]): String =
+  /** Recompute of the MV content at source version `v`: the definition's
+    * own WHERE filter always applies; `extra` narrows further (the
+    * inlined affected-key predicate). */
+  def recomputeSql(d: Def, srcFq: String, v: Int, extra: Option[String]): String = {
+    val preds = d.where.map(w => s"($w)").toSeq ++ extra.map(p => s"($p)").toSeq
     s"SELECT ${selectListSql(d)} FROM $srcFq VERSION AS OF $v" +
-      where.fold("")(w => s" WHERE $w") +
+      (if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")) +
       s" GROUP BY ${d.keys.mkString(", ")}"
+  }
 
   /** Characters a string key may contain and still be INLINED as a SQL
     * literal. Deliberately narrow: Spark's parser treats backslash as an
@@ -203,10 +218,13 @@ private[graft] object Mv {
         case None =>
           changedC.createOrReplaceTempView(tvChanged)
           // inner join against the DISTINCT key set restricts the group
-          // scan to affected keys without an inline predicate
+          // scan to affected keys without an inline predicate; the
+          // definition's WHERE applies inside the source subquery (the
+          // predicate references bare source columns)
           ss.sql(
             s"""SELECT ${selectListSql(d, "s.")}
-                FROM $srcFq VERSION AS OF $to s
+                FROM (SELECT * FROM $srcFq VERSION AS OF $to${
+                  d.where.fold("")(w => s" WHERE $w")}) s
                 JOIN $tvChanged c ON ${d.keys.map(k => s"s.$k <=> c.$k").mkString(" AND ")}
                 GROUP BY ${d.keys.map(k => s"s.$k").mkString(", ")}""")
       }
@@ -363,6 +381,11 @@ private[catalog] class CreateMvProcedure(cat: GraftCatalog)
         procedures.ProcedureParameter.in("keys", StringType).build(),
         procedures.ProcedureParameter.in("aggs", StringType)
           .comment("alias:count | alias:sum(col) | min | max | avg, comma-separated")
+          .build(),
+        procedures.ProcedureParameter.in("where", StringType)
+          .defaultValue("NULL")
+          .comment("optional row filter over source columns (deterministic, " +
+            "no subqueries); affected-key recompute re-applies it per refresh")
           .build())
 
       private val outSchema = StructType(Seq(
@@ -376,7 +399,17 @@ private[catalog] class CreateMvProcedure(cat: GraftCatalog)
         val keys = input.getUTF8String(2).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val aggs = MvAgg.parseList(input.getUTF8String(3).toString)
+        val where = if (input.isNullAt(4)) None
+          else Some(input.getUTF8String(4).toString).filter(_.trim.nonEmpty)
         require(keys.nonEmpty, "keys must name at least one group-by column")
+        // the incremental contract covers exactly ONE source table: a
+        // join would need a watermark PAIR (one change feed per side,
+        // affected keys from either) — refused loudly, not half-built
+        require("\\s".r.findFirstIn(source.trim).isEmpty,
+          s"source must be a single ns.table identifier, got '$source' — an MV over " +
+            "a join is not supported: incremental maintenance tracks ONE source " +
+            "watermark; materialize the join as a table (or stream it) and define " +
+            "the MV over that")
         val srcDir = cat.tableDirOf(source)
         require(Files.exists(srcDir.resolve(TableMeta.MetaFile)),
           s"no such source table '$source' in catalog ${cat.name()}")
@@ -389,10 +422,32 @@ private[catalog] class CreateMvProcedure(cat: GraftCatalog)
           s"aggregate alias '${a.alias}' collides with a group key"))
         val ss = SparkSession.active
         val v = srcMeta.latest
+        // WHERE validation: analyze the filter against the source NOW
+        // (bad references fail the CALL, not the first refresh), then
+        // refuse subqueries (a second source outside the watermark) and
+        // nondeterminism (refresh idempotence)
+        where.foreach { w =>
+          val analyzed = ss.sql(
+            s"SELECT count(*) FROM ${cat.name()}.$source WHERE $w").queryExecution.analyzed
+          analyzed.foreach { plan =>
+            plan.expressions.foreach(_.foreach {
+              case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+                throw new IllegalArgumentException(
+                  s"MV where-clause '$w' contains a subquery: it would reference a " +
+                    "second source the MV's watermark does not track; inline the " +
+                    "values or materialize the other table into the source")
+              case e if !e.deterministic =>
+                throw new IllegalArgumentException(
+                  s"MV where-clause '$w' is nondeterministic ($e): refreshes would " +
+                    "not be idempotent")
+              case _ => ()
+            })
+          }
+        }
         // MV schema = what the recompute produces (Spark owns the agg
         // result types; deriving them from an empty frame means the DDL
         // can never drift from the refresh)
-        val d = Mv.Def(source, keys, aggs)
+        val d = Mv.Def(source, keys, aggs, where)
         val empty = ss.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), srcMeta.schema)
         val mvSchema = empty.groupBy(keys.map(col): _*)
@@ -403,6 +458,7 @@ private[catalog] class CreateMvProcedure(cat: GraftCatalog)
         props.put(Mv.SourceProp, source)
         props.put(Mv.KeysProp, keys.mkString(","))
         props.put(Mv.AggsProp, MvAgg.canonical(aggs))
+        where.foreach(props.put(Mv.WhereProp, _))
         props.put(Mv.WatermarkProp, v.toString)
         cat.createTable(ident, mvSchema,
           keys.map(k => Expressions.identity(k)).toArray[Transform], props)

@@ -1333,6 +1333,32 @@ object SqlVerbs {
       .withColumn("second_changed_keys", lit(changed2))
   }
 
+  /** X-SQLu — the WHERE-filtered MV twin: same source and churn as
+    * `q_sql_mv`, definition filtered to long docs. Both refreshes must
+    * stay incremental, and the second one's +10 bump moves
+    * near-threshold docs of the touched lang INTO the filter set — the
+    * oracle replays the chain relationally and applies the filter to the
+    * FINAL values, so enter/leave accounting has nowhere to hide. */
+  def sqlMvWhere(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, _) = ensureMvChain(spark, dir)
+    val (mode1, mode2, _) = mvRefreshInfo.get(s"${catName(dir)}#w")
+    val agg = ss.sql(s"SELECT lang, n_docs, sum_chars FROM ${catName(dir)}.main.docs_mvw")
+    import org.apache.spark.sql.functions.lit
+    agg.withColumn("first_refresh_mode", lit(mode1))
+      .withColumn("second_refresh_mode", lit(mode2))
+  }
+
+  def sqlMvWhereOracleSql: String =
+    s"""WITH $oracleChainCtes,
+        v5 AS (SELECT doc_id, lang, source,
+                      CASE WHEN lang = (SELECT min(lang) FROM v4) AND doc_id % 2 = 0
+                           THEN n_chars + 10 ELSE n_chars END AS n_chars
+               FROM v4)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               'incremental' AS first_refresh_mode,
+               'incremental' AS second_refresh_mode
+        FROM v5 WHERE n_chars >= $ShortDocChars GROUP BY lang"""
+
   private val mvRefreshInfo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
 
@@ -1357,6 +1383,13 @@ object SqlVerbs {
         ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mv', " +
           "source => 'main.docs_mvsrc', keys => 'lang', " +
           "aggs => 'n_docs:count,sum_chars:sum(n_chars),max_chars:max(n_chars)')")
+        // the FILTERED twin (r13 #4): same source, a row filter — the
+        // affected-key recompute re-applies it per refresh, so churn
+        // moving rows across the threshold is exact
+        ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mvw', " +
+          "source => 'main.docs_mvsrc', keys => 'lang', " +
+          "aggs => 'n_docs:count,sum_chars:sum(n_chars)', " +
+          s"where => 'n_chars >= $ShortDocChars')")
         ss.sql(s"UPDATE $t SET lang = 'und' WHERE n_chars < $ShortDocChars")
         ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0")
         ss.sql(s"""MERGE INTO $t t
@@ -1367,13 +1400,18 @@ object SqlVerbs {
                    WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
                      VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
         val r1 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head()
+        val w1 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mvw')").head()
         // the targeted commit: one lang (deterministic: the smallest),
-        // half its docs — the second refresh must narrow to that key
+        // half its docs — the second refresh must narrow to that key.
+        // The +10 also pushes near-threshold docs INTO the filtered
+        // twin's set (the enter/leave case the filter must get right).
         val minLang = ss.sql(s"SELECT min(lang) FROM $t").head().getString(0)
         ss.sql(s"UPDATE $t SET n_chars = n_chars + 10 " +
           s"WHERE lang = '$minLang' AND doc_id % 2 = 0")
         val r2 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head()
+        val w2 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mvw')").head()
         mvRefreshInfo.put(cat, (r1.getString(2), r2.getString(2), r2.getLong(3)))
+        mvRefreshInfo.put(s"$cat#w", (w1.getString(2), w2.getString(2), w2.getLong(3)))
         built.add(key)
       }
     }
@@ -1562,6 +1600,116 @@ object SqlVerbs {
        FROM (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 > 0) d
        JOIN (SELECT doc_id, n_chars % 1000 AS fp FROM documents WHERE doc_id % 2 = 0) f
          ON d.doc_id = f.doc_id"""
+
+  /** X-SQLt — WAP REBASE (VERDICT r13 #6): the staging loop surviving a
+    * concurrent ingest. Curation is staged on a branch (takedown
+    * DELETE), main advances with a disjoint APPEND before the publish —
+    * publish refuses (correct), `CALL system.rebase_branch` replays the
+    * staged commit file-granularly atop the new main head, and the
+    * publish then fast-forwards. Semantics pinned by the oracle: staged
+    * decisions apply to the data they were staged AGAINST; the
+    * concurrent ingest's rows — short docs included — ride through
+    * untouched (a rebase never retroactively curates data the audit
+    * never saw). */
+  def sqlRebase(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureRebaseChain(spark, dir)
+    ss.sql(s"SELECT doc_id, lang, source, n_chars FROM $t")
+  }
+
+  private def ensureRebaseChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_rb"
+    val bt = s"$t.branch_audit"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-rebase"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_rb")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)")
+        ss.sql(s"""INSERT INTO $t
+                   SELECT doc_id, lang, source, n_chars FROM documents_src_rb
+                   WHERE doc_id % 10 < 8""")
+        ss.sql(s"CALL $cat.system.create_branch(table => 'main.docs_rb', branch => 'audit')")
+        ss.sql(s"DELETE FROM $bt WHERE n_chars < $ShortDocChars") // staged takedown
+        ss.sql(s"""INSERT INTO $t
+                   SELECT doc_id, lang, source, n_chars FROM documents_src_rb
+                   WHERE doc_id % 10 = 8""") // concurrent ingest on main
+        // publish must refuse on the diverged main, then rebase + publish
+        val refused = scala.util.Try(ss.sql(
+          s"CALL $cat.system.publish_branch(table => 'main.docs_rb', branch => 'audit')"))
+        require(refused.isFailure, "publish on diverged main must refuse before rebase")
+        ss.sql(s"CALL $cat.system.rebase_branch(table => 'main.docs_rb', branch => 'audit')")
+        ss.sql(s"CALL $cat.system.publish_branch(table => 'main.docs_rb', branch => 'audit')")
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlRebaseOracleSql: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE (doc_id % 10 < 8 AND n_chars >= $ShortDocChars) OR doc_id % 10 = 8"""
+
+  /** X-SQLv — column RENAME/DROP as metadata commits over parquet field
+    * ids (VERDICT r13 #2): half the corpus lands before a RENAME, half
+    * after (two parquet name eras, one field id), then a takedown DROP
+    * removes a column without touching a file, and a destructive type
+    * change stays refused. The metric rows pin: both eras resolve under
+    * the new name, the pre-rename version still reads the OLD name, the
+    * pre-drop version still serves the dropped column, and row/char
+    * totals are relational. */
+  def sqlRename(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureRenameChain(spark, dir)
+    def n(q: String): Long = ss.sql(q).head().getLong(0)
+    val typeRefused = scala.util.Try(
+      ss.sql(s"ALTER TABLE $t ALTER COLUMN n_chars TYPE STRING")).isFailure
+    import ss.implicits._
+    Seq(
+      ("rows_current", n(s"SELECT count(*) FROM $t")),
+      ("langs_current", n(s"SELECT count(DISTINCT language) FROM $t")),
+      ("sum_chars_both_eras", n(s"SELECT sum(n_chars) FROM $t")),
+      ("pre_rename_via_old_name",
+        n(s"SELECT count(*) FROM $t VERSION AS OF 1 WHERE lang IS NOT NULL")),
+      ("pre_drop_sources",
+        n(s"SELECT count(DISTINCT source) FROM $t VERSION AS OF 3")),
+      ("type_change_refused", if (typeRefused) 1L else 0L))
+      .toDF("metric", "value")
+  }
+
+  private def ensureRenameChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_rn"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-rename"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_rn")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, lang, source, n_chars " +
+          "FROM documents_src_rn WHERE doc_id % 2 = 0") // v1: the old-name era
+        ss.sql(s"ALTER TABLE $t RENAME COLUMN lang TO language") // v2: metadata only
+        ss.sql(s"INSERT INTO $t SELECT doc_id, lang, source, n_chars " +
+          "FROM documents_src_rn WHERE doc_id % 2 = 1") // v3: the new-name era
+        ss.sql(s"ALTER TABLE $t DROP COLUMN source") // v4: takedown-by-column
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlRenameOracleSql: String =
+    """SELECT * FROM (
+         SELECT 'rows_current' AS metric,
+                (SELECT count(*) FROM documents) AS value
+         UNION ALL SELECT 'langs_current', (SELECT count(DISTINCT lang) FROM documents)
+         UNION ALL SELECT 'sum_chars_both_eras',
+                (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)
+         UNION ALL SELECT 'pre_rename_via_old_name',
+                (SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL)
+         UNION ALL SELECT 'pre_drop_sources',
+                (SELECT count(DISTINCT source) FROM documents)
+         UNION ALL SELECT 'type_change_refused', 1)
+       ORDER BY metric"""
 
   def sqlMvOracleSql: String =
     s"""WITH $oracleChainCtes,

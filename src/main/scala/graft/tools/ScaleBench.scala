@@ -72,7 +72,7 @@ object ScaleBench {
     "q_bigram_logprob", "q_cc_star", "q_ppjoin", "q_dedup_near",
     "q_containment_pairs", "q_winnow_pairs", "q_triangle_count",
     "q_opq_audit", "q_dup_spans", "q_pagerank", "q_kn_logprob",
-    "q_ann_ivf_kmeans", "q_sessionize", "cdc_probe")
+    "q_ann_ivf_kmeans", "q_sessionize", "cdc_probe", "spj_probe")
 
   /** The claim under measurement (round 13, file-granular COW): on a
     * CLUSTERED catalog table, a fixed-size UPDATE REWRITES a bounded
@@ -168,6 +168,16 @@ object ScaleBench {
       graft.catalog.ChangeFeed.tableChanges(ss, t, vMor, vMor, keyCols = Seq("doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
+    // READ-SIDE COST OF A VECTORED TABLE (round 14): the table now holds
+    // one deletion vector. The masked columnar remap (Dv.scala) keeps
+    // the scan vectorized, so a full analytical pass over the DV'd live
+    // table should cost ≈ the same pass over the immediately-pre-delete
+    // version (same files, no vector) — the claim is the ratio, measured
+    // in one JVM back-to-back, warmed once each.
+    def scanTime(q: String): Double = { ss.sql(q).collect(); timed(ss.sql(q).collect()) }
+    val dvScan = scanTime(s"SELECT sum(n_chars), count(*) FROM $t")
+    val cleanScan = scanTime(
+      s"SELECT sum(n_chars), count(*) FROM $t VERSION AS OF ${vMor - 1}")
     val s = java.nio.file.Files.walk(root)
     try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
@@ -182,7 +192,58 @@ object ScaleBench {
       "cdc_merge_files_total" -> mTotal.toDouble,
       "mor_takedown" -> morDelete,
       "mor_takedown_files_moved" -> (morRemoved + morAdded).toDouble,
-      "mor_feed" -> morFeed)
+      "mor_feed" -> morFeed,
+      "mor_scan_dv" -> dvScan,
+      "mor_scan_clean" -> cleanScan)
+  }
+
+  /** STORAGE-PARTITIONED JOIN at scale (round 14, Spj.scala): two
+    * bucket(16, doc_id) catalog tables built from the corpus, joined
+    * with broadcast disabled — once with v2 bucketing ON (the SPJ plan,
+    * zero Exchange) and once OFF (both sides shuffle). The claim under
+    * measurement: the ON/OFF gap WIDENS with corpus size (the shuffle
+    * is the part that grows), and the ON plan stays Exchange-free at
+    * every point. */
+  def spjProbe(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val ss = spark.newSession()
+    val root = java.nio.file.Files.createTempDirectory("graft-scale-spj-")
+    val cat = s"sspj${math.abs(dir.hashCode).toString.take(8)}"
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Tables.documents(ss, dir).createOrReplaceTempView("docs_spj_src")
+    val build = timed {
+      ss.sql(s"CREATE TABLE $cat.main.d (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (bucket(16, doc_id))")
+      ss.sql(s"CREATE TABLE $cat.main.f (doc_id BIGINT, fp BIGINT) " +
+        "PARTITIONED BY (bucket(16, doc_id))")
+      ss.sql(s"INSERT INTO $cat.main.d SELECT doc_id, lang, n_chars FROM docs_spj_src")
+      ss.sql(s"INSERT INTO $cat.main.f SELECT doc_id, n_chars % 1000 FROM docs_spj_src")
+    }
+    val joinSql =
+      s"""SELECT count(*), sum(d.n_chars + f.fp) FROM $cat.main.d d
+          JOIN $cat.main.f f ON d.doc_id = f.doc_id"""
+    def exchanges(): Int = {
+      val q = ss.sql(joinSql)
+      q.collect()
+      "Exchange (hash|range)partitioning".r
+        .findAllIn(q.queryExecution.executedPlan.toString).length
+    }
+    val exOn = exchanges() // also warms
+    val spjOn = timed(ss.sql(joinSql).collect())
+    ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    val exOff = exchanges()
+    val spjOff = timed(ss.sql(joinSql).collect())
+    ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+    Seq("spj_build" -> build, "spj_join_on" -> spjOn, "spj_join_off" -> spjOff,
+      "spj_exchanges_on" -> exOn.toDouble, "spj_exchanges_off" -> exOff.toDouble)
   }
 
   /** Staged artifacts the targets read (the bench pre-builds the same
@@ -308,6 +369,11 @@ object ScaleBench {
         case "cdc_probe" =>
           clearState()
           val rows = cdcProbe(spark, dir)
+          rows.foreach { case (k, v) => System.err.println(f"[scale] $name $k $v%.1f s") }
+          rows
+        case "spj_probe" =>
+          clearState()
+          val rows = spjProbe(spark, dir)
           rows.foreach { case (k, v) => System.err.println(f"[scale] $name $k $v%.1f s") }
           rows
         case q =>

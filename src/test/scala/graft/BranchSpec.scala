@@ -90,6 +90,42 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(ss, t) == Seq(1L, 2L, 3L, 4L, 10L))
   }
 
+  test("rebase_branch replays staged commits atop an advanced main; publish then lands") {
+    val (ss, c, _) = freshCatalog("br_rebase")
+    val t = s"$c.ns.t"
+    seed(ss, t)
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'wap')")
+    // staged curation: delete id=2, append id=9
+    ss.sql(s"DELETE FROM $t.branch_wap WHERE id = 2")
+    ss.sql(s"INSERT INTO $t.branch_wap VALUES (9,'z',9.0)")
+    // concurrent ingest on main (disjoint files — never a conflict)
+    ss.sql(s"INSERT INTO $t VALUES (10,'m',1.0)")
+    intercept[Exception](
+      ss.sql(s"CALL $c.system.publish_branch(table => 'ns.t', branch => 'wap')"))
+    val r = ss.sql(s"CALL $c.system.rebase_branch(table => 'ns.t', branch => 'wap')").head()
+    assert(r.getString(0) == "rebased" && r.getInt(3) == 2, r.toString) // 2 staged commits
+    // the rebased branch view shows staged decisions + the new ingest
+    assert(ids(ss, s"$t.branch_wap") == Seq(1L, 3L, 4L, 9L, 10L))
+    ss.sql(s"CALL $c.system.publish_branch(table => 'ns.t', branch => 'wap')")
+    assert(ids(ss, t) == Seq(1L, 3L, 4L, 9L, 10L))
+  }
+
+  test("rebase refuses when main rewrote a file the staging also touched") {
+    val (ss, c, _) = freshCatalog("br_rebase_conflict")
+    val t = s"$c.ns.t"
+    // ONE data file holding every row, so both sides must rewrite it
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING, x DOUBLE)")
+    ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, 'a', 0.5 FROM range(1, 5)")
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'wap')")
+    ss.sql(s"DELETE FROM $t.branch_wap WHERE id = 2")
+    ss.sql(s"UPDATE $t SET x = x + 1 WHERE id = 3")
+    val e = intercept[Exception](
+      ss.sql(s"CALL $c.system.rebase_branch(table => 'ns.t', branch => 'wap')"))
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    // refused loudly, branch untouched: staged view unchanged
+    assert(ids(ss, s"$t.branch_wap") == Seq(1L, 3L, 4L))
+  }
+
   test("drop_branch deletes only branch-private files; main keeps reading") {
     val (ss, c, root) = freshCatalog("br_drop")
     val t = s"$c.ns.t"

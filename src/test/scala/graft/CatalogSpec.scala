@@ -160,9 +160,11 @@ class CatalogSpec extends AnyFunSuite {
     // the evolved column is UPDATEable across old rows (COW backfill)
     ss.sql(s"UPDATE $t SET tag = 'back' WHERE id <= 2")
     assert(ss.sql(s"SELECT count(*) FROM $t WHERE tag = 'back'").head().getLong(0) == 2)
-    // destructive evolution is a rewrite, not an ALTER
-    intercept[Exception](ss.sql(s"ALTER TABLE $t DROP COLUMN tag"))
-    intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label"))
+    // RENAME/DROP are metadata commits since r14 (field ids — RenameSpec
+    // owns them); the DESTRUCTIVE change, a type rewrite, stays refused
+    intercept[Exception](ss.sql(s"ALTER TABLE $t ALTER COLUMN tag TYPE BIGINT"))
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label")
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE label = 'back'").head().getLong(0) == 2)
   }
 
   test("manifest data skipping: selective scans touch a strict file subset, losslessly") {

@@ -153,6 +153,51 @@ class MorSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2999)
   }
 
+  test("min_tombstone_ratio compacts ONLY rotted files; light vectors inherit") {
+    val (ss, c) = freshCatalog("mor_ratio")
+    val t = s"$c.ns.t"
+    seedMor(ss, t) // ids 0..2999 in 6 files (3 appends x 2 partitions)
+    // rot one slice heavily (first third: >= 30% tombstoned) and another
+    // lightly (last third: ~1%)
+    ss.sql(s"DELETE FROM $t WHERE id < 1000 AND id % 3 > 0")
+    ss.sql(s"DELETE FROM $t WHERE id >= 2000 AND id % 97 = 0")
+    val v0 = Manifests.latestVersion(ss, t)
+    val dv0 = Manifests.dvInfo(ss, t, v0)
+    val files0 = Manifests.files(ss, t, v0)
+    val heavy = files0.filter(f => dv0.get(f).exists(_._2 > 100)).toSet
+    val light = files0.filter(f => dv0.get(f).exists(d => d._2 > 0 && d._2 <= 100)).toSet
+    assert(heavy.nonEmpty && light.nonEmpty, s"fixture rot split failed: $dv0")
+    val before = ss.sql(s"SELECT id, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val posBefore = ss.sql(s"SELECT _file, _pos, id FROM $t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 2, " +
+      "min_tombstone_ratio => 0.2)").head()
+    val v1 = Manifests.latestVersion(ss, t)
+    val files1 = Manifests.files(ss, t, v1)
+    val dv1 = Manifests.dvInfo(ss, t, v1)
+    // exactly the over-threshold files left the manifest; the rest
+    // inherited WITH their vectors
+    assert((files0.toSet -- files1).toSet == heavy,
+      s"replaced ${files0.toSet -- files1}, wanted $heavy")
+    assert(light.subsetOf(files1.toSet))
+    assert(dv1.keySet == light, s"inherited vectors should be exactly $light, got ${dv1.keySet}")
+    // content identical; inherited files' _pos addresses unmoved
+    val after = ss.sql(s"SELECT id, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.toSeq == before.toSeq)
+    val posAfter = ss.sql(s"SELECT _file, _pos, id FROM $t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val inheritedBefore = posBefore.filter(p => files1.contains(p._1))
+    assert(inheritedBefore.subsetOf(posAfter),
+      "inherited files' row addresses must be untouched by a selective compact")
+    // a second pass under the same threshold is a no-op (nothing rotted)
+    val r2 = ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 2, " +
+      "min_tombstone_ratio => 0.2)").head()
+    assert(r2.getInt(0) == r2.getInt(1) && Manifests.latestVersion(ss, t) == v1)
+  }
+
   test("compaction materializes vectors: fresh files, no entries, live rows only") {
     val (ss, c) = freshCatalog("mor_compact")
     val t = s"$c.ns.t"

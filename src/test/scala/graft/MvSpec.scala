@@ -293,6 +293,57 @@ class MvSpec extends AnyFunSuite {
           GROUP BY sub""")
   }
 
+  test("a WHERE-filtered MV is exact under rows entering and leaving the filter") {
+    val (ss, c) = freshCatalog("mv_where")
+    val t = s"$c.ns.src"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, grp STRING, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, concat('g', CAST(id % 5 AS STRING)), id " +
+      "FROM range(0, 500)")
+    ss.sql(s"CALL $c.system.create_mv(view => 'ns.mv', source => 'ns.src', " +
+      "keys => 'grp', aggs => 'n:count,total:sum(v)', where => 'v >= 250')")
+    val rec = s"SELECT grp, count(*) AS n, sum(v) AS total FROM $t WHERE v >= 250 GROUP BY grp"
+    assertMatchesRecompute(ss, s"$c.ns.mv", rec)
+    // churn crossing the threshold BOTH ways: rows 200..249 enter
+    // (+100), rows 250..299 leave (-100); plus a delete inside the set
+    ss.sql(s"UPDATE $t SET v = v + 100 WHERE id BETWEEN 200 AND 249")
+    ss.sql(s"UPDATE $t SET v = v - 100 WHERE id BETWEEN 250 AND 299")
+    ss.sql(s"DELETE FROM $t WHERE id BETWEEN 400 AND 420")
+    val r = ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')").head()
+    assert(r.getString(2) == "incremental", r.getString(2))
+    assertMatchesRecompute(ss, s"$c.ns.mv", rec)
+    // a group whose surviving rows ALL leave the filter vanishes
+    ss.sql(s"UPDATE $t SET v = 0 WHERE grp = 'g1'")
+    ss.sql(s"CALL $c.system.refresh_mv(view => 'ns.mv')")
+    assert(ss.sql(s"SELECT count(*) FROM $c.ns.mv WHERE grp = 'g1'").head().getLong(0) == 0)
+    assertMatchesRecompute(ss, s"$c.ns.mv", rec)
+  }
+
+  test("where-clause guards: subqueries, nondeterminism, bad references refuse at CREATE") {
+    val (ss, c) = freshCatalog("mv_where_guards")
+    ss.sql(s"CREATE TABLE $c.ns.src (id BIGINT, grp STRING, v BIGINT)")
+    ss.sql(s"CREATE TABLE $c.ns.other (id BIGINT)")
+    ss.sql(s"INSERT INTO $c.ns.src VALUES (1, 'a', 10)")
+    val e1 = intercept[Exception](ss.sql(
+      s"CALL $c.system.create_mv(view => 'ns.m1', source => 'ns.src', keys => 'grp', " +
+        s"aggs => 'n:count', where => 'id IN (SELECT id FROM $c.ns.other)')"))
+    assert(e1.getMessage.contains("subquery"), e1.getMessage)
+    val e2 = intercept[Exception](ss.sql(
+      s"CALL $c.system.create_mv(view => 'ns.m2', source => 'ns.src', keys => 'grp', " +
+        "aggs => 'n:count', where => 'rand() < 0.5')"))
+    assert(e2.getMessage.contains("nondeterministic"), e2.getMessage)
+    val e3 = intercept[Exception](ss.sql(
+      s"CALL $c.system.create_mv(view => 'ns.m3', source => 'ns.src', keys => 'grp', " +
+        "aggs => 'n:count', where => 'no_such_col > 0')"))
+    assert(e3.getMessage.toLowerCase.contains("no_such_col"), e3.getMessage)
+    val e4 = intercept[Exception](ss.sql(
+      s"CALL $c.system.create_mv(view => 'ns.m4', source => 'ns.src JOIN ns.other', " +
+        "keys => 'grp', aggs => 'n:count')"))
+    assert(e4.getMessage.contains("join"), e4.getMessage)
+    // none of the refused views half-materialized
+    assert(ss.sql(s"SHOW TABLES IN $c.ns").collect()
+      .map(_.getString(1)).toSet == Set("src", "other"))
+  }
+
   test("create_mv validates the definition at CREATE time") {
     val (ss, c) = freshCatalog("mv_validate")
     ss.sql(s"CREATE TABLE $c.ns.src (id BIGINT, grp STRING)")
