@@ -245,11 +245,14 @@ case class AddrReaderFactory(inner: PartitionReaderFactory, conf: SerHadoopConf,
         while (seg < segments.length && emittedInSeg >= segments(seg)._2) {
           seg += 1; emittedInSeg = 0L
         }
-        if (rows == 0) return b
-        if (seg >= segments.length || emittedInSeg + rows > segments(seg)._2)
+        // a zero-row batch still owes the READ SCHEMA's column count
+        // (ColumnarToRow binds every column before checking numRows), so
+        // fall through and build the full-shape batch with base 0
+        if (rows > 0 &&
+            (seg >= segments.length || emittedInSeg + rows > segments(seg)._2))
           throw new IllegalStateException(
             s"${p.relFile}: delegate batch exceeds the footer's split row accounting")
-        val base = segments(seg)._1 + emittedInSeg
+        val base = if (rows == 0) 0L else segments(seg)._1 + emittedInSeg
         emittedInSeg += rows
         val rowMap: Array[Int] =
           if (mask == null) null

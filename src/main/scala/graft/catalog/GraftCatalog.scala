@@ -641,25 +641,13 @@ private[graft] object FieldIds {
     else StructType(working.fields :+ withId(
       StructField(name, dt, nullable = true), nextId(m, working)))
 
-  /** COMMIT-TIME safety net: with field-id reads enabled, a data file
-    * missing ids under an id-stamped schema would silently null-fill
-    * (Spark treats an unmatched requested id as a missing column) — so
-    * any write path that LOSES the id metadata must fail the commit
-    * loudly instead. One footer open per new file, metadata only. */
-  def assertFilesCarryIds(tableName: String, files: Seq[Path],
-                          conf: org.apache.hadoop.conf.Configuration): Unit =
-    files.foreach { p =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.toUri), conf))
-      val fields = try reader.getFooter.getFileMetaData.getSchema.getFields
-      finally reader.close()
-      val missing = fields.asScala.filter(_.getId == null).map(_.getName)
-      require(missing.isEmpty,
-        s"$tableName: staged file $p lacks parquet field ids on " +
-          s"${missing.mkString(", ")} — a write path dropped the id metadata; " +
-          "refusing the commit (field-id reads would silently null-fill)")
-    }
+  /** Has any column visible in `schemaV` carried a DIFFERENT name in
+    * some other schema era of this table? If so, files from that era
+    * can only resolve by field id — name matching would null-fill. */
+  def renameVisible(m: TableMeta, schemaV: StructType): Boolean =
+    (m.schema +: m.schemas.values.toSeq).exists(s => s.fields.exists(of =>
+      idOf(of).exists(id => schemaV.fields.exists(cf =>
+        idOf(cf).contains(id) && cf.name != of.name))))
 
   /** Re-stamp ids onto a WRITE schema by name from the table schema —
     * the analyzer strips field metadata from write plans, so the
@@ -1057,10 +1045,9 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                 .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
               finally s.close()
               val rel = abs.map(p => dir.relativize(p).toString)
-              val stats = FooterStats.collect(dir, abs, m.schema,
-                spark.sessionState.newHadoopConf())
               val t0 = new GraftTable(table, dir, pinnedVersion = None)
-              t0.assertIdsOn(abs)
+              val stats = FooterStats.collect(dir, abs, m.schema,
+                spark.sessionState.newHadoopConf(), requireIdsAs = t0.idRequirement)
               t0.commitVersion(
                 "compact", m.latest, rel, replace = true, newStats = stats,
                 dataChange = false, replacedFiles = Some(selected))
@@ -1128,8 +1115,9 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                 p.getFileName.toString.endsWith(".parquet")).toSeq
             finally s.close()
             val rel = abs.map(p => dir.relativize(p).toString)
+            val table0 = new GraftTable(table, dir, pinnedVersion = None)
             val stats0 = FooterStats.collect(dir, abs, m.schema,
-              spark.sessionState.newHadoopConf())
+              spark.sessionState.newHadoopConf(), requireIdsAs = table0.idRequirement)
             val stats =
               if (bucketLayout.isEmpty) stats0
               else stats0.map { case (r, fs) =>
@@ -1139,8 +1127,6 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                     s"$table: staged file '$r' outside a bucket subdir on bucketed compact"))
                 r -> fs.copy(bucket = Some(b))
               }
-            val table0 = new GraftTable(table, dir, pinnedVersion = None)
-            table0.assertIdsOn(abs)
             // dataChange = false: rows are identical, only layout moved —
             // streaming readers of this table skip the commit entirely
             table0.commitVersion("compact", m.latest, rel, replace = true,
@@ -1589,10 +1575,15 @@ private[catalog] class SetClusteringProcedure(cat: GraftCatalog)
           val newBucket = clusterBy.flatMap(ClusterSpec.parseBucket).headOption
           val oldBucket = m.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
           if (newBucket.isDefined && newBucket != oldBucket) {
-            require(m.manifest(m.latest).files.isEmpty && m.branches.isEmpty,
-              s"cannot change the bucket layout of non-empty $table: existing files " +
-                "have no (or stale) bucket ids; INSERT OVERWRITE into a freshly " +
-                "bucketed table instead")
+            // EVERY retained version must be file-free, not just the
+            // latest: a time-travel scan of an old version reads its
+            // files' recorded bucket ids against the CURRENT layout, and
+            // stale mod-n labels would mis-co-locate an SPJ join
+            require(m.history.forall(_.files.isEmpty) && m.branches.isEmpty,
+              s"cannot change the bucket layout of $table: retained versions still " +
+                "reference files whose recorded bucket ids were computed under the " +
+                "old layout; expire them first, or INSERT OVERWRITE into a freshly " +
+                "bucketed table")
             require(!m.props.get(GraftTable.RowLevelModeProp)
               .contains(GraftTable.MergeOnRead),
               "bucketed tables are copy-on-write only (MOR delta inserts bypass the " +
@@ -1767,6 +1758,10 @@ private[catalog] object BranchProcedure {
     val ch = m.branches(b)
     // fork prefix: the longest leading run shared with current main
     val k = ch.zip(m.history).takeWhile { case (a, c) => a == c }.size
+    require(k >= 1,
+      s"cannot rebase branch '$b' of $tableName: no shared fork commit with the " +
+        "current main (retention expired the fork point); re-stage against the " +
+        "current head")
     val staged = ch.drop(k)
     if (staged.isEmpty) return m.history
     var cur = m.history.last
@@ -1777,13 +1772,29 @@ private[catalog] object BranchProcedure {
       val removed = parentFiles -- s.files.toSet
       val added = s.files.filterNot(parentFiles)
       val curFiles = cur.files.toSet
-      removed.foreach(f => require(curFiles.contains(f),
-        s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
-          s"(${s.op}) rewrote '$f', which main has since rewritten or removed — " +
-          "overlapping file touches need a manual re-stage"))
+      removed.foreach { f =>
+        require(curFiles.contains(f),
+          s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
+            s"(${s.op}) rewrote '$f', which main has since rewritten or removed — " +
+            "overlapping file touches need a manual re-stage")
+        // the staged rewrite was built from the file's FORK-time live
+        // rows; if main has since changed the file's deletion vector,
+        // replaying the rewrite would resurrect main's deletes
+        require(cur.dvs.get(f) == parent.dvs.get(f),
+          s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
+            s"(${s.op}) rewrote '$f', whose deletion vector main has since changed — " +
+            "overlapping row-level touches need a manual re-stage")
+      }
       // vector repoints: entries that changed relative to the parent
       val dvChanged = s.dvs.filter { case (f, ref) => parent.dvs.get(f) != Some(ref) }
       dvChanged.keys.foreach { f =>
+        // main must still CARRY the file (else the staged tombstones
+        // would silently vanish with it) and must not have moved its
+        // vector since the fork
+        require(curFiles.contains(f),
+          s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
+            s"tombstoned rows of '$f', which main has since rewritten or removed — " +
+            "overlapping row-level touches need a manual re-stage")
         require(cur.dvs.get(f) == parent.dvs.get(f),
           s"cannot rebase branch '$b' of $tableName: staged commit v${s.version} " +
             s"repointed the deletion vector of '$f', which main has also changed — " +
@@ -2224,6 +2235,16 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     val m = meta
     val mf = chainManifest(m, pinnedVersion.getOrElse(chainLatest(m)))
     val schemaV = m.schemaFor(mf) // the reading era's schema (time travel)
+    // a renamed column's old files resolve ONLY by field id; a session
+    // without the conf (graft's Sessions builder sets it; a foreign
+    // session may not) would name-match and silently null-fill them —
+    // refuse loudly instead (correctness over availability)
+    if (FieldIds.renameVisible(m, schemaV) &&
+        !spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false").toBoolean)
+      throw new IllegalStateException(
+        s"$tableName has renamed columns, whose pre-rename files resolve by parquet " +
+          "field id; set spark.sql.parquet.fieldId.read.enabled=true on this session " +
+          "(name matching would silently null-fill the renamed column)")
     new org.apache.spark.sql.graft.SkippingScanBuilder(
       filters => {
         val kept = SkipEval.prune(schemaV, mf.files, mf.stats, filters)
@@ -2515,11 +2536,12 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
   private[catalog] def currentLatest: Int = chainLatest(meta)
   private[catalog] def tableDirPath: Path = dir
 
-  /** Fail a commit whose staged files lost the parquet field ids (see
-    * [[FieldIds.assertFilesCarryIds]]); no-op for legacy id-less tables. */
-  private[catalog] def assertIdsOn(abs: Seq[Path]): Unit =
-    if (abs.nonEmpty && FieldIds.allStamped(meta.schema))
-      FieldIds.assertFilesCarryIds(tableName, abs, spark.sessionState.newHadoopConf())
+  /** When this table's schema is id-stamped, commits must verify every
+    * staged file carries field ids (FooterStats.collect's requireIdsAs —
+    * one footer open serves stats AND the check). None for legacy
+    * id-less tables. */
+  private[catalog] def idRequirement: Option[String] =
+    if (FieldIds.allStamped(meta.schema)) Some(tableName) else None
 
   /** Wrap a delegate writer factory with the per-bucket fanout when this
     * table is bucket-clustered — the write-side half of the
@@ -2569,13 +2591,21 @@ private[catalog] object GraftTable {
     * [[GraftTable.bloomColumns]]). */
   val BloomColumnsProp = "write.bloom.columns"
 
+  private val fanoutProtocolLock = new Object
+
   /** Scope the bucket-fanout commit protocol (no driver commit
     * coordination — see [[org.apache.spark.sql.graft.GraftFanoutCommitProtocol]])
     * around a delegate write's toBatch, restoring the session conf
-    * immediately. No-op for unbucketed tables. */
+    * immediately. No-op for unbucketed tables. The set→plan→restore
+    * window is serialized JVM-wide so two concurrent bucketed writes
+    * can't restore the conf out from under each other (losing the
+    * protocol crashes the synthetic-split commit); an UNBUCKETED write
+    * planned inside someone else's window may harmlessly adopt the
+    * fanout protocol — it behaves identically to stock minus the
+    * speculative-attempt coordination. */
   def withFanoutProtocol[T](bucketed: Boolean)(f: => T): T =
     if (!bucketed) f
-    else {
+    else fanoutProtocolLock.synchronized {
       val ss = SparkSession.active
       val key = "spark.sql.sources.commitProtocolClass"
       val old = ss.conf.getOption(key)
@@ -2693,11 +2723,12 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
             .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           finally s.close()
           val files = abs.map(p => table.tableDirPath.relativize(p).toString)
-          table.assertIdsOn(abs)
           // footer-only stats for the commit's files — the data-skipping
-          // manifest entries (cost ∝ files in THIS commit, never the table)
+          // manifest entries (cost ∝ files in THIS commit, never the
+          // table) — plus the field-id presence check on the same footer
           val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
-            info.schema(), SparkSession.active.sessionState.newHadoopConf()))
+            info.schema(), SparkSession.active.sessionState.newHadoopConf(),
+            requireIdsAs = table.idRequirement))
           val op = if (replaceManifest) "replace" else if (truncate0) "overwrite" else "append"
           table.commitVersion(op, baseLatest, files, replace = truncate0, newStats = stats,
             replacedFiles = if (replaceManifest) cow.map(_.replaced) else None)
@@ -2957,9 +2988,9 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
       deleteStaged(p.commitDir)
     } else {
       val files = abs.map(f => table.tableDirPath.relativize(f).toString)
-      table.assertIdsOn(abs)
       val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
-        info.schema(), SparkSession.active.sessionState.newHadoopConf()))
+        info.schema(), SparkSession.active.sessionState.newHadoopConf(),
+        requireIdsAs = table.idRequirement))
       val committed = table.commitVersion(
         s"stream-epoch:${info.queryId()}:$epochId", table.currentLatest,
         files, replace = false, newStats = stats,

@@ -202,9 +202,9 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       finally s.close()
       val newFiles = abs.map(p => table.tableDirPath.relativize(p).toString)
-      table.assertIdsOn(abs)
       val newStats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
-        SparkSession.active.sessionState.newHadoopConf())
+        SparkSession.active.sessionState.newHadoopConf(),
+        requireIdsAs = table.idRequirement)
       // merged delete positions per file, across tasks
       val merged: Map[String, Array[Long]] = msgs.flatMap(_.deletes.toSeq)
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toArray.sorted).toMap

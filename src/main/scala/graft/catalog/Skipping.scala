@@ -32,20 +32,42 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] object FooterStats {
 
+  /** A staged file lost its parquet field ids under an id-stamped table
+    * schema — the commit must refuse (field-id reads would silently
+    * null-fill), so this one escapes `collect`'s per-file swallow. */
+  final class MissingFieldIds(msg: String) extends RuntimeException(msg)
+
   /** Collect stats for `files` (absolute paths) of a table rooted at
     * `tableDir`, keyed by path RELATIVE to the table dir (the manifest's
-    * file key). Files that fail to parse yield no entry (never prune). */
+    * file key). Files that fail to parse yield no entry (never prune).
+    * With `requireIdsAs = Some(tableName)` each footer is ALSO checked
+    * for parquet field ids on every top-level column while it is in
+    * hand (the commit-time net under column rename/drop — see FieldIds);
+    * a missing id fails the whole collect, never silently. */
   def collect(tableDir: Path, files: Seq[Path], schema: StructType,
-              conf: Configuration): Map[String, FileStats] =
+              conf: Configuration,
+              requireIdsAs: Option[String] = None): Map[String, FileStats] =
     files.flatMap { f =>
-      try Some(tableDir.relativize(f).toString -> collectOne(f, schema, conf))
-      catch { case _: Exception => None }
+      try Some(tableDir.relativize(f).toString -> collectOne(f, schema, conf, requireIdsAs))
+      catch {
+        case e: MissingFieldIds => throw e
+        case _: Exception => None
+      }
     }.toMap
 
-  private def collectOne(file: Path, schema: StructType, conf: Configuration): FileStats = {
+  private def collectOne(file: Path, schema: StructType, conf: Configuration,
+                         requireIdsAs: Option[String] = None): FileStats = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
     try {
+      requireIdsAs.foreach { tableName =>
+        val missing = reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .filter(_.getId == null).map(_.getName)
+        if (missing.nonEmpty) throw new MissingFieldIds(
+          s"$tableName: staged file $file lacks parquet field ids on " +
+            s"${missing.mkString(", ")} — a write path dropped the id metadata; " +
+            "refusing the commit (field-id reads would silently null-fill)")
+      }
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       // Per top-level column, classify each row group's statistics into

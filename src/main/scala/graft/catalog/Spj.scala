@@ -125,18 +125,49 @@ private[catalog] class GraftBucketFunction extends functions.UnboundFunction {
     val dt = inputType.fields(1).dataType
     require(GraftBucket.supported(dt),
       s"bucket() supports int, bigint, string, and date columns; got $dt")
-    new functions.ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
-      override def resultType(): DataType = IntegerType
-      override def name(): String = GraftBucket.FnName
-      override def canonicalName(): String = s"graft.${GraftBucket.FnName}"
-      override def produceResult(input: InternalRow): Integer = {
-        val n = input.getInt(0)
-        if (input.isNullAt(1)) null
-        else Integer.valueOf(GraftBucket.bucketOf(input, 1, dt, n))
-      }
+    // one bound class per key type so each carries the UNBOXED `invoke`
+    // magic method — Catalyst codegens a direct call instead of boxing
+    // an Integer per row on the bucketed write's sort/distribution (the
+    // hot write path of every bucketed fact table). The classes are
+    // PUBLIC top-level: the magic-method lookup goes through
+    // commons-lang's accessible-method resolution, which refuses a
+    // method declared only on a non-public (e.g. anonymous) class.
+    dt match {
+      case LongType => new GraftBucketLongFn
+      case IntegerType | DateType => new GraftBucketIntFn(dt)
+      case StringType => new GraftBucketStringFn
+      case other => throw new UnsupportedOperationException(s"bucket() on $other")
     }
   }
+}
+
+/** Base of the per-type bound bucket functions: the interpreted
+  * `produceResult` fallback plus the shared identity (`canonicalName` is
+  * what storage-partitioned join compatibility compares). */
+abstract class GraftBucketBound(dt: DataType)
+    extends functions.ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = GraftBucket.FnName
+  override def canonicalName(): String = s"graft.${GraftBucket.FnName}"
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    if (input.isNullAt(1)) null
+    else Integer.valueOf(GraftBucket.bucketOf(input, 1, dt, n))
+  }
+}
+
+class GraftBucketLongFn extends GraftBucketBound(LongType) {
+  def invoke(n: Int, v: Long): Int = GraftBucket.bucketOfLong(v, n)
+}
+
+class GraftBucketIntFn(dt: DataType) extends GraftBucketBound(dt) {
+  def invoke(n: Int, v: Int): Int = GraftBucket.bucketOfLong(v.toLong, n)
+}
+
+class GraftBucketStringFn extends GraftBucketBound(StringType) {
+  def invoke(n: Int, s: org.apache.spark.unsafe.types.UTF8String): Int =
+    GraftBucket.bucketOfString(s, n)
 }
 
 /** Fans each task's rows out into ONE DELEGATE WRITER PER BUCKET, so

@@ -126,6 +126,23 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(ss, s"$t.branch_wap") == Seq(1L, 3L, 4L))
   }
 
+  test("rebase refuses when deletion vectors diverge on a shared file") {
+    val (ss, c, _) = freshCatalog("br_rebase_dv")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v STRING, x DOUBLE) " +
+      "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+    ss.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, 'a', 0.5 FROM range(1, 5)")
+    ss.sql(s"CALL $c.system.create_branch(table => 'ns.t', branch => 'wap')")
+    // both sides tombstone rows of the SAME data file
+    ss.sql(s"DELETE FROM $t.branch_wap WHERE id = 2")
+    ss.sql(s"DELETE FROM $t WHERE id = 3")
+    val e = intercept[Exception](
+      ss.sql(s"CALL $c.system.rebase_branch(table => 'ns.t', branch => 'wap')"))
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    // a staged takedown must never silently vanish: branch still shows it
+    assert(ids(ss, s"$t.branch_wap") == Seq(1L, 3L, 4L))
+  }
+
   test("drop_branch deletes only branch-private files; main keeps reading") {
     val (ss, c, root) = freshCatalog("br_drop")
     val t = s"$c.ns.t"

@@ -50,6 +50,13 @@ class RenameSpec extends AnyFunSuite {
     // verbs keep working on the renamed column
     ss.sql(s"UPDATE $t SET text = 'redacted' WHERE id = 7")
     assert(ss.sql(s"SELECT text FROM $t WHERE id = 7").head().getString(0) == "redacted")
+    // a session WITHOUT field-id reads must refuse the scan loudly — old
+    // files would otherwise name-match and silently null-fill `text`
+    ss.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    try {
+      val e = intercept[Exception](ss.sql(s"SELECT text FROM $t").collect())
+      assert(e.getMessage.contains("fieldId"), e.getMessage)
+    } finally ss.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
   }
 
   test("drop is one metadata commit; pre-drop versions still serve the column") {
