@@ -164,6 +164,7 @@ object SparkEntry {
     // distribution + sort on every write; first scan prunes, no OPTIMIZE
     "q_sql_partitioned"   -> ((s, d) => SqlVerbs.sqlPartitioned(s, d)),
     "q_sql_spj"           -> ((s, d) => SqlVerbs.sqlSpj(s, d)),
+    "q_sql_spj_agg"       -> ((s, d) => SqlVerbs.sqlSpjAgg(s, d)),
     "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
     "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
@@ -1064,6 +1065,7 @@ object SparkEntry {
     "q_sql_wap_diff" -> SqlVerbs.sqlWapDiffOracleSql,
     "q_sql_partitioned" -> SqlVerbs.sqlPartitionedOracleSql,
     "q_sql_spj" -> SqlVerbs.sqlSpjOracleSql,
+    "q_sql_spj_agg" -> SqlVerbs.sqlSpjAggOracleSql,
     "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
     "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,

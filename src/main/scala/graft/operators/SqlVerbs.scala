@@ -1592,6 +1592,40 @@ object SqlVerbs {
     (ss, docsT, statsT)
   }
 
+  /** X-SQLs2 — the bucket layout serving AGGREGATION too: a join +
+    * GROUP BY on the bucket column runs as ONE fused stage — the scan's
+    * KeyGroupedPartitioning satisfies the aggregate's clustered
+    * distribution as well as the join's, so the whole
+    * join-then-aggregate pipeline plans with ZERO Exchange (at 100 TB:
+    * the per-document corpus rollup, historically the second-largest
+    * shuffle after the join, disappears with it). Flags are
+    * plan-derived; content is relational per doc_id. */
+  def sqlSpjAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, docsT, statsT) = ensureSpjTables(spark, dir)
+    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = ss.sql(
+        s"""SELECT d.doc_id, count(*) AS n, CAST(sum(d.n_chars + f.fp) AS BIGINT) AS total
+            FROM $docsT d JOIN $statsT f ON d.doc_id = f.doc_id
+            GROUP BY d.doc_id""")
+      val rows = agg.collect() // execute so the adaptive plan is final
+      val plan = agg.queryExecution.executedPlan.toString
+      val exchangeFree = "Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty
+      import ss.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), exchangeFree)).toSeq
+        .toDF("doc_id", "n", "total", "exchange_free")
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  def sqlSpjAggOracleSql: String =
+    """SELECT d.doc_id, count(*) AS n, CAST(sum(d.n_chars + f.fp) AS BIGINT) AS total,
+              true AS exchange_free
+       FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 > 0) d
+       JOIN (SELECT doc_id, n_chars % 1000 AS fp FROM documents WHERE doc_id % 2 = 0) f
+         ON d.doc_id = f.doc_id
+       GROUP BY d.doc_id"""
+
   def sqlSpjOracleSql: String =
     """SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
               CAST(sum(f.fp) AS BIGINT) AS sum_fp,

@@ -65,6 +65,22 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY on the bucket column aggregates with zero Exchange too") {
+    val (ss, c) = freshCatalog("spj_agg")
+    ss.sql(s"CREATE TABLE $c.ns.t (doc_id BIGINT, v BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    // repeated keys so groups are non-trivial
+    ss.sql(s"INSERT INTO $c.ns.t SELECT id % 500, id FROM range(0, 5000)")
+    val q = ss.sql(s"SELECT doc_id, count(*) AS n, sum(v) AS s FROM $c.ns.t GROUP BY doc_id")
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 0,
+      s"bucket-column aggregation must be Exchange-free:\n${plan.take(2500)}")
+    assert(rows.length == 500)
+    val probe = rows.find(_.getLong(0) == 7L).get
+    assert(probe.getLong(1) == 10 &&
+      probe.getLong(2) == (0 until 10).map(k => 7L + 500L * k).sum)
+  }
+
   test("every written file is bucket-pure with its id in the manifest; appends too") {
     val (ss, c) = freshCatalog("spj_pure")
     ss.sql(s"CREATE TABLE $c.ns.t (k STRING, v BIGINT) PARTITIONED BY (bucket(4, k))")
