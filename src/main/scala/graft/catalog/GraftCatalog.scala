@@ -2286,7 +2286,23 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       // storage-partitioned joins: group the pruned set by recorded
       // bucket id so the scan can report KeyGroupedPartitioning
       spjOf = files => bucketLayout.flatMap(bl =>
-        spjGroupsOf(bl, mf, files).map(gs => (bl, gs))))
+        spjGroupsOf(bl, mf, files).map(gs => (bl, gs))),
+      // runtime (DPP-style) skipping on the cluster columns: identity
+      // keys and time-transform BASE columns, where the layout makes
+      // per-file bounds tight (bucket hashes can never bound — excluded)
+      dppCols = m.clusterBy.map(ClusterSpec.parse).collect {
+        case (col, None) => col
+        case (col, Some(u)) if ClusterSpec.TimeUnits.contains(u) => col
+      }.filter(c => schemaV.fieldNames.exists(_.equalsIgnoreCase(c))),
+      runtimePrune = (cur, preds) => {
+        val es = preds.toSeq.flatMap(p => V2Preds.toCatalyst(p, schemaV))
+        if (es.isEmpty) cur
+        else {
+          val kept = SkipEval.prune(schemaV, cur, mf.stats, es)
+          SkipRecorder.record(s"$tableName#dpp", kept.size, mf.files.size)
+          kept
+        }
+      })
   }
 
   /** A bare delegate parquet Scan over an explicit file subset — the

@@ -482,4 +482,5 @@ object SkipRecorder {
   private val last = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
   def record(table: String, kept: Int, total: Int): Unit = last.put(table, (kept, total))
   def lastFor(table: String): Option[(Int, Int)] = Option(last.get(table))
+  def clear(table: String): Unit = last.remove(table)
 }

@@ -46,7 +46,9 @@ class SkippingScanBuilder(
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
       _ => java.util.Collections.emptyMap(),
     spjOf: Seq[String] => Option[(graft.catalog.BucketLayout, Seq[(Int, Seq[String])])] =
-      _ => None)
+      _ => None,
+    dppCols: Seq[String] = Nil,
+    runtimePrune: (Seq[String], Array[Predicate]) => Seq[String] = (fs, _) => fs)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
 
@@ -143,6 +145,12 @@ class SkippingScanBuilder(
       case Some((bl, groups)) =>
         new graft.catalog.BucketGroupedScan(groups, bl, filteredScanFor, prunedFiles,
           mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles))
+      case None if dppCols.nonEmpty =>
+        // clustered, unbucketed: serve runtime (DPP-style) file skipping
+        // on the cluster columns — join-key VALUES from the selective
+        // side re-prune the manifest before any fact byte is read
+        new graft.catalog.RuntimeSkippingScan(prunedFiles, filteredScanFor, dppCols,
+          runtimePrune, mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles))
       case None =>
         new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
           colStatsOf(prunedFiles))

@@ -1626,6 +1626,47 @@ object SqlVerbs {
          ON d.doc_id = f.doc_id
        GROUP BY d.doc_id"""
 
+  /** X-SQLd2 — RUNTIME file skipping (DSv2 dynamic partition pruning,
+    * RuntimeSkip.scala): a star probe with NO static fact predicate —
+    * `fact JOIN dim ON doc_id WHERE dim.region = 5` — prunes the
+    * clustered fact table's FILE LIST at execution time from the dim
+    * side's surviving doc_id values, through the same footer-stats
+    * evaluation static pushdown uses. The `dpp_pruned` flag is recorder-
+    * derived (kept < total); content is relational (the oracle replays
+    * the same region arithmetic). */
+  def sqlDpp(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensurePartTable(spark, dir) // doc_id-clustered fact
+    val Array(b) = Tables.documents(ss, dir).agg(
+      org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")),
+      org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("doc_id"))).collect()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // the dim derives from the corpus on THIS session (temp views are
+    // session-scoped; leaning on another fixture's view would make the
+    // query order-dependent across harnesses)
+    Tables.documents(ss, dir).createOrReplaceTempView("documents_src_dpp")
+    ss.sql(s"SELECT doc_id, ((doc_id - $mn) * 16) DIV (($mx - $mn) + 1) AS region " +
+      "FROM documents_src_dpp").createOrReplaceTempView("dim_dpp")
+    graft.catalog.SkipRecorder.clear(s"$t#dpp")
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, CAST(sum(f.n_chars) AS BIGINT) AS sum_chars
+          FROM $t f JOIN dim_dpp d ON f.doc_id = d.doc_id
+          WHERE d.region = 5""").head()
+    val pruned = graft.catalog.SkipRecorder.lastFor(s"$t#dpp")
+      .exists { case (kept, total) => kept < total && kept >= 1 }
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), pruned))
+      .toDF("n_docs", "sum_chars", "dpp_pruned")
+  }
+
+  def sqlDppOracleSql: String =
+    """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+            d AS (SELECT doc_id, ((doc_id - b.mn) * 16) // ((b.mx - b.mn) + 1) AS region
+                  FROM documents, b)
+       SELECT count(*) AS n_docs, CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+              true AS dpp_pruned
+       FROM documents f JOIN d ON f.doc_id = d.doc_id
+       WHERE d.region = 5"""
+
   def sqlSpjOracleSql: String =
     """SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
               CAST(sum(f.fp) AS BIGINT) AS sum_fp,
