@@ -44,6 +44,19 @@ class RuntimeSkippingScan(
   // Spark calls readSchema/description repeatedly during planning
   private lazy val whole = mkScanFor(files0)
 
+  // one delegate per DISTINCT kept list: toBatch's partition planning and
+  // factory creation both need it, and the common case (no runtime
+  // narrowing) reuses `whole` outright
+  private var keptScan: (Seq[String], Scan) = null
+  private def scanForKept(): Scan = synchronized {
+    val k = kept
+    if (k eq files0) whole
+    else {
+      if (keptScan == null || !(keptScan._1 eq k)) keptScan = (k, mkScanFor(k))
+      keptScan._2
+    }
+  }
+
   override def readSchema(): StructType = whole.readSchema()
   override def description(): String =
     s"graft runtime-skipping scan (cols: ${filterCols.mkString(", ")}) " +
@@ -57,9 +70,9 @@ class RuntimeSkippingScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      mkScanFor(kept).toBatch.planInputPartitions()
+      scanForKept().toBatch.planInputPartitions()
     override def createReaderFactory(): PartitionReaderFactory =
-      mkScanFor(kept).toBatch.createReaderFactory()
+      scanForKept().toBatch.createReaderFactory()
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
