@@ -165,6 +165,7 @@ object SparkEntry {
     "q_sql_partitioned"   -> ((s, d) => SqlVerbs.sqlPartitioned(s, d)),
     "q_sql_spj"           -> ((s, d) => SqlVerbs.sqlSpj(s, d)),
     "q_sql_spj_agg"       -> ((s, d) => SqlVerbs.sqlSpjAgg(s, d)),
+    "q_sql_mor_spj"       -> ((s, d) => SqlVerbs.sqlMorSpj(s, d)),
     "q_sql_dpp"           -> ((s, d) => SqlVerbs.sqlDpp(s, d)),
     "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
@@ -1067,6 +1068,7 @@ object SparkEntry {
     "q_sql_partitioned" -> SqlVerbs.sqlPartitionedOracleSql,
     "q_sql_spj" -> SqlVerbs.sqlSpjOracleSql,
     "q_sql_spj_agg" -> SqlVerbs.sqlSpjAggOracleSql,
+    "q_sql_mor_spj" -> SqlVerbs.sqlMorSpjOracleSql,
     "q_sql_dpp" -> SqlVerbs.sqlDppOracleSql,
     "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,

@@ -228,11 +228,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           s"not hive directories); got $other")
     }
     ClusterSpec.validate(clusterBy, schema)
-    require(clusterBy.flatMap(ClusterSpec.parseBucket).isEmpty ||
-      !properties.asScala.get(GraftTable.RowLevelModeProp).contains(GraftTable.MergeOnRead),
-      "bucketed tables are copy-on-write only: merge-on-read's delta inserts bypass " +
-        "the bucket-pure writer and would silently lose the storage-partitioned join " +
-        "property")
+    // bucket + merge-on-read compose since r15: MOR's delta-insert writer
+    // rides the same BucketFanoutFactory as every other write, so delta
+    // files stay bucket-pure and the continuous-upsert corpus keeps its
+    // storage-partitioned join (VERDICT r14 #3)
     // TBLPROPERTIES: Spark mixes its own reserved entries (provider,
     // owner, …) into the map; persist only user-owned keys. The one key
     // this catalog INTERPRETS is validated here so a typo fails the DDL,
@@ -307,6 +306,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             "graft catalog: added columns must be nullable (existing files have no values)")
           require(!schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists")
+          // a retired era's name must never be re-issued: manifest file
+          // stats are keyed by NAME and inherited through alter commits,
+          // so old files' stats for the retired column would answer for
+          // the new one while id-resolved reads null-fill it (ADVICE r14)
+          require(!FieldIds.allStamped(schema) ||
+            !FieldIds.nameCollidesWithRetired(m, add.fieldNames()(0), None),
+            s"column name '${add.fieldNames()(0)}' belonged to a retired schema era of " +
+              "this table; old files' name-keyed stats would answer for the new column " +
+              "while field-id reads null-fill it — pick a fresh name")
           requireSchemaChangeAllowed("ADD COLUMN")
           schema = FieldIds.addStamped(schema, m, add.fieldNames()(0), add.dataType())
           schemaChanged = true
@@ -322,6 +330,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             "graft catalog: RENAME COLUMN needs parquet field ids on every column " +
               "(a pre-field-id table would lose old files' data under the new name); " +
               "recreate the table to adopt ids")
+          // same retired-name hazard as ADD (a swap like a->tmp, b->a
+          // would put b's data under a's inherited name-keyed stats);
+          // renaming a column BACK to its own former name is same-id and
+          // stays allowed
+          require(!FieldIds.nameCollidesWithRetired(m, r.newName(),
+            schema.fields.find(_.name.equalsIgnoreCase(from)).flatMap(FieldIds.idOf)),
+            s"column name '${r.newName()}' belonged to a different column in a retired " +
+              "schema era of this table; old files' name-keyed stats would answer for " +
+              "the renamed column — pick a fresh name")
           requireSchemaChangeAllowed("RENAME COLUMN")
           schema = StructType(schema.fields.map(f =>
             if (f.name.equalsIgnoreCase(from)) f.copy(name = r.newName()) else f))
@@ -370,10 +387,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             require(GraftTable.RowLevelModes.contains(set.value()),
               s"${GraftTable.RowLevelModeProp} must be one of " +
                 s"${GraftTable.RowLevelModes.mkString("'", "', '", "'")}; got '${set.value()}'")
-            require(set.value() != GraftTable.MergeOnRead ||
-              clusterBy.flatMap(ClusterSpec.parseBucket).isEmpty,
-              "bucketed tables are copy-on-write only (MOR delta inserts bypass the " +
-                "bucket-pure writer)")
+            // bucket + MOR compose since r15 (delta inserts fan out
+            // bucket-pure) — no layout restriction on the mode switch
           }
           if (set.property() == GraftTable.BloomColumnsProp)
             set.value().split(',').map(_.trim).filter(_.nonEmpty).foreach(c =>
@@ -640,6 +655,20 @@ private[graft] object FieldIds {
     if (!allStamped(working)) working.add(name, dt, nullable = true) // legacy: stay id-free
     else StructType(working.fields :+ withId(
       StructField(name, dt, nullable = true), nextId(m, working)))
+
+  /** Would giving `name` to the column with field id `id` (None = a
+    * fresh ADD) collide with a RETIRED use of that name — the same name
+    * on a DIFFERENT field id in the stored current schema or any retired
+    * era? Manifest file stats ([[FileStats]]) are keyed by column NAME
+    * and inherited through alter commits, so reusing a retired name
+    * would let old files' stats for the retired column answer for the
+    * new one while id-resolved reads null-fill it — e.g. SkipEval's
+    * IsNull pruning a file whose rows all read as NULL (ADVICE r14).
+    * Renaming a column back to a name it itself held is fine: same id,
+    * same stats, same column. */
+  def nameCollidesWithRetired(m: TableMeta, name: String, id: Option[Long]): Boolean =
+    (m.schema +: m.schemas.values.toSeq).exists(_.fields.exists(f =>
+      f.name.equalsIgnoreCase(name) && (id.isEmpty || idOf(f) != id)))
 
   /** Has any column visible in `schemaV` carried a DIFFERENT name in
     * some other schema era of this table? If so, files from that era
@@ -1036,18 +1065,47 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
             else {
               val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
               val bloomOpts = new GraftTable(table, dir, pinnedVersion = None).bloomWriteOptions
-              Dv.maskedFrame(spark, dir, m.schema, selected,
-                  mf.dvs.view.filterKeys(selectedSet).toMap)
-                .coalesce(math.min(target, selected.size))
-                .write.options(bloomOpts).parquet(staging.toString)
-              val s = Files.list(staging)
+              val bucketLayout = m.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
+              bucketLayout match {
+                case Some(_) =>
+                  // a bucketed MOR table's selective materialization must
+                  // stay bucket-pure: each selected file's replacement is
+                  // written under its own b<id> staging subdir (the same
+                  // bucket channel as the full bucketed compact below)
+                  require(selected.forall(f => mf.stats.get(f).flatMap(_.bucket).isDefined),
+                    s"$table: bucketed manifest has vectored files without bucket ids")
+                  selected.groupBy(f => mf.stats(f).bucket.get).toSeq.sortBy(_._1)
+                    .foreach { case (b, fs) =>
+                      Dv.maskedFrame(spark, dir, m.schema, fs,
+                          mf.dvs.view.filterKeys(fs.toSet).toMap)
+                        .coalesce(math.max(1, math.min(target, fs.size)))
+                        .write.options(bloomOpts)
+                        .parquet(staging.resolve(s"b$b").toString)
+                    }
+                case None =>
+                  Dv.maskedFrame(spark, dir, m.schema, selected,
+                      mf.dvs.view.filterKeys(selectedSet).toMap)
+                    .coalesce(math.min(target, selected.size))
+                    .write.options(bloomOpts).parquet(staging.toString)
+              }
+              val s = Files.walk(staging)
               val abs = try s.iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+                .filter(p => Files.isRegularFile(p) &&
+                  p.getFileName.toString.endsWith(".parquet")).toSeq
               finally s.close()
               val rel = abs.map(p => dir.relativize(p).toString)
               val t0 = new GraftTable(table, dir, pinnedVersion = None)
-              val stats = FooterStats.collect(dir, abs, m.schema,
+              val stats0 = FooterStats.collect(dir, abs, m.schema,
                 spark.sessionState.newHadoopConf(), requireIdsAs = t0.idRequirement)
+              val stats =
+                if (bucketLayout.isEmpty) stats0
+                else stats0.map { case (r0, fs) =>
+                  val parent = java.nio.file.Paths.get(r0).getParent.getFileName.toString
+                  val b = "^b(\\d+)$".r.findFirstMatchIn(parent).map(_.group(1).toInt)
+                    .getOrElse(throw new IllegalStateException(
+                      s"$table: staged file '$r0' outside a bucket subdir on bucketed compact"))
+                  r0 -> fs.copy(bucket = Some(b))
+                }
               t0.commitVersion(
                 "compact", m.latest, rel, replace = true, newStats = stats,
                 dataChange = false, replacedFiles = Some(selected))
@@ -1081,7 +1139,9 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                 // same-cluster union write is NOT an option — Spark 4's
                 // partitioning-aware UnionExec zips equal-partitioned
                 // children into shared partitions, interleaving buckets.
-                // (Bucketed tables are COW-only, so no vectors to mask.)
+                // Vectored members (MOR × bucket, r15) read MASKED, so
+                // this rewrite also materializes their tombstones away —
+                // masking removes rows, never moves them across buckets.
                 require(mf.files.forall(f => mf.stats.get(f).flatMap(_.bucket).isDefined),
                   s"$table: bucketed manifest has files without bucket ids; " +
                     "compacting them would break the storage-partitioned join layout")
@@ -1093,8 +1153,8 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                   val futures = groups.map { case (b, fs) =>
                     pool.submit(new java.util.concurrent.Callable[Unit] {
                       override def call(): Unit =
-                        shape(spark.read.schema(m.schema)
-                          .parquet(fs.map(f => dir.resolve(f).toString): _*), perGroup)
+                        shape(Dv.maskedFrame(spark, dir, m.schema, fs,
+                            mf.dvs.view.filterKeys(fs.toSet).toMap), perGroup)
                           .write.options(bloomOpts)
                           .parquet(staging.resolve(s"b$b").toString)
                     })
@@ -1584,10 +1644,8 @@ private[catalog] class SetClusteringProcedure(cat: GraftCatalog)
                 "reference files whose recorded bucket ids were computed under the " +
                 "old layout; expire them first, or INSERT OVERWRITE into a freshly " +
                 "bucketed table")
-            require(!m.props.get(GraftTable.RowLevelModeProp)
-              .contains(GraftTable.MergeOnRead),
-              "bucketed tables are copy-on-write only (MOR delta inserts bypass the " +
-                "bucket-pure writer)")
+            // MOR + bucket compose since r15 (delta inserts fan out
+            // bucket-pure) — no mode restriction here either
           }
           TableMeta.write(dir, m.copy(clusterBy = clusterBy),
             expectedLatest = Some(m.latest))
@@ -2193,13 +2251,16 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     meta.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
 
   /** Per-bucket file groups of `files` under `mf`, when EVERY file has a
-    * recorded bucket id and none carries a deletion vector — the
-    * precondition for reporting [[KeyGroupedPartitioning]]. None →
+    * recorded bucket id — the precondition for reporting
+    * [[KeyGroupedPartitioning]]. Files carrying deletion vectors group
+    * like any other (since r15): masking removes rows, never moves them
+    * across buckets, so the scan serves those members through the
+    * addressed/masked path per group (see SkippingScanBuilder). None →
     * ordinary scan (never wrong). */
   private[catalog] def spjGroupsOf(bl: BucketLayout, mf: Commit,
                                    files: Seq[String]): Option[Seq[(Int, Seq[String])]] = {
     val buckets = files.map(f => mf.stats.get(f).flatMap(_.bucket))
-    if (buckets.exists(_.isEmpty) || files.exists(mf.dvs.contains)) None
+    if (buckets.exists(_.isEmpty)) None
     else Some(files.zip(buckets.map(_.get)).groupBy(_._2).toSeq
       .map { case (b, fs) => (b, fs.map(_._1)) }.sortBy(_._1))
   }
@@ -2379,8 +2440,12 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         Dv.write(new org.apache.hadoop.fs.Path(dir.resolve(rel).toUri), mergedArr, conf)
         f -> DvRef(rel, mergedArr.length.toLong)
       }
+      // delta insert files carry their bucket id into the manifest like
+      // every other commit (bucket-pure by the fanout writer), so the
+      // MOR table keeps serving storage-partitioned joins
       commitVersion("rowdelta", baseVersion, newFiles, replace = true,
-        newStats = newStats, replacedFiles = Some(Nil), dvUpdates = dvUpdates)
+        newStats = withBucketIds(newStats), replacedFiles = Some(Nil),
+        dvUpdates = dvUpdates)
     }
   }
 
@@ -2623,6 +2688,14 @@ private[catalog] object GraftTable {
     if (!bucketed) f
     else fanoutProtocolLock.synchronized {
       val ss = SparkSession.active
+      // the fanout protocol's commitTask skips OutputCommitCoordinator
+      // arbitration (synthetic per-bucket task ids overflow its per-stage
+      // state) — with speculation on, duplicate attempts of one task
+      // could BOTH commit (duplicate rows). Enforce the operational rule
+      // instead of documenting it (ADVICE r14).
+      require(!ss.sparkContext.getConf.getBoolean("spark.speculation", false),
+        "bucketed-table writes require spark.speculation=false: the bucket-fanout " +
+          "commit protocol has no speculative-attempt arbitration")
       val key = "spark.sql.sources.commitProtocolClass"
       val old = ss.conf.getOption(key)
       ss.conf.set(key,

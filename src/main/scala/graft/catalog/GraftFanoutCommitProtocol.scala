@@ -45,3 +45,32 @@ class GraftFanoutCommitProtocol(jobId: String, path: String,
       (Map.empty[String, String], Set.empty[String]))
   }
 }
+
+/** Merges the per-bucket delegate writers' task-commit messages into ONE
+  * (ADVICE r14: returning only the first bucket's message under-reported
+  * numOutputRows/files/bytes on multi-bucket tasks). Same-package shim
+  * rationale as the protocol above: WriteTaskResult and its stats types
+  * are public bytecode, `private[sql]` by package convention. */
+object FanoutMessages {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  import org.apache.spark.sql.execution.datasources.{BasicWriteTaskStats, ExecutedWriteSummary, WriteTaskResult}
+
+  def merge(msgs: Seq[WriterCommitMessage]): WriterCommitMessage = {
+    val results = msgs.collect { case r: WriteTaskResult => r }
+    // unknown message shapes can't be merged generically — report the
+    // first, the pre-r15 behavior (metrics-only downgrade, never wrong)
+    if (results.length != msgs.length || results.isEmpty) return msgs.head
+    val mergedStats = results.map(_.summary.stats).reduce { (a, b) =>
+      a.zip(b).map {
+        case (x: BasicWriteTaskStats, y: BasicWriteTaskStats) =>
+          BasicWriteTaskStats(x.partitions ++ y.partitions, x.numFiles + y.numFiles,
+            x.numBytes + y.numBytes, x.numRows + y.numRows)
+        case (x, _) => x // custom trackers: keep the first bucket's entry
+      }
+    }
+    // the fanout protocol's per-task payloads are empty (no abs-path
+    // files, no dynamic partitions) and identical — the head's suffices
+    WriteTaskResult(results.head.commitMsg, ExecutedWriteSummary(
+      results.flatMap(_.summary.updatedPartitions).toSet, mergedStats))
+  }
+}

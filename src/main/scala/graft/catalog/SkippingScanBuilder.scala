@@ -139,12 +139,28 @@ class SkippingScanBuilder(
     if (dataSchema.isEmpty)
       new ForwardingScan(ensureDelegate().build(), mkStream, rowsOf(prunedFiles),
         colStatsOf(prunedFiles))
-    else if (!wantFile && !wantPos && vectored.isEmpty) spjOf(prunedFiles) match {
+    else if (!wantFile && !wantPos) spjOf(prunedFiles) match {
       // a fully-bucketed pruned set reports KeyGroupedPartitioning so
-      // co-bucketed catalog joins plan with zero Exchange (Spj.scala)
+      // co-bucketed catalog joins plan with zero Exchange (Spj.scala);
+      // since r15 deletion vectors no longer break the grouping — masked
+      // members are served addressed INSIDE their bucket group
       case Some((bl, groups)) =>
         new graft.catalog.BucketGroupedScan(groups, bl, filteredScanFor, prunedFiles,
-          mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles))
+          mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles),
+          dv = addr.map(a => graft.catalog.BucketDv(a, bareScanFor)))
+      case None if vectored.nonEmpty =>
+        // vectored, unbucketed: the clean bulk keeps the fast path (one
+        // bin-packed, filter-pushed, vectorized delegate); vectored files
+        // ride the addressed/masked path
+        val a = addr.getOrElse(throw new IllegalStateException(
+          "deletion vectors in scope but this scan has no address support"))
+        val clean = prunedFiles.filterNot(a.isVectored)
+        val addressed = new graft.catalog.AddressedScan(() => vectored, bareScanFor,
+          dataSchema.get, wantFile = false, wantPos = false, a.addrOf, a.conf)
+        new graft.catalog.SplitScan(filteredScanFor(clean), addressed,
+          addressed.readSchema(), mkStream,
+          manifestRows = rowsOf(prunedFiles), manifestBytes = bytesOf(prunedFiles),
+          manifestColStats = colStatsOf(prunedFiles))
       case None if dppCols.nonEmpty =>
         // clustered, unbucketed: serve runtime (DPP-style) file skipping
         // on the cluster columns — join-key VALUES from the selective
@@ -162,11 +178,12 @@ class SkippingScanBuilder(
       // toMicroBatchStream fails loudly.
       new graft.catalog.FileTaggedScan(() => prunedFiles, filteredScanFor, dataSchema.get)
     else {
-      // Deletion vectors in scope and/or `_pos` requested: those reads
-      // need ROW ADDRESSES, which only the per-file, filter-free
-      // addressed path provides. Files that need neither stay on the
-      // fast path (one bin-packed, filter-pushed, vectorized delegate) —
-      // a table's unvectored bulk never pays for its vectored tail.
+      // Metadata columns requested with deletion vectors in scope and/or
+      // `_pos` requested: those reads need ROW ADDRESSES, which only the
+      // per-file, filter-free addressed path provides. Files that need
+      // neither stay on the fast path (one bin-packed, filter-pushed,
+      // vectorized delegate) — a table's unvectored bulk never pays for
+      // its vectored tail.
       val a = addr.getOrElse(throw new IllegalStateException(
         s"${graft.catalog.Dv.PosCol} requested but this scan has no address support"))
       val data = dataSchema.get

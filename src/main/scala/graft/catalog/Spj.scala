@@ -40,9 +40,11 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   *    (`spark.sql.sources.v2.bucketing.enabled`). Any file without a
   *    bucket id falls back to the ordinary scan — slower, never wrong.
   *
-  * Scope guard: bucketed tables are copy-on-write only (MOR's delta
-  * inserts ride their own writer and would stage bucket-less files;
-  * refused at DDL rather than silently losing the join property).
+  * Merge-on-read composes with the layout (since r15, VERDICT r14 #3):
+  * MOR's delta-insert writer rides the same [[BucketFanoutFactory]], so
+  * reinsert files stay bucket-pure, and the scan serves deletion-
+  * vectored members masked INSIDE their bucket groups — the
+  * continuous-upsert corpus keeps the shuffle-free join.
   */
 private[graft] object GraftBucket {
   val FnName = "bucket"
@@ -89,6 +91,11 @@ private[graft] object GraftBucket {
     * (pid*n+b) far from Int overflow and the per-task writer array
     * small. */
   val MaxBuckets = 10000
+
+  /** Largest write-task partition id whose synthetic split ids
+    * (pid*n .. pid*n + n-1) all stay non-negative Ints — the overflow
+    * guard of the fanout writer (ADVICE r14). */
+  def maxSafePartition(n: Int): Int = (Int.MaxValue - (n - 1)) / n
 
   /** Parse a staged file's bucket id back out of its name. The delegate
     * parquet writer names files `part-<split>-<uuid>…`; the fanout
@@ -186,7 +193,15 @@ private[catalog] case class BucketFanoutFactory(inner: DataWriterFactory, n: Int
     extends DataWriterFactory {
   require(ordinal >= 0, "bucket column missing from the write schema")
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // the synthetic split id is Int arithmetic AND the file-name channel
+    // that carries the bucket to the manifest — an overflowed (wrapped or
+    // negative) id could collide two tasks' file names within one job
+    // (silent overwrite) and mis-decode the bucket, so fail loudly long
+    // before it can (ADVICE r14)
+    require(partitionId >= 0 && partitionId <= GraftBucket.maxSafePartition(n),
+      s"bucket fanout split id would overflow Int (partition $partitionId x $n buckets); " +
+        "repartition the bucketed write to fewer tasks or lower the bucket count")
     new DataWriter[InternalRow] {
       private val writers = new Array[DataWriter[InternalRow]](n)
       private def writerFor(b: Int): DataWriter[InternalRow] = {
@@ -199,13 +214,17 @@ private[catalog] case class BucketFanoutFactory(inner: DataWriterFactory, n: Int
       override def commit(): WriterCommitMessage = {
         // an empty partition still owes the protocol one message — commit
         // a rowless bucket-0 writer, mirroring the unfanned path's
-        // empty-file behavior
+        // empty-file behavior. A multi-bucket task MERGES its delegates'
+        // messages so output metrics (numOutputRows/files/bytes) count
+        // every bucket, not just the first (ADVICE r14)
         val msgs = writers.filter(_ != null).map(_.commit())
-        if (msgs.nonEmpty) msgs.head else writerFor(0).commit()
+        if (msgs.isEmpty) writerFor(0).commit()
+        else org.apache.spark.sql.graft.FanoutMessages.merge(msgs.toSeq)
       }
       override def abort(): Unit = writers.filter(_ != null).foreach(_.abort())
       override def close(): Unit = writers.filter(_ != null).foreach(_.close())
     }
+  }
 }
 
 /** One delegate split + the bucket key of the file it reads — the
@@ -229,12 +248,26 @@ private[catalog] case class BucketKeyReaderFactory(inner: PartitionReaderFactory
     inner.supportColumnarReads(p.asInstanceOf[BucketKeyPartition].inner)
 }
 
+/** Deletion-vector support for bucket groups (r15, VERDICT r14 #3): the
+  * manifest's address support plus a filter-free per-file scan
+  * constructor (position stability — see [[Dv]]). */
+case class BucketDv(addr: AddrSupport, bareScanFor: Seq[String] => Scan)
+
 /** The SPJ scan: the pruned file set grouped by recorded bucket id, one
   * delegate scan per group (filters still pushed — this is a READ path,
   * row-group pruning inside kept files survives), every partition
   * keyed, the whole scan reporting [[KeyGroupedPartitioning]] over the
   * table's bucket transform. Statistics forward from the manifest like
-  * every other catalog scan, so CBO sizing is unchanged. */
+  * every other catalog scan, so CBO sizing is unchanged.
+  *
+  * Files carrying DELETION VECTORS (`dv` set and the manifest marks
+  * members vectored — the MOR×SPJ composition) stay inside their bucket
+  * group: masking removes rows, never moves them, so each group plans
+  * its clean members through the filter-pushed delegate and its
+  * vectored members through the addressed/masked path ([[AddrPartition]]
+  * under a [[SplitPartition]] route), all still keyed by the group's
+  * bucket. The continuous-upsert corpus keeps its shuffle-free join
+  * with vectors in scope. */
 class BucketGroupedScan(
     groups: Seq[(Int, Seq[String])],
     layout: BucketLayout,
@@ -244,15 +277,21 @@ class BucketGroupedScan(
     manifestRows: Option[Long],
     manifestColStats: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
-      org.apache.spark.sql.connector.read.colstats.ColumnStatistics])
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics],
+    dv: Option[BucketDv] = None)
     extends Scan with SupportsReportPartitioning with SupportsReportStatistics {
 
   private lazy val whole = mkScanFor(allFiles)
 
+  /** Whether ANY in-scope file is vectored — decided ONCE from the
+    * immutable file set, so partition shape and reader-factory routing
+    * can never disagree. */
+  private val anyVectored: Boolean = dv.exists(d => allFiles.exists(d.addr.isVectored))
+
   override def readSchema(): StructType = whole.readSchema()
   override def description(): String =
     s"graft bucket-grouped scan (bucket(${layout.numBuckets}, ${layout.column}), " +
-      s"${groups.size} groups)"
+      s"${groups.size} groups${if (anyVectored) ", dv-masked members" else ""})"
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -281,11 +320,43 @@ class BucketGroupedScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       groups.flatMap { case (bucket, files) =>
-        mkScanFor(files).toBatch.planInputPartitions()
-          .map(p => BucketKeyPartition(p, bucket): InputPartition)
+        val parts: Seq[InputPartition] =
+          if (!anyVectored) mkScanFor(files).toBatch.planInputPartitions().toSeq
+          else {
+            // masked members plan per file, filter-free (position
+            // stability); clean members keep the fast filter-pushed
+            // delegate — both under the SplitPartition route so one
+            // reader factory serves the whole scan
+            val d = dv.get
+            val (vec, clean) = files.partition(d.addr.isVectored)
+            val cleanParts =
+              if (clean.isEmpty) Seq.empty[InputPartition]
+              else mkScanFor(clean).toBatch.planInputPartitions().toSeq
+                .map(p => SplitPartition(p, addressed = false): InputPartition)
+            val vecParts = vec.flatMap { f =>
+              val (abs, blob) = d.addr.addrOf(f)
+              d.bareScanFor(Seq(f)).toBatch.planInputPartitions().toSeq
+                .map(p => SplitPartition(AddrPartition(p, f, abs, blob),
+                  addressed = true): InputPartition)
+            }
+            cleanParts ++ vecParts
+          }
+        parts.map(p => BucketKeyPartition(p, bucket): InputPartition)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      BucketKeyReaderFactory(whole.toBatch.createReaderFactory())
+      if (!anyVectored) BucketKeyReaderFactory(whole.toBatch.createReaderFactory())
+      else {
+        val d = dv.get
+        val clean = allFiles.filterNot(d.addr.isVectored)
+        val vec = allFiles.filter(d.addr.isVectored)
+        BucketKeyReaderFactory(SplitReaderFactory(
+          // factories are file-agnostic (schema + pushdown only) — an
+          // empty clean side still builds one safely over the full set
+          mkScanFor(if (clean.isEmpty) allFiles else clean)
+            .toBatch.createReaderFactory(),
+          AddrReaderFactory(d.bareScanFor(vec).toBatch.createReaderFactory(),
+            d.addr.conf, wantFile = false, wantPos = false)))
+      }
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

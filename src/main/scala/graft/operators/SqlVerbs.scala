@@ -1362,6 +1362,15 @@ object SqlVerbs {
   private val mvRefreshInfo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, Long)]()
 
+  /** Per-leg wall-clock of the MV chain build, keyed by catalog — Bench
+    * reports each as a `sql_mv_chain:<leg>` store row so fixture-cost
+    * growth names its leg in the artifact (VERDICT r14 #7). */
+  private val mvPhases =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+
+  private[graft] def mvPhaseTimings(dir: String): Seq[(String, Double)] =
+    Option(mvPhases.get(catName(dir))).getOrElse(Nil)
+
   /** The MV fixture: source table clustered by the MV's group key (so
     * the affected-key recompute scan PRUNES — MvSpec pins that with the
     * recorder; here the bench chain just exercises the path end-to-end),
@@ -1374,44 +1383,64 @@ object SqlVerbs {
     val key = s"$cat-mv"
     if (!built.contains(key)) built.synchronized {
       if (!built.contains(key)) {
+        val legs = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        def leg[T](name: String)(work: => T): T = {
+          val t0 = System.nanoTime()
+          val out = work
+          legs += name -> (System.nanoTime() - t0) / 1e9
+          out
+        }
         Tables.documents(ss, dir).createOrReplaceTempView("documents_src_mv")
-        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, " +
-          "n_chars BIGINT) PARTITIONED BY (lang)")
-        ss.sql(s"""INSERT INTO $t
-                   SELECT doc_id, lang, source, n_chars FROM documents_src_mv
-                   WHERE doc_id % 10 < 8""")
-        ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mv', " +
-          "source => 'main.docs_mvsrc', keys => 'lang', " +
-          "aggs => 'n_docs:count,sum_chars:sum(n_chars),max_chars:max(n_chars)')")
+        leg("src_ingest") {
+          ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, source STRING, " +
+            "n_chars BIGINT) PARTITIONED BY (lang)")
+          ss.sql(s"""INSERT INTO $t
+                     SELECT doc_id, lang, source, n_chars FROM documents_src_mv
+                     WHERE doc_id % 10 < 8""")
+        }
+        leg("create_mv")(
+          ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mv', " +
+            "source => 'main.docs_mvsrc', keys => 'lang', " +
+            "aggs => 'n_docs:count,sum_chars:sum(n_chars),max_chars:max(n_chars)')"))
         // the FILTERED twin (r13 #4): same source, a row filter — the
         // affected-key recompute re-applies it per refresh, so churn
         // moving rows across the threshold is exact
-        ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mvw', " +
-          "source => 'main.docs_mvsrc', keys => 'lang', " +
-          "aggs => 'n_docs:count,sum_chars:sum(n_chars)', " +
-          s"where => 'n_chars >= $ShortDocChars')")
-        ss.sql(s"UPDATE $t SET lang = 'und' WHERE n_chars < $ShortDocChars")
-        ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0")
-        ss.sql(s"""MERGE INTO $t t
-                   USING (SELECT doc_id, lang, source, n_chars FROM documents_src_mv
-                          WHERE doc_id % 10 >= 5) s
-                   ON t.doc_id = s.doc_id
-                   WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
-                   WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
-                     VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
-        val r1 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head()
-        val w1 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mvw')").head()
+        leg("create_mvw")(
+          ss.sql(s"CALL $cat.system.create_mv(view => 'main.docs_mvw', " +
+            "source => 'main.docs_mvsrc', keys => 'lang', " +
+            "aggs => 'n_docs:count,sum_chars:sum(n_chars)', " +
+            s"where => 'n_chars >= $ShortDocChars')"))
+        leg("verb_churn") {
+          ss.sql(s"UPDATE $t SET lang = 'und' WHERE n_chars < $ShortDocChars")
+          ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0")
+          ss.sql(s"""MERGE INTO $t t
+                     USING (SELECT doc_id, lang, source, n_chars FROM documents_src_mv
+                            WHERE doc_id % 10 >= 5) s
+                     ON t.doc_id = s.doc_id
+                     WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+                     WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+                       VALUES (s.doc_id, s.lang, s.source, s.n_chars)""")
+        }
+        val r1 = leg("refresh1_mv")(
+          ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head())
+        val w1 = leg("refresh1_mvw")(
+          ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mvw')").head())
         // the targeted commit: one lang (deterministic: the smallest),
         // half its docs — the second refresh must narrow to that key.
         // The +10 also pushes near-threshold docs INTO the filtered
         // twin's set (the enter/leave case the filter must get right).
-        val minLang = ss.sql(s"SELECT min(lang) FROM $t").head().getString(0)
-        ss.sql(s"UPDATE $t SET n_chars = n_chars + 10 " +
-          s"WHERE lang = '$minLang' AND doc_id % 2 = 0")
-        val r2 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head()
-        val w2 = ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mvw')").head()
+        leg("targeted_update") {
+          val minLang = ss.sql(s"SELECT min(lang) FROM $t").head().getString(0)
+          ss.sql(s"UPDATE $t SET n_chars = n_chars + 10 " +
+            s"WHERE lang = '$minLang' AND doc_id % 2 = 0")
+        }
+        val r2 = leg("refresh2_mv")(
+          ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mv')").head())
+        val w2 = leg("refresh2_mvw")(
+          ss.sql(s"CALL $cat.system.refresh_mv(view => 'main.docs_mvw')").head())
         mvRefreshInfo.put(cat, (r1.getString(2), r2.getString(2), r2.getLong(3)))
         mvRefreshInfo.put(s"$cat#w", (w1.getString(2), w2.getString(2), w2.getLong(3)))
+        mvPhases.put(cat, legs.toSeq)
         built.add(key)
       }
     }
@@ -1569,7 +1598,7 @@ object SqlVerbs {
     * from overlapping document slices (so the join is selective on both
     * sides), each through the ordinary INSERT path — bucket purity and
     * manifest bucket ids come entirely from the write contract. */
-  private def ensureSpjTables(spark: SparkSession, dir: String): (SparkSession, String, String) = {
+  private[graft] def ensureSpjTables(spark: SparkSession, dir: String): (SparkSession, String, String) = {
     val cat = catName(dir)
     val docsT = s"$cat.main.docs_bkt"
     val statsT = s"$cat.main.stats_bkt"
@@ -1602,21 +1631,112 @@ object SqlVerbs {
     * plan-derived; content is relational per doc_id. */
   def sqlSpjAgg(spark: SparkSession, dir: String): DataFrame = {
     val (ss, docsT, statsT) = ensureSpjTables(spark, dir)
+    // The SHUFFLE_MERGE hint pins the sort-merge SPJ path — a broadcast
+    // join would also be Exchange-free here but would measure nothing —
+    // without session-conf fiddling, so the flag below AND the harness's
+    // later timed execution exercise the same plan.
+    val agg = ss.sql(
+      s"""SELECT /*+ SHUFFLE_MERGE(d) */ d.doc_id, count(*) AS n,
+                 CAST(sum(d.n_chars + f.fp) AS BIGINT) AS total
+          FROM $docsT d JOIN $statsT f ON d.doc_id = f.doc_id
+          GROUP BY d.doc_id""")
+    // Plan-derived verdict folded in as a literal column (the
+    // q_bloom_prune pattern; VERDICT r14 #8 — no driver-side collect of
+    // the rollup). The pre-execution physical plan is authoritative for
+    // exchange-freeness: AQE can only REMOVE or convert exchanges at
+    // runtime, never introduce one.
+    val exchangeFree = "Exchange (hash|range)partitioning".r
+      .findAllIn(agg.queryExecution.executedPlan.toString).isEmpty
+    agg.withColumn("exchange_free", org.apache.spark.sql.functions.lit(exchangeFree))
+  }
+
+  /** X-SQLs3 — SPJ × MERGE-ON-READ (VERDICT r14 #3): the continuous-
+    * upsert corpus carries the bucket layout. A bucketed table in
+    * merge-on-read mode takes a takedown DELETE (deletion vectors — no
+    * data file moves) and a re-ingest MERGE (delta: vectors + bucket-pure
+    * reinsert files via the same fanout writer as every other write),
+    * then joins a co-bucketed stats table with ZERO Exchange — vectored
+    * members served masked INSIDE their bucket groups. Flags are
+    * plan-derived (`exchange_free`, `dv_masked`); content is relational
+    * (the oracle replays the verb chain). Before r15 this table was the
+    * one table that could NOT have the shuffle-free join. */
+  def sqlMorSpj(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, morT, statsT) = ensureMorSpjTables(spark, dir)
     val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
     ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val agg = ss.sql(
-        s"""SELECT d.doc_id, count(*) AS n, CAST(sum(d.n_chars + f.fp) AS BIGINT) AS total
-            FROM $docsT d JOIN $statsT f ON d.doc_id = f.doc_id
-            GROUP BY d.doc_id""")
-      val rows = agg.collect() // execute so the adaptive plan is final
-      val plan = agg.queryExecution.executedPlan.toString
+      val j = ss.sql(
+        s"""SELECT d.doc_id, d.n_chars, f.fp
+            FROM $morT d JOIN $statsT f ON d.doc_id = f.doc_id""")
+      val plan = j.queryExecution.executedPlan.toString
       val exchangeFree = "Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty
+      // the MOR side's scan must be the bucket-grouped one WITH masked
+      // members (vectors in scope), not a fallback
+      val dvMasked = plan.contains("dv-masked members")
+      val agg = j.groupBy().agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_chars"),
+        org.apache.spark.sql.functions.sum("fp")).head()
       import ss.implicits._
-      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), exchangeFree)).toSeq
-        .toDF("doc_id", "n", "total", "exchange_free")
+      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), exchangeFree, dvMasked))
+        .toDF("n_joined", "sum_chars", "sum_fp", "exchange_free", "dv_masked")
     } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  /** The MOR×SPJ pair: a bucket(16, doc_id) merge-on-read docs table
+    * taken through takedown DELETE (vectors) + re-ingest MERGE (delta
+    * reinserts), and a co-bucketed copy-on-write stats table. */
+  private[graft] def ensureMorSpjTables(spark: SparkSession, dir: String)
+      : (SparkSession, String, String) = {
+    val cat = catName(dir)
+    val morT = s"$cat.main.docs_morb"
+    val statsT = s"$cat.main.stats_morb"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-morspj"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_morspj")
+        ss.sql(s"CREATE TABLE $morT (doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+          "PARTITIONED BY (bucket(16, doc_id)) " +
+          "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+        ss.sql(s"CREATE TABLE $statsT (doc_id BIGINT, fp BIGINT) " +
+          "PARTITIONED BY (bucket(16, doc_id))")
+        ss.sql(s"INSERT INTO $morT SELECT doc_id, lang, n_chars " +
+          "FROM documents_src_morspj WHERE doc_id % 10 < 8")
+        ss.sql(s"INSERT INTO $statsT SELECT doc_id, n_chars % 1000 " +
+          "FROM documents_src_morspj WHERE doc_id % 2 = 0")
+        // takedown: deletion vectors only, no data file moves
+        ss.sql(s"DELETE FROM $morT WHERE doc_id % $TakedownMod = 0")
+        // re-ingest: updates become vector + bucket-pure reinsert files
+        ss.sql(s"""MERGE INTO $morT t
+                   USING (SELECT doc_id, lang, n_chars FROM documents_src_morspj
+                          WHERE doc_id % 10 >= 5) s
+                   ON t.doc_id = s.doc_id
+                   WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+                   WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                     VALUES (s.doc_id, s.lang, s.n_chars)""")
+        built.add(key)
+      }
+    }
+    (ss, morT, statsT)
+  }
+
+  def sqlMorSpjOracleSql: String =
+    s"""WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8),
+            v2 AS (SELECT * FROM v1 WHERE doc_id % $TakedownMod <> 0),
+            src AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 >= 5),
+            v3 AS (
+              SELECT t.doc_id, t.lang, s.n_chars + 1 AS n_chars
+              FROM v2 t JOIN src s USING (doc_id)
+              UNION ALL
+              SELECT t.* FROM v2 t ANTI JOIN src s USING (doc_id)
+              UNION ALL
+              SELECT s.* FROM src s ANTI JOIN v2 t USING (doc_id)),
+            f AS (SELECT doc_id, n_chars % 1000 AS fp FROM documents WHERE doc_id % 2 = 0)
+        SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(f.fp) AS BIGINT) AS sum_fp,
+               true AS exchange_free, true AS dv_masked
+        FROM v3 d JOIN f ON d.doc_id = f.doc_id"""
 
   def sqlSpjAggOracleSql: String =
     """SELECT d.doc_id, count(*) AS n, CAST(sum(d.n_chars + f.fp) AS BIGINT) AS total,
@@ -1691,7 +1811,7 @@ object SqlVerbs {
     ss.sql(s"SELECT doc_id, lang, source, n_chars FROM $t")
   }
 
-  private def ensureRebaseChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+  private[graft] def ensureRebaseChain(spark: SparkSession, dir: String): (SparkSession, String) = {
     val cat = catName(dir)
     val t = s"$cat.main.docs_rb"
     val bt = s"$t.branch_audit"
@@ -1751,7 +1871,7 @@ object SqlVerbs {
       .toDF("metric", "value")
   }
 
-  private def ensureRenameChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+  private[graft] def ensureRenameChain(spark: SparkSession, dir: String): (SparkSession, String) = {
     val cat = catName(dir)
     val t = s"$cat.main.docs_rn"
     val ss = catalogSession(spark, dir)

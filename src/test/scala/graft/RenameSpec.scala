@@ -129,4 +129,30 @@ class RenameSpec extends AnyFunSuite {
     ss.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")
     assert(ss.sql(s"SELECT w FROM $t WHERE doc_id = 1").head().getString(0) == "a")
   }
+
+  test("retired names are never re-issued: DROP+ADD and rename swaps refuse") {
+    // Manifest file stats are keyed by column NAME and inherited through
+    // alter commits; reusing a retired name would let old files' stats
+    // answer for the NEW column while field-id reads null-fill it —
+    // SkipEval could prune files whose rows all read NULL (ADVICE r14).
+    val (ss, c) = freshCatalog("rn_retired")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, score BIGINT, v STRING)")
+    ss.sql(s"INSERT INTO $t SELECT id, id * 3, concat('x', CAST(id AS STRING)) FROM range(0, 40)")
+    ss.sql(s"ALTER TABLE $t DROP COLUMN score")
+    // DROP c + ADD c: the stats hazard verbatim — refused
+    val e1 = intercept[Exception](ss.sql(s"ALTER TABLE $t ADD COLUMN score BIGINT"))
+    assert(e1.getMessage.contains("retired"), e1.getMessage)
+    // a swap (v -> tmp, then a NEW column renamed onto v's old name)
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN v TO tmp")
+    ss.sql(s"ALTER TABLE $t ADD COLUMN fresh STRING")
+    val e2 = intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN fresh TO v"))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    // renaming a column BACK to its own former name is the same field id,
+    // same stats, same column — allowed
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN tmp TO v")
+    assert(ss.sql(s"SELECT v FROM $t WHERE id = 3").head().getString(0) == "x3")
+    // and the old files' stats still prune correctly under the restored name
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v IS NOT NULL").head().getLong(0) == 40)
+  }
 }

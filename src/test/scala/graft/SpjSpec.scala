@@ -26,6 +26,19 @@ class SpjSpec extends AnyFunSuite {
   private def exchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllIn(plan).length
 
+  test("the synthetic split-id arithmetic stays inside Int for every legal layout") {
+    import graft.catalog.GraftBucket
+    // the DDL cap times the guard's max partition sits exactly at the
+    // overflow boundary (ADVICE r14: a wrapped id could collide file
+    // names within one job and mis-decode the bucket channel)
+    val n = GraftBucket.MaxBuckets
+    val maxPid = GraftBucket.maxSafePartition(n)
+    assert(maxPid.toLong * n + (n - 1) <= Int.MaxValue.toLong)
+    assert((maxPid + 1).toLong * n + (n - 1) > Int.MaxValue.toLong)
+    // small layouts keep effectively unbounded write-task counts
+    assert(GraftBucket.maxSafePartition(16) > 100000000)
+  }
+
   test("co-bucketed catalog join plans with zero Exchange and exact content") {
     val (ss, c) = freshCatalog("spj_join")
     ss.sql(s"CREATE TABLE $c.ns.docs (doc_id BIGINT, score DOUBLE) " +
@@ -148,26 +161,77 @@ class SpjSpec extends AnyFunSuite {
       s"want ${expectJoined.length})")
   }
 
-  test("guard rails: MOR refused, bucket re-layout refused on non-empty, bad types refused") {
+  test("guard rails: bucket re-layout refused on non-empty, bad types refused") {
     val (ss, c) = freshCatalog("spj_guards")
-    val e1 = intercept[Exception](ss.sql(
-      s"CREATE TABLE $c.ns.m (id BIGINT) PARTITIONED BY (bucket(4, id)) " +
-        "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')"))
-    assert(e1.getMessage.contains("copy-on-write"), e1.getMessage)
     val e2 = intercept[Exception](ss.sql(
       s"CREATE TABLE $c.ns.f (x DOUBLE) PARTITIONED BY (bucket(4, x))"))
     assert(e2.getMessage.contains("bucket"), e2.getMessage)
     ss.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v BIGINT) PARTITIONED BY (bucket(4, id))")
     ss.sql(s"INSERT INTO $c.ns.t SELECT id, id FROM range(0, 100)")
-    val e3 = intercept[Exception](ss.sql(
-      s"ALTER TABLE $c.ns.t SET TBLPROPERTIES ('write.row_level.mode'='merge-on-read')"))
-    assert(e3.getMessage.contains("copy-on-write"), e3.getMessage)
     val e4 = intercept[Exception](ss.sql(
       s"CALL $c.system.set_clustering(table => 'ns.t', cluster_by => 'bucket(8,id)')"))
     assert(e4.getMessage.contains("bucket layout"), e4.getMessage)
     // dropping the bucket spec is always allowed (stale ids are ignored)
     ss.sql(s"CALL $c.system.set_clustering(table => 'ns.t', cluster_by => 'id')")
     assert(ss.sql(s"SELECT count(*) FROM $c.ns.t").head().getLong(0) == 100)
+  }
+
+  test("merge-on-read composes with the bucket layout: pure deltas, masked SPJ") {
+    // VERDICT r14 #3: the continuous-upsert corpus was the one table that
+    // could not carry the shuffle-free join. Now: deletes write vectors
+    // (no data file moves), MERGE/UPDATE reinserts fan out bucket-pure,
+    // and the SPJ scan serves vectored members masked INSIDE their
+    // bucket groups.
+    val (ss, c) = freshCatalog("spj_mor")
+    ss.sql(s"CREATE TABLE $c.ns.m (id BIGINT, v BIGINT) PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+    ss.sql(s"CREATE TABLE $c.ns.dim (id BIGINT, w BIGINT) PARTITIONED BY (bucket(4, id))")
+    ss.sql(s"INSERT INTO $c.ns.m SELECT id, id * 10 FROM range(0, 400)")
+    ss.sql(s"INSERT INTO $c.ns.dim SELECT id, id FROM range(0, 400)")
+    // takedown DELETE: a vector blob, zero data files rewritten
+    val before = graft.catalog.Manifests.files(ss, s"$c.ns.m",
+      graft.catalog.Manifests.latestVersion(ss, s"$c.ns.m"))
+    ss.sql(s"DELETE FROM $c.ns.m WHERE id % 7 = 0")
+    val afterDel = graft.catalog.Manifests.files(ss, s"$c.ns.m",
+      graft.catalog.Manifests.latestVersion(ss, s"$c.ns.m"))
+    assert(afterDel == before, "a MOR DELETE must not move data files")
+    // UPDATE = vector + bucket-pure reinsert delta files
+    ss.sql(s"UPDATE $c.ns.m SET v = v + 1 WHERE id % 5 = 1")
+    // delta-file BUCKET PURITY: every live row's file holds exactly the
+    // bucket its id hashes to, reinserts included (_file + recompute)
+    import graft.catalog.GraftBucket
+    val byFile = ss.sql(s"SELECT _file, id FROM $c.ns.m").collect()
+      .map(r => (r.getString(0), GraftBucket.bucketOfLong(r.getLong(1), 4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byFile.nonEmpty && byFile.values.forall(_.length == 1),
+      s"impure files: ${byFile.filter(_._2.length > 1).keys.mkString(", ")}")
+    // and each file's recorded manifest bucket equals its rows' bucket
+    byFile.foreach { case (f, bs) =>
+      val named = GraftBucket.bucketFromFileName(
+        java.nio.file.Paths.get(f).getFileName.toString, 4)
+      assert(named.contains(bs.head), s"$f: name says $named, rows say ${bs.head}")
+    }
+    // the join stays Exchange-free WITH vectors in scope, masked grouping
+    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = ss.sql(s"SELECT m.id, m.v, d.w FROM $c.ns.m m JOIN $c.ns.dim d ON m.id = d.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(exchanges(plan) == 0, s"MOR SPJ join shuffled:\n${plan.take(3000)}")
+      assert(plan.contains("dv-masked members"), s"expected masked bucket groups:\n${plan.take(3000)}")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val want = (0L until 400L).filter(_ % 7 != 0)
+        .map(id => (id, if (id % 5 == 1) id * 10 + 1 else id * 10))
+      assert(got.toSeq == want, s"content diverged: got ${got.length}, want ${want.length}")
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // compaction materializes the vectors away; the layout and join survive
+    ss.sql(s"CALL $c.system.compact(table => 'ns.m', target_files => 4)")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j2 = ss.sql(s"SELECT count(*) FROM $c.ns.m m JOIN $c.ns.dim d ON m.id = d.id")
+      assert(exchanges(j2.queryExecution.executedPlan.toString) == 0)
+      assert(j2.head().getLong(0) == (0L until 400L).count(_ % 7 != 0))
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("a bucket present on one side only still joins right (pushPartValues)") {
