@@ -114,6 +114,11 @@ object Sessions {
       // partition-value mismatches (a bucket present on one side only)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // one-side-shuffle SPJ (SPARK-41471): when a bucketed corpus joins
+      // an UNBUCKETED relation (the daily-delta join), shuffle only the
+      // unbucketed side INTO the corpus's KeyGroupedPartitioning — the
+      // bucket layout then pays on every join, not only co-bucketed ones
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       // resolve parquet columns by FIELD ID when the read schema carries
       // ids (graft catalog tables do — see graft.catalog.FieldIds): the
       // identity layer under metadata-only column RENAME/DROP. Schemas

@@ -166,10 +166,13 @@ object SparkEntry {
     "q_sql_spj"           -> ((s, d) => SqlVerbs.sqlSpj(s, d)),
     "q_sql_spj_agg"       -> ((s, d) => SqlVerbs.sqlSpjAgg(s, d)),
     "q_sql_mor_spj"       -> ((s, d) => SqlVerbs.sqlMorSpj(s, d)),
+    "q_sql_spj_delta"     -> ((s, d) => SqlVerbs.sqlSpjDelta(s, d)),
     "q_sql_dpp"           -> ((s, d) => SqlVerbs.sqlDpp(s, d)),
+    "q_sql_dpp_bucket"    -> ((s, d) => SqlVerbs.sqlDppBucket(s, d)),
     "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
     "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
+    "q_sql_widen"         -> ((s, d) => SqlVerbs.sqlWiden(s, d)),
     // RESTORE as a new commit: rollback re-references v1's files under a
     // new version; the bad deploy stays time-travelable for forensics
     "q_sql_restore"       -> ((s, d) => SqlVerbs.sqlRestore(s, d)),
@@ -1069,10 +1072,13 @@ object SparkEntry {
     "q_sql_spj" -> SqlVerbs.sqlSpjOracleSql,
     "q_sql_spj_agg" -> SqlVerbs.sqlSpjAggOracleSql,
     "q_sql_mor_spj" -> SqlVerbs.sqlMorSpjOracleSql,
+    "q_sql_spj_delta" -> SqlVerbs.sqlSpjDeltaOracleSql,
     "q_sql_dpp" -> SqlVerbs.sqlDppOracleSql,
+    "q_sql_dpp_bucket" -> SqlVerbs.sqlDppBucketOracleSql,
     "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
     "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,
+    "q_sql_widen" -> SqlVerbs.sqlWidenOracleSql,
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_sql_days_table" -> SqlVerbs.sqlDaysTableOracleSql,
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,

@@ -382,6 +382,35 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             schema = StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(col)))
             schemaChanged = true
           }
+        case u: TableChange.UpdateColumnType =>
+          // TYPE WIDENING as metadata schema evolution (VERDICT r14 #6):
+          // int->bigint, float->double, decimal precision growth are
+          // lossless on read (old files' values up-cast in the vectorized
+          // reader), cost one versioned-schema commit, and time travel
+          // keeps serving each era under its own type. Narrowing and
+          // reinterpretation stay refused.
+          require(u.fieldNames().length == 1,
+            "graft catalog: only top-level ALTER COLUMN TYPE is supported")
+          val col = u.fieldNames()(0)
+          val f = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column '$col' to widen (${schema.fieldNames.mkString(", ")})"))
+          require(FieldIds.widens(f.dataType, u.newDataType()),
+            s"graft catalog: ALTER COLUMN $col TYPE ${u.newDataType().simpleString} is not " +
+              s"a safe widening of ${f.dataType.simpleString}; only int->bigint, " +
+              "float->double, and decimal precision growth are metadata-only — anything " +
+              "else would reinterpret immutable files (stays refused)")
+          // a bloom probe is hashed against the FILE's physical type: a
+          // long probe against an int32-era bloom would answer "absent"
+          // for present values and skip files wrongly — refuse
+          require(!props.get(GraftTable.BloomColumnsProp).exists(
+            _.split(',').map(_.trim).exists(_.equalsIgnoreCase(col))),
+            s"cannot widen '$col': it is a declared bloom column (bloom probes hash " +
+              s"the files' physical type); unset ${GraftTable.BloomColumnsProp} first")
+          requireSchemaChangeAllowed("ALTER COLUMN TYPE")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name.equalsIgnoreCase(col)) x.copy(dataType = u.newDataType()) else x))
+          schemaChanged = true
         case set: TableChange.SetProperty =>
           if (set.property() == GraftTable.RowLevelModeProp) {
             require(GraftTable.RowLevelModes.contains(set.value()),
@@ -401,8 +430,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported ALTER TABLE change $other " +
-              "(ADD/RENAME/DROP of a top-level column, SET/UNSET TBLPROPERTIES; " +
-              "type changes would reinterpret immutable files and stay refused)")
+              "(ADD/RENAME/DROP of a top-level column, widening ALTER COLUMN TYPE, " +
+              "SET/UNSET TBLPROPERTIES; non-widening type changes would reinterpret " +
+              "immutable files and stay refused)")
       }
       if (!schemaChanged)
         TableMeta.write(dir, m.copy(props = props, clusterBy = clusterBy),
@@ -669,6 +699,21 @@ private[graft] object FieldIds {
   def nameCollidesWithRetired(m: TableMeta, name: String, id: Option[Long]): Boolean =
     (m.schema +: m.schemas.values.toSeq).exists(_.fields.exists(f =>
       f.name.equalsIgnoreCase(name) && (id.isEmpty || idOf(f) != id)))
+
+  /** Safe metadata-only type promotions (Iceberg v3's widening set, r15;
+    * probed against this Spark's vectorized parquet reader): old files'
+    * physical values up-cast losslessly on read, footer-stat strings
+    * decode under the wider type, and — for int→bigint bucket keys —
+    * the murmur mix of the widened value equals the original's, so even
+    * a bucket layout survives. Everything else reinterprets immutable
+    * bytes and stays refused. */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType) => true
+    case (org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType) => true
+    case (a: org.apache.spark.sql.types.DecimalType, b: org.apache.spark.sql.types.DecimalType) =>
+      b.scale == a.scale && b.precision > a.precision
+    case _ => false
+  }
 
   /** Has any column visible in `schemaV` carried a DIFFERENT name in
     * some other schema era of this table? If so, files from that era
@@ -2348,6 +2393,12 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       // bucket id so the scan can report KeyGroupedPartitioning
       spjOf = files => bucketLayout.flatMap(bl =>
         spjGroupsOf(bl, mf, files).map(gs => (bl, gs))),
+      // runtime bucket-GROUP pruning (r15): the bucket key's type in the
+      // reading era's schema; absent (e.g. a pre-rename era) disables it
+      spjKeyType = bucketLayout.flatMap(bl =>
+        schemaV.fields.find(_.name.equalsIgnoreCase(bl.column)).map(_.dataType)),
+      spjPruneRecord = (kept, total) =>
+        SkipRecorder.record(s"$tableName#bucketdpp", kept, total),
       // runtime (DPP-style) skipping on the cluster columns: identity
       // keys and time-transform BASE columns, where the layout makes
       // per-file bounds tight (bucket hashes can never bound — excluded)

@@ -47,6 +47,8 @@ class SkippingScanBuilder(
       _ => java.util.Collections.emptyMap(),
     spjOf: Seq[String] => Option[(graft.catalog.BucketLayout, Seq[(Int, Seq[String])])] =
       _ => None,
+    spjKeyType: Option[org.apache.spark.sql.types.DataType] = None,
+    spjPruneRecord: (Int, Int) => Unit = (_, _) => (),
     dppCols: Seq[String] = Nil,
     runtimePrune: (Seq[String], Array[Predicate]) => Seq[String] = (fs, _) => fs)
   extends ScanBuilder with SupportsPushDownCatalystFilters
@@ -147,7 +149,8 @@ class SkippingScanBuilder(
       case Some((bl, groups)) =>
         new graft.catalog.BucketGroupedScan(groups, bl, filteredScanFor, prunedFiles,
           mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles),
-          dv = addr.map(a => graft.catalog.BucketDv(a, bareScanFor)))
+          dv = addr.map(a => graft.catalog.BucketDv(a, bareScanFor)),
+          keyType = spjKeyType, onRuntimePrune = spjPruneRecord)
       case None if vectored.nonEmpty =>
         // vectored, unbucketed: the clean bulk keeps the fast path (one
         // bin-packed, filter-pushed, vectorized delegate); vectored files

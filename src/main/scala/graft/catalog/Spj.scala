@@ -106,6 +106,55 @@ private[graft] object GraftBucket {
     val m = "^part-(\\d+)-".r.findFirstMatchIn(name)
     m.map(_.group(1).toLong).map(s => (s % n).toInt)
   }
+
+  /** Bucket of one bare literal value (a runtime IN-value from the
+    * selective join side). The connector layer hands longs/ints boxed
+    * and strings as UTF8String. */
+  def bucketOfValue(v: Any, dt: DataType, n: Int): Int = (dt, v) match {
+    case (LongType | IntegerType | DateType, x: java.lang.Number) =>
+      bucketOfLong(x.longValue(), n)
+    case (StringType, s: org.apache.spark.unsafe.types.UTF8String) => bucketOfString(s, n)
+    case (StringType, s: String) =>
+      bucketOfString(org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+    case (other, _) => throw new UnsupportedOperationException(
+      s"bucket() does not support $other")
+  }
+
+  /** The set of buckets a runtime predicate on `col` can possibly match —
+    * hash the IN/= values through the SAME mixer the write side used, so
+    * whole bucket GROUPS the values can't land in are droppable (this is
+    * how Iceberg prunes bucket partitions; footer stats can never bound
+    * a hash). None = the predicate says nothing provable about `col`
+    * (conservative: keep every group). */
+  def bucketsOf(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+                col: String, dt: DataType, n: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd}
+    p match {
+      case a: VAnd =>
+        (bucketsOf(a.left(), col, dt, n), bucketsOf(a.right(), col, dt, n)) match {
+          case (Some(l), Some(r)) => Some(l intersect r)
+          case (l, r) => l.orElse(r)
+        }
+      case _ if (p.name() == "IN" || p.name() == "=") && p.children().nonEmpty =>
+        p.children().head match {
+          case r: NamedReference if r.fieldNames().length == 1 &&
+              r.fieldNames()(0).equalsIgnoreCase(col) =>
+            val vs = p.children().tail.flatMap {
+              case l: VLit[_] if l.value() != null => Some(l.value())
+              case _ => None
+            }
+            // a partially-parsed value list (or a null, which matches no
+            // join key anyway) must not shrink the allowed set — only
+            // trust a fully parsed one
+            if (vs.length == p.children().length - 1)
+              scala.util.Try(vs.map(bucketOfValue(_, dt, n)).toSet).toOption
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }
 
 /** A table's declared bucket layout, parsed from the manifest clusterBy.
@@ -267,7 +316,18 @@ case class BucketDv(addr: AddrSupport, bareScanFor: Seq[String] => Scan)
   * vectored members through the addressed/masked path ([[AddrPartition]]
   * under a [[SplitPartition]] route), all still keyed by the group's
   * bucket. The continuous-upsert corpus keeps its shuffle-free join
-  * with vectors in scope. */
+  * with vectors in scope.
+  *
+  * RUNTIME BUCKET-GROUP PRUNING (r15, VERDICT r14 #4): the scan also
+  * declares the bucket column as a runtime-filter attribute. A
+  * `bucketed_fact JOIN small_dim` probe needs no footer stats — the
+  * dim side's surviving join keys hash through [[GraftBucket]]'s mixer
+  * and whole bucket GROUPS the values can't land in drop before any
+  * fact byte is read (Iceberg prunes bucket partitions the same way).
+  * Dropping groups under [[KeyGroupedPartitioning]] is legal: Spark
+  * only requires post-filter partition values to be a SUBSET of the
+  * originals. `keyType` is the bucket column's type in the reading
+  * era's schema; None disables runtime pruning (conservative). */
 class BucketGroupedScan(
     groups: Seq[(Int, Seq[String])],
     layout: BucketLayout,
@@ -278,8 +338,32 @@ class BucketGroupedScan(
     manifestColStats: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics],
-    dv: Option[BucketDv] = None)
-    extends Scan with SupportsReportPartitioning with SupportsReportStatistics {
+    dv: Option[BucketDv] = None,
+    keyType: Option[org.apache.spark.sql.types.DataType] = None,
+    onRuntimePrune: (Int, Int) => Unit = (_, _) => ())
+    extends Scan with SupportsReportPartitioning with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var keptGroups: Seq[(Int, Seq[String])] = groups
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    keyType match {
+      case Some(_) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(layout.column))
+      case None => Array.empty
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    keyType.foreach { dt =>
+      val sets = predicates.toSeq.flatMap(p =>
+        GraftBucket.bucketsOf(p, layout.column, dt, layout.numBuckets))
+      if (sets.nonEmpty) {
+        val allowed = sets.reduce(_ intersect _)
+        keptGroups = groups.filter { case (b, _) => allowed(b) }
+        onRuntimePrune(keptGroups.size, groups.size)
+      }
+    }
 
   private lazy val whole = mkScanFor(allFiles)
 
@@ -319,7 +403,7 @@ class BucketGroupedScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      groups.flatMap { case (bucket, files) =>
+      keptGroups.flatMap { case (bucket, files) =>
         val parts: Seq[InputPartition] =
           if (!anyVectored) mkScanFor(files).toBatch.planInputPartitions().toSeq
           else {

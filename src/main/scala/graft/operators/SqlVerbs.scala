@@ -1787,6 +1787,85 @@ object SqlVerbs {
        FROM documents f JOIN d ON f.doc_id = d.doc_id
        WHERE d.region = 5"""
 
+  /** X-SQLs4 — ONE-SIDE-SHUFFLE SPJ (VERDICT r14 #5, SPARK-41471): the
+    * daily-delta join. A bucketed corpus joining an UNBUCKETED relation
+    * historically shuffled BOTH sides; with v2 bucketing shuffle the
+    * delta side alone shuffles INTO the corpus's KeyGroupedPartitioning
+    * (through the catalog's own bucket function), so the bucket layout
+    * pays on every join, not only co-bucketed ones — at 100 TB that's
+    * the difference between shuffling the corpus daily and shuffling
+    * only the day's delta. `one_exchange` pins exactly one key-grouped
+    * shuffle and zero hash/range shuffles; content is relational. */
+  def sqlSpjDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, docsT, _) = ensureSpjTables(spark, dir)
+    Tables.documents(ss, dir).createOrReplaceTempView("documents_src_spjd")
+    ss.sql("SELECT doc_id, n_chars % 1000 AS fp FROM documents_src_spjd " +
+      "WHERE doc_id % 5 = 0").createOrReplaceTempView("delta_spjd")
+    // SHUFFLE_MERGE pins the sort-merge path (a broadcast would hide the
+    // one-side-shuffle property this query exists to pin)
+    val j = ss.sql(
+      s"""SELECT /*+ SHUFFLE_MERGE(d) */ d.doc_id, d.n_chars, f.fp
+          FROM $docsT d JOIN delta_spjd f ON d.doc_id = f.doc_id""")
+    val plan = j.queryExecution.executedPlan.toString
+    val oneExchange =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty &&
+        "Exchange keygroupedpartitioning".r.findAllIn(plan).length == 1
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    j.groupBy().agg(
+        count(lit(1)).as("n_joined"),
+        sum("n_chars").as("sum_chars"),
+        sum("fp").as("sum_fp"))
+      .withColumn("one_exchange", lit(oneExchange))
+  }
+
+  def sqlSpjDeltaOracleSql: String =
+    """SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(f.fp) AS BIGINT) AS sum_fp, true AS one_exchange
+       FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 > 0) d
+       JOIN (SELECT doc_id, n_chars % 1000 AS fp FROM documents WHERE doc_id % 5 = 0) f
+         ON d.doc_id = f.doc_id"""
+
+  /** X-SQLd3 — RUNTIME BUCKET-GROUP PRUNING (VERDICT r14 #4): a point-
+    * probe join against the bucketed corpus needs no footer stats — the
+    * probe side's surviving doc_ids hash through the SAME murmur mixer
+    * the write side used, and whole bucket GROUPS they can't land in
+    * drop before any fact byte is read (Iceberg's bucket-partition
+    * pruning, here at file-group granularity). The probe is the 4
+    * smallest corpus ids, so at most 4 of 16 groups survive at every
+    * sf. `bucket_pruned` is recorder-derived (kept < total); content is
+    * relational. */
+  def sqlDppBucket(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, docsT, _) = ensureSpjTables(spark, dir)
+    Tables.documents(ss, dir).createOrReplaceTempView("documents_src_bdpp")
+    val ids = ss.sql("SELECT doc_id FROM documents_src_bdpp WHERE doc_id % 3 > 0 " +
+      "ORDER BY doc_id LIMIT 4").collect().map(_.getLong(0))
+    ss.sql(s"SELECT doc_id, CASE WHEN doc_id IN (${ids.mkString(",")}) THEN 1 ELSE 0 END " +
+      "AS tag FROM documents_src_bdpp").createOrReplaceTempView("dim_bdpp")
+    graft.catalog.SkipRecorder.clear(s"$docsT#bucketdpp")
+    // BROADCAST(d) pins the DIM as the build side at every sf: if AQE
+    // broadcast the (locally tiny) fact instead, the fact's runtime
+    // filter would have no broadcast to reuse and DPP degenerates to
+    // dynamicpruningexpression(true)
+    val agg = ss.sql(
+      s"""SELECT /*+ BROADCAST(d) */ count(*) AS n_docs,
+                 CAST(sum(f.n_chars) AS BIGINT) AS sum_chars
+          FROM $docsT f JOIN dim_bdpp d ON f.doc_id = d.doc_id
+          WHERE d.tag = 1""").head()
+    val pruned = graft.catalog.SkipRecorder.lastFor(s"$docsT#bucketdpp")
+      .exists { case (kept, total) => kept < total && kept >= 1 }
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), pruned))
+      .toDF("n_docs", "sum_chars", "bucket_pruned")
+  }
+
+  def sqlDppBucketOracleSql: String =
+    """WITH probe AS (SELECT doc_id FROM documents WHERE doc_id % 3 > 0
+                      ORDER BY doc_id LIMIT 4)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              true AS bucket_pruned
+       FROM documents
+       WHERE doc_id % 3 > 0 AND doc_id IN (SELECT doc_id FROM probe)"""
+
   def sqlSpjOracleSql: String =
     """SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
               CAST(sum(f.fp) AS BIGINT) AS sum_fp,
@@ -1905,6 +1984,82 @@ object SqlVerbs {
                 (SELECT count(DISTINCT source) FROM documents)
          UNION ALL SELECT 'type_change_refused', 1)
        ORDER BY metric"""
+
+  /** X-SQLu — TYPE WIDENING as metadata schema evolution (VERDICT r14
+    * #6): half the corpus lands as INT/FLOAT, the columns widen to
+    * BIGINT/DOUBLE in one metadata commit (no file moves), the other
+    * half lands wide — and both eras read under the widened type, old
+    * files up-cast in the vectorized reader. Time travel serves the
+    * pre-widen version under its own narrow schema, and narrowing stays
+    * refused. Float values are whole numbers (exact in float), so the
+    * cross-era sums are integer-exact and hash-checkable. */
+  def sqlWiden(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureWidenChain(spark, dir)
+    def n(q: String): Long = ss.sql(q).head().getLong(0)
+    val narrowRefused = scala.util.Try(
+      ss.sql(s"ALTER TABLE $t ALTER COLUMN n_chars TYPE INT")).isFailure
+    val widenedTypes = {
+      val sch = ss.table(t).schema
+      sch("n_chars").dataType == org.apache.spark.sql.types.LongType &&
+        sch("score").dataType == org.apache.spark.sql.types.DoubleType
+    }
+    import ss.implicits._
+    Seq(
+      ("rows_current", n(s"SELECT count(*) FROM $t")),
+      ("sum_chars_both_eras", n(s"SELECT sum(n_chars) FROM $t")),
+      ("sum_score_both_eras", n(s"SELECT CAST(sum(CAST(score AS BIGINT)) AS BIGINT) FROM $t")),
+      // a value only representable AFTER the widening (> int range)
+      ("wide_rows", n(s"SELECT count(*) FROM $t WHERE n_chars > ${Int.MaxValue.toLong}")),
+      ("pre_widen_rows", n(s"SELECT count(*) FROM $t VERSION AS OF 1")),
+      ("types_widened", if (widenedTypes) 1L else 0L),
+      ("narrowing_refused", if (narrowRefused) 1L else 0L))
+      .toDF("metric", "value")
+  }
+
+  /** The widening fixture: v1 narrow-era ingest (INT/FLOAT), v2+v3 the
+    * two widening commits, v4 wide-era ingest including one row whose
+    * n_chars exceeds Int range (provably stored wide). */
+  private[graft] def ensureWidenChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_wd"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-widen"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_wd")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, n_chars INT, score FLOAT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, CAST(n_chars AS INT), " +
+          "CAST(CAST(n_chars % 1024 AS INT) AS FLOAT) " +
+          "FROM documents_src_wd WHERE doc_id % 2 = 0") // v1: the narrow era
+        ss.sql(s"ALTER TABLE $t ALTER COLUMN n_chars TYPE BIGINT") // v2: metadata only
+        ss.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE DOUBLE")   // v3: metadata only
+        ss.sql(s"INSERT INTO $t SELECT doc_id, n_chars + ${Int.MaxValue.toLong} + 1, " +
+          "CAST(CAST(n_chars % 1024 AS INT) AS DOUBLE) " +
+          "FROM documents_src_wd WHERE doc_id % 2 = 1") // v4: the wide era
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlWidenOracleSql: String =
+    s"""WITH narrow AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                               CAST(n_chars % 1024 AS BIGINT) AS score_i
+                        FROM documents WHERE doc_id % 2 = 0),
+            wide AS (SELECT doc_id, n_chars + ${Int.MaxValue.toLong} + 1 AS n_chars,
+                            CAST(n_chars % 1024 AS BIGINT) AS score_i
+                     FROM documents WHERE doc_id % 2 = 1),
+            t AS (SELECT * FROM narrow UNION ALL SELECT * FROM wide)
+        SELECT * FROM (
+          SELECT 'rows_current' AS metric, (SELECT count(*) FROM t) AS value
+          UNION ALL SELECT 'sum_chars_both_eras', (SELECT CAST(sum(n_chars) AS BIGINT) FROM t)
+          UNION ALL SELECT 'sum_score_both_eras', (SELECT CAST(sum(score_i) AS BIGINT) FROM t)
+          UNION ALL SELECT 'wide_rows', (SELECT count(*) FROM t
+                                         WHERE n_chars > ${Int.MaxValue.toLong})
+          UNION ALL SELECT 'pre_widen_rows', (SELECT count(*) FROM narrow)
+          UNION ALL SELECT 'types_widened', 1
+          UNION ALL SELECT 'narrowing_refused', 1)
+        ORDER BY metric"""
 
   def sqlMvOracleSql: String =
     s"""WITH $oracleChainCtes,

@@ -130,6 +130,75 @@ class RenameSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT w FROM $t WHERE doc_id = 1").head().getString(0) == "a")
   }
 
+  test("type widening: old files up-cast, time travel keeps the narrow era") {
+    // VERDICT r14 #6: int->bigint, float->double, decimal precision
+    // growth are metadata-only versioned-schema commits over the
+    // field-id substrate; reads up-cast old files' columns.
+    val (ss, c) = freshCatalog("rn_widen")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, n INT, x FLOAT, d DECIMAL(9,2))")
+    ss.sql(s"INSERT INTO $t SELECT id, CAST(id AS INT), CAST(id AS FLOAT), " +
+      "CAST(id AS DECIMAL(9,2)) FROM range(0, 100)")
+    val preWiden = Manifests.latestVersion(ss, t)
+    ss.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT")
+    ss.sql(s"ALTER TABLE $t ALTER COLUMN x TYPE DOUBLE")
+    ss.sql(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(19,2)")
+    // metadata-only: no data file moved across the three commits
+    assert(Manifests.files(ss, t, Manifests.latestVersion(ss, t)) ==
+      Manifests.files(ss, t, preWiden), "widening must be metadata-only commits")
+    // wide-era ingest with values only the wide types can hold
+    ss.sql(s"INSERT INTO $t SELECT id, id + ${Int.MaxValue.toLong} + 1, " +
+      "CAST(id AS DOUBLE), CAST(id AS DECIMAL(19,2)) + 9999999999.00 FROM range(100, 110)")
+    val sch = ss.table(t).schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(sch("d").dataType == org.apache.spark.sql.types.DecimalType(19, 2))
+    // both eras read under the wide type; filters work across the eras
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 110)
+    assert(ss.sql(s"SELECT sum(n) FROM $t WHERE n <= 99").head().getLong(0) ==
+      (0L until 100L).sum)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE n > ${Int.MaxValue.toLong}")
+      .head().getLong(0) == 10)
+    assert(ss.sql(s"SELECT CAST(sum(x) AS BIGINT) FROM $t").head().getLong(0) ==
+      (0L until 100L).sum + (100L until 110L).sum)
+    // time travel: the pre-widen version serves its own NARROW schema
+    val tt = ss.sql(s"SELECT n, x, d FROM $t VERSION AS OF $preWiden WHERE id = 7").head()
+    assert(tt.get(0).isInstanceOf[Int] && tt.get(1).isInstanceOf[Float],
+      s"pre-widen era must read under its own types, got ${tt.get(0).getClass}")
+    // verbs keep working on the widened column
+    ss.sql(s"UPDATE $t SET n = n + 1 WHERE id = 7")
+    assert(ss.sql(s"SELECT n FROM $t WHERE id = 7").head().getLong(0) == 8L)
+  }
+
+  test("type widening guard rails: narrowing, reinterpretation, bloom keys refuse") {
+    val (ss, c) = freshCatalog("rn_widen_guards")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, n INT, s STRING, d DECIMAL(9,2)) " +
+      "TBLPROPERTIES ('write.bloom.columns'='n')")
+    ss.sql(s"INSERT INTO $t VALUES (1, 1, 'a', 1.00)")
+    def refused(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](ss.sql(sql))
+      assert(e.getMessage.contains(needle), s"$sql -> ${e.getMessage}")
+    }
+    // narrowing / non-up-castable changes: Spark's analyzer refuses these
+    // before the catalog is consulted (Cast.canUpCast gate)
+    refused(s"ALTER TABLE $t ALTER COLUMN id TYPE INT", "NOT_SUPPORTED_CHANGE_COLUMN")
+    refused(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(5,2)", "NOT_SUPPORTED_CHANGE_COLUMN")
+    // up-castable but NOT metadata-safe: these reach the catalog's gate
+    // (int->string/double reinterpret physical bytes; a scale change
+    // moves the decimal point)
+    refused(s"ALTER TABLE $t ALTER COLUMN n TYPE STRING", "widening")
+    refused(s"ALTER TABLE $t ALTER COLUMN n TYPE DOUBLE", "widening")
+    refused(s"ALTER TABLE $t ALTER COLUMN d TYPE DECIMAL(19,4)", "widening")
+    // a declared bloom column refuses even a legal widening: probes hash
+    // the files' PHYSICAL type, so an int32-era bloom would wrongly skip
+    // files holding the probed value
+    refused(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT", "bloom")
+    ss.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('write.bloom.columns')")
+    ss.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT") // now fine
+    assert(ss.table(t).schema("n").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("retired names are never re-issued: DROP+ADD and rename swaps refuse") {
     // Manifest file stats are keyed by column NAME and inherited through
     // alter commits; reusing a retired name would let old files' stats

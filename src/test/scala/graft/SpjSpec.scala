@@ -234,6 +234,93 @@ class SpjSpec extends AnyFunSuite {
     } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("streaming appends into a bucketed MOR table stay bucket-pure; SPJ survives") {
+    // the continuous-upsert pipeline end to end: stream epochs fan out
+    // bucket-pure (GraftStreamingWrite rides the same fanout), a takedown
+    // DELETE adds vectors, and the join still plans Exchange-free with
+    // masked bucket groups.
+    val (ss, c) = freshCatalog("spj_stream")
+    val out = java.nio.file.Files.createTempDirectory("graft-spjstream-").toString
+    ss.range(0, 500).selectExpr("id", "id * 2 AS v").repartition(4)
+      .write.mode("overwrite").parquet(s"$out/in")
+    ss.sql(s"CREATE TABLE $c.ns.m (id BIGINT, v BIGINT) PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+    ss.sql(s"CREATE TABLE $c.ns.dim (id BIGINT, w BIGINT) PARTITIONED BY (bucket(4, id))")
+    ss.sql(s"INSERT INTO $c.ns.dim SELECT id, id FROM range(0, 500)")
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val q = ss.readStream.schema(inSchema).option("maxFilesPerTrigger", "2")
+      .parquet(s"$out/in")
+      .writeStream.option("checkpointLocation", s"$out/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$c.ns.m")
+    q.awaitTermination()
+    ss.sql(s"DELETE FROM $c.ns.m WHERE id % 9 = 0") // vectors over streamed files
+    import graft.catalog.GraftBucket
+    val byFile = ss.sql(s"SELECT _file, id FROM $c.ns.m").collect()
+      .map(r => (r.getString(0), GraftBucket.bucketOfLong(r.getLong(1), 4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byFile.nonEmpty && byFile.values.forall(_.length == 1),
+      s"streamed files not bucket-pure: ${byFile.filter(_._2.length > 1).keys.mkString(", ")}")
+    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = ss.sql(s"SELECT m.id, m.v, d.w FROM $c.ns.m m JOIN $c.ns.dim d ON m.id = d.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(exchanges(plan) == 0, s"streamed SPJ join shuffled:\n${plan.take(2500)}")
+      assert(plan.contains("dv-masked members"))
+      assert(j.count() == (0L until 500L).count(_ % 9 != 0))
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("widening the bucket key keeps the layout: old files' buckets stay valid") {
+    // int->bigint widening is murmur-consistent (the int path already
+    // mixed the widened long), so a bucket(4, id INT) table widened to
+    // BIGINT keeps every recorded bucket id correct — the join stays
+    // Exchange-free across both eras.
+    val (ss, c) = freshCatalog("spj_widen")
+    ss.sql(s"CREATE TABLE $c.ns.t (id INT, v BIGINT) PARTITIONED BY (bucket(4, id))")
+    ss.sql(s"INSERT INTO $c.ns.t SELECT CAST(id AS INT), id FROM range(0, 200)")
+    ss.sql(s"ALTER TABLE $c.ns.t ALTER COLUMN id TYPE BIGINT")
+    ss.sql(s"INSERT INTO $c.ns.t SELECT id, id FROM range(200, 400)")
+    ss.sql(s"CREATE TABLE $c.ns.d (id BIGINT, w BIGINT) PARTITIONED BY (bucket(4, id))")
+    ss.sql(s"INSERT INTO $c.ns.d SELECT id, id * 7 FROM range(0, 400)")
+    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = ss.sql(s"SELECT t.id, t.v, d.w FROM $c.ns.t t JOIN $c.ns.d d ON t.id = d.id")
+      assert(exchanges(j.queryExecution.executedPlan.toString) == 0,
+        "widened bucket key must keep the SPJ layout")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      assert(got.length == 400 && got.forall { case (id, w) => w == id * 7 },
+        s"content diverged across the widening (got ${got.length})")
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("bucketed x unbucketed: only the unbucketed side shuffles (one-side SPJ)") {
+    // VERDICT r14 #5 (SPARK-41471): the daily-delta join. The bucketed
+    // corpus reads in place; the delta shuffles INTO the corpus's
+    // KeyGroupedPartitioning through the catalog's own bucket function.
+    val (ss, c) = freshCatalog("spj_oneside")
+    ss.sql(s"CREATE TABLE $c.ns.corpus (id BIGINT, v BIGINT) PARTITIONED BY (bucket(8, id))")
+    ss.sql(s"INSERT INTO $c.ns.corpus SELECT id, id FROM range(0, 4000)")
+    ss.sql("SELECT id, id * 3 AS w FROM range(0, 4000)").createOrReplaceTempView("delta_in")
+    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = ss.sql(s"SELECT c.id, c.v, d.w FROM $c.ns.corpus c JOIN delta_in d ON c.id = d.id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(exchanges(plan) == 0, s"no hash/range shuffle allowed:\n${plan.take(2500)}")
+      assert("Exchange keygroupedpartitioning".r.findAllIn(plan).length == 1,
+        s"expected exactly the delta side's key-grouped shuffle:\n${plan.take(2500)}")
+      assert(plan.contains("bucket-grouped scan"), "corpus must read in place")
+      assert(j.count() == 4000)
+      val spot = j.where("id = 1234").collect()
+      assert(spot.length == 1 && spot(0).getLong(2) == 3702L)
+    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("a bucket present on one side only still joins right (pushPartValues)") {
     val (ss, c) = freshCatalog("spj_lopsided")
     ss.sql(s"CREATE TABLE $c.ns.big (id BIGINT, v BIGINT) PARTITIONED BY (bucket(8, id))")
