@@ -129,6 +129,11 @@ object Bench {
   private def rerunWorker(names: Seq[String], sfDir: String): Unit = {
     val spark = Sessions.build("graft-bench-rerun")
     jvmHealth("rerun-worker start")
+    // shared one-time init (codegen scaffolding, parquet reader, shuffle
+    // machinery) paid before any per-query measurement
+    spark.range(1000000).selectExpr("sum(id) s").collect()
+    try Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count().collect()
+    catch { case _: Throwable => () }
     val results = names.map { name =>
       SparkEntry.queries.get(name) match {
         case None =>
@@ -141,11 +146,18 @@ object Bench {
           clearState(spark)
           if (!warmOk) name -> -1.0
           else {
-            val (sec, ok) = withTimeout(spark, name) {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            // MIN of two timed runs: plan cost reproduces, noise (JIT
+            // residue, GC, IO jitter) is additive-only — a single warm
+            // sample in a young JVM mis-flagged a 0.4 s query as a 2.2x
+            // "regression" while being slower than its own suite run
+            val secs = (1 to 2).map { i =>
+              val (sec, ok) = withTimeout(spark, s"$name#$i") {
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              }
+              clearState(spark)
+              if (ok) sec else -1.0
             }
-            clearState(spark)
-            name -> (if (ok) sec else -1.0)
+            name -> (if (secs.exists(_ < 0)) -1.0 else secs.min)
           }
       }
     }
@@ -184,9 +196,9 @@ object Bench {
       })
       reader.setDaemon(true)
       reader.start()
-      // each query is watchdogged inside the worker (2 runs each); this
+      // each query is watchdogged inside the worker (3 runs each); this
       // outer bound only catches a wedged JVM
-      val budget = timeoutSec * (2L * names.size) + 300L
+      val budget = timeoutSec * (3L * names.size) + 300L
       if (!p.waitFor(budget, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly()
         System.err.println(s"[bench] rerun worker wedged past $budget s; killed")

@@ -238,12 +238,30 @@ object ScaleBench {
     val exOff = exchanges()
     val spjOff = timed(ss.sql(joinSql).collect())
     ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // MOR × SPJ (r15): churn the fact side under merge-on-read (vectors +
+    // bucket-pure reinsert deltas), then re-time the SAME join — the
+    // masked bucket-grouped read's tax over the clean SPJ join, and the
+    // plan properties (still zero Exchanges, masked groups present)
+    val morChurn = timed {
+      ss.sql(s"ALTER TABLE $cat.main.d SET TBLPROPERTIES " +
+        "('write.row_level.mode'='merge-on-read')")
+      ss.sql(s"DELETE FROM $cat.main.d WHERE doc_id % 97 = 0")
+      ss.sql(s"UPDATE $cat.main.d SET n_chars = n_chars + 1 WHERE doc_id % 10 = 3")
+    }
+    val warm2 = ss.sql(joinSql)
+    warm2.collect() // warm the masked plan
+    val morPlan = warm2.queryExecution.executedPlan.toString
+    val morEx = "Exchange (hash|range)partitioning".r.findAllIn(morPlan).length
+    val morMasked = if (morPlan.contains("dv-masked members")) 1.0 else 0.0
+    val morJoin = timed(ss.sql(joinSql).collect())
     val s = java.nio.file.Files.walk(root)
     try s.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     finally s.close()
     Seq("spj_build" -> build, "spj_join_on" -> spjOn, "spj_join_off" -> spjOff,
-      "spj_exchanges_on" -> exOn.toDouble, "spj_exchanges_off" -> exOff.toDouble)
+      "spj_exchanges_on" -> exOn.toDouble, "spj_exchanges_off" -> exOff.toDouble,
+      "morspj_churn" -> morChurn, "morspj_join_masked" -> morJoin,
+      "morspj_exchanges" -> morEx.toDouble, "morspj_masked" -> morMasked)
   }
 
   /** Staged artifacts the targets read (the bench pre-builds the same
