@@ -2424,26 +2424,39 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     * path instead, so an opening snapshot of a MOR table never re-emits
     * tombstoned rows. */
   private[catalog] def delegateScanOver(relFiles: Seq[String],
-                                        dvs: Map[String, DvRef] = Map.empty)
+                                        dvs: Map[String, DvRef] = Map.empty,
+                                        schemaPin: Option[StructType] = None)
       : org.apache.spark.sql.connector.read.Scan = {
-    val vectored = relFiles.filter(dvs.contains)
+    // `schemaPin` (r15): the STREAM's opening schema. A running stream's
+    // plan binds the scan output positionally at analysis time, so a
+    // backlog batch planned after a mid-stream ALTER must still read
+    // under the schema the plan was analyzed with — reading under the
+    // CURRENT schema would silently reinterpret columns (e.g. LONG rows
+    // flowing into an INT-typed plan after a widen). Old-era files under
+    // the pinned schema up-cast/resolve by field id as usual.
+    val schemaV = schemaPin.getOrElse(meta.schema)
     val clean = delegate(relFiles.filterNot(dvs.contains).map(f => dir.resolve(f).toString),
-        meta.schema)
+        schemaV)
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
-    if (vectored.isEmpty) clean
+    if (vectoredOf(relFiles, dvs).isEmpty) clean
     else {
-      val m = meta
+      val vectored = vectoredOf(relFiles, dvs)
       val a = AddrSupport(
         isVectored = dvs.contains,
         addrOf = f => (dir.resolve(f).toString, dvs.get(f).map(d => dir.resolve(d.path).toString)),
         conf = new SerHadoopConf(spark.sessionState.newHadoopConf()))
       val addressed = new AddressedScan(() => vectored,
-        files => bareDelegateScan(files, m.schema), m.schema,
+        files => delegate(files.map(f => dir.resolve(f).toString), schemaV)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build(),
+        schemaV,
         wantFile = false, wantPos = false, a.addrOf, a.conf)
-      new SplitScan(clean, addressed, m.schema, _ => throw new UnsupportedOperationException(
+      new SplitScan(clean, addressed, schemaV, _ => throw new UnsupportedOperationException(
         s"$tableName: masked snapshot scans are batch-planned per micro-batch"))
     }
   }
+
+  private def vectoredOf(relFiles: Seq[String], dvs: Map[String, DvRef]): Seq[String] =
+    relFiles.filter(dvs.contains)
 
   /** Column-pruned, filter-free delegate scan over explicit files — the
     * building block of every addressed (position-stable) read. */
@@ -2943,6 +2956,18 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
   maxVersionsPerTrigger.foreach(k =>
     require(k >= 1, s"max_versions_per_trigger must be >= 1, got $k"))
 
+  /** The schema ERA this stream opened under (r15): the streaming plan
+    * binds the scan's output at analysis time, so every batch is planned
+    * against this schema (see delegateScanOver's schemaPin), OLD-era
+    * backlog included (old files up-cast/resolve by field id under it).
+    * A commit from a NEWER era — a rename/drop/widen landed while the
+    * stream was running — fails loudly instead of silently null-filling
+    * or reinterpreting columns; a RESTART re-analyzes under the new
+    * schema and drains the backlog correctly (Delta's behavior). */
+  private val openingMeta = table.currentMeta
+  private val openingSchemaId: Int = openingMeta.currentSchemaId
+  private val openingSchema: StructType = openingMeta.schema
+
   /** Trigger.AvailableNow target: the latest version captured at query
     * start — the run drains THROUGH it (in bounded per-trigger steps
     * when admission-controlled) and then stops, ignoring later commits. */
@@ -2984,6 +3009,13 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
     val deltas = m.history.filter(c => c.version > s.v && c.version <= e)
       .sortBy(_.version).flatMap { c =>
         if (!c.dataChange) Nil // layout-only: rows already emitted
+        else if (c.schemaId > openingSchemaId)
+          throw new IllegalStateException(
+            s"${table.name()}: version ${c.version} was committed under schema id " +
+              s"${c.schemaId}, newer than this stream's opening schema id " +
+              s"$openingSchemaId (a rename/drop/type change landed mid-stream); " +
+              "restart the stream to adopt the new schema — the checkpoint replays " +
+              "from here and old-era files resolve by field id")
         else {
           val prev = m.history.find(_.version == c.version - 1)
             .getOrElse(expired(c.version - 1))
@@ -3008,11 +3040,13 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
     val plainFiles = openingFiles.filterNot(openingDvs.contains) ++ deltas
     val plain =
       if (plainFiles.isEmpty) Array.empty[InputPartition]
-      else table.delegateScanOver(plainFiles).toBatch.planInputPartitions()
+      else table.delegateScanOver(plainFiles, schemaPin = Some(openingSchema))
+        .toBatch.planInputPartitions()
     val masked = openingFiles.filter(openingDvs.contains).flatMap { f =>
       val (abs, blob) = (table.tableDirPath.resolve(f).toString,
         openingDvs.get(f).map(d => table.tableDirPath.resolve(d.path).toString))
-      table.delegateScanOver(Seq(f)).toBatch.planInputPartitions()
+      table.delegateScanOver(Seq(f), schemaPin = Some(openingSchema))
+        .toBatch.planInputPartitions()
         .map(p => AddrPartition(p, f, abs, blob))
     }
     // Spark refuses mixed row/columnar partitions WITHIN a batch, and
@@ -3029,7 +3063,8 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
     * snapshot partitions of vectored files arrive as [[AddrPartition]]s
     * and are routed through the masking reader. */
   override def createReaderFactory(): PartitionReaderFactory = {
-    val pf = table.delegateScanOver(Nil).toBatch.createReaderFactory()
+    val pf = table.delegateScanOver(Nil, schemaPin = Some(openingSchema))
+      .toBatch.createReaderFactory()
     val masked = AddrReaderFactory(pf,
       new SerHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
       wantFile = false, wantPos = false)
