@@ -370,6 +370,7 @@ object Bench {
       "sql_rename_chain" -> (() => operators.SqlVerbs.ensureRenameChain(spark, sfDir)),
       "sql_rebase_chain" -> (() => operators.SqlVerbs.ensureRebaseChain(spark, sfDir)),
       "sql_widen_chain" -> (() => operators.SqlVerbs.ensureWidenChain(spark, sfDir)),
+      "sql_rtas_chain" -> (() => operators.SqlVerbs.ensureRtasChain(spark, sfDir)),
       "sql_compact_chain" -> (() => operators.SqlVerbs.sqlCompact(spark, sfDir).count()),
       "sql_cluster_chain" -> (() => operators.SqlVerbs.sqlCluster(spark, sfDir).count()),
       // input fixtures of the load-boundary/maintenance queries (same

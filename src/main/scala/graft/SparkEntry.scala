@@ -173,6 +173,7 @@ object SparkEntry {
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
     "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
     "q_sql_widen"         -> ((s, d) => SqlVerbs.sqlWiden(s, d)),
+    "q_sql_rtas"          -> ((s, d) => SqlVerbs.sqlRtas(s, d)),
     // RESTORE as a new commit: rollback re-references v1's files under a
     // new version; the bad deploy stays time-travelable for forensics
     "q_sql_restore"       -> ((s, d) => SqlVerbs.sqlRestore(s, d)),
@@ -1079,6 +1080,7 @@ object SparkEntry {
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
     "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,
     "q_sql_widen" -> SqlVerbs.sqlWidenOracleSql,
+    "q_sql_rtas" -> SqlVerbs.sqlRtasOracleSql,
     "q_sql_restore" -> SqlVerbs.sqlRestoreOracleSql,
     "q_sql_days_table" -> SqlVerbs.sqlDaysTableOracleSql,
     "q_sql_cow_subset" -> SqlVerbs.sqlCowSubsetOracleSql,

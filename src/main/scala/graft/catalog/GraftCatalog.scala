@@ -79,9 +79,46 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * depend on group size — only rewrite volume does.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatalog
-    with ViewCatalog {
+    with ViewCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: Path = _
+
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS (r15) ----
+  //
+  // Without this interface Spark falls back to NON-atomic CTAS/RTAS —
+  // REPLACE TABLE AS SELECT becomes drop + create + write, and a failed
+  // write leaves NO TABLE AT ALL. Here the staged write lands in a
+  // commit subdir and publication is ONE manifest swap: REPLACE TABLE is
+  // just another versioned commit (op `replace-table`, its own schema
+  // era), so a failure aborts invisibly and TIME TRAVEL works across the
+  // replace — the nightly full-refresh shape (recompute the corpus,
+  // atomically swap) with every previous version still readable.
+  // Spark 4.1 routes all stage* overloads through the TableInfo
+  // variants, so these three cover the surface.
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, StagedGraftTable.Create)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!Files.exists(tableDir(ident).resolve(TableMeta.MetaFile)))
+      throw new NoSuchTableException(ident)
+    staged(ident, info, StagedGraftTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, StagedGraftTable.CreateOrReplace)
+
+  private def staged(ident: Identifier, info: TableInfo,
+                     mode: StagedGraftTable.Mode): StagedTable = {
+    val schema = info.schema()
+    val clusterBy = clusterByOf(info.partitions())
+    ClusterSpec.validate(clusterBy, schema)
+    val userProps = validatedUserProps(schema, info.properties())
+    val dir = tableDir(ident)
+    require(!Files.exists(dir.resolve(GraftViewStore.ViewFile)),
+      s"a VIEW named ${fullName(ident)} already exists (tables and views share a namespace)")
+    new StagedGraftTable(fullName(ident), dir, schema, clusterBy, userProps, mode)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -201,10 +238,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
     * prune them — a bucket layout here would parse but silently never
     * skip, the fast-but-wrong shape (ClusteredTableSpec pins the
     * refusal). */
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
-    val clusterBy = partitions.toSeq.map {
+  /** PARTITIONED BY transforms → the manifest's clusterBy strings (shared
+    * by CREATE and the staged CTAS/RTAS paths). */
+  private[catalog] def clusterByOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
       case t if t.name == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         t.references()(0).fieldNames()(0)
@@ -227,15 +264,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           s"bucket(n, col) PARTITIONED BY transforms (a clustered layout contract, " +
           s"not hive directories); got $other")
     }
-    ClusterSpec.validate(clusterBy, schema)
-    // bucket + merge-on-read compose since r15: MOR's delta-insert writer
-    // rides the same BucketFanoutFactory as every other write, so delta
-    // files stay bucket-pure and the continuous-upsert corpus keeps its
-    // storage-partitioned join (VERDICT r14 #3)
-    // TBLPROPERTIES: Spark mixes its own reserved entries (provider,
-    // owner, …) into the map; persist only user-owned keys. The one key
-    // this catalog INTERPRETS is validated here so a typo fails the DDL,
-    // not the first UPDATE.
+
+  /** TBLPROPERTIES validation shared by CREATE and the staged paths:
+    * strip Spark's reserved entries, validate the keys this catalog
+    * interprets so a typo fails the DDL, not the first UPDATE. */
+  private[catalog] def validatedUserProps(schema: StructType,
+                                          properties: java.util.Map[String, String])
+      : Map[String, String] = {
     val userProps = properties.asScala.toMap --
       Seq("provider", "owner", "location", "external", "format")
     userProps.get(GraftTable.RowLevelModeProp).foreach { v =>
@@ -249,6 +284,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           s"${GraftTable.BloomColumnsProp} column '$c' is not in the schema " +
             s"(${schema.fieldNames.mkString(", ")})"))
     }
+    userProps
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val clusterBy = clusterByOf(partitions)
+    ClusterSpec.validate(clusterBy, schema)
+    // bucket + merge-on-read compose since r15: MOR's delta-insert writer
+    // rides the same BucketFanoutFactory as every other write, so delta
+    // files stay bucket-pure and the continuous-upsert corpus keeps its
+    // storage-partitioned join (VERDICT r14 #3)
+    val userProps = validatedUserProps(schema, properties)
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(TableMeta.MetaFile)))
       throw new TableAlreadyExistsException(ident)
@@ -658,7 +706,7 @@ private[graft] object FieldIds {
   val MetaKey = "parquet.field.id"
   import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
 
-  private def withId(f: StructField, id: Long): StructField =
+  private[catalog] def withId(f: StructField, id: Long): StructField =
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(MetaKey, id).build())
 

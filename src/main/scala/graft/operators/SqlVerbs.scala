@@ -2061,6 +2061,50 @@ object SqlVerbs {
           UNION ALL SELECT 'narrowing_refused', 1)
         ORDER BY metric"""
 
+  /** X-SQLz — ATOMIC CTAS / RTAS (catalog/Staging.scala, r15): the
+    * nightly full-refresh shape. A corpus lands via CREATE TABLE AS
+    * SELECT (one atomic commit: schema + data), takes a takedown DELETE,
+    * and is then REPLACED by its own per-lang rollup — REPLACE TABLE AS
+    * SELECT is ONE versioned commit with a new schema era, so a failed
+    * refresh would abort invisibly (the non-atomic fallback drops the
+    * table first and loses it) and the pre-replace generation stays
+    * readable under time travel, which `pre_rows` pins. */
+  def sqlRtas(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensureRtasChain(spark, dir)
+    val preRows = ss.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head().getLong(0)
+    import org.apache.spark.sql.functions.lit
+    ss.sql(s"SELECT lang, n_docs, sum_chars FROM $t")
+      .withColumn("pre_rows", lit(preRows))
+  }
+
+  private[graft] def ensureRtasChain(spark: SparkSession, dir: String): (SparkSession, String) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_rt"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-rtas"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_rt")
+        ss.sql(s"CREATE TABLE $t AS SELECT doc_id, lang, n_chars " + // v0+v1 (ctas)
+          "FROM documents_src_rt WHERE doc_id % 10 < 8")
+        ss.sql(s"DELETE FROM $t WHERE doc_id % $TakedownMod = 0") // v2
+        ss.sql(s"""REPLACE TABLE $t AS
+                   SELECT lang, count(*) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                   FROM $t GROUP BY lang""") // v3: new generation, new schema era
+        built.add(key)
+      }
+    }
+    (ss, t)
+  }
+
+  def sqlRtasOracleSql: String =
+    s"""WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 < 8),
+            v2 AS (SELECT * FROM v1 WHERE doc_id % $TakedownMod <> 0)
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               (SELECT count(*) FROM v2) AS pre_rows
+        FROM v2 GROUP BY lang"""
+
   def sqlMvOracleSql: String =
     s"""WITH $oracleChainCtes,
         v5 AS (SELECT doc_id, lang, source,
