@@ -169,6 +169,7 @@ object SparkEntry {
     "q_sql_spj_delta"     -> ((s, d) => SqlVerbs.sqlSpjDelta(s, d)),
     "q_sql_dpp"           -> ((s, d) => SqlVerbs.sqlDpp(s, d)),
     "q_sql_dpp_bucket"    -> ((s, d) => SqlVerbs.sqlDppBucket(s, d)),
+    "q_sql_spj_lookup"    -> ((s, d) => SqlVerbs.sqlSpjLookup(s, d)),
     "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
     "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
@@ -1076,6 +1077,7 @@ object SparkEntry {
     "q_sql_spj_delta" -> SqlVerbs.sqlSpjDeltaOracleSql,
     "q_sql_dpp" -> SqlVerbs.sqlDppOracleSql,
     "q_sql_dpp_bucket" -> SqlVerbs.sqlDppBucketOracleSql,
+    "q_sql_spj_lookup" -> SqlVerbs.sqlSpjLookupOracleSql,
     "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
     "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,

@@ -2343,6 +2343,25 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
   private[catalog] def bucketLayout: Option[BucketLayout] =
     meta.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
 
+  /** Footer-stat file pruning PLUS static bucket-group pruning (r15):
+    * point predicates on the bucket column hash their literals through
+    * the write side's mixer and drop files recorded in other buckets —
+    * the pruning a hash-scattered key actually has (min/max bound
+    * nothing). Files without a recorded bucket id always stay
+    * (conservative). Lossless like SkipEval: a dropped file PROVABLY
+    * holds no matching row, so every prune consumer (read scans, COW
+    * group scopes, MOR delta scopes) shares this. */
+  private[catalog] def pruneFilesFor(schemaV: StructType, mf: Commit,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] = {
+    val kept = SkipEval.prune(schemaV, mf.files, mf.stats, filters)
+    bucketLayout.flatMap(bl =>
+      GraftBucket.staticAllowedBuckets(filters, bl, schemaV)) match {
+      case Some(allowed) => kept.filter(f =>
+        mf.stats.get(f).flatMap(_.bucket).forall(allowed.contains))
+      case None => kept
+    }
+  }
+
   /** Per-bucket file groups of `files` under `mf`, when EVERY file has a
     * recorded bucket id — the precondition for reporting
     * [[KeyGroupedPartitioning]]. Files carrying deletion vectors group
@@ -2401,7 +2420,7 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
           "(name matching would silently null-fill the renamed column)")
     new org.apache.spark.sql.graft.SkippingScanBuilder(
       filters => {
-        val kept = SkipEval.prune(schemaV, mf.files, mf.stats, filters)
+        val kept = pruneFilesFor(schemaV, mf, filters)
         SkipRecorder.record(tableName, kept.size, mf.files.size)
         kept
       },
@@ -2629,7 +2648,7 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         ctx.baseVersion = latest
         ctx.replaced = mf.files
         new org.apache.spark.sql.graft.CowGroupScanBuilder(
-          filters => SkipEval.prune(m.schema, mf.files, mf.stats, filters),
+          filters => pruneFilesFor(m.schema, mf, filters),
           rel => delegate(rel.map(f => dir.resolve(f).toString), m.schema)
             .newScanBuilder(options),
           mf.files,

@@ -109,7 +109,7 @@ private[catalog] class MorScanBuilder(table: GraftTable, schema: StructType, mf:
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    kept = SkipEval.prune(schema, mf.files, mf.stats, filters)
+    kept = table.pruneFilesFor(schema, mf, filters) // footer stats + bucket groups
     SkipRecorder.record(s"${table.name()}#mor", kept.size, mf.files.size)
     filters // everything stays post-scan (position stability)
   }

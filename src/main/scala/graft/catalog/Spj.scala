@@ -120,6 +120,55 @@ private[graft] object GraftBucket {
       s"bucket() does not support $other")
   }
 
+  /** STATIC bucket pruning (r15): the set of buckets the pushed catalyst
+    * conjuncts allow on the bucket column. Footer min/max are useless on
+    * a hash-scattered key — for the 100 TB point lookup
+    * (`WHERE doc_id = x` / `IN (...)`) THIS is the pruning: hash the
+    * literals with the write side's own mixer and only files recorded in
+    * those buckets can hold a match. NULL keys land in bucket 0 by the
+    * fanout contract, so `IS NULL` prunes to bucket 0; null literals in
+    * an IN list match nothing and drop from the set. None = the
+    * conjuncts say nothing provable (conservative: keep every file). */
+  def staticAllowedBuckets(conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                           bl: BucketLayout,
+                           schema: StructType): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val dtOpt = schema.fields.find(_.name.equalsIgnoreCase(bl.column))
+      .map(_.dataType).filter(supported)
+    def of(e: Expression): Option[Set[Int]] = e match {
+      case EqualTo(a: AttributeReference, Literal(v, _))
+          if a.name.equalsIgnoreCase(bl.column) =>
+        if (v == null) Some(Set.empty) // = null matches nothing
+        else scala.util.Try(Set(bucketOfValue(v, dtOpt.get, bl.numBuckets))).toOption
+      case EqualTo(Literal(v, _), a: AttributeReference)
+          if a.name.equalsIgnoreCase(bl.column) =>
+        if (v == null) Some(Set.empty)
+        else scala.util.Try(Set(bucketOfValue(v, dtOpt.get, bl.numBuckets))).toOption
+      case In(a: AttributeReference, vs)
+          if a.name.equalsIgnoreCase(bl.column) && vs.forall(_.isInstanceOf[Literal]) =>
+        scala.util.Try(vs.collect { case Literal(v, _) if v != null => v }
+          .map(bucketOfValue(_, dtOpt.get, bl.numBuckets)).toSet).toOption
+      case InSet(a: AttributeReference, hset)
+          if a.name.equalsIgnoreCase(bl.column) =>
+        scala.util.Try(hset.filter(_ != null)
+          .map(bucketOfValue(_, dtOpt.get, bl.numBuckets))).toOption
+      case IsNull(a: AttributeReference) if a.name.equalsIgnoreCase(bl.column) =>
+        Some(Set(0)) // the fanout routes null keys to bucket 0
+      case And(l, r) =>
+        (of(l), of(r)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for { a <- of(l); b <- of(r) } yield a union b
+      case _ => None
+    }
+    dtOpt.flatMap { _ =>
+      val sets = conjuncts.flatMap(of)
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+  }
+
   /** The set of buckets a runtime predicate on `col` can possibly match —
     * hash the IN/= values through the SAME mixer the write side used, so
     * whole bucket GROUPS the values can't land in are droppable (this is

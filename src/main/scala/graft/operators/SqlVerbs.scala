@@ -1825,6 +1825,37 @@ object SqlVerbs {
        JOIN (SELECT doc_id, n_chars % 1000 AS fp FROM documents WHERE doc_id % 5 = 0) f
          ON d.doc_id = f.doc_id"""
 
+  /** X-SQLs5 — STATIC BUCKET PRUNING (r15): the 100 TB point lookup.
+    * `WHERE doc_id IN (...)` on a bucketed corpus gets nothing from
+    * footer min/max (a murmur-scattered key covers the whole range in
+    * every file); hashing the literals through the write side's own
+    * mixer drops every other bucket's files at plan time — fetch-by-id
+    * touches one bucket group, not sixteen. `bucket_pruned` is
+    * recorder-derived; content is relational. */
+  def sqlSpjLookup(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, docsT, _) = ensureSpjTables(spark, dir)
+    Tables.documents(ss, dir).createOrReplaceTempView("documents_src_spjl")
+    val ids = ss.sql("SELECT doc_id FROM documents_src_spjl WHERE doc_id % 3 > 0 " +
+      "ORDER BY doc_id LIMIT 2").collect().map(_.getLong(0))
+    graft.catalog.SkipRecorder.clear(docsT)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM $docsT WHERE doc_id IN (${ids.mkString(",")})""").head()
+    val pruned = graft.catalog.SkipRecorder.lastFor(docsT)
+      .exists { case (kept, total) => kept < total && kept >= 1 }
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), pruned))
+      .toDF("n_docs", "sum_chars", "bucket_pruned")
+  }
+
+  def sqlSpjLookupOracleSql: String =
+    """WITH probe AS (SELECT doc_id FROM documents WHERE doc_id % 3 > 0
+                      ORDER BY doc_id LIMIT 2)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              true AS bucket_pruned
+       FROM documents
+       WHERE doc_id % 3 > 0 AND doc_id IN (SELECT doc_id FROM probe)"""
+
   /** X-SQLd3 — RUNTIME BUCKET-GROUP PRUNING (VERDICT r14 #4): a point-
     * probe join against the bucketed corpus needs no footer stats — the
     * probe side's surviving doc_ids hash through the SAME murmur mixer
@@ -1837,10 +1868,21 @@ object SqlVerbs {
   def sqlDppBucket(spark: SparkSession, dir: String): DataFrame = {
     val (ss, docsT, _) = ensureSpjTables(spark, dir)
     Tables.documents(ss, dir).createOrReplaceTempView("documents_src_bdpp")
-    val ids = ss.sql("SELECT doc_id FROM documents_src_bdpp WHERE doc_id % 3 > 0 " +
-      "ORDER BY doc_id LIMIT 4").collect().map(_.getLong(0))
-    ss.sql(s"SELECT doc_id, CASE WHEN doc_id IN (${ids.mkString(",")}) THEN 1 ELSE 0 END " +
-      "AS tag FROM documents_src_bdpp").createOrReplaceTempView("dim_bdpp")
+    // the dim must be OPAQUE to constraint inference AND survive as a
+    // real filtered scan: a tag computed FROM doc_id folds back into a
+    // static IN (the r15 static bucket pruning would preempt the runtime
+    // path this query pins), and a local relation gets its filter folded
+    // away at optimization (ConvertToLocalRelation), hiding the
+    // selective predicate the DPP rule requires — so the probe rows go
+    // through parquet
+    val ids8 = ss.sql("SELECT doc_id FROM documents_src_bdpp WHERE doc_id % 3 > 0 " +
+      "ORDER BY doc_id LIMIT 8").collect().map(_.getLong(0))
+    val (probe, decoys) = ids8.splitAt(4)
+    val dimPath = Pipeline.scratch(dir) + "/dim_bdpp"
+    import ss.implicits._
+    (probe.toSeq.map(_ -> 1) ++ decoys.toSeq.map(_ -> 0))
+      .toDF("doc_id", "tag").write.mode("overwrite").parquet(dimPath)
+    ss.read.parquet(dimPath).createOrReplaceTempView("dim_bdpp")
     graft.catalog.SkipRecorder.clear(s"$docsT#bucketdpp")
     // BROADCAST(d) pins the DIM as the build side at every sf: if AQE
     // broadcast the (locally tiny) fact instead, the fact's runtime

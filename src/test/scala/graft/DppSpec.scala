@@ -71,8 +71,15 @@ class DppSpec extends AnyFunSuite {
     val t = s"$c.ns.fact"
     ss.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) PARTITIONED BY (bucket(8, k))")
     ss.sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(0, 4000)")
-    ss.sql("SELECT id AS k, CASE WHEN id IN (3, 257) THEN 1 ELSE 0 END AS tag " +
-      "FROM range(0, 4000)").createOrReplaceTempView("dim_probe")
+    // an OPAQUE dim (no expression linking tag to k — a derived tag
+    // would fold into a static IN and the r15 static bucket pruning
+    // would preempt the runtime path under test), routed through
+    // parquet so the selective filter survives optimization (a local
+    // relation's filter folds away and the DPP rule sees none)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim-").toString
+    ss.sql("SELECT k, tag FROM VALUES (3L, 1), (257L, 1), (1000L, 0), (2000L, 0) " +
+      "AS t(k, tag)").write.mode("overwrite").parquet(dimPath)
+    ss.read.parquet(dimPath).createOrReplaceTempView("dim_probe")
     graft.catalog.SkipRecorder.clear(s"$t#bucketdpp")
     val got = ss.sql(
       s"""SELECT /*+ BROADCAST(d) */ f.k, f.v FROM $t f JOIN dim_probe d ON f.k = d.k

@@ -234,6 +234,44 @@ class SpjSpec extends AnyFunSuite {
     } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("static point predicates prune bucket groups; non-key and range stay whole") {
+    // r15: footer min/max bound nothing on a hash-scattered key — the
+    // point lookup's pruning IS the bucket hash. Lossless at every prune
+    // site (read scans, COW scopes, MOR scopes share pruneFilesFor).
+    val (ss, c) = freshCatalog("spj_static")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) PARTITIONED BY (bucket(8, id))")
+    ss.sql(s"INSERT INTO $t SELECT id, id * 2 FROM range(0, 4000)")
+    def kept(): (Int, Int) = graft.catalog.SkipRecorder.lastFor(t)
+      .getOrElse(fail("no skip record"))
+    graft.catalog.SkipRecorder.clear(t)
+    val one = ss.sql(s"SELECT v FROM $t WHERE id = 1234").collect()
+    assert(one.toSeq.map(_.getLong(0)) == Seq(2468L))
+    val (k1, t1) = kept()
+    assert(k1 < t1, s"point lookup kept $k1 of $t1 files")
+    graft.catalog.SkipRecorder.clear(t)
+    val two = ss.sql(s"SELECT sum(v) FROM $t WHERE id IN (3, 257)").head().getLong(0)
+    assert(two == (3L + 257L) * 2)
+    val (k2, t2) = kept()
+    assert(k2 < t2 && k2 <= (t2 * 2 + 7) / 8 * 2, s"IN lookup kept $k2 of $t2")
+    // a RANGE predicate on the bucket column says nothing a hash can use;
+    // a predicate on a NON-key column says nothing either — both stay
+    // conservative and exact
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE id < 100").head().getLong(0) == 100)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v = 88").head().getLong(0) == 1)
+    // the COW scope shares the pruning: a point DELETE rewrites a strict
+    // file subset
+    graft.catalog.SkipRecorder.clear(s"$t#cow")
+    ss.sql(s"DELETE FROM $t WHERE id = 77")
+    graft.catalog.SkipRecorder.lastFor(s"$t#cow").foreach { case (kc, tc) =>
+      assert(kc < tc, s"point DELETE rewrote $kc of $tc files")
+    }
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3999)
+    // IS NULL prunes to bucket 0 (the fanout's null route) and stays exact
+    ss.sql(s"INSERT INTO $t VALUES (NULL, -1)")
+    assert(ss.sql(s"SELECT v FROM $t WHERE id IS NULL").head().getLong(0) == -1L)
+  }
+
   test("streaming appends into a bucketed MOR table stay bucket-pure; SPJ survives") {
     // the continuous-upsert pipeline end to end: stream epochs fan out
     // bucket-pure (GraftStreamingWrite rides the same fanout), a takedown
