@@ -176,8 +176,32 @@ object Bench {
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
-      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq
+      // Cap the worker heap (ADVICE r15): the parent suite JVM stays
+      // resident through the rerun phase, so inheriting its full -Xmx
+      // roughly doubles peak memory and on a constrained host the worker
+      // OOMs — silently downgrading the gate to the in-process rerun the
+      // fork exists to avoid. The worker runs ONE query at a time with
+      // clearState between, so half the parent heap (floor 2g) is ample.
+      val workerXmx: Option[String] = inherited.reverse
+        .collectFirst { case a if a.startsWith("-Xmx") => a.stripPrefix("-Xmx") }
+        .flatMap { v =>
+          val m = "([0-9]+)([kKmMgG]?)".r
+          v match {
+            case m(n, unit) =>
+              val mb = unit.toLowerCase match {
+                case "g" => n.toLong * 1024
+                case "m" => n.toLong
+                case "k" => n.toLong / 1024
+                case _ => n.toLong >> 20
+              }
+              Some(s"-Xmx${math.max(2048L, mb / 2)}m")
+            case _ => None
+          }
+        }
+      val jvmArgs = inherited.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
+        workerXmx
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
@@ -510,6 +534,13 @@ object Bench {
     // silently bypassed.
     jvmHealth("rerun phase (suite JVM)")
     val forked = forkReruns(rerunSet, sfDir)
+    // Gate-relevant fork status lands in the ARTIFACT (ADVICE r15): a
+    // fork that failed or produced no numbers means the gate judged
+    // in-process warm numbers — visible below as rerun_fork_ok:false,
+    // not only as a stderr line.
+    if (forked.isEmpty && rerunSet.nonEmpty)
+      System.err.println("[bench] WARNING: fresh-JVM rerun unavailable; " +
+        "cost gate will judge in-process warm numbers (rerun_fork_ok:false)")
     val reruns = rerunSet.map { name =>
       forked.flatMap(_.get(name)).filter(_ > 0) match {
         case Some(sec) =>
@@ -548,8 +579,9 @@ object Bench {
       s""""$k":{"prior":$prior,"warm":$warm}""" }.mkString("{", ",", "}")
     val truncated = rerunTruncated.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = retried.filter(_._3).map(_._2).sum
+    val forkOk = forked.isDefined || rerunSet.isEmpty
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"regressions":$regr,"warm_regressions":$warmRegr,"rerun_truncated":$truncated,"store_build":$stores,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"retries":$retries,"rerun":$rerun,"rerun_fork_ok":$forkOk,"regressions":$regr,"warm_regressions":$warmRegr,"rerun_truncated":$truncated,"store_build":$stores,"sf":"$sfDir"}"""
     println(line)
     if (only.isEmpty)
       try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")

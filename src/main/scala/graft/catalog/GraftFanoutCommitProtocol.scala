@@ -60,6 +60,12 @@ object FanoutMessages {
     // unknown message shapes can't be merged generically — report the
     // first, the pre-r15 behavior (metrics-only downgrade, never wrong)
     if (results.length != msgs.length || results.isEmpty) return msgs.head
+    // ADVICE r15: zip would silently truncate/misalign if delegates ever
+    // reported differently-shaped WriteTaskStats seqs (custom write
+    // trackers) — take the same metrics-only downgrade instead of a
+    // corrupted merge
+    val shapes = results.map(_.summary.stats.map(_.getClass))
+    if (shapes.exists(_ != shapes.head)) return msgs.head
     val mergedStats = results.map(_.summary.stats).reduce { (a, b) =>
       a.zip(b).map {
         case (x: BasicWriteTaskStats, y: BasicWriteTaskStats) =>

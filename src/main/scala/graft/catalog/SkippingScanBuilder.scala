@@ -150,7 +150,8 @@ class SkippingScanBuilder(
         new graft.catalog.BucketGroupedScan(groups, bl, filteredScanFor, prunedFiles,
           mkStream, rowsOf(prunedFiles), colStatsOf(prunedFiles),
           dv = addr.map(a => graft.catalog.BucketDv(a, bareScanFor)),
-          keyType = spjKeyType, onRuntimePrune = spjPruneRecord)
+          keyType = spjKeyType, onRuntimePrune = spjPruneRecord,
+          isVectored = f => addr.exists(_.isVectored(f)))
       case None if vectored.nonEmpty =>
         // vectored, unbucketed: the clean bulk keeps the fast path (one
         // bin-packed, filter-pushed, vectorized delegate); vectored files

@@ -389,9 +389,18 @@ class BucketGroupedScan(
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics],
     dv: Option[BucketDv] = None,
     keyType: Option[org.apache.spark.sql.types.DataType] = None,
-    onRuntimePrune: (Int, Int) => Unit = (_, _) => ())
+    onRuntimePrune: (Int, Int) => Unit = (_, _) => (),
+    isVectored: String => Boolean = _ => false)
     extends Scan with SupportsReportPartitioning with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // Fail-fast invariant (ADVICE r15): a caller that declares vectored
+  // files (via `isVectored`) but supplies no address support would be
+  // served UNMASKED reads — deleted rows would resurrect silently. Refuse
+  // at construction, mirroring SkippingScanBuilder's unbucketed branch.
+  if (dv.isEmpty && allFiles.exists(isVectored))
+    throw new IllegalStateException(
+      "deletion vectors in scope but this bucket-grouped scan has no address support")
 
   @volatile private var keptGroups: Seq[(Int, Seq[String])] = groups
 

@@ -216,6 +216,20 @@ private[catalog] class StagedGraftTable(
           require(m.branches.isEmpty,
             s"$tableName: a WAP branch was created while the REPLACE staged; " +
               "publish or drop it and rerun")
+          // Generation check (ADVICE r15): the expectedLatest guard below
+          // is version-NUMBER based and has an ABA hole — a DROP + CREATE
+          // landing mid-stage can recreate a table whose latest happens to
+          // reach the same number. The staged generation is identified by
+          // its latest commit's (version, ts, op) triple; a recreated
+          // table cannot reproduce the original's commit timestamp.
+          locally {
+            val staged = base.manifest(base.latest)
+            val now = m.history.find(_.version == base.latest)
+            require(now.exists(c => c.tsMillis == staged.tsMillis && c.op == staged.op),
+              s"$tableName: the table generation changed while the REPLACE staged " +
+                "(a concurrent DROP + CREATE raced this commit); field ids were " +
+                "preserved from the dropped generation — rerun the REPLACE")
+          }
           val newSchemaId = (m.schemas.keys ++ Seq(m.currentSchemaId)).max + 1
           val next = Commit(m.latest + 1, now, "replace-table", files, stats,
             schemaId = newSchemaId)

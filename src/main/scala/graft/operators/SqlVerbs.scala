@@ -1662,25 +1662,26 @@ object SqlVerbs {
     * one table that could NOT have the shuffle-free join. */
   def sqlMorSpj(spark: SparkSession, dir: String): DataFrame = {
     val (ss, morT, statsT) = ensureMorSpjTables(spark, dir)
-    val saved = ss.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val j = ss.sql(
-        s"""SELECT d.doc_id, d.n_chars, f.fp
-            FROM $morT d JOIN $statsT f ON d.doc_id = f.doc_id""")
-      val plan = j.queryExecution.executedPlan.toString
-      val exchangeFree = "Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty
-      // the MOR side's scan must be the bucket-grouped one WITH masked
-      // members (vectors in scope), not a fallback
-      val dvMasked = plan.contains("dv-masked members")
-      val agg = j.groupBy().agg(
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.sum("n_chars"),
-        org.apache.spark.sql.functions.sum("fp")).head()
-      import ss.implicits._
-      Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), exchangeFree, dvMasked))
-        .toDF("n_joined", "sum_chars", "sum_fp", "exchange_free", "dv_masked")
-    } finally ss.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // SHUFFLE_MERGE pins the sort-merge SPJ path — the same hint pattern
+    // sqlSpjAgg/sqlSpjDelta use, instead of toggling the session-global
+    // autoBroadcastJoinThreshold around the query (VERDICT r15 #7: a
+    // concurrently-planned query on the session saw the disabled
+    // threshold during this harness's window).
+    val j = ss.sql(
+      s"""SELECT /*+ SHUFFLE_MERGE(d) */ d.doc_id, d.n_chars, f.fp
+          FROM $morT d JOIN $statsT f ON d.doc_id = f.doc_id""")
+    val plan = j.queryExecution.executedPlan.toString
+    val exchangeFree = "Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty
+    // the MOR side's scan must be the bucket-grouped one WITH masked
+    // members (vectors in scope), not a fallback
+    val dvMasked = plan.contains("dv-masked members")
+    val agg = j.groupBy().agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("n_chars"),
+      org.apache.spark.sql.functions.sum("fp")).head()
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), exchangeFree, dvMasked))
+      .toDF("n_joined", "sum_chars", "sum_fp", "exchange_free", "dv_masked")
   }
 
   /** The MOR×SPJ pair: a bucket(16, doc_id) merge-on-read docs table

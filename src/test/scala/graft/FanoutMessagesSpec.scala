@@ -38,4 +38,18 @@ class FanoutMessagesSpec extends AnyFunSuite {
     object Alien extends org.apache.spark.sql.connector.write.WriterCommitMessage
     assert(FanoutMessages.merge(Seq(Alien, one)) eq Alien)
   }
+
+  test("differently-shaped stats seqs downgrade to head instead of misaligning (ADVICE r15)") {
+    // a custom write tracker could report a different-length stats seq on
+    // one bucket; zip would silently truncate — merge must fall back
+    case class AlienStats(tag: String)
+      extends org.apache.spark.sql.execution.datasources.WriteTaskStats
+    val plain = result(1, 100L, 10L)
+    val withTracker = WriteTaskResult(
+      new TaskCommitMessage((Map.empty[String, String], Set.empty[String])),
+      ExecutedWriteSummary(Set.empty,
+        Seq(BasicWriteTaskStats(Nil, 2, 200L, 20L), AlienStats("t"))))
+    val merged = FanoutMessages.merge(Seq(plain, withTracker))
+    assert(merged eq plain) // metrics-only downgrade, never a corrupted merge
+  }
 }

@@ -122,4 +122,32 @@ class StagingSpec extends AnyFunSuite {
       s"REPLACE TABLE $t AS SELECT 1 AS one"))
     assert(e2.getMessage.contains("WAP"), e2.getMessage)
   }
+
+  test("a DROP + CREATE racing a staged REPLACE refuses at commit (ABA, ADVICE r15)") {
+    val (ss, c) = freshCatalog("stg_aba")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 20)") // latest = v1
+    // stage a REPLACE against this generation via the public staging API
+    import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog, TableInfo}
+    val cat = ss.sessionState.catalogManager.catalog(c).asInstanceOf[StagingTableCatalog]
+    val staged = cat.stageReplace(Identifier.of(Array("ns"), "t"),
+      new TableInfo.Builder()
+        .withColumns(Array(org.apache.spark.sql.connector.catalog.Column.create(
+          "id", org.apache.spark.sql.types.LongType)))
+        .withProperties(java.util.Map.of())
+        .build())
+    // interleave a DROP + CREATE + INSERT that lands the recreated table
+    // on the SAME latest version number (v1) — the pure version-number
+    // guard would pass; the generation (commit-ts) check must refuse
+    ss.sql(s"DROP TABLE $t")
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, id * 7 FROM range(0, 5)")
+    assert(Manifests.latestVersion(ss, t) == 1) // same number, new generation
+    val e = intercept[Exception](staged.commitStagedChanges())
+    assert(e.getMessage.contains("generation"), e.getMessage)
+    // the recreated generation is untouched by the refused publish
+    assert(ss.sql(s"SELECT count(*), sum(v) FROM $t").head().toSeq ==
+      Seq(5L, (0L until 5L).map(_ * 7).sum))
+  }
 }
