@@ -170,6 +170,13 @@ object SparkEntry {
     "q_sql_dpp"           -> ((s, d) => SqlVerbs.sqlDpp(s, d)),
     "q_sql_dpp_bucket"    -> ((s, d) => SqlVerbs.sqlDppBucket(s, d)),
     "q_sql_spj_lookup"    -> ((s, d) => SqlVerbs.sqlSpjLookup(s, d)),
+    // aggregate pushdown: bare COUNT/MIN/MAX answered from manifest stats
+    // (LocalTableScan, zero data files); LIMIT k plans a manifest prefix
+    "q_sql_agg_pushdown"  -> ((s, d) => SqlVerbs.sqlAggPushdown(s, d)),
+    "q_sql_limit_prune"   -> ((s, d) => SqlVerbs.sqlLimitPrune(s, d)),
+    // ADD COLUMN ... DEFAULT as a metadata commit: old files serve the
+    // default on read, zero backfill
+    "q_sql_default"       -> ((s, d) => SqlVerbs.sqlDefault(s, d)),
     "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
     "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
@@ -653,6 +660,9 @@ object SparkEntry {
     // streaming CDC apply under merge-on-read: per-batch MERGE into a
     // corpus-sized mirror commits tombstone deltas, zero files rewritten
     "q_stream_mor_upsert" -> ((s, d) => graft.streaming.StreamingOps.streamMorUpsertEndToEnd(s, d)),
+    // equality-delete twin: per-batch upsert cost ∝ the batch, ZERO
+    // fact-file reads in the write job (insert files + one key tombstone)
+    "q_stream_eq_upsert" -> ((s, d) => graft.streaming.StreamingOps.streamEqUpsertEndToEnd(s, d)),
     // online ANN serving: new vectors stream in, each answered with its
     // IVF top-k against the pinned old-corpus index
     "q_stream_ann"        -> ((s, d) => graft.streaming.StreamingOps.streamAnnEndToEnd(s, d)),
@@ -1078,6 +1088,9 @@ object SparkEntry {
     "q_sql_dpp" -> SqlVerbs.sqlDppOracleSql,
     "q_sql_dpp_bucket" -> SqlVerbs.sqlDppBucketOracleSql,
     "q_sql_spj_lookup" -> SqlVerbs.sqlSpjLookupOracleSql,
+    "q_sql_agg_pushdown" -> SqlVerbs.sqlAggPushdownOracleSql,
+    "q_sql_limit_prune" -> SqlVerbs.sqlLimitPruneOracleSql,
+    "q_sql_default" -> SqlVerbs.sqlDefaultOracleSql,
     "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
     "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,
@@ -1102,6 +1115,7 @@ object SparkEntry {
     "q_stream_cdf_tail" -> graft.streaming.StreamingOps.streamCdfTailOracleSql,
     "q_stream_derived_table" -> graft.streaming.StreamingOps.streamDerivedTableOracleSql,
     "q_stream_mor_upsert" -> graft.streaming.StreamingOps.streamMorUpsertOracleSql,
+    "q_stream_eq_upsert" -> graft.streaming.StreamingOps.streamEqUpsertOracleSql,
     "q_stream_restart" -> graft.streaming.StreamingOps.streamRestartOracleSql,
     "q_stream_exactly_once" -> graft.streaming.StreamingOps.streamExactlyOnceOracleSql,
     "q_stream_ann" -> graft.streaming.StreamingOps.streamAnnOracleSql(),

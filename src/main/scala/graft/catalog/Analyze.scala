@@ -74,8 +74,8 @@ private[graft] object TableColumnStats {
       val bounds: Option[(Any, Any)] =
         if (!complete || kept.isEmpty || ord.isEmpty) None
         else {
-          val mins = perFile.map(_.mins.get(f.name))
-          val maxs = perFile.map(_.maxs.get(f.name))
+          val mins = perFile.map(_.mins.get(FieldIds.statKey(f)))
+          val maxs = perFile.map(_.maxs.get(FieldIds.statKey(f)))
           if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
           else for {
             lo <- catalystValue(f.dataType,
@@ -87,7 +87,7 @@ private[graft] object TableColumnStats {
       val nulls: Option[Long] =
         if (!complete || kept.isEmpty || hasDvs) None
         else {
-          val ns = perFile.map(_.nullCounts.getOrElse(f.name, -1L))
+          val ns = perFile.map(_.nullCounts.getOrElse(FieldIds.statKey(f), -1L))
           if (ns.exists(_ < 0)) None else Some(ns.sum)
         }
       val ndv = props.get(ndvProp(f.name)).flatMap(_.toLongOption)

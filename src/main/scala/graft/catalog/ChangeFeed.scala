@@ -111,6 +111,14 @@ object ChangeFeed {
       require(chain.exists(_.version == v - 1),
         s"parent version ${v - 1} of $v was expired; its change feed is unreconstructable")
       val parent = chain.find(_.version == v - 1).get
+      // an equality-delete commit (r16) tombstones by KEY VALUE, not by
+      // file or position — its row-level delta would need a corpus-side
+      // key lookup this feed is designed to avoid; refuse until a compact
+      // materializes the tombstones (the compacted diff is then exact)
+      require(commit.eqs.size == parent.eqs.size,
+        s"version $v added equality-delete tombstones; its change feed is not " +
+          "served — CALL system.compact to materialize them, then feed from the " +
+          "compacted commit")
       val cur = commit.files.toSet
       val prev = parent.files.toSet
       val added = commit.files.filterNot(prev)

@@ -350,21 +350,61 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "graft catalog: only top-level ADD COLUMN is supported")
-          require(add.isNullable,
-            "graft catalog: added columns must be nullable (existing files have no values)")
+          require(add.isNullable || add.defaultValue() != null,
+            "graft catalog: added columns must be nullable or carry a DEFAULT " +
+              "(existing files have no values)")
           require(!schema.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))),
             s"column ${add.fieldNames()(0)} already exists")
-          // a retired era's name must never be re-issued: manifest file
-          // stats are keyed by NAME and inherited through alter commits,
-          // so old files' stats for the retired column would answer for
-          // the new one while id-resolved reads null-fill it (ADVICE r14)
-          require(!FieldIds.allStamped(schema) ||
-            !FieldIds.nameCollidesWithRetired(m, add.fieldNames()(0), None),
-            s"column name '${add.fieldNames()(0)}' belonged to a retired schema era of " +
-              "this table; old files' name-keyed stats would answer for the new column " +
-              "while field-id reads null-fill it — pick a fresh name")
+          // Reusing a RETIRED era's name is legal since r16 (Iceberg
+          // semantics): manifest file stats are keyed by FIELD ID
+          // (FieldIds.statKey), so old files' stats for the retired
+          // column can never answer for the new one — the new id simply
+          // finds no stats in old files (conservative; the r14 ADVICE
+          // IsNull-prune poison is impossible by construction).
           requireSchemaChangeAllowed("ADD COLUMN")
-          schema = FieldIds.addStamped(schema, m, add.fieldNames()(0), add.dataType())
+          // `ADD COLUMN … DEFAULT` as METADATA (VERDICT r15 #5, Iceberg
+          // v3 semantics / DSv2 column defaults): no backfill — the
+          // folded constant lands in the field's EXISTS_DEFAULT metadata
+          // and Spark's parquet reader serves it for files that predate
+          // the column, while CURRENT_DEFAULT feeds INSERTs that omit it.
+          // EXISTS_DEFAULT freezes the FOLDED value at ADD time (a later
+          // SET DEFAULT changes only future inserts — SQL standard).
+          val defMeta: Option[org.apache.spark.sql.types.Metadata] =
+            Option(add.defaultValue()).map { dv =>
+              val folded = Option(dv.getValue).getOrElse(throw new IllegalArgumentException(
+                s"graft catalog: ADD COLUMN ${add.fieldNames()(0)} DEFAULT must fold to " +
+                  "a literal (non-deterministic/non-foldable defaults are refused)"))
+              val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+                folded.value, folded.dataType)
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                  .CURRENT_DEFAULT_COLUMN_METADATA_KEY, dv.getSql)
+                .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                  .EXISTS_DEFAULT_COLUMN_METADATA_KEY, lit.sql)
+                .build()
+            }
+          schema = FieldIds.addStamped(schema, m, add.fieldNames()(0), add.dataType(),
+            nullable = add.isNullable, extraMeta = defMeta)
+          schemaChanged = true
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          // SET/DROP DEFAULT: future inserts only — EXISTS_DEFAULT (what
+          // pre-column files serve) stays frozen at its ADD-time value
+          require(upd.fieldNames().length == 1,
+            "graft catalog: only top-level ALTER COLUMN SET DEFAULT is supported")
+          val colName = upd.fieldNames()(0)
+          val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column '$colName' (${schema.fieldNames.mkString(", ")})"))
+          val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          Option(upd.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty) match {
+            case Some(sql) => mb.putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            case None => mb.remove(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+          }
+          requireSchemaChangeAllowed("ALTER COLUMN DEFAULT")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name.equalsIgnoreCase(colName)) x.copy(metadata = mb.build()) else x))
           schemaChanged = true
         case r: TableChange.RenameColumn =>
           require(r.fieldNames().length == 1,
@@ -378,15 +418,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             "graft catalog: RENAME COLUMN needs parquet field ids on every column " +
               "(a pre-field-id table would lose old files' data under the new name); " +
               "recreate the table to adopt ids")
-          // same retired-name hazard as ADD (a swap like a->tmp, b->a
-          // would put b's data under a's inherited name-keyed stats);
-          // renaming a column BACK to its own former name is same-id and
-          // stays allowed
-          require(!FieldIds.nameCollidesWithRetired(m, r.newName(),
-            schema.fields.find(_.name.equalsIgnoreCase(from)).flatMap(FieldIds.idOf)),
-            s"column name '${r.newName()}' belonged to a different column in a retired " +
-              "schema era of this table; old files' name-keyed stats would answer for " +
-              "the renamed column — pick a fresh name")
+          // renaming onto a retired era's name is legal since r16: stats
+          // are field-id-keyed, so the renamed column keeps ITS OWN
+          // stats under its id and the retired column's stats can never
+          // answer for it (see the ADD COLUMN note above)
           requireSchemaChangeAllowed("RENAME COLUMN")
           schema = StructType(schema.fields.map(f =>
             if (f.name.equalsIgnoreCase(from)) f.copy(name = r.newName()) else f))
@@ -489,7 +524,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         val prev = m.manifest(m.latest)
         val newSchemaId = (m.schemas.keys ++ Seq(m.currentSchemaId)).max + 1
         val next = Commit(m.latest + 1, System.currentTimeMillis(), "alter",
-          prev.files, prev.stats, dataChange = false, prev.dvs, schemaId = newSchemaId)
+          prev.files, prev.stats, dataChange = false, prev.dvs, schemaId = newSchemaId,
+          eqs = prev.eqs, fileSeqs = prev.fileSeqs)
         TableMeta.write(dir, m.copy(schema = schema, props = props,
           clusterBy = clusterBy,
           schemas = m.schemas + (m.currentSchemaId -> m.schema),
@@ -534,6 +570,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
+  /** Declares DSv2 column-default support: `CREATE TABLE (… DEFAULT …)`
+    * and `ALTER TABLE ADD COLUMN … DEFAULT` then reach this catalog with
+    * the default attached, stored as field metadata (no backfill). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.Set.of(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     if (!ident.namespace().sameElements(Array("system")))
       throw new UnsupportedOperationException(s"no procedure ${fullName(ident)}")
@@ -553,11 +597,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
       case "create_mv" => new CreateMvProcedure(this)
       case "refresh_mv" => new RefreshMvProcedure(this)
       case "analyze" => new AnalyzeProcedure(this)
+      case "eq_upsert" => new EqUpsertProcedure(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure system.$other (available: expire_versions, compact, " +
           "create_branch, publish_branch, drop_branch, rebase_branch, restore, " +
           "remove_orphans, history, tag, untag, set_clustering, create_mv, " +
-          "refresh_mv, analyze)")
+          "refresh_mv, analyze, eq_upsert)")
     }
 
   private[catalog] def tableDirOf(dotted: String): Path = {
@@ -710,6 +755,18 @@ private[graft] object FieldIds {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(MetaKey, id).build())
 
+  /** The manifest [[FileStats]] map key for a column (r16, VERDICT r15
+    * #3): the FIELD ID (`"#<id>"`) when the column has one, the name for
+    * legacy id-less tables. Keying by id makes stats follow a column
+    * through RENAME (old files keep pruning under the new name) and
+    * makes a REUSED name unable to alias a retired column's stats —
+    * DROP c + ADD c is legal because the new c looks up a fresh id and
+    * simply finds no stats (conservative, never the r14 IsNull-prune
+    * poison). A stamped table writes only id keys and a legacy table
+    * only name keys, so the two key spaces never mix within one table. */
+  def statKey(f: StructField): String =
+    idOf(f).map(id => s"#$id").getOrElse(f.name)
+
   def idOf(f: StructField): Option[Long] =
     if (f.metadata.contains(MetaKey)) Some(f.metadata.getLong(MetaKey)) else None
 
@@ -729,24 +786,13 @@ private[graft] object FieldIds {
       .flatMap(idOf).maxOption.getOrElse(0L) + 1
 
   def addStamped(working: StructType, m: TableMeta, name: String,
-                 dt: DataType): StructType =
-    if (!allStamped(working)) working.add(name, dt, nullable = true) // legacy: stay id-free
-    else StructType(working.fields :+ withId(
-      StructField(name, dt, nullable = true), nextId(m, working)))
-
-  /** Would giving `name` to the column with field id `id` (None = a
-    * fresh ADD) collide with a RETIRED use of that name — the same name
-    * on a DIFFERENT field id in the stored current schema or any retired
-    * era? Manifest file stats ([[FileStats]]) are keyed by column NAME
-    * and inherited through alter commits, so reusing a retired name
-    * would let old files' stats for the retired column answer for the
-    * new one while id-resolved reads null-fill it — e.g. SkipEval's
-    * IsNull pruning a file whose rows all read as NULL (ADVICE r14).
-    * Renaming a column back to a name it itself held is fine: same id,
-    * same stats, same column. */
-  def nameCollidesWithRetired(m: TableMeta, name: String, id: Option[Long]): Boolean =
-    (m.schema +: m.schemas.values.toSeq).exists(_.fields.exists(f =>
-      f.name.equalsIgnoreCase(name) && (id.isEmpty || idOf(f) != id)))
+                 dt: DataType, nullable: Boolean = true,
+                 extraMeta: Option[org.apache.spark.sql.types.Metadata] = None): StructType = {
+    val base = StructField(name, dt, nullable,
+      extraMeta.getOrElse(org.apache.spark.sql.types.Metadata.empty))
+    if (!allStamped(working)) StructType(working.fields :+ base) // legacy: stay id-free
+    else StructType(working.fields :+ withId(base, nextId(m, working)))
+  }
 
   /** Safe metadata-only type promotions (Iceberg v3's widening set, r15;
     * probed against this Spark's vectorized parquet reader): old files'
@@ -770,6 +816,23 @@ private[graft] object FieldIds {
     (m.schema +: m.schemas.values.toSeq).exists(s => s.fields.exists(of =>
       idOf(of).exists(id => schemaV.fields.exists(cf =>
         idOf(cf).contains(id) && cf.name != of.name))))
+
+  /** Columns of `schemaV` whose NAME was also used by a DIFFERENT field
+    * id in some schema era (DROP c + ADD c, or a rename onto a retired
+    * name — both legal since r16). Predicates on these columns must NOT
+    * be forwarded to the parquet delegate: parquet-mr's row-group filter
+    * matches columns by NAME even under field-id reads, so an old file's
+    * same-named column would answer for the new one and silently drop
+    * rows (probed: `score IS NULL` returned 0 of 40). Our own manifest
+    * pruning is id-keyed and stays; Spark re-evaluates every predicate
+    * above the scan, so the only cost is row-group pruning on the reused
+    * column. Lowercased names. */
+  def reusedNames(m: TableMeta, schemaV: StructType): Set[String] =
+    schemaV.fields.filter { cf =>
+      idOf(cf).exists(cid =>
+        (m.schema +: m.schemas.values.toSeq).exists(_.fields.exists(of =>
+          of.name.equalsIgnoreCase(cf.name) && idOf(of).exists(_ != cid))))
+    }.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
 
   /** Re-stamp ids onto a WRITE schema by name from the table schema —
     * the analyzer strips field metadata from write plans, so the
@@ -1150,6 +1213,12 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
             // vectors — inherits verbatim, vectors included. Churn cost,
             // not table cost: the continuous-upsert table compacts what
             // actually rotted.
+            // selective rewrites can't see equality tombstones' per-file
+            // applicability windows move — only a FULL compact clears them
+            require(mf.eqs.isEmpty,
+              s"$table has live equality-delete tombstones; selective " +
+                "(min_tombstone_ratio) compaction would re-stamp rewritten files past " +
+                "them — run a full CALL system.compact first")
             val selectedSet = mf.files.filter(f => mf.dvs.get(f).exists(dv =>
               mf.stats.get(f).exists(st => st.rows > 0 &&
                 dv.rows.toDouble / st.rows >= r))).toSet
@@ -1206,9 +1275,11 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                 stats.values.map(_.rows).sum)
             }
           case None =>
-          // a manifest carrying deletion vectors is never a no-op:
-          // compaction is how MOR tombstones get MATERIALIZED away
-          if (mf.files.size <= target && sortBy.isEmpty && zorderBy.isEmpty && mf.dvs.isEmpty)
+          // a manifest carrying deletion vectors OR equality tombstones
+          // is never a no-op: compaction is how MOR tombstones of either
+          // flavor get MATERIALIZED away
+          if (mf.files.size <= target && sortBy.isEmpty && zorderBy.isEmpty &&
+              mf.dvs.isEmpty && mf.eqs.isEmpty)
             (mf.files.size, mf.files.size, rowsFromStats)
           else {
             val staging = dir.resolve("data").resolve(s"c-${UUID.randomUUID().toString.take(12)}")
@@ -1246,8 +1317,8 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                   val futures = groups.map { case (b, fs) =>
                     pool.submit(new java.util.concurrent.Callable[Unit] {
                       override def call(): Unit =
-                        shape(Dv.maskedFrame(spark, dir, m.schema, fs,
-                            mf.dvs.view.filterKeys(fs.toSet).toMap), perGroup)
+                        shape(Eq.maskedFrame(spark, dir, m.schema, fs,
+                            mf.dvs.view.filterKeys(fs.toSet).toMap, mf), perGroup)
                           .write.options(bloomOpts)
                           .parquet(staging.resolve(s"b$b").toString)
                     })
@@ -1255,11 +1326,11 @@ private[catalog] class CompactProcedure(cat: GraftCatalog)
                   futures.foreach(_.get())
                 } finally pool.shutdown()
               case None =>
-                // the live snapshot: vectored files read masked, so the
-                // rewrite writes only surviving rows and the commit's
-                // fresh files carry no vectors (the manifest replace
-                // drops them)
-                shape(Dv.maskedFrame(spark, dir, m.schema, mf.files, mf.dvs), target)
+                // the live snapshot: vectored files read masked and
+                // equality tombstones anti-join away, so the rewrite
+                // writes only surviving rows and the commit's fresh files
+                // carry neither flavor (the manifest replace drops both)
+                shape(Eq.maskedFrame(spark, dir, m.schema, mf.files, mf.dvs, mf), target)
                   .write.options(bloomOpts).parquet(staging.toString)
             }
             val s = Files.walk(staging)
@@ -1409,7 +1480,8 @@ private[catalog] class RestoreProcedure(cat: GraftCatalog)
             // RESTORE semantics) — field ids resolve the old files
             val next = Commit(m.latest + 1, System.currentTimeMillis(), s"restore(v$v)",
               target.files, target.stats, dataChange = true, dvs = target.dvs,
-              schemaId = m.currentSchemaId)
+              schemaId = m.currentSchemaId,
+              eqs = target.eqs, fileSeqs = target.fileSeqs)
             TableMeta.write(dir, m.copy(history = m.history :+ next),
               expectedLatest = Some(m.latest))
             (next.version, target.files.size)
@@ -1954,13 +2026,21 @@ private[catalog] object BranchProcedure {
       val newFiles = cur.files.filterNot(removed) ++ added
       val newFileSet = newFiles.toSet
       val addedStats = s.stats.view.filterKeys(f => added.contains(f)).toMap
-      val next = Commit(out.map(_.version).max + 1, System.currentTimeMillis(),
+      val nextV = out.map(_.version).max + 1
+      val next = Commit(nextV, System.currentTimeMillis(),
         s"${s.op}(rebased)", newFiles,
         cur.stats.view.filterKeys(newFileSet).toMap ++ addedStats,
         s.dataChange,
         (cur.dvs.view.filterKeys(newFileSet).toMap ++ dvChanged)
           .view.filterKeys(newFileSet).toMap,
-        schemaId = cur.schemaId)
+        schemaId = cur.schemaId,
+        // main's equality tombstones survive the rebase; the branch's
+        // staged files are strictly newer than all of them (appends
+        // replayed on top), so they stamp at the rebased version
+        eqs = cur.eqs,
+        fileSeqs = if (cur.eqs.isEmpty) Map.empty
+          else cur.fileSeqs.view.filterKeys(newFileSet).toMap ++
+            added.map(f => f -> nextV))
       out = out :+ next
       cur = next
     }
@@ -1977,12 +2057,19 @@ private[catalog] object BranchProcedure {
   * entry; older manifests keep reading the old blob (time travel). */
 private[catalog] case class DvRef(path: String, rows: Long)
 
+/** `eqs` (r16): live equality-delete tombstones ([[EqRef]]), inherited
+  * by every commit until a full rewrite materializes them away.
+  * `fileSeqs` records the commit version that ADDED each file (absent =
+  * 0 — older than every tombstone); entries are only stamped while
+  * tombstones are in play, so ordinary tables pay nothing. */
 private[catalog] case class Commit(version: Int, tsMillis: Long, op: String,
                                    files: Seq[String],
                                    stats: Map[String, FileStats] = Map.empty,
                                    dataChange: Boolean = true,
                                    dvs: Map[String, DvRef] = Map.empty,
-                                   schemaId: Int = 0)
+                                   schemaId: Int = 0,
+                                   eqs: Seq[EqRef] = Nil,
+                                   fileSeqs: Map[String, Int] = Map.empty)
 
 /** Shared state of ONE row-level operation (MERGE/UPDATE/DELETE): the
   * scan side records which snapshot it planned against and which files
@@ -2055,6 +2142,11 @@ private[catalog] object TableMeta {
         }),
         "dvs" -> JObject(c.dvs.toList.sortBy(_._1).map { case (f, d) =>
           f -> JObject("path" -> JString(d.path), "rows" -> JInt(d.rows)) }),
+        "eqs" -> JArray(c.eqs.toList.map(e => JObject(
+          "path" -> JString(e.path), "key" -> JString(e.keyCol),
+          "rows" -> JInt(e.rows), "seq" -> JInt(e.seq)))),
+        "fileSeqs" -> JObject(c.fileSeqs.toList.sortBy(_._1).map {
+          case (f, s) => f -> (JInt(s): JValue) }),
         "schemaId" -> JInt(c.schemaId))
       val json = JObject(
         "schema" -> JsonMethods.parse(meta.schema.json),
@@ -2108,6 +2200,18 @@ private[catalog] object TableMeta {
         }.toMap
         case _ => Map.empty[String, DvRef]
       }
+      val eqs = c \ "eqs" match {
+        case JArray(es) => es.map(e => EqRef(
+          (e \ "path").asInstanceOf[JString].s,
+          (e \ "key").asInstanceOf[JString].s,
+          (e \ "rows").asInstanceOf[JInt].num.toLong,
+          (e \ "seq").asInstanceOf[JInt].num.toInt))
+        case _ => Nil
+      }
+      val fileSeqs = c \ "fileSeqs" match {
+        case JObject(kv) => kv.map { case (f, s) => f -> s.asInstanceOf[JInt].num.toInt }.toMap
+        case _ => Map.empty[String, Int]
+      }
       Commit(
         (c \ "version").asInstanceOf[JInt].num.toInt,
         (c \ "ts").asInstanceOf[JInt].num.toLong,
@@ -2116,7 +2220,8 @@ private[catalog] object TableMeta {
         stats,
         c \ "dataChange" match { case JBool(b) => b; case _ => true },
         dvs,
-        c \ "schemaId" match { case JInt(i) => i.toInt; case _ => 0 })
+        c \ "schemaId" match { case JInt(i) => i.toInt; case _ => 0 },
+        eqs, fileSeqs)
     }
     val history = (j \ "history").asInstanceOf[JArray].arr.map(parseCommit)
     val branches = j \ "branches" match {
@@ -2429,9 +2534,11 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
       mf.files,
       // exact live rows of the kept set for the planner (manifest footer
       // counts minus deletion-vector tombstones); None when any kept file
-      // predates stats collection — never guess
+      // predates stats collection — never guess. Equality tombstones make
+      // the count an upper bound (key overlap is unknowable from
+      // metadata), so they withhold it too.
       rowsOf = kept =>
-        if (kept.forall(mf.stats.contains))
+        if (mf.eqs.isEmpty && kept.forall(mf.stats.contains))
           Some(kept.map(f => mf.stats(f).rows).sum -
             kept.flatMap(mf.dvs.get).map(_.rows).sum)
         else None,
@@ -2450,6 +2557,9 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
           s"$tableName is a time-travel view; stream the live table and bound it yourself")
         require(branch.isEmpty,
           s"$tableName is a WAP branch view; stream the base table (branches are short-lived staging)")
+        require(mf.eqs.isEmpty,
+          s"$tableName has live equality-delete tombstones, which the streaming " +
+            "source cannot mask; CALL system.compact to materialize them first")
         new GraftMicroBatchStream(this,
           Option(options.get("max_versions_per_trigger")).map(_.toInt))
       },
@@ -2481,6 +2591,61 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
           SkipRecorder.record(s"$tableName#dpp", kept.size, mf.files.size)
           kept
         }
+      },
+      // COUNT(*)/COUNT(col)/MIN/MAX answered FROM the manifest when
+      // provable (AggPush's rules) — the scan becomes a LocalScan, zero
+      // files read; the recorder entry is the harness's scanless verdict.
+      // Live equality tombstones make every fold unprovable (masked-key
+      // overlap is not in the metadata) — refuse outright.
+      aggFold = (agg, kept) =>
+        if (mf.eqs.nonEmpty) None
+        else AggPush.fold(agg, schemaV, kept, mf.stats, mf.dvs)
+          .map { r => SkipRecorder.record(s"$tableName#agg", 0, mf.files.size); r },
+      // a bare LIMIT k scans a manifest PREFIX covering k live rows
+      // (footer counts net of DV tombstones); None when any kept file
+      // predates stats — never guess. Equality tombstones make per-file
+      // live counts upper bounds, so the prefix could under-cover —
+      // refuse while any are live.
+      limitPrune = (kept, limit) =>
+        if (mf.eqs.nonEmpty || !kept.forall(mf.stats.contains)) None
+        else {
+          var acc = 0L
+          val out = Seq.newBuilder[String]
+          var n = 0
+          val it = kept.iterator
+          while (acc < limit && it.hasNext) {
+            val f = it.next(); out += f; n += 1
+            acc += math.max(0L,
+              mf.stats(f).rows - mf.dvs.get(f).map(_.rows).getOrElse(0L))
+          }
+          SkipRecorder.record(s"$tableName#limit", n, kept.size)
+          Some(out.result())
+        },
+      // equality-delete masking (r16): per kept file, the tombstone
+      // blobs that apply under the strictly-older sequence rule; the
+      // builder routes affected files through the eq-masked read path
+      eqOf = kept =>
+        if (mf.eqs.isEmpty) Nil
+        else kept.flatMap { f =>
+          val blobs = Eq.applicableBlobs(dir, mf, f)
+          if (blobs.isEmpty) None else Some(f -> blobs)
+        },
+      eqKeyField = mf.eqs.headOption.map { e =>
+        schemaV.fields.find(_.name.equalsIgnoreCase(e.keyCol)).getOrElse(
+          throw new IllegalStateException(
+            s"$tableName: equality-delete key '${e.keyCol}' missing from the reading " +
+              s"era's schema (${schemaV.fieldNames.mkString(", ")})"))
+      },
+      // conjuncts on reused-name columns never reach the parquet
+      // delegate (FieldIds.reusedNames — parquet row-group filters match
+      // by NAME and an old file's retired column would answer for the
+      // new one); manifest pruning above is id-keyed and unaffected
+      delegateSafe = {
+        val reused = FieldIds.reusedNames(m, schemaV)
+        if (reused.isEmpty) identity
+        else (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          es.filterNot(_.references.exists(a =>
+            reused.contains(a.name.toLowerCase(java.util.Locale.ROOT))))
       })
   }
 
@@ -2611,6 +2776,14 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
     * rest — rewrite cost ∝ files the condition can touch, never the
     * table. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // Equality tombstones (r16) are invisible to the row-level scans
+    // (COW group scans and MOR delta scans read raw files), so a verb
+    // here could resurrect masked rows into a rewrite — refuse loudly
+    // until compaction materializes them.
+    require(chainManifest(meta, chainLatest(meta)).eqs.isEmpty,
+      s"$tableName has live equality-delete tombstones; ${info.command()} would " +
+        "bypass them — CALL system.compact to materialize them first (keyed " +
+        "churn goes through CALL system.eq_upsert)")
     // merge-on-read needs BOTH row-id metadata columns resolvable; a
     // schema owning either name shadows them, so such tables stay on the
     // always-correct COW path (documented in MorSpec)
@@ -2699,7 +2872,8 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
                                      streamEpoch: Option[(String, Long)] = None,
                                      dataChange: Boolean = true,
                                      replacedFiles: Option[Seq[String]] = None,
-                                     dvUpdates: Map[String, DvRef] = Map.empty): Boolean =
+                                     dvUpdates: Map[String, DvRef] = Map.empty,
+                                     eqAdd: Option[(String, String, Long)] = None): Boolean =
     GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
       _ => new Object).synchronized {
       val m = meta
@@ -2729,9 +2903,22 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         val inheritedSet = inherited.toSet
         val inheritedStats = prev.stats.view.filterKeys(inheritedSet).toMap
         val inheritedDvs = prev.dvs.view.filterKeys(inheritedSet).toMap
+        // equality tombstones: a FULL rewrite (replacedFiles = None —
+        // INSERT OVERWRITE, compaction, truncate) reads masked and
+        // materializes them away; everything else inherits them. While
+        // any are in play, new files are stamped with their adding
+        // version so the strictly-older sequence rule stays decidable.
+        val inheritedEqs = if (replace && replacedFiles.isEmpty) Nil else prev.eqs
+        val newEqs = inheritedEqs ++ eqAdd.map { case (path, key, rows) =>
+          EqRef(path, key, rows, latest + 1) }.toSeq
+        val newSeqs =
+          if (newEqs.isEmpty) Map.empty[String, Int]
+          else prev.fileSeqs.view.filterKeys(inheritedSet).toMap ++
+            newFiles.map(_ -> (latest + 1))
         val next = Commit(latest + 1, System.currentTimeMillis(), op,
           inherited ++ newFiles, inheritedStats ++ newStats, dataChange,
-          inheritedDvs ++ dvUpdates, schemaId = prev.schemaId)
+          inheritedDvs ++ dvUpdates, schemaId = prev.schemaId,
+          eqs = newEqs, fileSeqs = newSeqs)
         val withEpoch = streamEpoch.fold(m) { case (qid, eid) =>
           m.copy(streamEpochs = m.streamEpochs + (qid -> eid))
         }
@@ -2945,9 +3132,15 @@ private[catalog] class GraftWriteBuilder(table: GraftTable, info: LogicalWriteIn
           val files = abs.map(p => table.tableDirPath.relativize(p).toString)
           // footer-only stats for the commit's files — the data-skipping
           // manifest entries (cost ∝ files in THIS commit, never the
-          // table) — plus the field-id presence check on the same footer
+          // table) — plus the field-id presence check on the same footer.
+          // The schema is RE-STAMPED with the table's field ids (Spark's
+          // write plan strips column metadata from info.schema()): stats
+          // are keyed by field id (FieldIds.statKey), so an id-less
+          // collect would key by name and every id-keyed lookup would
+          // miss — pruning silently dead (r16).
           val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
-            info.schema(), SparkSession.active.sessionState.newHadoopConf(),
+            FieldIds.restamp(table.schema(), info.schema()),
+            SparkSession.active.sessionState.newHadoopConf(),
             requireIdsAs = table.idRequirement))
           val op = if (replaceManifest) "replace" else if (truncate0) "overwrite" else "append"
           table.commitVersion(op, baseLatest, files, replace = truncate0, newStats = stats,
@@ -3230,8 +3423,10 @@ private[catalog] class GraftStreamingWrite(table: GraftTable, info: LogicalWrite
       deleteStaged(p.commitDir)
     } else {
       val files = abs.map(f => table.tableDirPath.relativize(f).toString)
+      // re-stamped for id-keyed stats, same reason as the batch path
       val stats = table.withBucketIds(FooterStats.collect(table.tableDirPath, abs,
-        info.schema(), SparkSession.active.sessionState.newHadoopConf(),
+        FieldIds.restamp(table.schema(), info.schema()),
+        SparkSession.active.sessionState.newHadoopConf(),
         requireIdsAs = table.idRequirement))
       val committed = table.commitVersion(
         s"stream-epoch:${info.queryId()}:$epochId", table.currentLatest,

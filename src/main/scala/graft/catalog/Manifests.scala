@@ -63,6 +63,17 @@ object Manifests {
     TableMeta.read(tableDir(ss, table)).manifest(v).dvs
       .map { case (f, d) => f -> (d.path, d.rows) }
 
+  /** Version `v`'s live equality-delete tombstones: (blob path, key
+    * column, key count, sequence). Empty until an eq_upsert, and again
+    * after a full compact materializes them. */
+  def eqInfo(ss: SparkSession, table: String, v: Int): Seq[(String, String, Long, Int)] =
+    TableMeta.read(tableDir(ss, table)).manifest(v).eqs
+      .map(e => (e.path, e.keyCol, e.rows, e.seq))
+
+  /** The op string of commit `v` on the main chain. */
+  def opOf(ss: SparkSession, table: String, v: Int): String =
+    TableMeta.read(tableDir(ss, table)).manifest(v).op
+
   /** Does EVERY data file of the live manifest carry a parquet bloom
     * filter on `column` (first row group probed per file)? `false` for
     * an empty manifest. One footer read per file, no data pages — the

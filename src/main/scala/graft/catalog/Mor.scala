@@ -214,7 +214,9 @@ private[catalog] class MorDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
       finally s.close()
       val newFiles = abs.map(p => table.tableDirPath.relativize(p).toString)
-      val newStats = FooterStats.collect(table.tableDirPath, abs, info.schema(),
+      // writeSchema (not info.schema()): stats key by field id, and the
+      // raw write schema arrives metadata-stripped (r16)
+      val newStats = FooterStats.collect(table.tableDirPath, abs, writeSchema,
         SparkSession.active.sessionState.newHadoopConf(),
         requireIdsAs = table.idRequirement)
       // merged delete positions per file, across tasks

@@ -95,7 +95,7 @@ private[graft] object FooterStats {
           val chunks = chunksPerBlock.map { case (rc, c) => (rc, c.get) }
           val stats = chunks.map(_._2.getStatistics)
           // null counts: sum if every row group knows its count
-          nulls += field.name -> (
+          nulls += FieldIds.statKey(field) -> (
             if (stats.forall(s => s != null && s.isNumNullsSet))
               stats.map(_.getNumNulls).sum
             else -1L)
@@ -122,8 +122,8 @@ private[graft] object FooterStats {
               val his = bounds.map(_._2)
               (minOf(field.dataType, los), maxOf(field.dataType, his)) match {
                 case (Some(lo), Some(hi)) =>
-                  mins += field.name -> lo
-                  maxs += field.name -> hi
+                  mins += FieldIds.statKey(field) -> lo
+                  maxs += FieldIds.statKey(field) -> hi
                 case _ => ()
               }
             }
@@ -265,11 +265,11 @@ private[graft] object SkipEval {
       schema.fields.find(_.name.equalsIgnoreCase(a.name))
 
     def colBounds(f: StructField): Option[(Dom, Dom)] =
-      for { lo <- st.mins.get(f.name); hi <- st.maxs.get(f.name) }
+      for { lo <- st.mins.get(FieldIds.statKey(f)); hi <- st.maxs.get(FieldIds.statKey(f)) }
         yield (decode(f.dataType, lo), decode(f.dataType, hi))
 
     def allNull(f: StructField): Boolean =
-      st.nullCounts.get(f.name).contains(st.rows)
+      st.nullCounts.get(FieldIds.statKey(f)).contains(st.rows)
 
     /** A comparison predicate on `a` vs literal `lit`: null comparisons
       * never match, so an all-null column prunes outright; otherwise test
@@ -320,7 +320,7 @@ private[graft] object SkipEval {
         // as-is, not via Literal.create's external-value conversion
         vs.exists(v => mightMatch(schema, st, EqualTo(a, Literal(v, a.dataType))))
       case IsNull(a: AttributeReference) =>
-        field(a).forall(f => !st.nullCounts.get(f.name).contains(0L))
+        field(a).forall(f => !st.nullCounts.get(FieldIds.statKey(f)).contains(0L))
       case IsNotNull(a: AttributeReference) =>
         field(a).forall(f => !allNull(f))
       case Literal(v, BooleanType) => v == true
@@ -348,11 +348,11 @@ private[graft] object SkipEval {
       schema.fields.find(_.name.equalsIgnoreCase(a.name))
 
     def colBounds(f: StructField): Option[(Dom, Dom)] =
-      for { lo <- st.mins.get(f.name); hi <- st.maxs.get(f.name) }
+      for { lo <- st.mins.get(FieldIds.statKey(f)); hi <- st.maxs.get(FieldIds.statKey(f)) }
         yield (decode(f.dataType, lo), decode(f.dataType, hi))
 
     def nullsOf(f: StructField): Option[Long] =
-      st.nullCounts.get(f.name).filter(_ >= 0L)
+      st.nullCounts.get(FieldIds.statKey(f)).filter(_ >= 0L)
 
     /** Comparison proof: zero nulls AND the bound test holds over the
       * whole interval. Unknown anything → false. */

@@ -50,9 +50,17 @@ class SkippingScanBuilder(
     spjKeyType: Option[org.apache.spark.sql.types.DataType] = None,
     spjPruneRecord: (Int, Int) => Unit = (_, _) => (),
     dppCols: Seq[String] = Nil,
-    runtimePrune: (Seq[String], Array[Predicate]) => Seq[String] = (fs, _) => fs)
+    runtimePrune: (Seq[String], Array[Predicate]) => Seq[String] = (fs, _) => fs,
+    aggFold: (org.apache.spark.sql.connector.expressions.aggregate.Aggregation, Seq[String]) =>
+      Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = (_, _) => None,
+    limitPrune: (Seq[String], Int) => Option[Seq[String]] = (_, _) => None,
+    eqOf: Seq[String] => Seq[(String, Seq[String])] = _ => Nil,
+    eqKeyField: Option[org.apache.spark.sql.types.StructField] = None,
+    delegateSafe: Seq[Expression] => Seq[Expression] = identity)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var delegate: ScanBuilder = _
   private var prunedFiles: Seq[String] = allFiles
@@ -60,6 +68,57 @@ class SkippingScanBuilder(
   private var dataSchema: Option[StructType] = None
   private var wantFile: Boolean = false
   private var wantPos: Boolean = false
+  private var foldedAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  /** AGGREGATE PUSHDOWN from manifest stats (VERDICT r15 #1), COMPLETE
+    * or nothing: when every aggregate in the list folds from the kept
+    * files' footer stats ([[graft.catalog.AggPush]] via `aggFold`), the
+    * built scan is a [[org.apache.spark.sql.connector.read.LocalScan]]
+    * holding the one result row — Spark plans a LocalTableScan and the
+    * query reads ZERO data files. Spark only attempts aggregate pushdown
+    * when no post-scan Filter remains, and this source keeps every
+    * pushed predicate post-scan, so any WHERE falls back to the ordinary
+    * skipping scan by construction. Partial pushdown is declined (it
+    * would require the file scan to emit per-partition agg buffers). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggFold(agg, prunedFiles).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    foldedAgg = aggFold(agg, prunedFiles)
+    foldedAgg.isDefined
+  }
+
+  /** LIMIT PUSHDOWN as file-list truncation (VERDICT r15 #8): a bare
+    * `LIMIT k` keeps only a prefix of the manifest whose cumulative live
+    * row count (per-file footer rows net of deletion-vector tombstones)
+    * covers k — one file instead of the whole listing on a 100 TB table.
+    * Sound because Spark only pushes a limit with NO post-scan filters
+    * in the plan (any WHERE keeps the full set), and the Limit node
+    * stays above the scan (`isPartiallyPushed`). `limitPrune` returns
+    * None when any kept file predates stats collection — never guess. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (foldedAgg.isDefined) return false // the folded row IS the result
+    limitPrune(prunedFiles, limit) match {
+      case Some(trunc) =>
+        if (trunc.size < prunedFiles.size) {
+          prunedFiles = trunc
+          // rebuild the delegate over the truncated set (pushFilters may
+          // have built it over the full one); re-apply any pushed filters
+          delegate = mkDelegate(prunedFiles)
+          (delegate, pushed) match {
+            case (f: SupportsPushDownCatalystFilters, ps) if ps.nonEmpty =>
+              f.pushFilters(delegateSafe(ps))
+            case _ => ()
+          }
+        }
+        true
+      case None => false
+    }
+  }
+
+  override def isPartiallyPushed: Boolean = true
 
   private def ensureDelegate(): ScanBuilder = {
     if (delegate == null) delegate = mkDelegate(allFiles)
@@ -73,9 +132,13 @@ class SkippingScanBuilder(
     pushed = filters
     delegate = mkDelegate(prunedFiles)
     delegate match {
-      case f: SupportsPushDownCatalystFilters => f.pushFilters(filters)
-      case _ => filters
+      // delegateSafe strips conjuncts on REUSED-NAME columns (see
+      // FieldIds.reusedNames): parquet row-group filtering matches by
+      // name and would drop rows; Spark re-filters post-scan regardless
+      case f: SupportsPushDownCatalystFilters => f.pushFilters(delegateSafe(filters))
+      case _ => ()
     }
+    filters
   }
 
   override def pushedFilters: Array[Predicate] = ensureDelegate() match {
@@ -107,7 +170,7 @@ class SkippingScanBuilder(
   private def filteredScanFor(files: Seq[String]): Scan = {
     val b = mkDelegate(files)
     b match {
-      case f: SupportsPushDownCatalystFilters => f.pushFilters(pushed)
+      case f: SupportsPushDownCatalystFilters => f.pushFilters(delegateSafe(pushed))
       case _ => ()
     }
     (b, dataSchema) match {
@@ -128,7 +191,61 @@ class SkippingScanBuilder(
     b.build()
   }
 
+  /** Filter-free delegate pruned to an EXPLICIT schema — the eq-masked
+    * path reads the key column even when the query did not ask for it. */
+  private def bareScanWith(files: Seq[String], schema: StructType): Scan = {
+    val b = mkDelegate(files)
+    b match {
+      case c: SupportsPushDownRequiredColumns => c.pruneColumns(schema)
+      case _ => ()
+    }
+    b.build()
+  }
+
   override def build(): Scan = {
+    // a completely-pushed aggregate: the scan IS the one-row answer —
+    // no delegate, no file list, no IO (LocalScan plans as
+    // LocalTableScanExec, zero tasks)
+    foldedAgg.foreach { case (schema, row) =>
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"graft manifest-folded aggregate (${schema.fieldNames.mkString(", ")})"
+      }
+    }
+    // Equality-delete masking (r16): files with applicable tombstones —
+    // plus any vectored file, so both masks ride one per-file route —
+    // are served through the eq-masked row path; the clean bulk keeps
+    // the fast filter-pushed vectorized delegate. SPJ grouping and the
+    // file-tag/DPP specializations stand down while tombstones are live
+    // (conservative: slower, never wrong; compact restores them).
+    val eqEntries = eqOf(prunedFiles)
+    if (eqEntries.nonEmpty) {
+      require(dataSchema.isDefined,
+        "streaming reads are not served while equality-delete tombstones are live; " +
+          "CALL system.compact to materialize them first")
+      require(!wantFile && !wantPos,
+        s"metadata columns are not served while equality-delete tombstones are live; " +
+          "CALL system.compact to materialize them first")
+      val a = addr.getOrElse(throw new IllegalStateException(
+        "equality-delete tombstones in scope but this scan has no address support"))
+      val eqMap = eqEntries.toMap
+      val (affected, clean) = prunedFiles.partition(f => eqMap.contains(f) || a.isVectored(f))
+      val eqScan = new graft.catalog.EqMaskedScan(
+        affected.map(f => f -> eqMap.getOrElse(f, Nil)), a, bareScanWith _,
+        dataSchema.get,
+        eqKeyField.getOrElse(throw new IllegalStateException(
+          "equality-delete tombstones in scope but no key field resolved")))
+      return if (clean.isEmpty) eqScan
+      else new graft.catalog.SplitScan(
+        // the clean bulk drops to row reads too: Spark refuses a scan
+        // whose partitions disagree on columnar support, and the masked
+        // side is row-based — compact restores vectorization
+        new graft.catalog.RowOnlyScan(filteredScanFor(clean)), eqScan, dataSchema.get,
+        mkStream, manifestRows = None, manifestBytes = bytesOf(prunedFiles),
+        manifestColStats = colStatsOf(prunedFiles))
+    }
     val vectored = addr match {
       case Some(a) => prunedFiles.filter(a.isVectored)
       case None => Nil

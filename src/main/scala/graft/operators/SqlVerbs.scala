@@ -1909,6 +1909,118 @@ object SqlVerbs {
        FROM documents
        WHERE doc_id % 3 > 0 AND doc_id IN (SELECT doc_id FROM probe)"""
 
+  /** X-SQLa — AGGREGATE PUSHDOWN from manifest stats (VERDICT r16,
+    * catalog/AggPush.scala): a bare COUNT(*)/COUNT(col)/MIN/MAX on a
+    * catalog table is answered FROM the manifest's per-file footer
+    * stats — the scan plans as a LocalTableScan and the query reads
+    * ZERO data files. This is the reference's own data-quality check
+    * shape (`SELECT COUNT(*) FROM korean`, dag-knlp.py:252) at metadata
+    * cost: on a 100 TB corpus the nightly row-count audit becomes one
+    * manifest read. `scanless` is plan- AND recorder-derived (no
+    * BatchScan in the plan, zero files kept); content is relational. */
+  def sqlAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensurePartTable(spark, dir)
+    graft.catalog.SkipRecorder.clear(s"$t#agg")
+    val q = ss.sql(
+      s"""SELECT count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id,
+                 count(lang) AS n_lang, max(lang) AS max_lang,
+                 min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          FROM $t""")
+    val plan = q.queryExecution.executedPlan.toString
+    val scanless = plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
+      graft.catalog.SkipRecorder.lastFor(s"$t#agg").exists(_._1 == 0)
+    q.withColumn("scanless", org.apache.spark.sql.functions.lit(scanless))
+  }
+
+  def sqlAggPushdownOracleSql: String =
+    """SELECT count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id,
+              count(lang) AS n_lang, max(lang) AS max_lang,
+              CAST(min(n_chars) AS BIGINT) AS min_chars,
+              CAST(max(n_chars) AS BIGINT) AS max_chars,
+              true AS scanless
+       FROM documents"""
+
+  /** X-SQLa2 — LIMIT PUSHDOWN as manifest-prefix planning (VERDICT r15
+    * #8): a bare `LIMIT k` on a catalog table plans only the file-list
+    * PREFIX whose cumulative live row count (footer rows net of
+    * deletion-vector tombstones) covers k — at 100 TB a peek query
+    * opens one file instead of listing the table. `limit_pruned` is
+    * recorder-derived (kept < total); the row count is exact because
+    * Spark keeps the Limit above the scan (partial pushdown). */
+  def sqlLimitPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t) = ensurePartTable(spark, dir)
+    graft.catalog.SkipRecorder.clear(s"$t#limit")
+    val n = ss.sql(s"SELECT doc_id, lang, n_chars FROM $t LIMIT 100").count()
+    val pruned = graft.catalog.SkipRecorder.lastFor(s"$t#limit")
+      .exists { case (kept, total) => kept < total && kept >= 1 }
+    import ss.implicits._
+    Seq((n, pruned)).toDF("n_rows", "limit_pruned")
+  }
+
+  def sqlLimitPruneOracleSql: String =
+    """SELECT CAST(least(100, (SELECT count(*) FROM documents)) AS BIGINT) AS n_rows,
+              true AS limit_pruned"""
+
+  /** X-SQLa3 — `ADD COLUMN … DEFAULT` as METADATA (VERDICT r15 #5,
+    * Iceberg v3 / DSv2 column defaults): the evolving-corpus shape. Half
+    * the corpus is ingested, a `quality BIGINT DEFAULT 5` column lands
+    * as ONE metadata commit (zero files written — `no_backfill` is
+    * manifest-derived), old files SERVE the default on read, and the
+    * post-evolution ingest writes real values; an INSERT omitting the
+    * column gets the CURRENT default. At 100 TB this is the difference
+    * between an ALTER and a full-corpus rewrite. Content is relational
+    * (the oracle replays both eras); `n_pre` pins time travel under the
+    * defaultless era. */
+  def sqlDefault(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t, preAlter, alterV) = ensureDefaultChain(spark, dir)
+    val diff = graft.catalog.Manifests.commitFileDiff(ss, t, alterV)
+    val noBackfill = diff._2 == 0 && diff._3 == 0 // alter moved no files
+    val nPre = ss.sql(s"SELECT count(*) FROM $t VERSION AS OF $preAlter").head().getLong(0)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, CAST(sum(quality) AS BIGINT) AS sum_q,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM $t""").head()
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), nPre, noBackfill))
+      .toDF("n_docs", "sum_q", "sum_chars", "n_pre", "no_backfill")
+  }
+
+  private[graft] def ensureDefaultChain(spark: SparkSession, dir: String)
+      : (SparkSession, String, Int, Int) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_default"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-default"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_def")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars " +
+          "FROM documents_src_def WHERE doc_id % 2 = 0")
+        ss.sql(s"ALTER TABLE $t ADD COLUMN quality BIGINT DEFAULT 5")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, lang, n_chars, n_chars % 7 " +
+          "FROM documents_src_def WHERE doc_id % 2 = 1")
+        built.add(key)
+      }
+    }
+    val m = graft.catalog.Manifests
+    val latest = m.latestVersion(ss, t)
+    // the alter commit is the one whose op is 'alter' (metadata-only)
+    val alterV = (1 to latest).find(v => m.opOf(ss, t, v) == "alter").getOrElse(
+      throw new IllegalStateException(s"$t: no alter commit in history"))
+    (ss, t, alterV - 1, alterV)
+  }
+
+  def sqlDefaultOracleSql: String =
+    """WITH v AS (
+         SELECT doc_id, lang, n_chars, 5 AS quality FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars, n_chars % 7 FROM documents WHERE doc_id % 2 = 1)
+       SELECT count(*) AS n_docs, CAST(sum(quality) AS BIGINT) AS sum_q,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_pre,
+              true AS no_backfill
+       FROM v"""
+
   def sqlSpjOracleSql: String =
     """SELECT count(*) AS n_joined, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
               CAST(sum(f.fp) AS BIGINT) AS sum_fp,

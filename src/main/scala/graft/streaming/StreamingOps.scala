@@ -1646,6 +1646,93 @@ object StreamingOps {
               true AS no_files_rewritten, true AS wrote_tombstones
        FROM v"""
 
+  /** X-STRe — STREAMING CDC APPLY UNDER EQUALITY DELETES (VERDICT r15
+    * #2): the ZERO-READ twin of [[streamMorUpsertEndToEnd]]. The MOR
+    * mirror's MERGE resolves matched rows to (file, pos) — a corpus-side
+    * LOOKUP on every batch, bounded by group filtering but still IO ∝
+    * matched files. Here each batch goes through `CALL system.eq_upsert`:
+    * insert files + ONE key-valued tombstone blob, NO fact file opened —
+    * per-batch write cost ∝ the batch alone, the Flink→Iceberg CDC
+    * contract. Pins: every downstream data commit is an `equpsert`
+    * append (zero files removed — the op itself never plans a scan of
+    * the target), tombstones are live after the drains, the read path
+    * serves eq-MASKED rows (plan-derived), and `CALL system.compact`
+    * then materializes the tombstones away with content UNCHANGED (the
+    * nightly repair restoring folds/SPJ/limit pruning). Batch 1 seeds
+    * the evens; batch 2 re-delivers the whole corpus with n_chars + 10 —
+    * so evens exercise tombstone-then-reinsert (the sequence rule: the
+    * re-insert survives its own batch's tombstone) and odds are fresh
+    * inserts. Fully relational; the oracle replays the last image. */
+  def streamEqUpsertEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, cat) = graft.operators.SqlVerbs.sessionAndCatalog(spark, dir)
+    val up = s"$cat.main.docs_recrawl_eq"
+    val down = s"$cat.main.docs_eq_mirror"
+    val out = scratchDir("equpsert")
+    ss.sql(s"DROP TABLE IF EXISTS $up")
+    ss.sql(s"DROP TABLE IF EXISTS $down")
+    ss.sql(s"CREATE TABLE $up (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    ss.sql(s"CREATE TABLE $down (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+    graft.Tables.documents(ss, dir).select("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("docs_eq_src")
+    def drain(): Unit = {
+      val q = ss.readStream.table(up)
+        .writeStream
+        .option("checkpointLocation", s"$out/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          batch.createOrReplaceTempView("eq_upsert_delta")
+          bs.sql(s"CALL $cat.system.eq_upsert(table => 'main.docs_eq_mirror', " +
+            "source => 'eq_upsert_delta', key => 'doc_id')")
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    ss.sql(s"INSERT INTO $up SELECT * FROM docs_eq_src WHERE doc_id % 2 = 0")
+    drain() // seed image
+    ss.sql(s"INSERT INTO $up SELECT doc_id, lang, n_chars + 10 FROM docs_eq_src")
+    drain() // re-crawl: full corpus re-delivered with a bumped image
+    val latest = graft.catalog.Manifests.latestVersion(ss, down)
+    // every data commit an append (the write path never rewrote a file),
+    // published by the eq_upsert op
+    val appendOnly = (1 to latest).forall { v =>
+      graft.catalog.Manifests.commitFileDiff(ss, down, v)._2 == 0 &&
+        graft.catalog.Manifests.opOf(ss, down, v) == "equpsert"
+    }
+    val eqLive = graft.catalog.Manifests.eqInfo(ss, down, latest)
+    val wroteTombstones = eqLive.nonEmpty && eqLive.forall(_._2 == "doc_id")
+    val masked = ss.sql(s"SELECT doc_id FROM $down")
+      .queryExecution.executedPlan.toString.contains("eq-masked scan")
+    val before = ss.sql(
+      s"""SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+               count(DISTINCT lang) AS l FROM $down""").head()
+    // the nightly repair: a full compact materializes the tombstones
+    ss.sql(s"CALL $cat.system.compact(table => 'main.docs_eq_mirror', target_files => 4)")
+    val after = ss.sql(
+      s"""SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+               count(DISTINCT lang) AS l FROM $down""").head()
+    val compacted = graft.catalog.Manifests.eqInfo(ss, down,
+      graft.catalog.Manifests.latestVersion(ss, down)).isEmpty &&
+      before == after
+    import ss.implicits._
+    Seq((after.getLong(0), after.getLong(1), after.getLong(2),
+      appendOnly, wroteTombstones, masked, compacted))
+      .toDF("n_docs", "sum_chars", "n_langs",
+        "append_only_writes", "wrote_tombstones", "eq_masked_read",
+        "compact_materialized")
+      .write.mode("overwrite").parquet(s"$out/result")
+    readBackCleaned(spark, out)(identity)
+  }
+
+  val streamEqUpsertOracleSql: String =
+    """SELECT count(*) AS n_docs,
+              CAST(sum(n_chars + 10) AS BIGINT) AS sum_chars,
+              count(DISTINCT lang) AS n_langs,
+              true AS append_only_writes, true AS wrote_tombstones,
+              true AS eq_masked_read, true AS compact_materialized
+       FROM documents"""
+
   def streamLateAuditEndToEnd(spark: SparkSession, dir: String): DataFrame =
     streamLateAuditWithMetrics(spark, dir)._1
 

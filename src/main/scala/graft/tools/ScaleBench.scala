@@ -72,7 +72,7 @@ object ScaleBench {
     "q_bigram_logprob", "q_cc_star", "q_ppjoin", "q_dedup_near",
     "q_containment_pairs", "q_winnow_pairs", "q_triangle_count",
     "q_opq_audit", "q_dup_spans", "q_pagerank", "q_kn_logprob",
-    "q_ann_ivf_kmeans", "q_sessionize", "cdc_probe", "spj_probe")
+    "q_ann_ivf_kmeans", "q_sessionize", "cdc_probe", "spj_probe", "eq_probe")
 
   /** The claim under measurement (round 13, file-granular COW): on a
     * CLUSTERED catalog table, a fixed-size UPDATE REWRITES a bounded
@@ -264,6 +264,72 @@ object ScaleBench {
       "morspj_exchanges" -> morEx.toDouble, "morspj_masked" -> morMasked)
   }
 
+  /** EQUALITY DELETES at scale (round 16, Eq.scala): the claim under
+    * measurement is the zero-read write path — a FIXED ~500-key upsert
+    * batch (the base-tile window, present at every point) should cost
+    * ~FLAT across 30× corpus growth with ZERO files removed, because
+    * `CALL system.eq_upsert` writes insert files + one tombstone blob
+    * and never opens a fact file. The twin MOR MERGE of the SAME batch
+    * pays the corpus-side (file, pos) resolution per batch — its slope
+    * is the cost equality deletes exist to remove. The read-side tax
+    * (`eq_scan_masked` vs the pre-upsert clean scan) and the nightly
+    * repair (`eq_compact`, ∝ corpus by design) are printed alongside. */
+  def eqProbe(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val ss = spark.newSession()
+    val root = java.nio.file.Files.createTempDirectory("graft-scale-eq-")
+    val cat = s"seq${math.abs(dir.hashCode).toString.take(8)}"
+    ss.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    ss.conf.set(s"spark.sql.catalog.$cat.root", root.toString)
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val t = s"$cat.main.docs"
+    val tm = s"$cat.main.docsmor"
+    Tables.documents(ss, dir).createOrReplaceTempView("docs_eq_src")
+    val bound = ss.sql(
+      "SELECT max(doc_id) FROM (SELECT doc_id FROM docs_eq_src ORDER BY doc_id LIMIT 500)")
+      .head().getLong(0)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val ingest = timed {
+      ss.sql(s"CREATE TABLE $t (doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (doc_id)")
+      ss.sql(s"INSERT INTO $t SELECT doc_id, text, lang, n_chars FROM docs_eq_src")
+      ss.sql(s"CREATE TABLE $tm (doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT) " +
+        "PARTITIONED BY (doc_id) " +
+        "TBLPROPERTIES ('write.row_level.mode'='merge-on-read')")
+      ss.sql(s"INSERT INTO $tm SELECT doc_id, text, lang, n_chars FROM docs_eq_src")
+    }
+    def scanTime(q: String): Double = { ss.sql(q).collect(); timed(ss.sql(q).collect()) }
+    val cleanScan = scanTime(s"SELECT sum(n_chars), count(*) FROM $t")
+    ss.sql(s"SELECT doc_id, text, lang, n_chars + 1 AS n_chars FROM docs_eq_src " +
+      s"WHERE doc_id <= $bound").createOrReplaceTempView("eq_probe_batch")
+    val upsert = timed {
+      ss.sql(s"CALL $cat.system.eq_upsert(table => 'main.docs', " +
+        "source => 'eq_probe_batch', key => 'doc_id')")
+    }
+    val vUp = graft.catalog.Manifests.latestVersion(ss, t)
+    val (_, upRemoved, _, _) = graft.catalog.Manifests.commitFileDiff(ss, t, vUp)
+    val merge = timed {
+      ss.sql(s"""MERGE INTO $tm x USING eq_probe_batch s ON x.doc_id = s.doc_id
+                 WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+                 WHEN NOT MATCHED THEN INSERT (doc_id, text, lang, n_chars)
+                   VALUES (s.doc_id, s.text, s.lang, s.n_chars)""")
+    }
+    val maskedScan = scanTime(s"SELECT sum(n_chars), count(*) FROM $t")
+    val compact = timed {
+      ss.sql(s"CALL $cat.system.compact(table => 'main.docs', target_files => 8)").collect()
+    }
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+    Seq("eq_ingest" -> ingest, "eq_upsert_batch" -> upsert,
+      "eq_files_removed" -> upRemoved.toDouble,
+      "mor_merge_batch" -> merge,
+      "eq_scan_clean" -> cleanScan, "eq_scan_masked" -> maskedScan,
+      "eq_compact" -> compact)
+  }
+
   /** Staged artifacts the targets read (the bench pre-builds the same
     * ones): timed separately so the one-time build cost — the "cold"
     * arm of q_dedup_near / q_ppjoin — gets its own slope row. */
@@ -392,6 +458,11 @@ object ScaleBench {
         case "spj_probe" =>
           clearState()
           val rows = spjProbe(spark, dir)
+          rows.foreach { case (k, v) => System.err.println(f"[scale] $name $k $v%.1f s") }
+          rows
+        case "eq_probe" =>
+          clearState()
+          val rows = eqProbe(spark, dir)
           rows.foreach { case (k, v) => System.err.println(f"[scale] $name $k $v%.1f s") }
           rows
         case q =>

@@ -199,29 +199,39 @@ class RenameSpec extends AnyFunSuite {
     assert(ss.table(t).schema("n").dataType == org.apache.spark.sql.types.LongType)
   }
 
-  test("retired names are never re-issued: DROP+ADD and rename swaps refuse") {
-    // Manifest file stats are keyed by column NAME and inherited through
-    // alter commits; reusing a retired name would let old files' stats
-    // answer for the NEW column while field-id reads null-fill it —
-    // SkipEval could prune files whose rows all read NULL (ADVICE r14).
+  test("retired names are reusable (id-keyed stats): DROP+ADD is legal, poison impossible") {
+    // Since r16 manifest file stats are keyed by FIELD ID, not name
+    // (FieldIds.statKey) — so DROP c + ADD c is legal like Iceberg: the
+    // new column's id finds NO stats in old files (conservative), and
+    // the r14 hazard — old files' stats for the retired column answering
+    // for the new one, letting SkipEval's IsNull arm prune files whose
+    // rows all read NULL — is impossible by construction.
     val (ss, c) = freshCatalog("rn_retired")
     val t = s"$c.ns.t"
     ss.sql(s"CREATE TABLE $t (id BIGINT, score BIGINT, v STRING)")
     ss.sql(s"INSERT INTO $t SELECT id, id * 3, concat('x', CAST(id AS STRING)) FROM range(0, 40)")
     ss.sql(s"ALTER TABLE $t DROP COLUMN score")
-    // DROP c + ADD c: the stats hazard verbatim — refused
-    val e1 = intercept[Exception](ss.sql(s"ALTER TABLE $t ADD COLUMN score BIGINT"))
-    assert(e1.getMessage.contains("retired"), e1.getMessage)
-    // a swap (v -> tmp, then a NEW column renamed onto v's old name)
+    // DROP c + ADD c — the exact shape the r14/r15 refusal blocked
+    ss.sql(s"ALTER TABLE $t ADD COLUMN score BIGINT")
+    // the POISON case: old files recorded nulls=0 for the RETIRED score
+    // (every row had a value); if those stats answered for the NEW score,
+    // `score IS NULL` would prune every old file and return 0 rows. The
+    // id-keyed lookup misses instead, the files stay, and every old row
+    // reads NULL under the fresh field id.
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE score IS NULL").head().getLong(0) == 40)
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE score IS NOT NULL").head().getLong(0) == 0)
+    // new writes fill the reborn column; both generations coexist
+    ss.sql(s"INSERT INTO $t VALUES (100, 'y', 7)") // schema is (id, v, score) post-evolution
+    assert(ss.sql(s"SELECT sum(score) FROM $t").head().getLong(0) == 7)
+    // a swap: v -> tmp, then a NEW column renamed onto v's old name —
+    // also legal now; the renamed column carries no old stats
     ss.sql(s"ALTER TABLE $t RENAME COLUMN v TO tmp")
     ss.sql(s"ALTER TABLE $t ADD COLUMN fresh STRING")
-    val e2 = intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN fresh TO v"))
-    assert(e2.getMessage.contains("retired"), e2.getMessage)
-    // renaming a column BACK to its own former name is the same field id,
-    // same stats, same column — allowed
-    ss.sql(s"ALTER TABLE $t RENAME COLUMN tmp TO v")
-    assert(ss.sql(s"SELECT v FROM $t WHERE id = 3").head().getString(0) == "x3")
-    // and the old files' stats still prune correctly under the restored name
-    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v IS NOT NULL").head().getLong(0) == 40)
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN fresh TO v")
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE v IS NULL").head().getLong(0) == 41)
+    // tmp (the original v, same field id) still serves its data AND its
+    // id-keyed stats still prune under the new name
+    assert(ss.sql(s"SELECT tmp FROM $t WHERE id = 3").head().getString(0) == "x3")
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE tmp IS NOT NULL").head().getLong(0) == 41)
   }
 }
