@@ -177,6 +177,9 @@ object SparkEntry {
     // ADD COLUMN ... DEFAULT as a metadata commit: old files serve the
     // default on read, zero backfill
     "q_sql_default"       -> ((s, d) => SqlVerbs.sqlDefault(s, d)),
+    // nested struct fields evolve as metadata: ADD/RENAME of meta.* are
+    // era commits, old files null-fill/resolve by nested field id
+    "q_sql_nested"        -> ((s, d) => SqlVerbs.sqlNested(s, d)),
     "q_sql_rebase"        -> ((s, d) => SqlVerbs.sqlRebase(s, d)),
     "q_sql_mv_where"      -> ((s, d) => SqlVerbs.sqlMvWhere(s, d)),
     "q_sql_rename"        -> ((s, d) => SqlVerbs.sqlRename(s, d)),
@@ -1091,6 +1094,7 @@ object SparkEntry {
     "q_sql_agg_pushdown" -> SqlVerbs.sqlAggPushdownOracleSql,
     "q_sql_limit_prune" -> SqlVerbs.sqlLimitPruneOracleSql,
     "q_sql_default" -> SqlVerbs.sqlDefaultOracleSql,
+    "q_sql_nested" -> SqlVerbs.sqlNestedOracleSql,
     "q_sql_rebase" -> SqlVerbs.sqlRebaseOracleSql,
     "q_sql_mv_where" -> SqlVerbs.sqlMvWhereOracleSql,
     "q_sql_rename" -> SqlVerbs.sqlRenameOracleSql,

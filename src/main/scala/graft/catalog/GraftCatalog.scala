@@ -347,6 +347,65 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
             s"(${m.branches.keys.toSeq.sorted.mkString(", ")}): publish would " +
             "fast-forward the branch's pre-change schema; publish or drop first")
       changes.foreach {
+        // ---- NESTED struct-field evolution (r16, VERDICT r15 #4):
+        // nested fields carry their own ids (FieldIds.stamp recurses),
+        // so nested ADD/RENAME/DROP are ordinary metadata-era commits —
+        // old files null-fill an added nested field, resolve a renamed
+        // one by id, and keep serving a dropped one under time travel.
+        case add: TableChange.AddColumn if add.fieldNames().length == 2 =>
+          val parent = add.fieldNames()(0)
+          val child = add.fieldNames()(1)
+          require(add.isNullable,
+            "graft catalog: nested added fields must be nullable (existing files null-fill)")
+          require(add.defaultValue() == null,
+            "graft catalog: DEFAULT on a nested field is not supported")
+          require(FieldIds.allStamped(schema),
+            "graft catalog: nested ADD COLUMN needs parquet field ids; recreate the table")
+          requireSchemaChangeAllowed("ADD COLUMN (nested)")
+          val freshId = FieldIds.nextId(m, schema)
+          schema = FieldIds.mapStruct(schema, parent, "ADD COLUMN") { st =>
+            require(!st.fieldNames.exists(_.equalsIgnoreCase(child)),
+              s"field $parent.$child already exists")
+            StructType(st.fields :+ FieldIds.withId(
+              org.apache.spark.sql.types.StructField(child, add.dataType(), nullable = true), freshId))
+          }
+          schemaChanged = true
+        case r: TableChange.RenameColumn if r.fieldNames().length == 2 =>
+          val parent = r.fieldNames()(0)
+          val from = r.fieldNames()(1)
+          require(FieldIds.allStamped(schema),
+            "graft catalog: nested RENAME COLUMN needs parquet field ids; recreate the table")
+          requireSchemaChangeAllowed("RENAME COLUMN (nested)")
+          schema = FieldIds.mapStruct(schema, parent, "RENAME COLUMN") { st =>
+            require(st.fieldNames.exists(_.equalsIgnoreCase(from)),
+              s"no field $parent.$from to rename (${st.fieldNames.mkString(", ")})")
+            require(!st.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
+              s"field $parent.${r.newName()} already exists")
+            StructType(st.fields.map(f =>
+              if (f.name.equalsIgnoreCase(from)) f.copy(name = r.newName()) else f))
+          }
+          schemaChanged = true
+        case d: TableChange.DeleteColumn if d.fieldNames().length == 2 =>
+          val parent = d.fieldNames()(0)
+          val child = d.fieldNames()(1)
+          val parentOk = schema.fields.exists(f => f.name.equalsIgnoreCase(parent) &&
+            f.dataType.isInstanceOf[StructType])
+          val exists = parentOk && schema.fields.find(_.name.equalsIgnoreCase(parent))
+            .get.dataType.asInstanceOf[StructType].fieldNames.exists(_.equalsIgnoreCase(child))
+          if (!exists) {
+            if (!d.ifExists()) throw new IllegalArgumentException(
+              s"no field $parent.$child to drop")
+          } else {
+            require(FieldIds.allStamped(schema),
+              "graft catalog: nested DROP COLUMN needs parquet field ids; recreate the table")
+            requireSchemaChangeAllowed("DROP COLUMN (nested)")
+            schema = FieldIds.mapStruct(schema, parent, "DROP COLUMN") { st =>
+              require(st.fields.length > 1,
+                s"cannot drop the last field of struct '$parent'; drop the column instead")
+              StructType(st.fields.filterNot(_.name.equalsIgnoreCase(child)))
+            }
+            schemaChanged = true
+          }
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "graft catalog: only top-level ADD COLUMN is supported")
@@ -767,23 +826,63 @@ private[graft] object FieldIds {
   def statKey(f: StructField): String =
     idOf(f).map(id => s"#$id").getOrElse(f.name)
 
+  /** Rewrite the STRUCT type of top-level column `parent` via `fn` (the
+    * nested-ALTER building block); loud when the column is missing or
+    * not a struct. */
+  def mapStruct(schema: StructType, parent: String, what: String)
+               (fn: StructType => StructType): StructType = {
+    val pf = schema.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what: no column '$parent' (${schema.fieldNames.mkString(", ")})"))
+    val st = pf.dataType match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"$what: '$parent' is ${other.simpleString}, not a struct")
+    }
+    StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(parent)) f.copy(dataType = fn(st)) else f))
+  }
+
   def idOf(f: StructField): Option[Long] =
     if (f.metadata.contains(MetaKey)) Some(f.metadata.getLong(MetaKey)) else None
 
   def allStamped(schema: StructType): Boolean =
     schema.fields.nonEmpty && schema.fields.forall(f => f.metadata.contains(MetaKey))
 
-  /** Fresh ids 1..n for a CREATE-time schema. */
-  def stamp(schema: StructType): StructType =
-    StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1L) })
+  /** Fresh ids for a CREATE-time schema, assigned DEPTH-FIRST so nested
+    * struct fields are first-class catalog citizens too (r16, VERDICT
+    * r15 #4): a nested field carries its own stable id, so nested
+    * RENAME resolves old files by id and nested ADD null-fills them —
+    * the same contract as top level. (Structs inside arrays/maps are
+    * left unstamped: their evolution stays refused.) */
+  def stamp(schema: StructType): StructType = {
+    var next = 0L
+    def one(f: StructField): StructField = {
+      next += 1
+      val stamped = withId(f, next)
+      stamped.dataType match {
+        case st: StructType => stamped.copy(dataType = StructType(st.fields.map(one)))
+        case _ => stamped
+      }
+    }
+    StructType(schema.fields.map(one))
+  }
+
+  /** Every id in a schema, nested struct fields included. */
+  private[catalog] def allIds(s: StructType): Seq[Long] = s.fields.toSeq.flatMap { f =>
+    idOf(f).toSeq ++ (f.dataType match {
+      case st: StructType => allIds(st)
+      case _ => Nil
+    })
+  }
 
   /** The next unused id across the WORKING schema, the stored current,
     * and every retired one — dropped columns' ids are never reused (a
     * recycled id would make an old file's column impersonate the new
     * one, even when the drop and the add share one ALTER statement). */
   def nextId(m: TableMeta, working: StructType): Long =
-    (working +: m.schema +: m.schemas.values.toSeq).flatMap(_.fields)
-      .flatMap(idOf).maxOption.getOrElse(0L) + 1
+    (working +: m.schema +: m.schemas.values.toSeq).flatMap(allIds)
+      .maxOption.getOrElse(0L) + 1
 
   def addStamped(working: StructType, m: TableMeta, name: String,
                  dt: DataType, nullable: Boolean = true,
@@ -809,13 +908,38 @@ private[graft] object FieldIds {
     case _ => false
   }
 
-  /** Has any column visible in `schemaV` carried a DIFFERENT name in
-    * some other schema era of this table? If so, files from that era
-    * can only resolve by field id — name matching would null-fill. */
-  def renameVisible(m: TableMeta, schemaV: StructType): Boolean =
-    (m.schema +: m.schemas.values.toSeq).exists(s => s.fields.exists(of =>
-      idOf(of).exists(id => schemaV.fields.exists(cf =>
-        idOf(cf).contains(id) && cf.name != of.name))))
+  /** Every (id, name) binding in a schema, nested struct fields
+    * included (names lowercased). */
+  private def idNamePairs(s: StructType): Seq[(Long, String)] = s.fields.toSeq.flatMap { f =>
+    idOf(f).map(_ -> f.name.toLowerCase(java.util.Locale.ROOT)).toSeq ++ (f.dataType match {
+      case st: StructType => idNamePairs(st)
+      case _ => Nil
+    })
+  }
+
+  /** Has any column visible in `schemaV` — top-level OR nested — carried
+    * a DIFFERENT name in some other schema era of this table? If so,
+    * files from that era can only resolve by field id — name matching
+    * would null-fill. */
+  def renameVisible(m: TableMeta, schemaV: StructType): Boolean = {
+    val cur = idNamePairs(schemaV).toMap
+    (m.schema +: m.schemas.values.toSeq).exists(s =>
+      idNamePairs(s).exists { case (id, n) => cur.get(id).exists(_ != n) })
+  }
+
+  /** Does the same NESTED field name bind to different ids across two
+    * struct shapes (a nested DROP+ADD or a rename collision)? Parquet's
+    * row-group filters resolve nested paths by NAME, so such a path in
+    * an old file would answer for the wrong column. */
+  private def nestedNameDrift(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (as: StructType, bs: StructType) =>
+      val an = as.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> idOf(f)).toMap
+      val bn = bs.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> idOf(f)).toMap
+      an.exists { case (n, id) => bn.get(n).exists(_ != id) } ||
+        as.fields.exists(af => bs.fields.find(_.name.equalsIgnoreCase(af.name))
+          .exists(bf => nestedNameDrift(af.dataType, bf.dataType)))
+    case _ => false
+  }
 
   /** Columns of `schemaV` whose NAME was also used by a DIFFERENT field
     * id in some schema era (DROP c + ADD c, or a rename onto a retired
@@ -830,17 +954,29 @@ private[graft] object FieldIds {
   def reusedNames(m: TableMeta, schemaV: StructType): Set[String] =
     schemaV.fields.filter { cf =>
       idOf(cf).exists(cid =>
-        (m.schema +: m.schemas.values.toSeq).exists(_.fields.exists(of =>
-          of.name.equalsIgnoreCase(cf.name) && idOf(of).exists(_ != cid))))
+        (m.schema +: m.schemas.values.toSeq).exists(s =>
+          // this top-level NAME bound to a different id in some era
+          s.fields.exists(of =>
+            of.name.equalsIgnoreCase(cf.name) && idOf(of).exists(_ != cid)) ||
+          // or a NESTED path under this column bound to a different id
+          s.fields.find(of => idOf(of).contains(cid))
+            .exists(of => nestedNameDrift(cf.dataType, of.dataType))))
     }.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
 
   /** Re-stamp ids onto a WRITE schema by name from the table schema —
     * the analyzer strips field metadata from write plans, so the
-    * delegate writer would otherwise emit id-less files. */
+    * delegate writer would otherwise emit id-less files. Recurses into
+    * struct columns so nested fields keep their ids too (r16). */
   def restamp(tableSchema: StructType, writeSchema: StructType): StructType =
     StructType(writeSchema.fields.map { wf =>
-      tableSchema.fields.find(_.name.equalsIgnoreCase(wf.name)).flatMap(idOf) match {
-        case Some(id) => withId(wf, id)
+      tableSchema.fields.find(_.name.equalsIgnoreCase(wf.name)) match {
+        case Some(tf) =>
+          val withTopId = idOf(tf).map(withId(wf, _)).getOrElse(wf)
+          (withTopId.dataType, tf.dataType) match {
+            case (ws: StructType, ts: StructType) =>
+              withTopId.copy(dataType = restamp(ts, ws))
+            case _ => withTopId
+          }
         case None => wf
       }
     })

@@ -2010,6 +2010,70 @@ object SqlVerbs {
     (ss, t, alterV - 1, alterV)
   }
 
+  /** X-SQLa4 — NESTED STRUCT EVOLUTION (VERDICT r15 #4): struct fields
+    * are first-class catalog citizens — stamped with their own parquet
+    * field ids from birth, so `ALTER TABLE … ADD COLUMN meta.src` and
+    * `RENAME COLUMN meta.n TO chars` are metadata-era commits like
+    * their top-level twins: old files null-fill the added nested field
+    * and resolve the renamed one BY ID (`no_backfill` is
+    * manifest-derived — the alters moved zero files). At 100 TB a
+    * struct-columned corpus (the common "metadata blob" shape) evolves
+    * without rewrites. Content is relational across both eras + the
+    * rename; `n_pre` pins time travel under the pre-evolution era. */
+  def sqlNested(spark: SparkSession, dir: String): DataFrame = {
+    val (ss, t, preAlter, alterVs) = ensureNestedChain(spark, dir)
+    val noBackfill = alterVs.forall { v =>
+      val d = graft.catalog.Manifests.commitFileDiff(ss, t, v)
+      d._2 == 0 && d._3 == 0
+    }
+    val nPre = ss.sql(s"SELECT count(*) FROM $t VERSION AS OF $preAlter").head().getLong(0)
+    val agg = ss.sql(
+      s"""SELECT count(*) AS n_docs, CAST(sum(meta.chars) AS BIGINT) AS sum_chars,
+                 count(meta.src) AS n_src, count(DISTINCT meta.lang) AS n_langs
+          FROM $t""").head()
+    import ss.implicits._
+    Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3), nPre, noBackfill))
+      .toDF("n_docs", "sum_chars", "n_src", "n_langs", "n_pre", "no_backfill")
+  }
+
+  private[graft] def ensureNestedChain(spark: SparkSession, dir: String)
+      : (SparkSession, String, Int, Seq[Int]) = {
+    val cat = catName(dir)
+    val t = s"$cat.main.docs_nested"
+    val ss = catalogSession(spark, dir)
+    val key = s"$cat-nested"
+    if (!built.contains(key)) built.synchronized {
+      if (!built.contains(key)) {
+        Tables.documents(ss, dir).createOrReplaceTempView("documents_src_nst")
+        ss.sql(s"CREATE TABLE $t (doc_id BIGINT, " +
+          "meta STRUCT<lang: STRING, n: BIGINT>)")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, named_struct('lang', lang, 'n', n_chars) " +
+          "FROM documents_src_nst WHERE doc_id % 2 = 0")
+        ss.sql(s"ALTER TABLE $t ADD COLUMN meta.src STRING")
+        ss.sql(s"INSERT INTO $t SELECT doc_id, " +
+          "named_struct('lang', lang, 'n', n_chars, 'src', source) " +
+          "FROM documents_src_nst WHERE doc_id % 2 = 1")
+        ss.sql(s"ALTER TABLE $t RENAME COLUMN meta.n TO chars")
+        built.add(key)
+      }
+    }
+    val m = graft.catalog.Manifests
+    val latest = m.latestVersion(ss, t)
+    val alterVs = (1 to latest).filter(v => m.opOf(ss, t, v) == "alter")
+    (ss, t, alterVs.head - 1, alterVs)
+  }
+
+  def sqlNestedOracleSql: String =
+    """WITH v AS (
+         SELECT doc_id, lang, n_chars, NULL AS src FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, n_chars, source FROM documents WHERE doc_id % 2 = 1)
+       SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(src) AS n_src, count(DISTINCT lang) AS n_langs,
+              (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_pre,
+              true AS no_backfill
+       FROM v"""
+
   def sqlDefaultOracleSql: String =
     """WITH v AS (
          SELECT doc_id, lang, n_chars, 5 AS quality FROM documents WHERE doc_id % 2 = 0

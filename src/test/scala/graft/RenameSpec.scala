@@ -234,4 +234,47 @@ class RenameSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT tmp FROM $t WHERE id = 3").head().getString(0) == "x3")
     assert(ss.sql(s"SELECT count(*) FROM $t WHERE tmp IS NOT NULL").head().getLong(0) == 41)
   }
+
+  test("nested struct fields: ids from birth, nested ADD/RENAME/DROP as metadata (r16)") {
+    val (ss, c) = freshCatalog("rn_nested")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, meta STRUCT<a: STRING, n: BIGINT>)")
+    ss.sql(s"INSERT INTO $t SELECT id, named_struct('a', concat('v', CAST(id AS STRING)), " +
+      "'n', id * 2) FROM range(0, 20)")
+    val pre = Manifests.latestVersion(ss, t)
+    // nested ADD: metadata-only, old rows null-fill the new field
+    ss.sql(s"ALTER TABLE $t ADD COLUMN meta.extra BIGINT")
+    assert(Manifests.files(ss, t, Manifests.latestVersion(ss, t)) ==
+      Manifests.files(ss, t, pre), "nested ADD must move no files")
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE meta.extra IS NULL").head().getLong(0) == 20)
+    // nested RENAME: old files resolve the renamed field BY ID
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN meta.n TO m")
+    assert(ss.sql(s"SELECT sum(meta.m) FROM $t").head().getLong(0) ==
+      (0L until 20L).map(_ * 2).sum)
+    // post-evolution writes fill all three nested fields
+    ss.sql(s"INSERT INTO $t SELECT id, named_struct('a', 'w', 'm', id, 'extra', 9L) " +
+      "FROM range(100, 105)")
+    assert(ss.sql(s"SELECT count(*) FROM $t WHERE meta.extra = 9").head().getLong(0) == 5)
+    // nested DROP: current schema loses it; time travel still serves it
+    val preDrop = Manifests.latestVersion(ss, t)
+    ss.sql(s"ALTER TABLE $t DROP COLUMN meta.a")
+    assert(!ss.table(t).schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("a"))
+    assert(ss.sql(s"SELECT meta.a FROM $t VERSION AS OF $preDrop WHERE id = 3")
+      .head().getString(0) == "v3")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 25)
+    // row-level verbs keep working on the evolved struct table (the COW
+    // rewrite re-stamps nested ids — the commit-time check would refuse
+    // an id-less rewrite)
+    ss.sql(s"DELETE FROM $t WHERE id = 101")
+    assert(ss.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 24)
+    assert(ss.sql(s"SELECT sum(meta.m) FROM $t").head().getLong(0) ==
+      (0L until 20L).map(_ * 2).sum + (100L until 105L).filterNot(_ == 101).sum)
+    // guard rails: dropping the struct's last field and rename collisions refuse
+    val e1 = intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN meta.m TO extra"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    ss.sql(s"ALTER TABLE $t DROP COLUMN meta.extra")
+    val e2 = intercept[Exception](ss.sql(s"ALTER TABLE $t DROP COLUMN meta.m"))
+    assert(e2.getMessage.contains("last field"), e2.getMessage)
+  }
 }
