@@ -61,16 +61,26 @@ object Eq {
   sealed trait Keys extends Serializable {
     def n: Long
     def containsRow(row: InternalRow, ord: Int): Boolean
+    /** Keys that hash into bucket `b` of `n` — the per-bucket-group
+      * scoping of a bucketed table's tombstones: a task serving one
+      * bucket's file only carries that bucket's slice of the key set
+      * (≈ 1/n of it), not the whole churn window. */
+    def scopedToBucket(numBuckets: Int, b: Int): Keys
   }
   final case class LongKeys(sorted: Array[Long]) extends Keys {
     override def n: Long = sorted.length.toLong
     override def containsRow(row: InternalRow, ord: Int): Boolean =
       !row.isNullAt(ord) && java.util.Arrays.binarySearch(sorted, row.getLong(ord)) >= 0
+    override def scopedToBucket(numBuckets: Int, b: Int): Keys =
+      LongKeys(sorted.filter(GraftBucket.bucketOfLong(_, numBuckets) == b))
   }
   final case class StringKeys(set: Set[String]) extends Keys {
     override def n: Long = set.size.toLong
     override def containsRow(row: InternalRow, ord: Int): Boolean =
       !row.isNullAt(ord) && set.contains(row.getUTF8String(ord).toString)
+    override def scopedToBucket(numBuckets: Int, b: Int): Keys =
+      StringKeys(set.filter(s => GraftBucket.bucketOfString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), numBuckets) == b))
   }
 
   def supportedKeyType(dt: DataType): Boolean = dt == LongType || dt == StringType
@@ -189,9 +199,11 @@ private[catalog] case class EqRef(path: String, keyCol: String, rows: Long, seq:
   *
   * Guards (all loud): single-column BIGINT/STRING key; batch keys must
   * be non-null and distinct (intra-batch ordering is undefined — the
-  * caller dedups, exactly like a CDC sink); bucketed tables refuse
-  * (their manifests guarantee bucket-pure files; keyed churn there is
-  * merge-on-read's job); the source must cover the table's columns.
+  * caller dedups, exactly like a CDC sink); the source must cover the
+  * table's columns. Bucket-clustered targets stage the batch per
+  * bucket (hive-partitioned by the catalog's own murmur mixer), so
+  * insert files stay bucket-pure with recorded ids and the
+  * storage-partitioned join survives the upsert.
   * Returns (version, inserted_rows, tombstone_keys). */
 private[catalog] class EqUpsertProcedure(cat: GraftCatalog)
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
@@ -235,9 +247,12 @@ private[catalog] class EqUpsertProcedure(cat: GraftCatalog)
         require(Eq.supportedKeyType(keyField.dataType),
           s"$table: eq_upsert keys must be BIGINT or STRING; " +
             s"'$keyName' is ${keyField.dataType.simpleString}")
-        require(!m.clusterBy.exists(c => ClusterSpec.parseBucket(c).isDefined),
-          s"$table is bucket-clustered; eq_upsert would break the manifest's " +
-            "bucket-purity contract — use write.row_level.mode=merge-on-read there")
+        // a bucket-clustered target keeps its layout: the batch stages
+        // per-bucket (below), so insert files stay bucket-pure and the
+        // storage-partitioned join survives the upsert (eq-affected
+        // files temporarily route through the masked path; compact
+        // restores the full SPJ read)
+        val bucketLayout = m.clusterBy.flatMap(ClusterSpec.parseBucket).headOption
         // one key column per table: mixed-key tombstone sets would need
         // per-blob schema plumbing the read path doesn't carry
         m.manifest(m.latest).eqs.headOption.foreach(e =>
@@ -253,15 +268,41 @@ private[catalog] class EqUpsertProcedure(cat: GraftCatalog)
         val t0 = new GraftTable(table, dir, pinnedVersion = None)
         val staging = dir.resolve("data").resolve(
           s"c-${java.util.UUID.randomUUID().toString.take(12)}")
-        batch.write.options(t0.bloomWriteOptions).parquet(staging.toString)
-        val s = java.nio.file.Files.list(staging)
+        bucketLayout match {
+          case None =>
+            batch.write.options(t0.bloomWriteOptions).parquet(staging.toString)
+          case Some(bl) =>
+            // ONE pass: hive-partition the staged write by the row's
+            // bucket id (the catalog's own murmur mixer, resolved as the
+            // v2 `bucket` function) — each file lands bucket-pure under a
+            // __gb=<id> dir, id recovered below; NULL keys ride bucket 0
+            // like every other write path
+            batch.withColumn("__gb", org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(
+                  s"`${cat.name()}`.bucket(${bl.numBuckets}, `${bl.column}`)"),
+                org.apache.spark.sql.functions.lit(0)))
+              .write.options(t0.bloomWriteOptions).partitionBy("__gb")
+              .parquet(staging.toString)
+        }
+        val w = java.nio.file.Files.walk(staging)
         val abs = try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        } finally s.close()
+          w.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")).toSeq
+        } finally w.close()
         val conf = ss.sessionState.newHadoopConf()
-        val stats = FooterStats.collect(dir, abs, m.schema, conf,
+        val stats0 = FooterStats.collect(dir, abs, m.schema, conf,
           requireIdsAs = t0.idRequirement)
+        val stats = bucketLayout match {
+          case None => stats0
+          case Some(_) => stats0.map { case (r, fs) =>
+            val seg = java.nio.file.Paths.get(r).getParent.getFileName.toString
+            val b = "^__gb=(\\d+)$".r.findFirstMatchIn(seg).map(_.group(1).toInt)
+              .getOrElse(throw new IllegalStateException(
+                s"$table: staged eq-upsert file '$r' outside a bucket dir"))
+            r -> fs.copy(bucket = Some(b))
+          }
+        }
         val rel = abs.map(p => dir.relativize(p).toString)
         val inserted = stats.values.map(_.rows).sum
 
@@ -300,9 +341,12 @@ private[catalog] class EqUpsertProcedure(cat: GraftCatalog)
 }
 
 /** One per-file slice of an [[EqMaskedScan]]: the addressed partition
-  * (deletion-vector blob included, None when clean) plus the file's
-  * applicable tombstone blob paths. */
-case class EqPartition(inner: AddrPartition, eqBlobs: Seq[String])
+  * (deletion-vector blob included, None when clean), the file's
+  * applicable tombstone blob paths, and — on a bucketed table — the
+  * file's (numBuckets, bucket) so the reader scopes the key set to its
+  * own bucket group. */
+case class EqPartition(inner: AddrPartition, eqBlobs: Seq[String],
+                       bucket: Option[(Int, Int)] = None)
     extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -319,7 +363,8 @@ class EqMaskedScan(
     addr: AddrSupport,
     bareScanWith: (Seq[String], StructType) => Scan,
     emitSchema: StructType,
-    keyField: StructField) extends Scan {
+    keyField: StructField,
+    bucketOf: String => Option[(Int, Int)] = _ => None) extends Scan {
 
   private val keyIncluded = emitSchema.fields.exists(_.name.equalsIgnoreCase(keyField.name))
   private val scanSchema =
@@ -338,7 +383,8 @@ class EqMaskedScan(
       entries.flatMap { case (f, blobs) =>
         val (abs, dvBlob) = addr.addrOf(f)
         bareScanWith(Seq(f), scanSchema).toBatch.planInputPartitions()
-          .map(p => EqPartition(AddrPartition(p, f, abs, dvBlob), blobs): InputPartition)
+          .map(p => EqPartition(AddrPartition(p, f, abs, dvBlob), blobs,
+            bucketOf(f)): InputPartition)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       EqReaderFactory(
@@ -386,8 +432,11 @@ case class EqReaderFactory(inner: AddrReaderFactory, conf: SerHadoopConf,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EqPartition]
     val d = inner.createReader(p.inner)
-    val keys = Eq.union(p.eqBlobs.map(b =>
+    val loaded = Eq.union(p.eqBlobs.map(b =>
       Eq.read(new org.apache.hadoop.fs.Path(java.nio.file.Paths.get(b).toUri), conf.value)))
+    // bucketed file: only the keys hashing into ITS bucket can match —
+    // the per-task set drops to ~1/n of the churn window
+    val keys = p.bucket.fold(loaded) { case (n, b) => loaded.scopedToBucket(n, b) }
     val project =
       if (keyIncluded) null
       else org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(

@@ -1177,8 +1177,11 @@ private[catalog] class ExpireVersionsProcedure(cat: GraftCatalog)
               c.version < keepFrom && !tagged.contains(c.version))
             // files referenced by any WAP branch stay live: an unpublished
             // staging chain must keep reading its fork-point snapshot.
-            // Deletion-vector blobs are referenced files like any other.
-            def refs(c: Commit): Seq[String] = c.files ++ c.dvs.values.map(_.path)
+            // Deletion-vector and equality-delete blobs are referenced
+            // files like any other (an expired generation's tombstones
+            // are reclaimed with it; live ones are pinned).
+            def refs(c: Commit): Seq[String] =
+              c.files ++ c.dvs.values.map(_.path) ++ c.eqs.map(_.path)
             val live = kept.flatMap(refs).toSet ++
               m.branches.values.flatten.flatMap(refs)
             val dead = expired.flatMap(refs).filterNot(live).distinct
@@ -1687,7 +1690,8 @@ private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
           GraftTable.commitLocks.computeIfAbsent(dir.toAbsolutePath.toString,
             _ => new Object).synchronized {
             val m = TableMeta.read(dir)
-            def refs(c: Commit): Seq[String] = c.files ++ c.dvs.values.map(_.path)
+            def refs(c: Commit): Seq[String] =
+              c.files ++ c.dvs.values.map(_.path) ++ c.eqs.map(_.path)
             val referenced = (m.history.flatMap(refs) ++
               m.branches.values.flatten.flatMap(refs)).toSet
             val dataDir = dir.resolve("data")
@@ -1699,7 +1703,8 @@ private[catalog] class RemoveOrphansProcedure(cat: GraftCatalog)
             val s = Files.walk(dataDir)
             val all = try s.iterator().asScala.filter(p =>
               Files.isRegularFile(p) && (p.getFileName.toString.endsWith(".parquet") ||
-                p.getFileName.toString.endsWith(".dv"))).toSeq
+                p.getFileName.toString.endsWith(".dv") ||
+                p.getFileName.toString.endsWith(".eq"))).toSeq
               finally s.close()
             val orphans = all.filter { p =>
               val rel = dir.relativize(p).toString
@@ -2045,7 +2050,8 @@ private[catalog] class BranchProcedure(cat: GraftCatalog, mode: BranchProcedure.
               case BranchProcedure.Drop =>
                 val ch = m.branches.getOrElse(b, throw new IllegalArgumentException(
                   s"no branch '$b' on $table"))
-                def refs(c: Commit): Seq[String] = c.files ++ c.dvs.values.map(_.path)
+                def refs(c: Commit): Seq[String] =
+              c.files ++ c.dvs.values.map(_.path) ++ c.eqs.map(_.path)
                 val retained = (m.history.flatMap(refs) ++
                   (m.branches - b).values.flatten.flatMap(refs)).toSet
                 val orphans = ch.flatMap(refs).distinct.filterNot(retained)
@@ -2772,6 +2778,12 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
             s"$tableName: equality-delete key '${e.keyCol}' missing from the reading " +
               s"era's schema (${schemaV.fieldNames.mkString(", ")})"))
       },
+      // bucketed tables: the reader scopes each file's tombstone keys
+      // to the file's own bucket group (sound only when the eq KEY is
+      // the bucket column — keys of other buckets cannot appear in it)
+      eqBucketOf = f =>
+        bucketLayout.filter(bl => mf.eqs.forall(_.keyCol.equalsIgnoreCase(bl.column)))
+          .flatMap(bl => mf.stats.get(f).flatMap(_.bucket).map(b => (bl.numBuckets, b))),
       // conjuncts on reused-name columns never reach the parquet
       // delegate (FieldIds.reusedNames — parquet row-group filters match
       // by NAME and an old file's retired column would answer for the

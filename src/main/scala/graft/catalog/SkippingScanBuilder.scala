@@ -56,6 +56,7 @@ class SkippingScanBuilder(
     limitPrune: (Seq[String], Int) => Option[Seq[String]] = (_, _) => None,
     eqOf: Seq[String] => Seq[(String, Seq[String])] = _ => Nil,
     eqKeyField: Option[org.apache.spark.sql.types.StructField] = None,
+    eqBucketOf: String => Option[(Int, Int)] = _ => None,
     delegateSafe: Seq[Expression] => Seq[Expression] = identity)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -236,7 +237,8 @@ class SkippingScanBuilder(
         affected.map(f => f -> eqMap.getOrElse(f, Nil)), a, bareScanWith _,
         dataSchema.get,
         eqKeyField.getOrElse(throw new IllegalStateException(
-          "equality-delete tombstones in scope but no key field resolved")))
+          "equality-delete tombstones in scope but no key field resolved")),
+        bucketOf = eqBucketOf)
       return if (clean.isEmpty) eqScan
       else new graft.catalog.SplitScan(
         // the clean bulk drops to row reads too: Spark refuses a scan

@@ -108,6 +108,35 @@ class AggPushdownSpec extends AnyFunSuite {
     assert(ss.sql(s"SELECT count(s) FROM $t").head().getLong(0) == 10)
   }
 
+  test("folds survive RENAME and int->bigint WIDEN: id-keyed stats keep answering") {
+    val (ss, c) = freshCatalog("ap_evolve")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id INT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT CAST(id AS INT), id FROM range(0, 120)")
+    // rename: stats are keyed by FIELD ID, so the old files' bounds
+    // still fold under the NEW name — before r16 a rename silenced
+    // every manifest stat for pre-rename files
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN id TO doc_id")
+    val p1 = planOf(ss, s"SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM $t")
+    assert(p1.contains("LocalTableScan"), p1)
+    val r1 = ss.sql(s"SELECT min(doc_id), max(doc_id) FROM $t").head()
+    assert(r1.getInt(0) == 0 && r1.getInt(1) == 119)
+    // widen: same id, stats strings decode under the wider type, the
+    // fold now returns LongType values from int-era files
+    ss.sql(s"ALTER TABLE $t ALTER COLUMN doc_id TYPE BIGINT")
+    val p2 = planOf(ss, s"SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM $t")
+    assert(p2.contains("LocalTableScan"), p2)
+    val r2 = ss.sql(s"SELECT min(doc_id), max(doc_id) FROM $t").head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 119L)
+    // and a DROP+ADD of another column never lets old stats answer:
+    // the reborn column's MIN must be NULL-backed, not the retired
+    // column's bounds — so the fold REFUSES (no stats for the new id)
+    ss.sql(s"ALTER TABLE $t DROP COLUMN v")
+    ss.sql(s"ALTER TABLE $t ADD COLUMN v BIGINT")
+    assert(planOf(ss, s"SELECT min(v) FROM $t").contains("BatchScan"))
+    assert(ss.sql(s"SELECT min(v) FROM $t").head().isNullAt(0))
+  }
+
   test("bare LIMIT k plans a manifest prefix, not the whole file list") {
     val (ss, c) = freshCatalog("ap_limit")
     val t = s"$c.ns.t"

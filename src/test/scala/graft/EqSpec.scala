@@ -176,13 +176,72 @@ class EqSpec extends AnyFunSuite {
     val eKey = intercept[Exception](ss.sql(
       s"CALL $c.system.eq_upsert(table => 'ns.t', source => 'eqg_b', key => 'v')"))
     assert(eKey.getMessage.contains("keyed by"), eKey.getMessage)
-    // bucketed tables refuse outright
-    ss.sql(s"CREATE TABLE $c.ns.b (id BIGINT, v BIGINT) PARTITIONED BY (bucket(4, id))")
-    val eBkt = intercept[Exception](ss.sql(
-      s"CALL $c.system.eq_upsert(table => 'ns.b', source => 'eqg_b', key => 'id')"))
-    assert(eBkt.getMessage.contains("bucket"), eBkt.getMessage)
     // content still exact after all the refusals
     val expect = (0L until 30L).sum - 1 + 100
     assert(ss.sql(s"SELECT sum(v) FROM $t").head().getLong(0) == expect)
+  }
+
+  test("tombstone blobs are referenced files: retention pins them, expiry reclaims them") {
+    val (ss, c) = freshCatalog("eq_gc")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 60)")
+    import ss.implicits._
+    Seq((1L, 100L)).toDF("id", "v").createOrReplaceTempView("eqgc_b")
+    ss.sql(s"CALL $c.system.eq_upsert(table => 'ns.t', source => 'eqgc_b', key => 'id')")
+    val dir = Manifests.tableDir(ss, t)
+    val latest = Manifests.latestVersion(ss, t)
+    val blob = Manifests.eqInfo(ss, t, latest).head._1
+    assert(java.nio.file.Files.exists(dir.resolve(blob)))
+    val expect = (0L until 60L).sum - 1 + 100
+    // retention + orphan sweep while the tombstone is LIVE: pinned
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 1)")
+    ss.sql(s"CALL $c.system.remove_orphans(table => 'ns.t', older_than_minutes => 0)")
+    assert(java.nio.file.Files.exists(dir.resolve(blob)),
+      "a live tombstone blob must survive retention + orphan sweeps")
+    assert(ss.sql(s"SELECT sum(v) FROM $t").head().getLong(0) == expect)
+    // compact materializes it away; once the pre-compact manifests
+    // expire, the dead blob is reclaimed from disk
+    ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 1)")
+    ss.sql(s"CALL $c.system.expire_versions(table => 'ns.t', keep_last => 1)")
+    assert(!java.nio.file.Files.exists(dir.resolve(blob)),
+      "an expired generation's tombstone blob must be reclaimed")
+    assert(ss.sql(s"SELECT sum(v) FROM $t").head().getLong(0) == expect)
+  }
+
+  test("bucketed tables upsert bucket-pure; compact restores the shuffle-free join") {
+    val (ss, c) = freshCatalog("eq_bkt")
+    val t = s"$c.ns.b"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) PARTITIONED BY (bucket(4, id))")
+    ss.sql(s"CREATE TABLE $c.ns.dim (id BIGINT, w BIGINT) PARTITIONED BY (bucket(4, id))")
+    ss.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 200)")
+    ss.sql(s"INSERT INTO $c.ns.dim SELECT id, id * 10 FROM range(0, 200)")
+    import ss.implicits._
+    (0L until 40L).map(i => (i, i + 7000)).toDF("id", "v")
+      .createOrReplaceTempView("eqb_b")
+    ss.sql(s"CALL $c.system.eq_upsert(table => 'ns.b', source => 'eqb_b', key => 'id')")
+    // the upsert's insert files are bucket-pure with recorded ids
+    import graft.catalog.GraftBucket
+    val latest = Manifests.latestVersion(ss, t)
+    val buckets = Manifests.bucketIds(ss, t, latest)
+    assert(buckets.nonEmpty && buckets.values.forall(_.isDefined),
+      s"eq-upsert files must record bucket ids: $buckets")
+    val byFile = ss.sql(s"SELECT id FROM $t").collect().map(_.getLong(0))
+      .groupBy(GraftBucket.bucketOfLong(_, 4))
+    assert(byFile.keys.size > 1) // sanity: multiple buckets in play
+    // content exact while tombstones are live
+    val expect = (0L until 40L).map(_ + 7000).sum + (40L until 200L).sum
+    assert(ss.sql(s"SELECT count(*), sum(v) FROM $t").head().toSeq == Seq(200L, expect))
+    // compact materializes; the co-bucketed join is Exchange-free again
+    ss.sql(s"CALL $c.system.compact(table => 'ns.b', target_files => 4)")
+    assert(Manifests.eqInfo(ss, t, Manifests.latestVersion(ss, t)).isEmpty)
+    val j = ss.sql(s"SELECT /*+ SHUFFLE_MERGE(b) */ b.id, b.v, d.w " +
+      s"FROM $t b JOIN $c.ns.dim d ON b.id = d.id")
+    assert("Exchange (hash|range)partitioning".r
+      .findAllIn(j.queryExecution.executedPlan.toString).isEmpty,
+      "post-compact join must be the shuffle-free SPJ")
+    assert(j.count() == 200)
+    val sumJoined = j.selectExpr("sum(v)").head().getLong(0)
+    assert(sumJoined == expect)
   }
 }
