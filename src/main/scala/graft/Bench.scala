@@ -184,24 +184,32 @@ object Bench {
       // OOMs — silently downgrading the gate to the in-process rerun the
       // fork exists to avoid. The worker runs ONE query at a time with
       // clearState between, so half the parent heap (floor 2g) is ample.
-      val workerXmx: Option[String] = inherited.reverse
+      // worker heap = half the parent's, floored at 2g but NEVER above
+      // the parent's own cap (a floor larger than the parent would grow
+      // peak memory, the opposite of the goal); an unparseable -Xmx
+      // keeps the inherited flags untouched rather than silently
+      // running uncapped on the JVM default
+      val parentXmxMb: Option[Long] = inherited.reverse
         .collectFirst { case a if a.startsWith("-Xmx") => a.stripPrefix("-Xmx") }
         .flatMap { v =>
           val m = "([0-9]+)([kKmMgG]?)".r
           v match {
-            case m(n, unit) =>
-              val mb = unit.toLowerCase match {
-                case "g" => n.toLong * 1024
-                case "m" => n.toLong
-                case "k" => n.toLong / 1024
-                case _ => n.toLong >> 20
-              }
-              Some(s"-Xmx${math.max(2048L, mb / 2)}m")
+            case m(n, unit) => unit.toLowerCase match {
+              case "g" => Some(n.toLong * 1024)
+              case "m" => Some(n.toLong)
+              case "k" => Some(n.toLong / 1024)
+              case _ => Some(n.toLong >> 20)
+            }
             case _ => None
           }
         }
-      val jvmArgs = inherited.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
-        workerXmx
+      val jvmArgs = parentXmxMb match {
+        case Some(mb) =>
+          val worker = math.min(mb, math.max(2048L, mb / 2))
+          inherited.filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) :+
+            s"-Xmx${worker}m"
+        case None => inherited // no/unparseable -Xmx: inherit verbatim
+      }
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)

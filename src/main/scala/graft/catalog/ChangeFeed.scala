@@ -113,12 +113,14 @@ object ChangeFeed {
       val parent = chain.find(_.version == v - 1).get
       // an equality-delete commit (r16) tombstones by KEY VALUE, not by
       // file or position — its row-level delta would need a corpus-side
-      // key lookup this feed is designed to avoid; refuse until a compact
-      // materializes the tombstones (the compacted diff is then exact)
-      require(commit.eqs.size == parent.eqs.size,
-        s"version $v added equality-delete tombstones; its change feed is not " +
-          "served — CALL system.compact to materialize them, then feed from the " +
-          "compacted commit")
+      // key lookup this feed is designed to avoid; refuse any commit
+      // whose tombstone set CHANGED (added by an upsert, or dropped by
+      // a dataChange=true rewrite) — the compacted commit itself is
+      // dataChange=false and never reaches this check
+      require(commit.eqs == parent.eqs,
+        s"version $v (${commit.op}) changed the equality-delete tombstone set; " +
+          "its row-level change feed is not reconstructable from file diffs — " +
+          "CALL system.compact, then feed from commits after the materialization")
       val cur = commit.files.toSet
       val prev = parent.files.toSet
       val added = commit.files.filterNot(prev)

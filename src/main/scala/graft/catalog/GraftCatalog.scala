@@ -346,6 +346,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           s"graft catalog: $what refused while WAP branches exist " +
             s"(${m.branches.keys.toSeq.sorted.mkString(", ")}): publish would " +
             "fast-forward the branch's pre-change schema; publish or drop first")
+      // the live equality-delete key is resolved BY NAME at read time
+      // (EqRef.keyCol) — renaming or dropping it while tombstones are
+      // live would brick every scan AND the compact repair itself
+      def requireNotLiveEqKey(col: String, what: String): Unit =
+        m.manifest(m.latest).eqs.foreach(e =>
+          require(!e.keyCol.equalsIgnoreCase(col),
+            s"graft catalog: $what of '$col' refused — it is the key column of live " +
+              "equality-delete tombstones; CALL system.compact to materialize them first"))
       changes.foreach {
         // ---- NESTED struct-field evolution (r16, VERDICT r15 #4):
         // nested fields carry their own ids (FieldIds.stamp recurses),
@@ -379,6 +387,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           schema = FieldIds.mapStruct(schema, parent, "RENAME COLUMN") { st =>
             require(st.fieldNames.exists(_.equalsIgnoreCase(from)),
               s"no field $parent.$from to rename (${st.fieldNames.mkString(", ")})")
+            // the NESTED field itself must carry an id: a pre-nested-id
+            // table (top-level ids only) would leave old files resolving
+            // the renamed field by a name they don't have — silent
+            // null-fill, the exact loss the id substrate exists to stop
+            require(st.fields.filter(_.name.equalsIgnoreCase(from))
+              .forall(f => FieldIds.idOf(f).isDefined),
+              s"graft catalog: $parent.$from has no parquet field id (a pre-nested-id " +
+                "table); old files cannot resolve it under a new name — recreate the table")
             require(!st.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
               s"field $parent.${r.newName()} already exists")
             StructType(st.fields.map(f =>
@@ -400,6 +416,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
               "graft catalog: nested DROP COLUMN needs parquet field ids; recreate the table")
             requireSchemaChangeAllowed("DROP COLUMN (nested)")
             schema = FieldIds.mapStruct(schema, parent, "DROP COLUMN") { st =>
+              // same pre-nested-id guard as nested RENAME: dropping an
+              // id-less nested field would retire a name old files can
+              // only serve BY that name (time travel aside, a later ADD
+              // of the same name would resurrect the old bytes)
+              require(st.fields.filter(_.name.equalsIgnoreCase(child))
+                .forall(f => FieldIds.idOf(f).isDefined),
+                s"graft catalog: $parent.$child has no parquet field id (a " +
+                  "pre-nested-id table); recreate the table to evolve nested fields")
               require(st.fields.length > 1,
                 s"cannot drop the last field of struct '$parent'; drop the column instead")
               StructType(st.fields.filterNot(_.name.equalsIgnoreCase(child)))
@@ -469,6 +493,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           require(r.fieldNames().length == 1,
             "graft catalog: only top-level RENAME COLUMN is supported")
           val from = r.fieldNames()(0)
+          requireNotLiveEqKey(from, "RENAME COLUMN")
           require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
             s"no column '$from' to rename (${schema.fieldNames.mkString(", ")})")
           require(!schema.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
@@ -505,6 +530,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog with FunctionCatal
           require(d.fieldNames().length == 1,
             "graft catalog: only top-level DROP COLUMN is supported")
           val col = d.fieldNames()(0)
+          requireNotLiveEqKey(col, "DROP COLUMN")
           if (!schema.fieldNames.exists(_.equalsIgnoreCase(col))) {
             if (!d.ifExists()) throw new IllegalArgumentException(
               s"no column '$col' to drop (${schema.fieldNames.mkString(", ")})")
@@ -3056,6 +3082,16 @@ class GraftTable(tableName: String, dir: Path, pinnedVersion: Option[Int],
         // materializes them away; everything else inherits them. While
         // any are in play, new files are stamped with their adding
         // version so the strictly-older sequence rule stays decidable.
+        // The one-key-per-table rule is re-proved HERE, under the lock:
+        // the procedure's pre-check races a concurrent upsert (append
+        // commits merge without a conflict check), and a mixed-key
+        // manifest would mask rows by the WRONG column's values.
+        eqAdd.foreach { case (_, key, _) =>
+          prev.eqs.foreach(e => require(e.keyCol.equalsIgnoreCase(key),
+            s"$tableName: equality tombstones are keyed by '${e.keyCol}' but this " +
+              s"upsert used key '$key' (a concurrent upsert won the race); rerun " +
+              "with the table's key column"))
+        }
         val inheritedEqs = if (replace && replacedFiles.isEmpty) Nil else prev.eqs
         val newEqs = inheritedEqs ++ eqAdd.map { case (path, key, rows) =>
           EqRef(path, key, rows, latest + 1) }.toSeq
@@ -3428,14 +3464,19 @@ private[catalog] class GraftMicroBatchStream(table: GraftTable,
           val prev = m.history.find(_.version == c.version - 1)
             .getOrElse(expired(c.version - 1))
           val prevSet = prev.files.toSet
-          if (!prevSet.subsetOf(c.files.toSet) || c.dvs != prev.dvs)
+          // an equality-delete commit (r16) deletes rows of FILES ALREADY
+          // EMITTED via its tombstone — invisible to a pure-append tail,
+          // so the downstream would keep both the stale and new image of
+          // every upserted key; refuse like any other rewrite
+          if (!prevSet.subsetOf(c.files.toSet) || c.dvs != prev.dvs ||
+              c.eqs != prev.eqs)
             throw new UnsupportedOperationException(
-              s"${table.name()}: version ${c.version} (${c.op}) rewrote files or " +
-                "deletion vectors; this source re-emits whole files, so it supports " +
-                "append-only history (compactions are skipped via dataChange=false). " +
-                "For row-level deltas across rewrites, stream the change feed: " +
-                s"readStream.table(\"${table.name()}.changes\") — or restart this " +
-                "stream from the current snapshot")
+              s"${table.name()}: version ${c.version} (${c.op}) rewrote files, " +
+                "deletion vectors, or equality tombstones; this source re-emits whole " +
+                "files, so it supports append-only history (compactions are skipped " +
+                "via dataChange=false). For row-level deltas across rewrites, stream " +
+                s"the change feed: readStream.table(\"${table.name()}.changes\") — or " +
+                "restart this stream from the current snapshot")
           c.files.filterNot(prevSet)
         }
       }

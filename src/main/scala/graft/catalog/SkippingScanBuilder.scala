@@ -81,13 +81,30 @@ class SkippingScanBuilder(
     * pushed predicate post-scan, so any WHERE falls back to the ordinary
     * skipping scan by construction. Partial pushdown is declined (it
     * would require the file scan to emit per-partition agg buffers). */
+  // Spark calls supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation — cache the fold so a 100k-file manifest is
+  // walked once per aggregate query, not twice
+  private var foldCache: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])] = None
+  private def foldFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    foldCache match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = aggFold(agg, prunedFiles)
+        foldCache = Some((agg, r))
+        r
+    }
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    aggFold(agg, prunedFiles).isDefined
+    foldFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    foldedAgg = aggFold(agg, prunedFiles)
+    foldedAgg = foldFor(agg)
     foldedAgg.isDefined
   }
 

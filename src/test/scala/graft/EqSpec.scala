@@ -176,9 +176,46 @@ class EqSpec extends AnyFunSuite {
     val eKey = intercept[Exception](ss.sql(
       s"CALL $c.system.eq_upsert(table => 'ns.t', source => 'eqg_b', key => 'v')"))
     assert(eKey.getMessage.contains("keyed by"), eKey.getMessage)
+    // renaming or dropping the LIVE tombstone key would brick reads
+    // (EqRef resolves it by name) — refused until a compact
+    val eRen = intercept[Exception](ss.sql(s"ALTER TABLE $t RENAME COLUMN id TO doc_id"))
+    assert(eRen.getMessage.contains("key column of live"), eRen.getMessage)
+    val eDrp = intercept[Exception](ss.sql(s"ALTER TABLE $t DROP COLUMN id"))
+    assert(eDrp.getMessage.contains("key column of live"), eDrp.getMessage)
     // content still exact after all the refusals
     val expect = (0L until 30L).sum - 1 + 100
     assert(ss.sql(s"SELECT sum(v) FROM $t").head().getLong(0) == expect)
+    // ... and after a compact the rename is legal again
+    ss.sql(s"CALL $c.system.compact(table => 'ns.t', target_files => 1)")
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN id TO doc_id")
+    assert(ss.sql(s"SELECT sum(v) FROM $t WHERE doc_id >= 0").head().getLong(0) == expect)
+  }
+
+  test("a mid-stream upsert fails the append tail instead of splitting the key's images") {
+    val (ss, c) = freshCatalog("eq_stream")
+    val t = s"$c.ns.t"
+    ss.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT)")
+    ss.sql(s"INSERT INTO $t SELECT id, id FROM range(0, 20)")
+    val out = java.nio.file.Files.createTempDirectory("eqstream-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("eqstream-ckpt")
+    def drain(): Unit = {
+      val q = ss.readStream.table(t).writeStream
+        .format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // opening snapshot — no tombstones yet, legal
+    import ss.implicits._
+    Seq((1L, 100L)).toDF("id", "v").createOrReplaceTempView("eqs_b")
+    ss.sql(s"CALL $c.system.eq_upsert(table => 'ns.t', source => 'eqs_b', key => 'id')")
+    // the tail would emit ONLY the insert file and never retract the
+    // stale image of id=1 — the source must refuse the commit
+    val e = intercept[Exception](drain())
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("equality") || Option(e.getCause).exists(
+        _.getMessage.contains("equality"))), s"got: ${e.getMessage}")
   }
 
   test("tombstone blobs are referenced files: retention pins them, expiry reclaims them") {
