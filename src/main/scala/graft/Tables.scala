@@ -41,4 +41,29 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a SMALL input out across the cores before a per-row-HEAVY stage
+    * (optimization guide §2.5: an unsplittable input gets repartitioned
+    * right after the read). The driver testdata tables are single-row-group
+    * parquet files — parquet is row-group-atomic, so a scan yields ONE
+    * non-empty task no matter how many byte-range splits the planner makes,
+    * and every expensive map stage above it (shingle/bigram explodes,
+    * 128-hash MinHash, md5 bucketing, Hadamard rotations) runs serial on
+    * one of the cores.
+    *
+    * Scale-adaptive, derived from input size (never a local-only pin): the
+    * round-robin fires only when the optimizer's size estimate says the
+    * scan alone cannot saturate the cores (bytes < cores × maxPartitionBytes).
+    * Below that cutoff the added exchange moves at most cores×128 MiB —
+    * strictly cheaper than the serial stage it breaks up; above it (any
+    * real 100 TB scan plans thousands of row groups) this is the identity,
+    * so a corpus-sized shuffle can never be added. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val cutoff = BigInt(cores.toLong) *
+      spark.sessionState.conf.filesMaxPartitionBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= cutoff) df
+    else df.repartition(cores)
+  }
 }

@@ -356,6 +356,11 @@ object Analytics {
     * the exact counts and `TRUE` verdicts. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.abs
+    // NO fanOut here (r16, measured): round-robin spreading before the
+    // exact arm regressed 2.06 → 3.86 s — the partial-dedup aggregate
+    // below the countDistinct exchange dedups far better when each value's
+    // duplicates sit in one scan task, so the spread traded a serial-but-
+    // effective partial agg for a parallel one that shuffles ~2× the rows.
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_orderkey")
     // The exact and approx counts MUST be separate aggregations: combining
     // countDistinct with approx_count_distinct in one agg makes Catalyst's

@@ -233,16 +233,21 @@ object Curation {
   private[graft] def packTokens(spark: SparkSession, docs: DataFrame,
                                 budget: Long, rangeSize: Long): DataFrame = {
     import spark.implicits._
+    // Stage the NARROW (doc_id, n_tokens) projection once: the range-size
+    // probe, the per-range totals, and the final window otherwise each
+    // re-run the caller's scan + filter chain (three splits of `text` per
+    // row in the curation pipeline) — three corpus passes for one packing.
+    val t0 = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coalesce: max over an EMPTY frame is null (a filter chain keeping
+    // zero docs must yield an empty pack list, not an NPE)
     val rs =
       if (rangeSize > 0) rangeSize
-      // coalesce: max over an EMPTY frame is null (a filter chain keeping
-      // zero docs must yield an empty pack list, not an NPE)
       else math.max(1000L,
-        (docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0) + 1) / 1000L)
-    val t = docs
-      .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
-        expr(s"doc_id div $rs").as("rk"))
+        (t0.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0) + 1) / 1000L)
+    val t = t0.withColumn("rk", expr(s"doc_id div $rs"))
     // Per-range totals → driver prefix sum. The collect is over ~1000 rows
     // (NOT the corpus) — the documented metadata-scale exception.
     val totals = t.groupBy("rk").agg(sum("n_tokens").as("s"))
@@ -252,11 +257,16 @@ object Curation {
     val offDf = offsets.toSeq.toDF("rk", "off")
     val w = Window.partitionBy("rk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.join(broadcast(offDf), "rk")
+    val out = t.join(broadcast(offDf), "rk")
       .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
       .withColumn("pack_id", expr(s"CAST((cum - n_tokens) div $budget AS BIGINT)"))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    // materialize the pack-sized result while the staged projection is
+    // live, then release it (the containmentPairs idiom)
+    out.cache().count()
+    t0.unpersist(blocking = false)
+    out
   }
 
   /** Train/eval DECONTAMINATION — the overlap check every serious
@@ -338,7 +348,7 @@ object Curation {
     * step is embarrassingly parallel. */
   def curationPipeline(spark: SparkSession, dir: String, samplePct: Int = 50,
                        budget: Long = 512): DataFrame = {
-    val kept = Tables.documents(spark, dir)
+    val kept = Tables.fanOut(Tables.documents(spark, dir))
       .filter(TextAnalysis.qualityKeepExpr)
       .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100 < samplePct)
@@ -524,7 +534,7 @@ object Curation {
     // to take their size. Docs with zero grams (shorter than k tokens)
     // never reach the explode; a narrow doc_id-only scan restores them.
     val mined = commonNgrams(spark, dir, k, minDocs, top).select("ng")
-    val perDoc = Tables.documents(spark, dir)
+    val perDoc = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(Dedup.shingleSetK(k)).as("ng"))
       .join(broadcast(mined.withColumn("hit", lit(1L))), Seq("ng"), "left")
       .groupBy("doc_id")
@@ -1351,7 +1361,12 @@ object Curation {
     * is a per-document window (state bounded by doc length, partitioned
     * by doc_id — embarrassingly parallel across the corpus). */
   def dupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    // Stage the positional gram table ONCE: it feeds both the dup census
+    // and the span join — without the persist Catalyst re-runs the
+    // explode+md5 scan per consumer (same staging idiom as
+    // [[winnowPairs]]/[[Dedup.containmentPairs]]), and fanOut breaks the
+    // single-row-group scan serialization under the md5 kernel.
+    val grams = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
       .select(col("doc_id"), posexplode(expr(
         s"""CASE WHEN size(words) >= $k THEN
@@ -1359,6 +1374,7 @@ object Curation {
                         j -> md5(array_join(slice(words, j + 1, $k), ' ')))
             ELSE array() END""")))
       .toDF("doc_id", "pos", "gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("gram")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1376,7 +1392,7 @@ object Curation {
       .agg((max(col("pos")) - min(col("pos")) + k).cast("long").as("covered"))
       .groupBy("doc_id")
       .agg(sum(col("covered")).as("dup_tokens"), count(lit(1)).as("n_spans"))
-    Tables.documents(spark, dir)
+    val out = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
@@ -1385,6 +1401,11 @@ object Curation {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("dup_fraction"))
+    // materialize the per-doc result while the gram stage is live, then
+    // release the corpus-sized blocks (the containmentPairs idiom)
+    out.cache().count()
+    grams.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB oracle for [[dupSpans]] — same position grams, same ≥2 rule,
@@ -2385,7 +2406,7 @@ object Curation {
                   maxDf: Int = 50, minShared: Int = 2): DataFrame = {
     // stage perRow once: the kernel feeds the exploded census AND the
     // per-doc sizes (same staging rationale as [[winnowing]])
-    val perRow = Tables.documents(spark, dir)
+    val perRow = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), winnowArray(k, ww).as("fps"))
       .where(size(col("fps")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2493,7 +2514,7 @@ object Curation {
   def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024,
                   targetLang: String = "en", k: Int = 100): DataFrame = {
     require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
-    val pos = Tables.documents(spark, dir)
+    val pos = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.gramList(2)).as("bg"))
       .select(col("doc_id"), col("lang"),
@@ -2501,11 +2522,13 @@ object Curation {
           .as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val rc = pos.groupBy("b").agg(count(lit(1)).as("rc"))
-      val tc = pos.filter(col("lang") === targetLang)
-        .groupBy("b").agg(count(lit(1)).as("tc"))
-      val counts = rc.join(tc, Seq("b"), "left")
-        .select(col("b"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+      // rc and tc in ONE pass over pos (guide §2.4: two aggregations keyed
+      // the same way share one exchange): the conditional count equals the
+      // old filter→count→left-join→coalesce chain row for row — a bucket
+      // with no target-lang rows counts 0 either way.
+      val counts = pos.groupBy("b").agg(
+        count(lit(1)).as("rc"),
+        count(when(col("lang") === targetLang, lit(1))).as("tc"))
       val tots = counts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
       val lam = counts.crossJoin(tots)
         .select(col("b"),

@@ -114,7 +114,10 @@ object Dedup {
     *    generated method (the r4 bench's Janino compile storm). */
   private def wideMinhash(spark: SparkSession, dir: String,
                           shingle: Column, nHashes: Int): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    // fanOut: the shingle explode + md5 + 128-column min() partial
+    // aggregate is the most expensive map stage in the dedup family and
+    // otherwise runs in the single-row-group scan's ONE task
+    val sh = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(shingle).as("shingle"))
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
@@ -579,7 +582,9 @@ object Dedup {
                             aCol: String, bCol: String, shingleK: Int,
                             threshold: Double): DataFrame = {
     graft.functions.ArrayIntersectCount.register(spark)
-    val sets = Tables.documents(spark, dir)
+    // fanOut: the per-doc shingle-set kernel runs once per join side over
+    // the single-row-group scan — serial without the spread
+    val sets = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), shingleSetK(shingleK).as("sset"))
     val a = sets.select(col("doc_id").as(aCol), col("sset").as("set_a"))
     val b = sets.select(col("doc_id").as(bCol), col("sset").as("set_b"))
@@ -1395,7 +1400,7 @@ object Dedup {
     * pairs are enumerated, so cost is corpus-linear regardless of how
     * much the sides overlap. */
   def corpusOverlap(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val flags = graft.Tables.documents(spark, dir)
+    val flags = graft.Tables.fanOut(graft.Tables.documents(spark, dir))
       .select((col("doc_id") % 2).as("side"), explode(shingleSetK(k)).as("shingle"))
       .groupBy("shingle")
       .agg(max(when(col("side") === 0, 1).otherwise(0)).as("a"),
@@ -1519,7 +1524,7 @@ object Dedup {
     // aggregate) shuffles and compares 8-byte longs instead of ~6-word
     // text (collision bound vocab²/2⁶⁴ — the same accepted hash regime
     // as the MinHash family and the ppjoin verify sets).
-    val sh = graft.Tables.documents(spark, dir)
+    val sh = graft.Tables.fanOut(graft.Tables.documents(spark, dir))
       .select(col("doc_id"), explode(shingleSetK(k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -135,11 +135,15 @@ object Pipeline {
                                       base: String,
                                       viewSuffix: String = ""): DataFrame = {
     // ── Stage 2 (S1 text scan → P1/P2/P3 parse → K1/K2 chunked JSONL) ──
-    val titles = parseDelimited(spark.read.text(s"$rawBase/titles_raw"),
+    // fanOut before the parses: the raw fixtures arrive as one/few text
+    // parts below the scan's open-cost split floor, so the split/rejoin
+    // parse and the JSON encode of every staged file otherwise run in one
+    // task (identity at production input sizes — see Tables.fanOut)
+    val titles = parseDelimited(Tables.fanOut(spark.read.text(s"$rawBase/titles_raw")),
       Seq("edit_id", "word_id", "korean"))
-    val hanja = parseDelimited(spark.read.text(s"$rawBase/hanja_raw"),
+    val hanja = parseDelimited(Tables.fanOut(spark.read.text(s"$rawBase/hanja_raw")),
       Seq("korean", "hanjya", "examples"))
-    val langlink = parseTuples(spark.read.text(s"$rawBase/langlink_raw"),
+    val langlink = parseTuples(Tables.fanOut(spark.read.text(s"$rawBase/langlink_raw")),
       Seq("article_id", "language", "text"))
     // K2: chunked multi-file write (the reference's 10k-row part files,
     // `dag-knlp.py:139-145`) — part count, not row count, is the Spark
@@ -207,8 +211,9 @@ object Pipeline {
     * source. Narrow write, narrow schema'd scan, one partial-agg shuffle. */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch(dir) + "/orders_csv"
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // fanOut: parallel CSV encode + parallel read-back (see orcRoundTrip)
+    Tables.fanOut(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
       .write.mode("overwrite").option("header", "true").csv(base)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
@@ -233,8 +238,11 @@ object Pipeline {
     * predicate pushdown both reach the ORC reader. */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val base = scratch(dir) + "/lineitem_orc"
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    // fanOut: parallelizes the ORC encode AND gives the read-back a
+    // multi-stripe layout to scan in parallel (the single-row-group
+    // parquet source otherwise serializes both sides)
+    Tables.fanOut(Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"))
       .write.mode("overwrite").orc(base)
     spark.read.orc(base)
       .groupBy("l_returnflag")

@@ -214,12 +214,21 @@ object Relational {
         .join(Tables.customer(spark, dir).select("c_custkey"),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("n")))
-    val domain = check("lineitem_returnflag_domain",
-      lineitem.agg(sum(when(!col("l_returnflag").isin("N", "A", "R"), 1L)
-        .otherwise(0L)).as("n")))
-    val nonneg = check("lineitem_extendedprice_nonnegative",
-      lineitem.agg(sum(when(col("l_extendedprice") < 0, 1L)
-        .otherwise(0L)).as("n")))
+    // the two pure-aggregate lineitem checks share ONE scan (guide §2.3
+    // "aggregate before you shuffle" / §1.2: don't pass over the data
+    // twice for two independent sums); the 1-row result fans back out to
+    // the two check rows
+    val domNonneg = lineitem.agg(
+        sum(when(!col("l_returnflag").isin("N", "A", "R"), 1L)
+          .otherwise(0L)).as("dn"),
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("nn"))
+      .select(explode(array(
+        struct(lit("lineitem_returnflag_domain").as("check_name"),
+          col("dn").as("n")),
+        struct(lit("lineitem_extendedprice_nonnegative").as("check_name"),
+          col("nn").as("n")))).as("c"))
+      .select(col("c.check_name"), col("c.n").as("n_violations"),
+        (col("c.n") === 0).as("pass"))
     val tsRange = check("events_ts_in_range",
       Tables.events(spark, dir).agg(
         sum(when(col("ts") < lit("2020-01-01").cast("timestamp")
@@ -227,7 +236,7 @@ object Relational {
           .otherwise(0L)).as("n")))
     check("orders_orderkey_unique", pkUnique)
       .unionAll(fkLineOrders).unionAll(fkOrdersCust)
-      .unionAll(domain).unionAll(nonneg).unionAll(tsRange)
+      .unionAll(domNonneg).unionAll(tsRange)
   }
 
   /** DuckDB oracle for [[expectations]] — the same checks as plain SQL. */

@@ -856,7 +856,10 @@ object Similarity {
                 kOut: Int = 10, c: Int = 60): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.ArrayIntersectCount.register(spark)
-    val docs = Tables.documents(spark, dir)
+    // fanOut: the nested-loop query×candidate scoring (cosine + token
+    // intersect per pair) otherwise inherits the single-row-group scan's
+    // ONE partition and runs serial
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(split(col("text"), " ", -1)).as("tset"))
     val cand = docs.join(embDouble(spark, dir), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("tset"), col("emb"))
@@ -1323,10 +1326,14 @@ object Similarity {
     graft.functions.ArrayIntersectCount.register(spark)
     val first = hybridRrf(spark, dir, k, kOut, c)
       .select(col("query_id"), col("cand_id"), col("rank").as("first_stage_rank"))
-    val feat = Tables.documents(spark, dir)
+    // Stage the feature table once (it feeds BOTH the candidate side and
+    // the broadcast query side — the bigram-set kernel otherwise runs
+    // twice), fanned out of the single-row-group scan.
+    val feat = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), Dedup.shingleSetK(2).as("bset"))
       .join(embDouble(spark, dir), col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("bset"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = feat
       .join(broadcast(first), col("doc_id") === col("cand_id"))
       .join(broadcast(
@@ -1342,9 +1349,14 @@ object Similarity {
       .withColumn("ce_score",
         round(lit(0.5) * expr("cosine_sim(emb, qemb)") + lit(0.5) * col("bjacc"), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("ce_score"), asc("cand_id"))
-    scored.withColumn("rerank_pos", row_number().over(w))
+    val out = scored.withColumn("rerank_pos", row_number().over(w))
       .select(col("query_id"), col("cand_id"), col("first_stage_rank"),
         col("rerank_pos"), col("ce_score"))
+    // materialize the rerank result while the staged features are live,
+    // then release them (the containmentPairs idiom)
+    out.cache().count()
+    feat.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB oracle for [[rerankCrossEncoder]] — the shared RRF CTE chain
@@ -1400,8 +1412,8 @@ object Similarity {
     * per-(vector, subspace) min — so the whole audit is two narrow
     * aggregates over the corpus, no pairwise stage anywhere. */
   def opqRotationAudit(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = embDouble(spark, dir)
-    val (_, dim) = corpusShape(e0)
+    val e0raw = embDouble(spark, dir)
+    val (_, dim) = corpusShape(e0raw)
     require((dim & (dim - 1)) == 0,
       s"Hadamard rotation needs a power-of-two dim, got $dim")
     val invRoot = s"cast(${math.sqrt(dim.toDouble)} as double)"
@@ -1411,7 +1423,14 @@ object Similarity {
               acc + CASE WHEN bit_count(i & j) % 2 = 1
                          THEN -element_at(emb, j + 1)
                          ELSE element_at(emb, j + 1) END) / $invRoot)""")
+    // The O(dim²)-per-vector Hadamard rotation has TWO consumers (its mse
+    // arm and the norm-drift audit), as does the plain corpus — stage each
+    // once, fanned across the cores (the single-row-group embeddings scan
+    // otherwise rotates the whole corpus serially, twice).
+    val e0 = graft.Tables.fanOut(e0raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rot = e0.select(col("vec_id"), rotExpr.as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val subDim = dim / PqM
     // mean total quantization L2² for one space: encode against the
     // first-PqK-rows codebook of THAT space, min per (vector, subspace)
@@ -1440,9 +1459,15 @@ object Similarity {
         "vec_id")
       .agg(max(abs(col("n_rot") - col("n_plain"))).as("drift"))
       .select((col("drift") < 1e-9).as("norm_ok"))
-    mse(e0).select(col("n_vecs"), round(col("mse"), 6).as("mse_plain"))
+    val out = mse(e0).select(col("n_vecs"), round(col("mse"), 6).as("mse_plain"))
       .crossJoin(mse(rot).select(round(col("mse"), 6).as("mse_rotated")))
       .crossJoin(normDrift)
+    // materialize the 1-row audit while the staged frames are live, then
+    // release the corpus-sized blocks (the containmentPairs idiom)
+    out.cache().count()
+    rot.unpersist(blocking = false)
+    e0.unpersist(blocking = false)
+    out
   }
 
   /** DuckDB oracle for [[opqRotationAudit]] — same Hadamard signs, same

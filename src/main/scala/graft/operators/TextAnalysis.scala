@@ -394,11 +394,12 @@ object TextAnalysis {
     // persist, not localCheckpoint, for the corpus-sized stage (the
     // [[graft.operators.Dedup.containmentPairs]] idiom — spillable and
     // recomputable on executor loss).
-    val bg = Tables.documents(spark, dir)
+    val bg = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(gramList(2)).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cu = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+      val cu = Tables.fanOut(Tables.documents(spark, dir))
+        .select(explode(tokens).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cu"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1121,7 +1122,7 @@ object TextAnalysis {
     // both once with spillable, lineage-preserving persist (the
     // [[graft.operators.Dedup.containmentPairs]] idiom; localCheckpoint
     // pins executor storage and cannot recompute on executor loss)
-    val bg = Tables.documents(spark, dir)
+    val bg = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(gramList(2)).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
