@@ -1078,6 +1078,17 @@ object Dedup {
     val loop = parent.newSession()
     loop.conf.set("spark.sql.constraintPropagation.enabled", "false")
     val src = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
+    // Size the loop's shuffle partitions from the EDGE COUNT rather than
+    // the session default (r16, guide §2.2): each alternation runs ~4
+    // shuffles over the edge frame plus an eager materialization, so a
+    // fixed core-count layout pays rounds × stages × partitions of
+    // near-empty task overhead on a small dedup graph, while a production
+    // graph derives more partitions than any pin. ~2M (long,long) edges
+    // (≈32 MB) per partition; floor 8 (the same deliberate small-state
+    // sizing as the streaming harnesses). The count is over the already-
+    // materialized checkpoint — metadata-scale, not a corpus pass.
+    loop.conf.set("spark.sql.shuffle.partitions",
+      math.max(8L, src.count() / 2000000L).toString)
     val nodes = loop.createDataFrame(
       src.select(col("u").as("doc_id")).union(src.select(col("v").as("doc_id")))
         .distinct().rdd,

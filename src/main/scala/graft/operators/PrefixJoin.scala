@@ -110,7 +110,10 @@ object PrefixJoin {
     * [[ppJoinIncremental]] with both sides the full corpus. */
   def ppJoin(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     val idx = ensurePrefixIndex(spark, dir, threshold)
-    val prefix = spark.read.parquet(s"$idx/prefix")
+    // fanOut: the index build's AQE-coalesced write leaves prefix/ as a
+    // handful of small files, so the candidate join's probe stage (pair
+    // generation + partial-agg distinct) would otherwise run in one task
+    val prefix = Tables.fanOut(spark.read.parquet(s"$idx/prefix"))
     val sets = spark.read.parquet(s"$idx/sets")
     // The candidate join is deliberately ARRAY-FREE: a hot prefix token
     // (one rare-ranked token shared by a whole near-dup family) puts
@@ -189,7 +192,8 @@ object PrefixJoin {
     // probe the PERSISTED index: the query's cost is the batch probe +
     // one index scan — the corpus is never re-tokenized or re-ordered
     val idx = ensurePrefixIndex(spark, dir, threshold)
-    val prefix = spark.read.parquet(s"$idx/prefix")
+    // fanOut: same serial-probe fix as [[ppJoin]]
+    val prefix = Tables.fanOut(spark.read.parquet(s"$idx/prefix"))
     val sets = spark.read.parquet(s"$idx/sets")
     val newPre = prefix.filter(col("doc_id") >= splitFrom)
         .select(col("tok"), col("doc_id").as("new_doc"),

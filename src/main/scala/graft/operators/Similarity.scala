@@ -29,6 +29,12 @@ import graft.Tables
   */
 object Similarity {
 
+  /** The corpus embeddings as double arrays. NOT fanned out here (r16,
+    * measured): a blanket fanOut regressed the iterative consumers —
+    * q_ann_ivf_kmeans 2.59 → 3.2+ s, every Lloyd pass re-paying the
+    * exchange for ~90 k cheap cosines — so the spread is applied only in
+    * the genuinely per-row-heavy consumers (the Hadamard rotation audit,
+    * PQ ADC scoring), where it measured faster. */
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -708,7 +714,11 @@ object Similarity {
     val subDim = dim / PqM
     require(subDim * PqM == dim, s"dim $dim not divisible into $PqM subspaces")
     def subArr = array((0 until PqM).map(m => slice(col("emb"), m * subDim + 1, subDim)): _*)
-    val subs = e0.select(col("vec_id"), posexplode(subArr).as(Seq("m", "sub")))
+    // fanOut the ENCODE side only (corpus × K codewords × M subspaces of
+    // interpreted l2 lambdas — measured 1.58 → 1.20 s); the centroid and
+    // query sides are K/10 rows and stay on the plain scan
+    val subs = graft.Tables.fanOut(e0)
+      .select(col("vec_id"), posexplode(subArr).as(Seq("m", "sub")))
     val cent = e0.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("c"), posexplode(subArr).as(Seq("m", "csub")))
     val l2 = expr(

@@ -750,7 +750,9 @@ object TextAnalysis {
     * bit-stable — the [[docLogProb]] determinism pattern. */
   def pmiCollocations(spark: SparkSession, dir: String,
                       minCount: Int = 5, k: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanOut: both explode passes (unigram census + bigram census) are
+    // per-row-heavy map stages over the single-row-group scan
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
     val cu = docs.select(explode(tokens).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cu"))
       .localCheckpoint()

@@ -104,6 +104,18 @@ object StreamingOps {
                            n: Int = DefaultStatePartitions): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // Spark 4.1 writes + verifies a sidecar checksum file for EVERY
+    // checkpoint file (state deltas/snapshots, offsets, commits) by
+    // default. These replays run on PID-scoped scratch checkpoints that
+    // live for one query and are swept afterwards — the hazard the
+    // checksums guard against (silent corruption of a long-lived
+    // checkpoint on remote storage) cannot arise, while the sidecars
+    // DOUBLE the tiny-file creations + fsyncs every micro-batch pays
+    // (per state partition × operator × batch). Off here for the scratch
+    // replays; a durable production checkpoint should keep the default —
+    // opt back in via SPARK_GRAFT_STREAM_CHECKSUM=true.
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_CHECKSUM", "false"))
     ss
   }
 
@@ -917,7 +929,10 @@ object StreamingOps {
     // AvailableNow micro-batch — an eager localCheckpoint would tokenize
     // and materialize the ENTIRE corpus to the block manager up front
     // (measured ~2s of the query at sf0.1) for a single consumer pass.
-    val corpusSets = graft.Tables.documents(ss, dir)
+    // fanOut (r16): the per-batch tokenization of the corpus side ran in
+    // the single-row-group scan's ONE task inside the micro-batch; the
+    // round-robin (identity at production corpus sizes) spreads it.
+    val corpusSets = graft.Tables.fanOut(graft.Tables.documents(ss, dir))
       .filter(col("doc_id") < splitFrom)
       .select(col("doc_id").as("corpus_doc"),
         Dedup.shingleSetK(1).as("set_b"))
