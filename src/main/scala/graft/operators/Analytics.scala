@@ -35,7 +35,10 @@ object Analytics {
   /** TPC-H Q1-style pricing summary over lineitem: multi-aggregate groupBy
     * with derived expressions, all shuffle-safe exact arithmetic. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // fanOut: six decimal partial aggregates per row (see statsCorr)
+    val li = Tables.fanOut(Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"))
     val price = col("l_extendedprice").cast(DecimalType(18, 2))
     val disc  = col("l_discount").cast(DecimalType(4, 2))
     val tax   = col("l_tax").cast(DecimalType(4, 2))
@@ -840,8 +843,11 @@ object Analytics {
   def statsCorr(spark: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast(DecimalType(18, 2))
     val y = col("l_extendedprice").cast(DecimalType(18, 2))
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+    // fanOut: five decimal-multiply partial sums per row over the
+    // single-row-group scan — plain sums, so the spread costs nothing at
+    // the exchange (3 groups) and parallelizes the decimal arithmetic
+    Tables.fanOut(Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), x.as("x"), y.as("y")))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -118,7 +118,7 @@ object Curation {
     *
     * Scale shape: one narrow scan, one 1-row partial aggregate. */
   def corpusFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"),
         conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 8), 16, 10)
           .cast("long").as("h"))
@@ -304,7 +304,7 @@ object Curation {
     val isBench =
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100 < pct
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), isBench.as("is_bench"),
         explode(Dedup.shingleSetK(k)).as("ng"))
     val bench = grams.filter(col("is_bench")).select("ng").distinct()
@@ -415,7 +415,7 @@ object Curation {
     * (n_docs DESC, ng ASC) tie-break keeps the cut deterministic. */
   private[graft] def mineCommonNgrams(spark: SparkSession, dir: String, k: Int = 8,
                                       minDocs: Int = 2, top: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(explode(Dedup.shingleSetK(k)).as("ng"))
       .groupBy("ng").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -494,7 +494,7 @@ object Curation {
     * semi-join flag + single global sum — no corpus shuffle. */
   def vocabOov(spark: SparkSession, dir: String,
                vocabSize: Int = 25): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.fanOut(Tables.documents(spark, dir))
       .select(explode(split(col("text"), " ", -1)).as("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(vocabSize)
@@ -612,7 +612,7 @@ object Curation {
     val isBench =
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100 < pct
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .filter(TextAnalysis.qualityKeepExpr)
       .filter(!isBench)
       .join(broadcast(losers), Seq("doc_id"), "left_anti")
@@ -2242,7 +2242,7 @@ object Curation {
     // (no shuffle); only the chunk census — ~1/16 of the token stream —
     // is exploded. persist, not localCheckpoint: the
     // [[Dedup.containmentPairs]] idiom.
-    val perRow = Tables.documents(spark, dir)
+    val perRow = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), chunkArray(w).as("chunks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2364,7 +2364,7 @@ object Curation {
     // the cross-document census, staged once for its two consumers.
     // stage perRow: the kernel would otherwise evaluate TWICE (once for
     // the exploded census, once for the per-doc sizes)
-    val perRow = Tables.documents(spark, dir)
+    val perRow = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), winnowArray(k, ww).as("fps"),
         expr(s"""CAST(greatest(size(split(text, ' ', -1)) - ${k - 1}, 0)
                  AS BIGINT)""").as("n_grams"))

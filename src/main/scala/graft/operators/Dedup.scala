@@ -29,7 +29,7 @@ object Dedup {
     * distinct text, with the duplicate count. Generalizes the reference's
     * DISTINCT (`dag-knlp.py:72`) to keyed `dropDuplicates` semantics. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(md5(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
@@ -1322,7 +1322,7 @@ object Dedup {
     * the sign of Σ_tokens (±1 on bit i). Hamming-close fingerprints ≈
     * near-duplicate token distributions. Two partial aggregates, linear. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(shingleSet).as("token"))
       .select(col("doc_id"),
         conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))

@@ -181,8 +181,12 @@ object Multimodal {
   private def mediaBytes(spark: SparkSession, dir: String,
                          build: (Long, Array[Byte]) => Array[Byte]) = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    // fanOut: the per-row media build + downstream codec mapPartitions
+    // are opaque typed stages the planner cannot split — over the
+    // single-row-group scan they run in ONE task (identity at production
+    // ingest sizes, see Tables.fanOut)
+    Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content")))
       .as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.doc_id, build(r.doc_id, r.content))))
   }
@@ -314,8 +318,9 @@ object Multimodal {
   def mediaEmbed(spark: SparkSession, dir: String,
                  embedder: MediaEmbedder = StubEmbedder): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    // fanOut: same serial-decode fix as [[mediaBytes]]
+    Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content")))
       .as[MediaRow]
       .mapPartitions(embedder.embed)
       .toDF()
@@ -523,7 +528,7 @@ object Multimodal {
     * Narrow (no shuffle); payload bytes never leave the partition — at
     * 100 TB only 16 bytes/image cross to the dedup join. */
   def perceptualHash(spark: SparkSession, dir: String): DataFrame =
-    withPHash(Tables.documents(spark, dir).select("doc_id", "text"))
+    withPHash(Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text")))
 
   /** The 4×16-bit band array of a phash, position-tagged so one explode
     * + equi-join buckets per (band index, band value) — shared by the
