@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // r10 as a uniform ~1.4x drift clustering alphabetically late, with
   // end-of-suite WARM reruns of early-compiled plans still fast).
   "-XX:ReservedCodeCacheSize=2g",
-)
+) ++
+  // ad-hoc A/B experiment hook (profiling only — the bench itself never
+  // depends on it): extra -D flags for a forked run, e.g.
+  // SPARK_GRAFT_JAVA_OPTS="-Dspark.sql.files.minPartitionNum=1"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

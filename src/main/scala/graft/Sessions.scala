@@ -91,6 +91,22 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Driver live-set hygiene (guide §5: "the driver should do almost
+      // no data work" — and should not silently RETAIN it either). Even
+      // with the UI off, the AppStatus/SQLAppStatus listeners feed an
+      // in-memory KVStore with per-job/stage/task wrappers and one entry
+      // per SQL execution holding the FULL plan description — at the
+      // defaults (1000 jobs/stages, 100k tasks, 1000 executions) a
+      // long-lived driver running many queries (this engine's bench: 290
+      // queries + streaming micro-batches, each batch one execution)
+      // accumulates hundreds of MB of dead diagnostics and the GC debt
+      // that goes with it; at 100 TB scale (millions of tasks) the task
+      // default alone is a known driver-memory hazard. Nothing reads the
+      // store here (UI off), so keep a short diagnostic window only.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

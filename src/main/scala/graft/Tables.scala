@@ -60,10 +60,17 @@ object Tables {
     * so a corpus-sized shuffle can never be added. */
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val cores = spark.sparkContext.defaultParallelism
-    val cutoff = BigInt(cores.toLong) *
+    // Target width = the session's deliberate shuffle sizing, floored at
+    // the scheduler's current slot count (ADVICE r16: under dynamic
+    // allocation defaultParallelism reflects only currently-registered
+    // executors at plan-build time, pinning too few partitions; the
+    // shuffle-partition setting is the configured intent).
+    val target = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val cutoff = BigInt(target.toLong) *
       spark.sessionState.conf.filesMaxPartitionBytes
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= cutoff) df
-    else df.repartition(cores)
+    else df.repartition(target)
   }
 }

@@ -263,9 +263,11 @@ object Curation {
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     // materialize the pack-sized result while the staged projection is
-    // live, then release it (the containmentPairs idiom)
-    out.cache().count()
-    t0.unpersist(blocking = false)
+    // live, then release it (the containmentPairs idiom); the release
+    // rides a finally so a failed materialization cannot strand the
+    // staged corpus-sized blocks for the session lifetime (ADVICE r16)
+    try out.cache().count()
+    finally t0.unpersist(blocking = false)
     out
   }
 
@@ -1361,11 +1363,15 @@ object Curation {
     * is a per-document window (state bounded by doc length, partitioned
     * by doc_id — embarrassingly parallel across the corpus). */
   def dupSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    // Stage the positional gram table ONCE: it feeds both the dup census
-    // and the span join — without the persist Catalyst re-runs the
-    // explode+md5 scan per consumer (same staging idiom as
-    // [[winnowPairs]]/[[Dedup.containmentPairs]]), and fanOut breaks the
-    // single-row-group scan serialization under the md5 kernel.
+    // The positional gram table feeds both the dup census and the span
+    // join. No persist (ADVICE r16: the r16 MEMORY_AND_DISK staging here
+    // held corpus-token-sized blocks for the session lifetime, and at
+    // 100 TB would spill a gram table LARGER than the corpus): each
+    // consumer streams its own (fanned-out, parallel) explode pass —
+    // two cheap map passes instead of one pass plus a corpus-sized
+    // materialization, and nothing stays cached on return. A/B at
+    // sf0.1/32 cores: staged 1.78 s (suite) vs unstaged 1.78/1.41 s
+    // (Scratch warm reps) — same or better, with zero storage footprint.
     val grams = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ", -1).as("words"))
       .select(col("doc_id"), posexplode(expr(
@@ -1374,7 +1380,6 @@ object Curation {
                         j -> md5(array_join(slice(words, j + 1, $k), ' ')))
             ELSE array() END""")))
       .toDF("doc_id", "pos", "gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("gram")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1401,10 +1406,9 @@ object Curation {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 6).as("dup_fraction"))
-    // materialize the per-doc result while the gram stage is live, then
-    // release the corpus-sized blocks (the containmentPairs idiom)
-    out.cache().count()
-    grams.unpersist(blocking = false)
+    // nothing staged, nothing cached: the returned frame recomputes from
+    // the shared (reused) gram exchange per action, so repeated calls
+    // accumulate no storage (ADVICE r16)
     out
   }
 

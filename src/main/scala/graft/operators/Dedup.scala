@@ -1087,6 +1087,12 @@ object Dedup {
     // (≈32 MB) per partition; floor 8 (the same deliberate small-state
     // sizing as the streaming harnesses). The count is over the already-
     // materialized checkpoint — metadata-scale, not a corpus pass.
+    // Floor A/B-measured both rounds (ADVICE r16 asked for the re-measure):
+    // r17 same-session reps at sf0.1/32 cores — floor 8: 3.23/3.72 s,
+    // floor = defaultParallelism(32): 3.74/3.96 s. The ~4 shuffles per
+    // alternation × rounds pay per-partition task overhead on a tiny
+    // graph; 8 stays the better local floor and a production graph
+    // derives its count from the edge term anyway.
     loop.conf.set("spark.sql.shuffle.partitions",
       math.max(8L, src.count() / 2000000L).toString)
     val nodes = loop.createDataFrame(

@@ -148,9 +148,26 @@ object Pipeline {
     // K2: chunked multi-file write (the reference's 10k-row part files,
     // `dag-knlp.py:139-145`) — part count, not row count, is the Spark
     // unit of chunking; consumers prefix-scan the directory (S3).
-    titles.repartition(4).write.mode("overwrite").json(s"$base/korean_jsonl")
-    hanja.write.mode("overwrite").json(s"$base/korean_hanjya_jsonl")      // K1 single-dir write
-    langlink.repartition(4).write.mode("overwrite").json(s"$base/korean_japanese_jsonl")
+    // The three staging writes are INDEPENDENT jobs (guide §2.6: overlap
+    // independent jobs so the next job's tasks back-fill executors freed
+    // by the current job's tail — here each write's tail would otherwise
+    // leave the cores idle while the next hasn't started). Threads are
+    // created under the caller's job group (InheritableThreadLocal), so
+    // the bench watchdog's cancel still reaches all three.
+    locally {
+      val writes = Seq[() => Unit](
+        () => titles.repartition(4).write.mode("overwrite").json(s"$base/korean_jsonl"),
+        () => hanja.write.mode("overwrite").json(s"$base/korean_hanjya_jsonl"), // K1 single-dir write
+        () => langlink.repartition(4).write.mode("overwrite").json(s"$base/korean_japanese_jsonl"))
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val threads = writes.map { w =>
+        val t = new Thread(() =>
+          try w() catch { case e: Throwable => failure.compareAndSet(null, e) })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
+    }
 
     // ── Stage 3 (S2/S3: schema'd JSONL load + K3 temp views) ──
     def st(names: String*) = StructType(names.map(StructField(_, StringType, nullable = true)))
@@ -175,9 +192,14 @@ object Pipeline {
     val dim = spark.read.parquet(s"$base/korean_japanese_hanjya")
 
     // ── Stage 5 (D1/D2 data-quality checks, ref `dag-knlp.py:243-279`) ──
-    val n = dim.count()
+    // Both checks are pure aggregates over the same table, so they share
+    // ONE scan+aggregate job (guide §2.4: two operations keyed the same
+    // way share one pass) — the checks themselves are unchanged.
+    val checks = dim.agg(count(lit(1)).as("n"),
+      max(length(col("word_id"))).as("max_len")).head()
+    val n = checks.getLong(0)
     require(n >= 1, s"check_data_count failed: $n rows")
-    val maxLen = dim.agg(max(length(col("word_id")))).head().getInt(0)
+    val maxLen = checks.getInt(1)
     require(maxLen <= 13, s"check_data_length failed: max len(word_id)=$maxLen > 13")
 
     dim

@@ -1363,9 +1363,10 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("first_stage_rank"),
         col("rerank_pos"), col("ce_score"))
     // materialize the rerank result while the staged features are live,
-    // then release them (the containmentPairs idiom)
-    out.cache().count()
-    feat.unpersist(blocking = false)
+    // then release them (the containmentPairs idiom); finally-scoped so a
+    // failed materialization cannot strand the staged blocks (ADVICE r16)
+    try out.cache().count()
+    finally feat.unpersist(blocking = false)
     out
   }
 
@@ -1473,10 +1474,14 @@ object Similarity {
       .crossJoin(mse(rot).select(round(col("mse"), 6).as("mse_rotated")))
       .crossJoin(normDrift)
     // materialize the 1-row audit while the staged frames are live, then
-    // release the corpus-sized blocks (the containmentPairs idiom)
-    out.cache().count()
-    rot.unpersist(blocking = false)
-    e0.unpersist(blocking = false)
+    // release the corpus-sized blocks (the containmentPairs idiom);
+    // finally-scoped so a failed materialization cannot strand them
+    // (ADVICE r16)
+    try out.cache().count()
+    finally {
+      rot.unpersist(blocking = false)
+      e0.unpersist(blocking = false)
+    }
     out
   }
 

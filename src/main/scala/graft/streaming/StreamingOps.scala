@@ -101,7 +101,8 @@ object StreamingOps {
     * keeps its own setting. ALL frames of the streaming query (static
     * join sides included) must be built on the returned session. */
   private def stateSession(spark: SparkSession,
-                           n: Int = DefaultStatePartitions): SparkSession = {
+                           n: Int = DefaultStatePartitions,
+                           durableCheckpoint: Boolean = false): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
     // Spark 4.1 writes + verifies a sidecar checksum file for EVERY
@@ -111,11 +112,18 @@ object StreamingOps {
     // checksums guard against (silent corruption of a long-lived
     // checkpoint on remote storage) cannot arise, while the sidecars
     // DOUBLE the tiny-file creations + fsyncs every micro-batch pays
-    // (per state partition × operator × batch). Off here for the scratch
-    // replays; a durable production checkpoint should keep the default —
-    // opt back in via SPARK_GRAFT_STREAM_CHECKSUM=true.
-    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_CHECKSUM", "false"))
+    // (per state partition × operator × batch). Off for SCRATCH replays
+    // only: a caller with a durable checkpoint passes
+    // durableCheckpoint=true and keeps Spark's default corruption
+    // detection (ADVICE r16). The env override is validated — every
+    // current caller is a scratch replay, so a typo'd value must fail
+    // loudly at setup, not silently re-enable or disable checksums.
+    if (!durableCheckpoint) {
+      val checksum = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHECKSUM", "false")
+      require(checksum == "true" || checksum == "false",
+        s"SPARK_GRAFT_STREAM_CHECKSUM must be 'true' or 'false', got '$checksum'")
+      ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", checksum)
+    }
     ss
   }
 
