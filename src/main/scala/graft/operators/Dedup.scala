@@ -1878,7 +1878,11 @@ object Dedup {
                           nHashes: Int = NumBands * RowsPerBand): DataFrame = {
     graft.functions.ArrayAgreeCount.register(spark)
     // distinct (source, shingle): one exploded pass staged for the
-    // sizes and exact-intersection consumers (the audit arm)
+    // sizes and exact-intersection consumers (the audit arm). NO fanOut
+    // (r17, measured): round-robin spreading before the .distinct()
+    // regressed 1.45/1.33 -> 1.93/1.66 s at sf0.1/32 cores — the same
+    // partial-dedup-locality story as approxDistinct (a doc's duplicate
+    // (source, shingle) rows dedup best inside one scan task).
     val sh = Tables.documents(spark, dir)
       .select(col("source"), explode(shingleSetK(1)).as("shingle"))
       .distinct()

@@ -735,6 +735,7 @@ class CurationSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")).cast("long"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-dupspan-").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = Curation.dupSpans(spark, tmp).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Long]("dup_tokens") == 12L
@@ -748,6 +749,14 @@ class CurationSpec extends AnyFunSuite {
       s"doc 3 expected both copies covered, got ${out(3L)}")
     assert(out(4L).getAs[Long]("dup_tokens") == 0L
       && out(4L).getAs[Double]("dup_fraction") == 0.0)
+    // r17 storage hygiene: dupSpans streams both gram passes with NO
+    // persist and returns an uncached frame — consuming the result must
+    // add nothing to the block manager (the r16 staging held corpus-
+    // token-sized blocks for the session lifetime). Delta-based so other
+    // tests' deliberate cached returns in the shared session can't
+    // contaminate the check.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"dupSpans left new persisted blocks: $leaked")
   }
 
   private def writeDocs(rows: Seq[(Long, String)], prefix: String): String = {
